@@ -1,0 +1,293 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operator queries (dedup / similarity / text
+  * analysis / multimodal) with DuckDB oracles over the `documents` and
+  * `embeddings` tables. The oracle SQL mirrors each Spark computation
+  * construct-for-construct (md5 strings, integer set sizes, double
+  * arithmetic in identical order) so results are bit-stable across both
+  * engines. Integer-typed outputs are cast to BIGINT on the Spark side to
+  * match DuckDB's len()/count() defaults.
+  */
+object PipelineQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ------------------------------------------------------- text analysis
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityStats(t(s, dir, "documents"))
+      .select(
+        col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        col("n_distinct_words").cast("long").as("n_distinct_words"),
+        col("distinct_ratio"),
+        col("mean_word_len"))
+      .orderBy("doc_id")
+
+  def textLangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langScores(t(s, dir, "documents"))
+      .select(
+        col("doc_id"),
+        col("score_de").cast("long").as("score_de"),
+        col("score_en").cast("long").as("score_en"),
+        col("score_es").cast("long").as("score_es"),
+        col("score_fr").cast("long").as("score_fr"),
+        col("pred_lang"))
+      .orderBy("doc_id")
+
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(t(s, dir, "documents"))
+      .select(col("doc_id"), col("md5_fp"), col("sketch"))
+      .orderBy("doc_id")
+
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(lower(col("text"))).cast("long").as("bpeish_tokens"))
+      .orderBy("doc_id")
+
+  // --------------------------------------------------------------- dedup
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("content_md5")
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sigs = Dedup.minhashSignatures(docs, "text", numHashes = 4)
+    val bands = Dedup.lshBands(sigs, numHashes = 4, rowsPerBand = 2)
+    val pairs = Dedup.lshCandidatePairs(bands, "doc_id", numBands = 2)
+    Dedup.verifyPairs(pairs, docs, "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash16(t(s, dir, "documents"), "text")
+      .select("doc_id", "simhash")
+      .orderBy("doc_id")
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // 3-char-gram sets, blocked by (lang, source, length bucket) — near-dups
+    // share length scale; blocking caps the pair count at any corpus size.
+    val grams = docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      (col("n_chars") / 100).cast("int").as("lb"),
+      array_distinct(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
+        .as("grams"))
+    val l = grams.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("lb"),
+      col("grams").as("ga"))
+    val r = grams.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("lb"),
+      col("grams").as("gb"))
+    l.join(r, Seq("lang", "source", "lb"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jac", round(
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))), 4))
+      .filter(col("jac") >= 0.5)
+      .select("id_a", "id_b", "jac")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------- similarity
+  def embedKnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(
+      corpus = emb, queries = emb.filter(col("vec_id") < 10),
+      idCol = "vec_id", vecCol = "embedding", k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Scale-path ANN (LSH-bucketed). No SQL oracle — the hyperplane
+    * constants live in Scala; the driver records a rows-only check. */
+  def embedKnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(
+      corpus = emb, queries = emb.filter(col("vec_id") < 10),
+      idCol = "vec_id", vecCol = "embedding", dim = 64, k = 5, numPlanes = 4)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding near-dup pairs, brute-force within a bounded id range so
+    * the oracle stays cheap; the unbounded scale path is
+    * [[Similarity.cosineNearDupPairs]] (LSH-blocked). */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+    val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val r = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    l.join(r, col("id_a") < col("id_b"))
+      .withColumn("cos", round(Similarity.cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("cos") >= 0.35)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ----------------------------------------------------------- multimodal
+  /** Frame sampling over an opaque payload (text bytes stand in for media;
+    * the chunk/stride plumbing is the real thing — see ops.Multimodal). */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("frame_count", ceil(length(col("text")).cast("double") / 64).cast("int"))
+      .select(col("doc_id"), explode(expr(
+        "transform(filter(sequence(0, frame_count - 1), i -> i % 2 = 0), " +
+          "i -> struct(i AS frame_no, md5(substring(text, i * 64 + 1, 64)) AS frame_md5))"))
+        .as("f"))
+      .select(col("doc_id"), col("f.frame_no").cast("long").as("frame_no"),
+        col("f.frame_md5").as("frame_md5"))
+      .orderBy("doc_id", "frame_no")
+
+  /** Stubbed decode features over the payload (md5 id + length + 4 scalar
+    * fake-embedding dims derived from the content hash). */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("content_md5"),
+        length(col("text")).cast("long").as("content_bytes"),
+        expr("(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) / cast(15 as double)").as("emb_0"),
+        expr("(instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1) / cast(15 as double)").as("emb_1"),
+        expr("(instr('0123456789abcdef', substring(md5(text), 3, 1)) - 1) / cast(15 as double)").as("emb_2"),
+        expr("(instr('0123456789abcdef', substring(md5(text), 4, 1)) - 1) / cast(15 as double)").as("emb_3"))
+      .orderBy("doc_id")
+
+  // ================================================================ maps
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality" -> (textQuality _),
+    "text_lang_id" -> (textLangId _),
+    "text_fingerprint" -> (textFingerprint _),
+    "token_counts" -> (tokenCounts _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "embed_knn_brute" -> (embedKnnBrute _),
+    "embed_knn_lsh" -> (embedKnnLsh _),
+    "embed_near_dup" -> (embedNearDup _),
+    "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_decode" -> (multimodalDecode _),
+  )
+
+  // DuckDB oracle building blocks (mirror the Spark expressions exactly)
+  private val toks = "string_split(lower(text), ' ')"
+  private def duckShingles(n: Int): String =
+    s"""CASE WHEN len($toks) < $n THEN [array_to_string($toks, ' ')]
+       |ELSE list_transform(range(1, len($toks) - ${n - 2}),
+       |  i -> array_to_string($toks[i:i+${n - 1}], ' ')) END""".stripMargin
+  private def duckMinhash(i: Int): String =
+    s"list_min(list_transform(${duckShingles(3)}, s -> md5('salt$i|' || s)))"
+  private val duckSimhashBits: String = (1 to 16).map { i =>
+    s"""CASE WHEN 2 * list_sum(list_transform($toks,
+       |  t -> instr('0123456789abcdef', substring(md5(t), $i, 1)) - 1))
+       |  > 15 * len($toks) THEN '1' ELSE '0' END""".stripMargin
+  }.mkString("concat(", ", ", ")")
+  private val duckCos =
+    """round(list_dot_product(qvec, cvec) /
+      |  (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))), 4)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  len($toks) AS n_words,
+         |  len(list_distinct($toks)) AS n_distinct_words,
+         |  round(len(list_distinct($toks)) / len($toks), 4) AS distinct_ratio,
+         |  round((length(text) - len($toks) + 1) / len($toks), 4) AS mean_word_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH s AS (SELECT doc_id,
+         |  len(list_intersect(list_distinct($toks), ['der','die','und','das','ein'])) AS score_de,
+         |  len(list_intersect(list_distinct($toks), ['the','a','and','of','to'])) AS score_en,
+         |  len(list_intersect(list_distinct($toks), ['el','la','de','y','que'])) AS score_es,
+         |  len(list_intersect(list_distinct($toks), ['le','la','et','de','un'])) AS score_fr
+         |FROM documents)
+         |SELECT doc_id, score_de, score_en, score_es, score_fr,
+         |  CASE WHEN score_fr > greatest(score_de, score_en, score_es) THEN 'fr'
+         |       WHEN score_es > greatest(score_de, score_en) THEN 'es'
+         |       WHEN score_en > score_de THEN 'en' ELSE 'de' END AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5(lower(text)) AS md5_fp,
+         |  array_to_string(list_sort(list_transform(${duckShingles(3)}, s -> md5(s)))[1:4], ',') AS sketch
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_counts" ->
+      s"""SELECT doc_id, len($toks) AS ws_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) AS bpeish_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keeper, count(*) AS copies
+        |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH sig AS (SELECT doc_id,
+         |  ${duckMinhash(0)} AS h0, ${duckMinhash(1)} AS h1,
+         |  ${duckMinhash(2)} AS h2, ${duckMinhash(3)} AS h3
+         |FROM documents),
+         |bands AS (SELECT doc_id, md5(h0 || '|' || h1) AS band0, md5(h2 || '|' || h3) AS band1 FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id),
+         |tok AS (SELECT doc_id, list_distinct($toks) AS ts FROM documents)
+         |SELECT id_a, id_b,
+         |  round(len(list_intersect(ta.ts, tb.ts)) / len(list_distinct(list_concat(ta.ts, tb.ts))), 4) AS jac
+         |FROM pairs JOIN tok ta ON ta.doc_id = id_a JOIN tok tb ON tb.doc_id = id_b
+         |WHERE round(len(list_intersect(ta.ts, tb.ts)) / len(list_distinct(list_concat(ta.ts, tb.ts))), 4) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""SELECT doc_id, $duckSimhashBits AS simhash
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH g AS (SELECT doc_id, lang, source, CAST(floor(n_chars / 100) AS INT) AS lb,
+         |  list_distinct(list_transform(range(1, greatest(length(text) - 1, 2)),
+         |    i -> substring(text, CAST(i AS INT), 3))) AS grams
+         |FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.grams, b.grams)) /
+         |        len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jac
+         |FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
+         |  AND a.doc_id < b.doc_id
+         |WHERE round(len(list_intersect(a.grams, b.grams)) /
+         |        len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "embed_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings),
+         |s AS (SELECT query_id, corpus_id, $duckCos AS cos
+         |      FROM c CROSS JOIN q WHERE query_id <> corpus_id)
+         |SELECT query_id, corpus_id, cos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+         |  FROM s) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "embed_near_dup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings WHERE vec_id < 300)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id, i AS frame_no, md5(substring(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
+        |FROM documents,
+        |  unnest(list_filter(range(0, CAST(ceil(length(text) / 64.0) AS INT)), i -> i % 2 = 0)) AS t(i)
+        |ORDER BY doc_id, frame_no""".stripMargin,
+    "multimodal_decode" ->
+      """SELECT doc_id, md5(text) AS content_md5, length(text) AS content_bytes,
+        |  (instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) / cast(15 as double) AS emb_0,
+        |  (instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1) / cast(15 as double) AS emb_1,
+        |  (instr('0123456789abcdef', substring(md5(text), 3, 1)) - 1) / cast(15 as double) AS emb_2,
+        |  (instr('0123456789abcdef', substring(md5(text), 4, 1)) - 1) / cast(15 as double) AS emb_3
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // embed_knn_lsh intentionally omitted → rows-only check
+  )
+}

@@ -1,13 +1,414 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a DataFrame-API implementation of one
+  * operator/capability from SURVEY.md §2 (plus the training-data-pipeline
+  * extensions); [[oracleSql]] carries the DuckDB-equivalent SQL the driver
+  * checks it against at sf0.01. Column names and row order are aligned on
+  * both sides (every query ends in a deterministic total ORDER BY; every
+  * computed column is aliased identically). Floating-point aggregates are
+  * rounded on both sides so Spark-vs-DuckDB summation order can't flip a
+  * hash. Integer sums are cast to BIGINT on the DuckDB side (DuckDB widens
+  * to HUGEINT, Spark to LONG).
+  */
 object SparkEntry {
+  import Queries._
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    joinAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ PipelineQueries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Queries.oracles ++ PipelineQueries.oracles
+}
+
+/** The operator battery. Each `def` is referenced from [[Queries.all]]. */
+object Queries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- scans
+  /** S2 + R7-analog: parquet scan with filter+projection pushdown. The
+    * shipdate/discount/quantity predicates and the 4-column projection both
+    * reach the parquet reader (PushedFilters / ReadSchema in .explain). */
+  def scanFilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ----------------------------------------------------------------- aggs
+  /** §2.4 delegated aggregation surface (TPC-H Q1 shape): hash aggregate
+    * with map-side partial agg; no shuffle beyond the 2-key groupBy. */
+  def aggPricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Distinct aggregation: count(distinct) per group. */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(countDistinct("l_suppkey").as("suppliers"),
+        count(lit(1)).as("lines"))
+      .orderBy("l_partkey")
+
+  // ---------------------------------------------------------------- joins
+  /** §2.3 delegated join surface: fact-to-dim with the small dims
+    * broadcast — no shuffle for nation/region at any scale; orders⋈customer
+    * shuffles on the key (AQE re-plans at runtime on real clusters). */
+  def joinAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("orders"))
+      .orderBy("n_name")
+
+  /** Multi-way join (TPC-H Q5 shape): lineitem⋈orders⋈customer⋈supplier⋈
+    * nation⋈region with a same-nation constraint. */
+  def multiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("r_name", "n_name")
+
+  /** Left-semi join (EXISTS). */
+  def semiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left-anti join (NOT EXISTS): customers with no large orders. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** Scalar subquery: orders above the global average price, implemented
+    * as a broadcast of the 1-row aggregate (no correlated re-execution). */
+  def subqueryAvg(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val avgDf = orders.agg(avg("o_totalprice").as("global_avg"))
+    orders.join(broadcast(avgDf))
+      .filter(col("o_totalprice") > col("global_avg"))
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  // -------------------------------------------------------------- windows
+  /** §2.5 delegated window surface: top-3 most recent orders per customer.
+    * One shuffle on the partition key; rank inside the partition. */
+  def windowTopPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running aggregate window: cumulative spend per customer over time. */
+  def windowRunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("cum_spend", round(sum("o_totalprice").over(w), 2))
+      .select("o_custkey", "o_orderkey", "cum_spend")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // --------------------------------------------------------- sorts/limits
+  /** O3: global top-k — Spark plans TakeOrderedAndProject (per-partition
+    * top-k + single merge; no global sort shuffle). */
+  def topK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_totalprice")
+      .limit(100)
+
+  // ------------------------------------------------------------- set ops
+  /** U1/U2: union of an "archive" branch and a "nearline" branch over the
+    * events table with the reference's overlap-cutoff semantics — archive
+    * rows at/after the earliest nearline timestamp are dropped by
+    * construction (strictly `<`; nearline wins), not by DISTINCT. */
+  def unionCutoff(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts")))
+    val cutoff = 1704240000000L // 2024-01-03 00:00:00 UTC
+    val hi = 1704326400000L     // 2024-01-04 00:00:00 UTC
+    val archive = ev.filter(col("ts_ms") < hi) // overlaps nearline window
+      .select(col("event_id"), col("ts_ms"), lit("archive").as("src"))
+    val nearline = ev.filter(col("ts_ms") >= cutoff && col("ts_ms") < hi)
+      .select(col("event_id"), col("ts_ms"), lit("nearline").as("src"))
+    val cutArchive = archive.filter(col("ts_ms") < cutoff)
+    cutArchive.unionByName(nearline).orderBy("ts_ms", "event_id")
+  }
+
+  /** U3: INTERSECT / EXCEPT surface. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val withOrders = t(s, dir, "orders").select(col("o_custkey").as("ck")).distinct()
+    val richCustomers = t(s, dir, "customer")
+      .filter(col("c_acctbal") > 5000).select(col("c_custkey").as("ck"))
+    withOrders.intersect(richCustomers).orderBy("ck")
+  }
+
+  // -------------------------------------------- scalar functions / exprs
+  /** §2.8 scalar-function surface: string/math/conditional, all
+    * codegen'd built-ins (no UDFs). */
+  def scalarFunctions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 10)).as("uname"),
+        length(col("p_name")).cast("long").as("nlen"),
+        round(col("p_retailprice") * 1.1, 2).as("adj_price"),
+        (col("p_size") % 7).as("szmod"),
+        when(col("p_size") > 25, lit("big")).otherwise(lit("small")).as("szclass"))
+      .orderBy("p_partkey")
+
+  /** P1-analog over plain tables: coalesce/cast/null-fill recombination
+    * shape (the declared-schema projection) + CASE classification. */
+  def recombineShape(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        unix_millis(col("ts")).as("timestamp"),
+        coalesce(col("event_type"), lit("unknown")).as("etype"),
+        floor(col("value")).cast("long").as("value_long"),
+        lit(null).cast("string").as("missing_field"))
+      .orderBy("event_id")
+
+  /** P6: base64 round-trip (BYTES-over-JSON semantics) via built-in
+    * base64/unbase64 — the reference needed a custom UDF for this. */
+  def base64Roundtrip(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        base64(encode(substring(col("text"), 1, 16), "UTF-8")).as("b64"),
+        decode(unbase64(base64(encode(substring(col("text"), 1, 16), "UTF-8"))), "UTF-8").as("roundtrip"))
+      .orderBy("doc_id")
+
+  /** `_fm['key']` map-access semantics (radio field, §2.8): build a
+    * map<string,string> and read a key back out with element_at. */
+  def mapAccess(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("_fm", map(lit("k"), regexp_extract(col("props"), "[0-9]+", 0)))
+      .select(
+        col("event_id"),
+        element_at(col("_fm"), "k").cast("int").as("k_val"))
+      .orderBy("event_id")
+
+  // -------------------------------------------------- generators / maps
+  /** P4-analog: generator (1 row → n rows) via explode, the built-in
+    * Generator the reference's DynamoRowFieldExpander hand-implements. */
+  def explodeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("tok")
+
+  // ------------------------------------------------------- time handling
+  /** R1-analog: timestamp-range filtering + grouping on the events table
+    * (epoch-millis semantics as in the reference's BIGINT timestamps). */
+  def timeRangeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .filter(col("ts_ms") >= 1704067200000L && col("ts_ms") < 1704240000000L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+
+  /** Grouping sets surface: ROLLUP over region/nation customer counts.
+    * Goes through the SQL surface: Spark 4's DetectAmbiguousSelfJoin
+    * false-positives on DataFrame-API rollup over join outputs (dataset-id
+    * tags survive the aliasing select); SQL resolution has no such tags. */
+  def rollupCounts(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").as("c")
+      .join(broadcast(t(s, dir, "nation")).as("n"), col("c.c_nationkey") === col("n.n_nationkey"))
+      .join(broadcast(t(s, dir, "region")).as("r"), col("n.n_regionkey") === col("r.r_regionkey"))
+      .select(col("r.r_name").as("r_name"), col("n.n_name").as("n_name"))
+      .createOrReplaceTempView("graft_rollup_base")
+    s.sql(
+      """SELECT coalesce(r_name, '*') AS region, coalesce(n_name, '*') AS nation,
+        |  count(*) AS n
+        |FROM graft_rollup_base GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------------
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_filter_project" -> (scanFilterProject _),
+    "agg_pricing" -> (aggPricing _),
+    "agg_distinct" -> (aggDistinct _),
+    "join_agg" -> (joinAgg _),
+    "multi_join" -> (multiJoin _),
+    "semi_join" -> (semiJoin _),
+    "anti_join" -> (antiJoin _),
+    "subquery_avg" -> (subqueryAvg _),
+    "window_top_per_key" -> (windowTopPerKey _),
+    "window_running_sum" -> (windowRunningSum _),
+    "top_k" -> (topK _),
+    "union_cutoff" -> (unionCutoff _),
+    "set_ops" -> (setOps _),
+    "scalar_functions" -> (scalarFunctions _),
+    "recombine_shape" -> (recombineShape _),
+    "base64_roundtrip" -> (base64Roundtrip _),
+    "map_access" -> (mapAccess _),
+    "explode_tokens" -> (explodeTokens _),
+    "time_range_agg" -> (timeRangeAgg _),
+    "rollup_counts" -> (rollupCounts _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_partkey, count(DISTINCT l_suppkey) AS suppliers, count(*) AS lines
+        |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    "join_agg" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "multi_join" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "anti_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "subquery_avg" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "window_top_per_key" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "top_k" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "union_cutoff" ->
+      """SELECT * FROM (
+        |  SELECT event_id, epoch_ms(ts) AS ts_ms, 'archive' AS src FROM events
+        |  WHERE epoch_ms(ts) < 1704326400000 AND epoch_ms(ts) < 1704240000000
+        |  UNION ALL
+        |  SELECT event_id, epoch_ms(ts) AS ts_ms, 'nearline' AS src FROM events
+        |  WHERE epoch_ms(ts) >= 1704240000000 AND epoch_ms(ts) < 1704326400000)
+        |ORDER BY ts_ms, event_id""".stripMargin,
+    "set_ops" ->
+      """SELECT DISTINCT o_custkey AS ck FROM orders
+        |INTERSECT
+        |SELECT c_custkey AS ck FROM customer WHERE c_acctbal > 5000
+        |ORDER BY ck""".stripMargin,
+    "scalar_functions" ->
+      """SELECT p_partkey,
+        |  upper(substr(p_name, 1, 10)) AS uname,
+        |  length(p_name) AS nlen,
+        |  round(p_retailprice * 1.1, 2) AS adj_price,
+        |  p_size % 7 AS szmod,
+        |  CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS szclass
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "recombine_shape" ->
+      """SELECT event_id, epoch_ms(ts) AS timestamp,
+        |  coalesce(event_type, 'unknown') AS etype,
+        |  CAST(floor(value) AS BIGINT) AS value_long,
+        |  CAST(NULL AS VARCHAR) AS missing_field
+        |FROM events ORDER BY event_id""".stripMargin,
+    "base64_roundtrip" ->
+      """SELECT doc_id,
+        |  to_base64(encode(substr(text, 1, 16))) AS b64,
+        |  decode(from_base64(to_base64(encode(substr(text, 1, 16))))) AS roundtrip
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "map_access" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "explode_tokens" ->
+      """SELECT tok, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 50)
+        |GROUP BY tok ORDER BY tok""".stripMargin,
+    "time_range_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE epoch_ms(ts) >= 1704067200000 AND epoch_ms(ts) < 1704240000000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "rollup_counts" ->
+      """SELECT coalesce(r_name, '*') AS region, coalesce(n_name, '*') AS nation,
+        |  count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+  )
 }

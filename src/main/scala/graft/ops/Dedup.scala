@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design (100 TB): the expensive part of near-dedup is candidate
+  * generation. All-pairs comparison is O(n²) and dead on arrival; every
+  * operator here blocks first — exact by content hash, MinHash by LSH band
+  * buckets, n-gram Jaccard by an explicit blocking key — so the only
+  * shuffles are groupBy/joins on those blocking keys, each salted-friendly
+  * and AQE-skew-handled. Signatures are computed scan-side with array
+  * expressions (no explode, no shuffle) so the heavy map stage stays in
+  * WholeStageCodegen.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one shuffle on md5(text). Returns one
+    * row per distinct content with the keeper id (min id) and dup count. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_md5"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("copies"))
+
+  /** MinHash signature columns h0..h{k-1}: per hash function i, the min of
+    * md5(salt_i ++ shingle) over the document's word shingles. min-of-md5
+    * over a string domain is a valid minwise hash family; salting gives k
+    * independent functions. Computed entirely with array expressions —
+    * no explode, no shuffle. */
+  def minhashSignatures(
+      df: DataFrame,
+      textCol: String,
+      numHashes: Int = 4,
+      shingleWords: Int = 3): DataFrame = {
+    val sh = s"_shingles"
+    val withShingles = df.withColumn(sh, shingles(textCol, shingleWords))
+    (0 until numHashes).foldLeft(withShingles) { (d, i) =>
+      d.withColumn(s"h$i", expr(s"array_min(transform($sh, s -> md5(concat('salt$i|', s))))"))
+    }.drop(sh)
+  }
+
+  /** Word shingles of size n (full text as one shingle if shorter). */
+  def shingles(textCol: String, n: Int): Column = {
+    val toks = s"split(lower($textCol), ' ')"
+    expr(
+      s"""CASE WHEN size($toks) < $n THEN array(concat_ws(' ', $toks))
+         |ELSE transform(sequence(1, size($toks) - ${n - 1}),
+         |  i -> concat_ws(' ', slice($toks, i, $n))) END""".stripMargin)
+  }
+
+  /** LSH banding: band j = md5 of the concatenated signature slice. Docs
+    * sharing any band hash are near-dup candidates. rowsPerBand divides
+    * numHashes. */
+  def lshBands(sigDf: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      md5(concat_ws("|", cols: _*)).as(s"band$b")
+    }
+    sigDf.select(col("*") +: bands: _*)
+  }
+
+  /** Candidate pairs from LSH buckets: unpivot bands with posexplode, then
+    * ONE self-join on (band index, band hash) — not one join per band.
+    * The join key is high-cardinality, so the shuffle partitions evenly; a
+    * pathological hot bucket (boilerplate text) is exactly the case AQE
+    * skew-join splitting handles.
+    *
+    * The band table's lineage is truncated (localCheckpoint) before the
+    * self-join: without it Catalyst collapses the projections and both
+    * join sides recompute the full shingle/md5 signature expression tree —
+    * a >100× slowdown observed even at tiny scale, and at 100 TB exactly
+    * the thing you'd avoid by materializing signatures once. */
+  def lshCandidatePairs(bandDf: DataFrame, idCol: String, numBands: Int): DataFrame = {
+    val bandCols = (0 until numBands).map(b => col(s"band$b"))
+    val unpivoted = bandDf
+      .select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band_idx", "bk")))
+      .localCheckpoint()
+    val l = unpivoted.select(col(idCol).as("id_a"), col("band_idx"), col("bk"))
+    val r = unpivoted.select(col(idCol).as("id_b"), col("band_idx"), col("bk"))
+    l.join(r, Seq("band_idx", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity on distinct word sets — integer set sizes,
+    * so the division is bit-exact and portable. */
+  def jaccard(tokensA: Column, tokensB: Column): Column =
+    size(array_intersect(tokensA, tokensB)).cast("double") /
+      size(array_union(tokensA, tokensB))
+
+  /** Verify candidate pairs with exact n-gram Jaccard; keep pairs over the
+    * threshold. `docs` must carry (idCol, textCol). */
+  def verifyPairs(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val tok = docs.select(
+      col(idCol),
+      array_distinct(split(lower(col(textCol)), " ")).as("toks"))
+    pairs
+      .join(tok.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(tok.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")
+      .withColumn("jac", round(jaccard(col("toks_a"), col("toks_b")), 4))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+  }
+
+  /** 16-dimension SimHash over word tokens, as a 16-char bit string.
+    * Dimension i's +1/-1 vote is hex digit i of md5(token) vs its 7.5
+    * midpoint; kept in exact integer arithmetic (2*sum > 15*n). */
+  def simhash16(df: DataFrame, textCol: String): DataFrame = {
+    val toksExpr = s"split(lower($textCol), ' ')"
+    val bitCols = (1 to 16).map { i =>
+      val sumExpr =
+        s"aggregate($toksExpr, 0L, (acc, t) -> acc + instr('0123456789abcdef', substring(md5(t), $i, 1)) - 1)"
+      s"CASE WHEN 2 * ($sumExpr) > 15 * size($toksExpr) THEN '1' ELSE '0' END"
+    }
+    df.withColumn("simhash", expr(s"concat(${bitCols.mkString(", ")})"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal asset handling: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus decode / feature-extract / frame-sample
+  * plumbing.
+  *
+  * The real decoders (image/audio codecs) are STUBBED — this container has
+  * no media libraries — behind [[fakeDecodeFeatures]], a deterministic
+  * stand-in keyed on content bytes. Everything around the stub is real
+  * Spark plumbing and is what matters at 100 TB: binary columns ride
+  * parquet as BYTE_ARRAY (scans prune them unless projected), metadata is
+  * a typed struct usable in predicates WITHOUT touching the payload, and
+  * per-chunk operators are array expressions that parallelize per row with
+  * no shuffle. On a cluster with codec libs, swap `fakeDecodeFeatures` for
+  * a `mapPartitions` (arrow-batched) decoder with the same signature.
+  */
+object Multimodal {
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("n_bytes", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType))))))
+
+  /** Build an asset table from any (id, text) source — a fixture
+    * generator that treats UTF-8 bytes as the opaque payload. */
+  def assetsFromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      encode(col(textCol), "UTF-8").as("content"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        length(col(textCol)).cast("long").as("n_bytes"),
+        (pmod(col(idCol), lit(640)) + 1).cast("int").as("width"),
+        (pmod(col(idCol), lit(480)) + 1).cast("int").as("height")).as("meta"))
+
+  /** STUB decode: deterministic "features" from the payload — md5 content
+    * id, byte length, and a fake 4-dim embedding from hash bytes. The
+    * real implementation decodes pixels/samples here; the signature (one
+    * row in, one feature struct out, no shuffle) is the contract. */
+  def fakeDecodeFeatures(df: DataFrame): DataFrame =
+    df.withColumn("content_md5", md5(col("content")))
+      .withColumn("content_bytes", length(col("content")).cast("long"))
+      .withColumn("fake_embedding",
+        expr("transform(sequence(1, 4), i -> " +
+          "(instr('0123456789abcdef', substring(md5(content), i, 1)) - 1) / cast(15 as double))"))
+
+  /** Frame sampling: split the payload into fixed-size chunks ("frames")
+    * and keep every strideth chunk. Pure array expressions — the 100 TB
+    * path: per-row work, no shuffle, and column pruning means unsampled
+    * assets never leave the scan. */
+  def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    df.withColumn("frame_count",
+        ceil(col("meta.n_bytes").cast("double") / frameBytes).cast("long"))
+      .withColumn("sampled_frames",
+        expr(s"""transform(
+                |  filter(sequence(0, cast(frame_count - 1 AS INT)), i -> i % $stride = 0),
+                |  i -> struct(i AS frame_no,
+                |              md5(substring(content, i * $frameBytes + 1, $frameBytes)) AS frame_md5))
+                |""".stripMargin))
+
+  /** Explode sampled frames into a (asset_id, frame_no, frame_md5) table. */
+  def frameTable(sampled: DataFrame): DataFrame =
+    sampled.select(col("asset_id"), explode(col("sampled_frames")).as("f"))
+      .select(col("asset_id"), col("f.frame_no").as("frame_no"),
+        col("f.frame_md5").as("frame_md5"))
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup => DedupOps}
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language id, fingerprinting.
+  *
+  * Design for 100 TB: every function here is a narrow, codegen-friendly
+  * projection over built-in expressions (split / transform / aggregate /
+  * regexp) — zero shuffles, zero UDFs, so they run at scan speed and
+  * column-prune down to just the text column. Shuffle only happens if the
+  * caller aggregates the results.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword count: alphanumeric runs and individual punctuation
+    * marks as separate tokens (a regex approximation of the GPT-2
+    * pre-tokenizer split). RE2-compatible pattern — no lookarounds — so
+    * the same regex runs in Spark and DuckDB. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Per-document quality stats: length, word counts, distinct ratio,
+    * mean word length. All exact-arithmetic except the ratios. */
+  def qualityStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("n_chars_m", length(col(textCol)))
+      .withColumn("n_words", size(toks))
+      .withColumn("n_distinct_words", size(array_distinct(toks)))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct_words").cast("double") / col("n_words"), 4))
+      .withColumn("mean_word_len",
+        round((col("n_chars_m") - col("n_words") + 1).cast("double") / col("n_words"), 4))
+  }
+
+  /** Tiny per-language stopword lexicons for the n-gram/stopword-overlap
+    * language-id heuristic. Deterministic and SQL-portable. */
+  val lexicons: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "et", "de", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ein"))
+
+  /** Language-id: score = |tokens ∩ lexicon| per language; predicted
+    * language = argmax with deterministic tie-break on language code. */
+  def langScores(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = array_distinct(tokens(lower(col(textCol))))
+    val scored = lexicons.toSeq.sortBy(_._1).foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"score_$lang",
+        size(array_intersect(toks, array(words.map(lit): _*))))
+    }
+    // argmax with tie-break: highest score wins; ties go to the
+    // lexicographically first language code.
+    val langs = lexicons.keys.toSeq.sorted
+    val best = langs.foldLeft((lit(-1), lit("und"))) { case ((bs, bl), lang) =>
+      val s = col(s"score_$lang")
+      (when(s > bs, s).otherwise(bs), when(s > bs, lit(lang)).otherwise(bl))
+    }
+    scored.withColumn("pred_lang", best._2)
+  }
+
+  /** Document fingerprint: md5 of normalized text, plus a winnowing-style
+    * k-smallest-shingle-hash fingerprint (rolling content signature that
+    * survives small edits). */
+  def fingerprints(df: DataFrame, textCol: String = "text", k: Int = 4): DataFrame = {
+    // 3-word shingle hashes; k smallest = the document's winnowed sketch
+    val shingleHashes = transform(DedupOps.shingles(textCol, 3), s => md5(s))
+    df.withColumn("md5_fp", md5(lower(col(textCol))))
+      .withColumn("sketch", concat_ws(",", slice(array_sort(shingleHashes), 1, k)))
+  }
+}

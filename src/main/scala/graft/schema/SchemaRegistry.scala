@@ -1,0 +1,163 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** Avro-primitive field types supported by the engine.
+  *
+  * Mirrors the reference type mapping (SURVEY.md §1.2;
+  * reference `fineo-adapter-drill/.../schema/FineoTable.java:74-93`):
+  * STRING→VARCHAR, BOOLEAN, BYTES→BINARY (base64 on the JSON path),
+  * INT, LONG, FLOAT, DOUBLE.
+  */
+object FieldType extends Enumeration {
+  val STRING, BOOLEAN, BYTES, INT, LONG, FLOAT, DOUBLE = Value
+
+  def toSpark(t: Value): DataType = t match {
+    case STRING  => StringType
+    case BOOLEAN => BooleanType
+    case BYTES   => BinaryType
+    case INT     => IntegerType
+    case LONG    => LongType
+    case FLOAT   => FloatType
+    case DOUBLE  => DoubleType
+  }
+}
+
+/** A user-visible field of a metric.
+  *
+  * @param name    user-visible name (what queries reference)
+  * @param ftype   declared type; storage values are cast to this at
+  *                recombine time (declared types always win, even over
+  *                nearline string-numbers — SURVEY.md §7.4)
+  * @param aliases storage column names that also feed this field
+  * @param cname   canonical storage id
+  *
+  * Coalesce precedence on read: user name, then aliases in declared order,
+  * then cname (reference `FineoRecombinatorRule.java:96-107`).
+  */
+case class Field(
+    name: String,
+    ftype: FieldType.Value,
+    aliases: Seq[String] = Nil,
+    cname: Option[String] = None) {
+  /** All storage columns that may feed this field, in coalesce order. */
+  def sourceColumns: Seq[String] = (name +: aliases) ++ cname.toSeq
+  def sparkType: DataType = FieldType.toSpark(ftype)
+}
+
+/** A metric = one logical, tenant-visible table.
+  *
+  * @param canonicalId storage id (rows carry it in `metrictype`)
+  * @param displayName user-visible table name
+  * @param tableAliases alternate user-visible names for the table
+  *                     (reference `FineoSchema.getMetricForUserNameOrAlias`)
+  * @param radioEnabled when true, unknown storage fields are gathered into
+  *                     the `_fm` map column instead of being dropped
+  */
+case class Metric(
+    canonicalId: String,
+    displayName: String,
+    fields: Seq[Field],
+    tableAliases: Seq[String] = Nil,
+    radioEnabled: Boolean = false) {
+
+  /** Declared output schema: `timestamp BIGINT` base field + user fields
+    * (+ `_fm map<string,string>` when radio is on).
+    * Mirrors `FineoTable.getRowType` (reference `FineoTable.java:53-98`). */
+  def structType: StructType = {
+    val base = StructField(Metric.TimestampField, LongType, nullable = false)
+    val user = fields.map(f => StructField(f.name, f.sparkType, nullable = true))
+    val radio =
+      if (radioEnabled)
+        Seq(StructField(Metric.RadioField, MapType(StringType, StringType), nullable = true))
+      else Nil
+    StructType(base +: user :++ radio)
+  }
+
+  def fieldByNameOrAlias(n: String): Option[Field] = {
+    val lower = n.toLowerCase
+    fields.find(f => f.name.toLowerCase == lower || f.aliases.exists(_.toLowerCase == lower))
+  }
+
+  /** Every storage column name that maps to some declared field (lowercased). */
+  def knownStorageColumns: Set[String] =
+    fields.flatMap(_.sourceColumns).map(_.toLowerCase).toSet ++
+      Metric.InternalFields.map(_.toLowerCase) + Metric.TimestampField
+}
+
+object Metric {
+  val TimestampField = "timestamp"
+  val RadioField = "_fm"
+  /** Internal row fields present on every stored row, excluded from user
+    * results (reference `FineoCommon.java:19-20`, FIXTURES.md §2). */
+  val OrgKey = "companykey"
+  val MetricTypeKey = "metrictype"
+  val WriteTimeField = "writetime"
+  val AliasNameField = "aliasname"
+  val InternalFields: Seq[String] = Seq(OrgKey, MetricTypeKey, WriteTimeField, AliasNameField)
+}
+
+/** A tenant. One SQL namespace per org; metrics looked up by display name
+  * or alias, case-insensitively. */
+case class Org(orgId: String, metrics: Seq[Metric]) {
+  def metricForNameOrAlias(name: String): Option[Metric] = {
+    val lower = name.toLowerCase
+    metrics.find(m =>
+      m.displayName.toLowerCase == lower || m.tableAliases.exists(_.toLowerCase == lower))
+  }
+}
+
+/** Org → metric schema registry. Stand-in for the reference's
+  * DynamoDB-backed `SchemaStore` (SURVEY.md §1.3): JSON-file-backed here,
+  * same lookup surface. Thread-safe for concurrent reads.
+  */
+class SchemaRegistry(orgs: Map[String, Org]) {
+  def org(orgId: String): Option[Org] = orgs.get(orgId)
+  def orgIds: Seq[String] = orgs.keys.toSeq.sorted
+  def metric(orgId: String, table: String): Option[Metric] =
+    org(orgId).flatMap(_.metricForNameOrAlias(table))
+  /** Tenant-scoped table listing (info-schema surface, SURVEY.md §2.1 S8). */
+  def listTables(orgId: String): Seq[String] =
+    org(orgId).map(_.metrics.map(_.displayName).sorted).getOrElse(Nil)
+}
+
+object SchemaRegistry {
+  def apply(orgs: Org*): SchemaRegistry =
+    new SchemaRegistry(orgs.map(o => o.orgId -> o).toMap)
+
+  /** Load from a JSON file:
+    * {"orgs":[{"orgId":..., "metrics":[{"canonicalId":...,"displayName":...,
+    *   "radioEnabled":bool, "aliases":[...],
+    *   "fields":[{"name":...,"type":"LONG","aliases":[...],"cname":...}]}]}]}
+    */
+  def fromJson(json: String): SchemaRegistry = {
+    val root = new ObjectMapper().readTree(json)
+    def arr(n: JsonNode, f: String): Seq[JsonNode] =
+      Option(n.get(f)).map(_.elements().asScala.toSeq).getOrElse(Nil)
+    def strs(n: JsonNode, f: String): Seq[String] = arr(n, f).map(_.asText)
+    val orgs = arr(root, "orgs").map { o =>
+      val metrics = arr(o, "metrics").map { m =>
+        val fields = arr(m, "fields").map { f =>
+          Field(
+            f.get("name").asText,
+            FieldType.withName(f.get("type").asText.toUpperCase),
+            strs(f, "aliases"),
+            Option(f.get("cname")).map(_.asText))
+        }
+        Metric(
+          m.get("canonicalId").asText,
+          m.get("displayName").asText,
+          fields,
+          strs(m, "aliases"),
+          Option(m.get("radioEnabled")).exists(_.asBoolean))
+      }
+      Org(o.get("orgId").asText, metrics)
+    }
+    new SchemaRegistry(orgs.map(o => o.orgId -> o).toMap)
+  }
+
+  def fromFile(path: String): SchemaRegistry =
+    fromJson(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+}

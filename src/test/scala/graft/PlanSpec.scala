@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Plan-shape assertions — the Spark equivalent of the reference's
+  * EXPLAIN-JSON `PlanValidator` (fineo-adapter-drill/src/test/java/io/
+  * fineo/read/drill/PlanValidator.java): instead of checking which files a
+  * Drill plan touches, assert that Catalyst produces the physical plans
+  * the 100 TB design depends on — filter/projection pushdown into parquet,
+  * broadcast joins for small dims, top-k instead of global sort, and
+  * partition pruning on date dirs.
+  */
+class PlanSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Final physical plan, post-AQE: execute first so AdaptiveSparkPlan
+    * resolves to its final stages (codegen spans, reused exchanges). */
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters and projection reach the parquet scan") {
+    val p = plan(Queries.scanFilterProject(spark, dir))
+    p should include("PushedFilters: [")
+    p should include("GreaterThanOrEqual(l_shipdate")
+    // projection pruning: the scan schema must not contain unused columns
+    p should include("ReadSchema")
+    p should not include "l_comment"
+    p should not include "l_tax"
+  }
+
+  test("small dims broadcast; no shuffle for nation join") {
+    val p = plan(Queries.joinAgg(spark, dir))
+    p should include("BroadcastHashJoin")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Queries.topK(spark, dir))
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("map-side partial aggregation before the shuffle") {
+    val p = plan(Queries.aggPricing(spark, dir))
+    // two HashAggregate stages (partial + final) around one exchange
+    "HashAggregate".r.findAllIn(p).length should be >= 2
+  }
+
+  test("whole-stage codegen covers the recombination projection") {
+    val p = plan(Queries.recombineShape(spark, dir))
+    p should include("WholeStageCodegen")
+  }
+
+  test("partition pruning on date= dirs reads only matching files") {
+    val tmp = SparkFixture.tempDir("prune")
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("timestamp", LongType), StructField("v", LongType),
+      StructField("date", StringType)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(86400000L * 0 + 5, 1L, "1970-01-01"),
+      org.apache.spark.sql.Row(86400000L * 1 + 5, 2L, "1970-01-02"),
+      org.apache.spark.sql.Row(86400000L * 2 + 5, 3L, "1970-01-03"))
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").partitionBy("date").parquet(tmp)
+    val pruned = spark.read.parquet(tmp).filter(col("date") === "1970-01-02")
+    pruned.collect().map(_.getAs[Long]("v")).toSeq shouldBe Seq(2L)
+    // the scan must carry the partition filter (pruning planned) and the
+    // executed scan must have touched exactly one of the three partitions
+    val p = plan(pruned)
+    p should include("PartitionFilters: [isnotnull(date")
+    val scans = pruned.queryExecution.executedPlan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    withClue(p) {
+      scans.headOption.map(_.metrics("numFiles").value) shouldBe Some(1L)
+    }
+  }
+
+  test("nearline hash-key filter is pushed into the stub scan") {
+    val tmp = SparkFixture.tempDir("nlpush") + "/t"
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("partition", StringType), StructField("sort", StringType),
+      StructField("ids", ArrayType(StringType)),
+      StructField("f", MapType(StringType, StringType))))
+    val rows = Seq(
+      org.apache.spark.sql.Row("orgAm1", "100", Seq("w"), Map("w" -> "1")),
+      org.apache.spark.sql.Row("orgBm1", "100", Seq("w"), Map("w" -> "2")))
+    spark.createDataFrame(rows.asJava, schema).write.mode("overwrite").parquet(tmp)
+    val df = graft.sources.NearlineStub.readForMetric(
+      spark, graft.sources.NearlineTableDesc("t_0_200", tmp, 0, 200), "orgA", "m1")
+    val p = plan(df)
+    p should include("PushedFilters")
+    p should include("EqualTo(partition,orgAm1)")
+    df.collect().length shouldBe 1
+  }
+}

@@ -1,0 +1,118 @@
+package graft.core
+
+import graft.SparkFixture
+import graft.schema._
+import graft.sources._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** End-to-end multi-source assembly: ports the semantics pinned by the
+  * reference's TestClientLikeReads.java (overlap cutoff, multi-source
+  * union) and TestPushTimerangePastFMR.java (source pruning). */
+class AssemblerSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkFixture.spark
+  import scala.jdk.CollectionConverters._
+
+  private val metric = Metric("m1", "metricid1", Seq(
+    Field("field1", FieldType.BOOLEAN),
+    Field("val", FieldType.LONG, aliases = Seq("v_alias"))))
+
+  private def writeArchive(basedir: String, format: String, rows: Seq[Row]): Unit = {
+    val schema = StructType(Seq(
+      StructField("companykey", StringType), StructField("metrictype", StringType),
+      StructField("timestamp", LongType), StructField("field1", BooleanType),
+      StructField("v_alias", LongType)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val path = s"$basedir/0/$format/orgid1/m1"
+    if (format == "json") df.write.mode("overwrite").json(path)
+    else df.write.mode("overwrite").parquet(path)
+  }
+
+  private def writeNearline(path: String, rows: Seq[Row]): Unit = {
+    val schema = StructType(Seq(
+      StructField("partition", StringType), StructField("sort", StringType),
+      StructField("ids", ArrayType(StringType)),
+      StructField("field1", MapType(StringType, StringType)),
+      StructField("val", MapType(StringType, StringType))))
+    spark.createDataFrame(rows.asJava, schema).write.mode("overwrite").parquet(path)
+  }
+
+  test("archive json + parquet union with null-fill and time sort") {
+    val dir = SparkFixture.tempDir("assy1")
+    writeArchive(dir, "json", Seq(Row("orgid1", "m1", 100L, true, 1L)))
+    writeArchive(dir, "parquet", Seq(Row("orgid1", "m1", 50L, false, 2L)))
+    val sources = SourceSet(fs = Seq(FsSource("json", dir), FsSource("parquet", dir)))
+    val out = Assembler.metricTable(spark, "orgid1", metric, sources)
+    val rows = out.collect()
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(50L, 100L) // time-ordered
+    rows.map(_.getLong(2)).toSeq shouldBe Seq(2L, 1L)    // alias feeds `val`
+  }
+
+  test("overlap cutoff: archive rows at/after min nearline start are dropped; nearline wins") {
+    val dir = SparkFixture.tempDir("assy2")
+    // archive has ts 100, 200, 300; nearline table covers [200, 400) with ts 200, 250
+    writeArchive(dir, "parquet", Seq(
+      Row("orgid1", "m1", 100L, true, 10L),
+      Row("orgid1", "m1", 200L, true, 20L), // overlaps nearline → must be dropped
+      Row("orgid1", "m1", 300L, true, 30L))) // after cutoff → dropped too
+    val nlPath = SparkFixture.tempDir("nl1") + "/tbl"
+    writeNearline(nlPath, Seq(
+      Row("orgid1m1", "200", Seq("w1"), Map("w1" -> "false"), Map("w1" -> "21")),
+      Row("orgid1m1", "250", Seq("w1"), Map("w1" -> "true"), Map("w1" -> "25"))))
+    val sources = SourceSet(
+      fs = Seq(FsSource("parquet", dir)),
+      nearline = Seq(NearlineTableDesc("t_200_400", nlPath, 200L, 400L)))
+    val out = Assembler.metricTable(spark, "orgid1", metric, sources)
+    val rows = out.collect()
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(100L, 200L, 250L)
+    // ts=200 comes from nearline (val 21), not archive (val 20)
+    rows.map(_.getLong(2)).toSeq shouldBe Seq(10L, 21L, 25L)
+  }
+
+  test("nearline multi-write items expand to one row per write-id") {
+    val nlPath = SparkFixture.tempDir("nl2") + "/tbl"
+    writeNearline(nlPath, Seq(
+      Row("orgid1m1", "500", Seq("w1", "w2"),
+        Map("w1" -> "true", "w2" -> "false"),
+        Map("w1" -> "51", "w2" -> "52"))))
+    val sources = SourceSet(nearline = Seq(NearlineTableDesc("t_400_600", nlPath, 400L, 600L)))
+    val out = Assembler.metricTable(spark, "orgid1", metric, sources)
+    val rows = out.orderBy("val").collect()
+    rows should have length 2 // testReadOverlappingTimestampRow semantics
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(500L, 500L)
+    rows.map(_.getLong(2)).toSeq shouldBe Seq(51L, 52L)
+  }
+
+  test("time-range pruning drops nearline tables outside the predicate window") {
+    val nl1 = SparkFixture.tempDir("nl3") + "/t1"
+    val nl2 = SparkFixture.tempDir("nl3") + "/t2"
+    writeNearline(nl1, Seq(Row("orgid1m1", "100", Seq("w"), Map("w" -> "true"), Map("w" -> "1"))))
+    writeNearline(nl2, Seq(Row("orgid1m1", "900", Seq("w"), Map("w" -> "true"), Map("w" -> "9"))))
+    val sources = SourceSet(nearline = Seq(
+      NearlineTableDesc("t_0_500", nl1, 0L, 500L),
+      NearlineTableDesc("t_500_1000", nl2, 500L, 1000L)))
+    val pruned = sources.prune(TimeRange.extract("timestamp", col("timestamp") < 400L))
+    pruned.nearline.map(_.name) shouldBe Seq("t_0_500")
+    // and the full query honors the residual filter
+    val out = Assembler.metricTable(spark, "orgid1", metric, sources,
+      timeFilter = Some(col("timestamp") < 400L))
+    out.collect().map(_.getLong(0)).toSeq shouldBe Seq(100L)
+  }
+
+  test("opaque predicates scan all sources (conservatism)") {
+    val sources = SourceSet(nearline = Seq(
+      NearlineTableDesc("t_0_500", "x", 0L, 500L),
+      NearlineTableDesc("t_500_1000", "y", 500L, 1000L)))
+    val r = TimeRange.extract("timestamp", col("timestamp") =!= 100L)
+    sources.prune(r).nearline should have length 2
+  }
+
+  test("nearline table name range parsing") {
+    NearlineTableDesc.parseRange("pfx-", "pfx-100_200") shouldBe Some((100L, 200L))
+    NearlineTableDesc.parseRange("pfx-", "other-100_200") shouldBe None
+    NearlineTableDesc.parseRange("pfx-", "pfx-bad") shouldBe None
+  }
+}

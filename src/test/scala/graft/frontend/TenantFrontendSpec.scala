@@ -1,0 +1,110 @@
+package graft.frontend
+
+import graft.SparkFixture
+import graft.schema._
+import graft.sources._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Tenant isolation + statement surface: ports the reference's
+  * TestSqlRewriter / TestFineoInfoSchema / TestTenantValidator behavior
+  * pins onto the session-scoped resolution model. */
+class TenantFrontendSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkFixture.spark
+  import scala.jdk.CollectionConverters._
+
+  private val registry = SchemaRegistry(
+    Org("org1", Seq(
+      Metric("m1", "metricid1", Seq(Field("field1", FieldType.BOOLEAN)),
+        tableAliases = Seq("metric_alias")),
+      Metric("m2", "othermetric", Seq(Field("v", FieldType.LONG))))),
+    Org("org2", Seq(
+      Metric("m9", "org2metric", Seq(Field("z", FieldType.STRING))))))
+
+  private lazy val sources: SourceSet = {
+    val dir = SparkFixture.tempDir("front")
+    val schema = StructType(Seq(
+      StructField("companykey", StringType), StructField("metrictype", StringType),
+      StructField("timestamp", LongType), StructField("field1", BooleanType),
+      StructField("v", LongType), StructField("z", StringType)))
+    val rows = Seq(
+      Row("org1", "m1", 10L, true, null, null),
+      Row("org1", "m1", 20L, false, null, null),
+      Row("org1", "m2", 30L, null, 7L, null),
+      Row("org2", "m9", 40L, null, null, "secret"))
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/0/parquet/org1/m1")
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/0/parquet/org1/m2")
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/0/parquet/org2/m9")
+    SourceSet(fs = Seq(FsSource("parquet", dir)))
+  }
+
+  test("bare table names resolve to the tenant's own metrics, time-ordered by contract") {
+    val t = TenantSession.open(spark, registry, "org1", sources)
+    val rows = t.sql("SELECT `timestamp`, field1 FROM metricid1 ORDER BY `timestamp`").collect()
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(10L, 20L)
+  }
+
+  test("table aliases resolve to the same metric") {
+    val t = TenantSession.open(spark, registry, "org1", sources)
+    t.sql("SELECT count(*) AS n FROM metric_alias").collect().head.getLong(0) shouldBe 2L
+  }
+
+  test("tenant cannot see another org's tables or rows") {
+    val t = TenantSession.open(spark, registry, "org1", sources)
+    intercept[Exception] { t.sql("SELECT * FROM org2metric").collect() }
+    // and org2's rows in shared storage never leak through org1's metrics
+    val all = t.sql("SELECT * FROM metricid1").collect()
+    all.length shouldBe 2
+  }
+
+  test("unknown tenant is rejected at open") {
+    intercept[SecurityException] { TenantSession.open(spark, registry, "nosuch", sources) }
+  }
+
+  test("DDL/DML are rejected (read-only surface)") {
+    val t = TenantSession.open(spark, registry, "org1", sources)
+    intercept[UnsupportedOperationException] { t.sql("CREATE TABLE x AS SELECT 1") }
+    intercept[UnsupportedOperationException] { t.sql("INSERT INTO metricid1 VALUES (1)") }
+    intercept[UnsupportedOperationException] { t.sql("DROP TABLE metricid1") }
+    intercept[UnsupportedOperationException] { t.sql("SET spark.x = 1") }
+  }
+
+  test("SHOW TABLES / SHOW SCHEMAS / DESCRIBE are tenant-scoped") {
+    val t = TenantSession.open(spark, registry, "org1", sources)
+    t.sql("SHOW TABLES").collect().map(_.getString(1)).toSeq shouldBe
+      Seq("metricid1", "othermetric")
+    t.sql("SHOW SCHEMAS").collect().map(_.getString(0)).toSeq shouldBe Seq("FINEO")
+    val cols = t.sql("DESCRIBE metricid1").collect().map(_.getString(0)).toSeq
+    cols shouldBe Seq("timestamp", "field1")
+  }
+
+  test("full SELECT surface is delegated to Spark SQL (joins/aggs/windows)") {
+    val t = TenantSession.open(spark, registry, "org1", sources)
+    val n = t.sql(
+      """SELECT a.`timestamp`, b.v FROM metricid1 a
+        |CROSS JOIN othermetric b""".stripMargin).collect()
+    n.length shouldBe 2
+  }
+
+  test("errors table carries the forced tenant predicate") {
+    val errDir = SparkFixture.tempDir("errs")
+    val events = Seq(
+      """{"apikey":"org1","message":"m1","event":"e1"}""",
+      """{"apikey":"org2","message":"m2","event":"e2"}""")
+    val d = new java.io.File(s"$errDir/stream/stage=raw/type=error/year=2016/month=10/day=3")
+    d.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d.toString, "archive.json"),
+      events.mkString("\n").getBytes)
+    val t = TenantSession.open(spark, registry, "org1", sources, errorsDir = Some(errDir))
+    val rows = t.sql("SELECT message, stage, year FROM errors_stream").collect()
+    rows.length shouldBe 1
+    rows.head.getString(0) shouldBe "m1"
+    rows.head.get(1).toString shouldBe "raw" // partition dir surfaces as column
+  }
+}

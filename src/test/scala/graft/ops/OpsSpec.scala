@@ -1,0 +1,164 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Behavior tests for the training-data-pipeline operators. */
+class OpsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkFixture.spark
+  import scala.jdk.CollectionConverters._
+
+  private def docs(rows: (Long, String)*) = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(rows.map { case (i, t) => Row(i, t) }.asJava, schema)
+  }
+
+  test("exact dedup groups identical texts under one keeper") {
+    val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+    val g = Dedup.exactGroups(d, "doc_id", "text").collect()
+    g.length shouldBe 2
+    val dup = g.find(_.getAs[Long]("copies") == 2L).get
+    dup.getAs[Long]("keeper") shouldBe 1L
+  }
+
+  test("minhash signatures are identical for identical docs, mostly differ otherwise") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different text with other words entirely here"))
+    val sigs = Dedup.minhashSignatures(d, "text", numHashes = 4)
+      .orderBy("doc_id").collect()
+    (0 until 4).foreach { i =>
+      sigs(0).getAs[String](s"h$i") shouldBe sigs(1).getAs[String](s"h$i")
+    }
+    (0 until 4).count(i =>
+      sigs(0).getAs[String](s"h$i") == sigs(2).getAs[String](s"h$i")) should be < 2
+  }
+
+  test("lsh candidate pairs surface dups and the jaccard verify filters") {
+    // identical docs hash to identical signatures → guaranteed same bands
+    // (near-dup recall is probabilistic in the salts; don't pin it in a test)
+    val d = docs(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val sigs = Dedup.minhashSignatures(d, "text", numHashes = 4)
+    val bands = Dedup.lshBands(sigs, 4, 2)
+    val pairs = Dedup.lshCandidatePairs(bands, "doc_id", 2)
+    val verified = Dedup.verifyPairs(pairs, d, "doc_id", "text", 0.5).collect()
+    verified.map(r => (r.getLong(0), r.getLong(1))).toSet should contain((1L, 2L))
+    verified.map(r => (r.getLong(0), r.getLong(1))).toSet should not contain ((1L, 3L))
+    verified.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+      .get.getDouble(2) shouldBe 1.0
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val d = docs(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val hs = Dedup.simhash16(d, "text").orderBy("doc_id").collect()
+      .map(_.getAs[String]("simhash"))
+    hs(0) shouldBe hs(1)
+    hs(0).length shouldBe 16
+    hs(0).count(c => c == '0' || c == '1') shouldBe 16
+  }
+
+  test("jaccard is exact on integer set sizes") {
+    val d = docs((1L, "a b c d"), (2L, "a b x y"))
+    val tok = d.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("t"))
+    val a = tok.filter(col("doc_id") === 1).select(col("t").as("ta"))
+    val b = tok.filter(col("doc_id") === 2).select(col("t").as("tb"))
+    val j = a.crossJoin(b).select(Dedup.jaccard(col("ta"), col("tb")).as("j"))
+      .collect().head.getDouble(0)
+    j shouldBe (2.0 / 6.0)
+  }
+
+  test("cosine similarity: orthogonal → 0, identical → 1") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val rows = Seq(
+      Row(1L, Seq(1.0f, 0.0f)), Row(2L, Seq(0.0f, 1.0f)), Row(3L, Seq(2.0f, 0.0f)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val l = df.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val r = df.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val cos = l.join(r, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), round(Similarity.cosine(col("va"), col("vb")), 6).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    cos((1L, 2L)) shouldBe 0.0
+    cos((1L, 3L)) shouldBe 1.0
+    cos((2L, 3L)) shouldBe 0.0
+  }
+
+  test("brute-force top-k returns k ranked neighbors per query") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val rows = (0L until 20L).map(i =>
+      Row(i, Seq((i % 5).toFloat + 1f, ((i * 3) % 7).toFloat + 1f)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val out = Similarity.bruteForceTopK(df, df.filter(col("vec_id") < 2), "vec_id", "embedding", 3)
+    val byQ = out.collect().groupBy(_.getAs[Long]("query_id"))
+    byQ.keySet shouldBe Set(0L, 1L)
+    byQ.values.foreach { rs =>
+      rs.map(_.getAs[Int]("rank")).sorted.toSeq shouldBe Seq(1, 2, 3)
+      rs.foreach(r => r.getAs[Long]("corpus_id") should not be r.getAs[Long]("query_id"))
+    }
+  }
+
+  test("lsh bucket signature is deterministic across invocations") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("v", ArrayType(FloatType))))
+    val rows = (0L until 8L).map(i => Row(i, Seq(i.toFloat - 3f, (i * 7 % 5).toFloat - 2f)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val b1 = df.select(col("vec_id"),
+      Similarity.lshBucket(col("v"), dim = 2, numPlanes = 6).as("b")).collect()
+    val b2 = df.select(col("vec_id"),
+      Similarity.lshBucket(col("v"), dim = 2, numPlanes = 6).as("b")).collect()
+    b1.map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe
+      b2.map(r => r.getLong(0) -> r.getString(1)).toMap
+    b1.foreach(_.getString(1).length shouldBe 6)
+  }
+
+  test("language id picks the lexicon with most overlap") {
+    val d = docs((1L, "the cat and the dog of the house"), (2L, "el gato y la casa de que"))
+    val out = TextAnalysis.langScores(d, "text").orderBy("doc_id").collect()
+    out(0).getAs[String]("pred_lang") shouldBe "en"
+    out(1).getAs[String]("pred_lang") shouldBe "es"
+  }
+
+  test("quality stats compute exact word counts and ratios") {
+    val d = docs((1L, "a b a b"))
+    val r = TextAnalysis.qualityStats(d, "text").collect().head
+    r.getAs[Int]("n_words") shouldBe 4
+    r.getAs[Int]("n_distinct_words") shouldBe 2
+    r.getAs[Double]("distinct_ratio") shouldBe 0.5
+  }
+
+  test("multimodal: asset schema, stub decode, frame sampling and explode") {
+    val d = docs((1L, "x" * 300), (2L, "y" * 100))
+    val assets = Multimodal.assetsFromText(d, "doc_id", "text")
+    assets.schema("content").dataType shouldBe BinaryType
+    assets.schema("meta").dataType.isInstanceOf[StructType] shouldBe true
+    val feats = Multimodal.fakeDecodeFeatures(assets).collect()
+    feats.foreach { r =>
+      r.getAs[String]("content_md5").length shouldBe 32
+      r.getAs[Seq[Double]]("fake_embedding").length shouldBe 4
+    }
+    val frames = Multimodal.frameTable(Multimodal.sampleFrames(assets, 128, 2))
+    val f1 = frames.filter(col("asset_id") === 1).collect()
+    // 300 bytes / 128 = 3 frames (0,1,2); stride 2 keeps frames 0 and 2
+    f1.map(_.getAs[Int]("frame_no")).sorted.toSeq shouldBe Seq(0, 2)
+  }
+
+  test("fingerprints: sketch stable under identical content") {
+    val d = docs((1L, "one two three four five"), (2L, "one two three four five"))
+    val fp = TextAnalysis.fingerprints(d, "text").collect()
+    fp(0).getAs[String]("sketch") shouldBe fp(1).getAs[String]("sketch")
+    fp(0).getAs[String]("md5_fp") shouldBe fp(1).getAs[String]("md5_fp")
+  }
+}
