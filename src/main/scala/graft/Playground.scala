@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scratch main for quick experiments (not part of the engine). */
 object Playground {
@@ -12,15 +13,22 @@ object Playground {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"TIMING $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
-    }
-    time("dedup_minhash_lsh")(PipelineQueries.dedupMinhashLsh(spark, dir).count())
-    time("multimodal_decode")(PipelineQueries.multimodalDecode(spark, dir).count())
-    time("embed_knn_lsh")(PipelineQueries.embedKnnLsh(spark, dir).count())
+
+    // drive the file-stream surface: land event files, stream them through
+    // the watermarked windowed agg, read the memory sink
+    val landing = java.nio.file.Files.createTempDirectory("landing").toString
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "event_type", "value")
+    ev.filter(col("event_id") < 500).write.mode("append").parquet(landing)
+    val q = graft.streaming.EventStreams.runFileStream(spark, landing, "pg_stream")
+    q.processAllAvailable()
+    val afterFirst = spark.sql("SELECT count(*) FROM pg_stream").collect()(0).getLong(0)
+    ev.filter(col("event_id") >= 500).write.mode("append").parquet(landing)
+    q.processAllAvailable()
+    val afterSecond = spark.sql("SELECT count(*) FROM pg_stream").collect()(0).getLong(0)
+    q.stop()
+    println(s"STREAM windows after batch1=$afterFirst after batch2=$afterSecond")
+    spark.sql("SELECT * FROM pg_stream ORDER BY win_start, event_type LIMIT 5").show()
     spark.stop()
   }
 }

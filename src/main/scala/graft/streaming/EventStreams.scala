@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface for the events stream.
+  *
+  * The reference is batch-only — recency is handled architecturally via
+  * nearline tables (SURVEY.md §2.9). This module is the forward-looking
+  * streaming path a Spark-native deployment gets for free: the same
+  * event rows consumed as a stream (`readStream` on the landing
+  * directory), with watermarked event-time aggregation and stateful
+  * sessionization. At scale: state is partitioned by key in the state
+  * store, watermarks bound it, and the output is a normal DataFrame sink.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionSummary(user_id: Long, events: Long, totalValue: Double,
+      startMs: Long, endMs: Long)
+
+  /** Watermarked tumbling-window aggregation: events per (window, type)
+    * with late data bounded by the watermark. Works identically on a
+    * batch DataFrame (windows become plain groupBy) — the classic
+    * batch/stream unification test. */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+      window: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Per-user sessionization with a gap timeout, via
+    * mapGroupsWithState — the custom-state path (KeyValueGroupedDataset)
+    * for semantics windows can't express. Emits a summary when a
+    * session's gap expires. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double, Long, Long), SessionSummary](
+        GroupStateTimeout.EventTimeTimeout) {
+        case (userId, batch, state: GroupState[(Long, Double, Long, Long)]) =>
+          val evs = batch.toSeq
+          val (n0, v0, s0, e0) = state.getOption.getOrElse((0L, 0.0, Long.MaxValue, 0L))
+          val n = n0 + evs.size
+          val v = v0 + evs.map(_.value).sum
+          val s = math.min(s0, evs.map(_.ts.getTime).minOption.getOrElse(s0))
+          val e = math.max(e0, evs.map(_.ts.getTime).maxOption.getOrElse(e0))
+          state.update((n, v, s, e))
+          if (state.getCurrentWatermarkMs() > 0)
+            state.setTimeoutTimestamp(e + gapMs)
+          SessionSummary(userId, n, math.rint(v * 100) / 100, s, e)
+      }
+  }
+
+  /** Stream the events landing directory (parquet files appearing over
+    * time) into the windowed aggregation, writing to an in-memory sink —
+    * the readStream → transform → writeStream shape. */
+  def runFileStream(spark: SparkSession, landingDir: String, queryName: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(landingDir).schema
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    windowedCounts(stream)
+      .writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .start()
+  }
+}

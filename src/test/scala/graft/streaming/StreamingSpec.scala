@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkFixture
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class StreamingSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkFixture.spark
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("windowed counts with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreams.windowedCounts(df, watermark = "10 minutes", window = "5 minutes")
+      .writeStream.queryName("win_counts").outputMode(OutputMode.Complete())
+      .format("memory").start()
+    try {
+      input.addData(
+        (1L, ts(1), "click", 1.0), (2L, ts(2), "click", 2.0), (3L, ts(7), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n FROM win_counts ORDER BY win_start, event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      rows shouldBe Seq(("click", 2L), ("view", 1L))
+    } finally q.stop()
+  }
+
+  test("windowed counts work identically on a batch frame (unification)") {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val batch = spark.createDataFrame(Seq(
+      Row(1L, ts(1), "click", 1.0), Row(2L, ts(2), "click", 2.0)).asJava, schema)
+    val out = EventStreams.windowedCounts(batch).collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("n") shouldBe 2L
+  }
+
+  test("sessionization accumulates per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.queryName("sessions").outputMode(OutputMode.Update())
+      .format("memory").start()
+    try {
+      input.addData(
+        EventStreams.Event(1, ts(1), 7L, "click", 1.0),
+        EventStreams.Event(2, ts(2), 7L, "click", 2.5))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(3, ts(3), 7L, "view", 1.5))
+      q.processAllAvailable()
+      val last = spark.sql("SELECT * FROM sessions WHERE user_id = 7 ORDER BY events DESC")
+        .collect().head
+      last.getAs[Long]("events") shouldBe 3L
+      last.getAs[Double]("totalValue") shouldBe 5.0
+      last.getAs[Long]("endMs") should be > last.getAs[Long]("startMs")
+    } finally q.stop()
+  }
+
+  test("salted join spreads a hot key and matches the plain join result") {
+    import scala.jdk.CollectionConverters._
+    val factSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    // heavily skewed: 90% of fact rows share k=1
+    val factRows = (1L to 200L).map(i => Row(if (i <= 180) 1L else i % 10 + 1, i))
+    val fact = spark.createDataFrame(factRows.asJava, factSchema)
+    val dimSchema = StructType(Seq(
+      StructField("k", LongType), StructField("name", StringType)))
+    val dim = spark.createDataFrame(
+      (1L to 11L).map(i => Row(i, s"name$i")).asJava, dimSchema)
+    val plain = fact.join(dim, "k").agg(count(lit(1)), sum("v")).collect().head
+    val salted = graft.ops.Skew.saltedJoin(fact, dim, "k", salts = 8)
+      .agg(count(lit(1)), sum("v")).collect().head
+    salted.getLong(0) shouldBe plain.getLong(0)
+    salted.getLong(1) shouldBe plain.getLong(1)
+  }
+}
