@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Third query batch: breadth across the delegated scalar/date/set-op
+  * surface (SURVEY.md §2.8, §2.7) — everything the reference hands to
+  * stock Drill, re-checked against DuckDB here. */
+object QueriesExtra {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Date/time functions on order dates: parts, truncation, diff. */
+  def dateFunctions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("oyear"),
+        month(col("o_orderdate")).cast("long").as("omonth"),
+        dayofmonth(col("o_orderdate")).cast("long").as("oday"),
+        date_trunc("month", col("o_orderdate")).as("omonth_start"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_2002"))
+      .orderBy("o_orderkey")
+
+  /** More string functions: replace, lpad, trim variants, position,
+    * repeat, reverse, left/right slices. */
+  def stringFunctions2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), "a", "@").as("subst"),
+        lpad(col("p_brand"), 12, "_").as("padded"),
+        substring(col("p_name"), 1, 5).as("left5"),
+        reverse(col("p_type")).as("rev_type"),
+        instr(col("p_name"), "o").cast("long").as("first_o"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  /** HAVING-style post-aggregation filter. */
+  def havingFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("lines"))
+      .filter(col("lines") >= 20)
+      .orderBy("l_suppkey")
+
+  /** EXCEPT set operation: customers that never ordered via priority '1-URGENT'. */
+  def exceptOp(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "customer").select(col("c_custkey").as("ck"))
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority").startsWith("1"))
+      .select(col("o_custkey").as("ck"))
+    all.except(urgent).orderBy("ck")
+  }
+
+  /** LIKE / pattern filters (recognized but residual in the reference's
+    * pushdown map — here they run native). */
+  def likeFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_name").like("%e%") && !col("p_type").like("%C%"))
+      .select("p_partkey", "p_name", "p_type")
+      .orderBy("p_partkey")
+
+  /** Pivot-style conditional aggregation: revenue per linestatus spread
+    * into columns (expressed as CASE sums so the oracle is portable). */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum(when(col("l_linestatus") === "F", col("l_extendedprice"))
+          .otherwise(lit(0.0))), 2).as("rev_f"),
+        round(sum(when(col("l_linestatus") === "O", col("l_extendedprice"))
+          .otherwise(lit(0.0))), 2).as("rev_o"))
+      .orderBy("l_returnflag")
+
+  /** Conditional/null functions: nullif, greatest/least, coalesce chain. */
+  def nullFunctions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+        least(col("c_nationkey").cast("long"), lit(10L)).as("nk_cap"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg_or"))
+      .orderBy("c_custkey")
+
+  /** Math functions with stable rounding. */
+  def mathFunctions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .select(
+        col("s_suppkey"),
+        round(sqrt(abs(col("s_acctbal"))), 4).as("sqrt_bal"),
+        round(pow(col("s_suppkey").cast("double"), 2.0), 1).as("key_sq"),
+        round(exp(col("s_suppkey").cast("double") / 1000), 6).as("exp_k"),
+        floor(col("s_acctbal")).cast("long").as("bal_floor"),
+        ceil(col("s_acctbal")).cast("long").as("bal_ceil"))
+      .orderBy("s_suppkey")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "date_functions" -> (dateFunctions _),
+    "string_functions2" -> (stringFunctions2 _),
+    "having_filter" -> (havingFilter _),
+    "except_op" -> (exceptOp _),
+    "like_filter" -> (likeFilter _),
+    "pivot_status" -> (pivotStatus _),
+    "null_functions" -> (nullFunctions _),
+    "math_functions" -> (mathFunctions _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "date_functions" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS oyear, month(o_orderdate) AS omonth,
+        |  dayofmonth(o_orderdate) AS oday,
+        |  date_trunc('month', o_orderdate) AS omonth_start,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "string_functions2" ->
+      """SELECT p_partkey,
+        |  replace(p_name, 'a', '@') AS subst,
+        |  lpad(p_brand, 12, '_') AS padded,
+        |  substr(p_name, 1, 5) AS left5,
+        |  reverse(p_type) AS rev_type,
+        |  instr(p_name, 'o') AS first_o,
+        |  concat_ws('/', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "having_filter" ->
+      """SELECT l_suppkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS lines
+        |FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 20
+        |ORDER BY l_suppkey""".stripMargin,
+    "except_op" ->
+      """SELECT c_custkey AS ck FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS ck FROM orders WHERE o_orderpriority LIKE '1%'
+        |ORDER BY ck""".stripMargin,
+    "like_filter" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_name LIKE '%e%' AND p_type NOT LIKE '%C%'
+        |ORDER BY p_partkey""".stripMargin,
+    "pivot_status" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0.0 END), 2) AS rev_f,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0.0 END), 2) AS rev_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "null_functions" ->
+      """SELECT c_custkey,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+        |  greatest(c_acctbal, 0.0) AS bal_floor,
+        |  least(CAST(c_nationkey AS BIGINT), 10) AS nk_cap,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "math_functions" ->
+      """SELECT s_suppkey,
+        |  round(sqrt(abs(s_acctbal)), 4) AS sqrt_bal,
+        |  round(pow(CAST(s_suppkey AS DOUBLE), 2.0), 1) AS key_sq,
+        |  round(exp(CAST(s_suppkey AS DOUBLE) / 1000), 6) AS exp_k,
+        |  CAST(floor(s_acctbal) AS BIGINT) AS bal_floor,
+        |  CAST(ceil(s_acctbal) AS BIGINT) AS bal_ceil
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+  )
+}

