@@ -80,6 +80,7 @@ object PipelineQueries {
       array_distinct(expr(
         "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
         .as("grams"))
+      .localCheckpoint() // materialize gram sets once; both join sides reuse
     val l = grams.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("lb"),
       col("grams").as("ga"))
     val r = grams.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("lb"),
@@ -111,6 +112,17 @@ object PipelineQueries {
     Similarity.lshTopK(
       corpus = emb, queries = emb.filter(col("vec_id") < 10),
       idCol = "vec_id", vecCol = "embedding", dim = 64, k = 5, numPlanes = 4)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-bucketed ANN (scale path #2). Rows-only check like the LSH
+    * variant — centroids come from driver-side sampling. */
+  def embedKnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(
+      corpus = emb, queries = emb.filter(col("vec_id") < 10),
+      idCol = "vec_id", vecCol = "embedding", k = 5)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
   }
@@ -169,6 +181,7 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "embed_knn_brute" -> (embedKnnBrute _),
     "embed_knn_lsh" -> (embedKnnLsh _),
+    "embed_knn_ivf" -> (embedKnnIvf _),
     "embed_near_dup" -> (embedNearDup _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_decode" -> (multimodalDecode _),

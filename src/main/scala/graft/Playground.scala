@@ -1,7 +1,8 @@
 package graft
 
 /** Scratch main for quick experiments (not part of the engine).
-  * Currently: dump oracle SQL for standalone DuckDB syntax checks. */
+  * Currently: dump oracle SQL for standalone DuckDB syntax checks
+  * (see scripts/selfcheck.py for the companion check loop). */
 object Playground {
   def main(args: Array[String]): Unit = {
     def q(s: String): String = "\"" + s.flatMap {

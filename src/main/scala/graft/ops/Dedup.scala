@@ -97,9 +97,12 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double): DataFrame = {
+    // token sets are joined twice (id_a and id_b side); materialize once
+    // instead of re-tokenizing the corpus through both join lineages
     val tok = docs.select(
       col(idCol),
       array_distinct(split(lower(col(textCol)), " ")).as("toks"))
+      .localCheckpoint()
     pairs
       .join(tok.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(tok.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")

@@ -33,7 +33,7 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
   test("cosine_similarity matches the portable HOF formulation bit-for-bit") {
     val both = vecs.select(
       cosCol("a", "b").as("native"),
-      graft.ops.Similarity.cosine(col("a"), col("b")).as("portable"))
+      graft.ops.Similarity.cosinePortable(col("a"), col("b")).as("portable"))
     both.collect().foreach { r =>
       r.getDouble(0) shouldBe r.getDouble(1) // exact, not approx
     }

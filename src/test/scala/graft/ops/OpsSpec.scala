@@ -124,6 +124,20 @@ class OpsSpec extends AnyFunSuite with Matchers {
     b1.foreach(_.getString(1).length shouldBe 6)
   }
 
+  test("ivf ann: high recall vs brute force on the real embeddings") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      numCentroids = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // approximate by design: require >= 40% overlap with exact top-5
+    (ivf.intersect(brute).size.toDouble / brute.size) should be >= 0.4
+    // every query produced results
+    ivf.map(_._1) shouldBe Set(0L, 1L, 2L, 3L, 4L)
+  }
+
   test("language id picks the lexicon with most overlap") {
     val d = docs((1L, "the cat and the dog of the house"), (2L, "el gato y la casa de que"))
     val out = TextAnalysis.langScores(d, "text").orderBy("doc_id").collect()
