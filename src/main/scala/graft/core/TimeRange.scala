@@ -55,6 +55,49 @@ object TimeRange {
     }
   }
 
+  /** Same extraction over a parsed (unresolved) catalyst Expression — the
+    * path used when the predicate comes from SQL text (tenant frontend)
+    * rather than a Column. Same conservatism contract. */
+  def extractExpr(tsColumn: String, e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : TimeRange = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val ts = tsColumn.toLowerCase
+    def attr(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.name.toLowerCase)
+      case a: AttributeReference  => Some(a.name.toLowerCase)
+      case Cast(c, _, _, _)       => attr(c)
+      case _ => None
+    }
+    def lit(x: Expression): Option[Long] = x match {
+      case Literal(v: Long, _)  => Some(v)
+      case Literal(v: Int, _)   => Some(v.toLong)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case Cast(c, _, _, _)     => lit(c)
+      case _ => None
+    }
+    def go(x: Expression): TimeRange = x match {
+      case And(l, r) => go(l).intersect(go(r))
+      case Or(l, r)  => go(l).union(go(r))
+      case cmp: BinaryComparison =>
+        val op = cmp match {
+          case _: EqualTo => "="
+          case _: LessThan => "<"
+          case _: LessThanOrEqual => "<="
+          case _: GreaterThan => ">"
+          case _: GreaterThanOrEqual => ">="
+          case _ => "?"
+        }
+        (attr(cmp.left), lit(cmp.right), attr(cmp.right), lit(cmp.left)) match {
+          case (Some(a), Some(v), _, _) if a == ts => fromCompare(op, v, flipped = false)
+          case (_, _, Some(a), Some(v)) if a == ts => fromCompare(op, v, flipped = true)
+          case _ => Full
+        }
+      case _ => Full
+    }
+    go(e)
+  }
+
   private def fromCompare(op: String, v: Long, flipped: Boolean): TimeRange = op match {
     case "=" | "==" | "===" | "equal" => TimeRange(v, v)
     case "<"  => if (flipped) TimeRange(min = v + 1) else TimeRange(max = v - 1)

@@ -27,6 +27,9 @@ class TenantSession private (
     val orgId: String,
     registry: SchemaRegistry,
     sources: SourceSet) {
+  import graft.core.TimeRange
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
 
   /** Statements the reference removed from its grammar for isolation
     * (`fineo-reparser/src/main/codegen/README.md`): DDL/DML rejected. */
@@ -52,8 +55,44 @@ class TenantSession private (
       case "describe" | "desc" =>
         describeTable(statement.trim.split("\\s+").last)
       case "use" => showSchemas() // USE is a no-op: a tenant has exactly one schema
-      case _ => spark.sql(statement)
+      case _ =>
+        pruneSourcesFor(statement)
+        spark.sql(statement)
     }
+  }
+
+  /** Plan-time time-range source pruning for arbitrary tenant SQL — the
+    * reference's `PushTimerangeFilterPastRecombinator` +
+    * `ConvertFineoMarkerIntoFilteredInputTables` (SURVEY.md §4 R1) at the
+    * SQL surface: parse the statement, extract conservative `timestamp`
+    * bounds from its filters, and re-register the referenced metric's view
+    * assembled from only the sources overlapping the range. Applies only
+    * to single-table statements (multi-table queries scan all, exactly the
+    * widen-don't-narrow contract); the residual WHERE still runs row-wise.
+    * Safe to re-register per statement: `spark.sql` resolves the view at
+    * call time, so previously returned DataFrames are unaffected. */
+  private def pruneSourcesFor(statement: String): Unit = {
+    val parsed =
+      try spark.sessionState.sqlParser.parsePlan(statement)
+      catch { case _: Exception => return }
+    val rels = parsed.collect { case r: UnresolvedRelation => r }.toSeq
+    val metricOpt = rels match {
+      case Seq(one) => registry.metric(orgId, one.multipartIdentifier.mkString("."))
+      case _ => None
+    }
+    metricOpt.foreach { m =>
+      val filters = parsed.collect { case f: LFilter => f.condition }.toSeq
+      val range =
+        if (filters.isEmpty) TimeRange.Full
+        else filters.map(TimeRange.extractExpr(Metric.TimestampField, _))
+          .reduce(_ intersect _)
+      registerMetric(m, if (range.isFull) sources else sources.prune(range))
+    }
+  }
+
+  private[frontend] def registerMetric(m: Metric, srcs: SourceSet): Unit = {
+    val df = Assembler.metricTable(spark, orgId, m, srcs, sorted = false)
+    (m.displayName +: m.tableAliases).foreach(n => df.createOrReplaceTempView(n))
   }
 
   /** Tenant-scoped SHOW TABLES (reference `SqlShowTables`, info-schema
@@ -96,10 +135,8 @@ object TenantSession {
     // tenant SQL gets the engine functions, incl. the reference's
     // fineo_base64_decode UDF surface
     graft.functions.GraftExtensions.register(session)
-    org.metrics.foreach { m =>
-      val df = Assembler.metricTable(session, orgId, m, sources, sorted = false)
-      (m.displayName +: m.tableAliases).foreach(n => df.createOrReplaceTempView(n))
-    }
+    val tenant = new TenantSession(session, orgId, registry, sources)
+    org.metrics.foreach(m => tenant.registerMetric(m, sources))
     // Errors table: JSON (possibly gzipped — Spark reads .gz natively)
     // under Hive-style partition dirs stream/stage=…/type=…/year=…/month=…/
     // day=…, so the directory components surface as partition columns and
@@ -112,6 +149,6 @@ object TenantSession {
       val errs = session.read.json(s"$dir/stream").filter(col("apikey") === orgId)
       errs.createOrReplaceTempView("errors_stream")
     }
-    new TenantSession(session, orgId, registry, sources)
+    tenant
   }
 }

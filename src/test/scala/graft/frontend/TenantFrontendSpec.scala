@@ -91,6 +91,38 @@ class TenantFrontendSpec extends AnyFunSuite with Matchers {
     n.length shouldBe 2
   }
 
+  test("SQL time predicates prune nearline sources at plan time (R1)") {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    // two nearline windows; a query bounded before the second window must
+    // not read the second table's files
+    val reg = SchemaRegistry(Org("orgp", Seq(
+      Metric("mp", "pruned_metric", Seq(Field("v", FieldType.LONG))))))
+    val nlDir = SparkFixture.tempDir("prunenl")
+    val nlSchema = StructType(Seq(
+      StructField("partition", StringType), StructField("sort", StringType),
+      StructField("ids", ArrayType(StringType)),
+      StructField("v", MapType(StringType, StringType))))
+    def writeNl(path: String, sort: String, v: String): Unit =
+      spark.createDataFrame(
+        Seq(Row("orgpmp", sort, Seq("w"), Map("w" -> v))).asJava, nlSchema)
+        .write.mode("overwrite").parquet(path)
+    writeNl(s"$nlDir/t1", "100", "1")
+    writeNl(s"$nlDir/t2", "900", "9")
+    val srcs = SourceSet(nearline = Seq(
+      NearlineTableDesc("t_0_500", s"$nlDir/t1", 0, 500),
+      NearlineTableDesc("t_500_1000", s"$nlDir/t2", 500, 1000)))
+    val t = TenantSession.open(spark, reg, "orgp", srcs)
+
+    val bounded = t.sql("SELECT `timestamp`, v FROM pruned_metric WHERE `timestamp` < 400")
+    bounded.collect().map(_.getLong(1)).toSeq shouldBe Seq(1L)
+    bounded.inputFiles.exists(_.contains("/t2")) shouldBe false // pruned at plan time
+
+    // unbounded (or opaque) predicates scan all sources
+    val unbounded = t.sql("SELECT `timestamp`, v FROM pruned_metric WHERE v IS NOT NULL")
+    unbounded.inputFiles.exists(_.contains("/t2")) shouldBe true
+    unbounded.collect().map(_.getLong(1)).sorted.toSeq shouldBe Seq(1L, 9L)
+  }
+
   test("errors table carries the forced tenant predicate") {
     val errDir = SparkFixture.tempDir("errs")
     val events = Seq(
