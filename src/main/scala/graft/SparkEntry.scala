@@ -20,11 +20,11 @@ object SparkEntry {
   import Queries._
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Runs the full fineo path (multi-source assembly + tenant SQL); falls
-    * back to a plain join-agg if the tmp fixture can't be built. */
+    * Runs the full fineo path (multi-source assembly + tenant SQL). No
+    * fallback: a flagship-path regression must fail the smoke loudly, not
+    * silently degrade to a plain join-agg. */
   def entry(spark: SparkSession): DataFrame =
-    try Flagship.run(spark, "/root/testdata/sf0.001")
-    catch { case _: Throwable => joinAgg(spark, "/root/testdata/sf0.001") }
+    Flagship.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -119,10 +119,13 @@ object Queries {
       .orderBy("c_custkey")
 
   /** Scalar subquery: orders above the global average price, implemented
-    * as a broadcast of the 1-row aggregate (no correlated re-execution). */
+    * as a broadcast of the 1-row aggregate (no correlated re-execution).
+    * The average is rounded to 2 digits on both engines: Spark's parallel
+    * summation vs DuckDB's sequential sum can differ in the last ulp, which
+    * would flip membership for a row sitting exactly at the boundary. */
   def subqueryAvg(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
-    val avgDf = orders.agg(avg("o_totalprice").as("global_avg"))
+    val avgDf = orders.agg(round(avg("o_totalprice"), 2).as("global_avg"))
     orders.join(broadcast(avgDf))
       .filter(col("o_totalprice") > col("global_avg"))
       .select("o_orderkey", "o_totalprice")
@@ -343,7 +346,7 @@ object Queries {
         |ORDER BY c_custkey""".stripMargin,
     "subquery_avg" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
     "window_top_per_key" ->
       """SELECT o_custkey, o_orderkey, rn FROM (

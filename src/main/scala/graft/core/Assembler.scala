@@ -38,15 +38,23 @@ object Assembler {
     val fsDfs = pruned.fs.flatMap(readFs(spark, _, orgId, metric))
 
     // Overlap de-duplication by cutoff, not by key (reference R2,
-    // `ConvertFineoMarkerIntoFilteredInputTables.java:144-177`): when both
-    // archive and nearline exist, archive rows at/after the earliest
-    // nearline window start are dropped — strictly `<`, nearline wins on a
-    // timestamp present in both.
-    val cutFsDfs = pruned.minNearlineStart match {
-      case Some(cutoff) if fsDfs.nonEmpty =>
-        fsDfs.map(_.filter(col(Metric.TimestampField) < cutoff))
-      case _ => fsDfs
-    }
+    // `ConvertFineoMarkerIntoFilteredInputTables.java:144-177`): archive
+    // rows whose timestamp falls inside some nearline window [start, end)
+    // are dropped — nearline wins on a timestamp present in both. The
+    // reference cuts everything >= min(start), which silently loses archive
+    // rows falling in a GAP between non-contiguous nearline windows; the
+    // per-window exclusion is identical when windows are contiguous (the
+    // deployed layout) and strictly lossless when they are not. The
+    // predicate is a short OR over window bounds — it pushes to the scan
+    // as plain range filters.
+    val cutFsDfs =
+      if (pruned.nearline.nonEmpty && fsDfs.nonEmpty) {
+        val ts = col(Metric.TimestampField)
+        val coveredByNearline = pruned.nearline
+          .map(w => ts >= w.startMillis && ts < w.endMillis)
+          .reduce(_ || _)
+        fsDfs.map(_.filter(!coveredByNearline))
+      } else fsDfs
 
     val nearlineDfs = pruned.nearline.map { desc =>
       val raw = NearlineStub.readForMetric(spark, desc, orgId, metric.canonicalId)

@@ -1,98 +1,199 @@
 package graft.frontend
 
-import graft.core.Assembler
+import graft.core.{Assembler, TimeRange}
 import graft.schema.{Metric, SchemaRegistry}
 import graft.sources.SourceSet
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.{Command, Filter => LFilter, InsertIntoDir, LogicalPlan, ParsedStatement, SubqueryAlias, UnresolvedWith}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnExpr
 import org.apache.spark.sql.types._
 
 /** Tenant-facing SQL frontend: the rebuild of the reference's forked
   * parser + Avatica server surface (SURVEY.md §2.11, §3 entry point A).
   *
-  * Isolation model: one `SparkSession.newSession()` per tenant — shared
-  * SparkContext/cached data, but an isolated temp-view catalog. Each of the
-  * tenant's metrics is registered as a temp view under its display name (and
-  * aliases), so bare table identifiers resolve only to that tenant's tables.
-  * This replaces the reference's identifier-rewriting parser fork
-  * (`FineoDrillParserWithCompoundIdConverter.java`): instead of rewriting
-  * `metricid1` → `fineo.org1.metricid1` in SQL text, the resolution scope
-  * itself is tenant-bound — structurally equivalent isolation with zero
-  * string surgery, and the full Spark SQL SELECT surface (joins, aggs,
-  * windows, subqueries, set ops) comes along for free, like the reference
-  * delegated to stock Drill.
+  * Isolation model — plan-level, statement-local:
+  *
+  *   1. Every statement is parsed; any plan containing a command / DML /
+  *      write node (`Command`, `ParsedStatement`, `InsertIntoDir`) is
+  *      rejected. This replaces the reference's grammar surgery
+  *      (`fineo-reparser/src/main/codegen/README.md` removes DDL/DML
+  *      productions): deciding read-only-ness from the *parsed plan* is
+  *      immune to comment prefixes, CTE-wrapped INSERTs, and any other
+  *      lexical disguise a first-token check would miss.
+  *   2. Every `UnresolvedRelation` (including inside subquery expressions)
+  *      must be a CTE name, a tenant-registered view (errors table), or a
+  *      bare metric name in this tenant's registry — anything else
+  *      (another org's table, `parquet.`/path``, `spark_catalog...`)
+  *      throws SecurityException before execution. Matching relations are
+  *      substituted with the metric's assembled plan *in the statement's
+  *      own tree* — no shared temp views, so concurrent statements on one
+  *      session can't race, and registry changes (metric deletion) take
+  *      effect on the very next statement. This is the Spark-native
+  *      equivalent of the reference's identifier rewrite
+  *      (`FineoDrillParserWithCompoundIdConverter.java:52-62`).
+  *   3. `spark.sql.runSQLOnFiles=false` on the tenant session as
+  *      defense-in-depth (step 2 already rejects file-path relations).
+  *
+  * Time-range source pruning (reference R1) happens during substitution:
+  * each relation's bounds come only from Filter nodes separated from it by
+  * Filter/SubqueryAlias nodes alone — a filter above a Project/Aggregate
+  * may reference a *rebound* `timestamp` and must widen, not narrow.
   */
 class TenantSession private (
     val spark: SparkSession,
     val orgId: String,
     registry: SchemaRegistry,
-    sources: SourceSet) {
-  import graft.core.TimeRange
-  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-  import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    sources: SourceSet,
+    serverMaxRows: Option[Int]) {
 
-  /** Statements the reference removed from its grammar for isolation
-    * (`fineo-reparser/src/main/codegen/README.md`): DDL/DML rejected. */
-  private val forbidden =
-    Seq("create", "drop", "insert", "update", "delete", "alter", "merge",
-      "truncate", "refresh", "set", "reset", "cache", "uncache", "analyze")
+  /** Views registered on this tenant session (errors table). */
+  private[frontend] var registeredViews: Set[String] = Set.empty
 
   /** Run tenant SQL. SELECT/WITH/VALUES + SHOW/DESCRIBE/USE only. */
-  def sql(statement: String): DataFrame = {
-    val head = statement.trim.split("\\s+", 2).headOption.getOrElse("").toLowerCase
-    if (forbidden.contains(head))
+  def sql(statement: String): DataFrame = sql(statement, None)
+
+  /** Run tenant SQL with a per-statement row cap; the server-side cap
+    * (`serverMaxRows`, reference `FineoJdbcMeta.setMaxRows:143-159`)
+    * always applies and the effective clamp is the smaller of the two. */
+  def sql(statement: String, maxRows: Option[Int]): DataFrame = {
+    val clean = stripLeadingComments(statement)
+    val head = clean.split("\\s+", 2).headOption.getOrElse("").toLowerCase
+    val df = head match {
+      case "show"              => showStatement(clean)
+      case "describe" | "desc" => describeTable(clean.split("\\s+").last.stripSuffix(";"))
+      case "use"               => useSchema(clean.split("\\s+").last.stripSuffix(";"))
+      case _                   => runQuery(statement)
+    }
+    (serverMaxRows.toSeq ++ maxRows.toSeq).reduceOption(math.min) match {
+      case Some(n) => df.limit(n)
+      case None    => df
+    }
+  }
+
+  // ------------------------------------------------------------- queries
+
+  private def runQuery(statement: String): DataFrame = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(statement)
+    rejectNonQuery(parsed)
+    ColumnExpr.ofRows(spark, substituteRelations(parsed))
+  }
+
+  /** Read-only surface, decided from the plan: any node that is a command
+    * (DDL, SET, CACHE, EXPLAIN, LOAD, …), an unresolved write statement
+    * (INSERT/UPDATE/DELETE/MERGE parse to `ParsedStatement`s), or a
+    * directory write is rejected — wherever it sits in the tree. */
+  private def rejectNonQuery(plan: LogicalPlan): Unit = {
+    val offender = deepCollect(plan) {
+      case c: Command         => c.nodeName
+      case p: ParsedStatement => p.nodeName
+      case d: InsertIntoDir   => d.nodeName
+    }
+    offender.headOption.foreach { n =>
       throw new UnsupportedOperationException(
-        s"read-only tenant surface: '$head' statements are not allowed")
-    head match {
-      case "show" =>
-        val rest = statement.trim.split("\\s+", 3).lift(1).map(_.toLowerCase)
-        rest match {
-          case Some("tables")                      => showTables()
-          case Some("schemas") | Some("databases") => showSchemas()
-          case other =>
-            throw new UnsupportedOperationException(s"SHOW ${other.getOrElse("")} not supported")
-        }
-      case "describe" | "desc" =>
-        describeTable(statement.trim.split("\\s+").last)
-      case "use" => showSchemas() // USE is a no-op: a tenant has exactly one schema
-      case _ =>
-        pruneSourcesFor(statement)
-        spark.sql(statement)
+        s"read-only tenant surface: $n statements are not allowed")
     }
   }
 
-  /** Plan-time time-range source pruning for arbitrary tenant SQL — the
-    * reference's `PushTimerangeFilterPastRecombinator` +
-    * `ConvertFineoMarkerIntoFilteredInputTables` (SURVEY.md §4 R1) at the
-    * SQL surface: parse the statement, extract conservative `timestamp`
-    * bounds from its filters, and re-register the referenced metric's view
-    * assembled from only the sources overlapping the range. Applies only
-    * to single-table statements (multi-table queries scan all, exactly the
-    * widen-don't-narrow contract); the residual WHERE still runs row-wise.
-    * Safe to re-register per statement: `spark.sql` resolves the view at
-    * call time, so previously returned DataFrames are unaffected. */
-  private def pruneSourcesFor(statement: String): Unit = {
-    val parsed =
-      try spark.sessionState.sqlParser.parsePlan(statement)
-      catch { case _: Exception => return }
-    val rels = parsed.collect { case r: UnresolvedRelation => r }.toSeq
-    val metricOpt = rels match {
-      case Seq(one) => registry.metric(orgId, one.multipartIdentifier.mkString("."))
-      case _ => None
+  /** Validate every table reference and splice the tenant's assembled
+    * metric plans into the statement tree. Covers subquery expressions
+    * and CTE definitions. */
+  private def substituteRelations(parsed: LogicalPlan): LogicalPlan = {
+    // CTE-defined names legally shadow tables; collect them first.
+    val cteNames: Set[String] = deepCollect(parsed) {
+      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
+
+    val replacements =
+      new java.util.IdentityHashMap[UnresolvedRelation, LogicalPlan]()
+    deepCollect(parsed) { case r: UnresolvedRelation => r }.foreach { r =>
+      val parts = r.multipartIdentifier
+      val bare = parts.head.toLowerCase
+      val isBare = parts.size == 1
+      if (isBare && cteNames.contains(bare)) ()                 // CTE wins
+      else if (isBare && registeredViews.contains(bare)) ()     // errors table
+      else if (isBare && registry.metric(orgId, parts.head).isDefined) {
+        val m = registry.metric(orgId, parts.head).get
+        val range = boundsFor(r, parsed)
+        val df = Assembler.metricTable(
+          spark, orgId, m, sources.prune(range), sorted = false)
+        replacements.put(r, SubqueryAlias(parts.head, ColumnExpr.logical(df)))
+      } else
+        throw new SecurityException(
+          s"table not found for tenant $orgId: ${parts.mkString(".")}")
     }
-    metricOpt.foreach { m =>
-      val filters = parsed.collect { case f: LFilter => f.condition }.toSeq
-      val range =
-        if (filters.isEmpty) TimeRange.Full
-        else filters.map(TimeRange.extractExpr(Metric.TimestampField, _))
-          .reduce(_ intersect _)
-      registerMetric(m, if (range.isFull) sources else sources.prune(range))
+    deepTransform(parsed) {
+      case r: UnresolvedRelation if replacements.containsKey(r) =>
+        replacements.get(r)
     }
   }
 
-  private[frontend] def registerMetric(m: Metric, srcs: SourceSet): Unit = {
-    val df = Assembler.metricTable(spark, orgId, m, srcs, sorted = false)
-    (m.displayName +: m.tableAliases).foreach(n => df.createOrReplaceTempView(n))
+  /** `collectWithSubqueries` that also descends into `UnresolvedWith` CTE
+    * definitions — cteRelations are not plan children, so the stock
+    * traversal never visits a `WITH` body. */
+  private def deepCollect[A](p: LogicalPlan)(
+      pf: PartialFunction[LogicalPlan, A]): Seq[A] = {
+    val here = p.collectWithSubqueries(pf)
+    val cteBodies = p.collectWithSubqueries {
+      case w: UnresolvedWith => w.cteRelations.map(_._2)
+    }.flatten
+    here ++ cteBodies.flatMap(deepCollect(_)(pf))
+  }
+
+  /** `transformUpWithSubqueries` that also rewrites CTE definitions. */
+  private def deepTransform(p: LogicalPlan)(
+      pf: PartialFunction[LogicalPlan, LogicalPlan]): LogicalPlan = {
+    val withCtes: PartialFunction[LogicalPlan, LogicalPlan] = {
+      case w: UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, sa, d) =>
+          (n, deepTransform(sa)(pf).asInstanceOf[SubqueryAlias], d)
+        })
+    }
+    p.transformUpWithSubqueries(pf.orElse(withCtes))
+  }
+
+  /** Conservative per-relation timestamp bounds: only honor Filter nodes
+    * whose path down to THIS relation crosses Filter/SubqueryAlias nodes
+    * exclusively. A filter sitting above a Project/Aggregate can reference
+    * a rebound `timestamp` (e.g. `timestamp - 1000 AS timestamp`) — its
+    * bounds say nothing about storage timestamps, so it widens to Full
+    * (the widen-don't-narrow contract, `TimestampExpressionBuilder`). */
+  private def boundsFor(rel: UnresolvedRelation, plan: LogicalPlan): TimeRange = {
+    def reaches(p: LogicalPlan): Boolean = p match {
+      case f: LFilter       => reaches(f.child)
+      case s: SubqueryAlias => reaches(s.child)
+      case r: UnresolvedRelation => r eq rel
+      case _ => false
+    }
+    val conds = plan.collectWithSubqueries {
+      case f: LFilter if reaches(f.child) => f.condition
+    }
+    if (conds.isEmpty) TimeRange.Full
+    else conds.map(TimeRange.extractExpr(Metric.TimestampField, _)).reduce(_ intersect _)
+  }
+
+  // ---------------------------------------------------- metadata surface
+
+  /** `SHOW TABLES [LIKE 'pat' | WHERE cond]` / `SHOW SCHEMAS|DATABASES`
+    * (reference grammar `SqlShowTables.java:44-115`). The WHERE form
+    * filters over the result columns (schema, table), like Drill's
+    * info-schema-backed SHOW. */
+  private def showStatement(clean: String): DataFrame = {
+    val tablesRe =
+      """(?is)^show\s+tables(?:\s+like\s+'([^']*)'|\s+where\s+(.+?))?\s*;?\s*$""".r
+    val schemasRe = """(?is)^show\s+(?:schemas|databases)\s*;?\s*$""".r
+    clean match {
+      case tablesRe(like, where) =>
+        val base = showTables()
+        if (like != null)
+          base.filter(col("table").rlike("(?i)^" + MetadataFacade.sqlToRegexLike(like) + "$"))
+        else if (where != null) base.filter(expr(where))
+        else base
+      case schemasRe() => showSchemas()
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported SHOW statement: $other")
+    }
   }
 
   /** Tenant-scoped SHOW TABLES (reference `SqlShowTables`, info-schema
@@ -105,6 +206,12 @@ class TenantSession private (
   def showSchemas(): DataFrame =
     toDf(Seq(Row("FINEO")), StructType(Seq(StructField("schema", StringType))))
 
+  /** USE is rewritten to the org schema by the reference parser; only the
+    * tenant's single schema name is legal. */
+  private def useSchema(name: String): DataFrame =
+    if (name.equalsIgnoreCase("FINEO") || name.equalsIgnoreCase("use")) showSchemas()
+    else throw new IllegalArgumentException(s"schema not found: $name")
+
   def describeTable(table: String): DataFrame = {
     val metric = registry.metric(orgId, table).getOrElse(
       throw new IllegalArgumentException(s"table not found: $table"))
@@ -114,6 +221,30 @@ class TenantSession private (
       StructField("nullable", BooleanType))))
   }
 
+  /** JDBC-style metadata facade bound to this tenant (reference
+    * `FineoDatabaseMetaData.java:39-105`). */
+  def metadata: MetadataFacade = new MetadataFacade(spark, registry, orgId)
+
+  // -------------------------------------------------------------- helpers
+
+  private def stripLeadingComments(s: String): String = {
+    var t = s.trim
+    var changed = true
+    while (changed && t.nonEmpty) {
+      changed = false
+      if (t.startsWith("--")) {
+        val i = t.indexOf('\n')
+        t = if (i < 0) "" else t.substring(i + 1).trim
+        changed = true
+      } else if (t.startsWith("/*")) {
+        val i = t.indexOf("*/")
+        t = if (i < 0) "" else t.substring(i + 2).trim
+        changed = true
+      }
+    }
+    t
+  }
+
   private def toDf(rows: Seq[Row], schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 }
@@ -121,22 +252,29 @@ class TenantSession private (
 object TenantSession {
 
   /** Open a tenant session: validates the org exists (the reference's
-    * `TenantValidator`), registers each metric (and its table aliases) as
-    * temp views in an isolated session. */
+    * `TenantValidator`) and binds an isolated `newSession()` whose table
+    * references resolve statement-locally against the tenant's registry.
+    *
+    * @param maxRows server-side row clamp applied to every statement
+    *   (reference `FineoJdbcMeta.setMaxRows`). */
   def open(
       root: SparkSession,
       registry: SchemaRegistry,
       orgId: String,
       sources: SourceSet,
-      errorsDir: Option[String] = None): TenantSession = {
-    val org = registry.org(orgId).getOrElse(
+      errorsDir: Option[String] = None,
+      maxRows: Option[Int] = None): TenantSession = {
+    registry.org(orgId).getOrElse(
       throw new SecurityException(s"unknown tenant: $orgId"))
     val session = root.newSession()
+    // Defense-in-depth: statement-local substitution already rejects
+    // parquet.`/path` relations, but make Spark's file-table resolution
+    // impossible on this session too.
+    session.conf.set("spark.sql.runSQLOnFiles", "false")
     // tenant SQL gets the engine functions, incl. the reference's
     // fineo_base64_decode UDF surface
     graft.functions.GraftExtensions.register(session)
-    val tenant = new TenantSession(session, orgId, registry, sources)
-    org.metrics.foreach(m => tenant.registerMetric(m, sources))
+    val tenant = new TenantSession(session, orgId, registry, sources, maxRows)
     // Errors table: JSON (possibly gzipped — Spark reads .gz natively)
     // under Hive-style partition dirs stream/stage=…/type=…/year=…/month=…/
     // day=…, so the directory components surface as partition columns and
@@ -148,6 +286,7 @@ object TenantSession {
     errorsDir.filter(d => new java.io.File(d).exists).foreach { dir =>
       val errs = session.read.json(s"$dir/stream").filter(col("apikey") === orgId)
       errs.createOrReplaceTempView("errors_stream")
+      tenant.registeredViews += "errors_stream"
     }
     tenant
   }

@@ -111,9 +111,14 @@ case class Org(orgId: String, metrics: Seq[Metric]) {
 
 /** Org → metric schema registry. Stand-in for the reference's
   * DynamoDB-backed `SchemaStore` (SURVEY.md §1.3): JSON-file-backed here,
-  * same lookup surface. Thread-safe for concurrent reads.
+  * same lookup surface. Mutable like the real store — metric deletion /
+  * addition is visible to open sessions on their next statement (the
+  * schema-store-driven visibility semantics of
+  * `TestFineoReadTable.java:271-287`-adjacent tests), because sessions
+  * resolve tables per-statement rather than caching views. Thread-safe:
+  * reads see a consistent immutable snapshot; writes swap it atomically.
   */
-class SchemaRegistry(orgs: Map[String, Org]) {
+class SchemaRegistry(@volatile private var orgs: Map[String, Org]) {
   def org(orgId: String): Option[Org] = orgs.get(orgId)
   def orgIds: Seq[String] = orgs.keys.toSeq.sorted
   def metric(orgId: String, table: String): Option[Metric] =
@@ -121,6 +126,22 @@ class SchemaRegistry(orgs: Map[String, Org]) {
   /** Tenant-scoped table listing (info-schema surface, SURVEY.md §2.1 S8). */
   def listTables(orgId: String): Seq[String] =
     org(orgId).map(_.metrics.map(_.displayName).sorted).getOrElse(Nil)
+
+  /** Delete a metric (by display name or alias): its logical table
+    * disappears from listings and resolution on the next statement. */
+  def removeMetric(orgId: String, table: String): Unit = synchronized {
+    orgs.get(orgId).foreach { o =>
+      orgs = orgs.updated(orgId, o.copy(metrics = o.metrics.filterNot(m =>
+        m.displayName.equalsIgnoreCase(table) ||
+          m.tableAliases.exists(_.equalsIgnoreCase(table)))))
+    }
+  }
+
+  /** Register a new metric mid-session. */
+  def addMetric(orgId: String, metric: Metric): Unit = synchronized {
+    orgs.get(orgId).foreach(o =>
+      orgs = orgs.updated(orgId, o.copy(metrics = o.metrics :+ metric)))
+  }
 }
 
 object SchemaRegistry {

@@ -15,6 +15,22 @@ object ColumnExpr {
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Build a DataFrame from a (possibly partially-unresolved) logical plan
+    * — the internal hook temp-view resolution itself uses. Lets the tenant
+    * frontend substitute table references statement-locally instead of
+    * mutating shared session state. */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The unanalyzed logical plan behind a DataFrame. */
+  def logical(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.logical
+
   /** Minimal predicate-tree view of a Column, for pre-analysis predicate
     * inspection (the Column is unresolved at assembly time, so the
     * catalyst Expression conversion is lazy and opaque — we walk the

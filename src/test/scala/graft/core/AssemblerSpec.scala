@@ -72,6 +72,29 @@ class AssemblerSpec extends AnyFunSuite with Matchers {
     rows.map(_.getLong(2)).toSeq shouldBe Seq(10L, 21L, 25L)
   }
 
+  test("non-contiguous nearline windows: archive rows in the gap survive") {
+    val dir = SparkFixture.tempDir("assy_gap")
+    // nearline windows [0,100) and [200,400) with a gap [100,200); the
+    // archive row at ts=150 must NOT be lost (a global min-start cutoff
+    // would drop it), while rows inside either window are still excluded.
+    writeArchive(dir, "parquet", Seq(
+      Row("orgid1", "m1", 50L, true, 5L),   // inside [0,100)  → dropped (nearline wins)
+      Row("orgid1", "m1", 150L, true, 15L), // in the gap      → kept
+      Row("orgid1", "m1", 250L, true, 25L))) // inside [200,400) → dropped
+    val nlA = SparkFixture.tempDir("nlgap") + "/a"
+    val nlB = SparkFixture.tempDir("nlgap") + "/b"
+    writeNearline(nlA, Seq(Row("orgid1m1", "60", Seq("w"), Map("w" -> "true"), Map("w" -> "6"))))
+    writeNearline(nlB, Seq(Row("orgid1m1", "260", Seq("w"), Map("w" -> "true"), Map("w" -> "26"))))
+    val sources = SourceSet(
+      fs = Seq(FsSource("parquet", dir)),
+      nearline = Seq(
+        NearlineTableDesc("t_0_100", nlA, 0L, 100L),
+        NearlineTableDesc("t_200_400", nlB, 200L, 400L)))
+    val out = Assembler.metricTable(spark, "orgid1", metric, sources)
+    out.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq shouldBe
+      Seq((60L, 6L), (150L, 15L), (260L, 26L))
+  }
+
   test("nearline multi-write items expand to one row per write-id") {
     val nlPath = SparkFixture.tempDir("nl2") + "/tbl"
     writeNearline(nlPath, Seq(

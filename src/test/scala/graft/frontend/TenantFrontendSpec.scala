@@ -123,6 +123,177 @@ class TenantFrontendSpec extends AnyFunSuite with Matchers {
     unbounded.collect().map(_.getLong(1)).sorted.toSeq shouldBe Seq(1L, 9L)
   }
 
+  test("file-path tables and catalog-qualified names are rejected (isolation escape)") {
+    val t = TenantSession.open(spark, registry, "org1", sources)
+    // Spark's runSQLOnFiles surface: parquet.`/any/path` must throw, not read
+    intercept[SecurityException] {
+      t.sql("SELECT * FROM parquet.`/root/testdata/sf0.001/orders.parquet`")
+    }
+    intercept[SecurityException] {
+      t.sql("SELECT * FROM json.`/etc`")
+    }
+    intercept[SecurityException] {
+      t.sql("SELECT * FROM spark_catalog.default.anything")
+    }
+    // ... including inside subquery expressions
+    intercept[SecurityException] {
+      t.sql("SELECT * FROM metricid1 WHERE `timestamp` > " +
+        "(SELECT count(*) FROM parquet.`/root/testdata/sf0.001/orders.parquet`)")
+    }
+  }
+
+  test("read-only enforcement is plan-level, not first-token (CTE/comment disguises)") {
+    val t = TenantSession.open(spark, registry, "org1", sources)
+    intercept[UnsupportedOperationException] {
+      t.sql("WITH t AS (SELECT 1 AS x) INSERT INTO metricid1 SELECT * FROM t")
+    }
+    intercept[UnsupportedOperationException] {
+      t.sql("/* hello */ DROP TABLE metricid1")
+    }
+    intercept[UnsupportedOperationException] {
+      t.sql("-- c\nCREATE TABLE x AS SELECT 1")
+    }
+    intercept[UnsupportedOperationException] {
+      t.sql("INSERT OVERWRITE DIRECTORY '/tmp/graft_escape' USING parquet SELECT 1")
+    }
+    intercept[UnsupportedOperationException] { t.sql("EXPLAIN SELECT 1") }
+  }
+
+  test("CTEs and subqueries over tenant metrics work (substitution covers them)") {
+    val t = TenantSession.open(spark, registry, "org1", sources)
+    val viaCte = t.sql(
+      """WITH recent AS (SELECT * FROM metricid1 WHERE `timestamp` >= 20)
+        |SELECT count(*) AS n FROM recent""".stripMargin).collect()
+    viaCte.head.getLong(0) shouldBe 1L
+    // scalar subquery referencing ANOTHER metric of the same tenant
+    val viaSub = t.sql(
+      """SELECT count(*) AS n FROM metricid1
+        |WHERE `timestamp` < (SELECT max(v) FROM othermetric)""".stripMargin).collect()
+    viaSub.head.getLong(0) shouldBe 0L // max(v)=7, no timestamps below 7
+    // a CTE may shadow a metric name — CTE wins (standard SQL scoping)
+    val shadow = t.sql(
+      "WITH metricid1 AS (SELECT 42 AS y) SELECT y FROM metricid1").collect()
+    shadow.head.getInt(0) shouldBe 42
+  }
+
+  test("filters above a projection that rebinds timestamp do NOT prune sources") {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val reg = SchemaRegistry(Org("orgw", Seq(
+      Metric("mw", "widen_metric", Seq(Field("v", FieldType.LONG))))))
+    val nlDir = SparkFixture.tempDir("widen_nl")
+    val nlSchema = StructType(Seq(
+      StructField("partition", StringType), StructField("sort", StringType),
+      StructField("ids", ArrayType(StringType)),
+      StructField("v", MapType(StringType, StringType))))
+    def writeNl(path: String, sort: String, v: String): Unit =
+      spark.createDataFrame(
+        Seq(Row("orgwmw", sort, Seq("w"), Map("w" -> v))).asJava, nlSchema)
+        .write.mode("overwrite").parquet(path)
+    writeNl(s"$nlDir/t1", "100", "1")
+    writeNl(s"$nlDir/t2", "900", "9")
+    val srcs = SourceSet(nearline = Seq(
+      NearlineTableDesc("t_0_500", s"$nlDir/t1", 0, 500),
+      NearlineTableDesc("t_500_1000", s"$nlDir/t2", 500, 1000)))
+    val t = TenantSession.open(spark, reg, "orgw", srcs)
+    // inner projection rebinds `timestamp`; the outer bound says nothing
+    // about storage timestamps — both tables must be scanned and the row
+    // with real ts=900 (rebound to -99100) must survive
+    val out = t.sql(
+      """SELECT * FROM (
+        |  SELECT `timestamp` - 1000000 AS `timestamp`, v FROM widen_metric)
+        |WHERE `timestamp` < 400""".stripMargin)
+    out.inputFiles.exists(_.contains("/t2")) shouldBe true
+    out.collect().map(_.getLong(1)).sorted.toSeq shouldBe Seq(1L, 9L)
+    // whereas a direct filter still prunes
+    val direct = t.sql("SELECT v FROM widen_metric WHERE `timestamp` < 400")
+    direct.inputFiles.exists(_.contains("/t2")) shouldBe false
+  }
+
+  test("concurrent bounded queries on one session both see complete results (no prune race)") {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val reg = SchemaRegistry(Org("orgc", Seq(
+      Metric("mc", "conc_metric", Seq(Field("v", FieldType.LONG))))))
+    val nlDir = SparkFixture.tempDir("conc_nl")
+    val nlSchema = StructType(Seq(
+      StructField("partition", StringType), StructField("sort", StringType),
+      StructField("ids", ArrayType(StringType)),
+      StructField("v", MapType(StringType, StringType))))
+    def writeNl(path: String, sort: String, v: String): Unit =
+      spark.createDataFrame(
+        Seq(Row("orgcmc", sort, Seq("w"), Map("w" -> v))).asJava, nlSchema)
+        .write.mode("overwrite").parquet(path)
+    writeNl(s"$nlDir/t1", "100", "1")
+    writeNl(s"$nlDir/t2", "900", "9")
+    val srcs = SourceSet(nearline = Seq(
+      NearlineTableDesc("t_0_500", s"$nlDir/t1", 0, 500),
+      NearlineTableDesc("t_500_1000", s"$nlDir/t2", 500, 1000)))
+    val t = TenantSession.open(spark, reg, "orgc", srcs)
+    import java.util.concurrent.{Callable, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      (1 to 3).foreach { _ =>
+        val lowF = pool.submit(new Callable[Seq[Long]] {
+          def call(): Seq[Long] =
+            t.sql("SELECT v FROM conc_metric WHERE `timestamp` < 400")
+              .collect().map(_.getLong(0)).toSeq
+        })
+        val allF = pool.submit(new Callable[Seq[Long]] {
+          def call(): Seq[Long] =
+            t.sql("SELECT v FROM conc_metric")
+              .collect().map(_.getLong(0)).sorted.toSeq
+        })
+        lowF.get() shouldBe Seq(1L)
+        allF.get() shouldBe Seq(1L, 9L) // must never lose t2's row to the other query's pruning
+      }
+    } finally pool.shutdown()
+  }
+
+  test("SHOW TABLES LIKE / WHERE filter the tenant listing") {
+    val t = TenantSession.open(spark, registry, "org1", sources)
+    t.sql("SHOW TABLES LIKE 'metric%'").collect().map(_.getString(1)).toSeq shouldBe
+      Seq("metricid1")
+    t.sql("SHOW TABLES LIKE '%METRIC%'").collect().map(_.getString(1)).toSeq shouldBe
+      Seq("metricid1", "othermetric") // case-insensitive, like Drill's info schema
+    t.sql("SHOW TABLES LIKE 'metricid_'").collect().map(_.getString(1)).toSeq shouldBe
+      Seq("metricid1")
+    t.sql("SHOW TABLES WHERE `table` = 'othermetric'").collect()
+      .map(_.getString(1)).toSeq shouldBe Seq("othermetric")
+    t.sql("SHOW TABLES LIKE 'zzz%'").collect() shouldBe empty
+  }
+
+  test("USE of a wrong schema errors; USE FINEO is accepted") {
+    val t = TenantSession.open(spark, registry, "org1", sources)
+    t.sql("USE FINEO").collect().map(_.getString(0)).toSeq shouldBe Seq("FINEO")
+    intercept[IllegalArgumentException] { t.sql("USE otherschema") }
+  }
+
+  test("maxRows clamps every statement (server-side and per-call)") {
+    val t = TenantSession.open(spark, registry, "org1", sources, maxRows = Some(1))
+    t.sql("SELECT * FROM metricid1").collect().length shouldBe 1
+    val t2 = TenantSession.open(spark, registry, "org1", sources, maxRows = Some(10))
+    t2.sql("SELECT * FROM metricid1", maxRows = Some(1)).collect().length shouldBe 1
+    t2.sql("SELECT * FROM metricid1").collect().length shouldBe 2
+  }
+
+  test("schema-store dynamism: deleting a metric hides its table on the next statement") {
+    val reg = SchemaRegistry(
+      Org("orgd", Seq(
+        Metric("m1", "metricid1", Seq(Field("field1", FieldType.BOOLEAN))),
+        Metric("m2", "othermetric", Seq(Field("v", FieldType.LONG))))))
+    // same storage as the shared fixture, but a fresh registry we can mutate
+    val dirSrc = sources // reuse parquet dirs; orgd has no data but resolution is what's tested
+    val t = TenantSession.open(spark, reg, "orgd", SourceSet(fs = dirSrc.fs))
+    t.sql("SHOW TABLES").collect().map(_.getString(1)).toSeq shouldBe
+      Seq("metricid1", "othermetric")
+    reg.removeMetric("orgd", "othermetric")
+    t.sql("SHOW TABLES").collect().map(_.getString(1)).toSeq shouldBe Seq("metricid1")
+    intercept[SecurityException] { t.sql("SELECT * FROM othermetric") }
+    // and adding one surfaces immediately
+    reg.addMetric("orgd", Metric("m3", "newmetric", Seq(Field("z", FieldType.STRING))))
+    t.sql("SHOW TABLES").collect().map(_.getString(1)).toSeq shouldBe
+      Seq("metricid1", "newmetric")
+  }
+
   test("errors table carries the forced tenant predicate") {
     val errDir = SparkFixture.tempDir("errs")
     val events = Seq(
