@@ -21,6 +21,10 @@ object ReadPlanner {
   /** Minimal predicate algebra over a key/attribute namespace. */
   sealed trait Pred
   case class Eq(field: String, value: String) extends Pred
+  /** `<>` — server-evaluable as an attribute filter (the reference's
+    * pushdown map includes it, `DynamoFilterSpec.java:25-46`), but never a
+    * key condition: it lands in the filter expression of a Scan/Query. */
+  case class Ne(field: String, value: String) extends Pred
   /** op ∈ {"<", "<=", ">", ">="} */
   case class Cmp(field: String, op: String, value: String) extends Pred
   case class Between(field: String, lo: String, hi: String) extends Pred
@@ -96,7 +100,7 @@ object ReadPlanner {
     * BETWEEN over scalars (DynamoFilterSpec.java:25-46). LIKE/IS NULL etc.
     * stay residual. */
   private def isFilterable(p: Pred): Boolean = p match {
-    case _: Eq | _: Cmp | _: Between => true
+    case _: Eq | _: Ne | _: Cmp | _: Between => true
     case And(ps) => ps.forall(isFilterable)
     case Or(ps)  => ps.forall(isFilterable)
     case _: Opaque => false

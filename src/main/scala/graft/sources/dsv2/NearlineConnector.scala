@@ -31,12 +31,15 @@ import scala.jdk.CollectionConverters._
   *     get = #gets — `DynamoGroupScan.java:187-215`).
   *
   * The transport layer is stubbed for this environment (no AWS): "the
-  * service" is a parquet file per table, snapshotted at plan time, with
-  * server-side filtering and segmentation emulated faithfully — each
-  * [[NearlinePartition]] carries only its segment's rows, exactly like a
-  * segmented DynamoDB Scan response. A real deployment swaps
-  * [[StubService]] for an SDK-backed implementation with the same
-  * interface; every planning decision above is transport-independent.
+  * service" is a parquet file per table. The partition contract is the
+  * real one — a [[NearlinePartition]] carries only (path, planned read,
+  * segment id), and each PartitionReader pulls its own segment's records
+  * executor-side ([[ParquetSegmentService]]), applying the server-side
+  * filter/key semantics per record. Nothing materializes on the driver
+  * (plan time touches only schema + item-count metadata, the
+  * DescribeTable equivalents). A real deployment swaps
+  * [[ParquetSegmentService]] for an SDK-backed reader with the same
+  * record shape; every planning decision above is transport-independent.
   *
   * Usage:
   * {{{
@@ -105,6 +108,7 @@ class NearlineScanBuilder(path: String, fullSchema: StructType)
   private def convertible(f: sources.Filter): Boolean = f match {
     case _: sources.EqualTo | _: sources.GreaterThan | _: sources.GreaterThanOrEqual |
          _: sources.LessThan | _: sources.LessThanOrEqual => true
+    case sources.Not(_: sources.EqualTo) => true // <> (DynamoFilterSpec.java:25-46)
     case sources.And(l, r) => convertible(l) && convertible(r)
     case sources.Or(l, r)  => convertible(l) && convertible(r)
     case _ => false
@@ -113,6 +117,7 @@ class NearlineScanBuilder(path: String, fullSchema: StructType)
   private def toPred(fs: Array[sources.Filter]): Option[ReadPlanner.Pred] = {
     def conv(f: sources.Filter): ReadPlanner.Pred = f match {
       case sources.EqualTo(a, v)            => ReadPlanner.Eq(a, String.valueOf(v))
+      case sources.Not(sources.EqualTo(a, v)) => ReadPlanner.Ne(a, String.valueOf(v))
       case sources.GreaterThan(a, v)        => ReadPlanner.Cmp(a, ">", String.valueOf(v))
       case sources.GreaterThanOrEqual(a, v) => ReadPlanner.Cmp(a, ">=", String.valueOf(v))
       case sources.LessThan(a, v)           => ReadPlanner.Cmp(a, "<", String.valueOf(v))
@@ -146,23 +151,21 @@ class NearlineScan(
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val rows = StubService.read(path, read, required)
-    read match {
-      case _: ReadPlanner.Get | _: ReadPlanner.Query | _: ReadPlanner.MultiRead =>
-        // keyed reads return one bounded result page
-        Array(NearlinePartition(rows))
-      case _: ReadPlanner.Scan =>
-        // segmented parallel scan (DynamoGroupScan.applyAssignments):
-        // segment count from the reference heuristics, rows dealt to
-        // segments like the service's hash segmentation would
-        val n = ReadPlanner.scanSegments(
-          approxRows = math.max(rows.length, 1),
-          executors = Runtime.getRuntime.availableProcessors())
-        rows.grouped(math.max(1, math.ceil(rows.length.toDouble / n).toInt))
-          .map(NearlinePartition.apply)
-          .toArray[InputPartition]
-    }
+  override def planInputPartitions(): Array[InputPartition] = read match {
+    case _: ReadPlanner.Get | _: ReadPlanner.Query | _: ReadPlanner.MultiRead =>
+      // keyed reads return one bounded result page
+      Array(NearlinePartition(path, read, 0, 1, required))
+    case _: ReadPlanner.Scan =>
+      // segmented parallel scan (DynamoGroupScan.applyAssignments):
+      // segment count from the reference heuristics based on the table's
+      // item-count statistic; partitions carry only (path, segment) — each
+      // reader pulls its own slice executor-side, nothing materializes on
+      // the driver.
+      val n = ReadPlanner.scanSegments(
+        approxRows = math.max(StubService.count(path), 1),
+        executors = Runtime.getRuntime.availableProcessors())
+      (0 until n).map(NearlinePartition(path, read, _, n, required))
+        .toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -182,96 +185,82 @@ class NearlineScan(
   }
 }
 
-/** One scan segment's worth of already-serialized rows. */
-case class NearlinePartition(rows: Array[InternalRow]) extends InputPartition
+/** One scan segment: (table path, planned read, segment id). Rows never
+  * touch the driver — the partition is a lightweight descriptor, exactly
+  * like the reference's `DynamoSubScan` fragments. */
+case class NearlinePartition(
+    path: String,
+    read: ReadPlanner.Read,
+    segment: Int,
+    numSegments: Int,
+    required: StructType) extends InputPartition
 
 class NearlineReaderFactory extends PartitionReaderFactory {
+  import NearlineTableProvider._
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val rows = partition.asInstanceOf[NearlinePartition].rows
+    val p = partition.asInstanceOf[NearlinePartition]
     new PartitionReader[InternalRow] {
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow = rows(i)
+      // Executor-side: stream this segment's records straight off the
+      // table files, applying the planned read's server-side semantics
+      // (segment hash, key conditions, filter expression) per record.
+      private val it: Iterator[InternalRow] = ParquetSegmentService
+        .records(p.path)
+        .filter(rec =>
+          ParquetSegmentService.inSegment(rec, HashKey, p.segment, p.numSegments) &&
+            ParquetSegmentService.evalRead(p.read, rec, HashKey, SortKey))
+        .map(rec => StubService.toInternalRow(rec, p.required))
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        val has = it.hasNext
+        if (has) current = it.next()
+        has
+      }
+      override def get(): InternalRow = current
       override def close(): Unit = ()
     }
   }
 }
 
-/** The stubbed nearline "service": parquet file per table, read with a
-  * bare ParquetFileReader-free path (we snapshot via a throwaway local
-  * Spark read at plan time). Server-side filter semantics: string
-  * comparison on the hash key (equality) and on the sort key / scalar
-  * attributes (numeric-aware compare, like Dynamo's typed N compare). */
+/** Plan-time metadata for the stubbed nearline "service" (schema + item
+  * count — the equivalents of DescribeTable), plus the record→InternalRow
+  * projection used by the executor-side readers. */
 object StubService {
-  import NearlineTableProvider._
+
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   def schema(path: String): StructType =
     spark().read.parquet(path).schema
 
-  def count(path: String): Long = spark().read.parquet(path).count()
-
-  def read(path: String, read: ReadPlanner.Read, required: StructType): Array[InternalRow] = {
-    val df = spark().read.parquet(path)
-    val all = df.collect()
-    val schema = df.schema
-    val kept = all.filter(r => evalRead(read, r, schema))
-    val proj = required.fieldNames.map(schema.fieldIndex)
-    kept.map { row =>
-      InternalRow.fromSeq(proj.toSeq.map(i => toCatalyst(row.get(i), schema.fields(i).dataType)))
-    }
-  }
+  /** Item count statistic (cached per path — the reference reads it from
+    * table metadata, not by scanning). */
+  def count(path: String): Long =
+    countCache.computeIfAbsent(path, p => spark().read.parquet(p).count())
 
   private def spark() = org.apache.spark.sql.SparkSession.active
 
-  private def evalRead(read: ReadPlanner.Read, r: org.apache.spark.sql.Row, s: StructType): Boolean =
-    read match {
-      case ReadPlanner.Scan(filter, _) => filter.forall(evalPred(_, r, s))
-      case ReadPlanner.Query(hash, sortCond, filter, _) =>
-        str(r, s, HashKey) == hash &&
-          sortCond.forall(evalPred(_, r, s)) && filter.forall(evalPred(_, r, s))
-      case ReadPlanner.Get(hash, sort, _) =>
-        str(r, s, HashKey) == hash && str(r, s, SortKey) == sort
-      case ReadPlanner.MultiRead(reads) => reads.exists(evalRead(_, r, s))
-    }
-
-  private def evalPred(p: ReadPlanner.Pred, r: org.apache.spark.sql.Row, s: StructType): Boolean =
-    p match {
-      case ReadPlanner.Eq(f, v) => str(r, s, f) == v
-      case ReadPlanner.Cmp(f, op, v) =>
-        val c = compare(str(r, s, f), v)
-        op match {
-          case "<" => c < 0; case "<=" => c <= 0
-          case ">" => c > 0; case ">=" => c >= 0
-          case _ => true
-        }
-      case ReadPlanner.Between(f, lo, hi) =>
-        compare(str(r, s, f), lo) >= 0 && compare(str(r, s, f), hi) <= 0
-      case ReadPlanner.And(ps) => ps.forall(evalPred(_, r, s))
-      case ReadPlanner.Or(ps)  => ps.exists(evalPred(_, r, s))
-      case ReadPlanner.Opaque(_) => true // server can't evaluate; Spark re-checks
-    }
-
-  private def str(r: org.apache.spark.sql.Row, s: StructType, f: String): String = {
-    val i = s.fieldIndex(f)
-    if (r.isNullAt(i)) null else String.valueOf(r.get(i))
-  }
-
-  /** Numeric-aware compare, mirroring Dynamo's typed N comparison. */
-  private def compare(a: String, b: String): Int = {
-    if (a == null) return -1
-    (a.toDoubleOption, b.toDoubleOption) match {
-      case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
-      case _ => a.compareTo(b)
-    }
-  }
+  /** Project a transport record onto the required schema as an
+    * InternalRow; nested lists/maps/structs convert recursively. */
+  def toInternalRow(rec: Map[String, Any], required: StructType): InternalRow =
+    InternalRow.fromSeq(required.fields.toSeq.map(f =>
+      toCatalyst(rec.getOrElse(f.name, null), f.dataType)))
 
   private def toCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (s: String, StringType) => UTF8String.fromString(s)
+    case (b: Array[Byte], BinaryType) => b
+    case (n: java.lang.Number, LongType)    => n.longValue()
+    case (n: java.lang.Number, IntegerType) => n.intValue()
+    case (n: java.lang.Number, DoubleType)  => n.doubleValue()
+    case (n: java.lang.Number, FloatType)   => n.floatValue()
     case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
       new GenericArrayData(seq.map(toCatalyst(_, et)).toArray)
     case (m: scala.collection.Map[_, _], MapType(kt, vt, _)) =>
       ArrayBasedMapData(m.toMap, (k: Any) => toCatalyst(k, kt), (x: Any) => toCatalyst(x, vt))
+    case (m: scala.collection.Map[_, _], st: StructType) =>
+      val mm = m.asInstanceOf[scala.collection.Map[String, Any]]
+      InternalRow.fromSeq(st.fields.toSeq.map(f =>
+        toCatalyst(mm.getOrElse(f.name, null), f.dataType)))
     case (x, _) => x
   }
 }

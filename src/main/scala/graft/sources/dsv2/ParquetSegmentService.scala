@@ -1,0 +1,172 @@
+package graft.sources.dsv2
+
+import graft.sources.ReadPlanner
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.schema.{GroupType, PrimitiveType, Type}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+/** Executor-side record transport for the stubbed nearline service: each
+  * [[NearlinePartition]] reads its own slice of the table directly from
+  * the parquet file(s) — no driver-side materialization anywhere. This is
+  * the partition contract of the reference's segmented Dynamo scan
+  * (`DynamoGroupScan.applyAssignments:110-164`: a partition carries
+  * (table, segment) and the *reader* pulls pages), so a real SDK-backed
+  * transport slots in by swapping only this object.
+  *
+  * Records surface as plain `Map[fieldName -> value]` (String / Long /
+  * Double / Boolean / bytes / Seq / Map / nested Map-for-struct), which is
+  * also what the server-side filter evaluation runs against — mirroring
+  * Dynamo item JSON, including nested maps and lists
+  * (`DynamoRecordReader.java:281-375` handleMap/handleList).
+  */
+object ParquetSegmentService {
+
+  /** Part files of a parquet table directory (or a single file). */
+  def partFiles(tablePath: String): Seq[String] = {
+    val f = new java.io.File(tablePath)
+    if (f.isFile) Seq(tablePath)
+    else f.listFiles((_, name) => name.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted.toSeq
+  }
+
+  /** Lazily iterate all records of the table; readers are opened one part
+    * file at a time and closed on exhaustion. */
+  def records(tablePath: String): Iterator[Map[String, Any]] =
+    partFiles(tablePath).iterator.flatMap(readFile)
+
+  private def readFile(file: String): Iterator[Map[String, Any]] =
+    new Iterator[Map[String, Any]] {
+      private val reader =
+        ParquetReader.builder(new GroupReadSupport(), new Path(file)).build()
+      private var nextGroup: Group = reader.read()
+      override def hasNext: Boolean = nextGroup != null
+      override def next(): Map[String, Any] = {
+        val g = nextGroup
+        nextGroup = reader.read()
+        if (nextGroup == null) reader.close()
+        groupToMap(g)
+      }
+    }
+
+  // ------------------------------------------------- Group → Scala values
+
+  def groupToMap(g: Group): Map[String, Any] = {
+    val gt = g.getType
+    (0 until gt.getFieldCount).map { i =>
+      val f = gt.getType(i)
+      val v = if (g.getFieldRepetitionCount(i) == 0) null else fieldValue(g, i, f)
+      f.getName -> v
+    }.toMap
+  }
+
+  private def fieldValue(g: Group, i: Int, f: Type): Any = f match {
+    case p: PrimitiveType => primitive(g, i, 0, p)
+    case grp: GroupType =>
+      val ann = Option(grp.getLogicalTypeAnnotation).map(_.toString).getOrElse("")
+      if (ann.startsWith("LIST")) listValue(g.getGroup(i, 0))
+      else if (ann.startsWith("MAP")) mapValue(g.getGroup(i, 0))
+      else groupToMap(g.getGroup(i, 0)) // plain struct
+  }
+
+  /** Standard parquet LIST shape: repeated group holding one element. */
+  private def listValue(lg: Group): Seq[Any] = {
+    val n = lg.getFieldRepetitionCount(0)
+    (0 until n).map { j =>
+      val wrapper = lg.getGroup(0, j)
+      val et = wrapper.getType.getType(0)
+      if (wrapper.getFieldRepetitionCount(0) == 0) null
+      else fieldValue(wrapper, 0, et)
+    }
+  }
+
+  /** Standard parquet MAP shape: repeated key_value(key, value). */
+  private def mapValue(mg: Group): Map[Any, Any] = {
+    val n = mg.getFieldRepetitionCount(0)
+    (0 until n).map { j =>
+      val kv = mg.getGroup(0, j)
+      val k = fieldValue(kv, 0, kv.getType.getType(0))
+      val v =
+        if (kv.getType.getFieldCount < 2 || kv.getFieldRepetitionCount(1) == 0) null
+        else fieldValue(kv, 1, kv.getType.getType(1))
+      k -> v
+    }.toMap
+  }
+
+  private def primitive(g: Group, i: Int, r: Int, p: PrimitiveType): Any =
+    p.getPrimitiveTypeName match {
+      case BINARY | FIXED_LEN_BYTE_ARRAY =>
+        val ann = Option(p.getLogicalTypeAnnotation).map(_.toString).getOrElse("")
+        if (ann.contains("STRING") || ann.contains("ENUM") || ann.contains("JSON"))
+          g.getBinary(i, r).toStringUsingUTF8
+        else g.getBinary(i, r).getBytes
+      case INT64   => g.getLong(i, r)
+      case INT32   => g.getInteger(i, r)
+      case DOUBLE  => g.getDouble(i, r)
+      case FLOAT   => g.getFloat(i, r)
+      case BOOLEAN => g.getBoolean(i, r)
+      case _       => g.getValueToString(i, r)
+    }
+
+  // -------------------------------------- server-side predicate semantics
+
+  /** Evaluate a planned read against one record — the "server side" of the
+    * stub. String comparison on the hash key (equality), numeric-aware
+    * compare on sort key / scalar attributes (Dynamo's typed N compare). */
+  def evalRead(read: ReadPlanner.Read, rec: Map[String, Any],
+      hashKey: String, sortKey: String): Boolean = read match {
+    case ReadPlanner.Scan(filter, _) => filter.forall(evalPred(_, rec))
+    case ReadPlanner.Query(hash, sortCond, filter, _) =>
+      str(rec, hashKey) == hash &&
+        sortCond.forall(evalPred(_, rec)) && filter.forall(evalPred(_, rec))
+    case ReadPlanner.Get(hash, sort, _) =>
+      str(rec, hashKey) == hash && str(rec, sortKey) == sort
+    case ReadPlanner.MultiRead(reads) => reads.exists(evalRead(_, rec, hashKey, sortKey))
+  }
+
+  def evalPred(p: ReadPlanner.Pred, rec: Map[String, Any]): Boolean = p match {
+    case ReadPlanner.Eq(f, v) => str(rec, f) == v
+    case ReadPlanner.Ne(f, v) =>
+      val s = str(rec, f)
+      s != null && s != v // SQL three-valued: NULL <> v is unknown → drop
+    case ReadPlanner.Cmp(f, op, v) =>
+      val c = compare(str(rec, f), v)
+      op match {
+        case "<" => c < 0; case "<=" => c <= 0
+        case ">" => c > 0; case ">=" => c >= 0
+        case _ => true
+      }
+    case ReadPlanner.Between(f, lo, hi) =>
+      compare(str(rec, f), lo) >= 0 && compare(str(rec, f), hi) <= 0
+    case ReadPlanner.And(ps) => ps.forall(evalPred(_, rec))
+    case ReadPlanner.Or(ps)  => ps.exists(evalPred(_, rec))
+    case ReadPlanner.Opaque(_) => true // server can't evaluate; Spark re-checks
+  }
+
+  private def str(rec: Map[String, Any], f: String): String =
+    rec.getOrElse(f, null) match {
+      case null => null
+      case v    => String.valueOf(v)
+    }
+
+  /** Numeric-aware compare, mirroring Dynamo's typed N comparison. */
+  private def compare(a: String, b: String): Int = {
+    if (a == null) return -1
+    (a.toDoubleOption, b.toDoubleOption) match {
+      case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
+      case _ => a.compareTo(b)
+    }
+  }
+
+  /** Segment assignment: hash of the partition-key value, like Dynamo's
+    * internal hash segmentation — all items of one partition key land in
+    * one segment, segments jointly cover the key space. */
+  def inSegment(rec: Map[String, Any], hashKey: String,
+      segment: Int, numSegments: Int): Boolean =
+    numSegments <= 1 || {
+      val h = str(rec, hashKey)
+      java.lang.Math.floorMod(if (h == null) 0 else h.hashCode, numSegments) == segment
+    }
+}

@@ -83,6 +83,71 @@ class NearlineConnectorSpec extends AnyFunSuite with Matchers {
     d should not include "field1#"
   }
 
+  test("<> pushes down as a server-side filter (DynamoFilterSpec parity)") {
+    val df = load().filter(col("sort") =!= "100")
+    df.collect().map(_.getAs[String]("sort")).sorted.toSeq shouldBe Seq("200", "300")
+    val d = scanDesc(df)
+    d should include("mode=SCAN")
+    d should include("Not(EqualTo(sort,100))") // pushed, not residual-only
+  }
+
+  test("partitions are (path, segment) descriptors; rows materialize executor-side only") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // a table big enough for the segmentation heuristics to split
+    val p = SparkFixture.tempDir("dsv2seg") + "/t_0_9000.parquet"
+    spark.range(2500)
+      .selectExpr("concat('p', id % 50) AS partition", "cast(id as string) AS sort",
+        "array('w1') AS ids", "map('w1', cast(id as string)) AS field1")
+      .write.mode("overwrite").parquet(p)
+    val df = spark.read.format("graft.sources.dsv2.NearlineTableProvider")
+      .option("path", p).load()
+    df.count() shouldBe 2500 // segments jointly cover the key space, no dups
+    val scan = df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+    val parts = scan.inputRDD.partitions.length
+    parts should be > 1 // ceil(2500/1000) = 3 segments
+    // the partition descriptors carry no row data — only the read plan
+    val descs = scan.scan.toBatch.planInputPartitions()
+    descs.foreach { ip =>
+      val np = ip.asInstanceOf[graft.sources.dsv2.NearlinePartition]
+      np.path shouldBe p
+      np.numSegments shouldBe descs.length
+    }
+  }
+
+  test("nested map/list/struct values read through the connector with point-selection null-fill") {
+    val p = SparkFixture.tempDir("dsv2nested") + "/t_0_1000.parquet"
+    val nested = StructType(Seq(
+      StructField("partition", StringType), StructField("sort", StringType),
+      StructField("attrs", StructType(Seq(
+        StructField("colors", ArrayType(StringType)),
+        StructField("meta", MapType(StringType, StringType))))),
+      StructField("readings", ArrayType(LongType))))
+    val rows = Seq(
+      Row("orgAm1", "100", Row(Seq("red", "blue"), Map("k" -> "v1")), Seq(1L, 2L, 3L)),
+      Row("orgAm1", "200", Row(Seq("green"), Map("k" -> "v2", "j" -> "x")), Seq(9L)),
+      Row("orgBm1", "100", null, null))
+    spark.createDataFrame(rows.asJava, nested).write.mode("overwrite").parquet(p)
+    val df = spark.read.format("graft.sources.dsv2.NearlineTableProvider")
+      .option("path", p).load()
+    // nested values round-trip (DynamoRecordReader handleMap/handleList parity)
+    val got = df.filter(col("partition") === "orgAm1")
+      .select(
+        col("sort"),
+        col("attrs.colors").getItem(0).as("c0"),
+        element_at(col("attrs.meta"), "k").as("mk"),
+        // point-selection past the end of a list null-fills
+        // (adjustListValueForPointSelections:378-400); under ANSI mode the
+        // null-tolerant accessor is try_element_at
+        try_element_at(col("readings"), lit(3)).as("r2"))
+      .orderBy("sort").collect()
+    got.map(_.getString(1)).toSeq shouldBe Seq("red", "green")
+    got.map(_.getString(2)).toSeq shouldBe Seq("v1", "v2")
+    got.map(r => if (r.isNullAt(3)) null else r.getLong(3)).toSeq shouldBe Seq(3L, null)
+    // wholly-null nested columns survive
+    df.filter(col("partition") === "orgBm1").select("attrs", "readings")
+      .collect().head.toSeq shouldBe Seq(null, null)
+  }
+
   test("connector output feeds the standard expansion + recombination path") {
     val desc = NearlineTableDesc("t_0_1000", tablePath, 0, 1000)
     val expanded = NearlineStub.expandRows(

@@ -72,6 +72,18 @@ class ReadPlannerSpec extends AnyFunSuite with Matchers {
     plan(And(Seq(And(Seq(Eq(HK, "o"))), Eq(SK, "9")))) shouldBe Get("o", "9", None)
   }
 
+  test("<> is server-filterable but never a key condition (DynamoFilterSpec.java:25-46)") {
+    // bare <> → Scan with a server-side filter, not residual
+    plan(Ne("field1", "x")) shouldBe Scan(Some(Ne("field1", "x")), None)
+    // under a hash equality, <> on an attribute attaches to the Query filter
+    plan(And(Seq(Eq(HK, "o"), Ne("field1", "x")))) shouldBe
+      Query("o", None, Some(Ne("field1", "x")), None)
+    // <> on the SORT key is an attribute filter too — Dynamo key conditions
+    // have no <>, so it must not become a sort condition
+    plan(And(Seq(Eq(HK, "o"), Ne(SK, "5")))) shouldBe
+      Query("o", None, Some(Ne(SK, "5")), None)
+  }
+
   test("scan segmentation heuristics mirror the reference caps") {
     // ~rows/1000 segments, capped by executors*10, floor 1
     ReadPlanner.scanSegments(100, 4) shouldBe 1
