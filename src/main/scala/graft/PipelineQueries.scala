@@ -58,10 +58,17 @@ object PipelineQueries {
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // one pass over the corpus computes BOTH the minhash signatures (the
+    // expensive 4×md5-per-shingle stage) and the token sets the verify
+    // step needs; the combined index is written once and everything
+    // downstream (banding, candidate join, verification) reads parquet
     val sigs = Dedup.minhashSignatures(docs, "text", numHashes = 4)
-    val bands = Dedup.lshBands(sigs, numHashes = 4, rowsPerBand = 2)
+      .withColumn("toks", array_distinct(split(lower(col("text")), " ")))
+      .select("doc_id", "h0", "h1", "h2", "h3", "toks")
+    val indexed = graft.ops.Materialize.index(sigs, "minhash-sig")
+    val bands = Dedup.lshBands(indexed, numHashes = 4, rowsPerBand = 2)
     val pairs = Dedup.lshCandidatePairs(bands, "doc_id", numBands = 2)
-    Dedup.verifyPairs(pairs, docs, "doc_id", "text", threshold = 0.5)
+    Dedup.verifyPairsTok(pairs, indexed.select("doc_id", "toks"), "doc_id", threshold = 0.5)
       .orderBy("id_a", "id_b")
   }
 
@@ -80,10 +87,10 @@ object PipelineQueries {
       array_distinct(expr(
         "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
         .as("grams"))
-      .localCheckpoint() // materialize gram sets once; both join sides reuse
-    val l = grams.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("lb"),
+    val gramsIdx = graft.ops.Materialize.index(grams, "ngram-sets") // both join sides read parquet
+    val l = gramsIdx.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("lb"),
       col("grams").as("ga"))
-    val r = grams.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("lb"),
+    val r = gramsIdx.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("lb"),
       col("grams").as("gb"))
     l.join(r, Seq("lang", "source", "lb"))
       .filter(col("id_a") < col("id_b"))

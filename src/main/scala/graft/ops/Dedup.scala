@@ -65,16 +65,16 @@ object Dedup {
     * pathological hot bucket (boilerplate text) is exactly the case AQE
     * skew-join splitting handles.
     *
-    * The band table's lineage is truncated (localCheckpoint) before the
+    * The band table is materialized ([[Materialize.index]]) before the
     * self-join: without it Catalyst collapses the projections and both
     * join sides recompute the full shingle/md5 signature expression tree —
     * a >100× slowdown observed even at tiny scale, and at 100 TB exactly
-    * the thing you'd avoid by materializing signatures once. */
+    * the thing you'd avoid by writing the banded index once. */
   def lshCandidatePairs(bandDf: DataFrame, idCol: String, numBands: Int): DataFrame = {
     val bandCols = (0 until numBands).map(b => col(s"band$b"))
-    val unpivoted = bandDf
-      .select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band_idx", "bk")))
-      .localCheckpoint()
+    val unpivoted = Materialize.index(
+      bandDf.select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band_idx", "bk"))),
+      "lsh-bands")
     val l = unpivoted.select(col(idCol).as("id_a"), col("band_idx"), col("bk"))
     val r = unpivoted.select(col(idCol).as("id_b"), col("band_idx"), col("bk"))
     l.join(r, Seq("band_idx", "bk"))
@@ -99,17 +99,26 @@ object Dedup {
       threshold: Double): DataFrame = {
     // token sets are joined twice (id_a and id_b side); materialize once
     // instead of re-tokenizing the corpus through both join lineages
-    val tok = docs.select(
-      col(idCol),
-      array_distinct(split(lower(col(textCol)), " ")).as("toks"))
-      .localCheckpoint()
+    val tok = Materialize.index(
+      docs.select(col(idCol), array_distinct(split(lower(col(textCol)), " ")).as("toks")),
+      "verify-toks")
+    verifyPairsTok(pairs, tok, idCol, threshold)
+  }
+
+  /** Like [[verifyPairs]] but over an already-materialized token table
+    * (idCol, toks) — the minhash pipeline stores token sets alongside the
+    * signatures so the corpus is tokenized exactly once. */
+  def verifyPairsTok(
+      pairs: DataFrame,
+      tok: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame =
     pairs
       .join(tok.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(tok.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")
       .withColumn("jac", round(jaccard(col("toks_a"), col("toks_b")), 4))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
-  }
 
   /** 16-dimension SimHash over word tokens, as a 16-char bit string.
     * Dimension i's +1/-1 vote is hex digit i of md5(token) vs its 7.5

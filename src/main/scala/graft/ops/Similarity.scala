@@ -95,15 +95,17 @@ object Similarity {
       dim: Int,
       k: Int,
       numPlanes: Int = 8): DataFrame = {
-    // Materialize the bucketed tables (localCheckpoint): the bucket
-    // signature is numPlanes × dim-literal dot products — a large
-    // expression tree that would otherwise be duplicated into both join
-    // sides and re-optimized per AQE stage. At 100 TB scale this is the
-    // "write the index once" step of any IVF/LSH design.
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
-      lshBucket(col(vecCol), dim, numPlanes).as("bucket")).localCheckpoint()
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      lshBucket(col(vecCol), dim, numPlanes).as("bucket")).localCheckpoint()
+    // Materialize the bucketed tables to parquet: the bucket signature is
+    // numPlanes × dim-literal dot products — a large expression tree that
+    // would otherwise be duplicated into both join sides and re-optimized
+    // per AQE stage. At 100 TB scale this is the "write the index once"
+    // step of any IVF/LSH design (corpus side written bucketed by bucket).
+    val c = Materialize.index(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+        lshBucket(col(vecCol), dim, numPlanes).as("bucket")), "lsh-corpus")
+    val q = Materialize.index(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        lshBucket(col(vecCol), dim, numPlanes).as("bucket")), "lsh-queries")
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cos", round(cosine(col("qvec"), col("cvec")), 4))
@@ -160,12 +162,14 @@ object Similarity {
       }
       slice(reverse(array_sort(array(simToCell: _*))), 1, nprobe)
     }
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
-      cellOf(col(vecCol)).as("cell")).localCheckpoint()
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      explode(probesOf(col(vecCol))).as("probe"))
-      .select(col("query_id"), col("qvec"), col("probe.c").as("cell"))
-      .localCheckpoint()
+    val c = Materialize.index(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+        cellOf(col(vecCol)).as("cell")), "ivf-cells")
+    val q = Materialize.index(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(probesOf(col(vecCol))).as("probe"))
+        .select(col("query_id"), col("qvec"), col("probe.c").as("cell")),
+      "ivf-probes")
     val scored = c.join(broadcast(q), "cell")
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cos", round(cosine(col("qvec"), col("cvec")), 4))
@@ -187,8 +191,9 @@ object Similarity {
       dim: Int,
       threshold: Double,
       numPlanes: Int = 6): DataFrame = {
-    val withB = df.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), dim, numPlanes).as("bucket")).localCheckpoint()
+    val withB = Materialize.index(
+      df.select(col(idCol), col(vecCol),
+        lshBucket(col(vecCol), dim, numPlanes).as("bucket")), "neardup-buckets")
     val l = withB.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("bucket"))
     val r = withB.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("bucket"))
     l.join(r, "bucket")
