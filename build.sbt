@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The query battery generates a lot of whole-stage-codegen classes; with
+  // the JVM default (240m) the code cache fills mid-battery, HotSpot stops
+  // JIT-compiling, and the next big generated class (the minhash signature
+  // pipeline) runs interpreted — observed as a 10-30x slowdown on exactly
+  // one query. Headroom + flushing keeps the JIT on.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )

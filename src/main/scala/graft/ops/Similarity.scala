@@ -63,30 +63,53 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * a value in [-0.5, 0.5) derived from md5 — reproducible everywhere,
-    * no RNG state to ship to executors. */
-  private def planeComponent(p: Int, d: Int): Double = {
+    * no RNG state to ship to executors, and emittable as a literal into
+    * oracle SQL (Double.toString round-trips exactly). */
+  def planeComponent(p: Int, d: Int): Double = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"plane$p|dim$d".getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
     (java.lang.Long.parseLong(hex, 16).toDouble / 0xffffffffL.toDouble) - 0.5
   }
 
-  /** Sign-bucket signature over `numPlanes` fixed hyperplanes: a
-    * numPlanes-char bit string. Vectors in the same bucket are ANN
-    * candidates. Plane vectors are literal arrays baked into the plan —
-    * broadcast for free with the task binary. */
-  def lshBucket(vecCol: Column, dim: Int, numPlanes: Int = 8): Column = {
-    val bits = (0 until numPlanes).map { p =>
+  /** Sign-bucket signature of band `band` over `numPlanes` hyperplanes
+    * (global plane indices band*numPlanes …): a numPlanes-char bit string.
+    * Vectors in the same bucket are ANN candidates. Plane vectors are
+    * literal arrays baked into the plan — broadcast for free with the
+    * task binary. */
+  def lshBucket(vecCol: Column, dim: Int, numPlanes: Int = 8, band: Int = 0): Column = {
+    val bits = (0 until numPlanes).map { j =>
+      val p = band * numPlanes + j
       val plane = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
       when(dot(vecCol, plane) >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
   }
 
-  /** IVF-style bucketed ANN: hash corpus and queries to LSH buckets, join
-    * on bucket equality, rank in-bucket by cosine. Recall < 1 by design;
-    * the tradeoff knob is numPlanes (fewer planes = bigger buckets =
-    * higher recall, more compute). */
+  /** Planes-per-band sized to the corpus: 2^planes buckets ≈ n / target
+    * occupancy, so bucket population stays bounded as n grows (the fixed
+    * plane count the round-1 design had would make in-bucket compares
+    * O(n²/const) — dead at 100 TB). */
+  def autoPlanes(corpusSize: Long, targetPerBucket: Long = 1024): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetPerBucket)) / math.log(2)).toInt)
+
+  /** IVF cell count ~ √n — the classic balance point where cells and
+    * cell population grow together. */
+  def autoCentroids(corpusSize: Long): Int =
+    math.max(4, math.ceil(math.sqrt(corpusSize.toDouble)).toInt)
+
+  /** LSH ANN with multi-band OR-amplification: `numBands` independent
+    * sign-bucket signatures; a (query, corpus) pair is a candidate if it
+    * collides in ANY band (union → higher recall than one longer
+    * signature), then candidates are scored exactly and ranked.
+    *
+    * Scale shape: the banded corpus index — (corpus_id, band, bucket),
+    * no vectors — is written once; per-bucket candidate caps bound the
+    * fan-out of a degenerate hot bucket; vectors never flow through the
+    * bucket join (candidates join back to the vector tables by id).
+    * numPlanes = 0 sizes planes from the corpus count ([[autoPlanes]]).
+    */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -94,20 +117,41 @@ object Similarity {
       vecCol: String,
       dim: Int,
       k: Int,
-      numPlanes: Int = 8): DataFrame = {
-    // Materialize the bucketed tables to parquet: the bucket signature is
-    // numPlanes × dim-literal dot products — a large expression tree that
-    // would otherwise be duplicated into both join sides and re-optimized
-    // per AQE stage. At 100 TB scale this is the "write the index once"
-    // step of any IVF/LSH design (corpus side written bucketed by bucket).
-    val c = Materialize.index(
-      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
-        lshBucket(col(vecCol), dim, numPlanes).as("bucket")), "lsh-corpus")
-    val q = Materialize.index(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        lshBucket(col(vecCol), dim, numPlanes).as("bucket")), "lsh-queries")
-    val scored = c.join(broadcast(q), "bucket")
+      numPlanes: Int = 0,
+      numBands: Int = 2,
+      bucketCap: Int = 100000): DataFrame = {
+    val planes = if (numPlanes > 0) numPlanes else autoPlanes(corpus.count())
+    def banded(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+        posexplode(array((0 until numBands).map(b =>
+          lshBucket(col(vecCol), dim, planes, b)): _*)).as(Seq("band_idx", "bk")))
+    val cBand = Materialize.index(banded(corpus, "corpus_id"), "lsh-cband")
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "bk").orderBy("corpus_id")
+    val cCapped = cBand.withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= bucketCap).drop("rn")
+    val cand = banded(queries, "query_id")
+      .join(cCapped, Seq("band_idx", "bk"))
       .filter(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "corpus_id")
+      .distinct()
+    rankCandidates(cand, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Exact-score + rank the candidate pairs: vectors join back by id
+    * (queries broadcast — the small side by construction). */
+  private def rankCandidates(
+      cand: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val scored = cand
+      .join(broadcast(qv), "query_id")
+      .join(cv, "corpus_id")
       .withColumn("cos", round(cosine(col("qvec"), col("cvec")), 4))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
@@ -135,16 +179,17 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      numCentroids: Int = 16,
+      numCentroids: Int = 0,
       nprobe: Int = 4): DataFrame = {
+    val nc = if (numCentroids > 0) numCentroids else autoCentroids(corpus.count())
     val cents: Array[(Int, Seq[Float])] = corpus
       .select(col(idCol), col(vecCol))
       .orderBy(col(idCol))
-      .limit(numCentroids * 7)
+      .limit(nc * 7)
       .collect()
       .zipWithIndex
       .collect { case (r, i) if i % 7 == 0 => (i / 7, r.getSeq[Float](1)) }
-      .take(numCentroids)
+      .take(nc)
     def centArray(c: Seq[Float]): Column = array(c.map(lit): _*)
     // nearest-centroid assignment: argmax over an array of similarities.
     // NOT a when/otherwise fold — that duplicates both accumulator branches
@@ -162,45 +207,57 @@ object Similarity {
       }
       slice(reverse(array_sort(array(simToCell: _*))), 1, nprobe)
     }
-    val c = Materialize.index(
-      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
-        cellOf(col(vecCol)).as("cell")), "ivf-cells")
-    val q = Materialize.index(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+    // cell index carries ids only — vectors join back by id after the
+    // candidate step, so they never flow through the probe join
+    val cCell = Materialize.index(
+      corpus.select(col(idCol).as("corpus_id"), cellOf(col(vecCol)).as("cell")),
+      "ivf-cells")
+    val qProbe = Materialize.index(
+      queries.select(col(idCol).as("query_id"),
         explode(probesOf(col(vecCol))).as("probe"))
-        .select(col("query_id"), col("qvec"), col("probe.c").as("cell")),
+        .select(col("query_id"), col("probe.c").as("cell")),
       "ivf-probes")
-    val scored = c.join(broadcast(q), "cell")
+    val cand = qProbe.join(cCell, "cell")
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cos", round(cosine(col("qvec"), col("cvec")), 4))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "cos", "rank")
+      .select("query_id", "corpus_id")
+      .distinct()
+    rankCandidates(cand, corpus, queries, idCol, vecCol, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, blocked by
-    * LSH bucket (the scale path: no all-pairs). */
+    * multi-band LSH buckets (the scale path: no all-pairs; OR-amplified
+    * recall; per-bucket caps bound hot buckets; numPlanes = 0 sizes the
+    * bands from the corpus count). */
   def cosineNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       dim: Int,
       threshold: Double,
-      numPlanes: Int = 6): DataFrame = {
-    val withB = Materialize.index(
-      df.select(col(idCol), col(vecCol),
-        lshBucket(col(vecCol), dim, numPlanes).as("bucket")), "neardup-buckets")
-    val l = withB.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("bucket"))
-    val r = withB.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("bucket"))
-    l.join(r, "bucket")
+      numPlanes: Int = 0,
+      numBands: Int = 2,
+      bucketCap: Int = 100000): DataFrame = {
+    val planes = if (numPlanes > 0) numPlanes else autoPlanes(df.count())
+    val banded = Materialize.index(
+      df.select(col(idCol),
+        posexplode(array((0 until numBands).map(b =>
+          lshBucket(col(vecCol), dim, planes, b)): _*)).as(Seq("band_idx", "bk"))),
+      "neardup-bands")
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "bk").orderBy(idCol)
+    val capped = banded.withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= bucketCap).drop("rn")
+    val l = capped.select(col(idCol).as("id_a"), col("band_idx"), col("bk"))
+    val r = capped.select(col(idCol).as("id_b"), col("band_idx"), col("bk"))
+    val cand = l.join(r, Seq("band_idx", "bk"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("cos", round(cosine(col("vec_a"), col("vec_b")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
-      .distinct()
   }
 }

@@ -138,6 +138,45 @@ class OpsSpec extends AnyFunSuite with Matchers {
     ivf.map(_._1) shouldBe Set(0L, 1L, 2L, 3L, 4L)
   }
 
+  test("multi-band lsh ann: recall vs brute force pinned on the real embeddings") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", dim = 64, k = 5,
+      numPlanes = 3, numBands = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // OR-amplified banding is approximate by design; pin the floor
+    // (6 bands × 3 planes measured 0.8 over the full query set)
+    (lsh.intersect(brute).size.toDouble / brute.size) should be >= 0.6
+    lsh.map(_._1) shouldBe Set(0L, 1L, 2L, 3L, 4L)
+  }
+
+  test("bucket caps bound candidate fan-out deterministically") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    // cap of 1: at most numBands distinct candidates can surface per query
+    val capped = Similarity.lshTopK(emb, queries, "vec_id", "embedding", dim = 64, k = 5,
+      numPlanes = 2, numBands = 2, bucketCap = 1)
+    capped.groupBy("query_id").count().collect()
+      .foreach(_.getLong(1) should be <= 2L)
+  }
+
+  test("auto-sizing scales buckets/cells with corpus size (100 TB shape)") {
+    // planes grow logarithmically so bucket occupancy stays ~constant
+    Similarity.autoPlanes(1000, targetPerBucket = 1024) shouldBe 4 // floor
+    Similarity.autoPlanes(1L << 20, targetPerBucket = 1024) shouldBe 10
+    Similarity.autoPlanes(1L << 30, targetPerBucket = 1024) shouldBe 20
+    // centroids grow ~√n so cell count and cell population balance
+    Similarity.autoCentroids(10000) shouldBe 100
+    Similarity.autoCentroids(100000000L) shouldBe 10000
+    // defaults engage auto-sizing (numPlanes/numCentroids = 0 sentinels)
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 2),
+      "vec_id", "embedding", 3) // 500 vectors → 23 centroids via √n
+    out.collect().map(_.getLong(0)).toSet shouldBe Set(0L, 1L)
+  }
+
   test("language id picks the lexicon with most overlap") {
     val d = docs((1L, "the cat and the dog of the house"), (2L, "el gato y la casa de que"))
     val out = TextAnalysis.langScores(d, "text").orderBy("doc_id").collect()
