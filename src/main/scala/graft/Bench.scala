@@ -13,6 +13,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
+    // Untimed session warmup: scheduler + codegen + parquet reader
+    // initialization otherwise lands on whichever query happens to run
+    // first (~3-5s of constant cost misattributed to it).
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case _: Throwable => () }
     // A failed query must look like a FAILURE, not a fast timing: record
     // the error per query and surface the count in the headline line.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -79,21 +79,33 @@ object PipelineQueries {
 
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    // 3-char-gram sets, blocked by (lang, source, length bucket) — near-dups
-    // share length scale; blocking caps the pair count at any corpus size.
+    // n-gram = word BIGRAM sets: char-3-grams of same-language prose share
+    // a tiny alphabet, so their baseline Jaccard sits at ~0.43 on this
+    // corpus — a 0.5 threshold over them selects a third of ALL pairs,
+    // O(n²) output by construction. Word-bigram baseline is ~0.02 with
+    // true near-dups ≥ 0.5, a real discriminator.
+    // Candidates via minhash-LSH banding over the bigram sets — the
+    // blocking key (band hash) is high-cardinality and grows with the
+    // corpus, unlike a static (lang, source, length-bucket) key whose
+    // fixed block count makes in-block pairs O(n²/blocks) at 100 TB.
+    // One corpus pass computes gram sets + 4 gram-minhashes into an index;
+    // banding, the candidate self-join, and the exact-Jaccard verify all
+    // read that parquet.
     val grams = docs.select(
-      col("doc_id"), col("lang"), col("source"),
-      (col("n_chars") / 100).cast("int").as("lb"),
-      array_distinct(expr(
-        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
-        .as("grams"))
-    val gramsIdx = graft.ops.Materialize.index(grams, "ngram-sets") // both join sides read parquet
-    val l = gramsIdx.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("lb"),
-      col("grams").as("ga"))
-    val r = gramsIdx.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("lb"),
-      col("grams").as("gb"))
-    l.join(r, Seq("lang", "source", "lb"))
-      .filter(col("id_a") < col("id_b"))
+      col("doc_id"),
+      array_distinct(Dedup.shingles("text", 2)).as("grams"))
+    val sigs = (0 until 4).foldLeft(grams) { (d, i) =>
+      d.withColumn(s"g$i",
+        expr(s"array_min(transform(grams, g -> md5(concat('gsalt$i|', g))))"))
+    }
+    val indexed = graft.ops.Materialize.index(sigs, "ngram-sig")
+    val bands = indexed.select(col("doc_id"),
+      md5(concat_ws("|", col("g0"), col("g1"))).as("band0"),
+      md5(concat_ws("|", col("g2"), col("g3"))).as("band1"))
+    val pairs = Dedup.lshCandidatePairs(bands, "doc_id", numBands = 2)
+    pairs
+      .join(indexed.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
+      .join(indexed.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
       .withColumn("jac", round(
         size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb"))), 4))
@@ -166,6 +178,19 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** LSH-blocked near-dup — the SCALE path, oracle-checked: same
+    * multi-band sign buckets as embed_knn_lsh (plane constants baked into
+    * the SQL), per-bucket cap, exact cosine verify over candidates. */
+  def embedNearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", dim = 64,
+      threshold = 0.35, numPlanes = LshPlanesPerBand, numBands = LshBands,
+      bucketCap = NearDupBucketCap)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val NearDupBucketCap = 500
+
   // ----------------------------------------------------------- multimodal
   /** Frame sampling over an opaque payload (text bytes stand in for media;
     * the chunk/stride plumbing is the real thing — see ops.Multimodal). */
@@ -208,6 +233,7 @@ object PipelineQueries {
     "embed_knn_lsh" -> (embedKnnLsh _),
     "embed_knn_ivf" -> (embedKnnIvf _),
     "embed_near_dup" -> (embedNearDup _),
+    "embed_near_dup_lsh" -> (embedNearDupLsh _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_decode" -> (multimodalDecode _),
   )
@@ -349,17 +375,27 @@ object PipelineQueries {
       s"""SELECT doc_id, $duckSimhashBits AS simhash
          |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""WITH g AS (SELECT doc_id, lang, source, CAST(floor(n_chars / 100) AS INT) AS lb,
-         |  list_distinct(list_transform(range(1, greatest(length(text) - 1, 2)),
-         |    i -> substring(text, CAST(i AS INT), 3))) AS grams
-         |FROM documents)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round(len(list_intersect(a.grams, b.grams)) /
-         |        len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jac
-         |FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
-         |  AND a.doc_id < b.doc_id
-         |WHERE round(len(list_intersect(a.grams, b.grams)) /
-         |        len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.5
+      s"""WITH g AS (SELECT doc_id, list_distinct(${duckShingles(2)}) AS grams
+         |FROM documents),
+         |sig AS (SELECT doc_id,
+         |  list_min(list_transform(grams, x -> md5('gsalt0|' || x))) AS g0,
+         |  list_min(list_transform(grams, x -> md5('gsalt1|' || x))) AS g1,
+         |  list_min(list_transform(grams, x -> md5('gsalt2|' || x))) AS g2,
+         |  list_min(list_transform(grams, x -> md5('gsalt3|' || x))) AS g3
+         |FROM g),
+         |bands AS (SELECT doc_id, md5(g0 || '|' || g1) AS band0, md5(g2 || '|' || g3) AS band1 FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  round(len(list_intersect(ga.grams, gb.grams)) /
+         |        len(list_distinct(list_concat(ga.grams, gb.grams))), 4) AS jac
+         |FROM pairs JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b
+         |WHERE round(len(list_intersect(ga.grams, gb.grams)) /
+         |        len(list_distinct(list_concat(ga.grams, gb.grams))), 4) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "embed_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
@@ -395,5 +431,26 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "embed_knn_lsh" -> duckKnnLshSql,
     "embed_knn_ivf" -> duckKnnIvfSql,
+    "embed_near_dup_lsh" -> duckNearDupLshSql,
   )
+
+  private def duckNearDupLshSql: String = {
+    val bandSelects = (0 until LshBands).map(b =>
+      s"SELECT vec_id, $b AS band_idx, ${duckBucket(b)} AS bk FROM e").mkString("\nUNION ALL\n")
+    val cosAB =
+      """round(list_dot_product(va.v, vb.v) /
+        |    (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 4)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |banded AS ($bandSelects),
+       |capped AS (SELECT vec_id, band_idx, bk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY band_idx, bk ORDER BY vec_id) AS rn
+       |    FROM banded) WHERE rn <= $NearDupBucketCap),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM capped a JOIN capped b
+       |           ON a.band_idx = b.band_idx AND a.bk = b.bk AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, $cosAB AS cos
+       |FROM cand JOIN e va ON va.vec_id = id_a JOIN e vb ON vb.vec_id = id_b
+       |WHERE $cosAB >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }

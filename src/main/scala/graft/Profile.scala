@@ -43,6 +43,25 @@ object Profile {
     time("full dedup_minhash_lsh") {
       PipelineQueries.dedupMinhashLsh(spark, sfDir).count()
     }
+    val grams = docs.select(col("doc_id"),
+      array_distinct(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
+        .as("grams"))
+    time("gram sets only") { grams.selectExpr("sum(size(grams))").collect() }
+    time("gram minhash x1") {
+      grams.withColumn("g0",
+        expr("array_min(transform(grams, g -> md5(concat('gsalt0|', g))))"))
+        .selectExpr("count(distinct g0)").collect()
+    }
+    time("gram minhash x4") {
+      (0 until 4).foldLeft(grams) { (d, i) =>
+        d.withColumn(s"g$i",
+          expr(s"array_min(transform(grams, g -> md5(concat('gsalt$i|', g))))"))
+      }.selectExpr("count(distinct g3)").collect()
+    }
+    time("full dedup_ngram_jaccard") {
+      PipelineQueries.dedupNgramJaccard(spark, sfDir).count()
+    }
     spark.stop()
   }
 }

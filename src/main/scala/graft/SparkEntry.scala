@@ -258,6 +258,38 @@ object Queries {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
       .orderBy("event_type")
 
+  /** S3/S4 end-to-end with a real oracle: a deterministic nearline-format
+    * table (multi-write items, FIXTURES.md §3 shape) is built from the
+    * events table, read back through the DSv2 connector with hash-key
+    * equality + sort-range pushdown (Query mode — asserted in
+    * NearlineConnectorSpec), row-expanded (P4), cast to declared types,
+    * and aggregated. The oracle computes the identical aggregate straight
+    * from events, so any infidelity in write→pushdown→segment-read→expand
+    * hash-mismatches. */
+  def nearlinePushdown(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts")))
+    val fixture = sys.props("java.io.tmpdir") +
+      s"/graft-nearline-${new java.io.File(dir).getName}"
+    ev.select(
+      concat(lit("org1"), lit("m_events")).as("partition"),
+      col("ts_ms").cast("string").as("sort"),
+      array(lit("w1")).as("ids"),
+      map(lit("w1"), col("event_type")).as("event_type"),
+      map(lit("w1"), col("value").cast("string")).as("value"))
+      .write.mode("overwrite").parquet(fixture)
+    val cutoff = 1704153600000L // 2024-01-02 00:00:00 UTC (13-digit epoch ms:
+    // string compare == numeric compare, so the re-applied Spark filter
+    // agrees with the server's numeric-aware sort-range semantics)
+    val raw = s.read.format("graft.sources.dsv2.NearlineTableProvider")
+      .option("path", fixture).load()
+      .filter(col("partition") === "org1m_events" && col("sort") >= cutoff.toString)
+    graft.sources.NearlineStub.expandRows(raw)
+      .select(col("event_type"), col("value").cast("double").as("value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
   /** Grouping sets surface: ROLLUP over region/nation customer counts.
     * Goes through the SQL surface: Spark 4's DetectAmbiguousSelfJoin
     * false-positives on DataFrame-API rollup over join outputs (dataset-id
@@ -297,6 +329,7 @@ object Queries {
     "explode_tokens" -> (explodeTokens _),
     "time_range_agg" -> (timeRangeAgg _),
     "rollup_counts" -> (rollupCounts _),
+    "nearline_pushdown" -> (nearlinePushdown _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -417,5 +450,9 @@ object Queries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region, nation""".stripMargin,
+    "nearline_pushdown" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events WHERE epoch_ms(ts) >= 1704153600000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

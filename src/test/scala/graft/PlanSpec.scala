@@ -23,6 +23,20 @@ class PlanSpec extends AnyFunSuite with Matchers {
     df.queryExecution.executedPlan.toString
   }
 
+  /** All parquet scans in the final plan, descending through AQE wrappers
+    * (AdaptiveSparkPlanExec / QueryStageExec keep their resolved plans out
+    * of `children`, so a plain collect misses them). */
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p.collectWithSubqueries {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+    }.flatten
+  }
+
   test("filters and projection reach the parquet scan") {
     val p = plan(Queries.scanFilterProject(spark, dir))
     p should include("PushedFilters: [")
@@ -82,6 +96,39 @@ class PlanSpec extends AnyFunSuite with Matchers {
       scans.head.selectedPartitions.toPartitionArray.foreach(
         _.urlEncodedPath should include("date=1970-01-02"))
     }
+  }
+
+  test("ANN bucket join moves ids only; vectors join back after candidates") {
+    import graft.ops.Similarity
+    val emb = Tables.load(spark, dir, "embeddings")
+    val out = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", dim = 64, k = 3, numPlanes = 3, numBands = 2)
+    out.collect()
+    val scans = allScans(out.queryExecution.executedPlan)
+    // the banded corpus index (the join input) carries (corpus_id,
+    // band_idx, bk) — no embedding column anywhere near the bucket join
+    val bandScans = scans.filter(_.schema.fieldNames.contains("bk"))
+    bandScans should not be empty
+    bandScans.foreach { s =>
+      s.schema.fieldNames should not contain "cvec"
+      s.schema.fieldNames should not contain "embedding"
+    }
+  }
+
+  test("minhash signature index is computed once and re-read as parquet") {
+    val out = PipelineQueries.dedupMinhashLsh(spark, dir)
+    out.collect()
+    val scans = allScans(out.queryExecution.executedPlan)
+    // the signature expression tree appears in NO scan of the final plan
+    // (it ran once, during the index write); the verify step reads the
+    // token sets back column-pruned (h0..h3 not even fetched), and the
+    // candidate join reads the banded index
+    val tokScans = scans.filter(_.schema.fieldNames.contains("toks"))
+    tokScans should not be empty
+    tokScans.foreach(_.schema.fieldNames should not contain "h0")
+    scans.exists(_.schema.fieldNames.contains("bk")) shouldBe true
+    // and nothing re-reads the raw documents table in the final plan
+    scans.exists(_.schema.fieldNames.contains("text")) shouldBe false
   }
 
   test("nearline hash-key filter is pushed into the stub scan") {
