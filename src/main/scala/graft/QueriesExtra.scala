@@ -98,7 +98,54 @@ object QueriesExtra {
         ceil(col("s_acctbal")).cast("long").as("bal_ceil"))
       .orderBy("s_suppkey")
 
+  /** CUBE grouping sets (SQL surface, like rollup_counts — the
+    * DataFrame-API variant trips Spark 4's DetectAmbiguousSelfJoin on
+    * join outputs). */
+  def cubeCounts(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").as("c")
+      .join(broadcast(t(s, dir, "nation")).as("n"), col("c.c_nationkey") === col("n.n_nationkey"))
+      .join(broadcast(t(s, dir, "region")).as("r"), col("n.n_regionkey") === col("r.r_regionkey"))
+      .select(col("r.r_name").as("r_name"), col("n.n_name").as("n_name"),
+        col("c.c_acctbal").as("c_acctbal"))
+      .createOrReplaceTempView("graft_cube_base")
+    s.sql(
+      """SELECT coalesce(r_name, '*') AS region, coalesce(n_name, '*') AS nation,
+        |  count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM graft_cube_base GROUP BY CUBE (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin)
+  }
+
+  /** Explicit GROUPING SETS: per-region, per-segment, and grand total in
+    * one pass. */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").as("c")
+      .join(broadcast(t(s, dir, "nation")).as("n"), col("c.c_nationkey") === col("n.n_nationkey"))
+      .join(broadcast(t(s, dir, "region")).as("r"), col("n.n_regionkey") === col("r.r_regionkey"))
+      .select(col("r.r_name").as("r_name"), col("c.c_mktsegment").as("seg"))
+      .createOrReplaceTempView("graft_gsets_base")
+    s.sql(
+      """SELECT coalesce(r_name, '*') AS region, coalesce(seg, '*') AS segment,
+        |  count(*) AS n
+        |FROM graft_gsets_base
+        |GROUP BY GROUPING SETS ((r_name), (seg), ())
+        |ORDER BY region, segment""".stripMargin)
+  }
+
+  /** Offset window functions: previous/next order per customer. */
+  def windowLeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(s, dir, "orders")
+      .withColumn("prev_price", round(lag("o_totalprice", 1).over(w), 2))
+      .withColumn("next_orderkey", lead("o_orderkey", 1).over(w))
+      .select("o_custkey", "o_orderkey", "prev_price", "next_orderkey")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cube_counts" -> (cubeCounts _),
+    "grouping_sets" -> (groupingSets _),
+    "window_lead_lag" -> (windowLeadLag _),
     "date_functions" -> (dateFunctions _),
     "string_functions2" -> (stringFunctions2 _),
     "having_filter" -> (havingFilter _),
@@ -110,6 +157,27 @@ object QueriesExtra {
   )
 
   val oracles: Map[String, String] = Map(
+    "cube_counts" ->
+      """SELECT coalesce(r_name, '*') AS region, coalesce(n_name, '*') AS nation,
+        |  count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "grouping_sets" ->
+      """SELECT coalesce(r_name, '*') AS region, coalesce(c_mktsegment, '*') AS segment,
+        |  count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+        |ORDER BY region, segment""".stripMargin,
+    "window_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+        |  lead(o_orderkey, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "date_functions" ->
       """SELECT o_orderkey,
         |  year(o_orderdate) AS oyear, month(o_orderdate) AS omonth,

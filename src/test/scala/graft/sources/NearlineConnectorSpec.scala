@@ -146,6 +146,14 @@ class NearlineConnectorSpec extends AnyFunSuite with Matchers {
     // wholly-null nested columns survive
     df.filter(col("partition") === "orgBm1").select("attrs", "readings")
       .collect().head.toSeq shouldBe Seq(null, null)
+    // projection pushdown prunes sibling columns of a nested access: a
+    // query touching only attrs must not read readings/ids at the scan
+    val pruned = df.select(element_at(col("attrs.meta"), "k").as("mk"))
+    pruned.collect()
+    val d = pruned.queryExecution.executedPlan.toString
+    d should include("BatchScan")
+    d should not include "readings#"
+    d should not include "sort#"
   }
 
   test("connector output feeds the standard expansion + recombination path") {
