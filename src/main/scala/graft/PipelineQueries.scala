@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -191,6 +191,47 @@ object PipelineQueries {
 
   private val NearDupBucketCap = 500
 
+  // ------------------------------------------------------- composed pipeline
+  /** The training-data story end-to-end in ONE declarative pipeline:
+    * exact-dedup to keeper docs → token/quality gate → token counting.
+    * Every stage is a narrow transformation over one corpus scan plus the
+    * dedup groupBy — Catalyst fuses the gate and the counters into the
+    * scan projection, so the whole cleanse is two shuffles (dedup keys +
+    * keeper join) at any scale. */
+  def pipelineCleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keepers = Dedup.exactGroups(docs, "doc_id", "text")
+      .select(col("keeper").as("doc_id"))
+    docs.join(keepers, "doc_id")
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("distinct_ratio",
+        round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 4))
+      .filter(col("n_words") >= 20 && col("distinct_ratio") >= 0.3)
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        TextAnalysis.bpeishTokenCount(lower(col("text"))).cast("long").as("bpeish_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // ----------------------------------------------------------------- skew
+  /** Salted join vs a plain-join oracle: salting must be a pure physical
+    * transformation — N-way salt on the fact side, dimension replicated
+    * ×N — with bit-identical results to the unsalted join. */
+  def skewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    Skew.saltedJoin(orders, customer, "o_custkey", salts = 8)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("orders"))
+      .orderBy("segment")
+  }
+
+  /** Heavy-hitter diagnostic (the pre-salting histogram): deterministic
+    * top-20 keys by row count. */
+  def skewHistogram(s: SparkSession, dir: String): DataFrame =
+    Skew.keyHistogram(t(s, dir, "lineitem"), "l_suppkey", topN = 20)
+
   // ----------------------------------------------------------- multimodal
   /** Frame sampling over an opaque payload (text bytes stand in for media;
     * the chunk/stride plumbing is the real thing — see ops.Multimodal). */
@@ -236,6 +277,9 @@ object PipelineQueries {
     "embed_near_dup_lsh" -> (embedNearDupLsh _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_decode" -> (multimodalDecode _),
+    "skew_salted_join" -> (skewSaltedJoin _),
+    "skew_histogram" -> (skewHistogram _),
+    "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
   )
 
   // DuckDB oracle building blocks (mirror the Spark expressions exactly)
@@ -432,6 +476,23 @@ object PipelineQueries {
     "embed_knn_lsh" -> duckKnnLshSql,
     "embed_knn_ivf" -> duckKnnIvfSql,
     "embed_near_dup_lsh" -> duckNearDupLshSql,
+    "skew_salted_join" ->
+      """SELECT c_mktsegment AS segment, round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
+    "skew_histogram" ->
+      """SELECT l_suppkey, count(*) AS n FROM lineitem
+        |GROUP BY l_suppkey ORDER BY n DESC, l_suppkey LIMIT 20""".stripMargin,
+    "pipeline_clean_corpus" ->
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |d AS (SELECT doc_id, lang, text, $toks AS tk FROM documents
+         |      WHERE doc_id IN (SELECT doc_id FROM keep))
+         |SELECT doc_id, lang, len(tk) AS n_words,
+         |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) AS bpeish_tokens
+         |FROM d
+         |WHERE len(tk) >= 20 AND round(len(list_distinct(tk)) / len(tk), 4) >= 0.3
+         |ORDER BY doc_id""".stripMargin,
   )
 
   private def duckNearDupLshSql: String = {

@@ -67,32 +67,34 @@ object ReadPlanner {
   }
 
   private def planAnd(hk: String, sk: String, ps: Seq[Pred]): Read = {
-    val hashEq = ps.collectFirst { case Eq(`hk`, v) => v }
-    hashEq match {
-      case None => scanOf(And(ps)) // no hash key equality → cannot Query
-      case Some(h) =>
-        val rest = ps.filterNot { case Eq(`hk`, _) => true; case _ => false }
-        val sortEq = rest.collectFirst { case Eq(`sk`, v) => v }
-        sortEq match {
-          case Some(s) =>
-            val residualPs = rest.filterNot { case Eq(`sk`, _) => true; case _ => false }
-            Get(h, s, andOpt(residualPs))
-          case None =>
-            val (sortPs, attrPs) = rest.partition {
-              case Cmp(`sk`, _, _) | Between(`sk`, _, _) => true
-              case _ => false
-            }
-            // Reconstruct BETWEEN from a `<=`/`>=` pair (BetweenBuilder.java).
-            val sortCond = sortPs match {
-              case Nil => None
-              case Seq(one) => Some(one)
-              case Seq(Cmp(f, ">=", lo), Cmp(_, "<=", hi)) => Some(Between(f, lo, hi))
-              case Seq(Cmp(f, "<=", hi), Cmp(_, ">=", lo)) => Some(Between(f, lo, hi))
-              case many => Some(And(many))
-            }
-            val (filterable, opaque) = attrPs.partition(isFilterable)
-            Query(h, sortCond, andOpt(filterable), andOpt(opaque))
+    val hashIdx = ps.indexWhere { case Eq(`hk`, _) => true; case _ => false }
+    if (hashIdx < 0) scanOf(And(ps)) // no hash key equality → cannot Query
+    else {
+      val h = ps(hashIdx).asInstanceOf[Eq].value
+      // Remove exactly ONE hash equality: a second `hk = other` conjunct
+      // (contradiction unless equal) must stay behind as a filter, or the
+      // read would silently return extra rows.
+      val rest = ps.patch(hashIdx, Nil, 1)
+      val sortIdx = rest.indexWhere { case Eq(`sk`, _) => true; case _ => false }
+      if (sortIdx >= 0) {
+        val sv = rest(sortIdx).asInstanceOf[Eq].value
+        Get(h, sv, andOpt(rest.patch(sortIdx, Nil, 1)))
+      } else {
+        val (sortPs, attrPs) = rest.partition {
+          case Cmp(`sk`, _, _) | Between(`sk`, _, _) => true
+          case _ => false
         }
+        // Reconstruct BETWEEN from a `<=`/`>=` pair (BetweenBuilder.java).
+        val sortCond = sortPs match {
+          case Nil => None
+          case Seq(one) => Some(one)
+          case Seq(Cmp(f, ">=", lo), Cmp(_, "<=", hi)) => Some(Between(f, lo, hi))
+          case Seq(Cmp(f, "<=", hi), Cmp(_, ">=", lo)) => Some(Between(f, lo, hi))
+          case many => Some(And(many))
+        }
+        val (filterable, opaque) = attrPs.partition(isFilterable)
+        Query(h, sortCond, andOpt(filterable), andOpt(opaque))
+      }
     }
   }
 

@@ -114,15 +114,26 @@ object ParquetSegmentService {
 
   /** Evaluate a planned read against one record — the "server side" of the
     * stub. String comparison on the hash key (equality), numeric-aware
-    * compare on sort key / scalar attributes (Dynamo's typed N compare). */
+    * compare on sort key / scalar attributes (Dynamo's typed N compare).
+    *
+    * Residual predicates are evaluated here too: the connector tells
+    * Spark that every *convertible* filter is fully handled by the
+    * source, so a residual that came from pushed filters (e.g. the
+    * duplicate key-equality or attribute conjuncts a Get can't encode)
+    * MUST be applied by the reader. `Opaque` residuals evaluate to true —
+    * they only arise for filters the connector never pushes, which Spark
+    * re-checks itself. */
   def evalRead(read: ReadPlanner.Read, rec: Map[String, Any],
       hashKey: String, sortKey: String): Boolean = read match {
-    case ReadPlanner.Scan(filter, _) => filter.forall(evalPred(_, rec))
-    case ReadPlanner.Query(hash, sortCond, filter, _) =>
+    case ReadPlanner.Scan(filter, res) =>
+      filter.forall(evalPred(_, rec)) && res.forall(evalPred(_, rec))
+    case ReadPlanner.Query(hash, sortCond, filter, res) =>
       str(rec, hashKey) == hash &&
-        sortCond.forall(evalPred(_, rec)) && filter.forall(evalPred(_, rec))
-    case ReadPlanner.Get(hash, sort, _) =>
-      str(rec, hashKey) == hash && str(rec, sortKey) == sort
+        sortCond.forall(evalPred(_, rec)) && filter.forall(evalPred(_, rec)) &&
+        res.forall(evalPred(_, rec))
+    case ReadPlanner.Get(hash, sort, res) =>
+      str(rec, hashKey) == hash && str(rec, sortKey) == sort &&
+        res.forall(evalPred(_, rec))
     case ReadPlanner.MultiRead(reads) => reads.exists(evalRead(_, rec, hashKey, sortKey))
   }
 
