@@ -61,6 +61,43 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact-dedup: drop re-delivered events by id, with state
+    * bounded by the watermark (the streaming analog of the batch
+    * `Dedup.exactGroups` — at-least-once upstream delivery becomes
+    * exactly-once rows downstream). State is one entry per key inside
+    * the watermark horizon, partitioned across the state store. */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** The nearline WRITE side: transform an event stream into the store's
+    * multi-write item format (FIXTURES.md §3 — partition/sort/ids/value
+    * maps) and append it as parquet into a time-window table directory.
+    * This is how "recent writes" land in the nearline tables the DSv2
+    * connector ([[graft.sources.dsv2.NearlineTableProvider]]) serves —
+    * the ingestion path the reference delegates to an external writer.
+    * Exactly-once via the checkpoint + file-sink manifest. */
+  def nearlineIngest(
+      events: DataFrame,
+      orgId: String,
+      metricId: String,
+      tableDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .select(
+        lit(orgId + metricId).as("partition"),
+        unix_millis(col("ts")).cast("string").as("sort"),
+        array(concat(lit("w"), col("event_id"))).as("ids"),
+        map(concat(lit("w"), col("event_id")), col("event_type")).as("event_type"),
+        map(concat(lit("w"), col("event_id")), col("value").cast("string")).as("value"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", tableDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Stream the events landing directory (parquet files appearing over
     * time) into the windowed aggregation, writing to an in-memory sink —
     * the readStream → transform → writeStream shape. */

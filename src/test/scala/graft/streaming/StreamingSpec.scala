@@ -67,6 +67,49 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered event ids across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreams.dedupStream(df)
+      .writeStream.queryName("dedup_stream").outputMode(OutputMode.Append())
+      .format("memory").start()
+    try {
+      input.addData((1L, ts(1), "click", 1.0), (2L, ts(2), "view", 2.0))
+      q.processAllAvailable()
+      // re-delivery of id 1 in a later micro-batch (at-least-once upstream)
+      input.addData((1L, ts(1), "click", 1.0), (3L, ts(3), "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_stream ORDER BY event_id")
+        .collect().map(_.getLong(0)).toSeq
+      ids shouldBe Seq(1L, 2L, 3L)
+    } finally q.stop()
+  }
+
+  test("streaming nearline ingest lands items the DSv2 connector reads back") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = SparkFixture.tempDir("nlingest")
+    val tableDir = s"$base/t_0_99999999999999"
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreams.nearlineIngest(df, "org1", "m1", tableDir, s"$base/cp")
+    try {
+      input.addData((1L, ts(1), "click", 1.5), (2L, ts(2), "view", 2.5))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the written table round-trips through the connector + row expansion
+    val raw = spark.read.format("graft.sources.dsv2.NearlineTableProvider")
+      .option("path", tableDir).load()
+      .filter(col("partition") === "org1m1")
+    val rows = graft.sources.NearlineStub.expandRows(raw)
+      .select(col("timestamp").cast("long"), col("event_type"), col("value").cast("double"))
+      .orderBy("timestamp").collect()
+    rows.map(_.getString(1)).toSeq shouldBe Seq("click", "view")
+    rows.map(_.getDouble(2)).toSeq shouldBe Seq(1.5, 2.5)
+  }
+
   test("salted join spreads a hot key and matches the plain join result") {
     import scala.jdk.CollectionConverters._
     val factSchema = StructType(Seq(
