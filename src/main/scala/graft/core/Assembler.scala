@@ -79,7 +79,13 @@ object Assembler {
     val path = src.metricPath(orgId, metric.canonicalId)
     if (!new java.io.File(path).exists) return None
     val raw = src.format match {
-      case "json"    => spark.read.json(path)
+      // Non-radio metrics read JSON with the registry-derived schema — no
+      // inference pass (a full extra read of every file at scale). Radio
+      // metrics must infer: unknown columns are their contract.
+      case "json" => metric.jsonStorageSchema match {
+        case Some(schema) => spark.read.schema(schema).json(path)
+        case None         => spark.read.json(path)
+      }
       case "parquet" => spark.read.parquet(path)
     }
     Some(Recombinator.recombine(raw, orgId, metric, bytesAreBase64 = src.format == "json"))

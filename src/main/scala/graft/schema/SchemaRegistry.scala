@@ -76,6 +76,36 @@ case class Metric(
     StructType(base +: user :++ radio)
   }
 
+  /** Expected JSON storage schema for a NON-radio metric: the internal
+    * row fields plus every known source column at the type JSON carries
+    * it as (BYTES arrive base64-encoded → string). Passing this to
+    * `spark.read.schema(...).json` skips Spark's schema-inference pass —
+    * at 100 TB that pass is a full extra read of every file per query.
+    * Radio metrics return None: unknown columns are part of their
+    * contract, so they must infer. Values a file carries at an
+    * incompatible type become null (PERMISSIVE), consistent with
+    * "declared types always win" (SURVEY.md §7.4). */
+  def jsonStorageSchema: Option[StructType] =
+    if (radioEnabled) None
+    else {
+      def carrier(t: FieldType.Value): DataType = t match {
+        case FieldType.BYTES => StringType // base64 text on the JSON path
+        case other           => FieldType.toSpark(other)
+      }
+      val internal = Seq(
+        StructField(Metric.OrgKey, StringType),
+        StructField(Metric.MetricTypeKey, StringType),
+        StructField(Metric.TimestampField, LongType),
+        StructField(Metric.WriteTimeField, LongType),
+        StructField(Metric.AliasNameField, StringType))
+      val user = fields.flatMap(f => f.sourceColumns.map(c => StructField(c, carrier(f.ftype))))
+      val deduped = (internal ++ user)
+        .foldLeft(Vector.empty[StructField]) { (acc, sf) =>
+          if (acc.exists(_.name.equalsIgnoreCase(sf.name))) acc else acc :+ sf
+        }
+      Some(StructType(deduped))
+    }
+
   def fieldByNameOrAlias(n: String): Option[Field] = {
     val lower = n.toLowerCase
     fields.find(f => f.name.toLowerCase == lower || f.aliases.exists(_.toLowerCase == lower))

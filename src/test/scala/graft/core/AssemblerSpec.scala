@@ -133,6 +133,27 @@ class AssemblerSpec extends AnyFunSuite with Matchers {
     sources.prune(r).nearline should have length 2
   }
 
+  test("non-radio json reads with the registry schema: no inference, unknown columns dropped") {
+    metric.jsonStorageSchema.isDefined shouldBe true
+    val dir = SparkFixture.tempDir("assy_schema")
+    // hand-written json with an extra unknown column and a missing alias
+    val lines = Seq(
+      """{"companykey":"orgid1","metrictype":"m1","timestamp":10,"field1":true,"junk":"zzz"}""",
+      """{"companykey":"orgid1","metrictype":"m1","timestamp":20,"v_alias":7,"junk":"yyy"}""")
+    val d = new java.io.File(s"$dir/0/json/orgid1/m1")
+    d.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d.toString, "part.json"), lines.mkString("\n").getBytes)
+    val out = Assembler.metricTable(spark, "orgid1", metric,
+      SourceSet(fs = Seq(FsSource("json", dir))))
+    val rows = out.collect()
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(10L, 20L)
+    out.schema.fieldNames.toSeq shouldBe Seq("timestamp", "field1", "val") // no junk leak
+    rows.map(r => Option(r.get(2)).orNull).toSeq shouldBe Seq(null, 7L)   // alias feeds val
+    // radio metrics must infer (unknown columns are their contract)
+    metric.copy(radioEnabled = true).jsonStorageSchema shouldBe None
+  }
+
   test("nearline table name range parsing") {
     NearlineTableDesc.parseRange("pfx-", "pfx-100_200") shouldBe Some((100L, 200L))
     NearlineTableDesc.parseRange("pfx-", "other-100_200") shouldBe None

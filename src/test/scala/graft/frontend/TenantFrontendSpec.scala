@@ -294,6 +294,24 @@ class TenantFrontendSpec extends AnyFunSuite with Matchers {
       Seq("metricid1", "newmetric")
   }
 
+  test("radio metric surfaces unknown fields as _fm through tenant SQL (TestFineoRadio)") {
+    val reg = SchemaRegistry(Org("orgr", Seq(
+      Metric("mr", "radio_metric", Seq(Field("v", FieldType.LONG)), radioEnabled = true))))
+    val dir = SparkFixture.tempDir("radio_sql")
+    val schema = StructType(Seq(
+      StructField("companykey", StringType), StructField("metrictype", StringType),
+      StructField("timestamp", LongType), StructField("v", LongType),
+      StructField("radio_x", StringType)))
+    val rows = Seq(Row("orgr", "mr", 10L, 1L, "a"), Row("orgr", "mr", 20L, 2L, "b"))
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/0/parquet/orgr/mr")
+    val t = TenantSession.open(spark, reg, "orgr", SourceSet(fs = Seq(FsSource("parquet", dir))))
+    val out = t.sql(
+      "SELECT `timestamp`, v, _fm['radio_x'] AS rx FROM radio_metric ORDER BY `timestamp`")
+      .collect()
+    out.map(_.getString(2)).toSeq shouldBe Seq("a", "b")
+  }
+
   test("errors table carries the forced tenant predicate") {
     val errDir = SparkFixture.tempDir("errs")
     val events = Seq(
