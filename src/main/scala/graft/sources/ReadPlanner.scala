@@ -68,8 +68,33 @@ object ReadPlanner {
 
   private def planAnd(hk: String, sk: String, ps: Seq[Pred]): Read = {
     val hashIdx = ps.indexWhere { case Eq(`hk`, _) => true; case _ => false }
-    if (hashIdx < 0) scanOf(And(ps)) // no hash key equality → cannot Query
-    else {
+    if (hashIdx < 0) {
+      // No direct hash equality — but Catalyst factors common conjuncts
+      // out of an OR of key equalities: (p=A AND s=1) OR (p=B AND s=1)
+      // arrives as s=1 AND (p=A OR p=B). Distribute the And back over the
+      // first OR whose every branch carries a hash equality — recovering
+      // the MultiRead of keyed reads (the reference's OR-of-keys handling)
+      // for the archetypal "these partitions, this time range" query.
+      // A ∧ (B ∨ C) ≡ (A∧B) ∨ (A∧C), so this is semantics-preserving
+      // (pinned by ReadPlannerProps).
+      def hasHashEq(p: Pred): Boolean = p match {
+        case Eq(`hk`, _) => true
+        case And(inner)  => inner.exists(hasHashEq)
+        case _           => false
+      }
+      val orIdx = ps.indexWhere {
+        case Or(branches) => branches.forall(hasHashEq)
+        case _            => false
+      }
+      if (orIdx < 0) scanOf(And(ps)) // truly no keyed shape → Scan
+      else {
+        val branches = ps(orIdx).asInstanceOf[Or].ps
+        val rest = ps.patch(orIdx, Nil, 1)
+        val subs = branches.map(b => planPred(hk, sk, And(b +: rest)))
+        if (subs.forall { case _: Get | _: Query => true; case _ => false }) MultiRead(subs)
+        else scanOf(And(ps))
+      }
+    } else {
       val h = ps(hashIdx).asInstanceOf[Eq].value
       // Remove exactly ONE hash equality: a second `hk = other` conjunct
       // (contradiction unless equal) must stay behind as a filter, or the

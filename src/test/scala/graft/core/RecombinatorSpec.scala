@@ -30,6 +30,35 @@ class RecombinatorSpec extends AnyFunSuite with Matchers {
   private def rawDf(rows: Seq[Row], schema: StructType) =
     spark.createDataFrame(rows.asJava, schema)
 
+  test("alias coalesce precedence is exhaustive: user name > aliases in order > cname") {
+    // SURVEY.md §7.4: the reference never exercises conflicting non-null
+    // aliases in one row, so the precedence is OUR documented contract —
+    // pin it over every null/non-null combination of the four sources.
+    val m = Metric("mc", "prec_metric", Seq(
+      Field("v", FieldType.STRING, aliases = Seq("a1", "a2"), cname = Some("cn"))))
+    val schema = StructType(Seq(
+      StructField("companykey", StringType), StructField("metrictype", StringType),
+      StructField("timestamp", LongType),
+      StructField("v", StringType), StructField("a1", StringType),
+      StructField("a2", StringType), StructField("cn", StringType)))
+    val combos = for (mask <- 0 until 16) yield {
+      def src(bit: Int, name: String): String = if ((mask & (1 << bit)) != 0) name else null
+      Row("o", "mc", mask.toLong,
+        src(0, "from_v"), src(1, "from_a1"), src(2, "from_a2"), src(3, "from_cn"))
+    }
+    val out = Recombinator.recombine(rawDf(combos, schema), "o", m)
+      .orderBy("timestamp").collect()
+    out.zipWithIndex.foreach { case (r, mask) =>
+      val expected =
+        if ((mask & 1) != 0) "from_v"
+        else if ((mask & 2) != 0) "from_a1"
+        else if ((mask & 4) != 0) "from_a2"
+        else if ((mask & 8) != 0) "from_cn"
+        else null
+      withClue(s"mask=$mask: ") { Option(r.getString(1)).orNull shouldBe expected }
+    }
+  }
+
   test("all seven user types cast to declared types; internal fields dropped") {
     // storage row shape per FIXTURES.md §2 (FineoTestUtil.java:53-61)
     val schema = StructType(Seq(

@@ -83,6 +83,28 @@ class NearlineConnectorSpec extends AnyFunSuite with Matchers {
     d should not include "field1#"
   }
 
+  test("OR of key equalities fans out into a MultiRead of keyed reads") {
+    // Catalyst factors the common `sort = 100` out of this OR before
+    // pushdown; the planner distributes it back (the archetypal "these
+    // partitions, this time range" query must not degrade to a Scan)
+    val df = load().filter(
+      (col("partition") === "orgAm1" && col("sort") === "100") ||
+        (col("partition") === "orgBm1" && col("sort") === "100"))
+    val rows = df.collect()
+    rows.length shouldBe 2
+    rows.map(_.getAs[String]("partition")).sorted.toSeq shouldBe Seq("orgAm1", "orgBm1")
+    scanDesc(df) should include("mode=MULTI(2)")
+    // same-partition OR-of-sorts factors to ONE keyed Query with a
+    // server-side sort filter — keyed either way, never a full Scan
+    val df2 = load().filter(
+      (col("partition") === "orgAm1" && col("sort") === "100") ||
+        (col("partition") === "orgAm1" && col("sort") === "300"))
+    df2.collect().map(_.getAs[String]("sort")).sorted.toSeq shouldBe Seq("100", "300")
+    val d2 = scanDesc(df2)
+    d2 should include("mode=QUERY")
+    d2 should not include "mode=SCAN"
+  }
+
   test("<> pushes down as a server-side filter (DynamoFilterSpec parity)") {
     val df = load().filter(col("sort") =!= "100")
     df.collect().map(_.getAs[String]("sort")).sorted.toSeq shouldBe Seq("200", "300")
