@@ -109,6 +109,7 @@ class NearlineScanBuilder(path: String, fullSchema: StructType)
     case _: sources.EqualTo | _: sources.GreaterThan | _: sources.GreaterThanOrEqual |
          _: sources.LessThan | _: sources.LessThanOrEqual => true
     case sources.Not(_: sources.EqualTo) => true // <> (DynamoFilterSpec.java:25-46)
+    case _: sources.In => true // key IN (...) → OR of equalities → MultiRead
     case sources.And(l, r) => convertible(l) && convertible(r)
     case sources.Or(l, r)  => convertible(l) && convertible(r)
     case _ => false
@@ -118,6 +119,8 @@ class NearlineScanBuilder(path: String, fullSchema: StructType)
     def conv(f: sources.Filter): ReadPlanner.Pred = f match {
       case sources.EqualTo(a, v)            => ReadPlanner.Eq(a, String.valueOf(v))
       case sources.Not(sources.EqualTo(a, v)) => ReadPlanner.Ne(a, String.valueOf(v))
+      case sources.In(a, vs) =>
+        ReadPlanner.Or(vs.toSeq.map(v => ReadPlanner.Eq(a, String.valueOf(v))))
       case sources.GreaterThan(a, v)        => ReadPlanner.Cmp(a, ">", String.valueOf(v))
       case sources.GreaterThanOrEqual(a, v) => ReadPlanner.Cmp(a, ">=", String.valueOf(v))
       case sources.LessThan(a, v)           => ReadPlanner.Cmp(a, "<", String.valueOf(v))

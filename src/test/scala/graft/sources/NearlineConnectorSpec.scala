@@ -105,6 +105,13 @@ class NearlineConnectorSpec extends AnyFunSuite with Matchers {
     d2 should not include "mode=SCAN"
   }
 
+  test("hash-key IN list plans a MultiRead of Queries (one per key)") {
+    val df = load().filter(col("partition").isin("orgAm1", "orgBm1"))
+      .filter(col("sort") === "100")
+    df.count() shouldBe 2
+    scanDesc(df) should include("mode=MULTI(2)")
+  }
+
   test("<> pushes down as a server-side filter (DynamoFilterSpec parity)") {
     val df = load().filter(col("sort") =!= "100")
     df.collect().map(_.getAs[String]("sort")).sorted.toSeq shouldBe Seq("200", "300")
