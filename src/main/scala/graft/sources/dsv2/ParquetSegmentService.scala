@@ -143,14 +143,23 @@ object ParquetSegmentService {
       val s = str(rec, f)
       s != null && s != v // SQL three-valued: NULL <> v is unknown → drop
     case ReadPlanner.Cmp(f, op, v) =>
-      val c = compare(str(rec, f), v)
-      op match {
-        case "<" => c < 0; case "<=" => c <= 0
-        case ">" => c > 0; case ">=" => c >= 0
-        case _ => true
+      // Absent/null attribute never satisfies a range condition: DynamoDB
+      // filter expressions are false on missing attributes and SQL
+      // three-valued logic drops NULL comparisons (the same rule Ne above
+      // applies). Spark trusts the source for convertible filters, so this
+      // must hold server-side.
+      val s = str(rec, f)
+      s != null && {
+        val c = compare(s, v)
+        op match {
+          case "<" => c < 0; case "<=" => c <= 0
+          case ">" => c > 0; case ">=" => c >= 0
+          case _ => true
+        }
       }
     case ReadPlanner.Between(f, lo, hi) =>
-      compare(str(rec, f), lo) >= 0 && compare(str(rec, f), hi) <= 0
+      val s = str(rec, f)
+      s != null && compare(s, lo) >= 0 && compare(s, hi) <= 0
     case ReadPlanner.And(ps) => ps.forall(evalPred(_, rec))
     case ReadPlanner.Or(ps)  => ps.exists(evalPred(_, rec))
     case ReadPlanner.Opaque(_) => true // server can't evaluate; Spark re-checks
@@ -162,9 +171,9 @@ object ParquetSegmentService {
       case v    => String.valueOf(v)
     }
 
-  /** Numeric-aware compare, mirroring Dynamo's typed N comparison. */
+  /** Numeric-aware compare, mirroring Dynamo's typed N comparison.
+    * Callers guard null (a null attribute fails every range condition). */
   private def compare(a: String, b: String): Int = {
-    if (a == null) return -1
     (a.toDoubleOption, b.toDoubleOption) match {
       case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
       case _ => a.compareTo(b)

@@ -185,6 +185,41 @@ class NearlineConnectorSpec extends AnyFunSuite with Matchers {
     d should not include "sort#"
   }
 
+  test("null attributes never satisfy pushed range filters (Dynamo absent-attribute semantics)") {
+    // Spark trusts the source for convertible (pushed) filters and does NOT
+    // re-check them, so the server-side evaluation must drop rows whose
+    // attribute is null — SQL three-valued logic and DynamoDB filter
+    // expressions agree. Round-2 bug: compare() treated null as -infinity,
+    // so `amount < 5` wrongly kept null-amount rows.
+    val p = SparkFixture.tempDir("dsv2null") + "/t_0_1000.parquet"
+    val schema = StructType(Seq(
+      StructField("partition", StringType), StructField("sort", StringType),
+      StructField("amount", StringType)))
+    val rows = Seq(
+      Row("orgAm1", "100", "2"),
+      Row("orgAm1", "200", null),     // must NOT satisfy amount < 5 / <= / > / >= / between
+      Row("orgAm1", "300", "7"),
+      Row("orgBm1", "100", null),
+      Row("orgBm1", "200", "4"))
+    spark.createDataFrame(rows.asJava, schema).write.mode("overwrite").parquet(p)
+    val viaConnector = spark.read.format("graft.sources.dsv2.NearlineTableProvider")
+      .option("path", p).load()
+    val viaParquet = spark.read.parquet(p)
+    for (cond <- Seq(
+        col("amount") < "5", col("amount") <= "4", col("amount") > "2",
+        col("amount") >= "2", col("amount").between("1", "6"))) {
+      val got = viaConnector.filter(cond)
+        .select("partition", "sort").collect().map(r => (r.getString(0), r.getString(1))).sorted
+      val want = viaParquet.filter(cond)
+        .select("partition", "sort").collect().map(r => (r.getString(0), r.getString(1))).sorted
+      got.toSeq shouldBe want.toSeq
+    }
+    // and the filter really is pushed (not silently residual)
+    val df = viaConnector.filter(col("amount") < "5")
+    df.collect().map(_.getString(1)).sorted.toSeq shouldBe Seq("100", "200")
+    scanDesc(df) should include("LessThan(amount,5)")
+  }
+
   test("connector output feeds the standard expansion + recombination path") {
     val desc = NearlineTableDesc("t_0_1000", tablePath, 0, 1000)
     val expanded = NearlineStub.expandRows(

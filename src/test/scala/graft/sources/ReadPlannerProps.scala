@@ -52,11 +52,52 @@ object ReadPlannerProps extends Properties("ReadPlanner") {
     vs <- Gen.listOfN(fields.size, Gen.option(genVal))
   } yield fields.zip(vs).collect { case (f, Some(v)) => f -> (v: Any) }.toMap
 
+  /** Independent ground truth with SQL three-valued / Dynamo absent-attribute
+    * semantics: every comparison on a missing attribute is FALSE (not just
+    * Ne). Deliberately does NOT share any code with ParquetSegmentService —
+    * the round-2 null bug survived because both sides of the old property
+    * shared the same broken `compare`. */
+  private def truth(p: Pred, rec: Map[String, Any]): Boolean = p match {
+    case Eq(f, v) => rec.get(f).exists(x => String.valueOf(x) == v)
+    case Ne(f, v) => rec.get(f).exists(x => String.valueOf(x) != v)
+    case Cmp(f, op, v) => rec.get(f).exists { x =>
+      val c = cmpVals(String.valueOf(x), v)
+      op match {
+        case "<" => c < 0; case "<=" => c <= 0
+        case ">" => c > 0; case ">=" => c >= 0
+      }
+    }
+    case Between(f, lo, hi) => rec.get(f).exists { x =>
+      val s = String.valueOf(x)
+      cmpVals(s, lo) >= 0 && cmpVals(s, hi) <= 0
+    }
+    case And(ps) => ps.forall(truth(_, rec))
+    case Or(ps)  => ps.exists(truth(_, rec))
+    case Opaque(_) => true
+  }
+
+  private def cmpVals(a: String, b: String): Int =
+    (a.toDoubleOption, b.toDoubleOption) match {
+      case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
+      case _ => a.compareTo(b)
+    }
+
+  property("server predicate evaluation ≡ independent null-aware truth") =
+    forAll(genPred(3), genRecord) { (p, rec) =>
+      ParquetSegmentService.evalPred(p, rec) == truth(p, rec)
+    }
+
   property("planned read + residuals ≡ direct predicate evaluation") =
     forAll(genPred(3), genRecord) { (p, rec) =>
       val read = ReadPlanner.plan(HK, SK, Some(p))
       ParquetSegmentService.evalRead(read, rec, HK, SK) ==
         ParquetSegmentService.evalPred(p, rec)
+    }
+
+  property("planned read ≡ independent null-aware truth (end to end)") =
+    forAll(genPred(3), genRecord) { (p, rec) =>
+      val read = ReadPlanner.plan(HK, SK, Some(p))
+      ParquetSegmentService.evalRead(read, rec, HK, SK) == truth(p, rec)
     }
 
   property("no predicate plans a full unfiltered scan only when truly empty") =
