@@ -85,6 +85,77 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd dot product over two float/double array columns —
+  * the banding-loop companion of [[CosineSimilarity]]. LSH bucketing
+  * computes bands × planes projections per corpus row; with the portable
+  * `aggregate(zip_with(...))` formulation each projection is an
+  * interpreted per-element lambda with boxing — a ~10× constant on the
+  * single hottest map stage of the ANN/near-dup queries. Semantics are
+  * bit-identical to the portable form (pinned by FunctionsSpec): cast
+  * each element to double, multiply, accumulate sequentially in double;
+  * null if either side is null or lengths differ. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects array<float>/array<double>, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    val xf = elemIsFloat(left)
+    val yf = elemIsFloat(right)
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val xGet = if (elemIsFloat(left)) s"(double) $x.getFloat(i)" else s"$x.getDouble(i)"
+      val yGet = if (elemIsFloat(right)) s"(double) $y.getFloat(i)" else s"$y.getDouble(i)"
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int i = 0; i < $n; i++) {
+         |    $dot += ($xGet) * ($yGet);
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Hamming distance between two equal-length strings (e.g. simhash bit
   * strings). Codegen'd char loop; null on length mismatch. */
 case class HammingDistance(left: Expression, right: Expression)

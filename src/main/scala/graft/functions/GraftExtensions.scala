@@ -33,6 +33,9 @@ object GraftExtensions {
     fn("cosine_similarity",
       "cosine_similarity(a, b) - cosine of two float/double arrays",
       { case Seq(a, b) => CosineSimilarity(a, b) }),
+    fn("dot_product",
+      "dot_product(a, b) - dot product of two float/double arrays",
+      { case Seq(a, b) => DotProduct(a, b) }),
     fn("hamming_distance",
       "hamming_distance(a, b) - differing positions of equal-length strings",
       { case Seq(a, b) => HammingDistance(a, b) }),

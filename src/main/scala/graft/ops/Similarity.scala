@@ -22,6 +22,16 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Native codegen'd dot product ([[graft.functions.DotProduct]]) —
+    * bit-identical to [[dot]] (pinned by FunctionsSpec) but a primitive
+    * loop inside WholeStageCodegen. This is the banding hot loop: LSH
+    * computes bands × planes of these per corpus row. */
+  def dotNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnExpr
+    ColumnExpr.column(graft.functions.DotProduct(
+      ColumnExpr.expr(a), ColumnExpr.expr(b)))
+  }
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity via the native codegen'd Expression
@@ -81,7 +91,7 @@ object Similarity {
     val bits = (0 until numPlanes).map { j =>
       val p = band * numPlanes + j
       val plane = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
-      when(dot(vecCol, plane) >= 0, lit("1")).otherwise(lit("0"))
+      when(dotNative(vecCol, plane) >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
   }

@@ -57,6 +57,29 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     out(4).isNullAt(0) shouldBe true
   }
 
+  test("dot_product matches the portable HOF formulation bit-for-bit (incl. mixed float/double)") {
+    import graft.ops.Similarity
+    // float·float and float·double-literal-plane — the banding shape
+    val plane = array((0 until 16).map(d => lit(Similarity.planeComponent(3, d))): _*)
+    val both = vecs.select(
+      Similarity.dotNative(col("a"), col("b")).as("n1"),
+      Similarity.dot(col("a"), col("b")).as("p1"),
+      Similarity.dotNative(col("a"), plane).as("n2"),
+      Similarity.dot(col("a"), plane).as("p2"))
+    both.collect().foreach { r =>
+      r.getDouble(0) shouldBe r.getDouble(1) // exact, not approx
+      r.getDouble(2) shouldBe r.getDouble(3)
+    }
+    // null / length-mismatch parity with the HOF (zip_with pads → null sum)
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(FloatType))))
+    val rows = Seq(Row(null, Seq(1f, 1f)), Row(Seq(1f, 2f, 3f), Seq(1f, 2f)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val out = df.select(Similarity.dotNative(col("a"), col("b")).as("d")).collect()
+    out(0).isNullAt(0) shouldBe true
+    out(1).isNullAt(0) shouldBe true
+  }
+
   test("hamming_distance counts differing positions; null on length mismatch") {
     val schema = StructType(Seq(
       StructField("x", StringType), StructField("y", StringType)))
