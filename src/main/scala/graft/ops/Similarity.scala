@@ -178,8 +178,14 @@ object Similarity {
     * centroid scan-side, then probe only the `nprobe` nearest cells per
     * query. Recall/compute tradeoff is (numCentroids, nprobe).
     *
-    * Scale shape: centroids are a broadcast literal (tiny); cell
-    * assignment is a per-row argmax (no shuffle); the probe join is
+    * Scale shape: centroids are a tiny broadcast TABLE — not plan
+    * literals. The earlier literal-array construction emitted
+    * O(numCentroids × dim) literals into the generated code, which hits
+    * janino limits around a few hundred centroids — fatal for the
+    * auto-sized √n path (√10⁹ ≈ 31k centroids). Cell assignment is a
+    * broadcast join + max-of-struct aggregate: partial (map-side) combine
+    * collapses the numCentroids rows per vector before any shuffle, so
+    * only one (id, cell) row per corpus vector moves. The probe join is
     * cell-id equality — the classic inverted-file layout, and on a real
     * cluster the corpus would be written bucketed by cell id so the probe
     * join is shuffle-free. */
@@ -192,6 +198,7 @@ object Similarity {
       numCentroids: Int = 0,
       nprobe: Int = 4): DataFrame = {
     val nc = if (numCentroids > 0) numCentroids else autoCentroids(corpus.count())
+    // bounded driver collect: nc*7 rows of metadata-scale data
     val cents: Array[(Int, Seq[Float])] = corpus
       .select(col(idCol), col(vecCol))
       .orderBy(col(idCol))
@@ -200,32 +207,36 @@ object Similarity {
       .zipWithIndex
       .collect { case (r, i) if i % 7 == 0 => (i / 7, r.getSeq[Float](1)) }
       .take(nc)
-    def centArray(c: Seq[Float]): Column = array(c.map(lit): _*)
-    // nearest-centroid assignment: argmax over an array of similarities.
-    // NOT a when/otherwise fold — that duplicates both accumulator branches
-    // and grows the expression tree 3^numCentroids (observed: minutes of
-    // planner/codegen time at 16 centroids). Each cosine appears exactly
-    // once here.
-    def cellOf(vec: Column): Column = {
-      val sims = array(cents.map { case (_, cvec) => cosine(vec, centArray(cvec)) }: _*)
-      (array_position(sims, array_max(sims)) - 1).cast("int")
-    }
-    // per-query probe list: the nprobe nearest centroids
-    def probesOf(vec: Column): Column = {
-      val simToCell = cents.map { case (cid, cvec) =>
-        struct(cosine(vec, centArray(cvec)).as("s"), lit(cid).as("c"))
-      }
-      slice(reverse(array_sort(array(simToCell: _*))), 1, nprobe)
-    }
-    // cell index carries ids only — vectors join back by id after the
-    // candidate step, so they never flow through the probe join
+    val session = corpus.sparkSession
+    import session.implicits._
+    val centDf = broadcast(cents.toSeq.toDF("cid", "cvec"))
+    // all (vector, centroid) sims for one side; broadcast join, no shuffle
+    def sims(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col(vecCol).as("v"))
+        .join(centDf)
+        .select(col(idAs), col("cid"), cosine(col("v"), col("cvec")).as("s"))
+    // nearest-centroid assignment: max of (s, -cid) picks the highest
+    // similarity, ties to the LOWEST cid — same order the previous
+    // array_position(argmax) construction and the DuckDB oracle
+    // (ORDER BY s DESC, cid ASC) use. Aggregate, not window: partial
+    // combine keeps the shuffle at one row per vector.
     val cCell = Materialize.index(
-      corpus.select(col(idCol).as("corpus_id"), cellOf(col(vecCol)).as("cell")),
+      sims(corpus, "corpus_id")
+        .groupBy("corpus_id")
+        .agg(max(struct(col("s"), (-col("cid")).as("negcid"))).as("best"))
+        .select(col("corpus_id"), (-col("best.negcid")).cast("int").as("cell")),
       "ivf-cells")
+    // per-query probe list: the nprobe nearest centroids, ties to the
+    // HIGHEST cid (the previous reverse(array_sort(struct(s, c))) order,
+    // mirrored by the oracle's ORDER BY s DESC, cid DESC). Queries are the
+    // small side by construction — a window is fine here.
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("s").desc, col("cid").desc)
     val qProbe = Materialize.index(
-      queries.select(col(idCol).as("query_id"),
-        explode(probesOf(col(vecCol))).as("probe"))
-        .select(col("query_id"), col("probe.c").as("cell")),
+      sims(queries, "query_id")
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= nprobe)
+        .select(col("query_id"), col("cid").as("cell")),
       "ivf-probes")
     val cand = qProbe.join(cCell, "cell")
       .filter(col("query_id") =!= col("corpus_id"))

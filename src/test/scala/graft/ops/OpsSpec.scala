@@ -138,6 +138,25 @@ class OpsSpec extends AnyFunSuite with Matchers {
     ivf.map(_._1) shouldBe Set(0L, 1L, 2L, 3L, 4L)
   }
 
+  test("ivf ann survives hundreds of centroids (broadcast join, no codegen literal blowup)") {
+    // the auto-sized path wants √n centroids (√10⁹ ≈ 31k); the round-2
+    // plan-literal construction died in janino around a few hundred. The
+    // centroid-table broadcast join must not: 500 centroids over a
+    // 4000-vector corpus completes and every query answers.
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val rows = (0L until 4000L).map { i =>
+      val rnd = new scala.util.Random(i)
+      Row(i, Seq.fill(8)(rnd.nextFloat() - 0.5f))
+    }
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val out = Similarity.ivfTopK(df, df.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 5, numCentroids = 500, nprobe = 8)
+    val byQ = out.collect().groupBy(_.getAs[Long]("query_id"))
+    byQ.keySet shouldBe Set(0L, 1L, 2L)
+    byQ.values.foreach(_.length should be <= 5)
+  }
+
   test("multi-band lsh ann: recall vs brute force pinned on the real embeddings") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
