@@ -90,14 +90,18 @@ object PipelineQueries {
     // fixed block count makes in-block pairs O(n²/blocks) at 100 TB.
     // One corpus pass computes gram sets + 4 gram-minhashes into an index;
     // banding, the candidate self-join, and the exact-Jaccard verify all
-    // read that parquet.
+    // read that parquet. The index stores 16-hex-char md5 PREFIXES of the
+    // grams, not the gram text: set intersection/union cardinalities are
+    // preserved (64-bit hashes; collisions negligible) while the verify
+    // join shuffles fixed-width hashes instead of corpus-sized bigram
+    // strings — at 100 TB the gram text would otherwise move twice.
     val grams = docs.select(
       col("doc_id"),
       array_distinct(Dedup.shingles("text", 2)).as("grams"))
     val sigs = (0 until 4).foldLeft(grams) { (d, i) =>
       d.withColumn(s"g$i",
         expr(s"array_min(transform(grams, g -> md5(concat('gsalt$i|', g))))"))
-    }
+    }.withColumn("grams", expr("transform(grams, g -> substring(md5(g), 1, 16))"))
     val indexed = graft.ops.Materialize.index(sigs, "ngram-sig")
     val bands = indexed.select(col("doc_id"),
       md5(concat_ws("|", col("g0"), col("g1"))).as("band0"),
@@ -419,14 +423,16 @@ object PipelineQueries {
       s"""SELECT doc_id, $duckSimhashBits AS simhash
          |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""WITH g AS (SELECT doc_id, list_distinct(${duckShingles(2)}) AS grams
+      s"""WITH graw AS (SELECT doc_id, list_distinct(${duckShingles(2)}) AS grams
          |FROM documents),
+         |g AS (SELECT doc_id,
+         |  list_transform(grams, x -> substr(md5(x), 1, 16)) AS grams FROM graw),
          |sig AS (SELECT doc_id,
          |  list_min(list_transform(grams, x -> md5('gsalt0|' || x))) AS g0,
          |  list_min(list_transform(grams, x -> md5('gsalt1|' || x))) AS g1,
          |  list_min(list_transform(grams, x -> md5('gsalt2|' || x))) AS g2,
          |  list_min(list_transform(grams, x -> md5('gsalt3|' || x))) AS g3
-         |FROM g),
+         |FROM graw),
          |bands AS (SELECT doc_id, md5(g0 || '|' || g1) AS band0, md5(g2 || '|' || g3) AS band1 FROM sig),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
