@@ -30,6 +30,8 @@ object Bench {
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
+      // index cleanup is part of the query's real cost — keep it timed
+      finally graft.ops.Materialize.dropAll()
       name -> (System.nanoTime() - t0) / 1e9
     }
     def jstr(s: String): String =

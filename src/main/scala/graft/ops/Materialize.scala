@@ -18,8 +18,14 @@ import org.apache.spark.sql.DataFrame
   *     recomputing the signature expression tree through the join lineage
   *     (a >100× slowdown observed with naive lineage).
   *
-  * Each call gets a unique directory under java.io.tmpdir (deleted on JVM
-  * exit); at 100 TB the same call writes a bucketed table to the lake.
+  * Lifecycle: every index directory is registered in a live set;
+  * [[dropAll]] deletes them once the consuming query's terminal action
+  * has run. Query batteries (Bench/Verify) and any long-lived serving
+  * process call it between statements — `deleteOnExit` alone would leak
+  * one directory per dedup/ANN query onto local disk for the life of the
+  * JVM (the round-1 memory-accumulation lesson, one level down the
+  * storage hierarchy). At 100 TB the same call writes a bucketed table
+  * to the lake and `dropAll` is the table-retention policy.
   */
 object Materialize {
 
@@ -29,12 +35,36 @@ object Materialize {
     p
   }
 
+  private val live =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
   /** Materialize `df` as a parquet index table and return a fresh scan of
     * it. `tag` names the index for debuggability; the directory is unique
     * per call, so concurrent queries never clobber each other. */
   def index(df: DataFrame, tag: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(root, tag).toString
-    df.write.mode("overwrite").parquet(dir)
-    df.sparkSession.read.parquet(dir)
+    val dir = java.nio.file.Files.createTempDirectory(root, tag)
+    live.add(dir)
+    df.write.mode("overwrite").parquet(dir.toString)
+    df.sparkSession.read.parquet(dir.toString)
+  }
+
+  /** Number of index directories currently on disk. */
+  def liveCount: Int = live.size()
+
+  /** Delete every index directory created so far. Only call after the
+    * terminal action of every query whose plan reads them — the returned
+    * DataFrames scan these files lazily. */
+  def dropAll(): Unit = {
+    val it = live.iterator()
+    while (it.hasNext) {
+      deleteRecursively(it.next().toFile)
+      it.remove()
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
   }
 }

@@ -196,6 +196,20 @@ class OpsSpec extends AnyFunSuite with Matchers {
     out.collect().map(_.getLong(0)).toSet shouldBe Set(0L, 1L)
   }
 
+  test("materialized indexes are reclaimed after the terminal action (no disk leak)") {
+    Materialize.dropAll() // clean slate from earlier suites
+    Materialize.liveCount shouldBe 0
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // two index-writing queries back to back, as a battery would run them
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      dim = 64, k = 3, numPlanes = 3, numBands = 2).count()
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 3, numCentroids = 8).count()
+    Materialize.liveCount should be > 0 // indexes exist while results are live
+    Materialize.dropAll()
+    Materialize.liveCount shouldBe 0 // and are gone after the battery reclaims
+  }
+
   test("language id picks the lexicon with most overlap") {
     val d = docs((1L, "the cat and the dog of the house"), (2L, "el gato y la casa de que"))
     val out = TextAnalysis.langScores(d, "text").orderBy("doc_id").collect()
