@@ -166,7 +166,12 @@ class TenantSession private (
       case r: UnresolvedRelation => r eq rel
       case _ => false
     }
-    val conds = plan.collectWithSubqueries {
+    // deepCollect, not collectWithSubqueries: a WITH body is not a plan
+    // child, so the stock traversal would miss the filter in
+    // `WITH t AS (SELECT * FROM m WHERE timestamp < X) …` — the most
+    // idiomatic bounded-query shape — and prune nothing (safe, but the
+    // reference's R1 benefit left on the table).
+    val conds = deepCollect(plan) {
       case f: LFilter if reaches(f.child) => f.condition
     }
     if (conds.isEmpty) TimeRange.Full

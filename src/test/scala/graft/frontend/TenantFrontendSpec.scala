@@ -121,6 +121,22 @@ class TenantFrontendSpec extends AnyFunSuite with Matchers {
     val unbounded = t.sql("SELECT `timestamp`, v FROM pruned_metric WHERE v IS NOT NULL")
     unbounded.inputFiles.exists(_.contains("/t2")) shouldBe true
     unbounded.collect().map(_.getLong(1)).sorted.toSeq shouldBe Seq(1L, 9L)
+
+    // the bound INSIDE a CTE body prunes too — WITH bodies are not plan
+    // children, so a collectWithSubqueries-based boundsFor missed this,
+    // the single most idiomatic bounded-query shape
+    val cte = t.sql(
+      """WITH recent AS (SELECT `timestamp`, v FROM pruned_metric WHERE `timestamp` < 400)
+        |SELECT v FROM recent""".stripMargin)
+    cte.collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    cte.inputFiles.exists(_.contains("/t2")) shouldBe false // pruned at plan time
+
+    // but a CTE whose body REBINDS timestamp must still widen, not narrow
+    val cteRebound = t.sql(
+      """WITH shifted AS (SELECT `timestamp` - 1000000 AS `timestamp`, v FROM pruned_metric)
+        |SELECT v FROM shifted WHERE `timestamp` < 400""".stripMargin)
+    cteRebound.inputFiles.exists(_.contains("/t2")) shouldBe true
+    cteRebound.collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 9L)
   }
 
   test("file-path tables and catalog-qualified names are rejected (isolation escape)") {
@@ -327,5 +343,29 @@ class TenantFrontendSpec extends AnyFunSuite with Matchers {
     rows.length shouldBe 1
     rows.head.getString(0) shouldBe "m1"
     rows.head.get(1).toString shouldBe "raw" // partition dir surfaces as column
+  }
+
+  test("gzipped error archives read through the tenant errors view") {
+    // the reference reads .json.gz error trees
+    // (BaseFineoTestWithErrorReads.java:58-144); Spark's JSON source
+    // decompresses by extension — pin that a mixed plain+gz tree works
+    val errDir = SparkFixture.tempDir("errsgz")
+    val d1 = new java.io.File(s"$errDir/stream/stage=raw/type=error/year=2016/month=10/day=3")
+    val d2 = new java.io.File(s"$errDir/stream/stage=staged/type=error/year=2016/month=10/day=4")
+    d1.mkdirs(); d2.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d1.toString, "archive.json"),
+      """{"apikey":"org1","message":"plain","event":"e1"}""".getBytes)
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(d2, "archive.json.gz")))
+    gz.write(
+      Seq(
+        """{"apikey":"org1","message":"zipped","event":"e2"}""",
+        """{"apikey":"org2","message":"other-tenant","event":"e3"}""").mkString("\n").getBytes)
+    gz.close()
+    val t = TenantSession.open(spark, registry, "org1", sources, errorsDir = Some(errDir))
+    val rows = t.sql("SELECT message, stage FROM errors_stream ORDER BY message").collect()
+    rows.map(_.getString(0)).toSeq shouldBe Seq("plain", "zipped") // gz read; org2 filtered
+    rows.map(_.get(1).toString).sorted.toSeq shouldBe Seq("raw", "staged")
   }
 }
