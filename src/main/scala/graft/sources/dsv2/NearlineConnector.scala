@@ -72,10 +72,16 @@ class NearlineTable(path: String, schema: StructType) extends Table with Support
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NearlineScanBuilder(path, schema)
+    new NearlineScanBuilder(path, schema,
+      transportClass = options.getOrDefault("transport", classOf[ParquetTransport].getName),
+      pageSize = options.getInt("pagesize", NearlineTransport.DefaultPageSize))
 }
 
-class NearlineScanBuilder(path: String, fullSchema: StructType)
+class NearlineScanBuilder(
+    path: String,
+    fullSchema: StructType,
+    transportClass: String = classOf[ParquetTransport].getName,
+    pageSize: Int = NearlineTransport.DefaultPageSize)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   import NearlineTableProvider._
 
@@ -102,7 +108,7 @@ class NearlineScanBuilder(path: String, fullSchema: StructType)
   override def build(): Scan = {
     val pred = toPred(pushed)
     val read = ReadPlanner.plan(HashKey, SortKey, pred)
-    new NearlineScan(path, required, read, pushed)
+    new NearlineScan(path, required, read, pushed, transportClass, pageSize)
   }
 
   private def convertible(f: sources.Filter): Boolean = f match {
@@ -137,7 +143,9 @@ class NearlineScan(
     path: String,
     required: StructType,
     read: ReadPlanner.Read,
-    pushed: Array[sources.Filter])
+    pushed: Array[sources.Filter],
+    transportClass: String = classOf[ParquetTransport].getName,
+    pageSize: Int = NearlineTransport.DefaultPageSize)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -172,7 +180,7 @@ class NearlineScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NearlineReaderFactory
+    new NearlineReaderFactory(transportClass, pageSize)
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val total = StubService.count(path)
@@ -198,20 +206,21 @@ case class NearlinePartition(
     numSegments: Int,
     required: StructType) extends InputPartition
 
-class NearlineReaderFactory extends PartitionReaderFactory {
+class NearlineReaderFactory(
+    transportClass: String = classOf[ParquetTransport].getName,
+    pageSize: Int = NearlineTransport.DefaultPageSize) extends PartitionReaderFactory {
   import NearlineTableProvider._
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[NearlinePartition]
     new PartitionReader[InternalRow] {
-      // Executor-side: stream this segment's records straight off the
-      // table files, applying the planned read's server-side semantics
-      // (segment hash, key conditions, filter expression) per record.
-      private val it: Iterator[InternalRow] = ParquetSegmentService
-        .records(p.path)
-        .filter(rec =>
-          ParquetSegmentService.inSegment(rec, HashKey, p.segment, p.numSegments) &&
-            ParquetSegmentService.evalRead(p.read, rec, HashKey, SortKey))
+      // Executor-side: page this segment's records through the transport
+      // ([[NearlineTransport]]: server-side filter semantics, bounded
+      // pages, continuation tokens, per-page retry). The transport is
+      // chosen by class name — the SDK swap-in seam.
+      private val it: Iterator[InternalRow] = new PagedSegmentIterator(
+        NearlineTransport.forName(transportClass),
+        p.path, p.read, HashKey, SortKey, p.segment, p.numSegments, pageSize)
         .map(rec => StubService.toInternalRow(rec, p.required))
       private var current: InternalRow = _
       override def next(): Boolean = {

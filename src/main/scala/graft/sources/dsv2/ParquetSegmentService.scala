@@ -1,10 +1,7 @@
 package graft.sources.dsv2
 
 import graft.sources.ReadPlanner
-import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
-import org.apache.parquet.hadoop.ParquetReader
-import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.schema.{GroupType, PrimitiveType, Type}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
@@ -31,25 +28,6 @@ object ParquetSegmentService {
     else f.listFiles((_, name) => name.endsWith(".parquet"))
       .map(_.getAbsolutePath).sorted.toSeq
   }
-
-  /** Lazily iterate all records of the table; readers are opened one part
-    * file at a time and closed on exhaustion. */
-  def records(tablePath: String): Iterator[Map[String, Any]] =
-    partFiles(tablePath).iterator.flatMap(readFile)
-
-  private def readFile(file: String): Iterator[Map[String, Any]] =
-    new Iterator[Map[String, Any]] {
-      private val reader =
-        ParquetReader.builder(new GroupReadSupport(), new Path(file)).build()
-      private var nextGroup: Group = reader.read()
-      override def hasNext: Boolean = nextGroup != null
-      override def next(): Map[String, Any] = {
-        val g = nextGroup
-        nextGroup = reader.read()
-        if (nextGroup == null) reader.close()
-        groupToMap(g)
-      }
-    }
 
   // ------------------------------------------------- Group → Scala values
 

@@ -220,6 +220,45 @@ class NearlineConnectorSpec extends AnyFunSuite with Matchers {
     scanDesc(df) should include("LessThan(amount,5)")
   }
 
+  test("transport paging returns every record exactly once across continuation tokens") {
+    // page size 2 over 4 rows forces multiple pages per segment; the
+    // token-resume contract must neither drop nor duplicate
+    val df = spark.read.format("graft.sources.dsv2.NearlineTableProvider")
+      .option("path", tablePath).option("pagesize", "2").load()
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    rows shouldBe Seq(
+      ("orgAm1", "100"), ("orgAm1", "200"), ("orgAm1", "300"), ("orgBm1", "100"))
+    // pushed filters still evaluate server-side under paging
+    val q = spark.read.format("graft.sources.dsv2.NearlineTableProvider")
+      .option("path", tablePath).option("pagesize", "1").load()
+      .filter(col("partition") === "orgAm1" && col("sort") >= "150")
+    q.collect().map(_.getString(1)).sorted.toSeq shouldBe Seq("200", "300")
+  }
+
+  test("transient mid-segment failure is retried from the same continuation token") {
+    FlakyOnceTransport.reset()
+    val df = spark.read.format("graft.sources.dsv2.NearlineTableProvider")
+      .option("path", tablePath)
+      .option("pagesize", "1") // several pages → a mid-segment call exists
+      .option("transport", classOf[FlakyOnceTransport].getName)
+      .load()
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    rows shouldBe Seq(
+      ("orgAm1", "100"), ("orgAm1", "200"), ("orgAm1", "300"), ("orgBm1", "100"))
+    FlakyOnceTransport.throwsInjected.get() shouldBe 1 // the fault really fired
+  }
+
+  test("persistent segment failure abandons the scan after bounded attempts") {
+    val df = spark.read.format("graft.sources.dsv2.NearlineTableProvider")
+      .option("path", tablePath)
+      .option("transport", classOf[AlwaysFailTransport].getName)
+      .load()
+    val e = intercept[Exception] { df.collect() }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).flatMap(x => Option(x.getMessage)).toSeq
+    messages.exists(_.contains("failed after 3 attempts")) shouldBe true
+  }
+
   test("connector output feeds the standard expansion + recombination path") {
     val desc = NearlineTableDesc("t_0_1000", tablePath, 0, 1000)
     val expanded = NearlineStub.expandRows(
