@@ -1,0 +1,192 @@
+package graft.frontend
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.{DataFrame, Row}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Minimal network serving layer — the engine-side answer to the
+  * reference's two remote surfaces: the Avatica HTTP server
+  * (`readerator/server/.../FineoServer.java:49-66` — start an HTTP
+  * endpoint wrapping a JDBC-shaped service) and the REST proxy
+  * (`readerator/proxy/.../JdbcHandler.java:31-81` — take SQL over HTTP,
+  * execute as the keyed tenant, return rows as JSON).
+  *
+  * Scope: this is deliberately a THIN shim over the in-process contract
+  * ([[TenantSession]] for statements, [[MetadataFacade]] for the six
+  * JDBC metadata calls a BI tool issues on connect). Transport is the
+  * JDK's built-in HTTP server — zero new dependencies; wire protocol is
+  * JSON. It is NOT Avatica/Arrow-Flight; a production deployment would
+  * swap the transport and keep the same two session objects, exactly as
+  * the reference's server wraps its engine-side connection.
+  *
+  * Tenancy model mirrors the reference: the API key IS the org id
+  * (`X-Api-Key` header, reference `FineoConnection` api-key property);
+  * every request resolves to a cached per-org [[TenantSession]], whose
+  * plan-level isolation (read-only surface, relation substitution,
+  * forced tenant predicates) does all security work — the HTTP layer
+  * adds nothing but status-code mapping, so there is no second policy
+  * to keep in sync.
+  *
+  * Endpoints:
+  *   - `POST /v1/sql` — body is the SQL text; optional `?maxRows=N`.
+  *     Returns `{"columns":[…],"rows":[[…]…],"rowCount":N}`.
+  *   - `GET /v1/metadata/{schemas|tables|columns|typeinfo}` with
+  *     optional `table`/`column` LIKE-pattern params.
+  *   - `GET /healthz`.
+  *
+  * Errors: 401 missing key, 403 unknown tenant / isolation violation,
+  * 400 rejected statement (DML/DDL) or bad argument, 500 otherwise —
+  * the same mapping the reference's proxy applies to SQLExceptions. */
+class GraftHttpServer(
+    sessionFor: String => TenantSession,
+    port: Int = 0) {
+
+  private val sessions =
+    new java.util.concurrent.ConcurrentHashMap[String, TenantSession]()
+
+  private val server: HttpServer = {
+    val s = HttpServer.create(new InetSocketAddress(port), 0)
+    s.createContext("/healthz", handler { _ => (200, """{"status":"ok"}""") })
+    s.createContext("/v1/sql", handler(sqlHandler))
+    s.createContext("/v1/metadata/", handler(metadataHandler))
+    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    s.start()
+    s
+  }
+
+  /** Bound port (ephemeral when constructed with port = 0). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def stop(): Unit = server.stop(0)
+
+  // ------------------------------------------------------------- handlers
+
+  private def tenant(ex: HttpExchange): TenantSession = {
+    val key = Option(ex.getRequestHeaders.getFirst("X-Api-Key"))
+      .map(_.trim).filter(_.nonEmpty)
+      .getOrElse(throw Halt(401, "missing X-Api-Key"))
+    // open validates the org exists (SecurityException → 403)
+    sessions.computeIfAbsent(key, sessionFor(_))
+  }
+
+  private def sqlHandler(ex: HttpExchange): (Int, String) = {
+    if (ex.getRequestMethod != "POST") throw Halt(405, "POST required")
+    val t = tenant(ex)
+    val sql = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    if (sql.trim.isEmpty) throw Halt(400, "empty statement")
+    val maxRows = queryParams(ex).get("maxRows").map(_.toInt)
+    dfJson(t.sql(sql, maxRows))
+  }
+
+  private def metadataHandler(ex: HttpExchange): (Int, String) = {
+    val t = tenant(ex)
+    val params = queryParams(ex)
+    val meta = t.metadata
+    val df = ex.getRequestURI.getPath.stripPrefix("/v1/metadata/") match {
+      case "schemas"  => meta.getSchemas()
+      case "tables"   => meta.getTables(tableNamePattern = params.get("table").orNull)
+      case "columns"  => meta.getColumns(
+        tableNamePattern = params.get("table").orNull,
+        columnNamePattern = params.get("column").orNull)
+      case "typeinfo" => meta.getTypeInfo
+      case other      => throw Halt(404, s"unknown metadata call: $other")
+    }
+    dfJson(df)
+  }
+
+  // -------------------------------------------------------------- plumbing
+
+  private case class Halt(status: Int, message: String)
+      extends RuntimeException(message)
+
+  private def handler(f: HttpExchange => (Int, String)): HttpHandler =
+    (ex: HttpExchange) => {
+      val (status, body) =
+        try f(ex)
+        catch {
+          case h: Halt                          => (h.status, errJson(h.message))
+          case e: SecurityException             => (403, errJson(e.getMessage))
+          case e: UnsupportedOperationException => (400, errJson(e.getMessage))
+          case e: IllegalArgumentException      => (400, errJson(e.getMessage))
+          case e: Exception                     =>
+            (500, errJson(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      val bytes = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(status, bytes.length)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
+      .filter(_.contains('='))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, UTF_8) -> java.net.URLDecoder.decode(v, UTF_8)
+      }.toMap
+
+  /** Execute (collect) and encode a statement result. The collect is the
+    * terminal action — results stream to the client as one JSON body,
+    * bounded by the session's maxRows clamp. */
+  private def dfJson(df: DataFrame): (Int, String) = {
+    val cols = df.columns
+    val rows = df.collect()
+    val sb = new StringBuilder
+    sb.append("{\"columns\":[")
+    sb.append(cols.map(jstr).mkString(","))
+    sb.append("],\"rows\":[")
+    var first = true
+    rows.foreach { r =>
+      if (!first) sb.append(',')
+      first = false
+      sb.append('[')
+      sb.append((0 until r.length).map(i => jval(r.get(i))).mkString(","))
+      sb.append(']')
+    }
+    sb.append("],\"rowCount\":").append(rows.length).append('}')
+    (200, sb.toString)
+  }
+
+  private def errJson(msg: String): String = s"""{"error":${jstr(msg)}}"""
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def jval(v: Any): String = v match {
+    case null                   => "null"
+    case s: String              => jstr(s)
+    case b: Boolean             => b.toString
+    case n: Byte                => n.toString
+    case n: Short               => n.toString
+    case n: Int                 => n.toString
+    case n: Long                => n.toString
+    case n: Float               => jnum(n.toDouble)
+    case n: Double              => jnum(n)
+    case d: java.math.BigDecimal => d.toPlainString
+    case b: Array[Byte]         => jstr(java.util.Base64.getEncoder.encodeToString(b))
+    case t: java.sql.Timestamp  => jstr(t.toInstant.toString)
+    case d: java.sql.Date       => jstr(d.toString)
+    case seq: scala.collection.Seq[_] => seq.map(jval).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => jstr(String.valueOf(k)) + ":" + jval(x) }
+        .mkString("{", ",", "}")
+    case r: Row =>
+      r.schema.fieldNames.zipWithIndex
+        .map { case (n, i) => jstr(n) + ":" + jval(r.get(i)) }
+        .mkString("{", ",", "}")
+    case other => jstr(String.valueOf(other))
+  }
+
+  private def jnum(d: Double): String =
+    if (d.isNaN || d.isInfinite) jstr(d.toString) else d.toString
+}
