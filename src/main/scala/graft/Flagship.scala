@@ -55,7 +55,8 @@ object Flagship {
     val nlPath = s"$base/nearline/t_${nearlineStart}_${hi + 1}"
     ev.filter(col("timestamp") >= nearlineStart)
       .select(
-        concat(col("companykey"), col("metrictype")).as("partition"),
+        graft.sources.KeyMapper.Concat
+          .partitionKeyCol(col("companykey"), col("metrictype")).as("partition"),
         col("timestamp").cast("string").as("sort"),
         array(lit("w1")).as("ids"),
         map(lit("w1"), col("event_type")).as("event_type"),

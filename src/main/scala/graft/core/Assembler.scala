@@ -57,7 +57,8 @@ object Assembler {
       } else fsDfs
 
     val nearlineDfs = pruned.nearline.map { desc =>
-      val raw = NearlineStub.readForMetric(spark, desc, orgId, metric.canonicalId)
+      val raw = NearlineStub.readForMetric(
+        spark, desc, orgId, metric.canonicalId, mapper = sources.keyMapper)
       Recombinator.project(raw, metric, bytesAreBase64 = false)
     }
 

@@ -53,7 +53,7 @@ object NearlineStub {
 
   /** Read one nearline table for one (org, metric): hash-key equality
     * pushed to the scan (the Dynamo branch's
-    * `partition-key = concat(org, metric)` filter,
+    * `partition-key = mapper(org, metric)` filter,
     * `FineoRecombinatorRule` Dynamo path), then row-expanded.
     * Output columns: timestamp (string!), one string column per field. */
   def readForMetric(
@@ -61,8 +61,10 @@ object NearlineStub {
       desc: NearlineTableDesc,
       orgId: String,
       metricCanonicalId: String,
-      extraFilter: Option[Column] = None): DataFrame = {
-    val raw = readRaw(spark, desc).filter(col("partition") === (orgId + metricCanonicalId))
+      extraFilter: Option[Column] = None,
+      mapper: KeyMapper = KeyMapper.Concat): DataFrame = {
+    val raw = readRaw(spark, desc)
+      .filter(col("partition") === mapper.partitionKey(orgId, metricCanonicalId))
     val withSort = extraFilter.fold(raw)(raw.filter)
     expandRows(withSort).drop("partition")
   }

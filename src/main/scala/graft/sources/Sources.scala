@@ -35,8 +35,15 @@ object NearlineTableDesc {
     }
 }
 
-/** The full set of physical sources backing one org's metrics. */
-case class SourceSet(fs: Seq[FsSource] = Nil, nearline: Seq[NearlineTableDesc] = Nil) {
+/** The full set of physical sources backing one org's metrics.
+  *
+  * @param keyMapper nearline partition-key scheme for THIS deployment —
+  *   every nearline read under this source set composes its hash-key
+  *   filter through it (reference `DynamoKeyMapper` pluggability). */
+case class SourceSet(
+    fs: Seq[FsSource] = Nil,
+    nearline: Seq[NearlineTableDesc] = Nil,
+    keyMapper: KeyMapper = KeyMapper.Concat) {
   def minNearlineStart: Option[Long] =
     if (nearline.isEmpty) None else Some(nearline.map(_.startMillis).min)
 

@@ -83,10 +83,12 @@ object EventStreams {
       orgId: String,
       metricId: String,
       tableDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String,
+      mapper: graft.sources.KeyMapper = graft.sources.KeyMapper.Concat)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     events
       .select(
-        lit(orgId + metricId).as("partition"),
+        lit(mapper.partitionKey(orgId, metricId)).as("partition"),
         unix_millis(col("ts")).cast("string").as("sort"),
         array(concat(lit("w"), col("event_id"))).as("ids"),
         map(concat(lit("w"), col("event_id")), col("event_type")).as("event_type"),
