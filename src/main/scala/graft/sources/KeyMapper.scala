@@ -54,8 +54,12 @@ object KeyMapper {
   /** Hash-prefixed composition: a short md5 prefix spreads lexically
     * adjacent tenants across the keyspace — the standard hot-partition
     * remedy for range-partitioned stores at scale. Reads are unaffected
-    * (still a single-value hash-key lookup); only the key text changes. */
-  final case class HashPrefixed(chars: Int = 4, inner: KeyMapper = Concat)
+    * (still a single-value hash-key lookup); only the key text changes.
+    * The inner mapper defaults to [[Delimited]]: a hash prefix is only as
+    * unambiguous as the text it prefixes, and bare concatenation collides
+    * for ("ab","c")/("a","bc") — deployments wanting the reference's
+    * concat scheme under the prefix must opt in explicitly. */
+  final case class HashPrefixed(chars: Int = 4, inner: KeyMapper = Delimited("|"))
       extends KeyMapper {
     require(chars > 0 && chars <= 32, s"md5 hex prefix must be 1..32, got $chars")
 

@@ -163,9 +163,22 @@ class NearlineScan(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = read match {
-    case _: ReadPlanner.Get | _: ReadPlanner.Query | _: ReadPlanner.MultiRead =>
-      // keyed reads return one bounded result page
+    case _: ReadPlanner.Get | _: ReadPlanner.MultiRead =>
+      // point reads return one bounded result page
       Array(NearlinePartition(path, read, 0, 1, required))
+    case _: ReadPlanner.Query =>
+      // A Query keys every row to ONE hash value — in Dynamo one physical
+      // partition, and the round-3 bench showed what happens when a
+      // whole-table hash key serializes through one task (a 2000 s query).
+      // Plan segments sized to the Query cost estimate (count/10); the
+      // stub's sessions split Query segments on the SORT key
+      // (ParquetPagedSession.segKey), so segments jointly cover the items
+      // of the queried partition without overlap.
+      val n = ReadPlanner.scanSegments(
+        approxRows = math.max(StubService.count(path) / 10, 1),
+        executors = Runtime.getRuntime.availableProcessors())
+      (0 until n).map(NearlinePartition(path, read, _, n, required))
+        .toArray[InputPartition]
     case _: ReadPlanner.Scan =>
       // segmented parallel scan (DynamoGroupScan.applyAssignments):
       // segment count from the reference heuristics based on the table's

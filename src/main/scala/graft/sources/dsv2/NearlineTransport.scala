@@ -1,9 +1,11 @@
 package graft.sources.dsv2
 
 import graft.sources.ReadPlanner
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
 import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
 
 /** One page of a segment read: the server-filtered records plus a
   * continuation token for the next call (None = segment exhausted).
@@ -11,6 +13,17 @@ import org.apache.parquet.hadoop.example.GroupReadSupport
   * a non-empty token with an empty record list is legal (the server
   * scanned a page's worth of rows none of which matched the filter). */
 case class NearlinePage(records: Seq[Map[String, Any]], nextToken: Option[Long])
+
+/** A live paged read over one segment. May hold transport-side state (an
+  * open reader / HTTP connection), so the happy path streams: each
+  * [[nextPage]] costs O(pageSize), not O(position). Failure recovery does
+  * NOT rely on session state — the caller closes the failed session and
+  * opens a new one from the last token it received, which must continue
+  * the read exactly (no drops, no duplicates). */
+trait NearlineSession extends AutoCloseable {
+  def nextPage(): NearlinePage
+  override def close(): Unit = ()
+}
 
 /** Operational transport contract of the nearline store — the seam a real
   * SDK-backed client implements (`DynamoRecordReader.java:115-247`):
@@ -21,15 +34,23 @@ case class NearlinePage(records: Seq[Map[String, Any]], nextToken: Option[Long])
   *   - **Continuation tokens**: each page carries an opaque resume point;
   *     a page call is a pure function of (read, segment, token), so a
   *     failed call can be retried from the same token without dropping or
-  *     duplicating records.
+  *     duplicating records. Resume MUST be cheap — Dynamo's
+  *     `ExclusiveStartKey` is an O(1) server-side seek, and the round-3
+  *     bench collapse (596× on one query) came from a stub whose resume
+  *     was O(token). [[ParquetTransport]] now seeks by file via parquet
+  *     footer row counts, so a resume decodes at most one file's prefix.
+  *   - **Streaming happy path**: [[NearlineTransport.open]] returns a
+  *     [[NearlineSession]] that holds the reader open across pages; the
+  *     token-resume path is only paid on failure (retry = close + re-open
+  *     from the last good token).
   *   - **Server-side filtering**: key conditions and filter expressions
   *     evaluate *inside* the transport (the "server"), exactly like
   *     Dynamo filter expressions — the engine never sees non-matching
   *     rows and does not re-check convertible filters.
   *
   * Implementations must be `Serializable` (instantiated driver-side per
-  * scan, shipped to executors inside the reader factory) and stateless
-  * across calls — all resume state lives in the token. */
+  * scan, shipped to executors inside the reader factory); all resume
+  * state lives in the token, never in transport fields. */
 trait NearlineTransport extends Serializable {
   def page(
       path: String,
@@ -40,6 +61,29 @@ trait NearlineTransport extends Serializable {
       numSegments: Int,
       token: Option[Long],
       pageSize: Int): NearlinePage
+
+  /** Open a live paged read resuming from `token`. Default implementation
+    * is a stateless pure re-issue of [[page]] per call — correct for any
+    * transport; streaming transports override for O(pageSize) pages. */
+  def open(
+      path: String,
+      read: ReadPlanner.Read,
+      hashKey: String,
+      sortKey: String,
+      segment: Int,
+      numSegments: Int,
+      token: Option[Long],
+      pageSize: Int): NearlineSession = {
+    val t = this
+    new NearlineSession {
+      private var tok = token
+      override def nextPage(): NearlinePage = {
+        val p = t.page(path, read, hashKey, sortKey, segment, numSegments, tok, pageSize)
+        tok = p.nextToken
+        p
+      }
+    }
+  }
 }
 
 object NearlineTransport {
@@ -57,12 +101,21 @@ object NearlineTransport {
 
 /** The stubbed "service": pages come straight off the table's parquet
   * files. The continuation token is the raw-stream position (rows of the
-  * underlying table consumed so far); every call re-opens from the token,
-  * so readers never hold state across pages and a retry is an identical
-  * re-issue — the same property a real Dynamo `ExclusiveStartKey` gives.
-  * Scan cost per page is O(token) in this stub (parquet has no random
-  * row access worth wiring here); the real SDK resumes in O(1). */
+  * underlying table consumed so far, across files in sorted-name order).
+  *
+  * Cost model (the part that must mirror the real SDK, not just its
+  * results): a streaming session decodes each row exactly once across the
+  * whole segment read — O(pageSize) per page. A cold token resume (the
+  * retry path, or a bare [[page]] call) skips whole files by their footer
+  * row counts (metadata only, cached) and decodes at most the prefix of
+  * the one file containing the token — never the entire preceding
+  * stream. */
 class ParquetTransport extends NearlineTransport {
+
+  /** Hook: called once per decoded row (pre-filter). The linearity spec
+    * overrides this to pin "rows decoded ≤ rows in table" for a full
+    * segment read — the property whose absence shipped a quadratic. */
+  protected def onRowDecoded(): Unit = ()
 
   override def page(
       path: String,
@@ -73,43 +126,134 @@ class ParquetTransport extends NearlineTransport {
       numSegments: Int,
       token: Option[Long],
       pageSize: Int): NearlinePage = {
-    val start = token.getOrElse(0L)
+    val s = open(path, read, hashKey, sortKey, segment, numSegments, token, pageSize)
+    try s.nextPage() finally s.close()
+  }
+
+  override def open(
+      path: String,
+      read: ReadPlanner.Read,
+      hashKey: String,
+      sortKey: String,
+      segment: Int,
+      numSegments: Int,
+      token: Option[Long],
+      pageSize: Int): NearlineSession =
+    new ParquetPagedSession(this, path, read, hashKey, sortKey,
+      segment, numSegments, token.getOrElse(0L), pageSize)
+
+  private[dsv2] def rowDecoded(): Unit = onRowDecoded()
+}
+
+object ParquetTransport {
+  /** Footer row counts per part file (metadata read, cached — Spark part
+    * file names are unique per write, so entries never go stale). */
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def rowCount(file: String): Long =
+    rowCountCache.computeIfAbsent(file, f => {
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f), new Configuration()))
+      try r.getRecordCount finally r.close()
+    })
+}
+
+/** Streaming paged read over one segment of a parquet-stubbed table.
+  * Holds the current file's reader open across pages; `startToken` seeks
+  * by skipping whole files via footer row counts, then decode-discarding
+  * only within the file containing the token. */
+private[dsv2] class ParquetPagedSession(
+    transport: ParquetTransport,
+    path: String,
+    read: ReadPlanner.Read,
+    hashKey: String,
+    sortKey: String,
+    segment: Int,
+    numSegments: Int,
+    startToken: Long,
+    pageSize: Int) extends NearlineSession {
+
+  // Query-mode reads key every matching row to ONE hash value, which in
+  // Dynamo is one physical partition — but the engine still plans multiple
+  // stub segments for them (NearlineScan), so a whole-table hash key
+  // doesn't serialize through one task. Those segments split on the SORT
+  // key; Scan segments split on the hash key (Dynamo's own segmentation).
+  private val segKey: String = read match {
+    case _: ReadPlanner.Query => sortKey
+    case _ => hashKey
+  }
+
+  private val files: IndexedSeq[String] =
+    ParquetSegmentService.partFiles(path).toIndexedSeq
+  private var fileIdx = 0
+  private var reader: ParquetReader[org.apache.parquet.example.data.Group] = _
+  private var globalIdx = 0L // rows of the raw stream consumed so far
+
+  // ---- seek: skip whole files by metadata row counts, decode only the
+  // ---- remainder within the file containing startToken
+  locally {
+    var remaining = startToken
+    while (fileIdx < files.length && remaining >= ParquetTransport.rowCount(files(fileIdx))) {
+      remaining -= ParquetTransport.rowCount(files(fileIdx))
+      globalIdx += ParquetTransport.rowCount(files(fileIdx))
+      fileIdx += 1
+    }
+    if (fileIdx < files.length) {
+      openCurrent()
+      var skipped = 0L
+      while (skipped < remaining && reader.read() != null) {
+        transport.rowDecoded()
+        skipped += 1
+        globalIdx += 1
+      }
+    }
+  }
+
+  private def openCurrent(): Unit =
+    reader = ParquetReader.builder(new GroupReadSupport(), new Path(files(fileIdx))).build()
+
+  /** Next raw group, advancing across files; null = stream exhausted. */
+  private def nextGroup(): org.apache.parquet.example.data.Group = {
+    while (fileIdx < files.length) {
+      if (reader == null) openCurrent()
+      val g = reader.read()
+      if (g != null) { transport.rowDecoded(); globalIdx += 1; return g }
+      reader.close(); reader = null; fileIdx += 1
+    }
+    null
+  }
+
+  override def nextPage(): NearlinePage = {
     val buf = Vector.newBuilder[Map[String, Any]]
     var matched = 0
-    var idx = 0L
-    var full = false
-    val files = ParquetSegmentService.partFiles(path).iterator
-    while (files.hasNext && !full) {
-      val reader =
-        ParquetReader.builder(new GroupReadSupport(), new Path(files.next())).build()
-      try {
-        var g = reader.read()
-        while (g != null && !full) {
-          if (idx >= start) {
-            val rec = ParquetSegmentService.groupToMap(g)
-            if (ParquetSegmentService.inSegment(rec, hashKey, segment, numSegments) &&
-                ParquetSegmentService.evalRead(read, rec, hashKey, sortKey)) {
-              buf += rec
-              matched += 1
-              if (matched == pageSize) full = true
-            }
-          }
-          idx += 1
-          g = if (full) null else reader.read()
-        }
-      } finally reader.close() // close even when a page ends mid-file
+    var g = if (fileIdx < files.length) nextGroup() else null
+    while (g != null && matched < pageSize) {
+      val rec = ParquetSegmentService.groupToMap(g)
+      if (ParquetSegmentService.inSegment(rec, segKey, segment, numSegments) &&
+          ParquetSegmentService.evalRead(read, rec, hashKey, sortKey)) {
+        buf += rec
+        matched += 1
+      }
+      g = if (matched == pageSize) null else nextGroup()
     }
     // a full page may sit exactly at stream end — the follow-up call
     // returns (Nil, None), like Dynamo's possible empty final page
-    NearlinePage(buf.result(), if (full) Some(idx) else None)
+    NearlinePage(buf.result(), if (matched == pageSize) Some(globalIdx) else None)
+  }
+
+  override def close(): Unit = {
+    if (reader != null) { reader.close(); reader = null }
   }
 }
 
-/** Executor-side record stream over a segment: loops transport pages with
-  * per-page retry from the same continuation token. A transient segment
-  * failure (throttle, connection reset) costs one re-issued page, not the
-  * scan; `MaxAttempts` consecutive failures on one page abandon the task
-  * (Spark then retries the whole partition, the correct escalation). */
+/** Executor-side record stream over a segment: streams transport pages
+  * from an open session; a transient failure (throttle, connection reset)
+  * closes the session and re-opens from the last good continuation token —
+  * the pure re-issue the token contract guarantees — so a failure costs
+  * one resume, not the scan. `MaxAttempts` consecutive failures on one
+  * page abandon the task (Spark then retries the whole partition, the
+  * correct escalation). */
 class PagedSegmentIterator(
     transport: NearlineTransport,
     path: String,
@@ -125,17 +269,26 @@ class PagedSegmentIterator(
   private var token: Option[Long] = None
   private var exhausted = false
   private var current: Iterator[Map[String, Any]] = Iterator.empty
+  private var session: NearlineSession = _
 
   private def fetchPageWithRetry(): NearlinePage = {
     var attempt = 1
     while (true) {
-      try return transport.page(
-        path, read, hashKey, sortKey, segment, numSegments, token, pageSize)
-      catch {
-        case e: Exception if attempt < maxAttempts => attempt += 1
+      try {
+        if (session == null)
+          session = transport.open(
+            path, read, hashKey, sortKey, segment, numSegments, token, pageSize)
+        return session.nextPage()
+      } catch {
         case e: Exception =>
-          throw new RuntimeException(
-            s"nearline segment $segment/$numSegments failed after $maxAttempts attempts", e)
+          if (session != null) {
+            try session.close() catch { case _: Exception => () }
+            session = null // re-open from the last good token on next attempt
+          }
+          if (attempt >= maxAttempts)
+            throw new RuntimeException(
+              s"nearline segment $segment/$numSegments failed after $maxAttempts attempts", e)
+          attempt += 1
       }
     }
     throw new IllegalStateException("unreachable")
@@ -147,6 +300,10 @@ class PagedSegmentIterator(
       current = p.records.iterator
       token = p.nextToken
       exhausted = p.nextToken.isEmpty
+      if (exhausted && session != null) {
+        try session.close() catch { case _: Exception => () }
+        session = null
+      }
     }
     current.hasNext
   }

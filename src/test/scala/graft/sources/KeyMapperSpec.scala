@@ -53,9 +53,11 @@ class KeyMapperSpec extends AnyFunSuite with Matchers {
   }
 
   test("hash prefix has the declared width and preserves the inner key") {
+    // default inner is Delimited("|") — unambiguous (see previous test);
+    // the reference's concat scheme is an explicit opt-in
     val k = KeyMapper.HashPrefixed(6).partitionKey("org1", "m1")
-    k.length shouldBe 6 + "org1m1".length
-    k.substring(6) shouldBe "org1m1"
+    k.length shouldBe 6 + "org1|m1".length
+    k.substring(6) shouldBe "org1|m1"
     k.substring(0, 6).forall(c => c.isDigit || ('a' to 'f').contains(c)) shouldBe true
   }
 
