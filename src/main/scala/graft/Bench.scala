@@ -40,7 +40,48 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errs,"sf":"$sfDir"}""")
+    // Perf-regression gate: compare per-query times against the newest
+    // recorded BENCH_r*.json and shout about >2× slowdowns — a 596×
+    // regression once shipped silently because nothing diffed the rounds.
+    // Sub-second deltas are skipped (scheduling noise); the driver's exit
+    // code is untouched (a slow query is a loud report, not a dead bench).
+    val regressions: Seq[(String, Double, Double)] = previousBench() match {
+      case None => Nil
+      case Some((file, prev)) =>
+        val regs = results.collect {
+          case (name, cur) if prev.get(name).exists(p => cur > 2 * p && cur - p > 1.0) =>
+            (name, prev(name), cur)
+        }
+        regs.foreach { case (name, p, c) =>
+          System.err.println(f"[benchgate] REGRESSION $name: $p%.2f s -> $c%.2f s (${c / p}%.1fx) vs $file")
+        }
+        System.err.println(s"[benchgate] ${regs.size} regression(s) >2x vs $file " +
+          f"(totals: prev=${prev.values.sum}%.1f s cur=$total%.1f s)")
+        regs
+    }
+    val regJson = regressions.map { case (n, p, c) =>
+      s"${jstr(n)}:{" + f""""prev":$p%.3f,"cur":$c%.3f}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errs,"regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Newest BENCH_r*.json in the working dir, parsed to per-query seconds
+    * (the timings line may be embedded JSON-escaped in a "tail" field —
+    * unescape before extracting). */
+  private def previousBench(): Option[(String, Map[String, Double])] = {
+    val dir = new java.io.File(".")
+    val cand = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+    cand.lastOption.flatMap { f =>
+      val raw = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .replace("\\\"", "\"")
+      val qblock = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(raw).map(_.group(1))
+      qblock.map { b =>
+        val pair = "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r
+        f.getName -> pair.findAllMatchIn(b)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
   }
 }

@@ -40,7 +40,9 @@ import java.nio.charset.StandardCharsets.UTF_8
   * the same mapping the reference's proxy applies to SQLExceptions. */
 class GraftHttpServer(
     sessionFor: String => TenantSession,
-    port: Int = 0) {
+    port: Int = 0,
+    defaultMaxRows: Int = GraftHttpServer.DefaultMaxRows) {
+  require(defaultMaxRows > 0, "defaultMaxRows must be positive")
 
   private val sessions =
     new java.util.concurrent.ConcurrentHashMap[String, TenantSession]()
@@ -75,8 +77,12 @@ class GraftHttpServer(
     val t = tenant(ex)
     val sql = new String(ex.getRequestBody.readAllBytes(), UTF_8)
     if (sql.trim.isEmpty) throw Halt(400, "empty statement")
+    // The server-level cap ALWAYS applies; a request may only lower it
+    // (reference `FineoJdbcMeta.setMaxRows:143-159`). Without this, any
+    // tenant's `SELECT * FROM bigtable` is an unbounded driver collect.
     val maxRows = queryParams(ex).get("maxRows").map(_.toInt)
-    dfJson(t.sql(sql, maxRows))
+      .filter(_ > 0).fold(defaultMaxRows)(math.min(_, defaultMaxRows))
+    dfJson(t.sql(sql, Some(maxRows)))
   }
 
   private def metadataHandler(ex: HttpExchange): (Int, String) = {
@@ -189,4 +195,11 @@ class GraftHttpServer(
 
   private def jnum(d: Double): String =
     if (d.isNaN || d.isInfinite) jstr(d.toString) else d.toString
+}
+
+object GraftHttpServer {
+  /** Server-level row cap when the deployment doesn't configure one — the
+    * serving layer never runs an unbounded collect (reference
+    * `FineoJdbcMeta.setMaxRows` always clamps). */
+  val DefaultMaxRows = 10000
 }

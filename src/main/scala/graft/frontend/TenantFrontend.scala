@@ -180,16 +180,20 @@ class TenantSession private (
 
   // ---------------------------------------------------- metadata surface
 
-  /** `SHOW TABLES [LIKE 'pat' | WHERE cond]` / `SHOW SCHEMAS|DATABASES`
-    * (reference grammar `SqlShowTables.java:44-115`). The WHERE form
-    * filters over the result columns (schema, table), like Drill's
-    * info-schema-backed SHOW. */
+  /** `SHOW TABLES [FROM|IN db] [LIKE 'pat' | WHERE cond]` /
+    * `SHOW SCHEMAS|DATABASES` (reference grammar
+    * `SqlShowTables.java:44-115` — the `db` member accepts FROM/IN). A
+    * tenant sees exactly one schema, so any db other than FINEO errors.
+    * The WHERE form filters over the result columns (schema, table), like
+    * Drill's info-schema-backed SHOW. */
   private def showStatement(clean: String): DataFrame = {
     val tablesRe =
-      """(?is)^show\s+tables(?:\s+like\s+'([^']*)'|\s+where\s+(.+?))?\s*;?\s*$""".r
+      """(?is)^show\s+tables(?:\s+(?:from|in)\s+(\w+))?(?:\s+like\s+'([^']*)'|\s+where\s+(.+?))?\s*;?\s*$""".r
     val schemasRe = """(?is)^show\s+(?:schemas|databases)\s*;?\s*$""".r
     clean match {
-      case tablesRe(like, where) =>
+      case tablesRe(db, like, where) =>
+        if (db != null && !db.equalsIgnoreCase("FINEO"))
+          throw new IllegalArgumentException(s"schema not found: $db")
         val base = showTables()
         if (like != null)
           base.filter(col("table").rlike("(?i)^" + MetadataFacade.sqlToRegexLike(like) + "$"))
@@ -218,9 +222,19 @@ class TenantSession private (
     else throw new IllegalArgumentException(s"schema not found: $name")
 
   def describeTable(table: String): DataFrame = {
-    val metric = registry.metric(orgId, table).getOrElse(
-      throw new IllegalArgumentException(s"table not found: $table"))
-    val rows = metric.structType.fields.toSeq.map(f => Row(f.name, f.dataType.sql, f.nullable))
+    // Everything queryable is describable (reference `parserImpls.ftl`
+    // DESCRIBE covers all visible tables): registry metrics by their
+    // declared schema, registered views (errors table) by their Spark
+    // schema.
+    val fields: Seq[StructField] =
+      registry.metric(orgId, table) match {
+        case Some(metric) => metric.structType.fields.toSeq
+        case None if registeredViews.contains(table.toLowerCase) =>
+          spark.table(table).schema.fields.toSeq
+        case None =>
+          throw new IllegalArgumentException(s"table not found: $table")
+      }
+    val rows = fields.map(f => Row(f.name, f.dataType.sql, f.nullable))
     toDf(rows, StructType(Seq(
       StructField("column", StringType), StructField("type", StringType),
       StructField("nullable", BooleanType))))

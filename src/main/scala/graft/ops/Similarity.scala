@@ -220,24 +220,30 @@ object Similarity {
     // array_position(argmax) construction and the DuckDB oracle
     // (ORDER BY s DESC, cid ASC) use. Aggregate, not window: partial
     // combine keeps the shuffle at one row per vector.
-    val cCell = Materialize.index(
+    //
+    // Inlined, not Materialize.index'd: unlike the LSH banding self-join,
+    // cCell and qProbe each feed the final plan exactly ONCE, so a parquet
+    // round-trip buys no recompute and costs two write+read jobs (the
+    // round-3 6.5× local regression was mostly this fixed overhead). At
+    // 100 TB the cell assignment IS worth persisting — as a bucketed-by-
+    // cell inverted-file table reused across query batches — but that is
+    // an ingest-time artifact, not a per-query step.
+    val cCell =
       sims(corpus, "corpus_id")
         .groupBy("corpus_id")
         .agg(max(struct(col("s"), (-col("cid")).as("negcid"))).as("best"))
-        .select(col("corpus_id"), (-col("best.negcid")).cast("int").as("cell")),
-      "ivf-cells")
+        .select(col("corpus_id"), (-col("best.negcid")).cast("int").as("cell"))
     // per-query probe list: the nprobe nearest centroids, ties to the
     // HIGHEST cid (the previous reverse(array_sort(struct(s, c))) order,
     // mirrored by the oracle's ORDER BY s DESC, cid DESC). Queries are the
     // small side by construction — a window is fine here.
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("s").desc, col("cid").desc)
-    val qProbe = Materialize.index(
+    val qProbe =
       sims(queries, "query_id")
         .withColumn("rn", row_number().over(wProbe))
         .filter(col("rn") <= nprobe)
-        .select(col("query_id"), col("cid").as("cell")),
-      "ivf-probes")
+        .select(col("query_id"), col("cid").as("cell"))
     val cand = qProbe.join(cCell, "cell")
       .filter(col("query_id") =!= col("corpus_id"))
       .select("query_id", "corpus_id")

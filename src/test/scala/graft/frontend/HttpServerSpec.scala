@@ -120,4 +120,28 @@ class HttpServerSpec extends AnyFunSuite with Matchers {
     post("/v1/sql", "   ").statusCode() shouldBe 400
     get("/v1/sql").statusCode() shouldBe 405
   }
+
+  test("server-level maxRows always clamps; a request can only lower it") {
+    // an unclamped SELECT * must never be an unbounded driver collect —
+    // the server default applies even when the client sends nothing
+    val small = new GraftHttpServer(
+      key => TenantSession.open(spark, registry, key, sources),
+      defaultMaxRows = 2)
+    try {
+      val b = s"http://127.0.0.1:${small.boundPort}"
+      def postTo(path: String, body: String) = {
+        val rq = HttpRequest.newBuilder(URI.create(b + path))
+          .POST(BodyPublishers.ofString(body)).header("X-Api-Key", "orgh").build()
+        client.send(rq, BodyHandlers.ofString())
+      }
+      postTo("/v1/sql", "SELECT * FROM httpmetric").body() should
+        include(""""rowCount":2""") // 3 rows in the table, capped at 2
+      // a request may lower the cap…
+      postTo("/v1/sql?maxRows=1", "SELECT * FROM httpmetric").body() should
+        include(""""rowCount":1""")
+      // …but never raise it
+      postTo("/v1/sql?maxRows=100", "SELECT * FROM httpmetric").body() should
+        include(""""rowCount":2""")
+    } finally small.stop()
+  }
 }

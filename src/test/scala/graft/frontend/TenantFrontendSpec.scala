@@ -368,4 +368,29 @@ class TenantFrontendSpec extends AnyFunSuite with Matchers {
     rows.map(_.getString(0)).toSeq shouldBe Seq("plain", "zipped") // gz read; org2 filtered
     rows.map(_.get(1).toString).sorted.toSeq shouldBe Seq("raw", "staged")
   }
+
+  test("SHOW TABLES FROM/IN accepts only the tenant schema") {
+    // reference grammar takes a db (SqlShowTables.java:44-115); a tenant
+    // sees exactly one schema, so anything but FINEO is an error
+    val t = TenantSession.open(spark, registry, "org1", sources)
+    t.sql("SHOW TABLES FROM FINEO").collect().map(_.getString(1)).toSeq shouldBe
+      Seq("metricid1", "othermetric")
+    t.sql("SHOW TABLES IN fineo LIKE 'metricid%'").collect()
+      .map(_.getString(1)).toSeq shouldBe Seq("metricid1")
+    intercept[IllegalArgumentException] { t.sql("SHOW TABLES FROM otherdb") }
+    intercept[IllegalArgumentException] { t.sql("SHOW TABLES IN otherdb LIKE 'x%'") }
+  }
+
+  test("DESCRIBE covers registered views, not just registry metrics") {
+    val errDir = SparkFixture.tempDir("errsdesc")
+    val d = new java.io.File(s"$errDir/stream/stage=raw/type=error/year=2016/month=10/day=3")
+    d.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d.toString, "archive.json"),
+      """{"apikey":"org1","message":"m1","event":"e1"}""".getBytes)
+    val t = TenantSession.open(spark, registry, "org1", sources, errorsDir = Some(errDir))
+    val cols = t.sql("DESCRIBE errors_stream").collect().map(_.getString(0)).toSet
+    cols should contain allOf ("message", "event", "stage") // data + partition columns
+    intercept[IllegalArgumentException] { t.sql("DESCRIBE nosuchtable") }
+  }
 }
