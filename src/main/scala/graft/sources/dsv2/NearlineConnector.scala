@@ -73,7 +73,7 @@ class NearlineTable(path: String, schema: StructType) extends Table with Support
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NearlineScanBuilder(path, schema,
-      transportClass = options.getOrDefault("transport", classOf[ParquetTransport].getName),
+      transportClass = options.getOrDefault("transport", StubService.defaultTransport(path)),
       pageSize = options.getInt("pagesize", NearlineTransport.DefaultPageSize))
 }
 
@@ -255,12 +255,20 @@ object StubService {
   private val countCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   def schema(path: String): StructType =
-    spark().read.parquet(path).schema
+    if (InMemoryStore.isMemPath(path)) InMemoryStore(path).schema
+    else spark().read.parquet(path).schema
 
   /** Item count statistic (cached per path — the reference reads it from
     * table metadata, not by scanning). */
   def count(path: String): Long =
-    countCache.computeIfAbsent(path, p => spark().read.parquet(p).count())
+    if (InMemoryStore.isMemPath(path)) InMemoryStore(path).rows.length.toLong
+    else countCache.computeIfAbsent(path, p => spark().read.parquet(p).count())
+
+  /** Transport matching the path scheme (still overridable with the
+    * `transport` option — the SDK swap-in seam). */
+  def defaultTransport(path: String): String =
+    if (InMemoryStore.isMemPath(path)) classOf[InMemoryTransport].getName
+    else classOf[ParquetTransport].getName
 
   private def spark() = org.apache.spark.sql.SparkSession.active
 

@@ -174,15 +174,8 @@ private[dsv2] class ParquetPagedSession(
     startToken: Long,
     pageSize: Int) extends NearlineSession {
 
-  // Query-mode reads key every matching row to ONE hash value, which in
-  // Dynamo is one physical partition — but the engine still plans multiple
-  // stub segments for them (NearlineScan), so a whole-table hash key
-  // doesn't serialize through one task. Those segments split on the SORT
-  // key; Scan segments split on the hash key (Dynamo's own segmentation).
-  private val segKey: String = read match {
-    case _: ReadPlanner.Query => sortKey
-    case _ => hashKey
-  }
+  private val segKey: String =
+    ParquetSegmentService.segmentKeyFor(read, hashKey, sortKey)
 
   private val files: IndexedSeq[String] =
     ParquetSegmentService.partFiles(path).toIndexedSeq

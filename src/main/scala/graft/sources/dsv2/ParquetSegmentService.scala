@@ -167,4 +167,15 @@ object ParquetSegmentService {
       val h = str(rec, hashKey)
       java.lang.Math.floorMod(if (h == null) 0 else h.hashCode, numSegments) == segment
     }
+
+  /** Which key splits a read across segments: Scan segments split on the
+    * hash key (Dynamo's own segmentation); Query reads key every matching
+    * row to ONE hash value, so their stub segments split on the SORT key —
+    * a whole-table hash key must not serialize through one task. Shared by
+    * every transport so segment semantics can't diverge between them. */
+  def segmentKeyFor(read: ReadPlanner.Read, hashKey: String, sortKey: String): String =
+    read match {
+      case _: ReadPlanner.Query => sortKey
+      case _ => hashKey
+    }
 }
