@@ -1,0 +1,107 @@
+package graft.frontend
+
+import graft.core.Assembler
+import graft.schema.SchemaRegistry
+import graft.sources.SourceSet
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftSessions
+import org.apache.spark.sql.hive.graftshim.ThriftShim
+
+/** Standard-JDBC wire compatibility: a per-tenant HiveServer2 (Thrift)
+  * endpoint any stock JDBC client can connect to — the production entry
+  * point the reference serves with Avatica
+  * (`readerator/server/.../FineoServer.java:49-66`, `FineoJdbcMeta`), here
+  * rebuilt on Spark's own Thrift frontend so the wire protocol comes with
+  * the engine instead of a bespoke shim.
+  *
+  * Tenancy + isolation model (mirrors the reference server, which also
+  * binds the API key server-side and forks the grammar to strip writes):
+  *
+  *   - the endpoint is opened FOR one validated tenant; its session's
+  *     catalog carries exactly that tenant's metric tables (assembled
+  *     views over the tenant's sources) and errors view — there is
+  *     nothing else to name;
+  *   - the session's parser is [[ReadOnlyParser]] (injected via session
+  *     extensions), so every statement any JDBC client sends — DDL, DML,
+  *     `LOAD DATA`, `SET`, comment-disguised writes — is rejected at
+  *     parse time, exactly like the reference's grammar surgery;
+  *   - `spark.sql.runSQLOnFiles=false` as defense-in-depth against
+  *     path-based table refs.
+  *
+  * Scale note: the serving views assemble the FULL source range;
+  * time-bounded queries still prune parquet partitions and push filters
+  * through Catalyst, but the per-statement nearline-table pruning of
+  * [[TenantSession]] doesn't apply here (a wire client's statements are
+  * planned by Spark directly). Interactive latency-sensitive paths should
+  * prefer the HTTP layer; this endpoint exists so stock BI tooling works
+  * at all. */
+class GraftJdbcServer private (
+    server: AutoCloseable,
+    val serving: SparkSession,
+    val port: Int) {
+  def jdbcUrl: String = s"jdbc:hive2://localhost:$port/default;auth=noSasl"
+  def stop(): Unit = server.close()
+}
+
+object GraftJdbcServer {
+
+  def start(
+      root: SparkSession,
+      registry: SchemaRegistry,
+      orgId: String,
+      sources: SourceSet,
+      errorsDir: Option[String] = None,
+      port: Int = 0): GraftJdbcServer = {
+    registry.org(orgId).getOrElse(
+      throw new SecurityException(s"unknown tenant: $orgId"))
+    // All connections must share the serving session (views + read-only
+    // parser); the default per-connection newSession() would see an empty
+    // catalog. The flag is a STATIC SQL conf, so it has to sit on the
+    // SparkConf before the serving session's state initializes — it only
+    // affects Thrift connection handling, nothing else reads it.
+    GraftSessions.setStaticConf(root, "spark.sql.hive.thriftServer.singleSession", "true")
+    val serving = GraftSessions.withWrappedParser(root, new ReadOnlyParser(_))
+    serving.conf.set("spark.sql.runSQLOnFiles", "false")
+    graft.functions.GraftExtensions.register(serving)
+
+    // The tenant's visible tables, as session views over assembled sources
+    // (same construction TenantSession substitutes per statement).
+    registry.listTables(orgId).foreach { t =>
+      registry.metric(orgId, t).foreach { m =>
+        Assembler.metricTable(serving, orgId, m, sources, sorted = false)
+          .createOrReplaceTempView(t)
+      }
+    }
+    errorsDir.filter(d => new java.io.File(d).exists).foreach { dir =>
+      serving.read.json(s"$dir/stream").filter(col("apikey") === orgId)
+        .createOrReplaceTempView("errors_stream")
+    }
+
+    val p = if (port == 0) freePort() else port
+    serving.conf.set("hive.server2.thrift.port", p.toString)
+    serving.conf.set("hive.server2.thrift.bind.host", "localhost")
+    serving.conf.set("hive.server2.authentication", "NOSASL")
+    serving.conf.set("hive.server2.transport.mode", "binary")
+    val srv = ThriftShim.start(serving)
+    awaitPort(p)
+    new GraftJdbcServer(srv, serving, p)
+  }
+
+  private def freePort(): Int = {
+    val s = new java.net.ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
+
+  private def awaitPort(p: Int, timeoutMs: Long = 30000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var up = false
+    while (!up && System.currentTimeMillis() < deadline) {
+      try {
+        new java.net.Socket("localhost", p).close()
+        up = true
+      } catch { case _: java.io.IOException => Thread.sleep(200) }
+    }
+    if (!up) throw new IllegalStateException(s"thrift endpoint not up on port $p")
+  }
+}

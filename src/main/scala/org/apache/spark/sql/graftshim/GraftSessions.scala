@@ -1,0 +1,57 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+
+/** Session construction hooks that need `private[sql]` access.
+  *
+  * `SparkSession.builder().withExtensions(...)` only applies extensions to
+  * a NEW SparkContext's first session — `getOrCreate` on a live context
+  * returns the existing session and silently drops them, and
+  * `newSession()` copies the parent's extensions verbatim. A serving
+  * endpoint that needs its OWN parser (the read-only JDBC facade) must
+  * therefore construct the session directly, sharing the SparkContext and
+  * SharedState (so cached data and the global temp view namespace stay
+  * one engine) while carrying its private extensions. */
+object GraftSessions {
+
+  /** Set a STATIC SQL conf so sessions constructed AFTER this call observe
+    * it at session-state init. Static SQL confs are merged from
+    * `sharedState.conf` — a SparkConf snapshot taken when the SharedState
+    * was first created — NOT from the live `sparkContext.conf`, so on an
+    * already-running context the SharedState copy is the one that counts.
+    * Both are `private[spark]`/`private[sql]`; this package is under
+    * `org.apache.spark.sql`, so the access is legal here and nowhere else. */
+  def setStaticConf(root: SparkSession, key: String, value: String): Unit = {
+    root.sparkContext.conf.set(key, value)
+    root.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.conf.set(key, value)
+  }
+
+  /** A new session over `root`'s SparkContext/SharedState whose parser is
+    * `wrap(delegate)` — every statement the session ever parses, from any
+    * entry point (sql(), Thrift operations), goes through the wrapper.
+    * The 6-arg constructor is Scala-private but public in bytecode;
+    * invoked reflectively (same contract `newSession()` itself uses). */
+  def withWrappedParser(
+      root: SparkSession,
+      wrap: ParserInterface => ParserInterface): SparkSession = {
+    val classic = root.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ext = new SparkSessionExtensions
+    ext.injectParser((_, delegate) => wrap(delegate))
+    val ctor = classOf[org.apache.spark.sql.classic.SparkSession].getConstructor(
+      classOf[org.apache.spark.SparkContext],
+      classOf[Option[_]],
+      classOf[Option[_]],
+      classOf[SparkSessionExtensions],
+      classOf[Map[_, _]],
+      classOf[Map[_, _]])
+    ctor.newInstance(
+      classic.sparkContext,
+      Some(classic.sharedState),
+      None, // fresh SessionState so the injected parser applies
+      ext,
+      Map.empty[String, String],
+      Map.empty[String, String])
+  }
+}

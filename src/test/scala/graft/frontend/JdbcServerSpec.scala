@@ -1,0 +1,117 @@
+package graft.frontend
+
+import graft.SparkFixture
+import graft.schema._
+import graft.sources._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.sql.DriverManager
+
+/** A REAL stock JDBC client (hive-jdbc over the Thrift wire protocol)
+  * against the per-tenant endpoint: connect, list tables, round-trip a
+  * query — the reference's primary production entry point
+  * (`FineoServer` + Avatica; `TestFineoServer.java` does the same
+  * connect-and-select round trip). Write statements must die at the
+  * parser regardless of what the wire client sends. */
+class JdbcServerSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkFixture.spark
+  import scala.jdk.CollectionConverters._
+
+  private val registry = SchemaRegistry(
+    Org("orgj", Seq(Metric("mj", "jdbcmetric", Seq(Field("v", FieldType.LONG))))),
+    Org("orgz", Seq(Metric("mz", "zmetric", Seq(Field("v", FieldType.LONG))))))
+
+  private lazy val sources: SourceSet = {
+    val dir = SparkFixture.tempDir("jdbcsrv")
+    val schema = StructType(Seq(
+      StructField("companykey", StringType), StructField("metrictype", StringType),
+      StructField("timestamp", LongType), StructField("v", LongType)))
+    val rows = Seq(
+      Row("orgj", "mj", 10L, 1L), Row("orgj", "mj", 20L, 2L), Row("orgj", "mj", 30L, 3L),
+      Row("orgz", "mz", 40L, 9L))
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/0/parquet/orgj/mj")
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/0/parquet/orgz/mz")
+    SourceSet(fs = Seq(FsSource("parquet", dir)))
+  }
+
+  private lazy val server: GraftJdbcServer = {
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    GraftJdbcServer.start(spark, registry, "orgj", sources)
+  }
+
+  private def withConn[A](f: java.sql.Connection => A): A = {
+    val c = DriverManager.getConnection(server.jdbcUrl, "anyuser", "")
+    try f(c) finally c.close()
+  }
+
+  test("a stock JDBC client connects and SHOW TABLES lists the tenant's tables") {
+    withConn { c =>
+      val rs = c.createStatement().executeQuery("SHOW TABLES")
+      val names = Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getString("tableName")).toSet
+      names should contain("jdbcmetric")
+      (names should not).contain("zmetric") // other tenant's table is unnameable
+    }
+  }
+
+  test("SELECT round-trips typed rows over the wire") {
+    withConn { c =>
+      val rs = c.createStatement().executeQuery(
+        "SELECT `timestamp`, v FROM jdbcmetric ORDER BY `timestamp`")
+      val got = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+      got shouldBe Seq((10L, 1L), (20L, 2L), (30L, 3L))
+    }
+  }
+
+  test("JDBC metadata calls (DatabaseMetaData.getTables/getColumns) work") {
+    withConn { c =>
+      val md = c.getMetaData
+      val ts = md.getTables(null, null, "%", null)
+      val names = Iterator.continually(ts).takeWhile(_.next())
+        .map(_.getString("TABLE_NAME")).toSet
+      names should contain("jdbcmetric")
+      val cols = md.getColumns(null, null, "jdbcmetric", "%")
+      val colNames = Iterator.continually(cols).takeWhile(_.next())
+        .map(_.getString("COLUMN_NAME")).toSet
+      colNames should contain allOf ("timestamp", "v")
+    }
+  }
+
+  test("writes and session mutation die at the parser, whatever the client sends") {
+    withConn { c =>
+      val st = c.createStatement()
+      for (sql <- Seq(
+          "DROP TABLE jdbcmetric",
+          "INSERT INTO jdbcmetric VALUES (50, 5)",
+          "CREATE TABLE t2 (x INT)",
+          "WITH q AS (SELECT 1 AS x) INSERT INTO jdbcmetric SELECT x, x FROM q",
+          "/* hi */ DELETE FROM jdbcmetric",
+          "INSERT OVERWRITE DIRECTORY '/tmp/jdbc_escape' USING parquet SELECT 1",
+          "SET spark.sql.runSQLOnFiles=true")) {
+        val e = intercept[java.sql.SQLException] { st.execute(sql) }
+        e.getMessage should include("read-only")
+      }
+      // and file-path relations stay rejected even as a pure query
+      intercept[java.sql.SQLException] {
+        st.executeQuery("SELECT * FROM parquet.`/root/testdata/sf0.001/region.parquet`")
+      }
+    }
+  }
+
+  test("the read-only parser still runs the full query surface") {
+    withConn { c =>
+      val rs = c.createStatement().executeQuery(
+        """WITH big AS (SELECT * FROM jdbcmetric WHERE v >= 2)
+          |SELECT count(*) AS n, sum(v) AS s FROM big""".stripMargin)
+      rs.next() shouldBe true
+      rs.getLong("n") shouldBe 2L
+      rs.getLong("s") shouldBe 5L
+    }
+  }
+}
