@@ -55,6 +55,24 @@ object QueriesExtra {
     all.except(urgent).orderBy("ck")
   }
 
+  /** Exact DECIMAL arithmetic end-to-end (§2.8 + the reference's
+    * scaffolded-but-unshipped decimal38, `DynamoRecordReader.java:26-39`):
+    * cast at the scan, multiply (scale grows 2→4), aggregate, compare
+    * exactly — no float rounding on either engine. Final casts pin
+    * precision AND scale so both engines render identical digits. */
+  def decimalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        col("l_discount").cast("decimal(4,2)").as("disc"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("price")).cast("decimal(38,2)").as("sum_price"),
+        sum(col("price") * (lit(1) - col("disc"))).cast("decimal(38,4)").as("sum_disc_price"),
+        max(col("price")).cast("decimal(38,2)").as("max_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
   /** LIKE / pattern filters (recognized but residual in the reference's
     * pushdown map — here they run native). */
   def likeFilter(s: SparkSession, dir: String): DataFrame =
@@ -154,6 +172,7 @@ object QueriesExtra {
     "pivot_status" -> (pivotStatus _),
     "null_functions" -> (nullFunctions _),
     "math_functions" -> (mathFunctions _),
+    "decimal_agg" -> (decimalAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -229,5 +248,13 @@ object QueriesExtra {
         |  CAST(floor(s_acctbal) AS BIGINT) AS bal_floor,
         |  CAST(ceil(s_acctbal) AS BIGINT) AS bal_ceil
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "decimal_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS max_price,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

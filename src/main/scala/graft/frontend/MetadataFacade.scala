@@ -137,6 +137,7 @@ object MetadataFacade {
     case LongType    => java.sql.Types.BIGINT
     case FloatType   => java.sql.Types.FLOAT
     case DoubleType  => java.sql.Types.DOUBLE
+    case _: DecimalType => java.sql.Types.DECIMAL
     case _: MapType  => java.sql.Types.OTHER
     case _           => java.sql.Types.OTHER
   }
@@ -149,6 +150,9 @@ object MetadataFacade {
     case LongType    => "BIGINT"
     case FloatType   => "FLOAT"
     case DoubleType  => "DOUBLE"
+    // Type LISTING name, not a column's concrete type: precision/scale are
+    // per-column attributes (getColumns), the type itself is DECIMAL.
+    case _: DecimalType => "DECIMAL"
     case m: MapType  => "MAP"
     case other       => other.sql
   }

@@ -9,10 +9,18 @@ import scala.jdk.CollectionConverters._
   * Mirrors the reference type mapping (SURVEY.md §1.2;
   * reference `fineo-adapter-drill/.../schema/FineoTable.java:74-93`):
   * STRING→VARCHAR, BOOLEAN, BYTES→BINARY (base64 on the JSON path),
-  * INT, LONG, FLOAT, DOUBLE.
+  * INT, LONG, FLOAT, DOUBLE — plus DECIMAL, which the reference scaffolds
+  * but never shipped (`storage-dynamo/.../DynamoRecordReader.java:26-39`
+  * reads Dynamo `N` as string with "TODO replace with decimal38"): here a
+  * tenant CAN declare a DECIMAL field; storage numbers-as-strings cast to
+  * it losslessly at recombine time. Default precision/scale is (38, 9)
+  * (Dynamo `N`'s 38-digit ceiling); per-field override on [[Field]].
   */
 object FieldType extends Enumeration {
-  val STRING, BOOLEAN, BYTES, INT, LONG, FLOAT, DOUBLE = Value
+  val STRING, BOOLEAN, BYTES, INT, LONG, FLOAT, DOUBLE, DECIMAL = Value
+
+  val DefaultDecimalPrecision = 38
+  val DefaultDecimalScale = 9
 
   def toSpark(t: Value): DataType = t match {
     case STRING  => StringType
@@ -22,6 +30,7 @@ object FieldType extends Enumeration {
     case LONG    => LongType
     case FLOAT   => FloatType
     case DOUBLE  => DoubleType
+    case DECIMAL => DecimalType(DefaultDecimalPrecision, DefaultDecimalScale)
   }
 }
 
@@ -36,15 +45,22 @@ object FieldType extends Enumeration {
   *
   * Coalesce precedence on read: user name, then aliases in declared order,
   * then cname (reference `FineoRecombinatorRule.java:96-107`).
+  *
+  * `decimal` sets precision/scale when `ftype` is DECIMAL (ignored
+  * otherwise); absent, DECIMAL(38, 9).
   */
 case class Field(
     name: String,
     ftype: FieldType.Value,
     aliases: Seq[String] = Nil,
-    cname: Option[String] = None) {
+    cname: Option[String] = None,
+    decimal: Option[(Int, Int)] = None) {
   /** All storage columns that may feed this field, in coalesce order. */
   def sourceColumns: Seq[String] = (name +: aliases) ++ cname.toSeq
-  def sparkType: DataType = FieldType.toSpark(ftype)
+  def sparkType: DataType = (ftype, decimal) match {
+    case (FieldType.DECIMAL, Some((p, s))) => DecimalType(p, s)
+    case (t, _)                            => FieldType.toSpark(t)
+  }
 }
 
 /** A metric = one logical, tenant-visible table.
@@ -90,7 +106,13 @@ case class Metric(
     else {
       def carrier(t: FieldType.Value): DataType = t match {
         case FieldType.BYTES => StringType // base64 text on the JSON path
-        case other           => FieldType.toSpark(other)
+        // DECIMAL rides as text: letting Spark's JSON reader parse the
+        // number would round-trip it through a binary double and silently
+        // shave digits 16+; the string → declared-decimal cast at
+        // recombine time is lossless (the reference stores Dynamo N as
+        // string for exactly this reason, DynamoRecordReader.java:26-39).
+        case FieldType.DECIMAL => StringType
+        case other             => FieldType.toSpark(other)
       }
       val internal = Seq(
         StructField(Metric.OrgKey, StringType),
@@ -190,12 +212,18 @@ object SchemaRegistry {
     def strs(n: JsonNode, f: String): Seq[String] = arr(n, f).map(_.asText)
     val orgs = arr(root, "orgs").map { o =>
       val metrics = arr(o, "metrics").map { m =>
+        val DecimalRe = """DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
         val fields = arr(m, "fields").map { f =>
+          val (ftype, dec) = f.get("type").asText.toUpperCase.trim match {
+            case DecimalRe(p, s) => (FieldType.DECIMAL, Some((p.toInt, s.toInt)))
+            case other           => (FieldType.withName(other), None)
+          }
           Field(
             f.get("name").asText,
-            FieldType.withName(f.get("type").asText.toUpperCase),
+            ftype,
             strs(f, "aliases"),
-            Option(f.get("cname")).map(_.asText))
+            Option(f.get("cname")).map(_.asText),
+            dec)
         }
         Metric(
           m.get("canonicalId").asText,

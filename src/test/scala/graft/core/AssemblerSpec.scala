@@ -154,6 +154,36 @@ class AssemblerSpec extends AnyFunSuite with Matchers {
     metric.copy(radioEnabled = true).jsonStorageSchema shouldBe None
   }
 
+  test("DECIMAL fields survive the JSON path losslessly (string carrier, no double round-trip)") {
+    // 25 significant digits — a binary double keeps only ~16. If the
+    // carrier type were DoubleType this value would come back mangled.
+    val big = "1234567890123456789012345.123456789"
+    val m = Metric("md", "dec_metric", Seq(Field("amount", FieldType.DECIMAL)))
+    m.jsonStorageSchema.get("amount").dataType shouldBe StringType
+    val dir = SparkFixture.tempDir("assy_decimal")
+    val d = new java.io.File(s"$dir/0/json/orgid1/md")
+    d.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d.toString, "part.json"),
+      s"""{"companykey":"orgid1","metrictype":"md","timestamp":10,"amount":"$big"}""".getBytes)
+    val out = Assembler.metricTable(spark, "orgid1", m,
+      SourceSet(fs = Seq(FsSource("json", dir))))
+    out.schema("amount").dataType shouldBe DecimalType(38, 9)
+    out.collect().head.getDecimal(1) shouldBe new java.math.BigDecimal(big).setScale(9)
+  }
+
+  test("registry JSON accepts DECIMAL and DECIMAL(p,s) declarations") {
+    val reg = SchemaRegistry.fromJson(
+      """{"orgs":[{"orgId":"o1","metrics":[{"canonicalId":"c1","displayName":"t1",
+        |  "fields":[{"name":"exact","type":"DECIMAL(20,4)"},
+        |            {"name":"wide","type":"decimal"},
+        |            {"name":"n","type":"LONG"}]}]}]}""".stripMargin)
+    val m = reg.metric("o1", "t1").get
+    m.structType("exact").dataType shouldBe DecimalType(20, 4)
+    m.structType("wide").dataType shouldBe DecimalType(38, 9)
+    m.structType("n").dataType shouldBe LongType
+  }
+
   test("nearline table name range parsing") {
     NearlineTableDesc.parseRange("pfx-", "pfx-100_200") shouldBe Some((100L, 200L))
     NearlineTableDesc.parseRange("pfx-", "other-100_200") shouldBe None

@@ -61,7 +61,8 @@ class MetadataFacadeSpec extends AnyFunSuite with Matchers {
 
   test("getTypeInfo covers the Avro primitive surface; getTableTypes serves TABLE") {
     val types = facade.getTypeInfo.collect().map(_.getString(0)).toSet
-    types shouldBe Set("VARCHAR", "BOOLEAN", "BINARY", "INTEGER", "BIGINT", "FLOAT", "DOUBLE")
+    types shouldBe Set(
+      "VARCHAR", "BOOLEAN", "BINARY", "INTEGER", "BIGINT", "FLOAT", "DOUBLE", "DECIMAL")
     facade.getTableTypes.collect().map(_.getString(0)).toSeq shouldBe Seq("TABLE")
   }
 
