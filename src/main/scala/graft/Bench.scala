@@ -1,5 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-query physical cost capture: sums task metrics between reset()
+  * calls so every bench timing carries its own diagnosis (a regression
+  * with flat shuffle bytes is scheduling noise; one with 10× shuffle is a
+  * plan change). Task-end events are async — callers drain the listener
+  * bus before snapshotting. */
+private class QueryMetricsListener extends org.apache.spark.scheduler.SparkListener {
+  import java.util.concurrent.atomic.LongAdder
+  val shuffleRead, shuffleWrite, spill, tasks = new LongAdder
+  override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
+      shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
+      spill.add(m.memoryBytesSpilled + m.diskBytesSpilled)
+      tasks.increment()
+    }
+  }
+  def reset(): Unit = Seq(shuffleRead, shuffleWrite, spill, tasks).foreach(_.reset())
+  def snapshot: (Long, Long, Long, Long) =
+    (shuffleRead.sum, shuffleWrite.sum, spill.sum, tasks.sum)
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -23,8 +46,12 @@ object Bench {
     // A failed query must look like a FAILURE, not a fast timing: record
     // the error per query and surface the count in the headline line.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val qmetrics = new QueryMetricsListener
+    spark.sparkContext.addSparkListener(qmetrics)
+    val physical = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Long)]
     // stable name order: per-query timings comparable across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      qmetrics.reset()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
@@ -32,7 +59,12 @@ object Bench {
       }
       // index cleanup is part of the query's real cost — keep it timed
       finally graft.ops.Materialize.dropAll()
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      try {
+        org.apache.spark.sql.graftshim.GraftSessions.drainListenerBus(spark)
+        physical(name) = qmetrics.snapshot
+      } catch { case _: Throwable => () } // metrics are diagnosis, never a bench failure
+      name -> sec
     }
     def jstr(s: String): String =
       "\"" + s.flatMap { c => if (c == '"' || c == '\\') s"\\$c" else if (c < ' ') " " else c.toString } + "\""
@@ -61,7 +93,11 @@ object Bench {
     }
     val regJson = regressions.map { case (n, p, c) =>
       s"${jstr(n)}:{" + f""""prev":$p%.3f,"cur":$c%.3f}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errs,"regressions":$regJson,"sf":"$sfDir"}""")
+    val pm = physical.map { case (n, (sr, sw, sp, tk)) =>
+      s"${jstr(n)}:{" +
+        s""""shuffleReadBytes":$sr,"shuffleWriteBytes":$sw,"spillBytes":$sp,"tasks":$tk}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errs,"regressions":$regJson,"queryMetrics":$pm,"sf":"$sfDir"}""")
     spark.stop()
   }
 

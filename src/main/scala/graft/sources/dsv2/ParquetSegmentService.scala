@@ -149,14 +149,14 @@ object ParquetSegmentService {
       case v    => String.valueOf(v)
     }
 
-  /** Numeric-aware compare, mirroring Dynamo's typed N comparison.
-    * Callers guard null (a null attribute fails every range condition). */
-  private def compare(a: String, b: String): Int = {
-    (a.toDoubleOption, b.toDoubleOption) match {
-      case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
-      case _ => a.compareTo(b)
-    }
-  }
+  /** Numeric-aware compare, mirroring Dynamo's typed N comparison —
+    * EXACT, like Dynamo's 38-digit N arithmetic: BigDecimal, not double,
+    * so two long decimals that collide at double precision (digit 17+)
+    * still order correctly. Callers guard null (a null attribute fails
+    * every range condition). */
+  private def compare(a: String, b: String): Int =
+    try new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    catch { case _: NumberFormatException => a.compareTo(b) }
 
   /** Segment assignment: hash of the partition-key value, like Dynamo's
     * internal hash segmentation — all items of one partition key land in

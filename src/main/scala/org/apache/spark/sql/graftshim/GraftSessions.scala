@@ -28,6 +28,12 @@ object GraftSessions {
       .sharedState.conf.set(key, value)
   }
 
+  /** Block until queued SparkListener events are delivered — task-end
+    * metrics arrive async, so a snapshot taken right after an action
+    * undercounts without this. `listenerBus` is `private[spark]`. */
+  def drainListenerBus(root: SparkSession): Unit =
+    root.sparkContext.listenerBus.waitUntilEmpty()
+
   /** A new session over `root`'s SparkContext/SharedState whose parser is
     * `wrap(delegate)` — every statement the session ever parses, from any
     * entry point (sql(), Thrift operations), goes through the wrapper.

@@ -220,6 +220,24 @@ class NearlineConnectorSpec extends AnyFunSuite with Matchers {
     scanDesc(df) should include("LessThan(amount,5)")
   }
 
+  test("server-side numeric compare is exact past double precision (Dynamo 38-digit N)") {
+    // Two 20-digit values that collide when parsed as doubles: a double-
+    // based compare returns 0 and `>` wrongly fails. Dynamo N comparison
+    // is exact to 38 digits; so is the stub's.
+    import graft.sources.dsv2.ParquetSegmentService.evalPred
+    val lo = "10000000000000000000"
+    val hi = "10000000000000000001"
+    lo.toDouble shouldBe hi.toDouble // the collision double arithmetic can't see
+    evalPred(ReadPlanner.Cmp("amount", ">", lo), Map("amount" -> hi)) shouldBe true
+    evalPred(ReadPlanner.Cmp("amount", "<", hi), Map("amount" -> lo)) shouldBe true
+    evalPred(ReadPlanner.Cmp("amount", ">", lo), Map("amount" -> lo)) shouldBe false
+    evalPred(ReadPlanner.Between("amount", lo, lo), Map("amount" -> hi)) shouldBe false
+    // scale-insensitive numeric equality via range ops ("1.10" ≡ "1.1")
+    evalPred(ReadPlanner.Between("amount", "1.10", "1.10"), Map("amount" -> "1.1")) shouldBe true
+    // non-numeric values still compare as strings
+    evalPred(ReadPlanner.Cmp("name", "<", "b"), Map("name" -> "a")) shouldBe true
+  }
+
   test("transport paging returns every record exactly once across continuation tokens") {
     // page size 2 over 4 rows forces multiple pages per segment; the
     // token-resume contract must neither drop nor duplicate
