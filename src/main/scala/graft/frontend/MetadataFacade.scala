@@ -14,23 +14,32 @@ import org.apache.spark.sql.types._
   * `IteratorResult`/`SimpleMetadata` ResultSets); column names and
   * SQL type codes follow `java.sql.DatabaseMetaData`.
   */
-class MetadataFacade(spark: SparkSession, registry: SchemaRegistry, orgId: String) {
+class MetadataFacade(
+    spark: SparkSession,
+    registry: SchemaRegistry,
+    orgId: String,
+    views: Set[String] = Set.empty) {
   import MetadataFacade._
 
   /** The single constant catalog every tenant sees. */
   def getCatalogs: DataFrame =
     df(Seq(Row(Catalog)), StructType(Seq(StructField("TABLE_CAT", StringType))))
 
-  /** One schema per tenant, named like the catalog. Patterns that don't
-    * match FINEO yield an empty result (JDBC contract), not an error. */
+  /** FINEO (metrics), plus ERRORS when the tenant has a registered errors
+    * view — the reference's two tenant-visible schemas
+    * (`FineoInfoSchemaUserTranslator.java:96-97` maps
+    * `fineo.errors.default` → ERRORS). Patterns that match neither yield
+    * an empty result (JDBC contract), not an error. */
   def getSchemas(catalogPattern: String = null, schemaPattern: String = null): DataFrame = {
     val rows =
-      if (matchesLike(catalogPattern, Catalog) && matchesLike(schemaPattern, Catalog))
-        Seq(Row(Catalog, Catalog))
-      else Nil
+      if (!matchesLike(catalogPattern, Catalog)) Nil
+      else visibleSchemas.filter(matchesLike(schemaPattern, _)).map(Row(_, Catalog))
     df(rows, StructType(Seq(
       StructField("TABLE_SCHEM", StringType), StructField("TABLE_CATALOG", StringType))))
   }
+
+  private def visibleSchemas: Seq[String] =
+    Catalog +: (if (views.nonEmpty) Seq(ErrorsSchema) else Nil)
 
   def getTableTypes: DataFrame =
     df(Seq(Row(TableType)), StructType(Seq(StructField("TABLE_TYPE", StringType))))
@@ -43,13 +52,17 @@ class MetadataFacade(spark: SparkSession, registry: SchemaRegistry, orgId: Strin
       tableNamePattern: String = null,
       types: Seq[String] = Nil): DataFrame = {
     val inScope = matchesLike(catalogPattern, Catalog) &&
-      matchesLike(schemaPattern, Catalog) &&
       (types.isEmpty || types.exists(_.equalsIgnoreCase(TableType)))
-    val rows =
-      if (!inScope) Nil
+    val metricRows =
+      if (!inScope || !matchesLike(schemaPattern, Catalog)) Nil
       else registry.listTables(orgId)
         .filter(matchesLike(tableNamePattern, _))
         .map(t => Row(Catalog, Catalog, t, TableType, null))
+    val viewRows =
+      if (!inScope || !matchesLike(schemaPattern, ErrorsSchema)) Nil
+      else views.toSeq.sorted.filter(matchesLike(tableNamePattern, _))
+        .map(v => Row(Catalog, ErrorsSchema, v, TableType, null))
+    val rows = metricRows ++ viewRows
     df(rows, StructType(Seq(
       StructField("TABLE_CAT", StringType), StructField("TABLE_SCHEM", StringType),
       StructField("TABLE_NAME", StringType), StructField("TABLE_TYPE", StringType),
@@ -64,9 +77,8 @@ class MetadataFacade(spark: SparkSession, registry: SchemaRegistry, orgId: Strin
       schemaPattern: String = null,
       tableNamePattern: String = null,
       columnNamePattern: String = null): DataFrame = {
-    val inScope = matchesLike(catalogPattern, Catalog) && matchesLike(schemaPattern, Catalog)
-    val rows =
-      if (!inScope) Nil
+    val metricRows =
+      if (!matchesLike(catalogPattern, Catalog) || !matchesLike(schemaPattern, Catalog)) Nil
       else for {
         table <- registry.listTables(orgId).filter(matchesLike(tableNamePattern, _))
         metric = registry.metric(orgId, table).get
@@ -77,6 +89,17 @@ class MetadataFacade(spark: SparkSession, registry: SchemaRegistry, orgId: Strin
         jdbcTypeCode(field.dataType), jdbcTypeName(field.dataType),
         idx + 1, if (field.nullable) "YES" else "NO",
         if (field.nullable) 1 else 0) // columnNullable / columnNoNulls
+    val viewRows =
+      if (!matchesLike(catalogPattern, Catalog) || !matchesLike(schemaPattern, ErrorsSchema)) Nil
+      else for {
+        v <- views.toSeq.sorted.filter(matchesLike(tableNamePattern, _))
+        (field, idx) <- spark.table(v).schema.fields.toSeq.zipWithIndex
+        if matchesLike(columnNamePattern, field.name)
+      } yield Row(
+        Catalog, ErrorsSchema, v, field.name,
+        jdbcTypeCode(field.dataType), jdbcTypeName(field.dataType),
+        idx + 1, "YES", 1)
+    val rows = metricRows ++ viewRows
     df(rows, StructType(Seq(
       StructField("TABLE_CAT", StringType), StructField("TABLE_SCHEM", StringType),
       StructField("TABLE_NAME", StringType), StructField("COLUMN_NAME", StringType),
@@ -102,6 +125,9 @@ class MetadataFacade(spark: SparkSession, registry: SchemaRegistry, orgId: Strin
 
 object MetadataFacade {
   val Catalog = "FINEO"
+  /** The errors view's schema name in listings
+    * (`FineoInfoSchemaUserTranslator.java:96-97`). */
+  val ErrorsSchema = "ERRORS"
   val TableType = "TABLE"
 
   /** SQL-LIKE pattern → Java regex (reference `RegexpUtil.sqlToRegexLike:

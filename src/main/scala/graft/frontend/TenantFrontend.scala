@@ -183,7 +183,10 @@ class TenantSession private (
   /** `SHOW TABLES [FROM|IN db] [LIKE 'pat' | WHERE cond]` /
     * `SHOW SCHEMAS|DATABASES` (reference grammar
     * `SqlShowTables.java:44-115` — the `db` member accepts FROM/IN). A
-    * tenant sees exactly one schema, so any db other than FINEO errors.
+    * tenant sees the FINEO schema (metrics) plus, when the errors view is
+    * registered, the ERRORS schema — the reference's info schema maps
+    * `fineo.errors.default` to a distinct ERRORS schema
+    * (`FineoInfoSchemaUserTranslator.java:96-97`). Any other db errors.
     * The WHERE form filters over the result columns (schema, table), like
     * Drill's info-schema-backed SHOW. */
   private def showStatement(clean: String): DataFrame = {
@@ -192,9 +195,11 @@ class TenantSession private (
     val schemasRe = """(?is)^show\s+(?:schemas|databases)\s*;?\s*$""".r
     clean match {
       case tablesRe(db, like, where) =>
-        if (db != null && !db.equalsIgnoreCase("FINEO"))
-          throw new IllegalArgumentException(s"schema not found: $db")
-        val base = showTables()
+        val base =
+          if (db == null || db.equalsIgnoreCase("FINEO")) showTables()
+          else if (db.equalsIgnoreCase(MetadataFacade.ErrorsSchema) && registeredViews.nonEmpty)
+            showErrorTables()
+          else throw new IllegalArgumentException(s"schema not found: $db")
         if (like != null)
           base.filter(col("table").rlike("(?i)^" + MetadataFacade.sqlToRegexLike(like) + "$"))
         else if (where != null) base.filter(expr(where))
@@ -211,14 +216,24 @@ class TenantSession private (
     toDf(registry.listTables(orgId).map(t => Row("FINEO", t)),
       StructType(Seq(StructField("schema", StringType), StructField("table", StringType))))
 
-  /** A tenant sees exactly one schema, the constant catalog FINEO. */
-  def showSchemas(): DataFrame =
-    toDf(Seq(Row("FINEO")), StructType(Seq(StructField("schema", StringType))))
+  private def showErrorTables(): DataFrame =
+    toDf(registeredViews.toSeq.sorted.map(v => Row(MetadataFacade.ErrorsSchema, v)),
+      StructType(Seq(StructField("schema", StringType), StructField("table", StringType))))
+
+  /** The constant FINEO schema, plus ERRORS when the errors view exists
+    * (the reference's two tenant-visible schemas). */
+  def showSchemas(): DataFrame = {
+    val rows = Row("FINEO") +:
+      (if (registeredViews.nonEmpty) Seq(Row(MetadataFacade.ErrorsSchema)) else Nil)
+    toDf(rows, StructType(Seq(StructField("schema", StringType))))
+  }
 
   /** USE is rewritten to the org schema by the reference parser; only the
-    * tenant's single schema name is legal. */
+    * tenant's visible schema names are legal. */
   private def useSchema(name: String): DataFrame =
-    if (name.equalsIgnoreCase("FINEO") || name.equalsIgnoreCase("use")) showSchemas()
+    if (name.equalsIgnoreCase("FINEO") || name.equalsIgnoreCase("use") ||
+        (name.equalsIgnoreCase(MetadataFacade.ErrorsSchema) && registeredViews.nonEmpty))
+      showSchemas()
     else throw new IllegalArgumentException(s"schema not found: $name")
 
   def describeTable(table: String): DataFrame = {
@@ -242,7 +257,7 @@ class TenantSession private (
 
   /** JDBC-style metadata facade bound to this tenant (reference
     * `FineoDatabaseMetaData.java:39-105`). */
-  def metadata: MetadataFacade = new MetadataFacade(spark, registry, orgId)
+  def metadata: MetadataFacade = new MetadataFacade(spark, registry, orgId, registeredViews)
 
   // -------------------------------------------------------------- helpers
 

@@ -381,6 +381,38 @@ class TenantFrontendSpec extends AnyFunSuite with Matchers {
     intercept[IllegalArgumentException] { t.sql("SHOW TABLES IN otherdb LIKE 'x%'") }
   }
 
+  test("errors view surfaces as the ERRORS schema (info-schema parity)") {
+    // the reference's info schema maps fineo.errors.default to a distinct
+    // ERRORS schema next to FINEO (FineoInfoSchemaUserTranslator.java:96-97)
+    val errDir = SparkFixture.tempDir("errsschema")
+    val d = new java.io.File(s"$errDir/stream/stage=raw/type=error/year=2016/month=10/day=3")
+    d.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d.toString, "archive.json"),
+      """{"apikey":"org1","message":"m1","event":"e1"}""".getBytes)
+    val t = TenantSession.open(spark, registry, "org1", sources, errorsDir = Some(errDir))
+    t.sql("SHOW SCHEMAS").collect().map(_.getString(0)).toSeq shouldBe Seq("FINEO", "ERRORS")
+    t.sql("SHOW TABLES FROM ERRORS").collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq shouldBe Seq(("ERRORS", "errors_stream"))
+    // FINEO listing stays metrics-only; USE ERRORS is legal here
+    t.sql("SHOW TABLES").collect().map(_.getString(1)).toSeq shouldBe
+      Seq("metricid1", "othermetric")
+    t.sql("USE ERRORS").collect().length shouldBe 2
+    // JDBC facade: ERRORS schema + errors table + its columns
+    t.metadata.getSchemas().collect().map(_.getString(0)).toSeq shouldBe Seq("FINEO", "ERRORS")
+    val tbl = t.metadata.getTables(schemaPattern = "ERRORS").collect()
+    tbl.map(_.getString(2)).toSeq shouldBe Seq("errors_stream")
+    val cols = t.metadata.getColumns(schemaPattern = "ERRORS").collect()
+      .map(_.getString(3)).toSet
+    cols should contain allOf ("message", "event", "stage")
+    // without an errors view there is no ERRORS schema anywhere
+    val bare = TenantSession.open(spark, registry, "org1", sources)
+    bare.sql("SHOW SCHEMAS").collect().map(_.getString(0)).toSeq shouldBe Seq("FINEO")
+    bare.metadata.getTables(schemaPattern = "ERRORS").collect() shouldBe empty
+    intercept[IllegalArgumentException] { bare.sql("SHOW TABLES FROM ERRORS") }
+    intercept[IllegalArgumentException] { bare.sql("USE ERRORS") }
+  }
+
   test("DESCRIBE covers registered views, not just registry metrics") {
     val errDir = SparkFixture.tempDir("errsdesc")
     val d = new java.io.File(s"$errDir/stream/stage=raw/type=error/year=2016/month=10/day=3")
