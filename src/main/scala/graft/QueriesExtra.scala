@@ -73,6 +73,44 @@ object QueriesExtra {
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag")
 
+  /** Array functions (§2.8 "array"): split, size, contains, sort+join,
+    * 1-based element access. Outputs are scalars (joined strings), not
+    * array columns, so the oracle compare stays value-exact. */
+  def arrayFunctions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"), split(col("p_name"), " ").as("words"))
+      .select(
+        col("p_partkey"),
+        size(col("words")).cast("long").as("n_words"),
+        array_contains(col("words"), "green").as("has_green"),
+        array_join(sort_array(col("words")), "_").as("sorted_joined"),
+        element_at(col("words"), 1).as("first_word"))
+      .orderBy("p_partkey")
+
+  /** JSON functions (§2.8 "json"): build a JSON document from row values
+    * identically on both engines, then extract present and missing paths. */
+  def jsonFunctions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        concat(lit("{\"key\":"), col("o_orderkey"),
+          lit(",\"priority\":\""), col("o_orderpriority"), lit("\"}")).as("j"))
+      .select(
+        col("o_orderkey"),
+        get_json_object(col("j"), "$.key").as("jkey"),
+        get_json_object(col("j"), "$.priority").as("jpriority"),
+        get_json_object(col("j"), "$.missing").as("jmissing"))
+      .orderBy("o_orderkey")
+
+  /** collect_list aggregation (§2.4): per-group gathered values, sorted
+    * for determinism and joined to a scalar for exact compare. */
+  def aggCollect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(array_join(sort_array(collect_list(col("l_linenumber"))), ",").as("lines"),
+        count(lit(1)).as("n"))
+      .orderBy("l_orderkey")
+
   /** LIKE / pattern filters (recognized but residual in the reference's
     * pushdown map — here they run native). */
   def likeFilter(s: SparkSession, dir: String): DataFrame =
@@ -173,6 +211,9 @@ object QueriesExtra {
     "null_functions" -> (nullFunctions _),
     "math_functions" -> (mathFunctions _),
     "decimal_agg" -> (decimalAgg _),
+    "array_functions" -> (arrayFunctions _),
+    "json_functions" -> (jsonFunctions _),
+    "agg_collect" -> (aggCollect _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -256,5 +297,25 @@ object QueriesExtra {
         |  CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS max_price,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "array_functions" ->
+      """SELECT p_partkey,
+        |  len(string_split(p_name, ' ')) AS n_words,
+        |  list_contains(string_split(p_name, ' '), 'green') AS has_green,
+        |  array_to_string(list_sort(string_split(p_name, ' ')), '_') AS sorted_joined,
+        |  string_split(p_name, ' ')[1] AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "json_functions" ->
+      """SELECT o_orderkey,
+        |  json_extract_string(j, '$.key') AS jkey,
+        |  json_extract_string(j, '$.priority') AS jpriority,
+        |  json_extract_string(j, '$.missing') AS jmissing
+        |FROM (SELECT o_orderkey,
+        |        '{"key":' || o_orderkey || ',"priority":"' || o_orderpriority || '"}' AS j
+        |      FROM orders) ORDER BY o_orderkey""".stripMargin,
+    "agg_collect" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
   )
 }
