@@ -264,8 +264,21 @@ object PipelineQueries {
         expr("(instr('0123456789abcdef', substring(md5(text), 4, 1)) - 1) / cast(15 as double)").as("emb_3"))
       .orderBy("doc_id")
 
+  /** Context-window chunking: overlapping 200-char chunks, stride 150 —
+    * the tokenize/embed unit of a training pipeline. Chunk content is
+    * compared by md5 + length (value-exact, compact). */
+  def docChunking(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(t(s, dir, "documents"), size = 200, stride = 150)
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   // ================================================================ maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunking" -> (docChunking _),
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
@@ -371,6 +384,15 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "doc_chunking" ->
+      """SELECT doc_id,
+        |  CAST(s / 150 AS BIGINT) AS chunk_idx,
+        |  CAST(len(substr(text, s + 1, 200)) AS BIGINT) AS chunk_len,
+        |  md5(substr(text, s + 1, 200)) AS chunk_md5
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0, greatest(len(text) - 1, 0), 150)) AS s
+        |      FROM documents)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  len($toks) AS n_words,

@@ -111,6 +111,43 @@ object QueriesExtra {
         count(lit(1)).as("n"))
       .orderBy("l_orderkey")
 
+  /** Exact percentiles per group (§2.4): Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition but order
+    * the arithmetic differently, so a non-dyadic fraction (0.9) over
+    * doubles can flip the last ulp. Dyadic fractions (.25/.5/.75) over
+    * integer data make both formulas exact — bit-identical by
+    * construction. */
+  def percentileAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        round(min("l_extendedprice"), 2).as("pmin"),
+        round(max("l_extendedprice"), 2).as("pmax"))
+      .orderBy("l_returnflag")
+
+  /** UNPIVOT / melt (§2.7-adjacent reshaping): wide columns to (metric,
+    * value) rows. */
+  def unpivotOp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("o_custkey").cast("double").as("cust"))
+      .unpivot(Array(col("o_orderkey")), Array(col("price"), col("cust")), "metric", "val")
+      .orderBy("o_orderkey", "metric")
+
+  /** Tumbling time-window aggregation (§2.5/streaming-adjacent batch
+    * form): Spark's `window()` vs DuckDB's `time_bucket` — both
+    * epoch-aligned hour buckets. */
+  def windowTumbling(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("n"), col("sum_value"))
+      .orderBy("bucket")
+
   /** LIKE / pattern filters (recognized but residual in the reference's
     * pushdown map — here they run native). */
   def likeFilter(s: SparkSession, dir: String): DataFrame =
@@ -214,6 +251,9 @@ object QueriesExtra {
     "array_functions" -> (arrayFunctions _),
     "json_functions" -> (jsonFunctions _),
     "agg_collect" -> (aggCollect _),
+    "percentile_agg" -> (percentileAgg _),
+    "unpivot_op" -> (unpivotOp _),
+    "window_tumbling" -> (windowTumbling _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -317,5 +357,23 @@ object QueriesExtra {
         |  array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "percentile_agg" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  round(min(l_extendedprice), 2) AS pmin,
+        |  round(max(l_extendedprice), 2) AS pmax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "unpivot_op" ->
+      """SELECT o_orderkey, metric, val
+        |FROM (SELECT o_orderkey, round(o_totalprice, 2) AS price,
+        |        CAST(o_custkey AS DOUBLE) AS cust FROM orders)
+        |  UNPIVOT (val FOR metric IN (price, cust))
+        |ORDER BY o_orderkey, metric""".stripMargin,
+    "window_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

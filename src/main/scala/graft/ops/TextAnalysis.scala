@@ -64,6 +64,30 @@ object TextAnalysis {
     scored.withColumn("pred_lang", best._2)
   }
 
+  /** Overlapping fixed-size chunks of a document — the unit a training
+    * pipeline tokenizes and embeds (context-window packing with overlap so
+    * no boundary content is lost). One output row per chunk, original
+    * columns preserved.
+    *
+    * Scale: a pure generator projection (`explode(sequence(...))` +
+    * substring) — no shuffle, no UDF, stays in codegen; output size is
+    * ~len/stride rows per doc regardless of corpus size. Chunk text is a
+    * derived column, so downstream `select`s that only need offsets/hashes
+    * prune it before it is ever materialized.
+    *
+    * @param size   chunk length in characters
+    * @param stride distance between chunk starts; < size ⇒ overlap of
+    *               (size - stride) chars between consecutive chunks
+    */
+  def chunk(df: DataFrame, textCol: String = "text",
+      size: Int = 200, stride: Int = 150): DataFrame = {
+    require(stride > 0 && size > 0, "chunk size and stride must be positive")
+    df.withColumn("chunk_start",
+        explode(sequence(lit(0), greatest(length(col(textCol)) - 1, lit(0)), lit(stride))))
+      .withColumn("chunk_idx", (col("chunk_start") / stride).cast("long"))
+      .withColumn("chunk", col(textCol).substr(col("chunk_start") + 1, lit(size)))
+  }
+
   /** Document fingerprint: md5 of normalized text, plus a winnowing-style
     * k-smallest-shingle-hash fingerprint (rolling content signature that
     * survives small edits). */

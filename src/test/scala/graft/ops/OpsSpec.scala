@@ -225,6 +225,25 @@ class OpsSpec extends AnyFunSuite with Matchers {
     r.getAs[Double]("distinct_ratio") shouldBe 0.5
   }
 
+  test("chunking: overlapping windows cover the document; no boundary loss") {
+    val text = "abcdefghij" * 5 // 50 chars
+    val d = docs((1L, text), (2L, "short"))
+    val out = TextAnalysis.chunk(d, "text", size = 20, stride = 15)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val doc1 = out.filter(_.getLong(0) == 1L).map(_.getAs[String]("chunk"))
+    // starts 0,15,30,45 → 4 chunks; last one is the 5-char tail
+    doc1.length shouldBe 4
+    doc1.head shouldBe text.substring(0, 20)
+    doc1.last shouldBe text.substring(45)
+    // consecutive chunks overlap by size - stride = 5 chars
+    doc1(0).takeRight(5) shouldBe doc1(1).take(5)
+    // every char of the doc appears in some chunk at its own offset
+    doc1.zipWithIndex.flatMap { case (c, i) => c.zipWithIndex.map { case (ch, j) => (i * 15 + j, ch) } }
+      .distinct.sortBy(_._1).map(_._2).mkString shouldBe text
+    // a doc shorter than one chunk yields exactly itself
+    out.filter(_.getLong(0) == 2L).map(_.getAs[String]("chunk")).toSeq shouldBe Seq("short")
+  }
+
   test("multimodal: asset schema, stub decode, frame sampling and explode") {
     val d = docs((1L, "x" * 300), (2L, "y" * 100))
     val assets = Multimodal.assetsFromText(d, "doc_id", "text")
