@@ -69,6 +69,22 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should include("*(")
   }
 
+  test("chunking is a shuffle-free generator projection that prunes the chunk text") {
+    // The 100 TB contract of TextAnalysis.chunk: explode(sequence)+substr
+    // runs at scan speed — no Exchange anywhere — and a downstream select
+    // that only needs offsets never materializes the chunk column.
+    val chunked = graft.ops.TextAnalysis.chunk(
+      Tables.load(spark, dir, "documents"), size = 200, stride = 150)
+    val offsetsOnly = chunked.select("doc_id", "chunk_idx")
+    val p = plan(offsetsOnly)
+    p should not include "Exchange"
+    p should include("Generate explode")
+    // column pruning reached the scan: only doc_id + text (for lengths) read
+    val scans = allScans(offsetsOnly.queryExecution.executedPlan)
+    scans should have size 1
+    scans.head.schema.fieldNames.toSet shouldBe Set("doc_id", "text")
+  }
+
   test("partition pruning on date= dirs reads only matching files") {
     val tmp = SparkFixture.tempDir("prune")
     import scala.jdk.CollectionConverters._
