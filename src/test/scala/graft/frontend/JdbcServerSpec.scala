@@ -21,17 +21,23 @@ class JdbcServerSpec extends AnyFunSuite with Matchers {
   import scala.jdk.CollectionConverters._
 
   private val registry = SchemaRegistry(
-    Org("orgj", Seq(Metric("mj", "jdbcmetric", Seq(Field("v", FieldType.LONG))))),
+    Org("orgj", Seq(Metric("mj", "jdbcmetric", Seq(
+      Field("v", FieldType.LONG),
+      // nearline-style number-as-string storage cast to a declared decimal
+      Field("amt", FieldType.DECIMAL, decimal = Some((20, 4))))))),
     Org("orgz", Seq(Metric("mz", "zmetric", Seq(Field("v", FieldType.LONG))))))
 
   private lazy val sources: SourceSet = {
     val dir = SparkFixture.tempDir("jdbcsrv")
     val schema = StructType(Seq(
       StructField("companykey", StringType), StructField("metrictype", StringType),
-      StructField("timestamp", LongType), StructField("v", LongType)))
+      StructField("timestamp", LongType), StructField("v", LongType),
+      StructField("amt", StringType)))
     val rows = Seq(
-      Row("orgj", "mj", 10L, 1L), Row("orgj", "mj", 20L, 2L), Row("orgj", "mj", 30L, 3L),
-      Row("orgz", "mz", 40L, 9L))
+      Row("orgj", "mj", 10L, 1L, "1234567890123456.7891"),
+      Row("orgj", "mj", 20L, 2L, "0.0001"),
+      Row("orgj", "mj", 30L, 3L, null),
+      Row("orgz", "mz", 40L, 9L, null))
     spark.createDataFrame(rows.asJava, schema)
       .write.mode("overwrite").parquet(s"$dir/0/parquet/orgj/mj")
     spark.createDataFrame(rows.asJava, schema)
@@ -62,10 +68,14 @@ class JdbcServerSpec extends AnyFunSuite with Matchers {
   test("SELECT round-trips typed rows over the wire") {
     withConn { c =>
       val rs = c.createStatement().executeQuery(
-        "SELECT `timestamp`, v FROM jdbcmetric ORDER BY `timestamp`")
+        "SELECT `timestamp`, v, amt FROM jdbcmetric ORDER BY `timestamp`")
       val got = Iterator.continually(rs).takeWhile(_.next())
-        .map(r => (r.getLong(1), r.getLong(2))).toSeq
-      got shouldBe Seq((10L, 1L), (20L, 2L), (30L, 3L))
+        .map(r => (r.getLong(1), r.getLong(2), r.getBigDecimal(3))).toSeq
+      got.map(t => (t._1, t._2)) shouldBe Seq((10L, 1L), (20L, 2L), (30L, 3L))
+      // a 20-digit decimal survives the wire exactly (JDBC DECIMAL, not double)
+      got.head._3 shouldBe new java.math.BigDecimal("1234567890123456.7891")
+      got(1)._3 shouldBe new java.math.BigDecimal("0.0001")
+      got(2)._3 shouldBe null
     }
   }
 
