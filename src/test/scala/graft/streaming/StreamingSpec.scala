@@ -87,6 +87,32 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("chunking composes with streaming: per-batch chunks, dedup by chunk hash") {
+    // the training-ingest shape: document stream → context-window chunks →
+    // content-hash dedup within the watermark → sink. chunk() is a pure
+    // generator projection, so it drops into a streaming plan unchanged.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val chunked = graft.ops.TextAnalysis.chunk(docs, "text", size = 10, stride = 8)
+      .select(col("doc_id"), col("ts"), col("chunk_idx"), md5(col("chunk")).as("chunk_md5"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("chunk_md5")
+    val q = chunked.writeStream.queryName("chunk_stream")
+      .outputMode(OutputMode.Append()).format("memory").start()
+    try {
+      input.addData((1L, ts(1), "abcdefghijklmnop"), (2L, ts(2), "abcdefghijklmnop"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, chunk_idx FROM chunk_stream ORDER BY doc_id, chunk_idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // 16 chars, size 10 stride 8 → starts 0,8 → 2 chunks; doc 2's chunks
+      // are byte-identical to doc 1's and dedup away entirely
+      rows.map(_._1).distinct.toSeq shouldBe Seq(1L)
+      rows.map(_._2).toSeq shouldBe Seq(0L, 1L)
+    } finally q.stop()
+  }
+
   test("streaming nearline ingest lands items the DSv2 connector reads back") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
