@@ -57,7 +57,10 @@ object PipelineQueries {
       .orderBy("content_md5")
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    // spread: a single-row-group input file feeds ONE task, serializing
+    // the md5-per-shingle stage; repartition up to core parallelism only
+    // when the scan is actually that narrow (no-op on a real lake layout)
+    val docs = graft.ops.Materialize.spread(t(s, dir, "documents"))
     // one pass over the corpus computes BOTH the minhash signatures (the
     // expensive 4×md5-per-shingle stage) and the token sets the verify
     // step needs; the combined index is written once and everything
@@ -78,7 +81,7 @@ object PipelineQueries {
       .orderBy("doc_id")
 
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = graft.ops.Materialize.spread(t(s, dir, "documents"))
     // n-gram = word BIGRAM sets: char-3-grams of same-language prose share
     // a tiny alphabet, so their baseline Jaccard sits at ~0.43 on this
     // corpus — a 0.5 threshold over them selects a third of ALL pairs,

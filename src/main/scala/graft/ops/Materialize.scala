@@ -48,6 +48,20 @@ object Materialize {
     df.sparkSession.read.parquet(dir.toString)
   }
 
+  /** Ensure a heavy map stage (per-shingle md5 loops, signature
+    * computation) gets at least the session's core parallelism. A parquet
+    * file is split by byte range but never below row-group granularity, so
+    * a single-row-group file — however large — feeds exactly ONE task and
+    * the whole map stage runs serially. Repartition only when the input's
+    * parallelism is actually short: on a many-file / many-row-group lake
+    * layout this is a no-op, so at 100 TB no extra shuffle happens; when
+    * it does fire, it moves the raw input once to unlock a cores-wide
+    * compute stage that dominates it. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Number of index directories currently on disk. */
   def liveCount: Int = live.size()
 
