@@ -135,7 +135,11 @@ object Similarity {
       df.select(col(idCol).as(idAs),
         posexplode(array((0 until numBands).map(b =>
           lshBucket(col(vecCol), dim, planes, b)): _*)).as(Seq("band_idx", "bk")))
-    val cBand = Materialize.index(banded(corpus, "corpus_id"), "lsh-cband")
+    // spread: the per-row banding loop (numBands × planes dot products) is
+    // the heavy map stage; a single-row-group corpus file would feed it
+    // one task (no-op on a many-file layout)
+    val cBand = Materialize.index(
+      banded(Materialize.spread(corpus), "corpus_id"), "lsh-cband")
     val wCap = org.apache.spark.sql.expressions.Window
       .partitionBy("band_idx", "bk").orderBy("corpus_id")
     val cCapped = cBand.withColumn("rn", row_number().over(wCap))
@@ -229,7 +233,7 @@ object Similarity {
     // cell inverted-file table reused across query batches — but that is
     // an ingest-time artifact, not a per-query step.
     val cCell =
-      sims(corpus, "corpus_id")
+      sims(Materialize.spread(corpus), "corpus_id") // n×nc sims = the heavy map
         .groupBy("corpus_id")
         .agg(max(struct(col("s"), (-col("cid")).as("negcid"))).as("best"))
         .select(col("corpus_id"), (-col("best.negcid")).cast("int").as("cell"))
@@ -265,8 +269,9 @@ object Similarity {
       numBands: Int = 2,
       bucketCap: Int = 100000): DataFrame = {
     val planes = if (numPlanes > 0) numPlanes else autoPlanes(df.count())
+    val spreadDf = Materialize.spread(df) // see lshTopK: banding is the heavy map
     val banded = Materialize.index(
-      df.select(col(idCol),
+      spreadDf.select(col(idCol),
         posexplode(array((0 until numBands).map(b =>
           lshBucket(col(vecCol), dim, planes, b)): _*)).as(Seq("band_idx", "bk"))),
       "neardup-bands")
