@@ -279,9 +279,25 @@ object PipelineQueries {
         md5(col("chunk")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Stubbed resize over text-as-payload assets: payload scaled by pixel
+    * area ratio, meta rewritten to target dims (ops.Multimodal). */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    val assets = graft.ops.Multimodal.assetsFromText(
+      t(s, dir, "documents"), "doc_id", "text")
+    graft.ops.Multimodal.fakeResize(assets, 320, 240)
+      .select(
+        col("asset_id"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.n_bytes").as("n_bytes"),
+        md5(col("resized_content")).as("resized_md5"))
+      .orderBy("asset_id")
+  }
+
   // ================================================================ maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunking" -> (docChunking _),
+    "multimodal_resize" -> (multimodalResize _),
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
@@ -387,6 +403,15 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "multimodal_resize" ->
+      // mirrors assetsFromText dims ((id % 640)+1, (id % 480)+1) and
+      // fakeResize's area-ratio byte scaling, capped at the original
+      """SELECT doc_id AS asset_id, 320 AS width, 240 AS height,
+        |  least(len(text), CAST(ceil(len(text) * 76800.0
+        |    / (((doc_id % 640) + 1) * ((doc_id % 480) + 1))) AS BIGINT)) AS n_bytes,
+        |  md5(substr(text, 1, CAST(least(len(text), CAST(ceil(len(text) * 76800.0
+        |    / (((doc_id % 640) + 1) * ((doc_id % 480) + 1))) AS BIGINT)) AS INT))) AS resized_md5
+        |FROM documents ORDER BY asset_id""".stripMargin,
     "doc_chunking" ->
       """SELECT doc_id,
         |  CAST(s / 150 AS BIGINT) AS chunk_idx,

@@ -52,6 +52,27 @@ object Multimodal {
         expr("transform(sequence(1, 4), i -> " +
           "(instr('0123456789abcdef', substring(md5(content), i, 1)) - 1) / cast(15 as double))"))
 
+  /** STUB resize: scales the payload stand-in by output/input pixel-area
+    * ratio (capped at the original size) and rewrites the meta struct to
+    * the target dimensions. The real implementation decodes, scales and
+    * re-encodes here; what this pins is the Spark contract — meta is
+    * recomputed WITHOUT a shuffle, predicates on the new dimensions stay
+    * usable, and the payload transform is per-row. */
+  def fakeResize(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val area = (targetW.toLong * targetH).toDouble
+    df.withColumn("resized_bytes",
+        least(col("meta.n_bytes"),
+          ceil(col("meta.n_bytes") * lit(area) /
+            (col("meta.width") * col("meta.height"))).cast("long")))
+      .withColumn("resized_content",
+        expr("substring(content, 1, cast(resized_bytes AS INT))"))
+      .withColumn("meta", struct(
+        col("meta.mime").as("mime"),
+        col("resized_bytes").as("n_bytes"),
+        lit(targetW).cast("int").as("width"),
+        lit(targetH).cast("int").as("height")))
+  }
+
   /** Frame sampling: split the payload into fixed-size chunks ("frames")
     * and keep every strideth chunk. Pure array expressions — the 100 TB
     * path: per-row work, no shuffle, and column pruning means unsampled

@@ -225,6 +225,27 @@ class OpsSpec extends AnyFunSuite with Matchers {
     r.getAs[Double]("distinct_ratio") shouldBe 0.5
   }
 
+  test("resize stub: meta rewritten to target dims, payload scaled by area ratio, capped") {
+    import graft.ops.Multimodal
+    val d = docs((100L, "x" * 100), (1L, "y" * 10))
+    val assets = Multimodal.assetsFromText(d, "doc_id", "text")
+    val out = Multimodal.fakeResize(assets, 320, 240).orderBy("asset_id").collect()
+    val bySize = out.map(r => r.getLong(0) ->
+      (r.getStruct(2).getAs[Long]("n_bytes"), r.getStruct(2).getAs[Int]("width"),
+        r.getStruct(2).getAs[Int]("height"), r.getAs[Array[Byte]]("resized_content").length)).toMap
+    // id=100: src dims 101×101 → area ratio 76800/10201 > 1 → capped at original
+    bySize(100L) shouldBe ((100L, 320, 240, 100))
+    // id=1: src dims 2×2 → ratio 19200 → also capped (upscale never grows payload)
+    bySize(1L) shouldBe ((10L, 320, 240, 10))
+    // a genuinely large source shrinks: dims 401×401 over 76800 → ceil(100 × 0.4776...)
+    val big = Multimodal.fakeResize(
+      Multimodal.assetsFromText(docs((400L, "z" * 100)), "doc_id", "text"), 320, 240)
+      .collect().head
+    val expect = math.ceil(100 * 76800.0 / (401.0 * 401.0)).toLong
+    big.getStruct(2).getAs[Long]("n_bytes") shouldBe expect
+    big.getAs[Array[Byte]]("resized_content").length.toLong shouldBe expect
+  }
+
   test("chunking: overlapping windows cover the document; no boundary loss") {
     val text = "abcdefghij" * 5 // 50 chars
     val d = docs((1L, text), (2L, "short"))
