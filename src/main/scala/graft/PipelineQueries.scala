@@ -279,6 +279,21 @@ object PipelineQueries {
         md5(col("chunk")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Corpus heavy hitters via the SpaceSaving sketch aggregate
+    * ([[graft.functions.TopKCountSketch]]): one pass, one shuffle of
+    * bounded sketches — not a full groupBy(count) of every distinct token.
+    * Capacity 4096 far exceeds this corpus's vocabulary, so the sketch is
+    * in its exact regime and the result hash-matches a plain GROUP BY
+    * count oracle (the guarantee the spec pins across partitionings). */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .agg(expr("graft_topk(tok, 10, 4096)").as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("token"), col("e.cnt").as("cnt"), col("e.err").as("err"))
+  }
+
   /** Stubbed resize over text-as-payload assets: payload scaled by pixel
     * area ratio, meta rewritten to target dims (ops.Multimodal). */
   def multimodalResize(s: SparkSession, dir: String): DataFrame = {
@@ -298,6 +313,7 @@ object PipelineQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunking" -> (docChunking _),
     "multimodal_resize" -> (multimodalResize _),
+    "heavy_hitters" -> (heavyHitters _),
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
@@ -403,6 +419,13 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "heavy_hitters" ->
+      // the sketch runs in its exact regime (capacity >> vocabulary), so
+      // the oracle is the plain count with the same (cnt desc, token asc)
+      // tie-break; err is identically 0 with no evictions
+      """SELECT token, count(*) AS cnt, CAST(0 AS BIGINT) AS err
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
     "multimodal_resize" ->
       // mirrors assetsFromText dims ((id % 640)+1, (id % 480)+1) and
       // fakeResize's area-ratio byte scaling, capped at the original

@@ -41,7 +41,21 @@ object GraftExtensions {
       { case Seq(a, b) => HammingDistance(a, b) }),
     fn("fineo_base64_decode",
       "fineo_base64_decode(s) - decode base64 text to binary (reference UDF)",
-      { case Seq(a) => UnBase64(a) }))
+      { case Seq(a) => UnBase64(a) }),
+    fn("graft_topk",
+      "graft_topk(item, k[, capacity]) - SpaceSaving heavy-hitters sketch: " +
+        "top-k (item, cnt, err) by approximate count in one pass, exact when " +
+        "capacity covers the distinct items",
+      { args =>
+        def intLit(e: Expression, what: String): Int = {
+          require(e.foldable, s"graft_topk $what must be a literal")
+          e.eval().asInstanceOf[Number].intValue()
+        }
+        val k = intLit(args(1), "k")
+        val cap =
+          if (args.size > 2) intLit(args(2), "capacity") else math.max(64, 8 * k)
+        TopKCountSketch(args.head, k, cap)
+      }))
 
   val inject: SparkSessionExtensions => Unit = { ext =>
     functions.foreach(ext.injectFunction)

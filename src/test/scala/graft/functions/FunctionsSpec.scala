@@ -110,4 +110,68 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     val out = vecs.filter(cosCol("a", "b") > -2).count()
     out shouldBe 50
   }
+
+  // Zipf-ish stream: item i appears ~N/i times, shuffled deterministically
+  private def zipfItems(distinct: Int, scale: Int): Seq[String] = {
+    val items = (1 to distinct).flatMap(i => Seq.fill(scale / i)(s"item$i"))
+    new scala.util.Random(11).shuffle(items)
+  }
+
+  test("graft_topk is exact and partitioning-invariant when capacity covers the vocabulary") {
+    graft.functions.GraftExtensions.register(spark)
+    import spark.implicits._
+    val data = zipfItems(distinct = 40, scale = 400)
+    val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (item, cnt) => (-cnt, item) }.take(10)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = data.toDF("tok").repartition(parts)
+      df.createOrReplaceTempView("toks")
+      val got = spark.sql("SELECT explode(graft_topk(tok, 10, 64)) AS e FROM toks")
+        .select("e.item", "e.cnt", "e.err")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      withClue(s"parts=$parts: ") {
+        got.map(t => (t._1, t._2)).toSeq shouldBe truth
+        all(got.map(_._3)) shouldBe 0L // no eviction → no error
+      }
+    }
+  }
+
+  test("graft_topk approximate regime: never undercounts, error bound honest") {
+    graft.functions.GraftExtensions.register(spark)
+    import spark.implicits._
+    // 500 distinct items through capacity 32: heavy evictions
+    val data = zipfItems(distinct = 500, scale = 2000)
+    val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = data.toDF("tok").repartition(5)
+      .selectExpr("explode(graft_topk(tok, 5, 32)) AS e")
+      .select("e.item", "e.cnt", "e.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got should have size 5
+    got.foreach { case (item, cnt, err) =>
+      val t = truth(item)
+      withClue(s"$item true=$t cnt=$cnt err=$err: ") {
+        cnt should be >= t        // SpaceSaving never undercounts
+        (cnt - err) should be <= t // and err bounds the overcount
+      }
+    }
+    // the undisputed heaviest item (item1, ~scale hits, far above the
+    // eviction floor) must surface
+    got.map(_._1) should contain("item1")
+  }
+
+  test("graft_topk sketches serialize/deserialize losslessly (shuffle safety)") {
+    val agg = TopKCountSketch(ColumnExpr.expr(col("x")), k = 3, capacity = 8)
+    val b = new SpaceSavingBuffer(8)
+    Seq("a", "a", "b", "c", "c", "c").foreach(b.add(_))
+    val b2 = agg.deserialize(agg.serialize(b))
+    b2.capacity shouldBe 8
+    b2.floor shouldBe 0L
+    b2.topK(3) shouldBe b.topK(3)
+    // and a buffer that HAS evicted round-trips its floor
+    val small = new SpaceSavingBuffer(2)
+    Seq("a", "b", "c", "d").foreach(small.add(_))
+    val small2 = agg.deserialize(agg.serialize(small))
+    small2.floor shouldBe small.floor
+    small2.floor should be > 0L
+  }
 }
