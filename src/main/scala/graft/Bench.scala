@@ -68,7 +68,11 @@ object Bench {
     }
     def jstr(s: String): String =
       "\"" + s.flatMap { c => if (c == '"' || c == '\\') s"\\$c" else if (c < ' ') " " else c.toString } + "\""
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver reads the headline line from a bounded tail of the run
+    // output (~2000 chars): times are 2-decimal and diagnostics go to
+    // stderr + target/, never inline, or the line outgrows the window and
+    // the round loses its timings (round 4 did exactly that).
+    val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -97,7 +101,15 @@ object Bench {
       s"${jstr(n)}:{" +
         s""""shuffleReadBytes":$sr,"shuffleWriteBytes":$sw,"spillBytes":$sp,"tasks":$tk}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errs,"regressions":$regJson,"queryMetrics":$pm,"sf":"$sfDir"}""")
+    val diagnostics =
+      s"""{"regressions":$regJson,"queryMetrics":$pm,"errors":$errs,"sf":"$sfDir"}"""
+    try {
+      val out = java.nio.file.Paths.get("target/bench_diagnostics.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, diagnostics.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    System.err.println(s"[benchdiag] $diagnostics")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -109,7 +121,9 @@ object Bench {
     val cand = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
       .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
-    cand.lastOption.flatMap { f =>
+    // Newest-first, falling back past files whose recorded tail lost the
+    // queries block (the round-4 file has only queryMetrics fragments).
+    cand.reverseIterator.flatMap { f =>
       val raw = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         .replace("\\\"", "\"")
       val qblock = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(raw).map(_.group(1))
@@ -117,7 +131,7 @@ object Bench {
         val pair = "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r
         f.getName -> pair.findAllMatchIn(b)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    }
+      }.filter(_._2.nonEmpty)
+    }.take(1).toList.headOption
   }
 }

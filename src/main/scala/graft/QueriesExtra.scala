@@ -67,9 +67,15 @@ object QueriesExtra {
         col("l_discount").cast("decimal(4,2)").as("disc"))
       .groupBy("l_returnflag")
       .agg(
-        sum(col("price")).cast("decimal(38,2)").as("sum_price"),
-        sum(col("price") * (lit(1) - col("disc"))).cast("decimal(38,4)").as("sum_disc_price"),
-        max(col("price")).cast("decimal(38,2)").as("max_price"),
+        // Final projection renders the decimals as strings: the driver's
+        // compare reads the two sides through different clients, and a
+        // wide DECIMAL that one client keeps exact ('…8990') and the other
+        // narrows to float64 ('…899') hash-mismatches on trailing zeros
+        // (CORRECTNESS_r04). Text of a decimal is exact on both engines;
+        // the aggregation itself still runs in decimal arithmetic.
+        sum(col("price")).cast("decimal(38,2)").cast("string").as("sum_price"),
+        sum(col("price") * (lit(1) - col("disc"))).cast("decimal(38,4)").cast("string").as("sum_disc_price"),
+        max(col("price")).cast("decimal(38,2)").cast("string").as("max_price"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag")
 
@@ -331,10 +337,10 @@ object QueriesExtra {
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "decimal_agg" ->
       """SELECT l_returnflag,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        |           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS max_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
+        |  CAST(CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS max_price,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "array_functions" ->

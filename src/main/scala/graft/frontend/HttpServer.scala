@@ -80,7 +80,8 @@ class GraftHttpServer(
     // The server-level cap ALWAYS applies; a request may only lower it
     // (reference `FineoJdbcMeta.setMaxRows:143-159`). Without this, any
     // tenant's `SELECT * FROM bigtable` is an unbounded driver collect.
-    val maxRows = queryParams(ex).get("maxRows").map(_.toInt)
+    val maxRows = queryParams(ex).get("maxRows")
+      .map(s => s.toIntOption.getOrElse(throw Halt(400, s"invalid maxRows: $s")))
       .filter(_ > 0).fold(defaultMaxRows)(math.min(_, defaultMaxRows))
     dfJson(t.sql(sql, Some(maxRows)))
   }

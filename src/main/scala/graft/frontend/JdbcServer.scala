@@ -61,7 +61,20 @@ object GraftJdbcServer {
     // SparkConf before the serving session's state initializes — it only
     // affects Thrift connection handling, nothing else reads it.
     GraftSessions.setStaticConf(root, "spark.sql.hive.thriftServer.singleSession", "true")
-    val serving = GraftSessions.withWrappedParser(root, new ReadOnlyParser(_))
+    // Isolation invariant: the serving session shares SharedState (and so
+    // the global-temp namespace and external catalog) with `root`. Tenant
+    // visibility is exactly the session views registered below, enforced
+    // two ways: the parser refuses qualified escapes into shared
+    // namespaces, and persistent catalog tables must not exist at all —
+    // this endpoint is for serving, not for a host app that also keeps
+    // warehouse tables on the same context.
+    val catalogTables = root.sessionState.catalog.externalCatalog
+      .listDatabases().flatMap(db =>
+        root.sessionState.catalog.externalCatalog.listTables(db))
+    require(catalogTables.isEmpty,
+      s"serving context must have an empty external catalog; found: ${catalogTables.take(5).mkString(", ")}")
+    val serving = GraftSessions.withWrappedParser(root,
+      new ReadOnlyParser(_, blockedNamespaces = Set("global_temp", "spark_catalog")))
     serving.conf.set("spark.sql.runSQLOnFiles", "false")
     graft.functions.GraftExtensions.register(serving)
 

@@ -1,6 +1,7 @@
 package graft.frontend
 
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, LogicalPlan, ParsedStatement}
@@ -27,7 +28,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * defense-in-depth, so session tuning belongs to the server, not the
   * wire).
   */
-class ReadOnlyParser(delegate: ParserInterface) extends ParserInterface {
+class ReadOnlyParser(
+    delegate: ParserInterface,
+    blockedNamespaces: Set[String] = Set.empty) extends ParserInterface {
+
+  private val blocked = blockedNamespaces.map(_.toLowerCase)
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     val plan = delegate.parsePlan(sqlText)
@@ -39,6 +44,26 @@ class ReadOnlyParser(delegate: ParserInterface) extends ParserInterface {
     offender.headOption.foreach { n =>
       throw new UnsupportedOperationException(
         s"read-only serving surface: $n statements are not allowed")
+    }
+    // Namespace fence: a serving session shares SharedState with its root
+    // session, so `global_temp.*` views (and catalog-qualified tables) the
+    // host app registers would otherwise be readable by any tenant —
+    // ReadOnlyParser blocks writes, not reads. Every legitimate tenant
+    // table is a single-part session view, so qualified escapes into the
+    // blocked namespaces are refused at parse time.
+    if (blocked.nonEmpty) {
+      val escape = plan.collectWithSubqueries {
+        case r: UnresolvedRelation
+            if blocked.contains(r.multipartIdentifier.head.toLowerCase) =>
+          r.multipartIdentifier.mkString(".")
+        case t: UnresolvedTableOrView
+            if blocked.contains(t.multipartIdentifier.head.toLowerCase) =>
+          t.multipartIdentifier.mkString(".")
+      }
+      escape.headOption.foreach { n =>
+        throw new SecurityException(
+          s"tenant serving surface: namespace of $n is not accessible")
+      }
     }
     plan
   }

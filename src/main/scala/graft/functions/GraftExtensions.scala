@@ -47,6 +47,9 @@ object GraftExtensions {
         "top-k (item, cnt, err) by approximate count in one pass, exact when " +
         "capacity covers the distinct items",
       { args =>
+        if (args.size < 2 || args.size > 3)
+          throw new IllegalArgumentException(
+            s"graft_topk expects (item, k[, capacity]); got ${args.size} argument(s)")
         def intLit(e: Expression, what: String): Int = {
           require(e.foldable, s"graft_topk $what must be a literal")
           e.eval().asInstanceOf[Number].intValue()

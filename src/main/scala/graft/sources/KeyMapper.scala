@@ -58,7 +58,14 @@ object KeyMapper {
     * The inner mapper defaults to [[Delimited]]: a hash prefix is only as
     * unambiguous as the text it prefixes, and bare concatenation collides
     * for ("ab","c")/("a","bc") — deployments wanting the reference's
-    * concat scheme under the prefix must opt in explicitly. */
+    * concat scheme under the prefix must opt in explicitly.
+    *
+    * COMPATIBILITY NOTE: before round 4 the default inner mapper was
+    * [[Concat]]. Rows written under that default have a different key text
+    * AND md5 prefix, so a reader on the new default cannot see them.
+    * Acceptable for this greenfield release; an existing deployment
+    * upgrading across the change must pin `HashPrefixed(chars, Concat)`
+    * explicitly (or rewrite its keys). */
   final case class HashPrefixed(chars: Int = 4, inner: KeyMapper = Delimited("|"))
       extends KeyMapper {
     require(chars > 0 && chars <= 32, s"md5 hex prefix must be 1..32, got $chars")

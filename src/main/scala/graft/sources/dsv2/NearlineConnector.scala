@@ -231,10 +231,11 @@ class NearlineReaderFactory(
       // ([[NearlineTransport]]: server-side filter semantics, bounded
       // pages, continuation tokens, per-page retry). The transport is
       // chosen by class name — the SDK swap-in seam.
-      private val it: Iterator[InternalRow] = new PagedSegmentIterator(
+      private val pages = new PagedSegmentIterator(
         NearlineTransport.forName(transportClass),
         p.path, p.read, HashKey, SortKey, p.segment, p.numSegments, pageSize)
-        .map(rec => StubService.toInternalRow(rec, p.required))
+      private val it: Iterator[InternalRow] =
+        pages.map(rec => StubService.toInternalRow(rec, p.required))
       private var current: InternalRow = _
       override def next(): Boolean = {
         val has = it.hasNext
@@ -242,7 +243,10 @@ class NearlineReaderFactory(
         has
       }
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      // Early-terminated scans (LIMIT/take/task kill) abandon the iterator
+      // mid-stream; release the session's open reader here, not only on
+      // segment exhaustion.
+      override def close(): Unit = pages.close()
     }
   }
 }

@@ -257,7 +257,7 @@ class PagedSegmentIterator(
     numSegments: Int,
     pageSize: Int = NearlineTransport.DefaultPageSize,
     maxAttempts: Int = NearlineTransport.MaxAttempts)
-    extends Iterator[Map[String, Any]] {
+    extends Iterator[Map[String, Any]] with AutoCloseable {
 
   private var token: Option[Long] = None
   private var exhausted = false
@@ -304,5 +304,16 @@ class PagedSegmentIterator(
   override def next(): Map[String, Any] = {
     if (!hasNext) throw new NoSuchElementException
     current.next()
+  }
+
+  /** Close the live transport session, if any. Sessions self-close on
+    * segment exhaustion, but an early-terminated scan (LIMIT, task kill)
+    * abandons the iterator mid-stream — the partition reader's close()
+    * must release the open file handle / connection here. */
+  override def close(): Unit = {
+    if (session != null) {
+      try session.close() catch { case _: Exception => () }
+      session = null
+    }
   }
 }

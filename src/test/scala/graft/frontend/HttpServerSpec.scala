@@ -78,6 +78,8 @@ class HttpServerSpec extends AnyFunSuite with Matchers {
       "SELECT `timestamp` FROM httpmetric ORDER BY `timestamp`")
     r.statusCode() shouldBe 200
     r.body() should include(""""rowCount":2""")
+    // malformed maxRows is the client's mistake: 400, not a 500 stacktrace
+    post("/v1/sql?maxRows=abc", "SELECT 1").statusCode() shouldBe 400
   }
 
   test("missing api key is 401; unknown tenant is 403") {

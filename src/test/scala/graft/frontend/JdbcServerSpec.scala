@@ -114,6 +114,27 @@ class JdbcServerSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("global-temp views of the host context are unreadable by tenants") {
+    // The serving session shares SharedState with the root session, so a
+    // host-app global temp view WOULD resolve — the namespace fence must
+    // refuse it at parse time (reads, not just writes, are tenant-scoped).
+    spark.range(3).createOrReplaceGlobalTempView("host_secret")
+    try withConn { c =>
+      val st = c.createStatement()
+      val e = intercept[java.sql.SQLException] {
+        st.executeQuery("SELECT * FROM global_temp.host_secret")
+      }
+      e.getMessage should include("not accessible")
+      intercept[java.sql.SQLException] {
+        st.executeQuery("SELECT * FROM spark_catalog.default.anything")
+      }
+      // fence also covers DESCRIBE-style commands and subquery positions
+      intercept[java.sql.SQLException] {
+        st.executeQuery("SELECT (SELECT max(id) FROM global_temp.host_secret) AS m")
+      }
+    } finally spark.catalog.dropGlobalTempView("host_secret")
+  }
+
   test("the read-only parser still runs the full query surface") {
     withConn { c =>
       val rs = c.createStatement().executeQuery(
