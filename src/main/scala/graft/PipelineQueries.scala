@@ -56,7 +56,10 @@ object PipelineQueries {
     Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("content_md5")
 
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** Verified near-dup pairs (exact Jaccard ≥ 0.5) with MinHash-LSH
+    * candidate generation — the shared front half of the pairwise dedup
+    * query and the transitive cluster query. */
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     // spread: a single-row-group input file feeds ONE task, serializing
     // the md5-per-shingle stage; repartition up to core parallelism only
     // when the scan is actually that narrow (no-op on a real lake layout)
@@ -72,7 +75,39 @@ object PipelineQueries {
     val bands = Dedup.lshBands(indexed, numHashes = 4, rowsPerBand = 2)
     val pairs = Dedup.lshCandidatePairs(bands, "doc_id", numBands = 2)
     Dedup.verifyPairsTok(pairs, indexed.select("doc_id", "toks"), "doc_id", threshold = 0.5)
-      .orderBy("id_a", "id_b")
+  }
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashVerifiedPairs(s, dir).orderBy("id_a", "id_b")
+
+  /** Transitive near-dup clusters: connected components over the verified
+    * pair graph (A~B, B~C ⇒ one cluster). The LSH front half emits edges;
+    * [[graft.ops.Cluster]] resolves them to per-document cluster ids with
+    * diameter-bounded label propagation — the step that turns pairwise
+    * dedup into an actionable keep/drop per document. */
+  def dedupCluster(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cluster.dupClusters(minhashVerifiedPairs(s, dir).select("id_a", "id_b"))
+      .orderBy("doc_id")
+
+  /** Deterministic stratified sampling: per-stratum rates from a
+    * broadcast dimension, membership by a content-derived hash digit —
+    * reproducible across runs/engines (no RNG), zero shuffles (the only
+    * wide op would be the rates join, and it broadcasts). The same
+    * mechanic at 100 TB: rate table to every executor, scan-side filter,
+    * sampled subset never materializes the rejected rows. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // keep16 = hex-digit threshold: lang keeps digit(md5(doc_id)) < keep16,
+    // i.e. en 1/8, de+es 1/4, fr+zh 1/2 of rows
+    val rates = Seq(("en", 2), ("de", 4), ("es", 4), ("fr", 8), ("zh", 8))
+      .toDF("lang", "keep16")
+    t(s, dir, "documents")
+      .join(broadcast(rates), Seq("lang"))
+      .filter(expr(
+        "instr('0123456789abcdef', substring(md5(cast(doc_id AS string)), 1, 1)) - 1")
+        < col("keep16"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
   }
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
@@ -320,6 +355,8 @@ object PipelineQueries {
     "token_counts" -> (tokenCounts _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_cluster" -> (dedupCluster _),
+    "sample_stratified" -> (sampleStratified _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "embed_knn_brute" -> (embedKnnBrute _),
@@ -336,6 +373,26 @@ object PipelineQueries {
 
   // DuckDB oracle building blocks (mirror the Spark expressions exactly)
   private val toks = "string_split(lower(text), ' ')"
+
+  /** Shared CTE chain producing `vpairs` — the verified minhash near-dup
+    * pairs — reused by the pairwise oracle and the cluster oracle. */
+  private lazy val duckMinhashPairCtes: String =
+    s"""sig AS (SELECT doc_id,
+       |  ${duckMinhash(0)} AS h0, ${duckMinhash(1)} AS h1,
+       |  ${duckMinhash(2)} AS h2, ${duckMinhash(3)} AS h3
+       |FROM documents),
+       |bands AS (SELECT doc_id, md5(h0 || '|' || h1) AS band0, md5(h2 || '|' || h3) AS band1 FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id),
+       |tok AS (SELECT doc_id, list_distinct($toks) AS ts FROM documents),
+       |vpairs AS (SELECT id_a, id_b,
+       |  round(len(list_intersect(ta.ts, tb.ts)) / len(list_distinct(list_concat(ta.ts, tb.ts))), 4) AS jac
+       |FROM pairs JOIN tok ta ON ta.doc_id = id_a JOIN tok tb ON tb.doc_id = id_b
+       |WHERE round(len(list_intersect(ta.ts, tb.ts)) / len(list_distinct(list_concat(ta.ts, tb.ts))), 4) >= 0.5)""".stripMargin
   private def duckShingles(n: Int): String =
     s"""CASE WHEN len($toks) < $n THEN [array_to_string($toks, ' ')]
        |ELSE list_transform(range(1, len($toks) - ${n - 2}),
@@ -475,23 +532,31 @@ object PipelineQueries {
       """SELECT md5(text) AS content_md5, min(doc_id) AS keeper, count(*) AS copies
         |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""WITH sig AS (SELECT doc_id,
-         |  ${duckMinhash(0)} AS h0, ${duckMinhash(1)} AS h1,
-         |  ${duckMinhash(2)} AS h2, ${duckMinhash(3)} AS h3
-         |FROM documents),
-         |bands AS (SELECT doc_id, md5(h0 || '|' || h1) AS band0, md5(h2 || '|' || h3) AS band1 FROM sig),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+      s"""WITH $duckMinhashPairCtes
+         |SELECT id_a, id_b, jac FROM vpairs ORDER BY id_a, id_b""".stripMargin,
+    "dedup_cluster" ->
+      // Connected components of the verified pair graph as a recursive
+      // reachability closure + min-per-node: tiny in DuckDB at oracle
+      // scale, exactly what the distributed label propagation computes.
+      s"""WITH RECURSIVE $duckMinhashPairCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+         |          UNION ALL SELECT id_b, id_a FROM vpairs),
+         |reach(node, r) AS (
+         |  SELECT src, dst FROM edges
          |  UNION
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id),
-         |tok AS (SELECT doc_id, list_distinct($toks) AS ts FROM documents)
-         |SELECT id_a, id_b,
-         |  round(len(list_intersect(ta.ts, tb.ts)) / len(list_distinct(list_concat(ta.ts, tb.ts))), 4) AS jac
-         |FROM pairs JOIN tok ta ON ta.doc_id = id_a JOIN tok tb ON tb.doc_id = id_b
-         |WHERE round(len(list_intersect(ta.ts, tb.ts)) / len(list_distinct(list_concat(ta.ts, tb.ts))), 4) >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
+         |comp AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node)
+         |SELECT node AS doc_id, cluster,
+         |  count(*) OVER (PARTITION BY cluster) AS csize
+         |FROM comp ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """WITH rates(lang, keep16) AS (VALUES
+        |  ('en', 2), ('de', 4), ('es', 4), ('fr', 8), ('zh', 8))
+        |SELECT doc_id, lang, source
+        |FROM documents JOIN rates USING (lang)
+        |WHERE instr('0123456789abcdef',
+        |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < keep16
+        |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""SELECT doc_id, $duckSimhashBits AS simhash
          |FROM documents ORDER BY doc_id""".stripMargin,

@@ -230,6 +230,29 @@ object QueriesExtra {
         |ORDER BY region, segment""".stripMargin)
   }
 
+  /** Bloom-filter semi-join reduction: customers with an urgent order,
+    * probed through `graft_bloom_agg`/`graft_might_contain` (the engine's
+    * runtime-filter expressions, exposed as SQL) before the exact semi
+    * join. The bloom is a scalar subquery — one small-side aggregation
+    * broadcast to every scan task — so at 100 TB the big side discards
+    * non-matching rows AT THE SCAN, and the shuffle only carries probable
+    * matches; the IN semi-join then removes bloom false positives, making
+    * the result exact (hence SQL-oracle-checkable). */
+  def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    t(s, dir, "customer").createOrReplaceTempView("graft_bloom_cust")
+    t(s, dir, "orders").createOrReplaceTempView("graft_bloom_ord")
+    s.sql(
+      """SELECT c_custkey, c_name FROM graft_bloom_cust
+        |WHERE graft_might_contain(
+        |    (SELECT graft_bloom_agg(xxhash64(o_custkey))
+        |     FROM graft_bloom_ord WHERE o_orderpriority = '1-URGENT'),
+        |    xxhash64(c_custkey))
+        |  AND c_custkey IN (SELECT o_custkey FROM graft_bloom_ord
+        |                    WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Offset window functions: previous/next order per customer. */
   def windowLeadLag(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -254,6 +277,7 @@ object QueriesExtra {
     "null_functions" -> (nullFunctions _),
     "math_functions" -> (mathFunctions _),
     "decimal_agg" -> (decimalAgg _),
+    "bloom_semi_join" -> (bloomSemiJoin _),
     "array_functions" -> (arrayFunctions _),
     "json_functions" -> (jsonFunctions _),
     "agg_collect" -> (aggCollect _),
@@ -343,6 +367,12 @@ object QueriesExtra {
         |  CAST(CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS max_price,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "bloom_semi_join" ->
+      // the bloom is a pre-filter only; the exact result is the semi join
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
     "array_functions" ->
       """SELECT p_partkey,
         |  len(string_split(p_name, ' ')) AS n_words,

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnBase64}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, UnBase64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** SparkSessionExtensions registering the engine's SQL functions:
   *
@@ -42,6 +43,33 @@ object GraftExtensions {
     fn("fineo_base64_decode",
       "fineo_base64_decode(s) - decode base64 text to binary (reference UDF)",
       { case Seq(a) => UnBase64(a) }),
+    // Bloom-filter semi-join reduction, the shuffle-avoidance workhorse at
+    // 100 TB: aggregate the SMALL side's join keys into a bloom filter
+    // (binary), probe it scan-side on the BIG side so non-matching rows
+    // die before the shuffle. Spark applies this automatically only under
+    // runtime-filter heuristics; exposing the same engine expressions
+    // (codegen'd, TypedImperativeAggregate) lets a pipeline author force
+    // it. Keys should be pre-hashed with xxhash64() — the engine
+    // expressions take longs.
+    fn("graft_bloom_agg",
+      "graft_bloom_agg(xxhash64(k)[, est_items]) - aggregate long keys " +
+        "into a bloom filter (binary)",
+      { args =>
+        if (args.isEmpty || args.size > 2)
+          throw new IllegalArgumentException(
+            s"graft_bloom_agg expects (key[, est_items]); got ${args.size} argument(s)")
+        // est_items is usually written as an int literal; the engine
+        // aggregate demands BIGINT, so widen foldably
+        if (args.size == 2)
+          new BloomFilterAggregate(args.head,
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              args(1), org.apache.spark.sql.types.LongType))
+        else new BloomFilterAggregate(args.head)
+      }),
+    fn("graft_might_contain",
+      "graft_might_contain(bloom, xxhash64(k)) - probe a bloom filter; " +
+        "false means definitely absent",
+      { case Seq(b, v) => BloomFilterMightContain(b, v) }),
     fn("graft_topk",
       "graft_topk(item, k[, capacity]) - SpaceSaving heavy-hitters sketch: " +
         "top-k (item, cnt, err) by approximate count in one pass, exact when " +

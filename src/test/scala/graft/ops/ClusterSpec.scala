@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Connected-components label propagation over dup-pair graphs. */
+class ClusterSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkFixture.spark
+  import scala.jdk.CollectionConverters._
+
+  private def pairs(es: (Long, Long)*) = {
+    val schema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+    spark.createDataFrame(es.map { case (a, b) => Row(a, b) }.asJava, schema)
+  }
+
+  private def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a chain collapses to its minimum id (transitivity across hops)") {
+    // 1-2, 2-3, 3-4: one component though 1 and 4 never co-occur in a pair
+    val l = labelMap(Cluster.connectedComponents(pairs((1L, 2L), (2L, 3L), (3L, 4L))))
+    l shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L)
+  }
+
+  test("disjoint components keep distinct labels") {
+    val l = labelMap(Cluster.connectedComponents(
+      pairs((1L, 2L), (5L, 6L), (6L, 7L), (10L, 11L))))
+    l(1L) shouldBe 1L; l(2L) shouldBe 1L
+    l(5L) shouldBe 5L; l(6L) shouldBe 5L; l(7L) shouldBe 5L
+    l(10L) shouldBe 10L; l(11L) shouldBe 10L
+  }
+
+  test("label flows against edge direction too (min on the high side)") {
+    // min id appears as id_b — the undirected expansion must carry it back
+    val l = labelMap(Cluster.connectedComponents(pairs((9L, 1L), (9L, 5L))))
+    l shouldBe Map(1L -> 1L, 5L -> 1L, 9L -> 1L)
+  }
+
+  test("a long chain converges within the round bound") {
+    val chain = (1L until 20L).map(i => (i, i + 1))
+    val l = labelMap(Cluster.connectedComponents(pairs(chain: _*)))
+    l.values.toSet shouldBe Set(1L)
+    // and an over-deep graph fails loudly instead of returning partial labels
+    val e = intercept[IllegalStateException] {
+      Cluster.connectedComponents(pairs(chain: _*), maxRounds = 3)
+    }
+    e.getMessage should include("converge")
+  }
+
+  test("dupClusters reports cluster id and size per doc") {
+    val out = Cluster.dupClusters(pairs((1L, 2L), (2L, 3L), (8L, 9L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    out shouldBe Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (8L, 8L, 2L), (9L, 8L, 2L))
+  }
+}
