@@ -156,6 +156,40 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Recall@5 of the LSH ANN against brute-force ground truth — the
+    * evaluation loop every approximate index needs before it replaces the
+    * exact path. Both sides are deterministic, so the metric itself is
+    * oracle-checkable; at production scale the brute side runs on a
+    * sampled query set (here the standard 10-query panel). */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = embedKnnBrute(s, dir).select("query_id", "corpus_id")
+    val lsh = embedKnnLsh(s, dir)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    brute.join(lsh, Seq("query_id", "corpus_id"), "left")
+      .groupBy("query_id")
+      .agg(round(count(col("hit")).cast("double") / count(lit(1)), 4).as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** PII scrubbing: mask email-shaped and long-digit-run substrings,
+    * count what was masked. Pure codegen'd projections (regex at scan
+    * speed, zero shuffles) — the pattern set is the pluggable part, the
+    * plumbing is what scales. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val longNum = "[0-9]{4,}"
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(regexp_extract_all(lower(col("text")), lit(email), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(longNum), lit(0)))
+        .cast("long").as("n_longnums"),
+      regexp_replace(
+        regexp_replace(lower(col("text")), email, "<EMAIL>"),
+        longNum, "<NUM>").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------- similarity
   def embedKnnBrute(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -361,6 +395,8 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "embed_knn_brute" -> (embedKnnBrute _),
     "embed_knn_lsh" -> (embedKnnLsh _),
+    "ann_recall" -> (annRecall _),
+    "pii_scrub" -> (piiScrub _),
     "embed_knn_ivf" -> (embedKnnIvf _),
     "embed_near_dup" -> (embedNearDup _),
     "embed_near_dup_lsh" -> (embedNearDupLsh _),
@@ -425,10 +461,12 @@ object PipelineQueries {
     """round(list_dot_product(qv.v, cv.v) /
       |    (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))), 4)""".stripMargin
 
-  private def duckKnnLshSql: String = {
+  /** CTE chain ending in `lshk` — the LSH top-k table — shared by the
+    * standalone LSH oracle and the recall-evaluation oracle. */
+  private def duckKnnLshCtes: String = {
     val bandSelects = (0 until LshBands).map(b =>
       s"SELECT vec_id, $b AS band_idx, ${duckBucket(b)} AS bk FROM e").mkString("\nUNION ALL\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |banded AS ($bandSelects),
        |cband AS (SELECT vec_id, band_idx, bk FROM (
        |    SELECT *, row_number() OVER (PARTITION BY band_idx, bk ORDER BY vec_id) AS rn
@@ -438,13 +476,35 @@ object PipelineQueries {
        |         WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
        |scored AS (SELECT query_id, corpus_id, $duckCosIds AS cos
        |           FROM cand JOIN e qv ON qv.vec_id = query_id
-       |                     JOIN e cv ON cv.vec_id = corpus_id)
-       |SELECT query_id, corpus_id, cos, rank FROM (
+       |                     JOIN e cv ON cv.vec_id = corpus_id),
+       |lshk AS (SELECT query_id, corpus_id, cos, rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |                               ORDER BY cos DESC, corpus_id) AS rank
-       |  FROM scored) WHERE rank <= 5
-       |ORDER BY query_id, rank""".stripMargin
+       |  FROM scored) WHERE rank <= 5)""".stripMargin
   }
+
+  private def duckKnnLshSql: String =
+    s"""WITH $duckKnnLshCtes
+       |SELECT query_id, corpus_id, cos, rank FROM lshk
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Recall@5 of the LSH ANN against brute-force ground truth, per query —
+    * brute CTE names (q/c/s) are disjoint from the LSH chain's. */
+  private def duckAnnRecallSql: String =
+    s"""WITH $duckKnnLshCtes,
+       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+       |      FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings),
+       |s AS (SELECT query_id, corpus_id, $duckCos AS cos
+       |      FROM c CROSS JOIN q WHERE query_id <> corpus_id),
+       |brutek AS (SELECT query_id, corpus_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, corpus_id) AS rank
+       |  FROM s) WHERE rank <= 5)
+       |SELECT b.query_id AS query_id, round(count(l.corpus_id) / count(*), 4) AS recall
+       |FROM brutek b LEFT JOIN lshk l
+       |  ON l.query_id = b.query_id AND l.corpus_id = b.corpus_id
+       |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
 
   private def duckKnnIvfSql: String = {
     val rawCos =
@@ -618,6 +678,15 @@ object PipelineQueries {
         |  (instr('0123456789abcdef', substring(md5(text), 4, 1)) - 1) / cast(15 as double) AS emb_3
         |FROM documents ORDER BY doc_id""".stripMargin,
     "embed_knn_lsh" -> duckKnnLshSql,
+    "ann_recall" -> duckAnnRecallSql,
+    "pii_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '[0-9]{4,}')) AS n_longnums,
+        |  regexp_replace(
+        |    regexp_replace(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{4,}', '<NUM>', 'g') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "embed_knn_ivf" -> duckKnnIvfSql,
     "embed_near_dup_lsh" -> duckNearDupLshSql,
     "skew_salted_join" ->
