@@ -190,6 +190,88 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: src0 plays the eval suite, everything
+    * else is the training corpus; flag trainers whose word-3-gram overlap
+    * with ANY benchmark doc exceeds 20%. See
+    * [[TextAnalysis.contamination]] for the scale shape (hashed grams,
+    * broadcast benchmark, one groupBy). */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.contamination(
+      train = docs.filter(col("source") =!= "src0"),
+      bench = docs.filter(col("source") === "src0"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style rule-based quality gate signals (one scan, zero
+    * shuffles; see [[TextAnalysis.gopherSignals]]). */
+  def qualityGopher(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherSignals(t(s, dir, "documents"))
+      .select("doc_id", "n_words", "mean_word_len", "stop_frac",
+        "symbol_ratio", "max_tok_frac", "passes")
+      .orderBy("doc_id")
+
+  /** Deterministic per-stratum uniform sample WITHOUT replacement: the k
+    * smallest content-hash ranks per source — a bottom-k / reservoir
+    * sample that is reproducible across engines and runs. One shuffle on
+    * the stratum key; the per-partition sort is TopK-bounded because the
+    * rank filter follows the window directly. */
+  def sampleReservoir(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat(col("doc_id").cast("string"), lit("rsv"))).as("rk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("rk"), col("doc_id"))))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"))
+      .orderBy("doc_id")
+  }
+
+  /** Data-mixture planner: per-language sampling rates that hit a target
+    * mixture given the corpus's actual shares. The whole computation is
+    * one partial-aggregated groupBy to a 5-row table — the planning side
+    * of [[sampleStratified]], which then applies such rates scan-side. */
+  def mixPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val target = Seq(("en", 0.30), ("de", 0.20), ("es", 0.20),
+      ("fr", 0.20), ("zh", 0.10)).toDF("lang", "target_share")
+    val counts = t(s, dir, "documents").groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+    counts
+      .crossJoin(counts.agg(sum("n_docs").as("total")))
+      .join(broadcast(target), "lang")
+      .select(
+        col("lang"),
+        col("n_docs"),
+        round(col("n_docs").cast("double") / col("total"), 4).as("share"),
+        col("target_share"),
+        round(least(lit(1.0), col("target_share") /
+          (col("n_docs").cast("double") / col("total"))), 4).as("sample_rate"))
+      .orderBy("lang")
+  }
+
+  /** Int8 symmetric quantization of the embedding column + reconstruction
+    * quality — the compression step before an ANN index ships. Pure
+    * per-row array arithmetic (codegen'd HOFs, zero shuffles); the
+    * explicit floor(x + 0.5) makes the rounding bit-identical across
+    * engines. */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("scale",
+        expr("greatest(array_max(transform(v, x -> abs(x))), 1e-12d) / 127.0d"))
+      .withColumn("q",
+        expr("transform(v, x -> cast(floor(x / scale + 0.5d) AS int))"))
+      .withColumn("dq", expr("transform(q, x -> x * scale)"))
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        expr("aggregate(q, 0L, (a, x) -> a + abs(x))").as("q_l1"),
+        round(Similarity.cosine(col("v"), col("dq")), 4).as("cos_recon"))
+      .orderBy("vec_id")
+
   // ---------------------------------------------------------- similarity
   def embedKnnBrute(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -392,6 +474,11 @@ object PipelineQueries {
     "dedup_cluster" -> (dedupCluster _),
     "sample_stratified" -> (sampleStratified _),
     "dedup_simhash" -> (dedupSimhash _),
+    "decontaminate" -> (decontaminate _),
+    "quality_gopher" -> (qualityGopher _),
+    "sample_reservoir" -> (sampleReservoir _),
+    "mix_plan" -> (mixPlan _),
+    "embed_quantize" -> (embedQuantize _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "embed_knn_brute" -> (embedKnnBrute _),
     "embed_knn_lsh" -> (embedKnnLsh _),
@@ -620,6 +707,71 @@ object PipelineQueries {
     "dedup_simhash" ->
       s"""SELECT doc_id, $duckSimhashBits AS simhash
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "decontaminate" ->
+      s"""WITH bg AS (SELECT DISTINCT substr(md5(g), 1, 16) AS gh
+         |  FROM (SELECT unnest(${duckShingles(3)}) AS g FROM documents WHERE source = 'src0')),
+         |tg AS (SELECT doc_id,
+         |    list_distinct(list_transform(${duckShingles(3)}, g -> substr(md5(g), 1, 16))) AS ghs
+         |  FROM documents WHERE source <> 'src0'),
+         |h AS (SELECT doc_id, count(*) AS hits
+         |  FROM (SELECT doc_id, unnest(ghs) AS gh FROM tg) JOIN bg USING (gh)
+         |  GROUP BY doc_id)
+         |SELECT t.doc_id AS doc_id,
+         |  CAST(len(t.ghs) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hits,
+         |  round(coalesce(h.hits, 0) / len(t.ghs), 4) AS overlap_ratio,
+         |  round(coalesce(h.hits, 0) / len(t.ghs), 4) >= 0.2 AS contaminated
+         |FROM tg t LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "quality_gopher" ->
+      s"""WITH g AS (SELECT doc_id, text, $toks AS tk, len($toks) AS n_words FROM documents)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  round((length(text) - n_words + 1) / n_words, 4) AS mean_word_len,
+         |  round(len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is'], t)))
+         |    / n_words, 4) AS stop_frac,
+         |  round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+         |    / length(text), 4) AS symbol_ratio,
+         |  round(list_max(list_transform(list_distinct(tk), d -> len(list_filter(tk, x -> x = d))))
+         |    / n_words, 4) AS max_tok_frac,
+         |  (n_words >= 40
+         |    AND round((length(text) - n_words + 1) / n_words, 4) BETWEEN 3.0 AND 8.0
+         |    AND round(len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is'], t))) / n_words, 4) >= 0.05
+         |    AND round(list_max(list_transform(list_distinct(tk), d -> len(list_filter(tk, x -> x = d)))) / n_words, 4) <= 0.15
+         |    AND round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / length(text), 4) <= 0.1
+         |  ) AS passes
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "sample_reservoir" ->
+      """SELECT doc_id, source, rn FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'rsv'), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
+    "mix_plan" ->
+      """WITH t(lang, target_share) AS (VALUES
+        |  ('en', CAST(0.30 AS DOUBLE)), ('de', CAST(0.20 AS DOUBLE)),
+        |  ('es', CAST(0.20 AS DOUBLE)), ('fr', CAST(0.20 AS DOUBLE)),
+        |  ('zh', CAST(0.10 AS DOUBLE))),
+        |c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(n_docs) AS total FROM c)
+        |SELECT lang, n_docs, round(n_docs / total, 4) AS share, target_share,
+        |  round(least(CAST(1.0 AS DOUBLE), target_share / (n_docs / total)), 4) AS sample_rate
+        |FROM c CROSS JOIN tot JOIN t USING (lang)
+        |ORDER BY lang""".stripMargin,
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS scale
+        |  FROM e),
+        |qd AS (SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
+        |  FROM sc),
+        |dd AS (SELECT vec_id, v, scale, q,
+        |    list_transform(q, x -> x * scale) AS dq
+        |  FROM qd)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+        |  round(list_dot_product(v, dq) /
+        |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq))), 4) AS cos_recon
+        |FROM dd ORDER BY vec_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH graw AS (SELECT doc_id, list_distinct(${duckShingles(2)}) AS grams
          |FROM documents),

@@ -264,7 +264,26 @@ object QueriesExtra {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** As-of join ([[graft.ops.AsOf]]): attribute every click to the most
+    * recent at-or-before error of the same user — one key shuffle + sort,
+    * no range-join pair explosion. The oracle is DuckDB's native
+    * `ASOF LEFT JOIN`, so the operator's tie/miss semantics are pinned to
+    * the industry-standard definition. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "ts", "event_id")
+    graft.ops.AsOf.asofJoin(clicks, errors,
+        key = "user_id", ts = "ts", rightPayload = Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("ts_r").as("err_ts"), col("event_id_r").as("err_event_id"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> (asofJoin _),
     "cube_counts" -> (cubeCounts _),
     "grouping_sets" -> (groupingSets _),
     "window_lead_lag" -> (windowLeadLag _),
@@ -287,6 +306,13 @@ object QueriesExtra {
   )
 
   val oracles: Map[String, String] = Map(
+    "asof_join" ->
+      """SELECT c.event_id AS event_id, c.user_id AS user_id, c.ts AS ts,
+        |  e.ts AS err_ts, e.event_id AS err_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY event_id""".stripMargin,
     "cube_counts" ->
       """SELECT coalesce(r_name, '*') AS region, coalesce(n_name, '*') AS nation,
         |  count(*) AS n, round(sum(c_acctbal), 2) AS bal

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for every left row, the single most recent
+  * right row with the same key and `right.ts <= left.ts`.
+  *
+  * Spark has no native as-of join, and the two obvious encodings both die
+  * at scale: a range-inequality join plans as BroadcastNestedLoop (row-pair
+  * explosion), and a per-left-row correlated subquery re-scans the right
+  * side. This is the union-and-carry encoding instead — tag both sides,
+  * union them, sort each key's timeline once, and carry the latest right
+  * payload forward with `last(ignoreNulls)` over a running window:
+  *
+  *   cost = ONE hash shuffle of (|left| + |right|) rows on the key plus a
+  *   per-partition sort — the same shape as a sort-merge join, no pair
+  *   explosion, and a skewed key is ordinary window skew (AQE-visible),
+  *   not a quadratic bucket.
+  *
+  * DuckDB ships this natively as `ASOF JOIN` (which is what the oracle
+  * query uses); Flink calls it a temporal join; kdb calls it `aj`.
+  *
+  * Tie semantics: at-or-before — a right row at exactly `left.ts` matches
+  * (right rows sort before left rows at equal timestamps). Among right
+  * rows the match is the max-timestamp row; (key, ts) pairs should be
+  * unique on the right for full determinism (the same precondition
+  * DuckDB's ASOF has).
+  */
+object AsOf {
+
+  /** Left as-of join. Right columns named in `rightPayload` (plus the
+    * right timestamp) are appended to every left row under `suffix`;
+    * left rows with no preceding right row keep them null.
+    *
+    * `left` and `right` must both carry `key` and `ts` columns; the right
+    * payload is carried atomically (one struct per right row), so all
+    * `_r` columns always come from the SAME matched row. */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightPayload: Seq[String],
+      suffix: String = "_r"): DataFrame = {
+    val payload = (ts +: rightPayload.filterNot(_ == ts)).distinct
+    val payStruct = struct(payload.map(c => col(c).as(c)): _*)
+    val payType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c).copy(name = c)))
+
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_ord", col(ts))
+      .withColumn("_side", lit(1))
+      .withColumn("_rpay", lit(null).cast(payType))
+    val r = right
+      .select(
+        col(key) +:
+          leftCols.filterNot(Set(key, ts)).map(c =>
+            lit(null).cast(left.schema(c).dataType).as(c)) :+
+          col(ts).as(ts) :+            // right ts doubles as the sort position
+          lit(0).as("_side") :+
+          payStruct.as("_rpay"): _*)
+      .withColumn("_ord", col(ts))
+
+    // Right rows sort before left rows at equal _ord (side 0 < 1), so an
+    // exactly-simultaneous right row is visible to the left row. The
+    // running last() carries the newest right struct forward in time.
+    val w = Window.partitionBy(key)
+      .orderBy(col("_ord").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = last(col("_rpay"), ignoreNulls = true).over(w).as("_match")
+
+    l.unionByName(r.select(l.columns.map(col): _*))
+      .select(col("*"), carried)
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(c => col("_match").getField(c).as(s"$c$suffix")): _*)
+  }
+}

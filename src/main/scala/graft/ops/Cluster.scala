@@ -51,6 +51,13 @@ object Cluster {
 
     var changed = 1L
     var round = 0
+    // Superseded round checkpoints must be UNPINNED: each localCheckpoint
+    // holds its rows in the block manager until explicitly released, so a
+    // converging loop otherwise accumulates rounds × |labels| of storage —
+    // at corpus scale that evicts everything else long before convergence.
+    // `labels` is always the checkpointed Dataset itself (never a
+    // projection of it), so retiring it releases the actual blocks.
+    var retired = List.empty[DataFrame]
     while (changed > 0 && round < maxRounds) {
       // neighbor minimum: label(dst) pulled across each edge to src
       val neighborMin = edges
@@ -65,15 +72,26 @@ object Cluster {
           col("label").as("prev"))
         .localCheckpoint(true) // truncate per-round lineage growth
       changed = next.filter(col("label") < col("prev")).count()
-      labels = next.select("node", "label")
+      retired ::= labels
+      labels = next
       round += 1
     }
-    if (changed > 0)
+    if (changed > 0) {
+      (labels :: edges :: retired).foreach(
+        org.apache.spark.sql.graftshim.GraftSessions.unpersistLocalCheckpoint)
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds " +
           "(graph diameter exceeds the bound; raise maxRounds or switch " +
           "to large-star/small-star rounds)")
-    labels
+    }
+    // Flush the converged labels through the index store and release
+    // EVERY checkpoint (rounds, edges, final) — the caller's terminal
+    // action reads parquet, and the loop leaves nothing pinned in the
+    // block manager.
+    val out = Materialize.index(labels.select("node", "label"), "components")
+    (labels :: edges :: retired).foreach(
+      org.apache.spark.sql.graftshim.GraftSessions.unpersistLocalCheckpoint)
+    out
   }
 
   /** Cluster assignment for a dup-pair list: (`doc_id`, `cluster`,

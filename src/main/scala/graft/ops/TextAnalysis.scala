@@ -97,4 +97,79 @@ object TextAnalysis {
     df.withColumn("md5_fp", md5(lower(col(textCol))))
       .withColumn("sketch", concat_ws(",", slice(array_sort(shingleHashes), 1, k)))
   }
+
+  /** Benchmark-contamination scan: for every training document, how many
+    * of its word n-grams appear ANYWHERE in an evaluation/benchmark
+    * corpus. The standard decontamination step before a training run —
+    * a train document sharing a large n-gram fraction with a benchmark
+    * answer leaks the benchmark.
+    *
+    * Scale design: grams travel as fixed-width 16-hex md5 prefixes, never
+    * as text. The benchmark side reduces to DISTINCT gram hashes — a few
+    * MB for real eval suites even at 100 TB of training data — and is
+    * broadcast, so the only wide operation is the per-doc hit count
+    * (one partial-aggregated groupBy on doc id). Train docs with zero
+    * hits survive via the left join back onto the gram counts.
+    *
+    * Returns (idCol, n_grams, n_hits, overlap_ratio, contaminated). */
+  def contamination(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleWords: Int = 3,
+      flagAt: Double = 0.2): DataFrame = {
+    def gramHashes(c: Column): Column =
+      array_distinct(transform(c, g => substring(md5(g), 1, 16)))
+    val benchGrams = bench
+      .select(explode(gramHashes(DedupOps.shingles(textCol, shingleWords))).as("gh"))
+      .distinct()
+    val trainGrams = train.select(col(idCol),
+      gramHashes(DedupOps.shingles(textCol, shingleWords)).as("ghs"))
+    val hits = trainGrams
+      .select(col(idCol), explode(col("ghs")).as("gh"))
+      .join(broadcast(benchGrams), "gh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("hits"))
+    trainGrams
+      .select(col(idCol), size(col("ghs")).cast("long").as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("overlap_ratio",
+        round(col("n_hits").cast("double") / col("n_grams"), 4))
+      .withColumn("contaminated", col("overlap_ratio") >= flagAt)
+      .drop("hits")
+  }
+
+  /** Gopher-style rule-based quality signals (Rae et al. 2021 §A1.1-ish):
+    * token count, mean word length, stopword fraction, symbol ratio, and
+    * the top single-token share (repetition detector), plus the composite
+    * pass flag. Pure codegen projections — the corpus is scanned once and
+    * never shuffled; thresholds are the tunable part, the plumbing is
+    * what scales. */
+  def gopherSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is")
+    val stopArr = array(stops.map(lit): _*)
+    val toksC = tokens(lower(col(textCol)))
+    df.withColumn("_tk", toksC)
+      .withColumn("n_words", size(col("_tk")).cast("long"))
+      .withColumn("mean_word_len",
+        round((length(col(textCol)) - col("n_words") + 1).cast("double") / col("n_words"), 4))
+      .withColumn("stop_frac",
+        round(size(filter(col("_tk"), t => array_contains(stopArr, t))).cast("double") /
+          col("n_words"), 4))
+      .withColumn("symbol_ratio",
+        round((length(col(textCol)) -
+          length(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""))).cast("double") /
+          length(col(textCol)), 4))
+      .withColumn("max_tok_frac",
+        round(array_max(transform(array_distinct(col("_tk")),
+          d => size(filter(col("_tk"), x => x === d)))).cast("double") /
+          col("n_words"), 4))
+      .withColumn("passes",
+        col("n_words") >= 40 && col("mean_word_len").between(3.0, 8.0) &&
+          col("stop_frac") >= 0.05 && col("max_tok_frac") <= 0.15 &&
+          col("symbol_ratio") <= 0.1)
+      .drop("_tk")
+  }
 }

@@ -34,6 +34,20 @@ object GraftSessions {
   def drainListenerBus(root: SparkSession): Unit =
     root.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Release the blocks of an eager `localCheckpoint` once the checkpoint
+    * has been superseded. `Dataset.localCheckpoint` pins the materialized
+    * rows in the block manager and nothing ever unpins them — an iterative
+    * loop that checkpoints each round (label propagation, PageRank-style
+    * convergence) otherwise accumulates rounds × |table| of storage until
+    * the context dies. The checkpointed RDD sits behind the Dataset's
+    * `LogicalRDD` leaf; reaching it needs `private[sql]` access. */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** A new session over `root`'s SparkContext/SharedState whose parser is
     * `wrap(delegate)` — every statement the session ever parses, from any
     * entry point (sql(), Thrift operations), goes through the wrapper.

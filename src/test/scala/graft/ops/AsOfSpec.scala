@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** As-of join semantics + plan shape. */
+class AsOfSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkFixture.spark
+  import scala.jdk.CollectionConverters._
+
+  private def df(schema: StructType, rows: Row*) =
+    spark.createDataFrame(rows.asJava, schema)
+
+  private val leftSchema = StructType(Seq(
+    StructField("id", LongType), StructField("k", StringType),
+    StructField("t", LongType)))
+  private val rightSchema = StructType(Seq(
+    StructField("k", StringType), StructField("t", LongType),
+    StructField("rid", LongType), StructField("tag", StringType)))
+
+  private val left = df(leftSchema,
+    Row(1L, "a", 10L), // after a's first right row
+    Row(2L, "a", 25L), // between a's rights
+    Row(3L, "a", 30L), // EXACTLY at a right ts — must match it
+    Row(4L, "b", 5L),  // before any b right row — no match
+    Row(5L, "b", 99L), // after all b rights — latest wins
+    Row(6L, "c", 50L)) // key with no right rows at all
+  private val right = df(rightSchema,
+    Row("a", 8L, 100L, "a8"),
+    Row("a", 20L, 101L, "a20"),
+    Row("a", 30L, 102L, "a30"),
+    Row("b", 7L, 200L, "b7"),
+    Row("b", 40L, 201L, "b40"))
+
+  private lazy val joined = AsOf.asofJoin(
+    left, right, key = "k", ts = "t", rightPayload = Seq("rid", "tag"))
+    .collect().map(r => r.getLong(0) ->
+      (Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.getString(5))))
+    .toMap
+
+  test("each left row matches the newest right row at-or-before it") {
+    joined(1L) shouldBe (Some(8L), Some(100L), Some("a8"))
+    joined(2L) shouldBe (Some(20L), Some(101L), Some("a20"))
+    joined(5L) shouldBe (Some(40L), Some(201L), Some("b40"))
+  }
+
+  test("a right row at exactly the left timestamp matches (at-or-before)") {
+    joined(3L) shouldBe (Some(30L), Some(102L), Some("a30"))
+  }
+
+  test("left rows with no preceding right row keep null payload") {
+    joined(4L) shouldBe (None, None, None)
+    joined(6L) shouldBe (None, None, None)
+  }
+
+  test("payload is carried atomically — all _r columns from the same row") {
+    // every matched (ts_r, rid_r, tag_r) triple must be one of the right
+    // rows verbatim; a per-column carry could mix rows
+    val rightRows = Set((8L, 100L, "a8"), (20L, 101L, "a20"),
+      (30L, 102L, "a30"), (7L, 200L, "b7"), (40L, 201L, "b40"))
+    joined.values.collect { case (Some(t), Some(r), Some(g)) => (t, r, g) }
+      .foreach(m => rightRows should contain(m))
+  }
+
+  test("plan is one key shuffle + window — no nested-loop/cartesian join") {
+    val plan = AsOf.asofJoin(left, right, "k", "t", Seq("rid"))
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    plan should include("Window")
+    // both sides flow through a single hashpartitioning exchange on the key
+    "Exchange hashpartitioning\\(k".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("left rows never disappear or duplicate (exactly |left| out)") {
+    AsOf.asofJoin(left, right, "k", "t", Seq("rid")).count() shouldBe left.count()
+  }
+}

@@ -56,4 +56,14 @@ class ClusterSpec extends AnyFunSuite with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     out shouldBe Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (8L, 8L, 2L), (9L, 8L, 2L))
   }
+
+  test("the loop releases every checkpoint (no pinned blocks left behind)") {
+    // each round eagerly localCheckpoints; an unreleased round would leave
+    // its RDD in the context's persistent set forever — at corpus scale
+    // that's rounds × |labels| of storage the next query can't evict
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val chain = (1L until 12L).map(i => (i, i + 1)) // several rounds to converge
+    Cluster.connectedComponents(pairs(chain: _*)).collect()
+    spark.sparkContext.getPersistentRDDs.size shouldBe before
+  }
 }

@@ -287,4 +287,46 @@ class OpsSpec extends AnyFunSuite with Matchers {
     fp(0).getAs[String]("sketch") shouldBe fp(1).getAs[String]("sketch")
     fp(0).getAs[String]("md5_fp") shouldBe fp(1).getAs[String]("md5_fp")
   }
+
+  test("contamination: verbatim benchmark copy flags; disjoint doc survives at zero") {
+    val bench = docs((100L, "alpha beta gamma delta epsilon"))
+    val train = docs(
+      (1L, "alpha beta gamma delta epsilon"), // verbatim leak → ratio 1.0
+      (2L, "alpha beta gamma zeta eta theta"), // shares exactly gram "alpha beta gamma"
+      (3L, "one two three four five six"))    // no overlap — must still appear
+    val out = TextAnalysis.contamination(train, bench)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("overlap_ratio"),
+          r.getAs[Boolean]("contaminated"))).toMap
+    out(1L) shouldBe ((3L, 1.0, true))
+    out(2L)._1 shouldBe 1L
+    out(3L) shouldBe ((0L, 0.0, false))
+    out.size shouldBe 3
+  }
+
+  test("contamination plan: benchmark gram side broadcasts") {
+    val bench = docs((100L, "alpha beta gamma delta epsilon"))
+    val train = docs((1L, "one two three"))
+    val plan = TextAnalysis.contamination(train, bench)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("gopher signals: hand-computed values on a known document") {
+    val d = docs((1L, "the cat sat on the mat"))
+    val r = TextAnalysis.gopherSignals(d).collect().head
+    r.getAs[Long]("n_words") shouldBe 6L
+    // (22 chars - 6 words + 1) / 6
+    r.getAs[Double]("mean_word_len") shouldBe 2.8333
+    r.getAs[Double]("stop_frac") shouldBe 0.3333   // "the" twice
+    r.getAs[Double]("symbol_ratio") shouldBe 0.0
+    r.getAs[Double]("max_tok_frac") shouldBe 0.3333
+    r.getAs[Boolean]("passes") shouldBe false      // too short
+  }
+
+  test("gopher signals: zero shuffles (pure scan-side projection)") {
+    val d = docs((1L, "a b c"), (2L, "d e f"))
+    val plan = TextAnalysis.gopherSignals(d).queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
 }
