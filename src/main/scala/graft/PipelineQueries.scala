@@ -272,6 +272,81 @@ object PipelineQueries {
         round(Similarity.cosine(col("v"), col("dq")), 4).as("cos_recon"))
       .orderBy("vec_id")
 
+  /** Interval join via [[graft.ops.RangeJoin]]: every click inside the
+    * hour before a same-user purchase (attribution window). The bucketed
+    * encoding keeps it an equi-join; the oracle is the plain BETWEEN
+    * inequality join, so the rewrite is proven pair-exact. */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("cus"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        (unix_micros(col("ts")) - hourUs).as("lo"), unix_micros(col("ts")).as("hi"))
+    graft.ops.RangeJoin.bucketedRangeJoin(
+        clicks, purchases, key = "user_id",
+        ptCol = "cus", loCol = "lo", hiCol = "hi", bucketWidth = hourUs)
+      .select("click_id", "purchase_id")
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** Gap-based sessionization of the event stream's archive side
+    * ([[graft.ops.Sessionize]]; 6-hour inactivity gap): per-session
+    * bounds, counts, duration. */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessionize.sessions(t(s, dir, "events"),
+        key = "user_id", tsCol = "ts", idCol = "event_id", gapSeconds = 21600)
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_ts"), col("end_ts"), col("duration_sec"))
+      .orderBy("user_id", "session_idx")
+
+  /** Sequence packing (concat-and-split): documents concatenated per
+    * language in doc-id order, split into 512-token context windows; each
+    * doc reports the pack it starts in and its offset there. One window
+    * pass per language — the deterministic prep step that turns a corpus
+    * into fixed-length training sequences. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_toks"))
+      .withColumn("cum", sum("n_toks").over(w))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        expr("(cum - n_toks) div 512").as("pack_id"),
+        ((col("cum") - col("n_toks")) % 512).as("offset_in_pack"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-level TF-IDF: top-3 characteristic terms per source. Two
+    * partial-aggregated shuffles (term frequencies, document frequencies)
+    * + a broadcast of the 1-row source count — nothing corpus-sized moves
+    * twice. ln() is not IEEE-exactly specified, but the 4-digit round
+    * makes both engines agree unless a value sits on a .00005 boundary of
+    * the ~20 distinct idf inputs here. */
+  def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val terms = docs.select(col("source"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+    val tf = terms.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nsrc = docs.agg(countDistinct("source").as("nsrc"))
+    val scored = tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nsrc))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("nsrc").cast("double") / col("df")), 4))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("tfidf").desc, col("tok"))))
+      .filter(col("rn") <= 3)
+      .select("source", "tok", "tf", "df", "tfidf")
+      .orderBy("source", "tok")
+  }
+
   // ---------------------------------------------------------- similarity
   def embedKnnBrute(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -475,6 +550,10 @@ object PipelineQueries {
     "sample_stratified" -> (sampleStratified _),
     "dedup_simhash" -> (dedupSimhash _),
     "decontaminate" -> (decontaminate _),
+    "range_join" -> (rangeJoin _),
+    "sessionize" -> (sessionize _),
+    "pack_sequences" -> (packSequences _),
+    "tfidf_terms" -> (tfidfTerms _),
     "quality_gopher" -> (qualityGopher _),
     "sample_reservoir" -> (sampleReservoir _),
     "mix_plan" -> (mixPlan _),
@@ -707,6 +786,49 @@ object PipelineQueries {
     "dedup_simhash" ->
       s"""SELECT doc_id, $duckSimhashBits AS simhash
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "range_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pus
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN pus IS NULL OR epoch_us(ts) - pus > 21600000000 THEN 1 ELSE 0 END AS st
+        |  FROM o),
+        |x AS (SELECT user_id, ts,
+        |    CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+        |  FROM m)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts) AS start_ts, max(ts) AS end_ts,
+        |  round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 3) AS duration_sec
+        |FROM x GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "pack_sequences" ->
+      s"""SELECT doc_id, lang, n_toks,
+         |  CAST((cum - n_toks) // 512 AS BIGINT) AS pack_id,
+         |  CAST((cum - n_toks) % 512 AS BIGINT) AS offset_in_pack
+         |FROM (SELECT doc_id, lang, len($toks) AS n_toks,
+         |        sum(len($toks)) OVER (PARTITION BY lang ORDER BY doc_id
+         |                              ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "tfidf_terms" ->
+      """WITH e AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |tf AS (SELECT source, tok, count(*) AS tf FROM e GROUP BY source, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |ns AS (SELECT count(DISTINCT source) AS nsrc FROM documents),
+        |sc AS (SELECT source, tok, tf, df,
+        |    round(tf * ln(CAST(nsrc AS DOUBLE) / df), 4) AS tfidf
+        |  FROM tf JOIN df USING (tok) CROSS JOIN ns)
+        |SELECT source, tok, tf, df, tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, tok) AS rn
+        |  FROM sc)
+        |WHERE rn <= 3 ORDER BY source, tok""".stripMargin,
     "decontaminate" ->
       s"""WITH bg AS (SELECT DISTINCT substr(md5(g), 1, 16) AS gh
          |  FROM (SELECT unnest(${duckShingles(3)}) AS g FROM documents WHERE source = 'src0')),

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization: split each key's event timeline into sessions at
+  * inactivity gaps — the classic gap-based definition (a new session
+  * starts when the time since the previous event exceeds `gap`).
+  *
+  * Encoding: one window pass per key — `lag` marks session starts, a
+  * running sum of the marks numbers them. Cost at any scale: ONE hash
+  * shuffle on the key + per-partition sort (both window functions share
+  * the same window frame, so Catalyst plans a single Window operator).
+  * The streaming twin (mapGroupsWithState with a gap timeout) lives in
+  * [[graft.streaming.EventStreams]]; this is the backfill path over the
+  * archive, same session definition.
+  */
+object Sessionize {
+
+  /** Assign `session_idx` (0-based per key, in time order) to every event.
+    * Ties on the timestamp break deterministically by `idCol`. */
+  def assign(
+      events: DataFrame,
+      key: String,
+      tsCol: String,
+      idCol: String,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col(idCol))
+    // micros throughout: portable (DuckDB epoch_us) and exact-integer
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val isStart = when(
+      prev.isNull ||
+        unix_micros(col(tsCol)) - prev > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("session_idx",
+        sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+  }
+
+  /** Per-session rollup: bounds, event count, duration. */
+  def sessions(
+      events: DataFrame,
+      key: String,
+      tsCol: String,
+      idCol: String,
+      gapSeconds: Long): DataFrame =
+    assign(events, key, tsCol, idCol, gapSeconds)
+      .groupBy(col(key), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"))
+      .withColumn("duration_sec",
+        round((unix_micros(col("end_ts")) - unix_micros(col("start_ts"))) / 1e6, 3))
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Bucketed range join + gap sessionization semantics and plan shape. */
+class RangeSessionSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkFixture.spark
+  import scala.jdk.CollectionConverters._
+
+  private def df(schema: StructType, rows: Row*) =
+    spark.createDataFrame(rows.asJava, schema)
+
+  // ------------------------------------------------------------ range join
+  private val ptSchema = StructType(Seq(
+    StructField("pid", LongType), StructField("k", StringType),
+    StructField("t", LongType)))
+  private val ivSchema = StructType(Seq(
+    StructField("iid", LongType), StructField("k", StringType),
+    StructField("lo", LongType), StructField("hi", LongType)))
+
+  test("bucketed range join equals the naive BETWEEN join, pair-exactly") {
+    // deterministic pseudo-random layout: points and intervals scattered
+    // across buckets, intervals spanning 0-3 bucket boundaries
+    val pts = (0L until 200L).map(i => Row(i, s"k${i % 3}", (i * 37) % 1000))
+    val ivs = (0L until 60L).map { i =>
+      val lo = (i * 53) % 900
+      Row(i, s"k${i % 3}", lo, lo + (i % 4) * 40)
+    }
+    val points = df(ptSchema, pts: _*)
+    val intervals = df(ivSchema, ivs: _*)
+    val got = RangeJoin
+      .bucketedRangeJoin(points, intervals, "k", "t", "lo", "hi", bucketWidth = 64)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = points.as("p").join(intervals.as("i"),
+        col("p.k") === col("i.k") && col("t") >= col("lo") && col("t") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.sorted.toSeq shouldBe want.sorted.toSeq
+    // and no pair duplicates (a point lives in exactly one bucket)
+    got.length shouldBe got.toSet.size
+  }
+
+  test("boundary points match: t == lo and t == hi are inside") {
+    val points = df(ptSchema, Row(1L, "a", 100L), Row(2L, "a", 200L), Row(3L, "a", 99L))
+    val intervals = df(ivSchema, Row(10L, "a", 100L, 200L))
+    val got = RangeJoin
+      .bucketedRangeJoin(points, intervals, "k", "t", "lo", "hi", bucketWidth = 50)
+      .select("pid").collect().map(_.getLong(0)).sorted
+    got.toSeq shouldBe Seq(1L, 2L)
+  }
+
+  test("range join plans as an equi-join — no nested-loop/cartesian") {
+    val points = df(ptSchema, Row(1L, "a", 100L))
+    val intervals = df(ivSchema, Row(10L, "a", 50L, 150L))
+    val plan = RangeJoin
+      .bucketedRangeJoin(points, intervals, "k", "t", "lo", "hi", bucketWidth = 64)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  // --------------------------------------------------------- sessionization
+  private val evSchema = StructType(Seq(
+    StructField("eid", LongType), StructField("u", StringType),
+    StructField("ts", TimestampType)))
+  private def ev(eid: Long, u: String, sec: Long) =
+    Row(eid, u, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)))
+
+  test("sessions split exactly at gaps > threshold; gap == threshold stays") {
+    val events = df(evSchema,
+      ev(1L, "u1", 0L), ev(2L, "u1", 100L),   // gap 100 <= 100 → same session
+      ev(3L, "u1", 201L),                      // gap 101 > 100 → new session
+      ev(4L, "u1", 250L),
+      ev(5L, "u2", 0L))                        // other key independent
+    val got = Sessionize.assign(events, "u", "ts", "eid", gapSeconds = 100)
+      .select("eid", "session_idx").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L)
+  }
+
+  test("session rollup: bounds, counts, duration") {
+    val events = df(evSchema,
+      ev(1L, "u1", 0L), ev(2L, "u1", 50L), ev(3L, "u1", 1000L))
+    val got = Sessionize.sessions(events, "u", "ts", "eid", gapSeconds = 100)
+      .orderBy("session_idx").collect()
+    got.length shouldBe 2
+    got(0).getAs[Long]("n_events") shouldBe 2L
+    got(0).getAs[Double]("duration_sec") shouldBe 50.0
+    got(1).getAs[Long]("n_events") shouldBe 1L
+    got(1).getAs[Double]("duration_sec") shouldBe 0.0
+  }
+
+  test("sessionize is one key shuffle (single Window partitioning)") {
+    val events = df(evSchema, ev(1L, "u1", 0L), ev(2L, "u1", 10L))
+    val plan = Sessionize.assign(events, "u", "ts", "eid", 100)
+      .queryExecution.executedPlan.toString
+    "Exchange hashpartitioning\\(u".r.findAllIn(plan).size shouldBe 1
+  }
+}
