@@ -347,6 +347,20 @@ object PipelineQueries {
       .orderBy("source", "tok")
   }
 
+  /** Write-side compaction round-trip ([[graft.ops.Layout]]): rewrite the
+    * docs table range-clustered on (lang, doc_id) at a fixed file grain,
+    * read it back — the oracle (a plain SELECT of the source) proves the
+    * rewrite is content-lossless while LayoutSpec pins the file grain and
+    * the disjoint zone-map ranges. */
+  def layoutCompact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+    graft.ops.Layout.compact(docs,
+        graft.ops.Materialize.scratchDir("compacted"),
+        targetRowsPerFile = 200, clusterCols = Seq("lang", "doc_id"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------- similarity
   def embedKnnBrute(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -554,6 +568,7 @@ object PipelineQueries {
     "sessionize" -> (sessionize _),
     "pack_sequences" -> (packSequences _),
     "tfidf_terms" -> (tfidfTerms _),
+    "layout_compact" -> (layoutCompact _),
     "quality_gopher" -> (qualityGopher _),
     "sample_reservoir" -> (sampleReservoir _),
     "mix_plan" -> (mixPlan _),
@@ -817,6 +832,9 @@ object PipelineQueries {
          |                              ROWS UNBOUNDED PRECEDING) AS cum
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "layout_compact" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "tfidf_terms" ->
       """WITH e AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
         |tf AS (SELECT source, tok, count(*) AS tf FROM e GROUP BY source, tok),

@@ -62,6 +62,15 @@ object Materialize {
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
+  /** A fresh scratch directory under the index root, registered for
+    * [[dropAll]] like any index — for operators that manage their own
+    * write (e.g. [[Layout.compact]]'s output table). */
+  def scratchDir(tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(root, tag)
+    live.add(dir)
+    dir.toString
+  }
+
   /** Number of index directories currently on disk. */
   def liveCount: Int = live.size()
 

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Compaction: file grain, clustering, and content preservation. */
+class LayoutSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkFixture.spark
+
+  private def scattered(n: Int, parts: Int) = {
+    import spark.implicits._
+    // worst-case layout: keys striped across many tiny partitions
+    spark.range(n).repartition(parts)
+      .select(col("id"), (col("id") % 97).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+  }
+
+  test("compact hits the target file grain and preserves every row") {
+    val dir = SparkFixture.tempDir("compact")
+    val src = scattered(10000, 37)
+    val out = Layout.compact(src, dir, targetRowsPerFile = 2500, Seq("k", "id"))
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    files.length shouldBe 4 // ceil(10000 / 2500)
+    out.count() shouldBe 10000
+    // content identical, not just counted: anti-join both ways is empty
+    out.join(src, Seq("id", "k", "payload"), "left_anti").count() shouldBe 0
+    src.join(out, Seq("id", "k", "payload"), "left_anti").count() shouldBe 0
+  }
+
+  test("compacted files have disjoint cluster-key ranges (zone-map friendly)") {
+    val dir = SparkFixture.tempDir("compact2")
+    val out = Layout.compact(scattered(8000, 29), dir, 2000, Seq("k"))
+    val stats = Layout.fileStats(out, "k")
+      .collect().map(r => (r.getAs[Long]("key_min"), r.getAs[Long]("key_max")))
+      .sortBy(_._1)
+    stats.foreach { case (lo, hi) => lo should be <= hi }
+    // ranges must not interleave: every file's min >= previous file's max
+    stats.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => lo2 should be >= hi1
+      case _ =>
+    }
+  }
+
+  test("a filter on the cluster key reads fewer files than the table has") {
+    val dir = SparkFixture.tempDir("compact3")
+    val out = Layout.compact(scattered(8000, 29), dir, 2000, Seq("k"))
+    // key_min/key_max of matching files: only files whose range covers
+    // k=3 can contain it — with 97 key values over 4 range-partitioned
+    // files, exactly one file qualifies
+    val hit = Layout.fileStats(out, "k")
+      .filter(col("key_min") <= 3 && col("key_max") >= 3).count()
+    hit shouldBe 1
+  }
+}

@@ -136,6 +136,30 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     rows.map(_.getDouble(2)).toSeq shouldBe Seq(1.5, 2.5)
   }
 
+  test("the top-k sketch aggregates across micro-batches (streaming state)") {
+    // TypedImperativeAggregate state must survive the streaming state
+    // store's serialize/merge cycle: counts accumulated in batch 1 must
+    // still be there after batch 2's merge.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.GraftExtensions.register(spark)
+    val input = MemoryStream[String]
+    val agg = input.toDF().toDF("tok")
+      .groupBy().agg(expr("graft_topk(tok, 2, 16)").as("top"))
+    val q = agg.writeStream.queryName("topk_stream")
+      .outputMode(OutputMode.Complete()).format("memory").start()
+    try {
+      input.addData("a", "a", "b")
+      q.processAllAvailable()
+      input.addData("a", "b", "b", "b")
+      q.processAllAvailable()
+      val top = spark.sql("SELECT explode(top) AS e FROM topk_stream")
+        .select("e.item", "e.cnt").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      top shouldBe Map("b" -> 4L, "a" -> 3L) // merged across both batches
+    } finally q.stop()
+  }
+
   test("salted join spreads a hot key and matches the plain join result") {
     import scala.jdk.CollectionConverters._
     val factSchema = StructType(Seq(
