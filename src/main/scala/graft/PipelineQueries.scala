@@ -292,6 +292,29 @@ object PipelineQueries {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** The SAME range join written as plain declarative SQL, binned
+    * automatically by the conf-gated [[graft.plans.RangeJoinRewrite]]
+    * optimizer rule — the author writes BETWEEN, the plan gets the
+    * bucketed equi-join. Hash-matching the same oracle as [[rangeJoin]]
+    * proves the rewrite end-to-end through the driver gate. */
+  def rangeJoinAuto(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    s.conf.set(graft.plans.RangeJoinRewrite.WidthConf, (3600L * 1000000L).toString)
+    val ev = t(s, dir, "events")
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        unix_micros(col("ts")).as("cus"))
+      .createOrReplaceTempView("rj_clicks")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        unix_micros(col("ts")).as("pus"))
+      .createOrReplaceTempView("rj_purchases")
+    s.sql(
+      """SELECT click_id, purchase_id FROM rj_clicks JOIN rj_purchases
+        |ON cu = pu AND cus BETWEEN pus - 3600000000 AND pus
+        |ORDER BY click_id, purchase_id""".stripMargin)
+  }
+
   /** Gap-based sessionization of the event stream's archive side
     * ([[graft.ops.Sessionize]]; 6-hour inactivity gap): per-session
     * bounds, counts, duration. */
@@ -565,6 +588,7 @@ object PipelineQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "decontaminate" -> (decontaminate _),
     "range_join" -> (rangeJoin _),
+    "range_join_auto" -> (rangeJoinAuto _),
     "sessionize" -> (sessionize _),
     "pack_sequences" -> (packSequences _),
     "tfidf_terms" -> (tfidfTerms _),
@@ -802,6 +826,12 @@ object PipelineQueries {
       s"""SELECT doc_id, $duckSimhashBits AS simhash
          |FROM documents ORDER BY doc_id""".stripMargin,
     "range_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "range_join_auto" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id
         |FROM events c JOIN events p ON c.user_id = p.user_id
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'

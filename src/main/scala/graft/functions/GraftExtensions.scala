@@ -94,8 +94,17 @@ object GraftExtensions {
 
   /** Register on an already-built session (getOrCreate ignores
     * withExtensions when a session exists). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    // Optimizer rules: the post-hoc injection seam for a live session
+    // (extensions only apply at session construction). The range-join
+    // rewrite is conf-gated (spark.graft.rangejoin.bucketwidth), so
+    // installing it unconditionally is a no-op until a user opts in.
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        extra :+ graft.plans.RangeJoinRewrite
+  }
 }

@@ -42,12 +42,15 @@ object RangeJoin {
       hiCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // the column name doubles as the RangeJoinRewrite marker, so the
+    // conf-gated optimizer rule never re-bins an already-binned join
+    val b = "_graft_bucket"
     def bucketOf(c: Column): Column = floor(c / bucketWidth)
-    val pb = points.withColumn("_bucket", bucketOf(col(ptCol)))
-    val ib = intervals.withColumn("_bucket",
+    val pb = points.withColumn(b, bucketOf(col(ptCol)))
+    val ib = intervals.withColumn(b,
       explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
-    pb.join(ib, Seq(key, "_bucket"))
+    pb.join(ib, Seq(key, b))
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
-      .drop("_bucket")
+      .drop(b)
   }
 }
