@@ -57,6 +57,29 @@ class ClusterSpec extends AnyFunSuite with Matchers {
     out shouldBe Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (8L, 8L, 2L), (9L, 8L, 2L))
   }
 
+  test("star rounds agree with label propagation on a mixed graph") {
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 7L), (7L, 8L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (30L, 31L))
+    val viaProp = labelMap(Cluster.connectedComponents(pairs(es: _*)))
+    val viaStar = labelMap(Cluster.connectedComponentsStar(pairs(es: _*)))
+    viaStar shouldBe viaProp
+  }
+
+  test("star rounds collapse a chain far beyond the label-prop round bound") {
+    // diameter 60: label propagation needs 60 rounds (its default bound
+    // throws at 25); star rounds contract in O(log^2)
+    val chain = (1L until 61L).map(i => (i, i + 1))
+    val l = labelMap(Cluster.connectedComponentsStar(pairs(chain: _*), maxRounds = 15))
+    l.keySet.size shouldBe 61
+    l.values.toSet shouldBe Set(1L)
+  }
+
+  test("star rounds release every checkpoint too") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Cluster.connectedComponentsStar(pairs((1L, 2L), (2L, 3L), (5L, 6L))).collect()
+    spark.sparkContext.getPersistentRDDs.size shouldBe before
+  }
+
   test("the loop releases every checkpoint (no pinned blocks left behind)") {
     // each round eagerly localCheckpoints; an unreleased round would leave
     // its RDD in the context's persistent set forever — at corpus scale
