@@ -461,6 +461,47 @@ object PipelineQueries {
 
   private val NearDupBucketCap = 500
 
+  /** kNN label classification: majority vote of the 5 nearest neighbors'
+    * labels vs the query's own — the second half of the ANN evaluation
+    * loop (recall says the index finds the neighbors; this says the
+    * neighbors carry the signal). Vote resolution is deterministic:
+    * (count desc, label asc). */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val knn = Similarity.bruteForceTopK(
+      corpus = emb, queries = emb.filter(col("vec_id") < 10),
+      idCol = "vec_id", vecCol = "embedding", k = 5)
+    val votes = knn
+      .join(emb.select(col("vec_id").as("corpus_id"), col("label").as("nlabel")),
+        "corpus_id")
+      .groupBy("query_id", "nlabel")
+      .agg(count(lit(1)).as("votes"))
+    votes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("votes").desc, col("nlabel"))))
+      .filter(col("rn") === 1)
+      .join(emb.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+        "query_id")
+      .select(col("query_id"), col("nlabel").as("pred_label"),
+        col("votes"), col("true_label"),
+        (col("nlabel") === col("true_label")).as("correct"))
+      .orderBy("query_id")
+  }
+
+  /** Per-label embedding centroids: element-wise mean by (label, dim) via
+    * posexplode — the fixed-width shuffle encoding of distributed vector
+    * aggregation (n×dim skinny rows, full partial-agg; the treeAggregate
+    * alternative without leaving DataFrames). */
+  def embedLabelCentroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"),
+        posexplode(expr("transform(embedding, x -> cast(x AS double))"))
+          .as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), round(avg("x"), 6).as("centroid"))
+      .orderBy("label", "dim")
+
   // ------------------------------------------------------- composed pipeline
   /** The training-data story end-to-end in ONE declarative pipeline:
     * exact-dedup to keeper docs → token/quality gate → token counting.
@@ -597,6 +638,8 @@ object PipelineQueries {
     "sample_reservoir" -> (sampleReservoir _),
     "mix_plan" -> (mixPlan _),
     "embed_quantize" -> (embedQuantize _),
+    "knn_classify" -> (knnClassify _),
+    "embed_label_centroids" -> (embedLabelCentroids _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "embed_knn_brute" -> (embedKnnBrute _),
     "embed_knn_lsh" -> (embedKnnLsh _),
@@ -1010,6 +1053,30 @@ object PipelineQueries {
         |    '[0-9]{4,}', '<NUM>', 'g') AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "embed_knn_ivf" -> duckKnnIvfSql,
+    "knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings),
+         |s AS (SELECT query_id, corpus_id, $duckCos AS cos
+         |      FROM c CROSS JOIN q WHERE query_id <> corpus_id),
+         |knn AS (SELECT query_id, corpus_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+         |  FROM s) WHERE rank <= 5),
+         |v AS (SELECT query_id, e.label AS nlabel, count(*) AS votes
+         |      FROM knn JOIN embeddings e ON e.vec_id = corpus_id
+         |      GROUP BY query_id, e.label),
+         |w AS (SELECT query_id, nlabel, votes FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nlabel) AS rn
+         |  FROM v) WHERE rn = 1)
+         |SELECT query_id, nlabel AS pred_label, votes, t.label AS true_label,
+         |  nlabel = t.label AS correct
+         |FROM w JOIN embeddings t ON t.vec_id = query_id
+         |ORDER BY query_id""".stripMargin,
+    "embed_label_centroids" ->
+      """SELECT label, CAST(i AS INT) AS dim, count(*) AS n,
+        |  round(avg(CAST(embedding AS DOUBLE[])[CAST(i + 1 AS INT)]), 6) AS centroid
+        |FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "embed_near_dup_lsh" -> duckNearDupLshSql,
     "skew_salted_join" ->
       """SELECT c_mktsegment AS segment, round(sum(o_totalprice), 2) AS revenue,
