@@ -64,6 +64,7 @@ class TenantSession private (
       case "show"              => showStatement(clean)
       case "describe" | "desc" => describeTable(clean.split("\\s+").last.stripSuffix(";"))
       case "use"               => useSchema(clean.split("\\s+").last.stripSuffix(";"))
+      case "explain"           => explainStatement(clean)
       case _                   => runQuery(statement)
     }
     (serverMaxRows.toSeq ++ maxRows.toSeq).reduceOption(math.min) match {
@@ -73,6 +74,39 @@ class TenantSession private (
   }
 
   // ------------------------------------------------------------- queries
+
+  /** `EXPLAIN [EXTENDED|FORMATTED] <query>` — the reference exposes
+    * Drill's `EXPLAIN PLAN FOR` to tenants; Spark parses EXPLAIN to an
+    * ExplainCommand, which the read-only gate rejects, so the frontend
+    * handles the keyword itself: the INNER statement goes through the
+    * normal tenant pipeline (isolation substitution + read-only check —
+    * explaining a write is still a write) and the tenant sees the plan of
+    * the query they'd actually run. */
+  private def explainStatement(clean: String): DataFrame = {
+    val parts = clean.split("\\s+", 3)
+    val (mode, inner) = parts.toList match {
+      case _ :: m :: rest if Set("extended", "formatted", "codegen", "cost")
+          .contains(m.toLowerCase) => (m.toLowerCase, rest.mkString(" "))
+      case _ :: rest => ("simple", rest.mkString(" "))
+      case Nil => throw new IllegalArgumentException("empty EXPLAIN")
+    }
+    if (inner.trim.isEmpty)
+      throw new IllegalArgumentException("EXPLAIN needs a statement")
+    val qe = runQuery(inner).queryExecution
+    val text = mode match {
+      case "extended"  => qe.toString
+      case "formatted" => qe.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      case "codegen"   => qe.explainString(
+        org.apache.spark.sql.execution.CodegenMode)
+      case "cost"      => qe.explainString(
+        org.apache.spark.sql.execution.CostMode)
+      case _           => qe.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+    }
+    import spark.implicits._
+    spark.createDataset(Seq(text)).toDF("plan")
+  }
 
   private def runQuery(statement: String): DataFrame = {
     val parsed = spark.sessionState.sqlParser.parsePlan(statement)

@@ -172,7 +172,9 @@ class TenantFrontendSpec extends AnyFunSuite with Matchers {
     intercept[UnsupportedOperationException] {
       t.sql("INSERT OVERWRITE DIRECTORY '/tmp/graft_escape' USING parquet SELECT 1")
     }
-    intercept[UnsupportedOperationException] { t.sql("EXPLAIN SELECT 1") }
+    // EXPLAIN itself is supported (frontend-handled, see below) — but a
+    // command smuggled INTO the explained statement still dies
+    intercept[UnsupportedOperationException] { t.sql("CACHE TABLE metricid1") }
   }
 
   test("CTEs and subqueries over tenant metrics work (substitution covers them)") {
@@ -262,6 +264,20 @@ class TenantFrontendSpec extends AnyFunSuite with Matchers {
         allF.get() shouldBe Seq(1L, 9L) // must never lose t2's row to the other query's pruning
       }
     } finally pool.shutdown()
+  }
+
+  test("EXPLAIN runs through the tenant pipeline; explaining a write is still a write") {
+    val t = TenantSession.open(spark, registry, "org1", sources)
+    val plan = t.sql("EXPLAIN SELECT field1 FROM metricid1 WHERE `timestamp` > 0")
+      .collect().head.getString(0)
+    plan should include("Physical Plan")
+    val formatted = t.sql("EXPLAIN FORMATTED SELECT count(*) FROM metricid1")
+      .collect().head.getString(0)
+    formatted should include("(1)") // formatted mode's operator index
+    intercept[UnsupportedOperationException] {
+      t.sql("EXPLAIN INSERT INTO metricid1 VALUES (1)")
+    }
+    intercept[Exception] { t.sql("EXPLAIN SELECT * FROM org2metric") }
   }
 
   test("SHOW TABLES LIKE / WHERE filter the tenant listing") {
