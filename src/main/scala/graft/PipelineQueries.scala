@@ -503,6 +503,54 @@ object PipelineQueries {
       .orderBy("label", "dim")
 
   // ------------------------------------------------------- composed pipeline
+  /** The round-5 operators composed into one end-to-end training-data
+    * preparation run:
+    *
+    *   1. transitive near-dup dedup — minhash-LSH pairs → connected
+    *      components → keep only each cluster's minimum doc;
+    *   2. Gopher-style quality gate (composite `passes` flag);
+    *   3. benchmark decontamination — src0 is the eval suite; flagged
+    *      docs and the benchmark itself leave the corpus;
+    *   4. sequence packing of the survivors into 512-token windows.
+    *
+    * Shuffle ledger at any scale: the LSH front half (banded index +
+    * candidate/verify joins) + 2 label-prop shuffles per round for the
+    * clusters, ONE broadcast-gram hit-count groupBy for decontamination
+    * (the quality gate is scan-side), and one window pass for packing —
+    * nothing corpus-sized moves more than once per stage. */
+  def pipelinePrepareTraining(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    // 1. transitive dedup: drop clustered docs that aren't their cluster min
+    val drops = graft.ops.Cluster
+      .dupClusters(minhashVerifiedPairs(s, dir).select("id_a", "id_b"))
+      .filter(col("doc_id") =!= col("cluster"))
+      .select("doc_id")
+    val kept = docs.join(drops, Seq("doc_id"), "left_anti")
+    // 2. quality gate
+    val gated = TextAnalysis.gopherSignals(kept)
+      .filter(col("passes"))
+      .select("doc_id", "lang", "source", "text")
+    // 3. decontamination against the src0 eval suite
+    val train = gated.filter(col("source") =!= "src0")
+    val cleanIds = TextAnalysis.contamination(
+        train = train, bench = docs.filter(col("source") === "src0"))
+      .filter(!col("contaminated"))
+      .select("doc_id")
+    val clean = train.join(cleanIds, "doc_id")
+    // 4. pack the survivors
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clean
+      .select(col("doc_id"), col("lang"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_toks"))
+      .withColumn("cum", sum("n_toks").over(w))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        expr("(cum - n_toks) div 512").as("pack_id"),
+        ((col("cum") - col("n_toks")) % 512).as("offset_in_pack"))
+      .orderBy("doc_id")
+  }
+
   /** The training-data story end-to-end in ONE declarative pipeline:
     * exact-dedup to keeper docs → token/quality gate → token counting.
     * Every stage is a narrow transformation over one corpus scan plus the
@@ -653,6 +701,7 @@ object PipelineQueries {
     "skew_salted_join" -> (skewSaltedJoin _),
     "skew_histogram" -> (skewHistogram _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
+    "pipeline_prepare_training" -> (pipelinePrepareTraining _),
   )
 
   // DuckDB oracle building blocks (mirror the Spark expressions exactly)
@@ -677,6 +726,20 @@ object PipelineQueries {
        |  round(len(list_intersect(ta.ts, tb.ts)) / len(list_distinct(list_concat(ta.ts, tb.ts))), 4) AS jac
        |FROM pairs JOIN tok ta ON ta.doc_id = id_a JOIN tok tb ON tb.doc_id = id_b
        |WHERE round(len(list_intersect(ta.ts, tb.ts)) / len(list_distinct(list_concat(ta.ts, tb.ts))), 4) >= 0.5)""".stripMargin
+  /** CTE chain extending `vpairs` to `comp` — per-node transitive cluster
+    * assignment (recursive reachability closure + min per node), shared by
+    * the cluster oracle and the composed-pipeline oracle. Callers must
+    * open with WITH RECURSIVE. */
+  private lazy val duckClusterCtes: String =
+    s"""$duckMinhashPairCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+       |          UNION ALL SELECT id_b, id_a FROM vpairs),
+       |reach(node, r) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
+       |comp AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node)""".stripMargin
+
   private def duckShingles(n: Int): String =
     s"""CASE WHEN len($toks) < $n THEN [array_to_string($toks, ' ')]
        |ELSE list_transform(range(1, len($toks) - ${n - 2}),
@@ -846,17 +909,42 @@ object PipelineQueries {
       // Connected components of the verified pair graph as a recursive
       // reachability closure + min-per-node: tiny in DuckDB at oracle
       // scale, exactly what the distributed label propagation computes.
-      s"""WITH RECURSIVE $duckMinhashPairCtes,
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
-         |          UNION ALL SELECT id_b, id_a FROM vpairs),
-         |reach(node, r) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
-         |comp AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node)
+      s"""WITH RECURSIVE $duckClusterCtes
          |SELECT node AS doc_id, cluster,
          |  count(*) OVER (PARTITION BY cluster) AS csize
          |FROM comp ORDER BY doc_id""".stripMargin,
+    "pipeline_prepare_training" ->
+      s"""WITH RECURSIVE $duckClusterCtes,
+         |drops AS (SELECT node FROM comp WHERE node <> cluster),
+         |kept AS (SELECT * FROM documents
+         |         WHERE doc_id NOT IN (SELECT node FROM drops)),
+         |g AS (SELECT doc_id, lang, source, text, $toks AS tk,
+         |             len($toks) AS n_words FROM kept),
+         |gated AS (SELECT doc_id, lang, source, text FROM g WHERE
+         |  n_words >= 40
+         |  AND round((length(text) - n_words + 1) / n_words, 4) BETWEEN 3.0 AND 8.0
+         |  AND round(len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is'], t))) / n_words, 4) >= 0.05
+         |  AND round(list_max(list_transform(list_distinct(tk), d -> len(list_filter(tk, x -> x = d)))) / n_words, 4) <= 0.15
+         |  AND round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / length(text), 4) <= 0.1),
+         |bg AS (SELECT DISTINCT substr(md5(gr), 1, 16) AS gh
+         |  FROM (SELECT unnest(${duckShingles(3)}) AS gr FROM documents WHERE source = 'src0')),
+         |train AS (SELECT doc_id, lang, text,
+         |    list_distinct(list_transform(${duckShingles(3)}, g2 -> substr(md5(g2), 1, 16))) AS ghs
+         |  FROM gated WHERE source <> 'src0'),
+         |h AS (SELECT doc_id, count(*) AS hits
+         |  FROM (SELECT doc_id, unnest(ghs) AS gh FROM train) JOIN bg USING (gh)
+         |  GROUP BY doc_id),
+         |clean AS (SELECT tr.doc_id, tr.lang, tr.text
+         |  FROM train tr LEFT JOIN h USING (doc_id)
+         |  WHERE round(coalesce(h.hits, 0) / len(tr.ghs), 4) < 0.2),
+         |packed AS (SELECT doc_id, lang, len($toks) AS n_toks,
+         |    sum(len($toks)) OVER (PARTITION BY lang ORDER BY doc_id
+         |                          ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM clean)
+         |SELECT doc_id, lang, n_toks,
+         |  CAST((cum - n_toks) // 512 AS BIGINT) AS pack_id,
+         |  CAST((cum - n_toks) % 512 AS BIGINT) AS offset_in_pack
+         |FROM packed ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """WITH rates(lang, keep16) AS (VALUES
         |  ('en', 2), ('de', 4), ('es', 4), ('fr', 8), ('zh', 8))
