@@ -572,6 +572,43 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Column profiling: per-column null/distinct/min/max over one scan —
+    * the data-quality snapshot a pipeline takes before training. One
+    * pass, partial-aggregated; the unpivoted per-column layout keeps the
+    * output fixed-size regardless of corpus size. */
+  def profileTable(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"dst_$c"),
+        round(min(col(c)), 4).as(s"min_$c"),
+        round(max(col(c)), 4).as(s"max_$c"))
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(li.agg(count(lit(1)).as("total")))
+    val perCol = cols.map { c =>
+      wide.select(lit(c).as("column"),
+        (col("total") - col(s"cnt_$c")).as("nulls"),
+        col(s"cnt_$c").as("non_null"),
+        col(s"dst_$c").as("distinct_vals"),
+        col(s"min_$c").as("min_val"),
+        col(s"max_$c").as("max_val"))
+    }
+    perCol.reduce(_ unionByName _).orderBy("column")
+  }
+
+  /** Fixed-width numeric histogram of order totals: floor-binned, with
+    * empty bins absent — one partial-aggregated groupBy on the bin id. */
+  def numericHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(floor(col("o_totalprice") / 20000).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", col("bin") * 20000)
+      .select("bin", "lo", "n")
+      .orderBy("bin")
+
   // ----------------------------------------------------------------- skew
   /** Salted join vs a plain-join oracle: salting must be a pure physical
     * transformation — N-way salt on the fact side, dimension replicated
@@ -702,6 +739,8 @@ object PipelineQueries {
     "skew_histogram" -> (skewHistogram _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "pipeline_prepare_training" -> (pipelinePrepareTraining _),
+    "profile_table" -> (profileTable _),
+    "numeric_histogram" -> (numericHistogram _),
   )
 
   // DuckDB oracle building blocks (mirror the Spark expressions exactly)
@@ -1166,6 +1205,27 @@ object PipelineQueries {
         |FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "embed_near_dup_lsh" -> duckNearDupLshSql,
+    "profile_table" ->
+      """WITH w AS (SELECT count(*) AS total,
+        |  count(l_quantity) AS c1, count(DISTINCT l_quantity) AS d1,
+        |    round(min(l_quantity), 4) AS mn1, round(max(l_quantity), 4) AS mx1,
+        |  count(l_extendedprice) AS c2, count(DISTINCT l_extendedprice) AS d2,
+        |    round(min(l_extendedprice), 4) AS mn2, round(max(l_extendedprice), 4) AS mx2,
+        |  count(l_discount) AS c3, count(DISTINCT l_discount) AS d3,
+        |    round(min(l_discount), 4) AS mn3, round(max(l_discount), 4) AS mx3,
+        |  count(l_tax) AS c4, count(DISTINCT l_tax) AS d4,
+        |    round(min(l_tax), 4) AS mn4, round(max(l_tax), 4) AS mx4
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS "column", total - c1 AS nulls, c1 AS non_null,
+        |  d1 AS distinct_vals, mn1 AS min_val, mx1 AS max_val FROM w
+        |UNION ALL SELECT 'l_extendedprice', total - c2, c2, d2, mn2, mx2 FROM w
+        |UNION ALL SELECT 'l_discount', total - c3, c3, d3, mn3, mx3 FROM w
+        |UNION ALL SELECT 'l_tax', total - c4, c4, d4, mn4, mx4 FROM w
+        |ORDER BY "column"""".stripMargin,
+    "numeric_histogram" ->
+      """SELECT bin, bin * 20000 AS lo, count(*) AS n
+        |FROM (SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bin FROM orders)
+        |GROUP BY bin ORDER BY bin""".stripMargin,
     "skew_salted_join" ->
       """SELECT c_mktsegment AS segment, round(sum(o_totalprice), 2) AS revenue,
         |  count(*) AS orders
