@@ -96,6 +96,13 @@ class HttpServerSpec extends AnyFunSuite with Matchers {
       include(""""rows":[[3]]""")
   }
 
+  test("EXPLAIN over HTTP returns plan text; explained writes still 400") {
+    val r = post("/v1/sql", "EXPLAIN SELECT v FROM httpmetric")
+    r.statusCode() shouldBe 200
+    r.body() should include("Physical Plan")
+    post("/v1/sql", "EXPLAIN DROP TABLE httpmetric").statusCode() shouldBe 400
+  }
+
   test("tenant isolation holds over the wire: another org's table is an error") {
     val r = post("/v1/sql", "SELECT * FROM othermetric")
     r.statusCode() should (be(400) or be(403) or be(500))
