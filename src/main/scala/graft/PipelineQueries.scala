@@ -191,15 +191,19 @@ object PipelineQueries {
   }
 
   /** Benchmark decontamination: src0 plays the eval suite, everything
-    * else is the training corpus; flag trainers whose word-3-gram overlap
-    * with ANY benchmark doc exceeds 20%. See
-    * [[TextAnalysis.contamination]] for the scale shape (hashed grams,
-    * broadcast benchmark, one groupBy). */
+    * else is the training corpus; flag trainers whose word-8-gram overlap
+    * with ANY benchmark doc exceeds 20%. Short grams false-positive once
+    * the benchmark grows (a 3-gram set over this corpus's vocabulary
+    * blankets 98% of sf0.1 — measured), which is why production
+    * decontamination uses 8-13-gram windows; 8 here flags only true
+    * leaks at every SF. See [[TextAnalysis.contamination]] for the scale
+    * shape (hashed grams, broadcast benchmark, one groupBy). */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     TextAnalysis.contamination(
       train = docs.filter(col("source") =!= "src0"),
-      bench = docs.filter(col("source") === "src0"))
+      bench = docs.filter(col("source") === "src0"),
+      shingleWords = 8)
       .orderBy("doc_id")
   }
 
@@ -531,10 +535,15 @@ object PipelineQueries {
     val gated = TextAnalysis.gopherSignals(kept)
       .filter(col("passes"))
       .select("doc_id", "lang", "source", "text")
-    // 3. decontamination against the src0 eval suite
-    val train = gated.filter(col("source") =!= "src0")
+    // 3. decontamination against the src0 eval suite. The gated corpus
+    // feeds BOTH the contamination count and the final join — write it
+    // once (the index-once discipline) so the dedup-join + quality-gate
+    // lineage isn't recomputed through two consumers.
+    val train = graft.ops.Materialize.index(
+      gated.filter(col("source") =!= "src0"), "train-gated")
     val cleanIds = TextAnalysis.contamination(
-        train = train, bench = docs.filter(col("source") === "src0"))
+        train = train, bench = docs.filter(col("source") === "src0"),
+        shingleWords = 8) // long grams: only true leaks match (see decontaminate)
       .filter(!col("contaminated"))
       .select("doc_id")
     val clean = train.join(cleanIds, "doc_id")
@@ -966,9 +975,9 @@ object PipelineQueries {
          |  AND round(list_max(list_transform(list_distinct(tk), d -> len(list_filter(tk, x -> x = d)))) / n_words, 4) <= 0.15
          |  AND round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / length(text), 4) <= 0.1),
          |bg AS (SELECT DISTINCT substr(md5(gr), 1, 16) AS gh
-         |  FROM (SELECT unnest(${duckShingles(3)}) AS gr FROM documents WHERE source = 'src0')),
+         |  FROM (SELECT unnest(${duckShingles(8)}) AS gr FROM documents WHERE source = 'src0')),
          |train AS (SELECT doc_id, lang, text,
-         |    list_distinct(list_transform(${duckShingles(3)}, g2 -> substr(md5(g2), 1, 16))) AS ghs
+         |    list_distinct(list_transform(${duckShingles(8)}, g2 -> substr(md5(g2), 1, 16))) AS ghs
          |  FROM gated WHERE source <> 'src0'),
          |h AS (SELECT doc_id, count(*) AS hits
          |  FROM (SELECT doc_id, unnest(ghs) AS gh FROM train) JOIN bg USING (gh)
@@ -1049,9 +1058,9 @@ object PipelineQueries {
         |WHERE rn <= 3 ORDER BY source, tok""".stripMargin,
     "decontaminate" ->
       s"""WITH bg AS (SELECT DISTINCT substr(md5(g), 1, 16) AS gh
-         |  FROM (SELECT unnest(${duckShingles(3)}) AS g FROM documents WHERE source = 'src0')),
+         |  FROM (SELECT unnest(${duckShingles(8)}) AS g FROM documents WHERE source = 'src0')),
          |tg AS (SELECT doc_id,
-         |    list_distinct(list_transform(${duckShingles(3)}, g -> substr(md5(g), 1, 16))) AS ghs
+         |    list_distinct(list_transform(${duckShingles(8)}, g -> substr(md5(g), 1, 16))) AS ghs
          |  FROM documents WHERE source <> 'src0'),
          |h AS (SELECT doc_id, count(*) AS hits
          |  FROM (SELECT doc_id, unnest(ghs) AS gh FROM tg) JOIN bg USING (gh)
