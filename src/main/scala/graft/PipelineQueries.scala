@@ -89,6 +89,13 @@ object PipelineQueries {
     graft.ops.Cluster.dupClusters(minhashVerifiedPairs(s, dir).select("id_a", "id_b"))
       .orderBy("doc_id")
 
+  /** Same clusters via the large-star/small-star contraction — both CC
+    * algorithms must agree exactly, so this shares [[dedupCluster]]'s
+    * oracle (the judge of record for either is the recursive closure). */
+  def dedupClusterStar(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cluster.dupClustersStar(minhashVerifiedPairs(s, dir).select("id_a", "id_b"))
+      .orderBy("doc_id")
+
   /** Deterministic stratified sampling: per-stratum rates from a
     * broadcast dimension, membership by a content-derived hash digit —
     * reproducible across runs/engines (no RNG), zero shuffles (the only
@@ -719,6 +726,7 @@ object PipelineQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_cluster" -> (dedupCluster _),
+    "dedup_cluster_star" -> (dedupClusterStar _),
     "sample_stratified" -> (sampleStratified _),
     "dedup_simhash" -> (dedupSimhash _),
     "decontaminate" -> (decontaminate _),
@@ -957,6 +965,11 @@ object PipelineQueries {
       // Connected components of the verified pair graph as a recursive
       // reachability closure + min-per-node: tiny in DuckDB at oracle
       // scale, exactly what the distributed label propagation computes.
+      s"""WITH RECURSIVE $duckClusterCtes
+         |SELECT node AS doc_id, cluster,
+         |  count(*) OVER (PARTITION BY cluster) AS csize
+         |FROM comp ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_star" -> // star contraction must agree with the same closure
       s"""WITH RECURSIVE $duckClusterCtes
          |SELECT node AS doc_id, cluster,
          |  count(*) OVER (PARTITION BY cluster) AS csize

@@ -172,8 +172,15 @@ object Cluster {
     * `csize`) per clustered document, cluster = min doc id in the
     * component, csize = component size. The downstream cleanse keeps
     * `doc_id == cluster` rows and drops the rest. */
-  def dupClusters(pairs: DataFrame): DataFrame = {
-    val labels = connectedComponents(pairs)
+  def dupClusters(pairs: DataFrame): DataFrame =
+    assignments(connectedComponents(pairs))
+
+  /** [[dupClusters]] over the star-contraction rounds — same contract,
+    * choose it when the pair graph's diameter is not known to be shallow. */
+  def dupClustersStar(pairs: DataFrame): DataFrame =
+    assignments(connectedComponentsStar(pairs))
+
+  private def assignments(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
     labels.join(sizes, "label")
       .select(col("node").as("doc_id"), col("label").as("cluster"), col("csize"))
