@@ -144,10 +144,11 @@ object Cluster {
     while (!converged && round < maxRounds) {
       val next = star(star(edges, large = true), large = false)
         .localCheckpoint(true)
-      // fixed point: the edge set stopped changing (set equality via
-      // symmetric difference on the checkpointed tables — two cheap scans)
+      // fixed point: the edge set stopped changing. Both are DISTINCT
+      // sets, so equal counts + one empty difference ⇒ equality — one
+      // cheap count and at most one anti-join scan per round.
       converged =
-        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+        next.count() == edges.count() && next.exceptAll(edges).isEmpty
       val old = edges
       edges = next
       unpersistLocalCheckpoint(old)
