@@ -310,20 +310,29 @@ object PipelineQueries {
     * proves the rewrite end-to-end through the driver gate. */
   def rangeJoinAuto(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftExtensions.register(s)
+    // The width conf arms RangeJoinRewrite for EVERY join optimized while
+    // it is set — so scope it: set, run the rewritten join to a
+    // materialized table inside the try, restore in the finally. Returning
+    // a lazy plan and unsetting would disarm the rewrite before the driver
+    // ever executes it; leaving it set would silently re-bin every later
+    // BETWEEN join on the shared session (ADVICE r5).
     s.conf.set(graft.plans.RangeJoinRewrite.WidthConf, (3600L * 1000000L).toString)
-    val ev = t(s, dir, "events")
-    ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
-        unix_micros(col("ts")).as("cus"))
-      .createOrReplaceTempView("rj_clicks")
-    ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
-        unix_micros(col("ts")).as("pus"))
-      .createOrReplaceTempView("rj_purchases")
-    s.sql(
-      """SELECT click_id, purchase_id FROM rj_clicks JOIN rj_purchases
-        |ON cu = pu AND cus BETWEEN pus - 3600000000 AND pus
-        |ORDER BY click_id, purchase_id""".stripMargin)
+    try {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+          unix_micros(col("ts")).as("cus"))
+        .createOrReplaceTempView("rj_clicks")
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+          unix_micros(col("ts")).as("pus"))
+        .createOrReplaceTempView("rj_purchases")
+      val joined = s.sql(
+        """SELECT click_id, purchase_id FROM rj_clicks JOIN rj_purchases
+          |ON cu = pu AND cus BETWEEN pus - 3600000000 AND pus""".stripMargin)
+      graft.ops.Materialize.index(joined, "rangejoin-auto")
+        .orderBy("click_id", "purchase_id")
+    } finally s.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
   }
 
   /** Gap-based sessionization of the event stream's archive side

@@ -54,7 +54,15 @@ object AsOf {
       .withColumn("_ord", col(ts))
       .withColumn("_side", lit(1))
       .withColumn("_rpay", lit(null).cast(payType))
+    // NULL right timestamps never match in ASOF semantics (DuckDB's ASOF —
+    // the oracle — compares ts <= probe, false for NULL). Unfiltered they'd
+    // sort FIRST (asc = nulls first) carrying a non-null payload, becoming
+    // the "match" for every left row that precedes any real right row.
+    // Left NULL-ts rows need no symmetric filter: they sort before every
+    // non-null right row, so the running last() has nothing to carry and
+    // they get the defined no-match (null payload).
     val r = right
+      .filter(col(ts).isNotNull)
       .select(
         col(key) +:
           leftCols.filterNot(Set(key, ts)).map(c =>

@@ -64,14 +64,20 @@ object Cluster {
         .join(labels.select(col("node").as("dst"), col("label").as("dlabel")), "dst")
         .groupBy(col("src").as("node"))
         .agg(min("dlabel").as("nlabel"))
+      // Convergence check rides the checkpoint job itself: observe() folds
+      // the changed-label count into the round's materialization (metrics
+      // accumulate during execution), so each round runs ONE job instead of
+      // checkpoint + a separate count() action over the checkpointed blocks.
+      val obs = new org.apache.spark.sql.Observation(s"cc-changed-$round")
       val next = labels
         .join(neighborMin, Seq("node"), "left")
         .select(
           col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           col("label").as("prev"))
+        .observe(obs, sum(when(col("label") < col("prev"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint(true) // truncate per-round lineage growth
-      changed = next.filter(col("label") < col("prev")).count()
+      changed = Option(obs.get("changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
       retired ::= labels
       labels = next
       round += 1

@@ -34,14 +34,21 @@ object Layout {
     require(clusterCols.nonEmpty, "compact needs at least one cluster column")
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
     val spark = df.sparkSession
-    // One count against the source: at lake scale this is metadata-cheap
-    // (parquet footers), and file-count-from-data beats guessing.
-    val rows = df.count()
-    val files = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val keyCols = clusterCols.map(col)
-    df.repartitionByRange(files, keyCols: _*)
-      .sortWithinPartitions(keyCols: _*)
-      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    // The file count needs a row count BEFORE the write, but counting the
+    // raw `df` and then writing it executes the full upstream lineage
+    // TWICE — for a compaction fed by anything beyond a bare scan (a
+    // cleanse pipeline, a join) that doubles the job. Materialize once
+    // (localCheckpoint: executor-local blocks, lineage truncated), count
+    // the materialized blocks, write from them, then release the blocks.
+    val mat = df.localCheckpoint(eager = true)
+    try {
+      val rows = mat.count()
+      val files = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      val keyCols = clusterCols.map(col)
+      mat.repartitionByRange(files, keyCols: _*)
+        .sortWithinPartitions(keyCols: _*)
+        .write.mode(SaveMode.Overwrite).parquet(outDir)
+    } finally org.apache.spark.sql.graftshim.GraftSessions.unpersistLocalCheckpoint(mat)
     spark.read.parquet(outDir)
   }
 

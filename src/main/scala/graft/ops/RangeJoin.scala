@@ -45,7 +45,17 @@ object RangeJoin {
     // the column name doubles as the RangeJoinRewrite marker, so the
     // conf-gated optimizer rule never re-bins an already-binned join
     val b = "_graft_bucket"
-    def bucketOf(c: Column): Column = floor(c / bucketWidth)
+    // Floor-division in pure Long arithmetic (negative-safe via pmod): the
+    // earlier floor(c / width) ran through Double, which is only exact
+    // below 2^53 — wrong for general 64-bit keys. `(c - pmod(c, w)) div w`
+    // stays integral end to end (Column `/` would also detour via Double).
+    def bucketOf(c: Column): Column = {
+      import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal, Pmod, Subtract}
+      import org.apache.spark.sql.graftshim.ColumnExpr
+      val e = ColumnExpr.expr(c)
+      val w = Literal(bucketWidth)
+      ColumnExpr.column(IntegralDivide(Subtract(e, Pmod(e, w)), w))
+    }
     val pb = points.withColumn(b, bucketOf(col(ptCol)))
     val ib = intervals.withColumn(b,
       explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))

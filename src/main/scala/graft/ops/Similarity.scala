@@ -176,6 +176,34 @@ object Similarity {
       .select("query_id", "corpus_id", "cos", "rank")
   }
 
+  /** Deterministic IVF centroid seed — every 7th of the first `nc*7` ids —
+    * computed EXECUTOR-side end to end. The r5 encoding collected nc*7
+    * full vectors to the driver: O(√n·dim) at the auto-sized path, ~1 GB
+    * at 10⁹ vectors × dim 1024 — a growth term, not a bound. Here the
+    * id-only prefix is a TakeOrdered (vectors pruned out of the sort), the
+    * stride rank is a window over that bounded id set (single partition,
+    * ≤ nc*7 longs — ~200k at the 10⁹ design point), and the seed rows pull
+    * their vectors back by id as a broadcast-hash-join against the corpus
+    * scan. Only the nc centroid rows themselves ever materialize, inside
+    * the broadcast exchange. Selection order is identical to the old
+    * driver collect (sorted by id, every 7th, first nc), so results and
+    * the DuckDB oracle are unchanged. Returns (cid int, cvec). */
+  private[ops] def seedCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nc: Int): DataFrame = {
+    val wSeed = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    val seedIds = corpus.select(col(idCol))
+      .orderBy(col(idCol)).limit(nc * 7)
+      .withColumn("rn", row_number().over(wSeed) - 1)
+      .filter(col("rn") % 7 === 0 && col("rn") < nc.toLong * 7)
+      .select((col("rn") / 7).cast("int").as("cid"), col(idCol))
+    broadcast(seedIds)
+      .join(corpus.select(col(idCol), col(vecCol).as("cvec")), idCol)
+      .select(col("cid"), col("cvec"))
+  }
+
   /** IVF-style ANN: partition the corpus into cells around a fixed set of
     * centroids (deterministically sampled from the corpus itself — every
     * strideth vector, no RNG to ship), assign each vector to its nearest
@@ -202,18 +230,7 @@ object Similarity {
       numCentroids: Int = 0,
       nprobe: Int = 4): DataFrame = {
     val nc = if (numCentroids > 0) numCentroids else autoCentroids(corpus.count())
-    // bounded driver collect: nc*7 rows of metadata-scale data
-    val cents: Array[(Int, Seq[Float])] = corpus
-      .select(col(idCol), col(vecCol))
-      .orderBy(col(idCol))
-      .limit(nc * 7)
-      .collect()
-      .zipWithIndex
-      .collect { case (r, i) if i % 7 == 0 => (i / 7, r.getSeq[Float](1)) }
-      .take(nc)
-    val session = corpus.sparkSession
-    import session.implicits._
-    val centDf = broadcast(cents.toSeq.toDF("cid", "cvec"))
+    val centDf = broadcast(seedCentroids(corpus, idCol, vecCol, nc))
     // all (vector, centroid) sims for one side; broadcast join, no shuffle
     def sims(df: DataFrame, idAs: String): DataFrame =
       df.select(col(idCol).as(idAs), col(vecCol).as("v"))

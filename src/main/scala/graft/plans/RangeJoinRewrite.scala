@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.LongType
 
 /** Optimizer rule: rewrite declarative range joins into the bucketed
   * equi-join encoding, automatically.
@@ -43,7 +43,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private val Marker = "_graft_bucket"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = conf.getConfString(WidthConf, "0").toLong
+    // Defensive parse: a malformed width must DISABLE the rule, not throw
+    // NumberFormatException into the optimization of every query on the
+    // session.
+    val width = scala.util.Try(
+      conf.getConfString(WidthConf, "0").trim.toLong).getOrElse {
+      logWarning(s"ignoring malformed $WidthConf; range-join rewrite disabled")
+      0L
+    }
     if (width <= 0) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
@@ -99,8 +106,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       lo: Expression,
       hi: Expression,
       width: Long): LogicalPlan = {
+    // Floor-division in pure Long arithmetic (negative-safe via pmod).
+    // The earlier floor(cast(e AS double) / w) was exact only below 2^53 —
+    // above that, bucket ids drift/merge for the general 64-bit keys this
+    // rule accepts (monotone rounding kept pairs exact, but bucket balance
+    // and the one-bucket-per-point invariant degraded).
     def bucketOf(e: Expression): Expression =
-      Floor(Divide(Cast(e, DoubleType), Literal(width.toDouble)))
+      IntegralDivide(Subtract(e, Pmod(e, Literal(width))), Literal(width))
 
     val ptOnLeft = pt.references.subsetOf(left.outputSet)
     val (pointSide, intervalSide) = if (ptOnLeft) (left, right) else (right, left)

@@ -80,4 +80,29 @@ class AsOfSpec extends AnyFunSuite with Matchers {
   test("left rows never disappear or duplicate (exactly |left| out)") {
     AsOf.asofJoin(left, right, "k", "t", Seq("rid")).count() shouldBe left.count()
   }
+
+  test("NULL right timestamps never match (ASOF parity on dirty data)") {
+    // A NULL-ts right row would sort FIRST (asc = nulls first) and carry a
+    // non-null payload — without the filter it becomes the "match" for
+    // every left row preceding any real right row. DuckDB's ASOF (the
+    // oracle semantics) never matches a NULL timestamp.
+    val dirtyRight = df(rightSchema,
+      Row("a", null, 900L, "poison"), // must never match anyone
+      Row("a", 20L, 101L, "a20"),
+      Row("b", null, 901L, "poison"))
+    val got = AsOf.asofJoin(left, dirtyRight, "k", "t", Seq("rid", "tag"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(5))).toMap
+    got(1L) shouldBe None              // t=10 precedes a20 — not "poison"
+    got(2L) shouldBe Some("a20")
+    got(4L) shouldBe None              // b has only the NULL-ts row
+    got(5L) shouldBe None
+  }
+
+  test("NULL left timestamps get the defined no-match (null payload)") {
+    val dirtyLeft = df(leftSchema, Row(7L, "a", null))
+    val got = AsOf.asofJoin(dirtyLeft, right, "k", "t", Seq("rid"))
+      .collect()
+    got.length shouldBe 1
+    got.head.isNullAt(3) shouldBe true
+  }
 }

@@ -44,6 +44,34 @@ class LayoutSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("compact executes the source lineage once (single read of the input files)") {
+    // The r5 shape counted the raw df then wrote it — two full executions
+    // of the upstream lineage. Now the input is materialized once
+    // (localCheckpoint) and both the count and the write read the blocks.
+    // Evidence: file-input bytes during compact stay ~1× the source size
+    // (a double pass would read ~2×).
+    val srcDir = SparkFixture.tempDir("compactsrc")
+    scattered(20000, 13).write.mode("overwrite").parquet(srcDir)
+    val src = spark.read.parquet(srcDir).filter(col("id") % 2 === 0)
+    // Count executed stages that contain a file-scan RDD: the materialize
+    // job scans the source once; the count and the write read checkpoint
+    // blocks (no FileScanRDD in their lineage). The r5 double-pass shape
+    // ran two file-scan stages.
+    val scanStages = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (sc.stageInfo.rddInfos.exists(_.name.contains("FileScan")))
+          scanStages.increment()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Layout.compact(src, SparkFixture.tempDir("compactout"), 5000, Seq("k"))
+      org.apache.spark.sql.graftshim.GraftSessions.drainListenerBus(spark)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    scanStages.sum() shouldBe 1L
+  }
+
   test("a filter on the cluster key reads fewer files than the table has") {
     val dir = SparkFixture.tempDir("compact3")
     val out = Layout.compact(scattered(8000, 29), dir, 2000, Seq("k"))

@@ -138,6 +138,31 @@ class OpsSpec extends AnyFunSuite with Matchers {
     ivf.map(_._1) shouldBe Set(0L, 1L, 2L, 3L, 4L)
   }
 
+  test("ivf centroid seed is executor-side: id-only sort, stride selection intact") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val seed = Similarity.seedCentroids(emb, "vec_id", "embedding", nc = 10)
+    // selection semantics unchanged from the r5 driver collect (so the
+    // DuckDB oracle is unmoved): sorted by id, every 7th, first nc
+    val expected = emb.select("vec_id", "embedding").orderBy("vec_id").limit(70)
+      .collect().zipWithIndex
+      .collect { case (r, i) if i % 7 == 0 => (i / 7, r.getSeq[Float](1)) }
+      .toMap
+    val got = seed.collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    got.keySet shouldBe expected.keySet
+    got.foreach { case (cid, v) => v shouldBe expected(cid) }
+    // and the scale shape: the ordered prefix sorts ids ONLY (vectors are
+    // pruned from the TakeOrdered), and nothing in the seed plan is a
+    // driver-side collect of corpus data
+    val plan = seed.queryExecution.executedPlan.toString
+    val takeOrdered = plan.linesIterator.filter(_.contains("TakeOrderedAndProject")).toSeq
+    takeOrdered should not be empty
+    takeOrdered.foreach { line =>
+      line should include("vec_id")
+      (line should not).include("embedding") // vectors pruned from the sort
+    }
+    plan should not include "CollectLimit"
+  }
+
   test("ivf ann survives hundreds of centroids (broadcast join, no codegen literal blowup)") {
     // the auto-sized path wants √n centroids (√10⁹ ≈ 31k); the round-2
     // plan-literal construction died in janino around a few hundred. The

@@ -88,6 +88,46 @@ class RangeJoinRewriteSpec extends AnyFunSuite with Matchers {
     withWidth(64) { pairs(spark.sql(sql)) } shouldBe naive
   }
 
+  test("keys above 2^53 bucket exactly (Long floor-division, no Double detour)") {
+    // Around 2^60 a Double-cast bucket id merges adjacent buckets; the
+    // Long pmod/div math must keep points one bucket apart and the pairs
+    // exact. Points straddle interval edges so an off-by-one-bucket error
+    // changes the result.
+    val base = 1L << 60
+    val pts = (0L until 64L).map(i => Row(i, base + i * 13))
+    val ivs = (0L until 16L).map(i => Row(i + 500L, base + i * 50, base + i * 50 + 40))
+    spark.createDataFrame(pts.asJava, StructType(Seq(
+      StructField("pid", LongType), StructField("t", LongType))))
+      .createOrReplaceTempView("rjr_big_points")
+    spark.createDataFrame(ivs.asJava, StructType(Seq(
+      StructField("iid", LongType), StructField("lo", LongType),
+      StructField("hi", LongType)))).createOrReplaceTempView("rjr_big_intervals")
+    val sql =
+      """SELECT pid, iid FROM rjr_big_points p JOIN rjr_big_intervals i
+        |ON p.t >= i.lo AND p.t <= i.hi""".stripMargin
+    val naive = pairs(spark.sql(sql))
+    naive should not be empty
+    val (rewritten, optimized) = withWidth(64) {
+      val df = spark.sql(sql)
+      (pairs(df), df.queryExecution.optimizedPlan.toString)
+    }
+    rewritten shouldBe naive
+    // pin the integer encoding: buckets come from pmod/div, not a cast to double
+    optimized.toLowerCase should include("pmod")
+    optimized.toLowerCase should not include "cast(t#"
+  }
+
+  test("a malformed width conf disables the rule instead of failing every query") {
+    fixture
+    graft.functions.GraftExtensions.register(spark)
+    spark.conf.set(RangeJoinRewrite.WidthConf, "not-a-number")
+    try {
+      val df = spark.sql(sqlBetween)
+      noException should be thrownBy df.collect()
+      df.queryExecution.executedPlan.toString should not include "_graft_bucket"
+    } finally spark.conf.unset(RangeJoinRewrite.WidthConf)
+  }
+
   test("output schema is unchanged by the rewrite") {
     fixture
     val sql = "SELECT * FROM rjr_points p JOIN rjr_intervals i " +
