@@ -1,11 +1,9 @@
 package graft.frontend
 
-import graft.core.{Assembler, TimeRange}
-import graft.schema.{Metric, SchemaRegistry}
+import graft.schema.SchemaRegistry
 import graft.sources.SourceSet
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.{Command, Filter => LFilter, InsertIntoDir, LogicalPlan, ParsedStatement, SubqueryAlias, UnresolvedWith}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, LogicalPlan, ParsedStatement}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ColumnExpr
 import org.apache.spark.sql.types._
@@ -119,7 +117,7 @@ class TenantSession private (
     * (INSERT/UPDATE/DELETE/MERGE parse to `ParsedStatement`s), or a
     * directory write is rejected — wherever it sits in the tree. */
   private def rejectNonQuery(plan: LogicalPlan): Unit = {
-    val offender = deepCollect(plan) {
+    val offender = Substitution.deepCollect(plan) {
       case c: Command         => c.nodeName
       case p: ParsedStatement => p.nodeName
       case d: InsertIntoDir   => d.nodeName
@@ -131,86 +129,13 @@ class TenantSession private (
   }
 
   /** Validate every table reference and splice the tenant's assembled
-    * metric plans into the statement tree. Covers subquery expressions
-    * and CTE definitions. */
-  private def substituteRelations(parsed: LogicalPlan): LogicalPlan = {
-    // CTE-defined names legally shadow tables; collect them first.
-    val cteNames: Set[String] = deepCollect(parsed) {
-      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
-    }.flatten.toSet
-
-    val replacements =
-      new java.util.IdentityHashMap[UnresolvedRelation, LogicalPlan]()
-    deepCollect(parsed) { case r: UnresolvedRelation => r }.foreach { r =>
-      val parts = r.multipartIdentifier
-      val bare = parts.head.toLowerCase
-      val isBare = parts.size == 1
-      if (isBare && cteNames.contains(bare)) ()                 // CTE wins
-      else if (isBare && registeredViews.contains(bare)) ()     // errors table
-      else if (isBare && registry.metric(orgId, parts.head).isDefined) {
-        val m = registry.metric(orgId, parts.head).get
-        val range = boundsFor(r, parsed)
-        val df = Assembler.metricTable(
-          spark, orgId, m, sources.prune(range), sorted = false)
-        replacements.put(r, SubqueryAlias(parts.head, ColumnExpr.logical(df)))
-      } else
-        throw new SecurityException(
-          s"table not found for tenant $orgId: ${parts.mkString(".")}")
-    }
-    deepTransform(parsed) {
-      case r: UnresolvedRelation if replacements.containsKey(r) =>
-        replacements.get(r)
-    }
-  }
-
-  /** `collectWithSubqueries` that also descends into `UnresolvedWith` CTE
-    * definitions — cteRelations are not plan children, so the stock
-    * traversal never visits a `WITH` body. */
-  private def deepCollect[A](p: LogicalPlan)(
-      pf: PartialFunction[LogicalPlan, A]): Seq[A] = {
-    val here = p.collectWithSubqueries(pf)
-    val cteBodies = p.collectWithSubqueries {
-      case w: UnresolvedWith => w.cteRelations.map(_._2)
-    }.flatten
-    here ++ cteBodies.flatMap(deepCollect(_)(pf))
-  }
-
-  /** `transformUpWithSubqueries` that also rewrites CTE definitions. */
-  private def deepTransform(p: LogicalPlan)(
-      pf: PartialFunction[LogicalPlan, LogicalPlan]): LogicalPlan = {
-    val withCtes: PartialFunction[LogicalPlan, LogicalPlan] = {
-      case w: UnresolvedWith =>
-        w.copy(cteRelations = w.cteRelations.map { case (n, sa, d) =>
-          (n, deepTransform(sa)(pf).asInstanceOf[SubqueryAlias], d)
-        })
-    }
-    p.transformUpWithSubqueries(pf.orElse(withCtes))
-  }
-
-  /** Conservative per-relation timestamp bounds: only honor Filter nodes
-    * whose path down to THIS relation crosses Filter/SubqueryAlias nodes
-    * exclusively. A filter sitting above a Project/Aggregate can reference
-    * a rebound `timestamp` (e.g. `timestamp - 1000 AS timestamp`) — its
-    * bounds say nothing about storage timestamps, so it widens to Full
-    * (the widen-don't-narrow contract, `TimestampExpressionBuilder`). */
-  private def boundsFor(rel: UnresolvedRelation, plan: LogicalPlan): TimeRange = {
-    def reaches(p: LogicalPlan): Boolean = p match {
-      case f: LFilter       => reaches(f.child)
-      case s: SubqueryAlias => reaches(s.child)
-      case r: UnresolvedRelation => r eq rel
-      case _ => false
-    }
-    // deepCollect, not collectWithSubqueries: a WITH body is not a plan
-    // child, so the stock traversal would miss the filter in
-    // `WITH t AS (SELECT * FROM m WHERE timestamp < X) …` — the most
-    // idiomatic bounded-query shape — and prune nothing (safe, but the
-    // reference's R1 benefit left on the table).
-    val conds = deepCollect(plan) {
-      case f: LFilter if reaches(f.child) => f.condition
-    }
-    if (conds.isEmpty) TimeRange.Full
-    else conds.map(TimeRange.extractExpr(Metric.TimestampField, _)).reduce(_ intersect _)
-  }
+    * metric plans into the statement tree ([[Substitution]] — the same
+    * mechanism the Thrift wire path hooks into its parser). strict: a
+    * relation that is neither CTE, registered view, nor tenant metric is
+    * a SecurityException before execution. */
+  private def substituteRelations(parsed: LogicalPlan): LogicalPlan =
+    Substitution.substituteMetrics(
+      spark, orgId, registry, sources, registeredViews, parsed, strict = true)
 
   // ---------------------------------------------------- metadata surface
 

@@ -21,10 +21,13 @@ class JdbcServerSpec extends AnyFunSuite with Matchers {
   import scala.jdk.CollectionConverters._
 
   private val registry = SchemaRegistry(
-    Org("orgj", Seq(Metric("mj", "jdbcmetric", Seq(
-      Field("v", FieldType.LONG),
-      // nearline-style number-as-string storage cast to a declared decimal
-      Field("amt", FieldType.DECIMAL, decimal = Some((20, 4))))))),
+    Org("orgj", Seq(
+      Metric("mj", "jdbcmetric", Seq(
+        Field("v", FieldType.LONG),
+        // nearline-style number-as-string storage cast to a declared decimal
+        Field("amt", FieldType.DECIMAL, decimal = Some((20, 4))))),
+      // nearline-only metric: drives the wire-path time-pruning tests
+      Metric("mn", "nlmetric", Seq(Field("v", FieldType.LONG))))),
     Org("orgz", Seq(Metric("mz", "zmetric", Seq(Field("v", FieldType.LONG))))))
 
   private lazy val sources: SourceSet = {
@@ -42,12 +45,32 @@ class JdbcServerSpec extends AnyFunSuite with Matchers {
       .write.mode("overwrite").parquet(s"$dir/0/parquet/orgj/mj")
     spark.createDataFrame(rows.asJava, schema)
       .write.mode("overwrite").parquet(s"$dir/0/parquet/orgz/mz")
-    SourceSet(fs = Seq(FsSource("parquet", dir)))
+    // Two nearline windows feeding metric mn only (windows far above the
+    // archive timestamps, so the overlap cutoff leaves jdbcmetric alone).
+    val nlSchema = StructType(Seq(
+      StructField("partition", StringType), StructField("sort", StringType),
+      StructField("ids", ArrayType(StringType)),
+      StructField("v", MapType(StringType, StringType))))
+    val nlA = SparkFixture.tempDir("jdbcnlA") + "/tbl"
+    val nlB = SparkFixture.tempDir("jdbcnlB") + "/tbl"
+    spark.createDataFrame(Seq(
+      Row("orgjmn", "1500", Seq("w"), Map("w" -> "15"))).asJava, nlSchema)
+      .write.mode("overwrite").parquet(nlA)
+    spark.createDataFrame(Seq(
+      Row("orgjmn", "2500", Seq("w"), Map("w" -> "25"))).asJava, nlSchema)
+      .write.mode("overwrite").parquet(nlB)
+    SourceSet(
+      fs = Seq(FsSource("parquet", dir)),
+      nearline = Seq(
+        NearlineTableDesc("t_1000_2000", nlA, 1000L, 2000L),
+        NearlineTableDesc("t_2000_3000", nlB, 2000L, 3000L)))
   }
 
   private lazy val server: GraftJdbcServer = {
     Class.forName("org.apache.hive.jdbc.HiveDriver")
-    GraftJdbcServer.start(spark, registry, "orgj", sources)
+    // server-side clamp = 3: every plain query in this spec returns ≤ 3
+    // rows anyway, and the clamp test proves the cap on a wider result
+    GraftJdbcServer.start(spark, registry, "orgj", sources, maxRows = Some(3))
   }
 
   private def withConn[A](f: java.sql.Connection => A): A = {
@@ -133,6 +156,56 @@ class JdbcServerSpec extends AnyFunSuite with Matchers {
         st.executeQuery("SELECT (SELECT max(id) FROM global_temp.host_secret) AS m")
       }
     } finally spark.catalog.dropGlobalTempView("host_secret")
+  }
+
+  test("the serving session streams results incrementally (bounded driver memory)") {
+    // Spark's Thrift frontend collect()s the full result on the driver by
+    // default; under incrementalCollect it iterates partitions
+    // (toLocalIterator) — the difference between an OOM and a bounded
+    // driver on a stock client's unclamped SELECT *.
+    server.serving.conf.get("spark.sql.thriftServer.incrementalCollect") shouldBe "true"
+  }
+
+  test("wire statements prune out-of-range nearline sources (reference R1 over JDBC)") {
+    withConn { c =>
+      // correctness across both windows, over the real wire
+      val rs = c.createStatement().executeQuery(
+        "SELECT `timestamp`, v FROM nlmetric ORDER BY `timestamp`")
+      val all = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+      all shouldBe Seq((1500L, 15L), (2500L, 25L))
+      val rs2 = c.createStatement().executeQuery(
+        "SELECT `timestamp`, v FROM nlmetric WHERE `timestamp` >= 2000")
+      Iterator.continually(rs2).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq shouldBe Seq((2500L, 25L))
+    }
+    // plan shape, through the SAME parser chain the wire uses: the
+    // unbounded statement scans both nearline tables; the bounded one
+    // scans only the in-range window
+    def parquetScans(sql: String): Int =
+      "Scan parquet".r.findAllIn(
+        server.serving.sql(sql).queryExecution.executedPlan.toString).size
+    parquetScans("SELECT v FROM nlmetric") shouldBe 2
+    parquetScans("SELECT v FROM nlmetric WHERE `timestamp` >= 2000") shouldBe 1
+    // CTE-wrapped bounds prune too (the idiomatic BI-tool shape)
+    parquetScans(
+      "WITH t AS (SELECT * FROM nlmetric WHERE `timestamp` < 2000) SELECT v FROM t") shouldBe 1
+  }
+
+  test("a server-side maxRows clamp caps unbounded wire SELECTs") {
+    // reference FineoJdbcMeta.setMaxRows:143-159 — the server always owns
+    // a cap; a stock client's unbounded statement returns at most it.
+    // (Only one Thrift endpoint can live per JVM, so the cap is on the
+    // shared spec server — 3, which no other query here exceeds.)
+    withConn { c =>
+      val rs = c.createStatement().executeQuery(
+        "SELECT a.v FROM jdbcmetric a JOIN jdbcmetric b") // 9 rows unclamped
+      Iterator.continually(rs).takeWhile(_.next()).size shouldBe 3
+      // commands are never clamped: SHOW TABLES still lists everything
+      val st = c.createStatement().executeQuery("SHOW TABLES")
+      Iterator.continually(st).takeWhile(_.next())
+        .map(_.getString("tableName")).toSet should contain allOf ("jdbcmetric", "nlmetric")
+    }
   }
 
   test("the read-only parser still runs the full query surface") {
