@@ -101,8 +101,14 @@ object Bench {
       s"${jstr(n)}:{" +
         s""""shuffleReadBytes":$sr,"shuffleWriteBytes":$sw,"spillBytes":$sp,"tasks":$tk}"""
     }.mkString("{", ",", "}")
+    // Full-precision per-query times ride the diagnostics file so a
+    // committed BENCHDIAG_r<k>.json is a durable comparison target for the
+    // next round's gate (BENCH_r4's timings were lost to the driver's tail
+    // window — the gate then silently fell back to a 25×-slow round).
+    val qsFull = results.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
     val diagnostics =
-      s"""{"regressions":$regJson,"queryMetrics":$pm,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"queries":$qsFull,"regressions":$regJson,"queryMetrics":$pm,"errors":$errs,"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("target/bench_diagnostics.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -113,14 +119,18 @@ object Bench {
     spark.stop()
   }
 
-  /** Newest BENCH_r*.json in the working dir, parsed to per-query seconds
-    * (the timings line may be embedded JSON-escaped in a "tail" field —
-    * unescape before extracting). */
+  /** Newest committed bench record in the working dir, parsed to per-query
+    * seconds: BENCHDIAG_r<k>.json (the full-precision diagnostics file
+    * committed per round) is preferred over the driver's BENCH_r<k>.json
+    * for the same round (whose timings line may be embedded JSON-escaped
+    * in a "tail" field — unescape before extracting — and may have been
+    * truncated by the tail window). */
   private def previousBench(): Option[(String, Map[String, Double])] = {
     val dir = new java.io.File(".")
     val cand = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+      .filter(_.getName.matches("(BENCHDIAG|BENCH)_r\\d+\\.json"))
+      .sortBy(f => (f.getName.replaceAll("\\D", "").toInt,
+        if (f.getName.startsWith("BENCHDIAG")) 1 else 0))
     // Newest-first, falling back past files whose recorded tail lost the
     // queries block (the round-4 file has only queryMetrics fragments).
     cand.reverseIterator.flatMap { f =>
