@@ -58,13 +58,13 @@ class InMemoryTransport extends NearlineTransport {
       sortKey: String,
       segment: Int,
       numSegments: Int,
-      token: Option[Long],
+      token: Option[String],
       pageSize: Int): NearlinePage = {
     val table = InMemoryStore(path)
     val segKey = ParquetSegmentService.segmentKeyFor(read, hashKey, sortKey)
     val buf = Vector.newBuilder[Map[String, Any]]
     var matched = 0
-    var idx = token.getOrElse(0L).toInt // O(1) resume: direct index
+    var idx = token.map(_.toInt).getOrElse(0) // O(1) resume: direct index
     val n = table.rows.length
     while (idx < n && matched < pageSize) {
       val rec = table.rows(idx)
@@ -76,6 +76,6 @@ class InMemoryTransport extends NearlineTransport {
       }
       idx += 1
     }
-    NearlinePage(buf.result(), if (matched == pageSize) Some(idx.toLong) else None)
+    NearlinePage(buf.result(), if (matched == pageSize) Some(idx.toString) else None)
   }
 }

@@ -260,18 +260,27 @@ object StubService {
 
   def schema(path: String): StructType =
     if (InMemoryStore.isMemPath(path)) InMemoryStore(path).schema
+    else if (HttpDynamoTransport.isDynamoPath(path))
+      // the service is schemaless (DescribeTable reports keys only); the
+      // engine's registry owns the schema — pass it explicitly
+      throw new IllegalArgumentException(
+        s"dynamo tables have no inferable schema; supply .schema(...) for $path")
     else spark().read.parquet(path).schema
 
   /** Item count statistic (cached per path — the reference reads it from
-    * table metadata, not by scanning). */
+    * table metadata, not by scanning; for the wire transport this is
+    * DescribeTable.ItemCount, the very call `DynamoGroupScan` costs on). */
   def count(path: String): Long =
     if (InMemoryStore.isMemPath(path)) InMemoryStore(path).rows.length.toLong
+    else if (HttpDynamoTransport.isDynamoPath(path))
+      countCache.computeIfAbsent(path, p => new HttpDynamoTransport().describeItemCount(p))
     else countCache.computeIfAbsent(path, p => spark().read.parquet(p).count())
 
   /** Transport matching the path scheme (still overridable with the
     * `transport` option — the SDK swap-in seam). */
   def defaultTransport(path: String): String =
     if (InMemoryStore.isMemPath(path)) classOf[InMemoryTransport].getName
+    else if (HttpDynamoTransport.isDynamoPath(path)) classOf[HttpDynamoTransport].getName
     else classOf[ParquetTransport].getName
 
   private def spark() = org.apache.spark.sql.SparkSession.active

@@ -11,8 +11,15 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
   * continuation token for the next call (None = segment exhausted).
   * Mirrors a DynamoDB scan/query page — `Items` + `LastEvaluatedKey`;
   * a non-empty token with an empty record list is legal (the server
-  * scanned a page's worth of rows none of which matched the filter). */
-case class NearlinePage(records: Seq[Map[String, Any]], nextToken: Option[Long])
+  * scanned a page's worth of rows none of which matched the filter).
+  *
+  * The token is OPAQUE to the engine — a transport-defined string. The
+  * stub transports encode a stream position; a cloud adapter carries the
+  * service's own resume key verbatim (DynamoDB `LastEvaluatedKey` is a
+  * key-attribute map, not a number — an earlier Long-typed token could
+  * not have round-tripped it, which is exactly the kind of seam defect
+  * only a real second implementation surfaces). */
+case class NearlinePage(records: Seq[Map[String, Any]], nextToken: Option[String])
 
 /** A live paged read over one segment. May hold transport-side state (an
   * open reader / HTTP connection), so the happy path streams: each
@@ -59,7 +66,7 @@ trait NearlineTransport extends Serializable {
       sortKey: String,
       segment: Int,
       numSegments: Int,
-      token: Option[Long],
+      token: Option[String],
       pageSize: Int): NearlinePage
 
   /** Open a live paged read resuming from `token`. Default implementation
@@ -72,7 +79,7 @@ trait NearlineTransport extends Serializable {
       sortKey: String,
       segment: Int,
       numSegments: Int,
-      token: Option[Long],
+      token: Option[String],
       pageSize: Int): NearlineSession = {
     val t = this
     new NearlineSession {
@@ -124,7 +131,7 @@ class ParquetTransport extends NearlineTransport {
       sortKey: String,
       segment: Int,
       numSegments: Int,
-      token: Option[Long],
+      token: Option[String],
       pageSize: Int): NearlinePage = {
     val s = open(path, read, hashKey, sortKey, segment, numSegments, token, pageSize)
     try s.nextPage() finally s.close()
@@ -137,10 +144,10 @@ class ParquetTransport extends NearlineTransport {
       sortKey: String,
       segment: Int,
       numSegments: Int,
-      token: Option[Long],
+      token: Option[String],
       pageSize: Int): NearlineSession =
     new ParquetPagedSession(this, path, read, hashKey, sortKey,
-      segment, numSegments, token.getOrElse(0L), pageSize)
+      segment, numSegments, token.map(_.toLong).getOrElse(0L), pageSize)
 
   private[dsv2] def rowDecoded(): Unit = onRowDecoded()
 }
@@ -232,7 +239,7 @@ private[dsv2] class ParquetPagedSession(
     }
     // a full page may sit exactly at stream end — the follow-up call
     // returns (Nil, None), like Dynamo's possible empty final page
-    NearlinePage(buf.result(), if (matched == pageSize) Some(globalIdx) else None)
+    NearlinePage(buf.result(), if (matched == pageSize) Some(globalIdx.toString) else None)
   }
 
   override def close(): Unit = {
@@ -259,7 +266,7 @@ class PagedSegmentIterator(
     maxAttempts: Int = NearlineTransport.MaxAttempts)
     extends Iterator[Map[String, Any]] with AutoCloseable {
 
-  private var token: Option[Long] = None
+  private var token: Option[String] = None
   private var exhausted = false
   private var current: Iterator[Map[String, Any]] = Iterator.empty
   private var session: NearlineSession = _

@@ -58,7 +58,7 @@ class InMemoryTransportSpec extends AnyFunSuite with Matchers {
     val t = new InMemoryTransport
     val read = ReadPlanner.Scan(None, None)
     InMemoryStore.rowsTouched.set(0)
-    val page = t.page(p, read, "partition", "sort", 0, 1, Some(9990L), 5)
+    val page = t.page(p, read, "partition", "sort", 0, 1, Some("9990"), 5)
     page.records.length shouldBe 5
     // the O(1)-resume pin: only the page's own rows were examined — a
     // token-proportional resume (the round-3 quadratic) would touch ~9990
@@ -103,7 +103,7 @@ object FlakyOnceMemTransport {
 class FlakyOnceMemTransport extends InMemoryTransport {
   override def page(
       path: String, read: ReadPlanner.Read, hashKey: String, sortKey: String,
-      segment: Int, numSegments: Int, token: Option[Long], pageSize: Int) = {
+      segment: Int, numSegments: Int, token: Option[String], pageSize: Int) = {
     if (token.isDefined && FlakyOnceMemTransport.fired.compareAndSet(0, 1))
       throw new RuntimeException("injected throttle")
     super.page(path, read, hashKey, sortKey, segment, numSegments, token, pageSize)

@@ -20,7 +20,7 @@ object FlakyOnceTransport {
 class FlakyOnceTransport extends ParquetTransport {
   override def open(
       path: String, read: ReadPlanner.Read, hashKey: String, sortKey: String,
-      segment: Int, numSegments: Int, token: Option[Long], pageSize: Int): NearlineSession = {
+      segment: Int, numSegments: Int, token: Option[String], pageSize: Int): NearlineSession = {
     val inner = super.open(path, read, hashKey, sortKey, segment, numSegments, token, pageSize)
     new NearlineSession {
       private var delivered = token.isDefined // resumed ⇒ records already out
@@ -41,7 +41,7 @@ class FlakyOnceTransport extends ParquetTransport {
 class AlwaysFailTransport extends NearlineTransport {
   override def page(
       path: String, read: ReadPlanner.Read, hashKey: String, sortKey: String,
-      segment: Int, numSegments: Int, token: Option[Long], pageSize: Int): NearlinePage =
+      segment: Int, numSegments: Int, token: Option[String], pageSize: Int): NearlinePage =
     throw new RuntimeException("injected persistent segment failure")
 }
 
@@ -59,7 +59,7 @@ class CountingTransport extends ParquetTransport {
     CountingTransport.rowsDecoded.incrementAndGet()
   override def open(
       path: String, read: ReadPlanner.Read, hashKey: String, sortKey: String,
-      segment: Int, numSegments: Int, token: Option[Long], pageSize: Int): NearlineSession = {
+      segment: Int, numSegments: Int, token: Option[String], pageSize: Int): NearlineSession = {
     val inner = super.open(path, read, hashKey, sortKey, segment, numSegments, token, pageSize)
     new NearlineSession {
       override def nextPage(): NearlinePage = {
