@@ -723,8 +723,26 @@ object PipelineQueries {
       .orderBy("asset_id")
   }
 
+  /** Exact-substring novelty dedup ([[graft.ops.Dedup.substringNovelty]]):
+    * per document, the fraction of its distinct word 8-grams it is the
+    * FIRST (min-id) owner of — the linear suffix-array-dedup
+    * approximation that catches mosaic re-emissions pairwise dedup
+    * can't. */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringNovelty(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Corpus-trained bigram LM scoring ([[graft.ops.TextAnalysis.lmScore]]):
+    * the CCNet-style perplexity quality signal, average negative
+    * log-likelihood under add-k-smoothed corpus bigram statistics. */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScore(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
   // ================================================================ maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> (dedupSubstring _),
+    "lm_perplexity" -> (lmPerplexity _),
     "doc_chunking" -> (docChunking _),
     "multimodal_resize" -> (multimodalResize _),
     "heavy_hitters" -> (heavyHitters _),
@@ -912,6 +930,31 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_substring" ->
+      s"""WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    ${duckShingles(8)}, g -> substr(md5(g), 1, 16)))) AS gh FROM documents),
+         |o AS (SELECT gh, min(doc_id) AS owner FROM g GROUP BY gh)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_owned,
+         |  round(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) / count(*), 4) AS novelty,
+         |  round(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) / count(*), 4) >= 0.5 AS keep
+         |FROM g JOIN o USING (gh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "lm_perplexity" ->
+      s"""WITH uni AS (SELECT u AS w, count(*) AS cu
+         |  FROM (SELECT unnest($toks) AS u FROM documents) GROUP BY u),
+         |vocab AS (SELECT count(*) AS v FROM uni),
+         |bi AS (SELECT b0 AS b, count(*) AS cb
+         |  FROM (SELECT unnest(${duckShingles(2)}) AS b0 FROM documents) GROUP BY b0),
+         |db AS (SELECT doc_id, unnest(${duckShingles(2)}) AS b FROM documents)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(-avg(ln((cb + 0.5) / (cu + 0.5 * v))), 4) AS nll
+         |FROM db JOIN bi USING (b)
+         |  JOIN uni ON uni.w = split_part(db.b, ' ', 1)
+         |  CROSS JOIN vocab
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "heavy_hitters" ->
       // the sketch runs in its exact regime (capacity >> vocabulary), so
       // the oracle is the plain count with the same (cnt desc, token asc)

@@ -22,6 +22,42 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_md5"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("copies"))
 
+  /** Exact-substring novelty dedup — the linear approximation of
+    * suffix-array substring dedup (the "Deduplicating Training Data Makes
+    * Language Models Better" / RefinedWeb step): every word n-gram is
+    * OWNED by the first document (minimum id) containing it, and a
+    * document's novelty is the fraction of its distinct grams it owns.
+    * Low-novelty documents are mosaics of earlier content — re-emissions
+    * that pairwise Jaccard dedup structurally misses when no single pair
+    * crosses its threshold (ten documents each contributing a tenth of
+    * the copy never form a candidate pair).
+    *
+    * Scale shape: grams travel as 16-hex md5 prefixes, never text;
+    * ownership is ONE partial-aggregated groupBy-min over (gram, doc)
+    * rows and novelty ONE groupBy over doc ids — linear in total gram
+    * count with no candidate join and no pair explosion anywhere
+    * (contrast the O(candidates) joins of the LSH/Jaccard operators).
+    * Returns (idCol, n_grams, n_owned, novelty, keep). */
+  def substringNovelty(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int = 8,
+      keepAt: Double = 0.5): DataFrame = {
+    val grams = df.select(col(idCol), explode(array_distinct(
+      transform(shingles(textCol, shingleWords),
+        g => substring(md5(g), 1, 16)))).as("gh"))
+    val owners = grams.groupBy("gh").agg(min(col(idCol)).as("owner"))
+    grams.join(owners, "gh")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("owner") === col(idCol), 1L).otherwise(0L)).as("n_owned"))
+      .withColumn("novelty",
+        round(col("n_owned").cast("double") / col("n_grams"), 4))
+      .withColumn("keep", col("novelty") >= keepAt)
+  }
+
   /** MinHash signature columns h0..h{k-1}: per hash function i, the min of
     * md5(salt_i ++ shingle) over the document's word shingles. min-of-md5
     * over a string domain is a valid minwise hash family; salting gives k

@@ -141,6 +141,51 @@ object TextAnalysis {
       .drop("hits")
   }
 
+  /** Corpus-trained bigram language-model score — the CCNet-style
+    * perplexity quality filter, self-trained (no external model): count
+    * unigrams and bigrams over the corpus itself, then score each
+    * document by its average negative log-likelihood under add-k
+    * smoothing, `-avg ln (c(w1 w2) + a) / (c(w1) + a·V)`. Documents with
+    * high NLL are improbable under the corpus's own statistics (noise,
+    * boilerplate, wrong language); the consumer thresholds or
+    * percentile-buckets the score (CCNet keeps the middle band —
+    * head/tail are templated/noisy respectively).
+    *
+    * Scale shape: the "training pass" is two partial-aggregated
+    * groupBy-counts (unigrams, bigrams); scoring is two linear joins of
+    * the per-occurrence bigram stream against those count tables
+    * (broadcastable when a vocabulary cap is applied) plus the 1-row
+    * vocabulary-size scalar as a broadcast cross join. No pair explosion,
+    * no windows; per-doc aggregation is partial-combined. Double sums
+    * shuffle-order-dependent at ulp scale → round(4) on the output (the
+    * repo's established cross-engine defense).
+    *
+    * Returns (idCol, n_bigrams, nll); perplexity = exp(nll) if wanted. */
+  def lmScore(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      alpha: Double = 0.5): DataFrame = {
+    val bigramsC = Dedup.shingles(textCol, 2)
+    val toksC = tokens(lower(col(textCol)))
+    val uni = df.select(explode(toksC).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = df.select(explode(bigramsC).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cb"))
+    df.select(col(idCol), explode(bigramsC).as("b"))
+      .join(bi, "b")
+      .withColumn("w", expr("split_part(b, ' ', 1)"))
+      .join(uni, "w")
+      .crossJoin(broadcast(vocab)) // 1-row scalar — the broadcast idiom
+      .withColumn("lp",
+        log((col("cb") + lit(alpha)) / (col("cu") + lit(alpha) * col("v"))))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        round(-avg(col("lp")), 4).as("nll"))
+  }
+
   /** Gopher-style rule-based quality signals (Rae et al. 2021 §A1.1-ish):
     * token count, mean word length, stopword fraction, symbol ratio, and
     * the top single-token share (repetition detector), plus the composite

@@ -26,6 +26,51 @@ class OpsSpec extends AnyFunSuite with Matchers {
     dup.getAs[Long]("keeper") shouldBe 1L
   }
 
+  test("substring novelty: verbatim re-emission owns nothing; fresh content owns all") {
+    val d = docs(
+      (1L, "a b c d e f g h i j"),   // 3 distinct 8-grams, owns all
+      (2L, "a b c d e f g h i j"),   // verbatim copy — owns none
+      (3L, "q r s t u v w x y z"))   // disjoint — owns all
+    val out = Dedup.substringNovelty(d, "doc_id", "text", shingleWords = 8, keepAt = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_owned"),
+          r.getAs[Double]("novelty"), r.getAs[Boolean]("keep"))).toMap
+    out(1L) shouldBe ((3L, 3L, 1.0, true))
+    out(2L) shouldBe ((3L, 0L, 0.0, false))
+    out(3L) shouldBe ((3L, 3L, 1.0, true))
+  }
+
+  test("substring novelty catches the mosaic dup pairwise jaccard misses") {
+    // doc 4 stitches together halves of docs 1 and 2. Its 4-grams: 13
+    // total, 5 owned by doc 1's prefix, 5 by doc 2's prefix, and only the
+    // 3 straddling the stitch boundary are genuinely novel → novelty
+    // 3/13 ≈ 0.23, dropped — even though against EITHER single source the
+    // pairwise overlap is only half and a pair-threshold dedup keeps it.
+    val d = docs(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "m n o p q r s t u v w x"),
+      (4L, "a b c d e f g h m n o p q r s t"))
+    val out = Dedup.substringNovelty(d, "doc_id", "text", shingleWords = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("novelty"), r.getAs[Boolean]("keep"))).toMap
+    out(1L) shouldBe ((1.0, true))
+    out(2L) shouldBe ((1.0, true))
+    out(4L) shouldBe ((0.2308, false))
+  }
+
+  test("bigram lm score: hand-computed add-k likelihoods on a tiny corpus") {
+    val d = docs((1L, "a b"), (2L, "a b"), (3L, "a c"))
+    // uni: a=3 b=2 c=1, V=3; bigrams: "a b"=2, "a c"=1; alpha=0.5
+    // doc1/doc2: nll = -ln((2+.5)/(3+1.5)) = ln(4.5/2.5) = 0.5878
+    // doc3:      nll = -ln((1+.5)/(3+1.5)) = ln(3)       = 1.0986
+    val out = TextAnalysis.lmScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("nll"))).toMap
+    out(1L) shouldBe ((1L, 0.5878))
+    out(2L) shouldBe ((1L, 0.5878))
+    out(3L) shouldBe ((1L, 1.0986))
+  }
+
   test("minhash signatures are identical for identical docs, mostly differ otherwise") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog"),
