@@ -192,6 +192,20 @@ class JdbcServerSpec extends AnyFunSuite with Matchers {
       "WITH t AS (SELECT * FROM nlmetric WHERE `timestamp` < 2000) SELECT v FROM t") shouldBe 1
   }
 
+  test("EXPLAIN over the wire shows the substituted, time-pruned plan") {
+    withConn { c =>
+      val rs = c.createStatement().executeQuery(
+        "EXPLAIN SELECT v FROM nlmetric WHERE `timestamp` >= 2000")
+      val plan = Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getString(1)).mkString("\n")
+      // the tenant sees the plan they'd actually run: metric substituted
+      // (no unresolved relation), only the in-range nearline window scanned
+      plan should include("Scan parquet")
+      "Scan parquet".r.findAllIn(plan).size shouldBe 1
+      (plan should not).include("UnresolvedRelation")
+    }
+  }
+
   test("a server-side maxRows clamp caps unbounded wire SELECTs") {
     // reference FineoJdbcMeta.setMaxRows:143-159 — the server always owns
     // a cap; a stock client's unbounded statement returns at most it.
