@@ -942,18 +942,15 @@ object PipelineQueries {
          |FROM g JOIN o USING (gh)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "lm_perplexity" ->
-      s"""WITH uni AS (SELECT u AS w, count(*) AS cu
-         |  FROM (SELECT unnest($toks) AS u FROM documents) GROUP BY u),
-         |vocab AS (SELECT count(*) AS v FROM uni),
-         |bi AS (SELECT b0 AS b, count(*) AS cb
-         |  FROM (SELECT unnest(${duckShingles(2)}) AS b0 FROM documents) GROUP BY b0),
-         |db AS (SELECT doc_id, unnest(${duckShingles(2)}) AS b FROM documents)
+      s"""WITH db AS (SELECT doc_id, b, split_part(b, ' ', 1) AS w
+         |  FROM (SELECT doc_id, unnest(${duckShingles(2)}) AS b FROM documents)),
+         |bi AS (SELECT b, count(*) AS cb FROM db GROUP BY b),
+         |pre AS (SELECT w, count(*) AS cu FROM db GROUP BY w),
+         |vocab AS (SELECT count(*) AS v FROM pre)
          |SELECT doc_id,
          |  CAST(count(*) AS BIGINT) AS n_bigrams,
          |  round(-avg(ln((cb + 0.5) / (cu + 0.5 * v))), 4) AS nll
-         |FROM db JOIN bi USING (b)
-         |  JOIN uni ON uni.w = split_part(db.b, ' ', 1)
-         |  CROSS JOIN vocab
+         |FROM db JOIN bi USING (b) JOIN pre USING (w) CROSS JOIN vocab
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "heavy_hitters" ->
       // the sketch runs in its exact regime (capacity >> vocabulary), so

@@ -44,9 +44,14 @@ object Dedup {
       textCol: String,
       shingleWords: Int = 8,
       keepAt: Double = 0.5): DataFrame = {
-    val grams = df.select(col(idCol), explode(array_distinct(
-      transform(shingles(textCol, shingleWords),
-        g => substring(md5(g), 1, 16)))).as("gh"))
+    // The (doc, gram-hash) stream feeds BOTH the ownership aggregation and
+    // the join back — materialize it once (the repo's index-step pattern)
+    // or the shingle+md5 map stage runs twice through the self-join.
+    val grams = Materialize.index(
+      df.select(col(idCol), explode(array_distinct(
+        transform(shingles(textCol, shingleWords),
+          g => substring(md5(g), 1, 16)))).as("gh")),
+      "substr-grams")
     val owners = grams.groupBy("gh").agg(min(col(idCol)).as("owner"))
     grams.join(owners, "gh")
       .groupBy(idCol)

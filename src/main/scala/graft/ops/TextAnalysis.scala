@@ -151,14 +151,15 @@ object TextAnalysis {
     * percentile-buckets the score (CCNet keeps the middle band —
     * head/tail are templated/noisy respectively).
     *
-    * Scale shape: the "training pass" is two partial-aggregated
-    * groupBy-counts (unigrams, bigrams); scoring is two linear joins of
-    * the per-occurrence bigram stream against those count tables
-    * (broadcastable when a vocabulary cap is applied) plus the 1-row
-    * vocabulary-size scalar as a broadcast cross join. No pair explosion,
-    * no windows; per-doc aggregation is partial-combined. Double sums
-    * shuffle-order-dependent at ulp scale → round(4) on the output (the
-    * repo's established cross-engine defense).
+    * Scale shape: the per-occurrence (doc, bigram, prefix) stream is the
+    * ONE expensive map stage and is materialized once (the index-step
+    * pattern); bigram counts, prefix counts (the proper conditional's
+    * denominator, c(w1·)), and the vocabulary size all derive from it as
+    * partial-aggregated groupBys, and scoring is two linear joins back
+    * plus the 1-row vocabulary scalar as a broadcast cross join. No pair
+    * explosion, no windows; per-doc aggregation is partial-combined.
+    * Double sums shuffle-order-dependent at ulp scale → round(4) on the
+    * output (the repo's established cross-engine defense).
     *
     * Returns (idCol, n_bigrams, nll); perplexity = exp(nll) if wanted. */
   def lmScore(
@@ -166,17 +167,16 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text",
       alpha: Double = 0.5): DataFrame = {
-    val bigramsC = Dedup.shingles(textCol, 2)
-    val toksC = tokens(lower(col(textCol)))
-    val uni = df.select(explode(toksC).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cu"))
-    val vocab = uni.agg(count(lit(1)).as("v"))
-    val bi = df.select(explode(bigramsC).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("cb"))
-    df.select(col(idCol), explode(bigramsC).as("b"))
+    val stream = Materialize.index(
+      df.select(col(idCol), explode(Dedup.shingles(textCol, 2)).as("b"))
+        .withColumn("w", expr("split_part(b, ' ', 1)")),
+      "lm-bigrams")
+    val bi = stream.groupBy("b").agg(count(lit(1)).as("cb"))
+    val pre = stream.groupBy("w").agg(count(lit(1)).as("cu"))
+    val vocab = pre.agg(count(lit(1)).as("v"))
+    stream
       .join(bi, "b")
-      .withColumn("w", expr("split_part(b, ' ', 1)"))
-      .join(uni, "w")
+      .join(pre, "w")
       .crossJoin(broadcast(vocab)) // 1-row scalar — the broadcast idiom
       .withColumn("lp",
         log((col("cb") + lit(alpha)) / (col("cu") + lit(alpha) * col("v"))))

@@ -60,15 +60,15 @@ class OpsSpec extends AnyFunSuite with Matchers {
 
   test("bigram lm score: hand-computed add-k likelihoods on a tiny corpus") {
     val d = docs((1L, "a b"), (2L, "a b"), (3L, "a c"))
-    // uni: a=3 b=2 c=1, V=3; bigrams: "a b"=2, "a c"=1; alpha=0.5
-    // doc1/doc2: nll = -ln((2+.5)/(3+1.5)) = ln(4.5/2.5) = 0.5878
-    // doc3:      nll = -ln((1+.5)/(3+1.5)) = ln(3)       = 1.0986
+    // bigrams: "a b"=2, "a c"=1; prefix counts c(a·)=3; vocab V=1; a=0.5
+    // doc1/doc2: nll = -ln((2+.5)/(3+.5)) = ln(3.5/2.5) = 0.3365
+    // doc3:      nll = -ln((1+.5)/(3+.5)) = ln(3.5/1.5) = 0.8473
     val out = TextAnalysis.lmScore(d).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_bigrams"), r.getAs[Double]("nll"))).toMap
-    out(1L) shouldBe ((1L, 0.5878))
-    out(2L) shouldBe ((1L, 0.5878))
-    out(3L) shouldBe ((1L, 1.0986))
+    out(1L) shouldBe ((1L, 0.3365))
+    out(2L) shouldBe ((1L, 0.3365))
+    out(3L) shouldBe ((1L, 0.8473))
   }
 
   test("minhash signatures are identical for identical docs, mostly differ otherwise") {
