@@ -739,10 +739,21 @@ object PipelineQueries {
     TextAnalysis.lmScore(t(s, dir, "documents"))
       .orderBy("doc_id")
 
+  /** Semantic dedup over the embeddings
+    * ([[graft.ops.Similarity.semanticDedup]], SemDeDup): IVF-cell
+    * blocking + within-cell cosine pruning, lowest-id representative
+    * kept; the oracle recomputes cells and within-cell pairs exactly. */
+  def embedSemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.35, numCentroids = IvfCentroids)
+      .select(col("vec_id"), col("cell"), col("dup_of"), col("keep"))
+      .orderBy("vec_id")
+
   // ================================================================ maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substring" -> (dedupSubstring _),
     "lm_perplexity" -> (lmPerplexity _),
+    "embed_semantic_dedup" -> (embedSemanticDedup _),
     "doc_chunking" -> (docChunking _),
     "multimodal_resize" -> (multimodalResize _),
     "heavy_hitters" -> (heavyHitters _),
@@ -900,7 +911,11 @@ object PipelineQueries {
        |  ON l.query_id = b.query_id AND l.corpus_id = b.corpus_id
        |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
 
-  private def duckKnnIvfSql: String = {
+  /** Shared CTE chain: e (typed embeddings) → cents (deterministic stride
+    * centroids, mirrors [[graft.ops.Similarity.seedCentroids]]) → sims →
+    * cells (nearest-centroid assignment, ties to lowest cid) — the prefix
+    * of both the IVF-ANN and the semantic-dedup oracles. */
+  private def duckIvfCellsCte: String = {
     val rawCos =
       """list_dot_product(e.v, cents.cvec) /
         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.cvec, cents.cvec)))""".stripMargin
@@ -912,7 +927,11 @@ object PipelineQueries {
        |sims AS (SELECT e.vec_id, cents.cid, $rawCos AS s FROM e CROSS JOIN cents),
        |cells AS (SELECT vec_id AS corpus_id, cid AS cell FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
-       |    FROM sims) WHERE rn = 1),
+       |    FROM sims) WHERE rn = 1)""".stripMargin
+  }
+
+  private def duckKnnIvfSql: String = {
+    s"""$duckIvfCellsCte,
        |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
        |    FROM sims WHERE vec_id < 10) WHERE rn <= $IvfProbes),
@@ -930,6 +949,17 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "embed_semantic_dedup" ->
+      s"""$duckIvfCellsCte,
+         |pairs AS (SELECT a.corpus_id AS id_a, b.corpus_id AS id_b
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.corpus_id < b.corpus_id),
+         |dups AS (SELECT id_b AS vec_id, min(id_a) AS dup_of FROM (
+         |    SELECT id_a, id_b, $duckCosIds AS cos
+         |    FROM pairs JOIN e qv ON qv.vec_id = id_a JOIN e cv ON cv.vec_id = id_b)
+         |  WHERE cos >= 0.35 GROUP BY id_b)
+         |SELECT c.corpus_id AS vec_id, c.cell, d.dup_of, d.dup_of IS NULL AS keep
+         |FROM cells c LEFT JOIN dups d ON d.vec_id = c.corpus_id
+         |ORDER BY vec_id""".stripMargin,
     "dedup_substring" ->
       s"""WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(
          |    ${duckShingles(8)}, g -> substr(md5(g), 1, 16)))) AS gh FROM documents),

@@ -236,12 +236,6 @@ object Similarity {
       df.select(col(idCol).as(idAs), col(vecCol).as("v"))
         .join(centDf)
         .select(col(idAs), col("cid"), cosine(col("v"), col("cvec")).as("s"))
-    // nearest-centroid assignment: max of (s, -cid) picks the highest
-    // similarity, ties to the LOWEST cid — same order the previous
-    // array_position(argmax) construction and the DuckDB oracle
-    // (ORDER BY s DESC, cid ASC) use. Aggregate, not window: partial
-    // combine keeps the shuffle at one row per vector.
-    //
     // Inlined, not Materialize.index'd: unlike the LSH banding self-join,
     // cCell and qProbe each feed the final plan exactly ONCE, so a parquet
     // round-trip buys no recompute and costs two write+read jobs (the
@@ -249,11 +243,7 @@ object Similarity {
     // 100 TB the cell assignment IS worth persisting — as a bucketed-by-
     // cell inverted-file table reused across query batches — but that is
     // an ingest-time artifact, not a per-query step.
-    val cCell =
-      sims(Materialize.spread(corpus), "corpus_id") // n×nc sims = the heavy map
-        .groupBy("corpus_id")
-        .agg(max(struct(col("s"), (-col("cid")).as("negcid"))).as("best"))
-        .select(col("corpus_id"), (-col("best.negcid")).cast("int").as("cell"))
+    val cCell = assignCells(Materialize.spread(corpus), centDf, idCol, "corpus_id", vecCol)
     // per-query probe list: the nprobe nearest centroids, ties to the
     // HIGHEST cid (the previous reverse(array_sort(struct(s, c))) order,
     // mirrored by the oracle's ORDER BY s DESC, cid DESC). Queries are the
@@ -270,6 +260,75 @@ object Similarity {
       .select("query_id", "corpus_id")
       .distinct()
     rankCandidates(cand, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Nearest-centroid cell id per vector against a broadcast centroid
+    * table (cid, cvec) — shared by [[ivfTopK]] (the inverted file) and
+    * [[semanticDedup]] (the cluster blocking). Broadcast join +
+    * max-of-struct aggregate: partial (map-side) combine collapses the
+    * numCentroids rows per vector before any shuffle, so only one
+    * (id, cell) row per vector moves; ties go to the LOWEST cid (the
+    * oracle's ORDER BY s DESC, cid ASC). */
+  private[ops] def assignCells(
+      df: DataFrame,
+      centDf: DataFrame,
+      idCol: String,
+      idAs: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as("v"))
+      .join(centDf)
+      .select(col(idAs), col("cid"), cosine(col("v"), col("cvec")).as("s"))
+      .groupBy(idAs)
+      .agg(max(struct(col("s"), (-col("cid")).as("negcid"))).as("best"))
+      .select(col(idAs), (-col("best.negcid")).cast("int").as("cell"))
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
+    * space around deterministic centroids, then prune near-identical
+    * vectors WITHIN each cell — a vector is dropped when a lower-id
+    * vector in its cell has cosine ≥ `threshold`, and reports which one
+    * dominated it. Clustering bounds the candidate set the way LSH bands
+    * do for [[cosineNearDupPairs]], but by SEMANTIC locality: two
+    * paraphrases land in one cell even when their token overlap is nil.
+    *
+    * Scale shape: cell assignment is the broadcast-join aggregate of
+    * [[assignCells]] (one (id, cell) row per vector shuffles); the cell
+    * table is parquet-materialized once and self-joined on cell id, so
+    * candidate pairs are O(Σ cell²) — sized by `numCentroids` (√n cells
+    * of √n vectors at the auto-sized default; pick nc so cells stay
+    * bounded, exactly the SemDeDup k choice) with a deterministic
+    * per-cell cap as the hot-cell backstop. Vectors join back by id;
+    * only ids travel through the pair join.
+    *
+    * Returns (idCol, cell, dup_of — null when kept, keep). */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numCentroids: Int = 0,
+      cellCap: Int = 100000): DataFrame = {
+    val nc = if (numCentroids > 0) numCentroids else autoCentroids(df.count())
+    val centDf = broadcast(seedCentroids(df, idCol, vecCol, nc))
+    val cells = Materialize.index(
+      assignCells(Materialize.spread(df), centDf, idCol, idCol, vecCol),
+      "semdedup-cells")
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(idCol)
+    val capped = cells.withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= cellCap).drop("rn")
+    val pairs = capped.select(col(idCol).as("id_a"), col("cell"))
+      .join(capped.select(col(idCol).as("id_b"), col("cell")), "cell")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val dups = pairs.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos", round(cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id_b").as(idCol))
+      .agg(min("id_a").as("dup_of"))
+    cells.join(dups, Seq(idCol), "left")
+      .withColumn("keep", col("dup_of").isNull)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, blocked by

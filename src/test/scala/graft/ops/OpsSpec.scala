@@ -208,6 +208,28 @@ class OpsSpec extends AnyFunSuite with Matchers {
     plan should not include "CollectLimit"
   }
 
+  test("semantic dedup drops within-cell near-identicals, keeps the lowest id") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.35, numCentroids = 8)
+    val rows = out.collect()
+    rows.length shouldBe emb.count() // one verdict per vector
+    val byId = rows.map(r => r.getAs[Long]("vec_id") ->
+      (r.getAs[Int]("cell"), Option(r.getAs[Any]("dup_of")), r.getAs[Boolean]("keep"))).toMap
+    // keep ⇔ no dominator; every dominator is a lower id in the SAME cell
+    byId.foreach { case (id, (cell, dupOf, keep)) =>
+      keep shouldBe dupOf.isEmpty
+      dupOf.foreach { d =>
+        val dom = d.asInstanceOf[Long]
+        dom should be < id
+        byId(dom)._1 shouldBe cell
+      }
+    }
+    // the threshold actually bites on this corpus (non-trivial both ways)
+    rows.count(!_.getAs[Boolean]("keep")) should be > 0
+    rows.count(_.getAs[Boolean]("keep")) should be > 0
+  }
+
   test("ivf ann survives hundreds of centroids (broadcast join, no codegen literal blowup)") {
     // the auto-sized path wants √n centroids (√10⁹ ≈ 31k); the round-2
     // plan-literal construction died in janino around a few hundred. The
