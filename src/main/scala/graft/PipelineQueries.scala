@@ -739,6 +739,24 @@ object PipelineQueries {
     TextAnalysis.lmScore(t(s, dir, "documents"))
       .orderBy("doc_id")
 
+  /** Z-order layout ([[graft.ops.Layout.zorder]]): rewrite the table
+    * clustered on the Morton interleave of two columns, then return the
+    * round-tripped rows with the (integer-exact, oracle-mirrored)
+    * Z-value — proving both the writer round-trip and the bit
+    * interleave. The multi-dim file-skipping effect itself is pinned in
+    * LayoutSpec (both dims' per-file ranges narrow; single-key
+    * clustering leaves the second at full width). */
+  def layoutZorder(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.ops.Layout.zorder(
+      t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+      graft.ops.Materialize.scratchDir("zorder"),
+      targetRowsPerFile = 200, colA = "doc_id", colB = "n_chars")
+    out.select(col("doc_id"), col("n_chars"),
+      graft.ops.Layout.zValue(
+        pmod(col("doc_id"), lit(65536L)), pmod(col("n_chars"), lit(65536L))).as("zval"))
+      .orderBy("doc_id")
+  }
+
   /** Semantic dedup over the embeddings
     * ([[graft.ops.Similarity.semanticDedup]], SemDeDup): IVF-cell
     * blocking + within-cell cosine pruning, lowest-id representative
@@ -754,6 +772,7 @@ object PipelineQueries {
     "dedup_substring" -> (dedupSubstring _),
     "lm_perplexity" -> (lmPerplexity _),
     "embed_semantic_dedup" -> (embedSemanticDedup _),
+    "layout_zorder" -> (layoutZorder _),
     "doc_chunking" -> (docChunking _),
     "multimodal_resize" -> (multimodalResize _),
     "heavy_hitters" -> (heavyHitters _),
@@ -862,6 +881,13 @@ object PipelineQueries {
         "THEN '1' ELSE '0' END)"
     }.mkString("concat(", ", ", ")")
 
+  /** Morton interleave mirror of [[graft.ops.Layout.zValue]]: bit i of `a`
+    * at position 2i, of `b` at 2i+1 — pure integer shift/mask, exact in
+    * both engines. */
+  private def duckZ(a: String, b: String): String =
+    ((0 until 16).map(i => s"((($a >> $i) & 1) << ${2 * i})") ++
+      (0 until 16).map(i => s"((($b >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
   private val duckCosIds =
     """round(list_dot_product(qv.v, cv.v) /
       |    (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))), 4)""".stripMargin
@@ -949,6 +975,10 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "layout_zorder" ->
+      s"""SELECT doc_id, n_chars,
+         |  ${duckZ("(doc_id % 65536)", "(n_chars % 65536)")} AS zval
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "embed_semantic_dedup" ->
       s"""$duckIvfCellsCte,
          |pairs AS (SELECT a.corpus_id AS id_a, b.corpus_id AS id_b

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Write-side table layout: compaction + clustering for lake tables.
@@ -47,6 +47,65 @@ object Layout {
       val keyCols = clusterCols.map(col)
       mat.repartitionByRange(files, keyCols: _*)
         .sortWithinPartitions(keyCols: _*)
+        .write.mode(SaveMode.Overwrite).parquet(outDir)
+    } finally org.apache.spark.sql.graftshim.GraftSessions.unpersistLocalCheckpoint(mat)
+    spark.read.parquet(outDir)
+  }
+
+  /** Bit-interleaved Z-value (Morton code) of two columns already scaled
+    * to [0, 65535]: bit i of `a` lands at position 2i, bit i of `b` at
+    * 2i+1, so Z-proximity implies proximity in BOTH dimensions. Pure
+    * integer shift/mask arithmetic — codegen-friendly, exact, and
+    * mirrorable in any engine. */
+  def zValue(a: Column, b: Column): Column = {
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    val terms = (0 until 16).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order compaction: like [[compact]], but clustered on the
+    * interleaved Z-value of TWO columns, so per-file min/max zone maps
+    * narrow on BOTH — a predicate on either dimension (or both) skips
+    * files, where single-key range clustering leaves the second
+    * dimension's ranges at full width in every file. The multi-dim layout
+    * pass a lake table serving two independent filter dimensions needs
+    * (Delta/Iceberg expose the same thing as OPTIMIZE ZORDER BY).
+    *
+    * Columns are min/max-normalized to 16 bits via one bounded 1-row
+    * bounds aggregate over the (once-materialized) input; the Z-value is
+    * a transient sort key — the written schema is unchanged. */
+  def zorder(
+      df: DataFrame,
+      outDir: String,
+      targetRowsPerFile: Long,
+      colA: String,
+      colB: String): DataFrame = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val spark = df.sparkSession
+    val mat = df.localCheckpoint(eager = true)
+    try {
+      val b = mat.agg(
+        min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+        min(col(colB)).cast("double"), max(col(colB)).cast("double")).collect()(0)
+      def norm(c: String, lo: Double, hi: Double): Column = {
+        val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+        least(lit(65535L),
+          floor((col(c).cast("double") - lit(lo)) / lit(span) * 65536.0).cast("long"))
+      }
+      val z = zValue(
+        norm(colA, b.getDouble(0), b.getDouble(1)),
+        norm(colB, b.getDouble(2), b.getDouble(3)))
+      val rows = mat.count()
+      val files = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      mat.withColumn("_z", z)
+        .repartitionByRange(files, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
         .write.mode(SaveMode.Overwrite).parquet(outDir)
     } finally org.apache.spark.sql.graftshim.GraftSessions.unpersistLocalCheckpoint(mat)
     spark.read.parquet(outDir)

@@ -72,6 +72,32 @@ class LayoutSpec extends AnyFunSuite with Matchers {
     scanStages.sum() shouldBe 1L
   }
 
+  test("z-order narrows BOTH dimensions' per-file ranges; single-key compact does not") {
+    // two pseudo-uniform independent dimensions
+    val df = spark.range(20000).select(
+      (col("id") * 2654435761L % 10007).as("x"),
+      (col("id") * 40503 % 9973).as("y"))
+    val z = Layout.zorder(df, SparkFixture.tempDir("zord"), 312, "x", "y") // ~64 files
+    val c = Layout.compact(df, SparkFixture.tempDir("zordc"), 312, Seq("x"))
+    // average per-file span / global span = the expected fraction of files
+    // a point filter on that column must touch (the zone-map skip metric);
+    // averages absorb the Morton curve's boundary-straddling files
+    def avgSpanFrac(t: org.apache.spark.sql.DataFrame, cn: String, global: Double): Double = {
+      val s = Layout.fileStats(t, cn).collect()
+        .map(r => (r.getAs[Long]("key_max") - r.getAs[Long]("key_min")).toDouble)
+      s.sum / s.length / global
+    }
+    // z-order: a point filter on EITHER dimension skips most files
+    avgSpanFrac(z, "x", 10007) should be < 0.4
+    avgSpanFrac(z, "y", 9973) should be < 0.4
+    // single-key clustering: x razor-thin, y full-width in every file
+    avgSpanFrac(c, "x", 10007) should be < 0.05
+    avgSpanFrac(c, "y", 9973) should be > 0.8
+    // round trip preserves content
+    z.count() shouldBe 20000
+    df.join(z, Seq("x", "y"), "left_anti").count() shouldBe 0
+  }
+
   test("a filter on the cluster key reads fewer files than the table has") {
     val dir = SparkFixture.tempDir("compact3")
     val out = Layout.compact(scattered(8000, 29), dir, 2000, Seq("k"))
