@@ -44,16 +44,16 @@ object Dedup {
       textCol: String,
       shingleWords: Int = 8,
       keepAt: Double = 0.5): DataFrame = {
-    // The (doc, gram-hash) stream feeds BOTH the ownership aggregation and
-    // the join back — materialize it once (the repo's index-step pattern)
-    // or the shingle+md5 map stage runs twice through the self-join.
-    val grams = Materialize.index(
-      df.select(col(idCol), explode(array_distinct(
+    // Ownership via a whole-partition window-min: the (doc, gram) stream
+    // shuffles ONCE on the gram key (a groupBy-min + join-back encoding
+    // would shuffle it twice and recompute or round-trip the shingle+md5
+    // map stage), then aggregates per doc — two shuffles total, both of
+    // skinny (id, 16-hex) rows.
+    val wOwner = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    df.select(col(idCol), explode(array_distinct(
         transform(shingles(textCol, shingleWords),
-          g => substring(md5(g), 1, 16)))).as("gh")),
-      "substr-grams")
-    val owners = grams.groupBy("gh").agg(min(col(idCol)).as("owner"))
-    grams.join(owners, "gh")
+          g => substring(md5(g), 1, 16)))).as("gh"))
+      .withColumn("owner", min(col(idCol)).over(wOwner))
       .groupBy(idCol)
       .agg(
         count(lit(1)).cast("long").as("n_grams"),
