@@ -186,6 +186,23 @@ object TextAnalysis {
         round(-avg(col("lp")), 4).as("nll"))
   }
 
+  /** Batch-train the bigram LM [[lmScore]] uses, as STATIC tables — the
+    * model half of the offline-train / online-score split: a scoring
+    * stream ([[graft.streaming.EventStreams.lmScoreStream]]) joins these
+    * per micro-batch (stream-static join, no streaming state). Returns
+    * (bigramCounts(b, cb), prefixCounts(w, cu), vocabularySize). */
+  def lmModel(
+      df: DataFrame,
+      textCol: String = "text"): (DataFrame, DataFrame, Long) = {
+    val stream = Materialize.index(
+      df.select(explode(Dedup.shingles(textCol, 2)).as("b"))
+        .withColumn("w", expr("split_part(b, ' ', 1)")),
+      "lm-model")
+    val bi = stream.groupBy("b").agg(count(lit(1)).as("cb"))
+    val pre = stream.groupBy("w").agg(count(lit(1)).as("cu"))
+    (bi, pre, pre.count())
+  }
+
   /** Gopher-style rule-based quality signals (Rae et al. 2021 §A1.1-ish):
     * token count, mean word length, stopword fraction, symbol ratio, and
     * the top single-token share (repetition detector), plus the composite

@@ -100,6 +100,35 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Stream-static quality gate: score an incoming DOCUMENT stream
+    * against a batch-trained bigram LM
+    * ([[graft.ops.TextAnalysis.lmModel]]) — the offline-train /
+    * online-score split every streaming quality filter uses (CCNet's
+    * perplexity gate as a stream). The model tables join per micro-batch
+    * as stream-static joins (no stream-stream state, the static side is
+    * broadcast/reused), unseen bigrams fall to the add-k floor, and the
+    * per-doc aggregation emits under update mode. Scores for documents
+    * whose n-grams are in-model are BIT-IDENTICAL to the batch
+    * [[graft.ops.TextAnalysis.lmScore]] (spec-pinned). */
+  def lmScoreStream(
+      docs: DataFrame,
+      bigramCounts: DataFrame,
+      prefixCounts: DataFrame,
+      vocabSize: Long,
+      alpha: Double = 0.5): DataFrame =
+    docs
+      .select(col("doc_id"), explode(graft.ops.Dedup.shingles("text", 2)).as("b"))
+      .withColumn("w", expr("split_part(b, ' ', 1)"))
+      .join(bigramCounts, Seq("b"), "left")
+      .join(prefixCounts, Seq("w"), "left")
+      .withColumn("lp", log(
+        (coalesce(col("cb"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("cu"), lit(0L)) + lit(alpha) * vocabSize)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        round(-avg(col("lp")), 4).as("nll"))
+
   /** Stream the events landing directory (parquet files appearing over
     * time) into the windowed aggregation, writing to an in-memory sink —
     * the readStream → transform → writeStream shape. */

@@ -45,6 +45,34 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     out.head.getAs[Long]("n") shouldBe 2L
   }
 
+  test("stream-static LM gate scores a doc stream bit-identically to the batch op") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // offline: train the model on a batch corpus
+    val corpus = Seq(
+      (1L, "a b c a b"), (2L, "a b a c"), (3L, "c c b a b c"))
+      .toDF("doc_id", "text")
+    val (bi, pre, v) = graft.ops.TextAnalysis.lmModel(corpus)
+    val expected = graft.ops.TextAnalysis.lmScore(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // online: the same docs arrive as a stream, scored against the model
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.lmScoreStream(
+        input.toDF().toDF("doc_id", "text"), bi, pre, v)
+      .writeStream.queryName("lm_gate").outputMode(OutputMode.Update())
+      .format("memory").start()
+    try {
+      input.addData((1L, "a b c a b"), (2L, "a b a c"))
+      q.processAllAvailable()
+      input.addData((3L, "c c b a b c")) // later micro-batch, same model
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, n_bigrams, nll FROM lm_gate")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      got shouldBe expected
+    } finally q.stop()
+    graft.ops.Materialize.dropAll()
+  }
+
   test("sessionization accumulates per-user state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
