@@ -147,6 +147,30 @@ class PlanSpec extends AnyFunSuite with Matchers {
     scans.exists(_.schema.fieldNames.contains("text")) shouldBe false
   }
 
+  test("semantic-dedup cell self-join moves (id, cell) only; vectors join back by id") {
+    val out = PipelineQueries.embedSemanticDedup(spark, dir)
+    out.collect()
+    val scans = allScans(out.queryExecution.executedPlan)
+    // the materialized cell index feeds the pair join as (vec_id, cell) —
+    // no vector bytes flow through the O(Σ cell²) candidate join
+    val cellScans = scans.filter(_.schema.fieldNames.contains("cell"))
+    cellScans should not be empty
+    cellScans.foreach(_.schema.fieldNames should not contain "embedding")
+    graft.ops.Materialize.dropAll()
+  }
+
+  test("lm score derives every count from the one materialized bigram stream") {
+    val out = PipelineQueries.lmPerplexity(spark, dir)
+    out.collect()
+    val scans = allScans(out.queryExecution.executedPlan)
+    val streamScans = scans.filter(_.schema.fieldNames.contains("b"))
+    streamScans should not be empty
+    // the bigram concat expression ran once, at the index write: the raw
+    // documents table appears in NO scan of the scoring plan
+    scans.exists(_.schema.fieldNames.contains("text")) shouldBe false
+    graft.ops.Materialize.dropAll()
+  }
+
   test("nearline hash-key filter is pushed into the stub scan") {
     val tmp = SparkFixture.tempDir("nlpush") + "/t"
     import scala.jdk.CollectionConverters._
