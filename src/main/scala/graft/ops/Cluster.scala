@@ -147,14 +147,27 @@ object Cluster {
       .localCheckpoint(true)
     var round = 0
     var converged = false
+    // Fixed point: the edge set stopped changing. The per-round check
+    // rides the checkpoint job itself via observe() — a (count, xor-hash)
+    // signature of the DISTINCT edge set (XOR: order-independent and
+    // overflow-free under ANSI). A signature change proves not-converged
+    // with ZERO extra actions; only a signature MATCH pays the one exact
+    // exceptAll confirmation (normally just the final round), so
+    // exactness is preserved — a hash collision can never declare a false
+    // fixed point, only cost one wasted job.
+    var prevSig: Option[(Long, Long)] = None
     while (!converged && round < maxRounds) {
+      val obs = new org.apache.spark.sql.Observation(s"star-sig-$round")
       val next = star(star(edges, large = true), large = false)
+        .observe(obs,
+          count(lit(1)).as("n"),
+          expr("bit_xor(xxhash64(src, dst))").as("sig"))
         .localCheckpoint(true)
-      // fixed point: the edge set stopped changing. Both are DISTINCT
-      // sets, so equal counts + one empty difference ⇒ equality — one
-      // cheap count and at most one anti-join scan per round.
-      converged =
-        next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      val sig = (
+        Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(obs.get("sig")).map(_.asInstanceOf[Long]).getOrElse(0L))
+      converged = prevSig.contains(sig) && next.exceptAll(edges).isEmpty
+      prevSig = Some(sig)
       val old = edges
       edges = next
       unpersistLocalCheckpoint(old)
