@@ -40,9 +40,13 @@ object Cluster {
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     // Undirected: materialize both directions once; every round re-reads
     // this table, so it must not re-derive the (possibly expensive)
-    // pair-generation lineage each time.
+    // pair-generation lineage each time. Pre-partitioned on dst — the
+    // per-round join key — BEFORE the checkpoint: the checkpointed plan
+    // keeps its partitioning, so every round's edges⋈labels join reuses
+    // it instead of re-shuffling the (largest) edge side each iteration.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint(true)
 
     var labels = edges.select(col("src").as("node")).distinct()
