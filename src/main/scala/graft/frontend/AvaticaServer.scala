@@ -134,6 +134,27 @@ class GraftAvaticaServer(
           .filter(_ > 0).getOrElse(defaultFrameRows)
         s"""{"response":"fetch","connectionId":${JsonCodec.jstr(cid)},""" +
           s""""statementId":$sid,"frame":${frameJson(st, offset, n)}}"""
+      // Metadata RPCs (what a BI tool calls on connect): served by the
+      // tenant-bound facade (reference `FineoDatabaseMetaData`), returned
+      // as ownStatement result sets the client closes like any other.
+      case "schemas" | "tables" | "columns" =>
+        val conn = connOf(cid)
+        val meta = conn.tenant.metadata
+        def pat(field: String): String =
+          Option(req.get(field)).map(_.asText()).orNull
+        val df = req.get("request").asText() match {
+          case "schemas" => meta.getSchemas()
+          case "tables"  => meta.getTables(tableNamePattern = pat("tableNamePattern"))
+          case _         => meta.getColumns(
+            tableNamePattern = pat("tableNamePattern"),
+            columnNamePattern = pat("columnNamePattern"))
+        }
+        val id = nextStmt.incrementAndGet()
+        val st = Stmt(df.schema.fields.toSeq, df.collect())
+        stmts.put((cid, id), st)
+        s"""{"response":"resultSet","connectionId":${JsonCodec.jstr(cid)},""" +
+          s""""statementId":$id,"ownStatement":true,"signature":${signatureJson(st)},""" +
+          s""""firstFrame":${frameJson(st, 0, Int.MaxValue)},"updateCount":-1}"""
       case other =>
         throw new UnsupportedOperationException(s"unsupported avatica rpc: $other")
     }

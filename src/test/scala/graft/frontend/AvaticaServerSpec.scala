@@ -138,6 +138,24 @@ class AvaticaServerSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     err.get("errorMessage").asText() should include("not found")
   }
 
+  test("metadata RPCs return tenant-scoped result sets") {
+    open("c6", "orga")
+    val (st, ts) = rpc("""{"request":"tables","connectionId":"c6"}""")
+    st shouldBe 200
+    ts.get("response").asText() shouldBe "resultSet"
+    val rows = ts.at("/firstFrame/rows")
+    val names = (0 until rows.size()).map(i => rows.get(i).get(2).asText())
+    names should contain("avmetric")
+    (names should not).contain("bmetric") // other tenant's table unlisted
+    val (_, cols) = rpc(
+      """{"request":"columns","connectionId":"c6","tableNamePattern":"avmetric"}""")
+    val colRows = cols.at("/firstFrame/rows")
+    val colNames = (0 until colRows.size()).map(i => colRows.get(i).get(3).asText())
+    colNames should contain allOf ("timestamp", "v")
+    val (_, sch) = rpc("""{"request":"schemas","connectionId":"c6"}""")
+    sch.at("/firstFrame/rows/0/0").asText() shouldBe "FINEO"
+  }
+
   test("an unknown api key fails at openConnection") {
     val (st, resp) = rpc(
       """{"request":"openConnection","connectionId":"c5","info":{"apikey":"nosuch"}}""")
