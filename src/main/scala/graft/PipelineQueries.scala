@@ -757,6 +757,14 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** CCNet head/middle/tail bucketing of the LM score
+    * ([[graft.ops.TextAnalysis.lmBuckets]]): per-language exact
+    * percentile cuts, broadcast back, scan-side bucket assignment. */
+  def lmPplBuckets(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmBuckets(t(s, dir, "documents"))
+      .select("doc_id", "lang", "nll", "bucket")
+      .orderBy("doc_id")
+
   /** Semantic dedup over the embeddings
     * ([[graft.ops.Similarity.semanticDedup]], SemDeDup): IVF-cell
     * blocking + within-cell cosine pruning, lowest-id representative
@@ -771,6 +779,7 @@ object PipelineQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substring" -> (dedupSubstring _),
     "lm_perplexity" -> (lmPerplexity _),
+    "lm_ppl_buckets" -> (lmPplBuckets _),
     "embed_semantic_dedup" -> (embedSemanticDedup _),
     "layout_zorder" -> (layoutZorder _),
     "doc_chunking" -> (docChunking _),
@@ -880,6 +889,21 @@ object PipelineQueries {
       s"(CASE WHEN list_dot_product(v, ${duckPlane(b * LshPlanesPerBand + j)}) >= 0 " +
         "THEN '1' ELSE '0' END)"
     }.mkString("concat(", ", ", ")")
+
+  /** Shared LM CTE chain (mirrors [[graft.ops.TextAnalysis.lmScore]]):
+    * per-occurrence bigram stream → bigram/prefix counts → per-doc NLL as
+    * `lmscored(doc_id, n_bigrams, nll)`. */
+  private def duckLmCte: String =
+    s"""WITH db AS (SELECT doc_id, b, split_part(b, ' ', 1) AS w
+       |  FROM (SELECT doc_id, unnest(${duckShingles(2)}) AS b FROM documents)),
+       |bi AS (SELECT b, count(*) AS cb FROM db GROUP BY b),
+       |pre AS (SELECT w, count(*) AS cu FROM db GROUP BY w),
+       |vocab AS (SELECT count(*) AS v FROM pre),
+       |lmscored AS (SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    round(-avg(ln((cb + 0.5) / (cu + 0.5 * v))), 4) AS nll
+       |  FROM db JOIN bi USING (b) JOIN pre USING (w) CROSS JOIN vocab
+       |  GROUP BY doc_id)""".stripMargin
 
   /** Morton interleave mirror of [[graft.ops.Layout.zValue]]: bit i of `a`
     * at position 2i, of `b` at 2i+1 — pure integer shift/mask, exact in
@@ -1002,16 +1026,18 @@ object PipelineQueries {
          |FROM g JOIN o USING (gh)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "lm_perplexity" ->
-      s"""WITH db AS (SELECT doc_id, b, split_part(b, ' ', 1) AS w
-         |  FROM (SELECT doc_id, unnest(${duckShingles(2)}) AS b FROM documents)),
-         |bi AS (SELECT b, count(*) AS cb FROM db GROUP BY b),
-         |pre AS (SELECT w, count(*) AS cu FROM db GROUP BY w),
-         |vocab AS (SELECT count(*) AS v FROM pre)
-         |SELECT doc_id,
-         |  CAST(count(*) AS BIGINT) AS n_bigrams,
-         |  round(-avg(ln((cb + 0.5) / (cu + 0.5 * v))), 4) AS nll
-         |FROM db JOIN bi USING (b) JOIN pre USING (w) CROSS JOIN vocab
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""$duckLmCte
+         |SELECT doc_id, n_bigrams, nll FROM lmscored ORDER BY doc_id""".stripMargin,
+    "lm_ppl_buckets" ->
+      s"""$duckLmCte,
+         |sl AS (SELECT s.doc_id, d.lang, s.nll
+         |  FROM lmscored s JOIN documents d USING (doc_id)),
+         |cuts AS (SELECT lang, quantile_cont(nll, 0.33) AS c33,
+         |    quantile_cont(nll, 0.66) AS c66 FROM sl GROUP BY lang)
+         |SELECT doc_id, lang, nll,
+         |  CASE WHEN nll <= c33 THEN 'head'
+         |       WHEN nll <= c66 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM sl JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin,
     "heavy_hitters" ->
       // the sketch runs in its exact regime (capacity >> vocabulary), so
       // the oracle is the plain count with the same (cnt desc, token asc)

@@ -186,6 +186,30 @@ object TextAnalysis {
         round(-avg(col("lp")), 4).as("nll"))
   }
 
+  /** CCNet's head/middle/tail split of the LM quality score: per-language
+    * EXACT percentile cuts (33/66) over the [[lmScore]] NLL, each
+    * document bucketed against its language's thresholds — CCNet keeps
+    * the middle band (head = templated/boilerplate-like, tail = noise).
+    * Scale shape: the cut table is one exact-percentile aggregate over
+    * (lang, nll) — tiny output, broadcast back — so the bucketing itself
+    * is a scan-side projection; no global sort, no per-doc window. */
+  def lmBuckets(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val scored = lmScore(df, idCol, textCol)
+      .join(df.select(col(idCol), col(langCol)), idCol)
+    val cuts = scored.groupBy(langCol).agg(
+      expr("percentile(nll, 0.33)").as("c33"),
+      expr("percentile(nll, 0.66)").as("c66"))
+    scored.join(broadcast(cuts), langCol)
+      .select(col(idCol), col(langCol), col("nll"),
+        when(col("nll") <= col("c33"), "head")
+          .when(col("nll") <= col("c66"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Batch-train the bigram LM [[lmScore]] uses, as STATIC tables — the
     * model half of the offline-train / online-score split: a scoring
     * stream ([[graft.streaming.EventStreams.lmScoreStream]]) joins these
