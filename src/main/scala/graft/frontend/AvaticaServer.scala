@@ -43,7 +43,9 @@ import java.util.concurrent.atomic.AtomicInteger
 class GraftAvaticaServer(
     sessionFor: String => TenantSession,
     port: Int = 0,
-    defaultFrameRows: Int = 100) {
+    defaultFrameRows: Int = 100,
+    serverMaxRows: Int = GraftHttpServer.DefaultMaxRows) {
+  require(serverMaxRows > 0, "serverMaxRows must be positive")
 
   private val mapper = new ObjectMapper()
 
@@ -55,6 +57,8 @@ class GraftAvaticaServer(
   private val conns = new ConcurrentHashMap[String, Conn]()
   private val stmts = new ConcurrentHashMap[(String, Int), Stmt]()
   private val nextStmt = new AtomicInteger(0)
+
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
 
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress(port), 0)
@@ -76,13 +80,20 @@ class GraftAvaticaServer(
       val os = ex.getResponseBody
       try os.write(bytes) finally os.close()
     })
-    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    s.setExecutor(pool)
     s.start()
     s
   }
 
   def boundPort: Int = server.getAddress.getPort
-  def stop(): Unit = server.stop(0)
+
+  /** Stop the endpoint AND its worker pool — HttpServer.stop leaves the
+    * executor alone, and 4 parked non-daemon threads would otherwise keep
+    * an embedding JVM alive after stop(). */
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdown()
+  }
 
   // ----------------------------------------------------------------- RPCs
 
@@ -116,10 +127,15 @@ class GraftAvaticaServer(
         val st = stmtOf(cid, sid)
         val sql = req.get("sql").asText()
         val maxRowCount = Option(req.get("maxRowCount")).map(_.asLong()).getOrElse(-1L)
-        // per-statement cap composes with the server clamp inside
-        // TenantSession (smaller wins, reference setMaxRows semantics)
-        val perCall = if (maxRowCount > 0) Some(maxRowCount.min(Int.MaxValue).toInt) else None
-        val df = conn.tenant.sql(sql, perCall)
+        // The SERVER always owns a cap (reference setMaxRows; same
+        // invariant as the HTTP layer's mandatory clamp) — a client's
+        // maxRowCount may only lower it; -1/absent means "server default",
+        // never "unbounded". The statement's collect is therefore bounded
+        // regardless of how sessionFor configured the TenantSession.
+        val perCall =
+          if (maxRowCount > 0) math.min(maxRowCount, serverMaxRows.toLong).toInt
+          else serverMaxRows
+        val df = conn.tenant.sql(sql, Some(perCall))
         st.columns = df.schema.fields.toSeq
         st.rows = df.collect()
         val frame = frameJson(st, offset = 0, defaultFrameRows)
@@ -175,7 +191,11 @@ class GraftAvaticaServer(
   // --------------------------------------------------------------- frames
 
   private def frameJson(st: Stmt, offset: Int, n: Int): String = {
-    val slice = st.rows.slice(offset, math.min(st.rows.length, offset + n))
+    // Long arithmetic for the slice end: offset + Int.MaxValue ("fetch
+    // everything") must not wrap negative into a permanently-empty,
+    // never-done frame
+    val end = math.min(st.rows.length.toLong, offset.toLong + n).toInt
+    val slice = st.rows.slice(offset, end)
     val done = offset + slice.length >= st.rows.length
     val rows = slice.map(r =>
       (0 until r.length).map(i => JsonCodec.jval(r.get(i))).mkString("[", ",", "]"))

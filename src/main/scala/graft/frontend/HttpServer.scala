@@ -47,12 +47,14 @@ class GraftHttpServer(
   private val sessions =
     new java.util.concurrent.ConcurrentHashMap[String, TenantSession]()
 
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress(port), 0)
     s.createContext("/healthz", handler { _ => (200, """{"status":"ok"}""") })
     s.createContext("/v1/sql", handler(sqlHandler))
     s.createContext("/v1/metadata/", handler(metadataHandler))
-    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    s.setExecutor(pool)
     s.start()
     s
   }
@@ -60,7 +62,13 @@ class GraftHttpServer(
   /** Bound port (ephemeral when constructed with port = 0). */
   def boundPort: Int = server.getAddress.getPort
 
-  def stop(): Unit = server.stop(0)
+  /** Stop the endpoint AND its worker pool — HttpServer.stop leaves the
+    * executor alone, and 4 parked non-daemon threads would otherwise keep
+    * an embedding JVM alive after stop(). */
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdown()
+  }
 
   // ------------------------------------------------------------- handlers
 

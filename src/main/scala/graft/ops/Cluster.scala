@@ -144,13 +144,6 @@ object Cluster {
       rehung.filter(col("src") =!= col("dst")).distinct()
     }
 
-    var edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
-    var round = 0
-    var converged = false
     // Fixed point: the edge set stopped changing. The per-round check
     // rides the checkpoint job itself via observe() — a (count, xor-hash)
     // signature of the DISTINCT edge set (XOR: order-independent and
@@ -158,18 +151,31 @@ object Cluster {
     // with ZERO extra actions; only a signature MATCH pays the one exact
     // exceptAll confirmation (normally just the final round), so
     // exactness is preserved — a hash collision can never declare a false
-    // fixed point, only cost one wasted job.
-    var prevSig: Option[(Long, Long)] = None
+    // fixed point, only cost one wasted job. The INITIAL edge set seeds
+    // the signature from its own checkpoint job, so an already-star input
+    // converges at round 0 (not after a wasted extra round).
+    def sigOf(obs: org.apache.spark.sql.Observation): (Long, Long) = (
+      Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L),
+      Option(obs.get("sig")).map(_.asInstanceOf[Long]).getOrElse(0L))
+    def signed(df: DataFrame, obs: org.apache.spark.sql.Observation): DataFrame =
+      df.observe(obs,
+        count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(src, dst))").as("sig"))
+
+    val obs0 = new org.apache.spark.sql.Observation("star-sig-init")
+    var edges = signed(pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct(), obs0)
+      .localCheckpoint(true)
+    var prevSig: Option[(Long, Long)] = Some(sigOf(obs0))
+    var round = 0
+    var converged = false
     while (!converged && round < maxRounds) {
       val obs = new org.apache.spark.sql.Observation(s"star-sig-$round")
-      val next = star(star(edges, large = true), large = false)
-        .observe(obs,
-          count(lit(1)).as("n"),
-          expr("bit_xor(xxhash64(src, dst))").as("sig"))
+      val next = signed(star(star(edges, large = true), large = false), obs)
         .localCheckpoint(true)
-      val sig = (
-        Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L),
-        Option(obs.get("sig")).map(_.asInstanceOf[Long]).getOrElse(0L))
+      val sig = sigOf(obs)
       converged = prevSig.contains(sig) && next.exceptAll(edges).isEmpty
       prevSig = Some(sig)
       val old = edges

@@ -40,7 +40,10 @@ object Layout {
     // cleanse pipeline, a join) that doubles the job. Materialize once
     // (localCheckpoint: executor-local blocks, lineage truncated), count
     // the materialized blocks, write from them, then release the blocks.
-    val mat = df.localCheckpoint(eager = true)
+    // EXCEPT for a bare table scan — the common "compact this lake table"
+    // input — where counting is metadata-cheap and a checkpoint would
+    // copy the whole table into executor storage for nothing.
+    val mat = if (isBareScan(df)) df else df.localCheckpoint(eager = true)
     try {
       val rows = mat.count()
       val files = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
@@ -48,8 +51,23 @@ object Layout {
       mat.repartitionByRange(files, keyCols: _*)
         .sortWithinPartitions(keyCols: _*)
         .write.mode(SaveMode.Overwrite).parquet(outDir)
-    } finally org.apache.spark.sql.graftshim.GraftSessions.unpersistLocalCheckpoint(mat)
+    } finally
+      if (!(mat eq df))
+        org.apache.spark.sql.graftshim.GraftSessions.unpersistLocalCheckpoint(mat)
     spark.read.parquet(outDir)
+  }
+
+  /** A plan that is just a relation read (possibly aliased) — executing it
+    * twice costs two cheap scans, not two pipeline runs. */
+  private def isBareScan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def bare(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = p match {
+      case s: SubqueryAlias => bare(s.child)
+      case _: LogicalRelation => true
+      case _ => false
+    }
+    bare(org.apache.spark.sql.graftshim.ColumnExpr.logical(df.toDF()))
   }
 
   /** Bit-interleaved Z-value (Morton code) of two columns already scaled
@@ -92,21 +110,28 @@ object Layout {
       val b = mat.agg(
         min(col(colA)).cast("double"), max(col(colA)).cast("double"),
         min(col(colB)).cast("double"), max(col(colB)).cast("double")).collect()(0)
-      def norm(c: String, lo: Double, hi: Double): Column = {
-        val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-        least(lit(65535L),
-          floor((col(c).cast("double") - lit(lo)) / lit(span) * 65536.0).cast("long"))
+      if (b.isNullAt(0) || b.isNullAt(2)) {
+        // empty input (or a key column that is entirely null): there is
+        // nothing to cluster — write the rows as-is, like compact would
+        mat.coalesce(1).write.mode(SaveMode.Overwrite).parquet(outDir)
+      } else {
+        def norm(c: String, lo: Double, hi: Double): Column = {
+          val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+          least(lit(65535L),
+            floor((coalesce(col(c), lit(lo)).cast("double") - lit(lo)) / lit(span) * 65536.0)
+              .cast("long"))
+        }
+        val z = zValue(
+          norm(colA, b.getDouble(0), b.getDouble(1)),
+          norm(colB, b.getDouble(2), b.getDouble(3)))
+        val rows = mat.count()
+        val files = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+        mat.withColumn("_z", z)
+          .repartitionByRange(files, col("_z"))
+          .sortWithinPartitions("_z")
+          .drop("_z")
+          .write.mode(SaveMode.Overwrite).parquet(outDir)
       }
-      val z = zValue(
-        norm(colA, b.getDouble(0), b.getDouble(1)),
-        norm(colB, b.getDouble(2), b.getDouble(3)))
-      val rows = mat.count()
-      val files = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-      mat.withColumn("_z", z)
-        .repartitionByRange(files, col("_z"))
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode(SaveMode.Overwrite).parquet(outDir)
     } finally org.apache.spark.sql.graftshim.GraftSessions.unpersistLocalCheckpoint(mat)
     spark.read.parquet(outDir)
   }

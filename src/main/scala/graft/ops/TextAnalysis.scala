@@ -198,8 +198,13 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text",
       langCol: String = "lang"): DataFrame = {
-    val scored = lmScore(df, idCol, textCol)
-      .join(df.select(col(idCol), col(langCol)), idCol)
+    // scored feeds BOTH the percentile-cut aggregate and the final bucket
+    // join — materialize it once or the whole scoring chain (count joins
+    // + per-doc aggregation) runs twice
+    val scored = Materialize.index(
+      lmScore(df, idCol, textCol)
+        .join(df.select(col(idCol), col(langCol)), idCol),
+      "lm-scored")
     val cuts = scored.groupBy(langCol).agg(
       expr("percentile(nll, 0.33)").as("c33"),
       expr("percentile(nll, 0.66)").as("c66"))

@@ -156,6 +156,45 @@ class AvaticaServerSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     sch.at("/firstFrame/rows/0/0").asText() shouldBe "FINEO"
   }
 
+  test("the server cap bounds an unclamped statement (maxRowCount=-1 is not 'unbounded')") {
+    val capped = new GraftAvaticaServer(
+      key => TenantSession.open(spark, registry, key, sources),
+      defaultFrameRows = 10, serverMaxRows = 2)
+    try {
+      val (_, open) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${capped.boundPort}/"))
+          .POST(BodyPublishers.ofString(
+            """{"request":"openConnection","connectionId":"k1","info":{"apikey":"orga"}}"""))
+          .build(), BodyHandlers.ofString()) match {
+        case r => (r.statusCode(), mapper.readTree(r.body()))
+      }
+      open.get("response").asText() shouldBe "openConnection"
+      def rpcTo(json: String) = mapper.readTree(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${capped.boundPort}/"))
+          .POST(BodyPublishers.ofString(json)).build(), BodyHandlers.ofString()).body())
+      val sid = rpcTo("""{"request":"createStatement","connectionId":"k1"}""")
+        .get("statementId").asInt()
+      val resp = rpcTo(
+        s"""{"request":"prepareAndExecute","connectionId":"k1","statementId":$sid,""" +
+          """"sql":"SELECT v FROM avmetric","maxRowCount":-1}""")
+      val f = resp.at("/results/0/firstFrame")
+      f.get("rows").size() shouldBe 2 // 7 rows unclamped; server cap = 2
+      f.get("done").asBoolean() shouldBe true
+    } finally capped.stop()
+  }
+
+  test("a fetch asking for Int.MaxValue rows terminates (no offset overflow)") {
+    open("c7", "orga")
+    val sid = createStatement("c7")
+    rpc(s"""{"request":"prepareAndExecute","connectionId":"c7","statementId":$sid,""" +
+      """"sql":"SELECT v FROM avmetric ORDER BY v","maxRowCount":-1}""")
+    val (_, f) = rpc(
+      s"""{"request":"fetch","connectionId":"c7","statementId":$sid,"offset":3,""" +
+        s""""fetchMaxRowCount":${Int.MaxValue}}""")
+    f.at("/frame/done").asBoolean() shouldBe true
+    f.at("/frame/rows").size() shouldBe 4
+  }
+
   test("an unknown api key fails at openConnection") {
     val (st, resp) = rpc(
       """{"request":"openConnection","connectionId":"c5","info":{"apikey":"nosuch"}}""")

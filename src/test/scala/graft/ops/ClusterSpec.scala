@@ -74,6 +74,16 @@ class ClusterSpec extends AnyFunSuite with Matchers {
     l.values.toSet shouldBe Set(1L)
   }
 
+  test("an already-star input converges at round 0 (signature seeded from the input)") {
+    // a canonical star (child → center edges) is its own fixed point: the
+    // first double-star round reproduces it verbatim, and the seeded
+    // initial signature lets maxRounds = 1 suffice — the unseeded variant
+    // needed a second (wasted) round to notice
+    val l = labelMap(Cluster.connectedComponentsStar(
+      pairs((2L, 1L), (3L, 1L)), maxRounds = 1))
+    l shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+  }
+
   test("star rounds release every checkpoint too") {
     val before = spark.sparkContext.getPersistentRDDs.size
     Cluster.connectedComponentsStar(pairs((1L, 2L), (2L, 3L), (5L, 6L))).collect()

@@ -98,6 +98,21 @@ class LayoutSpec extends AnyFunSuite with Matchers {
     df.join(z, Seq("x", "y"), "left_anti").count() shouldBe 0
   }
 
+  test("compact over a bare table scan skips the checkpoint copy; z-order handles empty input") {
+    // bare scan: counting is metadata-cheap, a checkpoint would copy the
+    // table into executor storage for nothing — content must round-trip
+    val srcDir = SparkFixture.tempDir("barecompact")
+    scattered(4000, 7).write.mode("overwrite").parquet(srcDir)
+    val bare = spark.read.parquet(srcDir)
+    val out = Layout.compact(bare, SparkFixture.tempDir("barecompactout"), 1000, Seq("k"))
+    out.count() shouldBe 4000
+    bare.join(out, Seq("id", "k", "payload"), "left_anti").count() shouldBe 0
+    // empty z-order input: an empty table, not an NPE
+    val empty = bare.filter(col("id") < 0)
+    Layout.zorder(empty, SparkFixture.tempDir("zordempty"), 100, "k", "id")
+      .count() shouldBe 0
+  }
+
   test("a filter on the cluster key reads fewer files than the table has") {
     val dir = SparkFixture.tempDir("compact3")
     val out = Layout.compact(scattered(8000, 29), dir, 2000, Seq("k"))
