@@ -765,6 +765,30 @@ object PipelineQueries {
       .select("doc_id", "lang", "nll", "bucket")
       .orderBy("doc_id")
 
+  /** DSIR-style importance weights
+    * ([[graft.ops.TextAnalysis.dsirWeights]]): log-likelihood ratio of a
+    * target-domain LM (trained on source src0) vs the general-corpus LM,
+    * per document — positive log_weight ⇒ closer to the target domain. */
+  def lmDsirWeights(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirWeights(t(s, dir, "documents"), col("source") === "src0")
+      .select("doc_id", "nll_gen", "nll_tgt", "log_weight")
+      .orderBy("doc_id")
+
+  /** Cluster-balanced subsample ([[graft.ops.Similarity.corpusCells]] +
+    * deterministic per-cell bottom-k by content hash): even coverage of
+    * the semantic space instead of mirroring its density. */
+  def embedCellSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Similarity.corpusCells(
+      t(s, dir, "embeddings"), "vec_id", "embedding", numCentroids = IvfCentroids)
+    val w = Window.partitionBy("cell")
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit("cellsmp"))), col("vec_id"))
+    cells.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 8)
+      .select(col("vec_id"), col("cell"), col("rn").cast("long").as("rn"))
+      .orderBy("vec_id")
+  }
+
   /** Semantic dedup over the embeddings
     * ([[graft.ops.Similarity.semanticDedup]], SemDeDup): IVF-cell
     * blocking + within-cell cosine pruning, lowest-id representative
@@ -780,6 +804,8 @@ object PipelineQueries {
     "dedup_substring" -> (dedupSubstring _),
     "lm_perplexity" -> (lmPerplexity _),
     "lm_ppl_buckets" -> (lmPplBuckets _),
+    "lm_dsir_weights" -> (lmDsirWeights _),
+    "embed_cell_sample" -> (embedCellSample _),
     "embed_semantic_dedup" -> (embedSemanticDedup _),
     "layout_zorder" -> (layoutZorder _),
     "doc_chunking" -> (docChunking _),
@@ -1028,6 +1054,32 @@ object PipelineQueries {
     "lm_perplexity" ->
       s"""$duckLmCte
          |SELECT doc_id, n_bigrams, nll FROM lmscored ORDER BY doc_id""".stripMargin,
+    "lm_dsir_weights" ->
+      s"""WITH db AS (SELECT doc_id, b, split_part(b, ' ', 1) AS w
+         |  FROM (SELECT doc_id, unnest(${duckShingles(2)}) AS b FROM documents)),
+         |tdb AS (SELECT b, split_part(b, ' ', 1) AS w
+         |  FROM (SELECT unnest(${duckShingles(2)}) AS b FROM documents WHERE source = 'src0')),
+         |biG AS (SELECT b, count(*) AS cbg FROM db GROUP BY b),
+         |preG AS (SELECT w, count(*) AS cug FROM db GROUP BY w),
+         |vocG AS (SELECT count(*) AS vg FROM preG),
+         |biT AS (SELECT b, count(*) AS cbt FROM tdb GROUP BY b),
+         |preT AS (SELECT w, count(*) AS cut FROM tdb GROUP BY w),
+         |vocT AS (SELECT count(*) AS vt FROM preT),
+         |gen AS (SELECT doc_id, round(-avg(ln((cbg + 0.5) / (cug + 0.5 * vg))), 4) AS nll_gen
+         |  FROM db JOIN biG USING (b) JOIN preG USING (w) CROSS JOIN vocG GROUP BY doc_id),
+         |tgt AS (SELECT doc_id,
+         |    round(-avg(ln((coalesce(cbt, 0) + 0.5) / (coalesce(cut, 0) + 0.5 * vt))), 4) AS nll_tgt
+         |  FROM db LEFT JOIN biT USING (b) LEFT JOIN preT USING (w) CROSS JOIN vocT
+         |  GROUP BY doc_id)
+         |SELECT doc_id, nll_gen, nll_tgt, round(nll_gen - nll_tgt, 4) AS log_weight
+         |FROM gen JOIN tgt USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "embed_cell_sample" ->
+      s"""$duckIvfCellsCte
+         |SELECT corpus_id AS vec_id, cell, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT corpus_id, cell, row_number() OVER (PARTITION BY cell
+         |    ORDER BY md5(CAST(corpus_id AS VARCHAR) || 'cellsmp'), corpus_id) AS rn
+         |  FROM cells)
+         |WHERE rn <= 8 ORDER BY vec_id""".stripMargin,
     "lm_ppl_buckets" ->
       s"""$duckLmCte,
          |sl AS (SELECT s.doc_id, d.lang, s.nll

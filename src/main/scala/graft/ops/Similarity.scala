@@ -282,6 +282,21 @@ object Similarity {
       .agg(max(struct(col("s"), (-col("cid")).as("negcid"))).as("best"))
       .select(col(idAs), (-col("best.negcid")).cast("int").as("cell"))
 
+  /** Deterministic semantic clustering of a corpus: nearest-centroid cell
+    * per vector over the stride-seeded centroids — the shared front half
+    * of [[semanticDedup]] and of cluster-balanced sampling (sample evenly
+    * across cells so a subsample covers the semantic space instead of
+    * mirroring its density). Returns (idCol, cell). */
+  def corpusCells(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int = 0): DataFrame = {
+    val nc = if (numCentroids > 0) numCentroids else autoCentroids(df.count())
+    val centDf = broadcast(seedCentroids(df, idCol, vecCol, nc))
+    assignCells(Materialize.spread(df), centDf, idCol, idCol, vecCol)
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
     * space around deterministic centroids, then prune near-identical
     * vectors WITHIN each cell — a vector is dropped when a lower-id

@@ -232,6 +232,55 @@ object TextAnalysis {
     (bi, pre, pre.count())
   }
 
+  /** Score documents against an ALREADY-TRAINED bigram model (the tables
+    * [[lmModel]] returns) — works identically on a batch DataFrame and a
+    * streaming one (the stream-static quality gate delegates here).
+    * Unseen n-grams fall to the add-k floor via the left joins. */
+  def lmScoreAgainst(
+      docs: DataFrame,
+      bigramCounts: DataFrame,
+      prefixCounts: DataFrame,
+      vocabSize: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      alpha: Double = 0.5): DataFrame =
+    docs
+      .select(col(idCol), explode(Dedup.shingles(textCol, 2)).as("b"))
+      .withColumn("w", expr("split_part(b, ' ', 1)"))
+      .join(bigramCounts, Seq("b"), "left")
+      .join(prefixCounts, Seq("w"), "left")
+      .withColumn("lp", log(
+        (coalesce(col("cb"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("cu"), lit(0L)) + lit(alpha) * vocabSize)))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        round(-avg(col("lp")), 4).as("nll"))
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * LMs via Importance Resampling" — the hashed-ngram variant): train
+    * one LM on the TARGET domain and one on the general corpus, and
+    * weight every document by the log-likelihood ratio
+    * `log w = nll_general − nll_target` (positive ⇒ the document looks
+    * more like the target domain than like the general corpus; sampling
+    * ∝ exp(log w) tilts the corpus toward the target). Both scoring
+    * passes are [[lmScoreAgainst]] joins over [[lmModel]] tables —
+    * linear, no pair work; the target model is small and broadcastable. */
+  def dsirWeights(
+      df: DataFrame,
+      targetFilter: Column,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (biG, preG, vG) = lmModel(df, textCol)
+    val (biT, preT, vT) = lmModel(df.filter(targetFilter), textCol)
+    val gen = lmScoreAgainst(df, biG, preG, vG, idCol, textCol)
+      .select(col(idCol), col("nll").as("nll_gen"))
+    val tgt = lmScoreAgainst(df, biT, preT, vT, idCol, textCol)
+      .select(col(idCol), col("nll").as("nll_tgt"))
+    gen.join(tgt, idCol)
+      .withColumn("log_weight", round(col("nll_gen") - col("nll_tgt"), 4))
+  }
+
   /** Gopher-style rule-based quality signals (Rae et al. 2021 §A1.1-ish):
     * token count, mean word length, stopword fraction, symbol ratio, and
     * the top single-token share (repetition detector), plus the composite

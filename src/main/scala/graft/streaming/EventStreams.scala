@@ -116,18 +116,8 @@ object EventStreams {
       prefixCounts: DataFrame,
       vocabSize: Long,
       alpha: Double = 0.5): DataFrame =
-    docs
-      .select(col("doc_id"), explode(graft.ops.Dedup.shingles("text", 2)).as("b"))
-      .withColumn("w", expr("split_part(b, ' ', 1)"))
-      .join(bigramCounts, Seq("b"), "left")
-      .join(prefixCounts, Seq("w"), "left")
-      .withColumn("lp", log(
-        (coalesce(col("cb"), lit(0L)) + lit(alpha)) /
-          (coalesce(col("cu"), lit(0L)) + lit(alpha) * vocabSize)))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).cast("long").as("n_bigrams"),
-        round(-avg(col("lp")), 4).as("nll"))
+    graft.ops.TextAnalysis.lmScoreAgainst(
+      docs, bigramCounts, prefixCounts, vocabSize, alpha = alpha)
 
   /** Stream the events landing directory (parquet files appearing over
     * time) into the windowed aggregation, writing to an in-memory sink —

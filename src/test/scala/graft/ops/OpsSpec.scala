@@ -71,6 +71,44 @@ class OpsSpec extends AnyFunSuite with Matchers {
     out(3L) shouldBe ((1L, 0.8473))
   }
 
+  test("dsir weights: target-domain docs score positive, general model matches lmScore") {
+    // two "domains": letter-ish docs (target) vs number-ish docs. A doc
+    // from the target domain must look more like the target LM than the
+    // general one (log_weight > 0) and vice versa; and scoring against
+    // the full-corpus model must reproduce lmScore's nll bit-for-bit.
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    val d = spark.createDataFrame(Seq(
+      Row(1L, "alpha beta gamma alpha beta", "tgt"),
+      Row(2L, "alpha beta gamma delta beta", "tgt"),
+      Row(3L, "one two three one two", "gen"),
+      Row(4L, "one two three four two", "gen")).asJava, schema)
+    val out = TextAnalysis.dsirWeights(d, col("source") === "tgt").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("nll_gen"), r.getAs[Double]("log_weight"))).toMap
+    out(1L)._2 should be > 0.0
+    out(2L)._2 should be > 0.0
+    out(3L)._2 should be < 0.0
+    out(4L)._2 should be < 0.0
+    val base = TextAnalysis.lmScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nll")).toMap
+    out.foreach { case (id, (nllGen, _)) => nllGen shouldBe base(id) }
+  }
+
+  test("corpus cells: one cell per vector, agrees with semanticDedup's blocking") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cells = Similarity.corpusCells(emb, "vec_id", "embedding", numCentroids = 8)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    cells.size.toLong shouldBe emb.count() // a partition: every vector, once
+    cells.values.foreach { c => c should (be >= 0 and be < 8) }
+    cells.values.toSet.size should be > 1 // non-degenerate clustering
+    val dedupCells = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.35, numCentroids = 8).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    cells shouldBe dedupCells
+  }
+
   test("minhash signatures are identical for identical docs, mostly differ otherwise") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog"),
