@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Similarity, Skew, TextAnalysis}
+import graft.ops.{Classify, Dedup, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -799,8 +799,36 @@ object PipelineQueries {
       .select(col("vec_id"), col("cell"), col("dup_of"), col("keep"))
       .orderBy("vec_id")
 
+  /** Line-level corpus dedup ([[graft.ops.Dedup.lineDedup]], the
+    * CCNet/RefinedWeb paragraph-dedup step; "lines" here are 10-word
+    * blocks since the corpus has no newlines): corpus-wide duplicate
+    * lines removed from every document, documents reassembled in order. */
+  def dedupLines(s: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedup(t(s, dir, "documents"), "doc_id", "text", blockWords = 10)
+      .orderBy("doc_id")
+
+  /** Within-document repetition signals
+    * ([[graft.ops.TextAnalysis.repetitionSignals]], the Gopher
+    * duplicate-n-gram family): duplicate-gram fraction and top-gram
+    * share for n=2,3 — all scan-side, zero shuffles. */
+  def repetitionSignals(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(t(s, dir, "documents"))
+      .select("doc_id", "dup2_frac", "top2_share", "dup3_frac", "top3_share", "keep")
+      .orderBy("doc_id")
+
+  /** Naive-Bayes language classifier ([[graft.ops.Classify.naiveBayes]],
+    * the fastText-style corpus-filter shape): trained on the 80% slice
+    * `doc_id % 10 < 8`, scored over everything. */
+  def nbClassify(s: SparkSession, dir: String): DataFrame =
+    Classify.naiveBayes(t(s, dir, "documents"), "doc_id", "lang", "text",
+      trainFilter = col("doc_id") % 10 < 8)
+      .orderBy("doc_id")
+
   // ================================================================ maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lines" -> (dedupLines _),
+    "repetition_signals" -> (repetitionSignals _),
+    "nb_classify" -> (nbClassify _),
     "dedup_substring" -> (dedupSubstring _),
     "lm_perplexity" -> (lmPerplexity _),
     "lm_ppl_buckets" -> (lmPplBuckets _),
@@ -1025,6 +1053,53 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_lines" ->
+      """WITH l AS (SELECT doc_id, i,
+        |    array_to_string(wr[CAST(i * 10 + 1 AS INT):CAST(i * 10 + 10 AS INT)], ' ') AS line
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS wr FROM documents),
+        |    unnest(range(0, CAST(ceil(len(wr) / 10.0) AS INT))) AS t(i)),
+        |c AS (SELECT md5(line) AS lh, count(*) AS copies FROM l GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN copies <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN copies <= 1 THEN line END, ' ' ORDER BY i), '')
+        |    AS text_clean
+        |FROM l JOIN c ON md5(line) = lh
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "repetition_signals" ->
+      s"""WITH g AS (SELECT doc_id,
+         |    ${duckShingles(2)} AS g2, ${duckShingles(3)} AS g3 FROM documents)
+         |SELECT doc_id,
+         |  round((len(g2) - len(list_distinct(g2))) / len(g2), 4) AS dup2_frac,
+         |  round(list_max(list_transform(list_distinct(g2),
+         |    d -> len(list_filter(g2, x -> x = d)))) / len(g2), 4) AS top2_share,
+         |  round((len(g3) - len(list_distinct(g3))) / len(g3), 4) AS dup3_frac,
+         |  round(list_max(list_transform(list_distinct(g3),
+         |    d -> len(list_filter(g3, x -> x = d)))) / len(g3), 4) AS top3_share,
+         |  round((len(g2) - len(list_distinct(g2))) / len(g2), 4) <= 0.3 AND
+         |    round((len(g3) - len(list_distinct(g3))) / len(g3), 4) <= 0.3 AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "nb_classify" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 10 < 8),
+        |tw AS (SELECT lang AS cls, unnest(string_split(text, ' ')) AS w FROM train),
+        |cw AS (SELECT cls, w, count(*) AS cw FROM tw GROUP BY 1, 2),
+        |tc AS (SELECT cls, count(*) AS tc FROM tw GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w) AS v FROM tw),
+        |pri AS (SELECT lang AS cls, ln(count(*) * 1.0 / (SELECT count(*) FROM train)) AS prior
+        |  FROM train GROUP BY 1),
+        |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |m AS (SELECT doc_id, cls, sum(ln(cw + 0.5)) AS sm, count(*) AS mn
+        |  FROM dw JOIN cw USING (w) GROUP BY 1, 2),
+        |sc AS (SELECT d.doc_id, d.lang, p.cls,
+        |    round(p.prior + coalesce(m.sm, 0)
+        |      + (len(string_split(d.text, ' ')) - coalesce(m.mn, 0)) * ln(0.5)
+        |      - len(string_split(d.text, ' ')) * ln(t.tc + 0.5 * voc.v), 4) AS score
+        |  FROM documents d CROSS JOIN pri p
+        |  JOIN tc t ON t.cls = p.cls CROSS JOIN voc
+        |  LEFT JOIN m ON m.doc_id = d.doc_id AND m.cls = p.cls)
+        |SELECT doc_id, lang, cls AS pred_lang, score, cls = lang AS hit FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+        |  FROM sc)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "layout_zorder" ->
       s"""SELECT doc_id, n_chars,
          |  ${duckZ("(doc_id % 65536)", "(n_chars % 65536)")} AS zval

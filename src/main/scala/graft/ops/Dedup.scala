@@ -63,6 +63,45 @@ object Dedup {
       .withColumn("keep", col("novelty") >= keepAt)
   }
 
+  /** Line-level corpus dedup (the CCNet / RefinedWeb paragraph-dedup
+    * step): a "line" is a non-overlapping block of `blockWords` words;
+    * any line whose exact content occurs more than `maxCopies` times
+    * corpus-wide is removed from EVERY document, and each
+    * document is reassembled from its surviving lines in order. This
+    * kills boilerplate (headers, footers, license blocks) that document-
+    * level dedup never touches because the documents around it differ.
+    *
+    * Scale shape: the (doc, line) stream shuffles ONCE on the line hash
+    * (whole-partition window count — the groupBy+join-back encoding
+    * would shuffle it twice) and once more per doc for reassembly; lines
+    * are counted by md5, so wide text never travels as a join key.
+    * Returns (idCol, n_lines, n_kept, text_clean). */
+  def lineDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockWords: Int = 10,
+      maxCopies: Int = 1): DataFrame = {
+    val toks = s"split($textCol, ' ')"
+    val blocks = expr(
+      s"""transform(sequence(0, cast(ceil(size($toks) / ${blockWords}.0) AS INT) - 1),
+         |  i -> concat_ws(' ', slice($toks, i * $blockWords + 1, $blockWords)))""".stripMargin)
+    val wLine = org.apache.spark.sql.expressions.Window.partitionBy("lh")
+    df.select(col(idCol), posexplode(blocks).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+      .withColumn("copies", count(lit(1)).over(wLine))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("copies") <= maxCopies, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("copies") <= maxCopies, struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          " ").as("text_clean"))
+  }
+
   /** MinHash signature columns h0..h{k-1}: per hash function i, the min of
     * md5(salt_i ++ shingle) over the document's word shingles. min-of-md5
     * over a string domain is a valid minwise hash family; salting gives k

@@ -281,6 +281,38 @@ object TextAnalysis {
       .withColumn("log_weight", round(col("nll_gen") - col("nll_tgt"), 4))
   }
 
+  /** Gopher-style within-document repetition signals (Rae et al. 2021
+    * §A1.1, the duplicate-n-gram family): per document and per n-gram
+    * size, the fraction of gram occurrences that are repeats
+    * (`1 − distinct/total`) and the share claimed by the single most
+    * frequent gram. A document that loops a phrase sails through
+    * corpus-level dedup (nothing else matches it) but fails here.
+    *
+    * Scale shape: ZERO shuffles — both signals are per-row array
+    * expressions over the shingle list (the O(distinct·total) nested
+    * scan is bounded by document length, not corpus size), so the whole
+    * operator rides the parquet scan. */
+  def repetitionSignals(
+      df: DataFrame,
+      textCol: String = "text",
+      ns: Seq[Int] = Seq(2, 3),
+      dupMax: Double = 0.3): DataFrame = {
+    val out = ns.foldLeft(df) { (d, n) =>
+      val g = s"_g$n"
+      d.withColumn(g, Dedup.shingles(textCol, n))
+        .withColumn(s"dup${n}_frac",
+          round((size(col(g)) - size(array_distinct(col(g)))).cast("double") /
+            size(col(g)), 4))
+        .withColumn(s"top${n}_share",
+          round(array_max(transform(array_distinct(col(g)),
+            dg => size(filter(col(g), x => x === dg)))).cast("double") /
+            size(col(g)), 4))
+        .drop(g)
+    }
+    out.withColumn("keep",
+      ns.map(n => col(s"dup${n}_frac") <= dupMax).reduce(_ && _))
+  }
+
   /** Gopher-style rule-based quality signals (Rae et al. 2021 §A1.1-ish):
     * token count, mean word length, stopword fraction, symbol ratio, and
     * the top single-token share (repetition detector), plus the composite

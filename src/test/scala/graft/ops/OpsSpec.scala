@@ -71,6 +71,67 @@ class OpsSpec extends AnyFunSuite with Matchers {
     out(3L) shouldBe ((1L, 0.8473))
   }
 
+  test("line dedup removes corpus-wide boilerplate, preserves order, keeps unique lines") {
+    // 3-word "lines"; docs 1 and 2 share a boilerplate line in different
+    // positions — it must vanish from BOTH docs while the unique content
+    // survives in original order. Doc 3 is entirely unique.
+    val d = docs(
+      (1L, "copy right footer alpha beta gamma"),
+      (2L, "delta epsilon zeta copy right footer"),
+      (3L, "eta theta iota kappa lambda mu"))
+    val out = Dedup.lineDedup(d, "doc_id", "text", blockWords = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("text_clean"))).toMap
+    out(1L) shouldBe ((2L, 1L, "alpha beta gamma"))
+    out(2L) shouldBe ((2L, 1L, "delta epsilon zeta"))
+    out(3L) shouldBe ((2L, 2L, "eta theta iota kappa lambda mu"))
+  }
+
+  test("repetition signals: looping doc fails, diverse doc passes, hand-computed fractions") {
+    // doc 1 loops "spam ham": 2-grams of 6 words = 5 grams, distinct 2
+    // ("spam ham", "ham spam") → dup2 = 3/5 = 0.6; top gram "spam ham"
+    // occurs 3× → top2 = 0.6. Doc 2 has all-distinct grams.
+    val d = docs(
+      (1L, "spam ham spam ham spam ham"),
+      (2L, "one two three four five six"))
+    val out = TextAnalysis.repetitionSignals(d)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup2_frac"), r.getAs[Double]("top2_share"),
+          r.getAs[Boolean]("keep"))).toMap
+    out(1L) shouldBe ((0.6, 0.6, false))
+    out(2L) shouldBe ((0.0, 0.2, true))
+  }
+
+  test("naive bayes recovers a separable labeling, scores held-out docs") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("cat", StringType)))
+    // ids 0-7 train (doc_id % 10 < 8); 8 and 9 are held out and carry
+    // deliberately WRONG labels — the classifier must predict from text,
+    // so hit=false for both proves the train/score separation.
+    val d = spark.createDataFrame(Seq(
+      Row(0L, "alpha beta gamma beta", "let"),
+      Row(1L, "alpha gamma delta beta", "let"),
+      Row(2L, "beta alpha alpha gamma", "let"),
+      Row(3L, "gamma delta alpha beta", "let"),
+      Row(4L, "one two three two", "num"),
+      Row(5L, "two three four one", "num"),
+      Row(6L, "three one one four", "num"),
+      Row(7L, "four two one three", "num"),
+      Row(8L, "alpha beta gamma delta", "num"),
+      Row(9L, "one two three four", "let")).asJava, schema)
+    val out = Classify.naiveBayes(d, "doc_id", "cat", "text",
+      trainFilter = col("doc_id") % 10 < 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pred_cat"), r.getAs[Boolean]("hit"))).toMap
+    out.size shouldBe 10 // every doc scored, including the training slice
+    (0L to 3L).foreach { i => out(i) shouldBe (("let", true)) }
+    (4L to 7L).foreach { i => out(i) shouldBe (("num", true)) }
+    out(8L) shouldBe (("let", false))
+    out(9L) shouldBe (("num", false))
+  }
+
   test("dsir weights: target-domain docs score positive, general model matches lmScore") {
     // two "domains": letter-ish docs (target) vs number-ish docs. A doc
     // from the target domain must look more like the target LM than the
