@@ -520,4 +520,37 @@ class OpsSpec extends AnyFunSuite with Matchers {
     val plan = TextAnalysis.gopherSignals(d).queryExecution.executedPlan.toString
     plan should not include "Exchange"
   }
+
+  test("repetition signals: zero shuffles (rides the scan)") {
+    val d = docs((1L, "a b c"), (2L, "d e f"))
+    val plan = TextAnalysis.repetitionSignals(d).queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
+  test("line dedup plan: exactly two exchanges (line-hash window + doc reassembly)") {
+    val d = docs((1L, "a b c d e f"), (2L, "a b c x y z"))
+    val plan = Dedup.lineDedup(d, "doc_id", "text", blockWords = 3)
+      .queryExecution.executedPlan.toString
+    plan.linesIterator.count(_.contains("Exchange")) shouldBe 2
+  }
+
+  test("naive bayes plan: the word-count model joins broadcast; no shuffle wider than doc_id") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("cat", StringType)))
+    val d = spark.createDataFrame(Seq(
+      Row(0L, "alpha beta", "let"), Row(4L, "one two", "num"),
+      Row(9L, "alpha one", "let")).asJava, schema)
+    val plan = Classify.naiveBayes(d, "doc_id", "cat", "text",
+      trainFilter = col("doc_id") % 10 < 8)
+      .queryExecution.executedPlan.toString
+    // scoring path: per-class word counts and priors reach the docs via
+    // broadcast — no sort-merge join anywhere (the only hash exchanges
+    // are the bounded model-count partial aggs and the doc-keyed ones)
+    plan should include("BroadcastHashJoin")
+    plan should include("BroadcastNestedLoopJoin") // the 1-row priors cross join
+    plan should not include "SortMergeJoin"
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .foreach(_ should (include("doc_id") or include("cls") or include("cat") or include("w#")))
+  }
 }
