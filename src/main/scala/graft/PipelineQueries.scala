@@ -824,8 +824,44 @@ object PipelineQueries {
       trainFilter = col("doc_id") % 10 < 8)
       .orderBy("doc_id")
 
+  /** Product-quantization codes ([[graft.ops.Similarity.pqCodes]]):
+    * every embedding compressed to 4 subspace codes against the
+    * deterministic stride-seeded codebooks. */
+  def embedPqCodes(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",
+      m = PqM, subDim = PqSubDim, k = PqK)
+      .orderBy("vec_id")
+
+  /** PQ ANN via asymmetric distance ([[graft.ops.Similarity.pqTopK]]):
+    * per-query lookup tables over the codebooks, corpus scanned as
+    * codes only — the compressed-scan path that composes with IVF at
+    * cluster scale (IVFADC). */
+  def embedKnnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      kNeighbors = 5, m = PqM, subDim = PqSubDim, k = PqK)
+      .orderBy("query_id", "rank")
+  }
+
+  /** PQ shortlist + exact rerank ([[graft.ops.Similarity.pqTopKRerank]],
+    * the IVFADC+rerank deployment shape): ADC nominates 50 candidates
+    * per query from the code scan, exact distances rerank them. */
+  def embedKnnPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqTopKRerank(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      kNeighbors = 5, shortlist = 50, m = PqM, subDim = PqSubDim, k = PqK)
+      .orderBy("query_id", "rank")
+  }
+
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqK = 8
+
   // ================================================================ maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_pq_codes" -> (embedPqCodes _),
+    "embed_knn_pq" -> (embedKnnPq _),
+    "embed_knn_pq_rerank" -> (embedKnnPqRerank _),
     "dedup_lines" -> (dedupLines _),
     "repetition_signals" -> (repetitionSignals _),
     "nb_classify" -> (nbClassify _),
@@ -1052,7 +1088,79 @@ object PipelineQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Shared CTE chain producing `codes` — the PQ subspace code per
+    * (vector, subspace) against the stride-seeded codebooks; mirrors
+    * [[graft.ops.Similarity.pqCodesLong]] construct-for-construct. */
+  private def duckPqCodesCte: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT CAST((rn - 1) // 7 AS INT) AS cid, v AS cvec FROM (
+       |    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+       |    FROM e ORDER BY vec_id LIMIT ${PqK * 7})
+       |  WHERE (rn - 1) % 7 = 0),
+       |scents AS (SELECT cid, j,
+       |    cvec[CAST(j * $PqSubDim + 1 AS INT):CAST(j * $PqSubDim + $PqSubDim AS INT)] AS scv
+       |  FROM cents, unnest(range(0, $PqM)) AS t(j)),
+       |sub AS (SELECT vec_id, j,
+       |    v[CAST(j * $PqSubDim + 1 AS INT):CAST(j * $PqSubDim + $PqSubDim AS INT)] AS sv
+       |  FROM e, unnest(range(0, $PqM)) AS t(j)),
+       |d AS (SELECT vec_id, s.j, cid,
+       |    list_dot_product(sv, sv) - 2 * list_dot_product(sv, scv)
+       |      + list_dot_product(scv, scv) AS d2
+       |  FROM sub s JOIN scents c ON s.j = c.j),
+       |codes AS (SELECT vec_id, j, code FROM (
+       |    SELECT vec_id, j, cid AS code,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn FROM d)
+       |  WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "embed_pq_codes" ->
+      s"""$duckPqCodesCte
+         |SELECT vec_id,
+         |  CAST(max(CASE WHEN j = 0 THEN code END) AS INT) AS c0,
+         |  CAST(max(CASE WHEN j = 1 THEN code END) AS INT) AS c1,
+         |  CAST(max(CASE WHEN j = 2 THEN code END) AS INT) AS c2,
+         |  CAST(max(CASE WHEN j = 3 THEN code END) AS INT) AS c3
+         |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "embed_knn_pq" ->
+      s"""$duckPqCodesCte,
+         |q AS (SELECT vec_id AS query_id, j,
+         |    v[CAST(j * $PqSubDim + 1 AS INT):CAST(j * $PqSubDim + $PqSubDim AS INT)] AS qv
+         |  FROM e, unnest(range(0, $PqM)) AS t(j) WHERE vec_id < 10),
+         |lut AS (SELECT query_id, q.j, cid,
+         |    list_dot_product(qv, qv) - 2 * list_dot_product(qv, scv)
+         |      + list_dot_product(scv, scv) AS contrib
+         |  FROM q JOIN scents c ON q.j = c.j),
+         |a AS (SELECT query_id, vec_id AS corpus_id, round(sum(contrib), 4) AS adist
+         |  FROM codes JOIN lut ON codes.j = lut.j AND codes.code = lut.cid
+         |  WHERE query_id <> vec_id GROUP BY 1, 2)
+         |SELECT query_id, corpus_id, adist, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adist, corpus_id) AS rank FROM a)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "embed_knn_pq_rerank" ->
+      s"""$duckPqCodesCte,
+         |q AS (SELECT vec_id AS query_id, j,
+         |    v[CAST(j * $PqSubDim + 1 AS INT):CAST(j * $PqSubDim + $PqSubDim AS INT)] AS qv
+         |  FROM e, unnest(range(0, $PqM)) AS t(j) WHERE vec_id < 10),
+         |lut AS (SELECT query_id, q.j, cid,
+         |    list_dot_product(qv, qv) - 2 * list_dot_product(qv, scv)
+         |      + list_dot_product(scv, scv) AS contrib
+         |  FROM q JOIN scents c ON q.j = c.j),
+         |a AS (SELECT query_id, vec_id AS corpus_id, round(sum(contrib), 4) AS adist
+         |  FROM codes JOIN lut ON codes.j = lut.j AND codes.code = lut.cid
+         |  WHERE query_id <> vec_id GROUP BY 1, 2),
+         |short AS (SELECT query_id, corpus_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adist, corpus_id) AS srn FROM a) WHERE srn <= 50),
+         |ex AS (SELECT s.query_id, s.corpus_id,
+         |    round(list_dot_product(qe.v, qe.v) - 2 * list_dot_product(qe.v, ce.v)
+         |      + list_dot_product(ce.v, ce.v), 4) AS d2
+         |  FROM short s JOIN e qe ON qe.vec_id = s.query_id
+         |  JOIN e ce ON ce.vec_id = s.corpus_id)
+         |SELECT query_id, corpus_id, d2, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY d2, corpus_id) AS rank FROM ex)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "dedup_lines" ->
       """WITH l AS (SELECT doc_id, i,
         |    array_to_string(wr[CAST(i * 10 + 1 AS INT):CAST(i * 10 + 10 AS INT)], ' ') AS line

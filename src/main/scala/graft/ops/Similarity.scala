@@ -297,6 +297,140 @@ object Similarity {
     assignCells(Materialize.spread(df), centDf, idCol, idCol, vecCol)
   }
 
+  /** Product-quantization codes (Jégou et al. 2011): split each vector
+    * into `m` subvectors of `subDim` dims; per subspace, assign the
+    * subvector to its nearest (squared-L2) codebook centroid. The
+    * codebooks reuse the deterministic stride seeding ([[seedCentroids]]
+    * ids, sliced per subspace) — no RNG, oracle-replayable.
+    *
+    * Scale shape: the codebook table is m·k rows — broadcast; code
+    * assignment is one broadcast join over the exploded (vector,
+    * subspace) stream and ONE id-keyed aggregation (min-of-struct per
+    * subspace folds map-side). The output — id + m small ints — is the
+    * compressed corpus: ~4 bytes/vector instead of 4·dim, which is what
+    * makes an exhaustive ADC scan feasible where the raw corpus is
+    * hundreds of TB. Returns (idAs, j, code) long-format. */
+  private[ops] def pqCodesLong(
+      corpus: DataFrame,
+      idCol: String,
+      idAs: String,
+      vecCol: String,
+      m: Int,
+      subDim: Int,
+      k: Int): DataFrame = {
+    val subCents = pqCodebooks(corpus, idCol, vecCol, m, subDim, k)
+    val subVecs = corpus.select(col(idCol).as(idAs), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), j -> slice($vecCol, j * $subDim + 1, $subDim))"))
+      .as(Seq("j", "sv")))
+    subVecs.join(broadcast(subCents), Seq("j"))
+      .select(col(idAs), col("j"), col("cid"),
+        (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("scv")) +
+          dot(col("scv"), col("scv"))).as("d2"))
+      .groupBy(idAs, "j")
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col(idAs), col("j"), col("best.cid").cast("int").as("code"))
+  }
+
+  /** Per-subspace PQ codebooks: (j, cid, scv) — the stride-seeded
+    * centroid vectors sliced into subspaces. m·k rows, always tiny. */
+  private[ops] def pqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      subDim: Int,
+      k: Int): DataFrame =
+    seedCentroids(corpus, idCol, vecCol, k)
+      .select(col("cid"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), j -> slice(cvec, j * $subDim + 1, $subDim))"))
+        .as(Seq("j", "scv")))
+
+  /** Wide PQ code table: (idCol, c0..c{m-1}) — the persisted form. */
+  def pqCodes(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 4,
+      subDim: Int = 16,
+      k: Int = 8): DataFrame = {
+    val long = pqCodesLong(corpus, idCol, idCol, vecCol, m, subDim, k)
+    val codeCols = (0 until m).map(j =>
+      min(when(col("j") === j, col("code"))).cast("int").as(s"c$j"))
+    long.groupBy(idCol).agg(codeCols.head, codeCols.tail: _*)
+  }
+
+  /** PQ ANN via asymmetric distance computation (ADC): per query, a
+    * lookup table of ||q_j − centroid_{j,c}||² contributions (m·k
+    * doubles — broadcast), then every corpus vector's approximate
+    * distance is the sum of m table lookups over its CODES — the raw
+    * vectors never participate in the scan. One (query, corpus)-keyed
+    * partial-agg shuffle + a per-query top-k window; compose with IVF
+    * cell routing for the classic IVFADC at cluster scale. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kNeighbors: Int,
+      m: Int = 4,
+      subDim: Int = 16,
+      k: Int = 8): DataFrame = {
+    val codes = pqCodesLong(corpus, idCol, "corpus_id", vecCol, m, subDim, k)
+    val subCents = pqCodebooks(corpus, idCol, vecCol, m, subDim, k)
+    val luts = queries
+      .select(col(idCol).as("query_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), j -> slice($vecCol, j * $subDim + 1, $subDim))"))
+        .as(Seq("j", "qv")))
+      .join(broadcast(subCents), Seq("j"))
+      .select(col("query_id"), col("j"), col("cid"),
+        (dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("scv")) +
+          dot(col("scv"), col("scv"))).as("contrib"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist").asc, col("corpus_id").asc)
+    codes.join(broadcast(luts),
+        codes("j") === luts("j") && codes("code") === luts("cid"))
+      .groupBy("query_id", "corpus_id")
+      .agg(round(sum(col("contrib")), 4).as("adist"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeighbors)
+      .select("query_id", "corpus_id", "adist", "rank")
+  }
+
+  /** PQ shortlist + exact rerank — how PQ is actually deployed: the ADC
+    * scan (over codes, never vectors) nominates `shortlist` candidates
+    * per query, then ONLY those pairs pull their true vectors for exact
+    * distances. The expensive exact math touches |queries|·shortlist
+    * rows instead of the corpus; the shortlist pair set is tiny and
+    * broadcasts against the corpus scan. On near-random data (distance
+    * concentration) pure ADC ranking is noisy — the rerank recovers
+    * exact ordering within the shortlist, which is the quantization
+    * contract: compress the SCAN, not the final ranking. */
+  def pqTopKRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kNeighbors: Int,
+      shortlist: Int = 50,
+      m: Int = 4,
+      subDim: Int = 16,
+      k: Int = 8): DataFrame = {
+    val pairs = pqTopK(corpus, queries, idCol, vecCol, shortlist, m, subDim, k)
+      .select("query_id", "corpus_id")
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2").asc, col("corpus_id").asc)
+    broadcast(pairs).join(c, "corpus_id").join(broadcast(q), "query_id")
+      .withColumn("d2", round(
+        dot(col("qvec"), col("qvec")) - lit(2.0) * dot(col("qvec"), col("cvec")) +
+          dot(col("cvec"), col("cvec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeighbors)
+      .select("query_id", "corpus_id", "d2", "rank")
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
     * space around deterministic centroids, then prune near-identical
     * vectors WITHIN each cell — a vector is dropped when a lower-id

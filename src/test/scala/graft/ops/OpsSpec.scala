@@ -515,6 +515,55 @@ class OpsSpec extends AnyFunSuite with Matchers {
     r.getAs[Boolean]("passes") shouldBe false      // too short
   }
 
+  test("pq codes: in-range codes; adc correlates with truth; rerank dominates pure adc") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val codes = Similarity.pqCodes(emb, "vec_id", "embedding").collect()
+    codes.length.toLong shouldBe emb.count()
+    codes.foreach { r =>
+      (0 until 4).foreach { j =>
+        r.getAs[Int](s"c$j") should (be >= 0 and be < 8)
+      }
+    }
+    // The quantization contract on near-random data (where distance
+    // concentration makes ANY compressed top-5 unstable) is NOT exact
+    // recall — it is (a) ADC distances correlate positively with true
+    // distances, and (b) the shortlist+rerank composition dominates the
+    // pure ADC ranking. The vectors here are unit-norm, so exact-cosine
+    // top-k ≡ exact-L2 top-k and bruteForceTopK is a fair referee.
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val adcRecall = recallOf(Similarity.pqTopK(emb, q, "vec_id", "embedding", 5))
+    val rerankRecall = recallOf(
+      Similarity.pqTopKRerank(emb, q, "vec_id", "embedding", 5, shortlist = 50))
+    rerankRecall should be >= adcRecall
+    rerankRecall should be >= 0.2
+    // (a): pearson over all (query, corpus) pairs between the ADC
+    // distance and the true squared-L2 distance
+    val ad = Similarity.pqTopK(emb, q, "vec_id", "embedding", Int.MaxValue)
+      .select("query_id", "corpus_id", "adist")
+    val tru = Similarity.pqTopKRerank(emb, q, "vec_id", "embedding",
+      Int.MaxValue, shortlist = Int.MaxValue)
+      .select("query_id", "corpus_id", "d2")
+    val r = ad.join(tru, Seq("query_id", "corpus_id"))
+      .agg(corr(col("adist"), col("d2"))).head.getDouble(0)
+    r should be > 0.15
+  }
+
+  test("pq plan: codebooks and luts broadcast; corpus vectors absent from the adc scan") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val plan = Similarity.pqTopK(emb, q, "vec_id", "embedding", 5)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   test("gopher signals: zero shuffles (pure scan-side projection)") {
     val d = docs((1L, "a b c"), (2L, "d e f"))
     val plan = TextAnalysis.gopherSignals(d).queryExecution.executedPlan.toString
