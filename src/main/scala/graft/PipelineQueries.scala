@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Classify, Dedup, Similarity, Skew, TextAnalysis}
+import graft.ops.{Classify, Dedup, Hll, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -857,8 +857,17 @@ object PipelineQueries {
   private val PqSubDim = 16
   private val PqK = 8
 
+  /** HLL approximate distinct users per event type
+    * ([[graft.ops.Hll.approxDistinct]]): md5-derived registers make the
+    * sketch bit-reproducible, so approximate AND exact AND the relative
+    * error are all oracle-checked. */
+  def approxDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    Hll.approxDistinct(t(s, dir, "events"), "event_type", "user_id")
+      .orderBy("event_type")
+
   // ================================================================ maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "approx_distinct" -> (approxDistinctUsers _),
     "embed_pq_codes" -> (embedPqCodes _),
     "embed_knn_pq" -> (embedKnnPq _),
     "embed_knn_pq_rerank" -> (embedKnnPqRerank _),
@@ -1113,6 +1122,34 @@ object PipelineQueries {
        |  WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "approx_distinct" -> {
+      val m = 256
+      val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+      s"""WITH hh AS (SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS h
+         |  FROM events),
+         |rr AS (SELECT event_type,
+         |    (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+         |      + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) AS bucket,
+         |    CAST(list_sum(list_transform(range(1, 13),
+         |      i -> (instr('0123456789abcdef', substring(h, CAST(i + 2 AS INT), 1)) - 1)
+         |        * 16 ** (12 - i))) AS BIGINT) AS rem
+         |  FROM hh),
+         |regs AS (SELECT event_type, bucket,
+         |    max(CASE WHEN rem = 0 THEN 49
+         |      ELSE 49 - len(ltrim(bin(rem), '0')) END) AS r
+         |  FROM rr GROUP BY 1, 2),
+         |est AS (SELECT event_type, count(*) AS cnt, sum(pow(2.0, -r)) AS sumpow
+         |  FROM regs GROUP BY 1),
+         |ap AS (SELECT event_type,
+         |    round(CASE WHEN $alphaM2 / (sumpow + ($m - cnt)) <= ${2.5 * m} AND cnt < $m
+         |      THEN ${m.toDouble} * ln(${m.toDouble} / ($m - cnt))
+         |      ELSE $alphaM2 / (sumpow + ($m - cnt)) END, 4) AS n_approx
+         |  FROM est),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+         |SELECT event_type, n_exact, n_approx,
+         |  round(abs(n_approx - n_exact) / n_exact, 4) AS rel_err
+         |FROM ex JOIN ap USING (event_type) ORDER BY event_type""".stripMargin
+    },
     "embed_pq_codes" ->
       s"""$duckPqCodesCte
          |SELECT vec_id,

@@ -564,6 +564,21 @@ class OpsSpec extends AnyFunSuite with Matchers {
     plan should not include "SortMergeJoin"
   }
 
+  test("hll approx distinct: within sketch error at 10k cardinality, exact-side sanity") {
+    import spark.implicits._
+    // 10k distinct values (well past the 256-register linear-counting
+    // regime) plus heavy duplication: the estimate must land within
+    // ~3 standard errors (1.04/√256 ≈ 6.5% → 20% ceiling is generous
+    // but deterministic), and the exact side must be exactly right.
+    val d = (0 until 30000).map(i => ("g", (i % 10000).toLong)).toDF("grp", "v")
+    val row = Hll.approxDistinct(d, "grp", "v").collect().head
+    row.getAs[Long]("n_exact") shouldBe 10000L
+    val approx = row.getAs[Double]("n_approx")
+    math.abs(approx - 10000.0) / 10000.0 should be < 0.2
+    row.getAs[Double]("rel_err") shouldBe
+      (math.abs(approx - 10000.0) / 10000.0 +- 0.0001)
+  }
+
   test("gopher signals: zero shuffles (pure scan-side projection)") {
     val d = docs((1L, "a b c"), (2L, "d e f"))
     val plan = TextAnalysis.gopherSignals(d).queryExecution.executedPlan.toString
