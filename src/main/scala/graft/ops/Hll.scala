@@ -20,17 +20,17 @@ object Hll {
     * than statistically exact; both engines agree on it.) */
   private val HexDigits = 12 // 48 bits of rank material
 
-  /** Approximate distinct `valueCol` per `groupCol`, with the exact
-    * count and relative error alongside (the exact side makes the
-    * accuracy claim itself oracle-checkable). bBits=8 → m=256 registers
-    * → ~6.5% standard error. */
-  def approxDistinct(
+  /** The register table (groupCol, _bucket, r) — a single groupBy-max,
+    * so it runs unchanged as a STREAMING aggregation (one stateful op;
+    * the state store holds exactly the registers and merges by max).
+    * This is the persisted form of the sketch: registers from disjoint
+    * slices of the data union by max, which is why the same estimate
+    * falls out however the input was split. */
+  def registers(
       df: DataFrame,
       groupCol: String,
       valueCol: String,
       bBits: Int = 8): DataFrame = {
-    val m = 1 << bBits
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
     val bucketChars = bBits / 4 // whole hex chars keep both engines trivial
     require(bBits % 4 == 0, "bBits must be a multiple of 4")
     val h = md5(col(valueCol).cast("string"))
@@ -39,13 +39,19 @@ object Hll {
     val rem = conv(remHex, 16, 10).cast("long")
     val rank = when(col("_rem") === 0L, lit(49))
       .otherwise(lit(49) - length(conv(col("_remhex"), 16, 2)))
-
-    val regs = df
-      .select(col(groupCol), bucket.as("_bucket"), rem.as("_rem"), remHex.as("_remhex"))
+    df.select(col(groupCol), bucket.as("_bucket"), rem.as("_rem"), remHex.as("_remhex"))
       .withColumn("_rank", rank)
       .groupBy(groupCol, "_bucket")
       .agg(max("_rank").as("r"))
-    val est = regs.groupBy(groupCol)
+  }
+
+  /** The read-side estimator fold over a register table — cheap, and
+    * kept separate so a streaming sink of registers can be estimated
+    * per read without a second stateful operator in the stream. */
+  def estimateFromRegisters(regs: DataFrame, groupCol: String, bBits: Int = 8): DataFrame = {
+    val m = 1 << bBits
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs.groupBy(groupCol)
       .agg(
         count(lit(1)).as("_cnt"),
         sum(pow(lit(2.0), -col("r"))).as("_sumpow"))
@@ -56,10 +62,28 @@ object Hll {
           lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("_cnt"))))
           .otherwise(col("_raw")), 4))
       .select(col(groupCol), col("n_approx"))
+  }
 
+  /** Registers + estimator in one batch plan. */
+  def estimate(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      bBits: Int = 8): DataFrame =
+    estimateFromRegisters(registers(df, groupCol, valueCol, bBits), groupCol, bBits)
+
+  /** Approximate distinct `valueCol` per `groupCol`, with the exact
+    * count and relative error alongside (the exact side makes the
+    * accuracy claim itself oracle-checkable). Batch-only — the exact
+    * referee needs countDistinct; streams use [[estimate]]. */
+  def approxDistinct(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      bBits: Int = 8): DataFrame = {
     val exact = df.groupBy(groupCol)
       .agg(countDistinct(col(valueCol)).as("n_exact"))
-    exact.join(est, groupCol)
+    exact.join(estimate(df, groupCol, valueCol, bBits), groupCol)
       .withColumn("rel_err",
         round(abs(col("n_approx") - col("n_exact")) / col("n_exact"), 4))
   }

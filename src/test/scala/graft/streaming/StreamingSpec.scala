@@ -188,6 +188,33 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming hll registers merge across micro-batches to the batch estimate") {
+    // The HLL encoding's register merge is a plain max — so the SAME
+    // DataFrame code runs as a streaming aggregation, and after any
+    // micro-batch split the registers (and hence the estimate) must be
+    // bit-identical to the batch run over the union of the data.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (0 until 600).map(i => ("g", (i % 200).toLong))
+    val input = MemoryStream[(String, Long)]
+    val streamedRegs = graft.ops.Hll.registers(
+      input.toDF().toDF("grp", "v"), "grp", "v")
+    val q = streamedRegs.writeStream.queryName("hll_regs")
+      .outputMode(OutputMode.Complete()).format("memory").start()
+    try {
+      input.addData(rows.take(250): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(250): _*)
+      q.processAllAvailable()
+      val got = graft.ops.Hll.estimateFromRegisters(
+        spark.table("hll_regs"), "grp").collect().head
+      val batch = graft.ops.Hll.approxDistinct(
+        rows.toDF("grp", "v"), "grp", "v").collect().head
+      batch.getAs[Long]("n_exact") shouldBe 200L
+      got.getAs[Double]("n_approx") shouldBe batch.getAs[Double]("n_approx")
+    } finally q.stop()
+  }
+
   test("salted join spreads a hot key and matches the plain join result") {
     import scala.jdk.CollectionConverters._
     val factSchema = StructType(Seq(
