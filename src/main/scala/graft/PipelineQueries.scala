@@ -239,6 +239,30 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * per document a deterministic uniform u from md5, key = ln(u)/w with
+    * w = n_chars (u^(1/w) order-equivalently) — the top keys per source
+    * are a weight-proportional sample, the quality-weighted corpus
+    * sampling primitive. Zero-shuffle key computation + one per-source
+    * window; at scale the window becomes a bounded top-k per partition
+    * (same shape as [[sampleReservoir]]). */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit("wsmp"))), 1, 12), 16, 10)
+      .cast("double")
+    val u = (v + lit(1.0)) / lit(281474976710657.0) // (16^12)+1: u ∈ (0,1]
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (log(u) / col("n_chars")).as("skeyRaw"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("skeyRaw").desc, col("doc_id"))))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("source"),
+        round(col("skeyRaw"), 6).as("skey"), col("rn").cast("long").as("rn"))
+      .orderBy("doc_id")
+  }
+
   /** Data-mixture planner: per-language sampling rates that hit a target
     * mixture given the corpus's actual shares. The whole computation is
     * one partial-aggregated groupBy to a 5-row table — the planning side
@@ -903,6 +927,7 @@ object PipelineQueries {
     "layout_compact" -> (layoutCompact _),
     "quality_gopher" -> (qualityGopher _),
     "sample_reservoir" -> (sampleReservoir _),
+    "sample_weighted" -> (sampleWeighted _),
     "mix_plan" -> (mixPlan _),
     "embed_quantize" -> (embedQuantize _),
     "knn_classify" -> (knnClassify _),
@@ -1508,6 +1533,17 @@ object PipelineQueries {
          |    AND round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / length(text), 4) <= 0.1
          |  ) AS passes
          |FROM g ORDER BY doc_id""".stripMargin,
+    "sample_weighted" ->
+      """WITH k AS (SELECT doc_id, source,
+        |    ln((list_sum(list_transform(range(1, 13),
+        |      i -> (instr('0123456789abcdef', substring(
+        |        md5(CAST(doc_id AS VARCHAR) || 'wsmp'), CAST(i AS INT), 1)) - 1)
+        |        * 16 ** (12 - i))) + 1.0) / 281474976710657.0) / n_chars AS skeyraw
+        |  FROM documents)
+        |SELECT doc_id, source, round(skeyraw, 6) AS skey, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY skeyraw DESC, doc_id) AS rn FROM k)
+        |WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
     "sample_reservoir" ->
       """SELECT doc_id, source, rn FROM (
         |  SELECT doc_id, source,
