@@ -889,8 +889,16 @@ object PipelineQueries {
     Hll.approxDistinct(t(s, dir, "events"), "event_type", "user_id")
       .orderBy("event_type")
 
+  /** BPE merge learning ([[graft.ops.Bpe.learnMerges]]): three merge
+    * rounds over the corpus vocabulary — the ordered merge list a
+    * tokenizer would persist, every round oracle-replayed. */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.learnMerges(t(s, dir, "documents"), "text", rounds = 3)
+      .orderBy("round")
+
   // ================================================================ maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merges" -> (bpeMerges _),
     "approx_distinct" -> (approxDistinctUsers _),
     "embed_pq_codes" -> (embedPqCodes _),
     "embed_knn_pq" -> (embedKnnPq _),
@@ -1146,7 +1154,42 @@ object PipelineQueries {
        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn FROM d)
        |  WHERE rn = 1)""".stripMargin
 
+  /** Unrolled BPE oracle: each round = pair-count + argmax + triple
+    * literal replace, mirroring [[graft.ops.Bpe]] construct-for-
+    * construct (MergePasses = 3). */
+  private def duckBpeSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT pair, sum(f) AS cnt FROM (
+         |    SELECT f, syms[CAST(i AS INT)] || ' ' || syms[CAST(i + 1 AS INT)] AS pair
+         |    FROM (SELECT f, list_filter(string_split(state, '|'), x -> x <> '') AS syms
+         |      FROM v${r - 1}),
+         |      unnest(range(1, len(syms))) AS t(i))
+         |  GROUP BY pair),
+         |b$r AS (SELECT split_part(pair, ' ', 1) AS sym_a, split_part(pair, ' ', 2) AS sym_b,
+         |    replace(pair, ' ', '') AS merged, cnt
+         |  FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |v$r AS (SELECT w, f,
+         |    replace(replace(replace(state,
+         |      '|' || sym_a || '|' || sym_b || '|', '|' || merged || '|'),
+         |      '|' || sym_a || '|' || sym_b || '|', '|' || merged || '|'),
+         |      '|' || sym_a || '|' || sym_b || '|', '|' || merged || '|') AS state
+         |  FROM v${r - 1} CROSS JOIN b$r)""".stripMargin
+    }.mkString(",\n")
+    val finalSel = (1 to rounds).map { r =>
+      s"SELECT $r AS round, sym_a, sym_b, merged, cnt FROM b$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH v0 AS (SELECT w, count(*) AS f,
+       |    '|' || array_to_string(list_transform(range(1, len(w) + 1),
+       |      i -> substring(w, CAST(i AS INT), 1)), '|') || '|' AS state
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |$roundCtes
+       |$finalSel
+       |ORDER BY round""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "bpe_merges" -> duckBpeSql(3),
     "approx_distinct" -> {
       val m = 256
       val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m

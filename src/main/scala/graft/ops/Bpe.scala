@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BPE merge learning (Sennrich et al. 2016) — the tokenizer-training
+  * primitive of an LM data pipeline: count adjacent symbol pairs over
+  * the corpus vocabulary (weighted by word frequency), merge the most
+  * frequent pair everywhere, repeat.
+  *
+  * Scale shape: the corpus collapses to its VOCABULARY first (one
+  * word-count shuffle — the classic trick: merge learning is linear in
+  * distinct words, not corpus tokens); each round is then one
+  * pair-count partial agg over vocab-sized data plus a 1-row best-pair
+  * table broadcast back scan-side. The round count is a fixed small
+  * parameter and the whole loop builds ONE declarative plan — no
+  * per-round driver actions, no collect.
+  *
+  * Symbol sequences travel as `|`-delimited strings (`|l|o|w|`), and a
+  * merge is a literal-string replace of `|a|b|` with `|ab|` applied
+  * [[MergePasses]] times — replace() scans left-to-right non-overlapping
+  * with IDENTICAL semantics in Spark and DuckDB, so every round
+  * (including the merge application) is oracle-replayable. A run of the
+  * same pair longer than 2·MergePasses symbols would need more passes
+  * (bounded-run approximation, deterministic on both engines either
+  * way; real text keeps same-pair runs short).
+  */
+object Bpe {
+
+  val MergePasses = 3
+
+  /** Initial vocabulary state: distinct words with corpus frequency and
+    * the char-delimited symbol string. */
+  private[ops] def vocab(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .withColumn("state",
+        concat(lit("|"), array_join(
+          expr("filter(split(w, ''), c -> c <> '')"), "|"), lit("|")))
+
+  /** One merge round: (vocab with the merge applied, the 1-row chosen
+    * pair (sym_a, sym_b, merged, cnt)). */
+  private def mergeRound(v: DataFrame): (DataFrame, DataFrame) = {
+    val pairCounts = v
+      .withColumn("syms", expr("filter(split(state, '\\\\|'), x -> x <> '')"))
+      .withColumn("pair", explode(expr(
+        """CASE WHEN size(syms) < 2 THEN array()
+          |ELSE transform(sequence(1, size(syms) - 1),
+          |  i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1))) END"""
+          .stripMargin)))
+      .groupBy("pair").agg(sum(col("f")).as("cnt"))
+    val best = pairCounts
+      .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+      .select(
+        expr("split_part(pair, ' ', 1)").as("sym_a"),
+        expr("split_part(pair, ' ', 2)").as("sym_b"),
+        regexp_replace(col("pair"), " ", "").as("merged"),
+        col("cnt"))
+    val find = concat(lit("|"), col("sym_a"), lit("|"), col("sym_b"), lit("|"))
+    val repl = concat(lit("|"), col("merged"), lit("|"))
+    val applied = v.crossJoin(broadcast(best))
+      .withColumn("state",
+        (1 to MergePasses).foldLeft(col("state")) { (s, _) => replace(s, find, repl) })
+      .select("w", "f", "state")
+    (applied, best)
+  }
+
+  /** Learn `rounds` merges; returns (round, sym_a, sym_b, merged, cnt) —
+    * the ordered merge list a tokenizer would persist. */
+  def learnMerges(df: DataFrame, textCol: String, rounds: Int = 3): DataFrame = {
+    var v = vocab(df, textCol)
+    var out: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      val (applied, best) = mergeRound(v)
+      val row = best.withColumn("round", lit(r))
+        .select(col("round"), col("sym_a"), col("sym_b"), col("merged"), col("cnt"))
+      out = Some(out.fold(row)(_.unionAll(row)))
+      v = applied
+    }
+    out.get
+  }
+}

@@ -564,6 +564,21 @@ class OpsSpec extends AnyFunSuite with Matchers {
     plan should not include "SortMergeJoin"
   }
 
+  test("bpe merges: hand-traced rounds on the classic low/lower/newest corpus") {
+    // vocab: low(2) lower(1) newest(2). Round 1 pair counts: l-o 3,
+    // o-w 3, w-e 3, e-r 1, n-e 2, e-w 2, e-s 2, s-t 2 → tie at 3 broken
+    // lexicographically → 'l o'. Round 2: lo-w 3, w-e 3 → 'lo w'.
+    // Round 3: best remaining is the 2-count tie → 'e s'.
+    val d = docs((1L, "low low lower"), (2L, "newest newest"))
+    val out = Bpe.learnMerges(d, "text", rounds = 3).orderBy("round").collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("sym_a"),
+        r.getAs[String]("sym_b"), r.getAs[String]("merged"), r.getAs[Long]("cnt")))
+    out shouldBe Array(
+      (1, "l", "o", "lo", 3L),
+      (2, "lo", "w", "low", 3L),
+      (3, "e", "s", "es", 2L))
+  }
+
   test("hll approx distinct: within sketch error at 10k cardinality, exact-side sanity") {
     import spark.implicits._
     // 10k distinct values (well past the 256-register linear-counting
