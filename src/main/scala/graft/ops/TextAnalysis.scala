@@ -263,21 +263,41 @@ object TextAnalysis {
     * weight every document by the log-likelihood ratio
     * `log w = nll_general − nll_target` (positive ⇒ the document looks
     * more like the target domain than like the general corpus; sampling
-    * ∝ exp(log w) tilts the corpus toward the target). Both scoring
-    * passes are [[lmScoreAgainst]] joins over [[lmModel]] tables —
-    * linear, no pair work; the target model is small and broadcastable. */
+    * ∝ exp(log w) tilts the corpus toward the target). Linear, no pair
+    * work — and the expensive stage, exploding the text into the
+    * (doc, bigram, prefix) stream, is materialized ONCE (index-step
+    * pattern): both models' count tables and both scoring passes are
+    * cheap aggregations/joins over that one parquet-backed stream
+    * instead of four separate re-explosions of the corpus. */
   def dsirWeights(
       df: DataFrame,
       targetFilter: Column,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val (biG, preG, vG) = lmModel(df, textCol)
-    val (biT, preT, vT) = lmModel(df.filter(targetFilter), textCol)
-    val gen = lmScoreAgainst(df, biG, preG, vG, idCol, textCol)
-      .select(col(idCol), col("nll").as("nll_gen"))
-    val tgt = lmScoreAgainst(df, biT, preT, vT, idCol, textCol)
-      .select(col(idCol), col("nll").as("nll_tgt"))
-    gen.join(tgt, idCol)
+      textCol: String = "text",
+      alpha: Double = 0.5): DataFrame = {
+    val stream = Materialize.index(
+      df.select(col(idCol), targetFilter.as("_tgt"),
+          explode(Dedup.shingles(textCol, 2)).as("b"))
+        .withColumn("w", expr("split_part(b, ' ', 1)")),
+      "dsir-stream")
+    def model(s: DataFrame): (DataFrame, DataFrame, Long) = {
+      val bi = s.groupBy("b").agg(count(lit(1)).as("cb"))
+      val pre = s.groupBy("w").agg(count(lit(1)).as("cu"))
+      (bi, pre, pre.count())
+    }
+    val (biG, preG, vG) = model(stream)
+    val (biT, preT, vT) = model(stream.filter(col("_tgt")))
+    def score(bi: DataFrame, pre: DataFrame, v: Long, asCol: String): DataFrame =
+      stream.select(col(idCol), col("b"), col("w"))
+        .join(bi, Seq("b"), "left")
+        .join(pre, Seq("w"), "left")
+        .withColumn("lp", log(
+          (coalesce(col("cb"), lit(0L)) + lit(alpha)) /
+            (coalesce(col("cu"), lit(0L)) + lit(alpha) * v)))
+        .groupBy(idCol)
+        .agg(round(-avg(col("lp")), 4).as(asCol))
+    score(biG, preG, vG, "nll_gen")
+      .join(score(biT, preT, vT, "nll_tgt"), idCol)
       .withColumn("log_weight", round(col("nll_gen") - col("nll_tgt"), 4))
   }
 
