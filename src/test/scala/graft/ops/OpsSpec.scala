@@ -594,6 +594,40 @@ class OpsSpec extends AnyFunSuite with Matchers {
       (math.abs(approx - 10000.0) / 10000.0 +- 0.0001)
   }
 
+  test("degenerate inputs: new round-6 operators behave at the edges") {
+    // line dedup: doc shorter than one block → one line, kept verbatim
+    val short = docs((1L, "a b"), (2L, "c d"))
+    val ld = Dedup.lineDedup(short, "doc_id", "text", blockWords = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[String]("text_clean"))).toMap
+    ld(1L) shouldBe ((1L, "a b"))
+    ld(2L) shouldBe ((1L, "c d"))
+    // repetition signals: single-word doc → whole text is the one gram
+    val one = TextAnalysis.repetitionSignals(docs((1L, "solo"))).collect().head
+    one.getAs[Double]("dup2_frac") shouldBe 0.0
+    one.getAs[Double]("top2_share") shouldBe 1.0
+    one.getAs[Boolean]("keep") shouldBe true
+    // bpe: a corpus of single-char words has no pairs → no merges
+    Bpe.learnMerges(docs((1L, "a b a")), "text", rounds = 2).count() shouldBe 0L
+    // hll: cardinality 1 sits at the linear-counting floor
+    import spark.implicits._
+    val hll = Hll.approxDistinct(
+      Seq(("g", 7L), ("g", 7L)).toDF("grp", "v"), "grp", "v").collect().head
+    hll.getAs[Long]("n_exact") shouldBe 1L
+    hll.getAs[Double]("n_approx") shouldBe (1.0 +- 0.1)
+    // naive bayes: a doc of entirely unseen words still gets a trained class
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("cat", StringType)))
+    val nb = Classify.naiveBayes(spark.createDataFrame(Seq(
+      Row(0L, "alpha beta", "x"), Row(1L, "gamma delta", "y"),
+      Row(9L, "zzz qqq www", "x")).asJava, schema),
+      "doc_id", "cat", "text", trainFilter = col("doc_id") % 10 < 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_cat")).toMap
+    nb.size shouldBe 3
+    Set("x", "y") should contain(nb(9L))
+  }
+
   test("gopher signals: zero shuffles (pure scan-side projection)") {
     val d = docs((1L, "a b c"), (2L, "d e f"))
     val plan = TextAnalysis.gopherSignals(d).queryExecution.executedPlan.toString
