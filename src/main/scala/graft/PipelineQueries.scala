@@ -896,8 +896,29 @@ object PipelineQueries {
     graft.ops.Bpe.learnMerges(t(s, dir, "documents"), "text", rounds = 3)
       .orderBy("round")
 
+  /** Composed curation v2 over the round-6 operators: line-level corpus
+    * dedup strips boilerplate blocks, then the within-document
+    * repetition gate runs on the CLEANED text (order matters — a doc
+    * whose repetition lived in the removed boilerplate should survive).
+    * Shuffle ledger: two line-keyed/doc-keyed shuffles from the dedup,
+    * zero from the gate (scan-side), one lang join. */
+  def pipelineCurateV2(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cleaned = Dedup.lineDedup(docs, "doc_id", "text", blockWords = 10)
+      .filter(col("n_kept") >= 1)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumnRenamed("text_clean", "text2")
+    TextAnalysis.repetitionSignals(cleaned, textCol = "text2")
+      .filter(col("keep"))
+      .select(col("doc_id"), col("lang"), col("n_lines"), col("n_kept"),
+        size(split(col("text2"), " ")).cast("long").as("n_words_clean"),
+        col("dup2_frac"), col("dup3_frac"))
+      .orderBy("doc_id")
+  }
+
   // ================================================================ maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate_v2" -> (pipelineCurateV2 _),
     "bpe_merges" -> (bpeMerges _),
     "approx_distinct" -> (approxDistinctUsers _),
     "embed_pq_codes" -> (embedPqCodes _),
@@ -1188,7 +1209,36 @@ object PipelineQueries {
        |ORDER BY round""".stripMargin
   }
 
+  /** DuckDB shingles over an arbitrary token-list column (the fixed
+    * [[duckShingles]] is bound to the raw `text` column). */
+  private def duckShinglesOf(tk: String, n: Int): String =
+    s"""CASE WHEN len($tk) < $n THEN [array_to_string($tk, ' ')]
+       |ELSE list_transform(range(1, len($tk) - ${n - 2}),
+       |  i -> array_to_string($tk[i:i+${n - 1}], ' ')) END""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "pipeline_curate_v2" ->
+      s"""WITH l AS (SELECT doc_id, i,
+         |    array_to_string(wr[CAST(i * 10 + 1 AS INT):CAST(i * 10 + 10 AS INT)], ' ') AS line
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS wr FROM documents),
+         |    unnest(range(0, CAST(ceil(len(wr) / 10.0) AS INT))) AS t(i)),
+         |c AS (SELECT md5(line) AS lh, count(*) AS copies FROM l GROUP BY 1),
+         |cl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |    CAST(sum(CASE WHEN copies <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    coalesce(string_agg(CASE WHEN copies <= 1 THEN line END, ' ' ORDER BY i), '')
+         |      AS text2
+         |  FROM l JOIN c ON md5(line) = lh GROUP BY doc_id),
+         |tk AS (SELECT cl.*, d.lang, string_split(lower(text2), ' ') AS tk2
+         |  FROM cl JOIN documents d USING (doc_id) WHERE n_kept >= 1),
+         |g AS (SELECT *, ${duckShinglesOf("tk2", 2)} AS g2,
+         |    ${duckShinglesOf("tk2", 3)} AS g3 FROM tk),
+         |r AS (SELECT doc_id, lang, n_lines, n_kept,
+         |    CAST(len(tk2) AS BIGINT) AS n_words_clean,
+         |    round((len(g2) - len(list_distinct(g2))) / len(g2), 4) AS dup2_frac,
+         |    round((len(g3) - len(list_distinct(g3))) / len(g3), 4) AS dup3_frac
+         |  FROM g)
+         |SELECT * FROM r WHERE dup2_frac <= 0.3 AND dup3_frac <= 0.3
+         |ORDER BY doc_id""".stripMargin,
     "bpe_merges" -> duckBpeSql(3),
     "approx_distinct" -> {
       val m = 256
