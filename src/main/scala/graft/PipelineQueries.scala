@@ -877,6 +877,17 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVFADC ([[graft.ops.Similarity.ivfadcTopK]]): inverted-file cell
+    * routing + ADC code ranking of only the probed cells + exact rerank
+    * of the shortlist — the billion-vector index layout end to end. */
+  def embedKnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfadcTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      kNeighbors = 5, numCentroids = IvfCentroids, nprobe = IvfProbes,
+      shortlist = 50, m = PqM, subDim = PqSubDim, k = PqK)
+      .orderBy("query_id", "rank")
+  }
+
   private val PqM = 4
   private val PqSubDim = 16
   private val PqK = 8
@@ -924,6 +935,7 @@ object PipelineQueries {
     "embed_pq_codes" -> (embedPqCodes _),
     "embed_knn_pq" -> (embedKnnPq _),
     "embed_knn_pq_rerank" -> (embedKnnPqRerank _),
+    "embed_knn_ivfpq" -> (embedKnnIvfPq _),
     "dedup_lines" -> (dedupLines _),
     "repetition_signals" -> (repetitionSignals _),
     "nb_classify" -> (nbClassify _),
@@ -1240,6 +1252,55 @@ object PipelineQueries {
          |SELECT * FROM r WHERE dup2_frac <= 0.3 AND dup3_frac <= 0.3
          |ORDER BY doc_id""".stripMargin,
     "bpe_merges" -> duckBpeSql(3),
+    "embed_knn_ivfpq" ->
+      s"""$duckIvfCellsCte,
+         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+         |    FROM sims WHERE vec_id < 10) WHERE rn <= $IvfProbes),
+         |cand AS (SELECT p.query_id, c.corpus_id FROM probes p
+         |  JOIN cells c ON c.cell = p.cell WHERE p.query_id <> c.corpus_id),
+         |pc AS (SELECT CAST((rn - 1) // 7 AS INT) AS cid, v AS cvec FROM (
+         |    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+         |    FROM e ORDER BY vec_id LIMIT ${PqK * 7})
+         |  WHERE (rn - 1) % 7 = 0),
+         |scents AS (SELECT cid, j,
+         |    cvec[CAST(j * $PqSubDim + 1 AS INT):CAST(j * $PqSubDim + $PqSubDim AS INT)] AS scv
+         |  FROM pc, unnest(range(0, $PqM)) AS t(j)),
+         |sub AS (SELECT vec_id, j,
+         |    v[CAST(j * $PqSubDim + 1 AS INT):CAST(j * $PqSubDim + $PqSubDim AS INT)] AS sv
+         |  FROM e, unnest(range(0, $PqM)) AS t(j)),
+         |dd AS (SELECT vec_id, s.j, cid,
+         |    list_dot_product(sv, sv) - 2 * list_dot_product(sv, scv)
+         |      + list_dot_product(scv, scv) AS d2
+         |  FROM sub s JOIN scents c2 ON s.j = c2.j),
+         |codes AS (SELECT vec_id, j, code FROM (
+         |    SELECT vec_id, j, cid AS code,
+         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn FROM dd)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, j,
+         |    v[CAST(j * $PqSubDim + 1 AS INT):CAST(j * $PqSubDim + $PqSubDim AS INT)] AS qv
+         |  FROM e, unnest(range(0, $PqM)) AS t(j) WHERE vec_id < 10),
+         |lut AS (SELECT query_id, q.j, cid,
+         |    list_dot_product(qv, qv) - 2 * list_dot_product(qv, scv)
+         |      + list_dot_product(scv, scv) AS contrib
+         |  FROM q JOIN scents c3 ON q.j = c3.j),
+         |a AS (SELECT cand.query_id, cand.corpus_id, round(sum(contrib), 4) AS adist
+         |  FROM cand JOIN codes ON codes.vec_id = cand.corpus_id
+         |  JOIN lut ON lut.query_id = cand.query_id
+         |    AND lut.j = codes.j AND lut.cid = codes.code
+         |  GROUP BY 1, 2),
+         |short AS (SELECT query_id, corpus_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adist, corpus_id) AS srn FROM a) WHERE srn <= 50),
+         |ex AS (SELECT s.query_id, s.corpus_id,
+         |    round(list_dot_product(qe.v, qe.v) - 2 * list_dot_product(qe.v, ce.v)
+         |      + list_dot_product(ce.v, ce.v), 4) AS d2
+         |  FROM short s JOIN e qe ON qe.vec_id = s.query_id
+         |  JOIN e ce ON ce.vec_id = s.corpus_id)
+         |SELECT query_id, corpus_id, d2, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY d2, corpus_id) AS rank FROM ex)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "approx_distinct" -> {
       val m = 256
       val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m

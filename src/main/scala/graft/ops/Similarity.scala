@@ -431,6 +431,85 @@ object Similarity {
       .select("query_id", "corpus_id", "d2", "rank")
   }
 
+  /** IVFADC (Jégou et al. 2011 §IV): the two compressed-ANN halves
+    * composed the way a billion-vector index actually runs — the
+    * inverted file routes each query to its `nprobe` nearest cells, the
+    * ADC code scan ranks ONLY those cells' members, and the exact rerank
+    * touches just the surviving shortlist. Per query the work is
+    * (corpus/cells)·nprobe code lookups + shortlist exact distances;
+    * nothing anywhere reads all raw vectors for a query. Cell routing,
+    * codebooks, and lookup tables are all broadcasts; the one corpus-
+    * sized shuffle is the (query, candidate)-keyed ADC partial agg. */
+  def ivfadcTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kNeighbors: Int,
+      numCentroids: Int = 0,
+      nprobe: Int = 4,
+      shortlist: Int = 50,
+      m: Int = 4,
+      subDim: Int = 16,
+      k: Int = 8): DataFrame = {
+    val nc = if (numCentroids > 0) numCentroids else autoCentroids(corpus.count())
+    val centDf = broadcast(seedCentroids(corpus, idCol, vecCol, nc))
+    val cCell = assignCells(Materialize.spread(corpus), centDf, idCol, "corpus_id", vecCol)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("s").desc, col("cid").desc)
+    val qProbe = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("v"))
+      .join(centDf)
+      .select(col("query_id"), col("cid"), cosine(col("v"), col("cvec")).as("s"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cid").as("cell"))
+    val cand = broadcast(qProbe).join(cCell, "cell")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "corpus_id")
+
+    // ADC over the candidate set only: codes for candidate members, luts
+    // per query — both joins broadcast, then one (query, candidate) agg.
+    val codes = pqCodesLong(corpus, idCol, "corpus_id", vecCol, m, subDim, k)
+    val subCents = pqCodebooks(corpus, idCol, vecCol, m, subDim, k)
+    val luts = queries
+      .select(col(idCol).as("query_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), j -> slice($vecCol, j * $subDim + 1, $subDim))"))
+        .as(Seq("j", "qv")))
+      .join(broadcast(subCents), Seq("j"))
+      .select(col("query_id"), col("j"), col("cid"),
+        (dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("scv")) +
+          dot(col("scv"), col("scv"))).as("contrib"))
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist").asc, col("corpus_id").asc)
+    // cand is |queries|·nprobe·cellsize — query-bounded, broadcast it
+    // against the (much larger) compressed code table
+    val candCodes = broadcast(cand).join(codes, "corpus_id")
+    // the lut join must pin the SAME query — unlike the all-pairs ADC in
+    // [[pqTopK]], candidates here are per-query
+    val short = candCodes.join(broadcast(luts),
+        candCodes("query_id") === luts("query_id") &&
+          candCodes("j") === luts("j") && candCodes("code") === luts("cid"))
+      .groupBy(candCodes("query_id"), col("corpus_id"))
+      .agg(round(sum(col("contrib")), 4).as("adist"))
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= shortlist)
+      .select("query_id", "corpus_id")
+
+    // Exact rerank of the shortlist only.
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val wFinal = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2").asc, col("corpus_id").asc)
+    broadcast(short).join(c, "corpus_id").join(broadcast(q), "query_id")
+      .withColumn("d2", round(
+        dot(col("qvec"), col("qvec")) - lit(2.0) * dot(col("qvec"), col("cvec")) +
+          dot(col("cvec"), col("cvec")), 4))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= kNeighbors)
+      .select("query_id", "corpus_id", "d2", "rank")
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
     * space around deterministic centroids, then prune near-identical
     * vectors WITHIN each cell — a vector is dropped when a lower-id

@@ -555,6 +555,31 @@ class OpsSpec extends AnyFunSuite with Matchers {
     r should be > 0.15
   }
 
+  test("ivfadc: results come from probed cells, ranks follow exact distance, no smj") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val res = Similarity.ivfadcTopK(emb, q, "vec_id", "embedding",
+      kNeighbors = 5, numCentroids = 8, nprobe = 2)
+    val rows = res.collect()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      rs.length should be <= 5
+      // ranks follow the exact reranked distance within each query
+      val byRank = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("d2"))
+      byRank shouldBe byRank.sorted
+    }
+    // every returned candidate sits in one of its query's probed cells
+    val cells = Similarity.corpusCells(emb, "vec_id", "embedding", numCentroids = 8)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    // nprobe=2 → a candidate's cell must be among the two the query probed;
+    // the query's own cell is always probed first, so at minimum the
+    // candidate set is cell-restricted (strictly fewer than all cells)
+    val usedCells = rows.groupBy(_.getAs[Long]("query_id"))
+      .map { case (_, rs) => rs.map(r => cells(r.getAs[Long]("corpus_id"))).toSet }
+    usedCells.foreach { s => s.size should be <= 2 }
+    val plan = res.queryExecution.executedPlan.toString
+    plan should not include "SortMergeJoin"
+  }
+
   test("pq plan: codebooks and luts broadcast; corpus vectors absent from the adc scan") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.filter(col("vec_id") < 10)
