@@ -1027,10 +1027,7 @@ object PipelineQueries {
        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
        |comp AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node)""".stripMargin
 
-  private def duckShingles(n: Int): String =
-    s"""CASE WHEN len($toks) < $n THEN [array_to_string($toks, ' ')]
-       |ELSE list_transform(range(1, len($toks) - ${n - 2}),
-       |  i -> array_to_string($toks[i:i+${n - 1}], ' ')) END""".stripMargin
+  private def duckShingles(n: Int): String = duckShinglesOf(toks, n)
   private def duckMinhash(i: Int): String =
     s"list_min(list_transform(${duckShingles(3)}, s -> md5('salt$i|' || s)))"
   private val duckSimhashBits: String = (1 to 16).map { i =>
@@ -1163,29 +1160,46 @@ object PipelineQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  /** Shared CTE chain producing `codes` — the PQ subspace code per
-    * (vector, subspace) against the stride-seeded codebooks; mirrors
-    * [[graft.ops.Similarity.pqCodesLong]] construct-for-construct. */
-  private def duckPqCodesCte: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cents AS (SELECT CAST((rn - 1) // 7 AS INT) AS cid, v AS cvec FROM (
+  /** The per-subspace slice expression shared by every PQ CTE. */
+  private def duckPqSlice(v: String): String =
+    s"$v[CAST(j * $PqSubDim + 1 AS INT):CAST(j * $PqSubDim + $PqSubDim AS INT)]"
+
+  /** WITH-continuation fragment (no leading WITH — composable after any
+    * chain that defines `e`) producing `codes` — the PQ subspace code
+    * per (vector, subspace) against the stride-seeded codebooks;
+    * mirrors [[graft.ops.Similarity.pqCodesLong]]
+    * construct-for-construct. Defines pc/scents/sub/dd/codes. */
+  private def duckPqChain: String =
+    s"""pc AS (SELECT CAST((rn - 1) // 7 AS INT) AS cid, v AS cvec FROM (
        |    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
        |    FROM e ORDER BY vec_id LIMIT ${PqK * 7})
        |  WHERE (rn - 1) % 7 = 0),
-       |scents AS (SELECT cid, j,
-       |    cvec[CAST(j * $PqSubDim + 1 AS INT):CAST(j * $PqSubDim + $PqSubDim AS INT)] AS scv
-       |  FROM cents, unnest(range(0, $PqM)) AS t(j)),
-       |sub AS (SELECT vec_id, j,
-       |    v[CAST(j * $PqSubDim + 1 AS INT):CAST(j * $PqSubDim + $PqSubDim AS INT)] AS sv
+       |scents AS (SELECT cid, j, ${duckPqSlice("cvec")} AS scv
+       |  FROM pc, unnest(range(0, $PqM)) AS t(j)),
+       |sub AS (SELECT vec_id, j, ${duckPqSlice("v")} AS sv
        |  FROM e, unnest(range(0, $PqM)) AS t(j)),
-       |d AS (SELECT vec_id, s.j, cid,
+       |dd AS (SELECT vec_id, s.j, cid,
        |    list_dot_product(sv, sv) - 2 * list_dot_product(sv, scv)
        |      + list_dot_product(scv, scv) AS d2
        |  FROM sub s JOIN scents c ON s.j = c.j),
        |codes AS (SELECT vec_id, j, code FROM (
        |    SELECT vec_id, j, cid AS code,
-       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn FROM d)
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn FROM dd)
        |  WHERE rn = 1)""".stripMargin
+
+  /** WITH-continuation fragment defining q/lut — the per-query ADC
+    * lookup tables over `scents`; shared by every PQ ANN oracle. */
+  private def duckPqLutChain: String =
+    s"""q AS (SELECT vec_id AS query_id, j, ${duckPqSlice("v")} AS qv
+       |  FROM e, unnest(range(0, $PqM)) AS t(j) WHERE vec_id < 10),
+       |lut AS (SELECT query_id, q.j, cid,
+       |    list_dot_product(qv, qv) - 2 * list_dot_product(qv, scv)
+       |      + list_dot_product(scv, scv) AS contrib
+       |  FROM q JOIN scents c ON q.j = c.j)""".stripMargin
+
+  private def duckPqCodesCte: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$duckPqChain""".stripMargin
 
   /** Unrolled BPE oracle: each round = pair-count + argmax + triple
     * literal replace, mirroring [[graft.ops.Bpe]] construct-for-
@@ -1259,31 +1273,8 @@ object PipelineQueries {
          |    FROM sims WHERE vec_id < 10) WHERE rn <= $IvfProbes),
          |cand AS (SELECT p.query_id, c.corpus_id FROM probes p
          |  JOIN cells c ON c.cell = p.cell WHERE p.query_id <> c.corpus_id),
-         |pc AS (SELECT CAST((rn - 1) // 7 AS INT) AS cid, v AS cvec FROM (
-         |    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
-         |    FROM e ORDER BY vec_id LIMIT ${PqK * 7})
-         |  WHERE (rn - 1) % 7 = 0),
-         |scents AS (SELECT cid, j,
-         |    cvec[CAST(j * $PqSubDim + 1 AS INT):CAST(j * $PqSubDim + $PqSubDim AS INT)] AS scv
-         |  FROM pc, unnest(range(0, $PqM)) AS t(j)),
-         |sub AS (SELECT vec_id, j,
-         |    v[CAST(j * $PqSubDim + 1 AS INT):CAST(j * $PqSubDim + $PqSubDim AS INT)] AS sv
-         |  FROM e, unnest(range(0, $PqM)) AS t(j)),
-         |dd AS (SELECT vec_id, s.j, cid,
-         |    list_dot_product(sv, sv) - 2 * list_dot_product(sv, scv)
-         |      + list_dot_product(scv, scv) AS d2
-         |  FROM sub s JOIN scents c2 ON s.j = c2.j),
-         |codes AS (SELECT vec_id, j, code FROM (
-         |    SELECT vec_id, j, cid AS code,
-         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn FROM dd)
-         |  WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, j,
-         |    v[CAST(j * $PqSubDim + 1 AS INT):CAST(j * $PqSubDim + $PqSubDim AS INT)] AS qv
-         |  FROM e, unnest(range(0, $PqM)) AS t(j) WHERE vec_id < 10),
-         |lut AS (SELECT query_id, q.j, cid,
-         |    list_dot_product(qv, qv) - 2 * list_dot_product(qv, scv)
-         |      + list_dot_product(scv, scv) AS contrib
-         |  FROM q JOIN scents c3 ON q.j = c3.j),
+         |$duckPqChain,
+         |$duckPqLutChain,
          |a AS (SELECT cand.query_id, cand.corpus_id, round(sum(contrib), 4) AS adist
          |  FROM cand JOIN codes ON codes.vec_id = cand.corpus_id
          |  JOIN lut ON lut.query_id = cand.query_id
@@ -1339,13 +1330,7 @@ object PipelineQueries {
          |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "embed_knn_pq" ->
       s"""$duckPqCodesCte,
-         |q AS (SELECT vec_id AS query_id, j,
-         |    v[CAST(j * $PqSubDim + 1 AS INT):CAST(j * $PqSubDim + $PqSubDim AS INT)] AS qv
-         |  FROM e, unnest(range(0, $PqM)) AS t(j) WHERE vec_id < 10),
-         |lut AS (SELECT query_id, q.j, cid,
-         |    list_dot_product(qv, qv) - 2 * list_dot_product(qv, scv)
-         |      + list_dot_product(scv, scv) AS contrib
-         |  FROM q JOIN scents c ON q.j = c.j),
+         |$duckPqLutChain,
          |a AS (SELECT query_id, vec_id AS corpus_id, round(sum(contrib), 4) AS adist
          |  FROM codes JOIN lut ON codes.j = lut.j AND codes.code = lut.cid
          |  WHERE query_id <> vec_id GROUP BY 1, 2)
@@ -1355,13 +1340,7 @@ object PipelineQueries {
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "embed_knn_pq_rerank" ->
       s"""$duckPqCodesCte,
-         |q AS (SELECT vec_id AS query_id, j,
-         |    v[CAST(j * $PqSubDim + 1 AS INT):CAST(j * $PqSubDim + $PqSubDim AS INT)] AS qv
-         |  FROM e, unnest(range(0, $PqM)) AS t(j) WHERE vec_id < 10),
-         |lut AS (SELECT query_id, q.j, cid,
-         |    list_dot_product(qv, qv) - 2 * list_dot_product(qv, scv)
-         |      + list_dot_product(scv, scv) AS contrib
-         |  FROM q JOIN scents c ON q.j = c.j),
+         |$duckPqLutChain,
          |a AS (SELECT query_id, vec_id AS corpus_id, round(sum(contrib), 4) AS adist
          |  FROM codes JOIN lut ON codes.j = lut.j AND codes.code = lut.cid
          |  WHERE query_id <> vec_id GROUP BY 1, 2),

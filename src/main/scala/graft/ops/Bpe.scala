@@ -67,7 +67,11 @@ object Bpe {
   }
 
   /** Learn `rounds` merges; returns (round, sym_a, sym_b, merged, cnt) —
-    * the ordered merge list a tokenizer would persist. */
+    * the ordered merge list a tokenizer would persist. Each round's
+    * vocab state feeds BOTH the next pair count and the merge apply, so
+    * without a cut the plan doubles per round (~2^rounds subplans); the
+    * tiny vocab table is parquet-materialized between rounds instead,
+    * keeping plan size linear in `rounds`. */
   def learnMerges(df: DataFrame, textCol: String, rounds: Int = 3): DataFrame = {
     var v = vocab(df, textCol)
     var out: Option[DataFrame] = None
@@ -76,7 +80,7 @@ object Bpe {
       val row = best.withColumn("round", lit(r))
         .select(col("round"), col("sym_a"), col("sym_b"), col("merged"), col("cnt"))
       out = Some(out.fold(row)(_.unionAll(row)))
-      v = applied
+      if (r < rounds) v = Materialize.index(applied, s"bpe-vocab-r$r")
     }
     out.get
   }

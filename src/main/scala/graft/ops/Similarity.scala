@@ -317,19 +317,45 @@ object Similarity {
       vecCol: String,
       m: Int,
       subDim: Int,
-      k: Int): DataFrame = {
-    val subCents = pqCodebooks(corpus, idCol, vecCol, m, subDim, k)
-    val subVecs = corpus.select(col(idCol).as(idAs), posexplode(expr(
-      s"transform(sequence(0, ${m - 1}), j -> slice($vecCol, j * $subDim + 1, $subDim))"))
-      .as(Seq("j", "sv")))
-    subVecs.join(broadcast(subCents), Seq("j"))
-      .select(col(idAs), col("j"), col("cid"),
-        (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("scv")) +
-          dot(col("scv"), col("scv"))).as("d2"))
+      k: Int,
+      codebooks: Option[DataFrame] = None): DataFrame = {
+    val subCents = codebooks.getOrElse(pqCodebooks(corpus, idCol, vecCol, m, subDim, k))
+    pqSubDistances(corpus, idCol, idAs, vecCol, subCents, m, subDim)
       .groupBy(idAs, "j")
       .agg(min(struct(col("d2"), col("cid"))).as("best"))
       .select(col(idAs), col("j"), col("best.cid").cast("int").as("code"))
   }
+
+  /** Per-(vector, subspace, centroid) squared-L2 distances against a
+    * codebook table — the shared front of code assignment AND the
+    * per-query ADC lookup tables (one formula, one place). */
+  private def pqSubDistances(
+      df: DataFrame,
+      idCol: String,
+      idAs: String,
+      vecCol: String,
+      subCents: DataFrame,
+      m: Int,
+      subDim: Int): DataFrame =
+    df.select(col(idCol).as(idAs), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), j -> slice($vecCol, j * $subDim + 1, $subDim))"))
+      .as(Seq("j", "sv")))
+      .join(broadcast(subCents), Seq("j"))
+      .select(col(idAs), col("j"), col("cid"),
+        (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("scv")) +
+          dot(col("scv"), col("scv"))).as("d2"))
+
+  /** Per-query ADC lookup tables (query_id, j, cid, contrib) over the
+    * codebooks — m·k doubles per query, always broadcastable. */
+  private def pqLuts(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      subCents: DataFrame,
+      m: Int,
+      subDim: Int): DataFrame =
+    pqSubDistances(queries, idCol, "query_id", vecCol, subCents, m, subDim)
+      .withColumnRenamed("d2", "contrib")
 
   /** Per-subspace PQ codebooks: (j, cid, scv) — the stride-seeded
     * centroid vectors sliced into subspaces. m·k rows, always tiny. */
@@ -375,16 +401,10 @@ object Similarity {
       m: Int = 4,
       subDim: Int = 16,
       k: Int = 8): DataFrame = {
-    val codes = pqCodesLong(corpus, idCol, "corpus_id", vecCol, m, subDim, k)
     val subCents = pqCodebooks(corpus, idCol, vecCol, m, subDim, k)
-    val luts = queries
-      .select(col(idCol).as("query_id"), posexplode(expr(
-        s"transform(sequence(0, ${m - 1}), j -> slice($vecCol, j * $subDim + 1, $subDim))"))
-        .as(Seq("j", "qv")))
-      .join(broadcast(subCents), Seq("j"))
-      .select(col("query_id"), col("j"), col("cid"),
-        (dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("scv")) +
-          dot(col("scv"), col("scv"))).as("contrib"))
+    val codes = pqCodesLong(corpus, idCol, "corpus_id", vecCol, m, subDim, k,
+      codebooks = Some(subCents))
+    val luts = pqLuts(queries, idCol, vecCol, subCents, m, subDim)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adist").asc, col("corpus_id").asc)
     codes.join(broadcast(luts),
@@ -470,16 +490,10 @@ object Similarity {
 
     // ADC over the candidate set only: codes for candidate members, luts
     // per query — both joins broadcast, then one (query, candidate) agg.
-    val codes = pqCodesLong(corpus, idCol, "corpus_id", vecCol, m, subDim, k)
     val subCents = pqCodebooks(corpus, idCol, vecCol, m, subDim, k)
-    val luts = queries
-      .select(col(idCol).as("query_id"), posexplode(expr(
-        s"transform(sequence(0, ${m - 1}), j -> slice($vecCol, j * $subDim + 1, $subDim))"))
-        .as(Seq("j", "qv")))
-      .join(broadcast(subCents), Seq("j"))
-      .select(col("query_id"), col("j"), col("cid"),
-        (dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("scv")) +
-          dot(col("scv"), col("scv"))).as("contrib"))
+    val codes = pqCodesLong(corpus, idCol, "corpus_id", vecCol, m, subDim, k,
+      codebooks = Some(subCents))
+    val luts = pqLuts(queries, idCol, vecCol, subCents, m, subDim)
     val wShort = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adist").asc, col("corpus_id").asc)
     // cand is |queries|·nprobe·cellsize — query-bounded, broadcast it

@@ -244,9 +244,22 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text",
       alpha: Double = 0.5): DataFrame =
-    docs
-      .select(col(idCol), explode(Dedup.shingles(textCol, 2)).as("b"))
-      .withColumn("w", expr("split_part(b, ' ', 1)"))
+    scoreBigramStream(
+      docs.select(col(idCol), explode(Dedup.shingles(textCol, 2)).as("b"))
+        .withColumn("w", expr("split_part(b, ' ', 1)")),
+      bigramCounts, prefixCounts, vocabSize, idCol, alpha)
+
+  /** The add-α scoring fold over an ALREADY-EXPLODED (id, b, w) stream —
+    * the one home of the smoothing formula; [[lmScoreAgainst]] and
+    * [[dsirWeights]] both land here. */
+  private def scoreBigramStream(
+      stream: DataFrame,
+      bigramCounts: DataFrame,
+      prefixCounts: DataFrame,
+      vocabSize: Long,
+      idCol: String,
+      alpha: Double): DataFrame =
+    stream
       .join(bigramCounts, Seq("b"), "left")
       .join(prefixCounts, Seq("w"), "left")
       .withColumn("lp", log(
@@ -288,14 +301,9 @@ object TextAnalysis {
     val (biG, preG, vG) = model(stream)
     val (biT, preT, vT) = model(stream.filter(col("_tgt")))
     def score(bi: DataFrame, pre: DataFrame, v: Long, asCol: String): DataFrame =
-      stream.select(col(idCol), col("b"), col("w"))
-        .join(bi, Seq("b"), "left")
-        .join(pre, Seq("w"), "left")
-        .withColumn("lp", log(
-          (coalesce(col("cb"), lit(0L)) + lit(alpha)) /
-            (coalesce(col("cu"), lit(0L)) + lit(alpha) * v)))
-        .groupBy(idCol)
-        .agg(round(-avg(col("lp")), 4).as(asCol))
+      scoreBigramStream(stream.select(col(idCol), col("b"), col("w")),
+        bi, pre, v, idCol, alpha)
+        .select(col(idCol), col("nll").as(asCol))
     score(biG, preG, vG, "nll_gen")
       .join(score(biT, preT, vT, "nll_tgt"), idCol)
       .withColumn("log_weight", round(col("nll_gen") - col("nll_tgt"), 4))
