@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Classify, Dedup, Hll, Similarity, Skew, TextAnalysis}
+import graft.ops.{Classify, CountMin, Curation, Dedup, Hll, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -927,8 +927,58 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic training-order shuffle
+    * ([[graft.ops.Curation.shardAssignments]]): salted-hash shard +
+    * within-shard position — one hash exchange, no global sort. */
+  def shuffleShards(s: SparkSession, dir: String): DataFrame =
+    Curation.shardAssignments(t(s, dir, "documents"), "doc_id")
+      .orderBy("doc_id")
+
+  /** Incremental ingest novelty ([[graft.ops.Curation.incrementalNovelty]]):
+    * odd-id docs are the "new batch", even-id docs the existing corpus;
+    * fingerprint = md5 of the first 10-word block (head-line hash), which
+    * does collide in this corpus so all three flags carry signal. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val fp = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 10)))
+    Curation.incrementalNovelty(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", fp)
+      .select("doc_id", "fp", "in_corpus", "first_in_batch", "novel")
+      .orderBy("doc_id")
+  }
+
+  /** Source-level curation gate ([[graft.ops.Curation.domainStats]]):
+    * pooled distinct-word ratio + short-doc fraction per source, with
+    * integer-sum arithmetic so the keep flag is bit-stable. */
+  def domainFilter(s: SparkSession, dir: String): DataFrame =
+    Curation.domainStats(t(s, dir, "documents"))
+      .orderBy("source")
+
+  /** Cross-document boilerplate stripping
+    * ([[graft.ops.Curation.boilerplateStrip]]): repeated lines survive
+    * only in the first document that used them (min doc id). */
+  def stripBoilerplate(s: SparkSession, dir: String): DataFrame =
+    Curation.boilerplateStrip(t(s, dir, "documents"), "doc_id", "text",
+      blockWords = 10, minDocs = 2)
+      .orderBy("doc_id")
+
+  /** Count-min sketch estimates ([[graft.ops.CountMin.estimates]]):
+    * d=3 × w=32 grid over 150 distinct users forces collisions, so the
+    * over-count flag and relative error are real signal — and, like the
+    * HLL query, sketch AND exact AND error are all oracle-checked. */
+  def cmsCounts(s: SparkSession, dir: String): DataFrame =
+    CountMin.estimates(t(s, dir, "events"), "user_id", d = 3, w = 32)
+      .orderBy("user_id")
+
   // ================================================================ maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shuffle_shards" -> (shuffleShards _),
+    "dedup_incremental" -> (dedupIncremental _),
+    "domain_filter" -> (domainFilter _),
+    "strip_boilerplate" -> (stripBoilerplate _),
+    "cms_counts" -> (cmsCounts _),
     "pipeline_curate_v2" -> (pipelineCurateV2 _),
     "bpe_merges" -> (bpeMerges _),
     "approx_distinct" -> (approxDistinctUsers _),
@@ -1243,6 +1293,80 @@ object PipelineQueries {
        |  i -> array_to_string($tk[i:i+${n - 1}], ' ')) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "shuffle_shards" ->
+      """WITH s AS (SELECT doc_id, md5('shuf42|' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |b AS (SELECT doc_id, skey,
+        |    CAST(((instr('0123456789abcdef', substring(skey, 1, 1)) - 1) * 4096
+        |      + (instr('0123456789abcdef', substring(skey, 2, 1)) - 1) * 256
+        |      + (instr('0123456789abcdef', substring(skey, 3, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substring(skey, 4, 1)) - 1)) % 8 AS BIGINT)
+        |      AS shard
+        |  FROM s)
+        |SELECT doc_id, skey, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT)
+        |    AS pos
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS fp
+        |  FROM documents),
+        |c AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, fp FROM f WHERE doc_id % 2 = 1)
+        |SELECT b.doc_id, b.fp, c.fp IS NOT NULL AS in_corpus,
+        |  b.doc_id = min(b.doc_id) OVER (PARTITION BY b.fp) AS first_in_batch,
+        |  c.fp IS NULL AND b.doc_id = min(b.doc_id) OVER (PARTITION BY b.fp) AS novel
+        |FROM b LEFT JOIN c ON b.fp = c.fp ORDER BY doc_id""".stripMargin,
+    "domain_filter" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS dw,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS w,
+        |    CASE WHEN n_chars < 200 THEN 1 ELSE 0 END AS short
+        |  FROM documents),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(short) AS BIGINT) AS n_short,
+        |    sum(dw) AS sum_dw, sum(w) AS sum_w
+        |  FROM d GROUP BY 1)
+        |SELECT source, n_docs, n_short,
+        |  round(sum_dw * 1.0 / sum_w, 4) AS pooled_ratio,
+        |  round(n_short * 1.0 / n_docs, 4) AS short_frac,
+        |  round(sum_dw * 1.0 / sum_w, 4) >= 0.48
+        |    AND round(n_short * 1.0 / n_docs, 4) <= 0.4 AS keep
+        |FROM a ORDER BY source""".stripMargin,
+    "strip_boilerplate" ->
+      """WITH l AS (SELECT doc_id, i,
+        |    array_to_string(wr[CAST(i * 10 + 1 AS INT):CAST(i * 10 + 10 AS INT)], ' ') AS line
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS wr FROM documents),
+        |    unnest(range(0, CAST(ceil(len(wr) / 10.0) AS INT))) AS t(i)),
+        |c AS (SELECT md5(line) AS lh, count(DISTINCT doc_id) AS nd, min(doc_id) AS mindoc
+        |  FROM l GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN nd < 2 OR doc_id = mindoc THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  coalesce(string_agg(CASE WHEN nd < 2 OR doc_id = mindoc THEN line END,
+        |    ' ' ORDER BY i), '') AS text_clean
+        |FROM l JOIN c ON md5(line) = lh
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "cms_counts" ->
+      """WITH hx AS (SELECT user_id, j,
+        |    md5('cms' || CAST(j AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)) AS h
+        |  FROM events, unnest([0, 1, 2]) AS t(j)),
+        |hb AS (SELECT user_id, j,
+        |    ((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+        |      + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+        |      + (instr('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substring(h, 4, 1)) - 1)) % 32 AS bucket
+        |  FROM hx),
+        |sk AS (SELECT j, bucket, count(*) AS cnt FROM hb GROUP BY 1, 2),
+        |kb AS (SELECT DISTINCT user_id, j, bucket FROM hb),
+        |est AS (SELECT user_id, CAST(min(cnt) AS BIGINT) AS cms_est
+        |  FROM kb JOIN sk USING (j, bucket) GROUP BY 1),
+        |k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY 1)
+        |SELECT k.user_id, k.n_exact, est.cms_est,
+        |  est.cms_est > k.n_exact AS collided,
+        |  round((est.cms_est - k.n_exact) * 1.0 / k.n_exact, 4) AS rel_err
+        |FROM k JOIN est USING (user_id) ORDER BY user_id""".stripMargin,
     "pipeline_curate_v2" ->
       s"""WITH l AS (SELECT doc_id, i,
          |    array_to_string(wr[CAST(i * 10 + 1 AS INT):CAST(i * 10 + 10 AS INT)], ' ') AS line

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw ingest and tokenization: deterministic training-order
+  * sharding, incremental (batch-vs-corpus) novelty checks, source/domain
+  * level quality gating, and cross-document boilerplate-line stripping.
+  *
+  * All four are shuffle-frugal by construction:
+  *   - [[shardAssignments]] hash-partitions (no global sort) and the
+  *     within-shard position window reuses the shard hash partitioning —
+  *     one exchange total, independent of corpus size.
+  *   - [[incrementalNovelty]] reduces the existing corpus to DISTINCT
+  *     fingerprints before the join (the decontaminate pattern), and the
+  *     first-in-batch window runs on the same key as the join, so
+  *     Catalyst reuses the exchange.
+  *   - [[domainStats]] is a single partial-aggregated shuffle at
+  *     source-key grain with pure-integer sums (bit-stable across
+  *     engines; no double summation order to disagree on).
+  *   - [[boilerplateStrip]] shuffles line hashes once (window) and doc
+  *     ids once (reassembly) — same ledger as [[Dedup.lineDedup]].
+  */
+object Curation {
+
+  /** Deterministic seeded global shuffle for training order.
+    *
+    * Every row gets a shard (hash bucket of a salted md5 — NOT a ntile
+    * over a global sort, which would funnel the corpus through a single
+    * ordering) and a within-shard position (row_number over the shard's
+    * hash order). At cluster scale this is exactly the training-data
+    * "global shuffle": one hash exchange; each shard is written by one
+    * task; re-running with the same salt reproduces the order bit-for-bit.
+    */
+  def shardAssignments(
+      df: DataFrame,
+      idCol: String,
+      salt: String = "shuf42|",
+      nShards: Int = 8): DataFrame = {
+    val skey = md5(concat(lit(salt), col(idCol).cast("string")))
+    val shard = pmod(
+      conv(substring(col("skey"), 1, 4), 16, 10).cast("long"),
+      lit(nShards.toLong))
+    val w = Window.partitionBy("shard").orderBy(col("skey"), col(idCol))
+    df.select(col(idCol), skey.as("skey"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  /** Batch-vs-corpus novelty: which rows of `batch` are new relative to
+    * an existing corpus, under an arbitrary fingerprint expression?
+    *
+    * Returns every batch row with `in_corpus` (fingerprint already known
+    * to the corpus), `first_in_batch` (row owns the min id for its
+    * fingerprint within the batch), and `novel` (neither seen before nor
+    * a within-batch duplicate) — the incremental-ingest shape: only
+    * `novel` rows proceed to tokenization.
+    *
+    * The corpus side collapses to DISTINCT fingerprints before the join,
+    * so a 100 TB corpus contributes only its unique-hash set; pair with
+    * the bloom-filter scan prefilter ([[graft.functions]] bloom
+    * expressions) when the hash set itself is too large to shuffle
+    * comfortably.
+    */
+  def incrementalNovelty(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      fingerprint: Column): DataFrame = {
+    val b = batch.select(col(idCol), fingerprint.as("fp"))
+    val seen = corpus.select(fingerprint.as("fp")).distinct()
+      .withColumn("in_corpus", lit(true))
+    val w = Window.partitionBy("fp")
+    b.join(seen, Seq("fp"), "left")
+      .withColumn("in_corpus", coalesce(col("in_corpus"), lit(false)))
+      .withColumn("first_in_batch", col(idCol) === min(col(idCol)).over(w))
+      .withColumn("novel", !col("in_corpus") && col("first_in_batch"))
+  }
+
+  /** Source/domain-level curation statistics (the CCNet/RefinedWeb
+    * "judge the domain, not just the document" gate): per source, doc
+    * count, short-doc count, pooled distinct-word ratio, short-doc
+    * fraction, and a keep flag.
+    *
+    * Ratios are single divisions of exact integer sums (sum of per-doc
+    * distinct-word counts over sum of word counts), never averages of
+    * doubles — so the result is bit-stable regardless of aggregation
+    * order, which matters both for the cross-engine oracle and for
+    * rerun-reproducibility on a cluster.
+    */
+  def domainStats(
+      df: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      charsCol: String = "n_chars",
+      shortChars: Int = 200,
+      minRatio: Double = 0.48,
+      maxShortFrac: Double = 0.4): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    df.select(
+        col(sourceCol),
+        size(array_distinct(toks)).cast("long").as("dw"),
+        size(toks).cast("long").as("w"),
+        when(col(charsCol) < shortChars, 1L).otherwise(0L).as("short"))
+      .groupBy(sourceCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("short").as("n_short"),
+        sum("dw").as("sum_dw"),
+        sum("w").as("sum_w"))
+      .select(
+        col(sourceCol),
+        col("n_docs"),
+        col("n_short"),
+        round(col("sum_dw") * 1.0 / col("sum_w"), 4).as("pooled_ratio"),
+        round(col("n_short") * 1.0 / col("n_docs"), 4).as("short_frac"),
+        (round(col("sum_dw") * 1.0 / col("sum_w"), 4) >= minRatio &&
+          round(col("n_short") * 1.0 / col("n_docs"), 4) <= maxShortFrac)
+          .as("keep"))
+  }
+
+  /** Cross-document boilerplate stripping: a line (fixed word-block, the
+    * same segmentation as [[Dedup.lineDedup]]) that appears in
+    * `minDocs`+ DISTINCT documents is boilerplate — headers, footers,
+    * cookie banners — and is kept only in the document that first used
+    * it (min doc id), stripped everywhere else.
+    *
+    * Differs from [[Dedup.lineDedup]] (which drops every copy of any
+    * repeated line, including within-doc repeats): this is the
+    * keep-first-occurrence semantics production pipelines use, counting
+    * distinct documents rather than raw copies.
+    */
+  def boilerplateStrip(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockWords: Int = 10,
+      minDocs: Int = 2): DataFrame = {
+    val toks = s"split($textCol, ' ')"
+    val blocks = expr(
+      s"""transform(sequence(0, cast(ceil(size($toks) / ${blockWords}.0) AS INT) - 1),
+         |  i -> concat_ws(' ', slice($toks, i * $blockWords + 1, $blockWords)))""".stripMargin)
+    val wLine = Window.partitionBy("lh")
+    df.select(col(idCol), posexplode(blocks).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+      .withColumn("nd", size(collect_set(col(idCol)).over(wLine)))
+      .withColumn("mindoc", min(col(idCol)).over(wLine))
+      .withColumn("kept", col("nd") < minDocs || col(idCol) === col("mindoc"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          " ").as("text_clean"))
+  }
+}

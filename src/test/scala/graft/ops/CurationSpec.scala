@@ -1,0 +1,180 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Semantics + plan-shape pins for the curation operators and the
+  * count-min sketch. */
+class CurationSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkFixture.spark
+  import scala.jdk.CollectionConverters._
+
+  private def docs(rows: (Long, String)*) = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(rows.map { case (i, t) => Row(i, t) }.asJava, schema)
+  }
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  // ------------------------------------------------------ shard shuffle
+  test("shardAssignments: positions are contiguous per shard, rerun is bit-identical") {
+    val d = docs((1L to 100L).map(i => i -> s"doc $i"): _*)
+    val a = Curation.shardAssignments(d, "doc_id", nShards = 8)
+    val rows = a.collect()
+    rows.length shouldBe 100
+    // every shard's positions are exactly 1..count(shard)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      rs.map(_.getAs[Long]("pos")).sorted shouldBe (1L to rs.length).toArray
+    }
+    rows.map(_.getAs[Long]("shard")).distinct.foreach { sh =>
+      sh should be >= 0L; sh should be < 8L
+    }
+    // determinism: a second evaluation produces the same assignment
+    val again = Curation.shardAssignments(d, "doc_id", nShards = 8).collect()
+    again.map(r => (r.getLong(0), r.getAs[Long]("shard"), r.getAs[Long]("pos"))).sorted shouldBe
+      rows.map(r => (r.getLong(0), r.getAs[Long]("shard"), r.getAs[Long]("pos"))).sorted
+  }
+
+  test("shardAssignments plan: one exchange (hash partition), no global sort") {
+    val d = docs((1L to 50L).map(i => i -> "x"): _*)
+    val p = physicalPlan(Curation.shardAssignments(d, "doc_id"))
+    "Exchange".r.findAllIn(p).length shouldBe 1
+    // the only sort is the per-partition window sort, never a global range sort
+    p should not include "rangepartitioning"
+  }
+
+  // ------------------------------------------------- incremental novelty
+  test("incrementalNovelty: corpus hit, batch dup, and fresh rows flag correctly") {
+    val corpus = docs((2L, "seen before"), (4L, "old stuff"))
+    val batch = docs(
+      (1L, "seen before"),   // fingerprint known to corpus
+      (3L, "brand new"),     // novel
+      (5L, "brand new"),     // within-batch dup of 3
+      (7L, "also fresh"))    // novel
+    val out = Curation.incrementalNovelty(batch, corpus, "doc_id", md5(col("text")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("in_corpus"), r.getAs[Boolean]("first_in_batch"),
+          r.getAs[Boolean]("novel"))).toMap
+    out(1L) shouldBe ((true, true, false))
+    out(3L) shouldBe ((false, true, true))
+    out(5L) shouldBe ((false, false, false))
+    out(7L) shouldBe ((false, true, true))
+  }
+
+  test("incrementalNovelty: empty corpus makes every first-in-batch row novel") {
+    val out = Curation.incrementalNovelty(
+      docs((1L, "a"), (2L, "a")), docs().limit(0), "doc_id", md5(col("text")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("novel")).toMap
+    out shouldBe Map(1L -> true, 2L -> false)
+  }
+
+  test("incrementalNovelty plan: window reuses the join's hash partitioning on fp") {
+    val corpus = docs((1L to 20L).map(i => i -> s"c $i"): _*)
+    val batch = docs((21L to 40L).map(i => i -> s"b $i"): _*)
+    val p = physicalPlan(
+      Curation.incrementalNovelty(batch, corpus, "doc_id", md5(col("text"))))
+    // corpus distinct (2 partial/final stages share 1 exchange) + batch join
+    // side: the window adds NO exchange of its own on top of the join's
+    withClue(p) {
+      "Exchange".r.findAllIn(p).length should be <= 3
+    }
+  }
+
+  // ----------------------------------------------------------- domains
+  test("domainStats: integer-sum ratios and both keep outcomes") {
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("text", StringType),
+      StructField("n_chars", LongType)))
+    val rows = Seq(
+      // good source: all-distinct words, long docs
+      Row("good", "alpha beta gamma delta", 400L),
+      Row("good", "one two three four", 300L),
+      // bad source: heavy repetition + short docs
+      Row("bad", "spam spam spam spam", 100L),
+      Row("bad", "buy buy buy buy", 120L))
+    val d = spark.createDataFrame(rows.asJava, schema)
+    val out = Curation.domainStats(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("pooled_ratio"),
+          r.getAs[Double]("short_frac"), r.getAs[Boolean]("keep"))).toMap
+    out("good") shouldBe ((2L, 1.0, 0.0, true))
+    out("bad") shouldBe ((2L, 0.25, 1.0, false))
+  }
+
+  // ------------------------------------------------------- boilerplate
+  test("boilerplateStrip: repeated line survives only in the first doc") {
+    val banner = "one two three four five six seven eight nine ten"
+    val d = docs(
+      (1L, s"$banner unique alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, s"$banner other kappa lambda mu nu xi omicron pi rho sigma"),
+      (3L, "fresh content with no shared lines at all here now"))
+    val out = Curation.boilerplateStrip(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("text_clean"))).toMap
+    out(1L)._1 shouldBe 2L
+    out(1L)._2 shouldBe 2L           // min doc keeps the banner
+    out(1L)._3 should startWith(banner)
+    out(2L)._2 shouldBe 1L           // banner stripped from the later doc
+    out(2L)._3 should not include "one two three"
+    out(3L) shouldBe ((1L, 1L, "fresh content with no shared lines at all here now"))
+  }
+
+  test("boilerplateStrip: within-doc repeat in the owning doc is kept whole") {
+    val line = "a b c d e f g h i j"
+    val d = docs((1L, s"$line $line"), (2L, s"$line k l m n o p q r s t"))
+    val out = Curation.boilerplateStrip(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_kept")).toMap
+    out(1L) shouldBe 2L   // both copies live in the min doc
+    out(2L) shouldBe 1L   // stripped here
+  }
+
+  // --------------------------------------------------------- count-min
+  test("CMS invariant: estimate >= exact for every key; grid mass = d * rows") {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val rows = (1L to 300L).map(i => Row(i % 37)) // 37 keys, skewed none
+    val d = spark.createDataFrame(rows.asJava, schema)
+    val est = CountMin.estimates(d, "k", d = 3, w = 16).collect()
+    est.length shouldBe 37
+    est.foreach { r =>
+      withClue(s"key ${r.getAs[Long]("k")}: ") {
+        r.getAs[Long]("cms_est") should be >= r.getAs[Long]("n_exact")
+      }
+    }
+    // with 37 keys in 16 buckets, collisions MUST occur
+    est.count(_.getAs[Boolean]("collided")) should be > 0
+    val grid = CountMin.sketch(d, "k", d = 3, w = 16).collect()
+    grid.map(_.getAs[Long]("cnt")).sum shouldBe 3L * 300L
+  }
+
+  test("CMS merge: sketch of a union equals cellwise sum of the halves") {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    def df(rows: Seq[Long]) =
+      spark.createDataFrame(rows.map(Row(_)).asJava, schema)
+    val a = df((1L to 100L).map(_ % 11))
+    val b = df((1L to 80L).map(_ % 7))
+    def cells(g: Array[Row]) = g.map(r =>
+      (r.getAs[Int]("j"), r.getAs[Long]("bucket")) -> r.getAs[Long]("cnt")).toMap
+    val merged = cells(CountMin.sketch(a.union(b), "k").collect())
+    val added = {
+      val ca = cells(CountMin.sketch(a, "k").collect())
+      val cb = cells(CountMin.sketch(b, "k").collect())
+      (ca.keySet ++ cb.keySet).map(k =>
+        k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))).toMap
+    }
+    merged shouldBe added
+  }
+
+  test("CMS estimates plan: the grid joins broadcast, never shuffles the key side") {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val d = spark.createDataFrame((1L to 200L).map(i => Row(i % 23)).asJava, schema)
+    val p = physicalPlan(CountMin.estimates(d, "k"))
+    p should include("BroadcastHashJoin")
+  }
+}
