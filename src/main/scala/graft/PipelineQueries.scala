@@ -907,6 +907,14 @@ object PipelineQueries {
     graft.ops.Bpe.learnMerges(t(s, dir, "documents"), "text", rounds = 3)
       .orderBy("round")
 
+  /** BPE segmentation ([[graft.ops.Bpe.segmentVocab]], the APPLY half):
+    * the learned merges run over the deduplicated vocabulary and every
+    * word gets its final symbol sequence — the per-word table a 100 TB
+    * tokenization would broadcast-join back onto documents. */
+  def bpeSegment(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.segmentVocab(t(s, dir, "documents"), "text", rounds = 3)
+      .orderBy("w")
+
   /** Composed curation v2 over the round-6 operators: line-level corpus
     * dedup strips boilerplate blocks, then the within-document
     * repetition gate runs on the CLEANED text (order matters — a doc
@@ -981,6 +989,7 @@ object PipelineQueries {
     "cms_counts" -> (cmsCounts _),
     "pipeline_curate_v2" -> (pipelineCurateV2 _),
     "bpe_merges" -> (bpeMerges _),
+    "bpe_segment" -> (bpeSegment _),
     "approx_distinct" -> (approxDistinctUsers _),
     "embed_pq_codes" -> (embedPqCodes _),
     "embed_knn_pq" -> (embedKnnPq _),
@@ -1254,7 +1263,7 @@ object PipelineQueries {
   /** Unrolled BPE oracle: each round = pair-count + argmax + triple
     * literal replace, mirroring [[graft.ops.Bpe]] construct-for-
     * construct (MergePasses = 3). */
-  private def duckBpeSql(rounds: Int): String = {
+  private def duckBpeCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""p$r AS (SELECT pair, sum(f) AS cnt FROM (
          |    SELECT f, syms[CAST(i AS INT)] || ' ' || syms[CAST(i + 1 AS INT)] AS pair
@@ -1272,18 +1281,31 @@ object PipelineQueries {
          |      '|' || sym_a || '|' || sym_b || '|', '|' || merged || '|') AS state
          |  FROM v${r - 1} CROSS JOIN b$r)""".stripMargin
     }.mkString(",\n")
-    val finalSel = (1 to rounds).map { r =>
-      s"SELECT $r AS round, sym_a, sym_b, merged, cnt FROM b$r"
-    }.mkString("\nUNION ALL ")
     s"""WITH v0 AS (SELECT w, count(*) AS f,
        |    '|' || array_to_string(list_transform(range(1, len(w) + 1),
        |      i -> substring(w, CAST(i AS INT), 1)), '|') || '|' AS state
        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
        |  WHERE w <> '' GROUP BY w),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private def duckBpeSql(rounds: Int): String = {
+    val finalSel = (1 to rounds).map { r =>
+      s"SELECT $r AS round, sym_a, sym_b, merged, cnt FROM b$r"
+    }.mkString("\nUNION ALL ")
+    s"""${duckBpeCtes(rounds)}
        |$finalSel
        |ORDER BY round""".stripMargin
   }
+
+  private def duckBpeSegmentSql(rounds: Int): String =
+    s"""${duckBpeCtes(rounds)}
+       |SELECT w, CAST(f AS BIGINT) AS f,
+       |  array_to_string(list_filter(string_split(state, '|'), x -> x <> ''), ' ')
+       |    AS segmented,
+       |  CAST(len(list_filter(string_split(state, '|'), x -> x <> '')) AS BIGINT)
+       |    AS n_tokens
+       |FROM v$rounds ORDER BY w""".stripMargin
 
   /** DuckDB shingles over an arbitrary token-list column (the fixed
     * [[duckShingles]] is bound to the raw `text` column). */
@@ -1390,6 +1412,7 @@ object PipelineQueries {
          |SELECT * FROM r WHERE dup2_frac <= 0.3 AND dup3_frac <= 0.3
          |ORDER BY doc_id""".stripMargin,
     "bpe_merges" -> duckBpeSql(3),
+    "bpe_segment" -> duckBpeSegmentSql(3),
     "embed_knn_ivfpq" ->
       s"""$duckIvfCellsCte,
          |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (

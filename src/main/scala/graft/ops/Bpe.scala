@@ -59,29 +59,60 @@ object Bpe {
         col("cnt"))
     val find = concat(lit("|"), col("sym_a"), lit("|"), col("sym_b"), lit("|"))
     val repl = concat(lit("|"), col("merged"), lit("|"))
-    val applied = v.crossJoin(broadcast(best))
+    // LEFT join on a constant key (not crossJoin): a pairless round has an
+    // EMPTY best table, and the merge apply must then pass the vocab
+    // through unchanged — replace() over the null find-string nulls out,
+    // and coalesce restores the untouched state.
+    val applied = v.withColumn("_k", lit(1))
+      .join(broadcast(best.withColumn("_k", lit(1))), Seq("_k"), "left")
       .withColumn("state",
-        (1 to MergePasses).foldLeft(col("state")) { (s, _) => replace(s, find, repl) })
+        (1 to MergePasses).foldLeft(col("state")) { (s, _) =>
+          coalesce(replace(s, find, repl), s)
+        })
       .select("w", "f", "state")
     (applied, best)
   }
 
-  /** Learn `rounds` merges; returns (round, sym_a, sym_b, merged, cnt) —
-    * the ordered merge list a tokenizer would persist. Each round's
-    * vocab state feeds BOTH the next pair count and the merge apply, so
-    * without a cut the plan doubles per round (~2^rounds subplans); the
-    * tiny vocab table is parquet-materialized between rounds instead,
-    * keeping plan size linear in `rounds`. */
-  def learnMerges(df: DataFrame, textCol: String, rounds: Int = 3): DataFrame = {
+  /** The shared `rounds`-round loop: returns (final applied vocab, the
+    * ordered merge list). Each round's vocab state feeds BOTH the next
+    * pair count and the merge apply, so without a cut the plan doubles
+    * per round (~2^rounds subplans); the tiny vocab table is
+    * parquet-materialized between rounds instead, keeping plan size
+    * linear in `rounds`. The final round's apply is left lazy (its vocab
+    * input is already materialized). */
+  private def runRounds(
+      df: DataFrame, textCol: String, rounds: Int): (DataFrame, DataFrame) = {
     var v = vocab(df, textCol)
     var out: Option[DataFrame] = None
+    var applied = v
     for (r <- 1 to rounds) {
-      val (applied, best) = mergeRound(v)
+      val (a, best) = mergeRound(v)
+      applied = a
       val row = best.withColumn("round", lit(r))
         .select(col("round"), col("sym_a"), col("sym_b"), col("merged"), col("cnt"))
       out = Some(out.fold(row)(_.unionAll(row)))
       if (r < rounds) v = Materialize.index(applied, s"bpe-vocab-r$r")
     }
-    out.get
+    (applied, out.get)
+  }
+
+  /** Learn `rounds` merges; returns (round, sym_a, sym_b, merged, cnt) —
+    * the ordered merge list a tokenizer would persist. */
+  def learnMerges(df: DataFrame, textCol: String, rounds: Int = 3): DataFrame =
+    runRounds(df, textCol, rounds)._2
+
+  /** BPE segmentation — the APPLY half of the tokenizer: run the learned
+    * merges over the corpus vocabulary and emit each word's final symbol
+    * sequence. Tokenizing a 100 TB corpus with a learned merge table is
+    * this exact computation: per-word, on the deduplicated vocabulary
+    * (linear in distinct words, not corpus tokens), then a broadcast
+    * word→tokens join back onto the documents. */
+  def segmentVocab(df: DataFrame, textCol: String, rounds: Int = 3): DataFrame = {
+    val (applied, _) = runRounds(df, textCol, rounds)
+    val syms = "filter(split(state, '\\\\|'), x -> x <> '')"
+    applied.select(
+      col("w"), col("f"),
+      array_join(expr(syms), " ").as("segmented"),
+      size(expr(syms)).cast("long").as("n_tokens"))
   }
 }

@@ -119,6 +119,30 @@ object EventStreams {
     graft.ops.TextAnalysis.lmScoreAgainst(
       docs, bigramCounts, prefixCounts, vocabSize, alpha = alpha)
 
+  /** Streaming incremental-novelty gate — the online half of
+    * [[graft.ops.Curation.incrementalNovelty]]: a document stream is
+    * admitted only if its fingerprint is (a) not already in the static
+    * corpus fingerprint set and (b) not seen earlier in the stream
+    * within the watermark horizon.
+    *
+    * (a) is a stream-static LEFT ANTI join — the static side is a batch
+    * DataFrame of DISTINCT fingerprints, re-read per micro-batch with no
+    * stream-stream state; at cluster scale it's the broadcast/bloom side
+    * of the batch op. (b) is `dropDuplicatesWithinWatermark`, whose
+    * state store holds one entry per fingerprint inside the horizon —
+    * bounded by construction, the same guarantee as [[dedupStream]].
+    * Together: at-least-once raw ingest becomes an exactly-once stream
+    * of genuinely new documents. */
+  def noveltyGateStream(
+      docs: DataFrame,
+      corpusFps: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("fp", md5(col("text")))
+      .join(corpusFps.select("fp").distinct(), Seq("fp"), "left_anti")
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Stream the events landing directory (parquet files appearing over
     * time) into the windowed aggregation, writing to an in-memory sink —
     * the readStream → transform → writeStream shape. */

@@ -604,6 +604,28 @@ class OpsSpec extends AnyFunSuite with Matchers {
       (3, "e", "s", "es", 2L))
   }
 
+  test("bpe segmentation: applies the hand-traced merges and reconstructs every word") {
+    val d = docs((1L, "low low lower"), (2L, "newest newest"))
+    val seg = Bpe.segmentVocab(d, "text", rounds = 3).collect()
+      .map(r => r.getAs[String]("w") ->
+        (r.getAs[String]("segmented"), r.getAs[Long]("n_tokens"))).toMap
+    // merges: l+o, lo+w, e+s (see the hand-trace above)
+    seg("low") shouldBe (("low", 1L))
+    seg("lower") shouldBe (("low e r", 3L))
+    seg("newest") shouldBe (("n e w es t", 5L))
+    // invariant: removing separators reconstructs the word exactly
+    seg.foreach { case (w, (s, n)) =>
+      s.replace(" ", "") shouldBe w
+      s.split(" ").length.toLong shouldBe n
+    }
+  }
+
+  test("bpe segmentation: a pairless corpus passes every word through unchanged") {
+    val seg = Bpe.segmentVocab(docs((1L, "a b a")), "text", rounds = 2).collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("n_tokens")).toMap
+    seg shouldBe Map("a" -> 1L, "b" -> 1L)
+  }
+
   test("hll approx distinct: within sketch error at 10k cardinality, exact-side sanity") {
     import spark.implicits._
     // 10k distinct values (well past the 256-register linear-counting

@@ -73,6 +73,31 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     graft.ops.Materialize.dropAll()
   }
 
+  test("novelty gate admits only corpus-new, stream-first documents") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq((10L, "already indexed")).toDF("doc_id", "text")
+      .select(md5(col("text")).as("fp"))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = EventStreams.noveltyGateStream(
+        input.toDF().toDF("doc_id", "ts", "text"), corpus)
+      .writeStream.queryName("novelty_gate").outputMode(OutputMode.Append())
+      .format("memory").start()
+    try {
+      input.addData(
+        (1L, ts(1), "already indexed"),  // known to the corpus — dropped
+        (2L, ts(2), "fresh document"))   // novel — admitted
+      q.processAllAvailable()
+      input.addData(
+        (3L, ts(3), "fresh document"),   // re-delivery within watermark — dropped
+        (4L, ts(4), "another new one"))  // novel — admitted
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM novelty_gate")
+        .collect().map(_.getLong(0)).toSet
+      got shouldBe Set(2L, 4L)
+    } finally q.stop()
+  }
+
   test("sessionization accumulates per-user state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
