@@ -907,6 +907,16 @@ object PipelineQueries {
     graft.ops.Bpe.learnMerges(t(s, dir, "documents"), "text", rounds = 3)
       .orderBy("round")
 
+  /** One k-means Lloyd iteration ([[graft.ops.Similarity.kmeansRefine]]):
+    * assign → per-cell mean update (rounded 6, the determinism contract)
+    * → reassign, reporting per-cell membership drift and centroid shift.
+    * Iterated at ingest time this is how the production IVF index gets
+    * built; here one full iteration is oracle-replayed. */
+  def kmeansIterate(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansRefine(t(s, dir, "embeddings"), "vec_id", "embedding",
+      numCentroids = IvfCentroids)
+      .orderBy("cell")
+
   /** BPE segmentation ([[graft.ops.Bpe.segmentVocab]], the APPLY half):
     * the learned merges run over the deduplicated vocabulary and every
     * word gets its final symbol sequence — the per-word table a 100 TB
@@ -990,6 +1000,7 @@ object PipelineQueries {
     "pipeline_curate_v2" -> (pipelineCurateV2 _),
     "bpe_merges" -> (bpeMerges _),
     "bpe_segment" -> (bpeSegment _),
+    "kmeans_iterate" -> (kmeansIterate _),
     "approx_distinct" -> (approxDistinctUsers _),
     "embed_pq_codes" -> (embedPqCodes _),
     "embed_knn_pq" -> (embedKnnPq _),
@@ -1413,6 +1424,30 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin,
     "bpe_merges" -> duckBpeSql(3),
     "bpe_segment" -> duckBpeSegmentSql(3),
+    "kmeans_iterate" ->
+      s"""$duckIvfCellsCte,
+         |ncd AS (SELECT cell, i AS dim, round(avg(e.v[CAST(i + 1 AS INT)]), 6) AS m
+         |  FROM cells JOIN e ON e.vec_id = corpus_id,
+         |    unnest(range(0, len(e.v))) AS t(i)
+         |  GROUP BY 1, 2),
+         |ncv AS (SELECT cell AS cid, array_agg(m ORDER BY dim) AS cvec FROM ncd GROUP BY 1),
+         |sims2 AS (SELECT e.vec_id, ncv.cid,
+         |    list_dot_product(e.v, ncv.cvec) /
+         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(ncv.cvec, ncv.cvec))) AS s
+         |  FROM e CROSS JOIN ncv),
+         |cells2 AS (SELECT vec_id AS corpus_id, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+         |    FROM sims2) WHERE rn = 1),
+         |shift AS (SELECT c0.cid AS cell,
+         |    round(sqrt(list_sum(list_transform(range(1, len(c0.cvec) + 1),
+         |      i -> (c0.cvec[CAST(i AS INT)] - n.cvec[CAST(i AS INT)])
+         |        * (c0.cvec[CAST(i AS INT)] - n.cvec[CAST(i AS INT)])))), 6) AS shift
+         |  FROM cents c0 JOIN ncv n ON n.cid = c0.cid),
+         |b AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_before FROM cells GROUP BY 1),
+         |a AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_after FROM cells2 GROUP BY 1)
+         |SELECT b.cell, b.n_before, coalesce(a.n_after, 0) AS n_after, s.shift
+         |FROM b LEFT JOIN a USING (cell) JOIN shift s ON s.cell = b.cell
+         |ORDER BY cell""".stripMargin,
     "embed_knn_ivfpq" ->
       s"""$duckIvfCellsCte,
          |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (

@@ -297,6 +297,55 @@ object Similarity {
     assignCells(Materialize.spread(df), centDf, idCol, idCol, vecCol)
   }
 
+  /** One k-means Lloyd iteration over the stride-seeded centroids — the
+    * refinement step that turns the deterministic IVF seeding into real
+    * k-means (and, iterated at ingest time, builds the production IVF
+    * index): assign → recompute per-cell means → reassign. Returns one
+    * row per cell: membership before and after the update, and the L2
+    * distance the centroid moved.
+    *
+    * Scale shape: both assignment passes are broadcast-centroid joins
+    * with max-of-struct partial aggregation (only one (id, cell) row per
+    * vector ever shuffles); the mean update runs on posexploded
+    * (cell, dim, x) skinny rows — fixed-width shuffle keys with full
+    * map-side combine, the [[graft.PipelineQueries.embedLabelCentroids]]
+    * encoding. New centroids are rounded to 6 decimals BEFORE
+    * reassignment — that makes the reassignment input (and hence the
+    * argmax) engine-exact rather than at the mercy of double summation
+    * order, the same determinism contract as the label-centroid op.
+    * Nothing ever collects to the driver. */
+  def kmeansRefine(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int): DataFrame = {
+    val corpusD = corpus.select(
+      col(idCol), expr(s"transform($vecCol, x -> cast(x AS double))").as("v"))
+    val cents0 = broadcast(seedCentroids(corpusD, idCol, "v", numCentroids))
+    val before = assignCells(Materialize.spread(corpusD), cents0, idCol, "corpus_id", "v")
+    val skinny = before
+      .join(corpusD.select(col(idCol).as("corpus_id"), col("v")), "corpus_id")
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+    val newCents = skinny
+      .groupBy("cell", "dim").agg(round(avg("x"), 6).as("m"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("cvec"))
+      .select(col("cell").as("cid"), col("cvec"))
+    val after = assignCells(corpusD, broadcast(newCents), idCol, "corpus_id", "v")
+    val shift = cents0.select(col("cid").as("cell"), col("cvec").as("c0"))
+      .join(newCents.select(col("cid").as("cell"), col("cvec").as("c1")), "cell")
+      .select(col("cell"), round(sqrt(expr(
+        "aggregate(zip_with(c0, c1, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")), 6)
+        .as("shift"))
+    val nBefore = before.groupBy("cell").agg(count(lit(1)).cast("long").as("n_before"))
+    val nAfter = after.groupBy("cell").agg(count(lit(1)).cast("long").as("n_after"))
+    nBefore
+      .join(nAfter, Seq("cell"), "left")
+      .join(shift, Seq("cell"), "left")
+      .select(col("cell"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"), col("shift"))
+  }
+
   /** Product-quantization codes (Jégou et al. 2011): split each vector
     * into `m` subvectors of `subDim` dims; per subspace, assign the
     * subvector to its nearest (squared-L2) codebook centroid. The

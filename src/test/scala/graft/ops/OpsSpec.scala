@@ -170,6 +170,25 @@ class OpsSpec extends AnyFunSuite with Matchers {
     cells shouldBe dedupCells
   }
 
+  test("kmeans refine: membership is conserved, shifts are finite and non-negative") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = emb.count()
+    val out = Similarity.kmeansRefine(emb, "vec_id", "embedding", numCentroids = 8)
+      .collect()
+    out.length shouldBe 8
+    // every vector is assigned exactly once, before AND after the update
+    out.map(_.getAs[Long]("n_before")).sum shouldBe n
+    out.map(_.getAs[Long]("n_after")).sum shouldBe n
+    out.foreach { r =>
+      val s = r.getAs[Double]("shift")
+      s should be >= 0.0
+      java.lang.Double.isFinite(s) shouldBe true
+    }
+    // seeded centroids are not already the Lloyd fixed point on real data
+    out.map(_.getAs[Double]("shift")).max should be > 0.0
+    Materialize.dropAll()
+  }
+
   test("minhash signatures are identical for identical docs, mostly differ otherwise") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog"),
