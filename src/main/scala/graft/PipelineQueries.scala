@@ -917,6 +917,16 @@ object PipelineQueries {
       numCentroids = IvfCentroids)
       .orderBy("cell")
 
+  /** Hard-negative mining ([[graft.ops.Similarity.hardNegatives]]): per
+    * query, the 5 most-similar vectors with a DIFFERENT label — the
+    * contrastive-training negative-sampling step. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", "label", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** BPE segmentation ([[graft.ops.Bpe.segmentVocab]], the APPLY half):
     * the learned merges run over the deduplicated vocabulary and every
     * word gets its final symbol sequence — the per-word table a 100 TB
@@ -1001,6 +1011,7 @@ object PipelineQueries {
     "bpe_merges" -> (bpeMerges _),
     "bpe_segment" -> (bpeSegment _),
     "kmeans_iterate" -> (kmeansIterate _),
+    "hard_negatives" -> (hardNegatives _),
     "approx_distinct" -> (approxDistinctUsers _),
     "embed_pq_codes" -> (embedPqCodes _),
     "embed_knn_pq" -> (embedKnnPq _),
@@ -1424,6 +1435,19 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin,
     "bpe_merges" -> duckBpeSql(3),
     "bpe_segment" -> duckBpeSegmentSql(3),
+    "hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+         |    CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS corpus_id, label AS clabel,
+         |    CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings),
+         |s AS (SELECT query_id, qlabel, corpus_id, clabel, $duckCos AS cos
+         |      FROM c CROSS JOIN q
+         |      WHERE query_id <> corpus_id AND qlabel <> clabel)
+         |SELECT query_id, qlabel, corpus_id, clabel, cos, CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+         |  FROM s) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "kmeans_iterate" ->
       s"""$duckIvfCellsCte,
          |ncd AS (SELECT cell, i AS dim, round(avg(e.v[CAST(i + 1 AS INT)]), 6) AS m

@@ -71,6 +71,38 @@ object Similarity {
       .select("query_id", "corpus_id", "cos", "rank")
   }
 
+  /** Hard-negative mining — the contrastive-training sampling step: for
+    * each query, the k most-similar corpus vectors with a DIFFERENT
+    * label (semantically close but wrong → exactly the negatives an
+    * embedding model learns most from).
+    *
+    * This is the brute exact baseline (broadcast queries over a corpus
+    * scan, same shape as [[bruteForceTopK]]); at corpus scale the label
+    * filter composes unchanged with the LSH/IVF candidate generators —
+    * generate candidates, join labels, drop same-label, rank. */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), col(labelCol).as("qlabel"), col(vecCol).as("qvec"))
+    val c = corpus.select(
+      col(idCol).as("corpus_id"), col(labelCol).as("clabel"), col(vecCol).as("cvec"))
+    val scored = c.join(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id") && col("qlabel") =!= col("clabel"))
+      .withColumn("cos", round(cosine(col("qvec"), col("cvec")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "qlabel", "corpus_id", "clabel", "cos", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * a value in [-0.5, 0.5) derived from md5 — reproducible everywhere,
     * no RNG state to ship to executors, and emittable as a literal into

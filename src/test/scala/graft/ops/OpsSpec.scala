@@ -170,6 +170,30 @@ class OpsSpec extends AnyFunSuite with Matchers {
     cells shouldBe dedupCells
   }
 
+  test("hard negatives: never the query's own label, ranked by similarity") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val labels = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val out = Similarity.hardNegatives(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", "label", k = 5)
+      .collect()
+    out.length shouldBe 5 * 5
+    out.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      r.getAs[Int]("clabel") should not be labels(q)
+      r.getAs[Int]("qlabel") shouldBe labels(q)
+    }
+    // per query: ranks 1..5 with non-increasing cosine
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      sorted.map(_.getAs[Long]("rank")) shouldBe Array(1L, 2L, 3L, 4L, 5L)
+      sorted.map(_.getAs[Double]("cos")).sliding(2).foreach {
+        case Array(a, b) => a should be >= b
+        case _ =>
+      }
+    }
+  }
+
   test("kmeans refine: membership is conserved, shifts are finite and non-negative") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val n = emb.count()
