@@ -917,6 +917,40 @@ object PipelineQueries {
       numCentroids = IvfCentroids)
       .orderBy("cell")
 
+  /** Token-budget corpus selection ([[graft.ops.Curation.budgetSelect]]):
+    * best-scored documents until the token budget is spent, via the
+    * two-pass (local cumsum + broadcast prefix offsets) encoding — no
+    * single-task global window. */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val scored = t(s, dir, "documents").select(
+      col("doc_id"),
+      round(size(array_distinct(toks)) * 1.0 / size(toks), 4).as("score"),
+      size(toks).cast("long").as("ws_tokens"))
+    Curation.budgetSelect(scored, "doc_id", "score", "ws_tokens", budget = 10000L)
+      .orderBy("cum_tokens")
+  }
+
+  /** Temperature-flattened language mixture (the multilingual-training
+    * resampling recipe: p_l ∝ n_l^α, α=0.7): per language, raw share,
+    * temperature share, and the implied up/down-weighting factor. All
+    * driver-free aggregation; rounding absorbs libm pow/sum ulp noise. */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents").groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(
+      sum("n_docs").as("total"),
+      sum(pow(col("n_docs").cast("double"), 0.7)).as("zsum"))
+    counts.crossJoin(broadcast(tot))
+      .select(
+        col("lang"), col("n_docs"),
+        round(col("n_docs") * 1.0 / col("total"), 4).as("share"),
+        round(pow(col("n_docs").cast("double"), 0.7) / col("zsum"), 4).as("temp_share"),
+        round((pow(col("n_docs").cast("double"), 0.7) / col("zsum")) /
+          (col("n_docs") * 1.0 / col("total")), 4).as("upweight"))
+      .orderBy("lang")
+  }
+
   /** Hard-negative mining ([[graft.ops.Similarity.hardNegatives]]): per
     * query, the 5 most-similar vectors with a DIFFERENT label — the
     * contrastive-training negative-sampling step. */
@@ -1012,6 +1046,8 @@ object PipelineQueries {
     "bpe_segment" -> (bpeSegment _),
     "kmeans_iterate" -> (kmeansIterate _),
     "hard_negatives" -> (hardNegatives _),
+    "token_budget" -> (tokenBudget _),
+    "mix_temperature" -> (mixTemperature _),
     "approx_distinct" -> (approxDistinctUsers _),
     "embed_pq_codes" -> (embedPqCodes _),
     "embed_knn_pq" -> (embedKnnPq _),
@@ -1435,6 +1471,27 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin,
     "bpe_merges" -> duckBpeSql(3),
     "bpe_segment" -> duckBpeSegmentSql(3),
+    "token_budget" ->
+      """WITH d AS (SELECT doc_id,
+        |    round(len(list_distinct(string_split(lower(text), ' '))) * 1.0
+        |      / len(string_split(lower(text), ' ')), 4) AS score,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, score, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, score, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 10000 ORDER BY cum_tokens""".stripMargin,
+    "mix_temperature" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS total, sum(n_docs ** 0.7) AS zsum FROM c)
+        |SELECT lang, n_docs,
+        |  round(n_docs * 1.0 / total, 4) AS share,
+        |  round((n_docs ** 0.7) / zsum, 4) AS temp_share,
+        |  round(((n_docs ** 0.7) / zsum) / (n_docs * 1.0 / total), 4) AS upweight
+        |FROM c CROSS JOIN t ORDER BY lang""".stripMargin,
     "hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
          |    CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id < 10),

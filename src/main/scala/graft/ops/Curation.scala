@@ -121,6 +121,57 @@ object Curation {
           .as("keep"))
   }
 
+  /** Token-budget corpus selection (the data-constrained-scaling recipe:
+    * take the best documents until the token budget is spent): rank by
+    * a quality score, cumulative-sum token counts in that order, keep
+    * while the running total fits the budget.
+    *
+    * The global ordered cumsum is the scale trap here — a naive
+    * `Window.orderBy(...)` with no partitioning funnels the WHOLE corpus
+    * through one task. This is the two-pass encoding instead:
+    * range-repartition on the rank order, per-partition local running
+    * sums (each partition windows only its own slice), then add each
+    * partition's broadcast prefix offset. Output is identical to the
+    * single-partition window, but no task ever sees more than its
+    * 1/Nth of the corpus. Range boundaries come from Spark's sampling —
+    * WHERE a row lands can vary run to run, but local-cum + prefix is
+    * boundary-invariant, so the result never does.
+    */
+  def budgetSelect(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      tokensCol: String,
+      budget: Long,
+      partitions: Int = 32): DataFrame = {
+    // The pid assignment is parquet-materialized ONCE: both consumers
+    // (local cumsum + prefix totals) must see the SAME range boundaries,
+    // and those come from sampling — two re-executions of the exchange
+    // are not guaranteed to agree. One skinny (id, score, tokens, pid)
+    // table settles it, the repo's standard shared-index pattern.
+    val ranked = Materialize.index(
+      df.select(col(idCol), col(scoreCol).as("score"),
+          col(tokensCol).cast("long").as("n_tokens"))
+        .repartitionByRange(partitions, col("score").desc, col(idCol))
+        .withColumn("_pid", spark_partition_id()),
+      "budget-rank")
+    val wLocal = Window.partitionBy("_pid")
+      .orderBy(col("score").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranked.withColumn("_cum_local", sum("n_tokens").over(wLocal))
+    val wPrefix = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = ranked.groupBy("_pid")
+      .agg(sum("n_tokens").as("_ptot"))
+      .withColumn("_prefix", coalesce(sum("_ptot").over(wPrefix), lit(0L)))
+      .select("_pid", "_prefix")
+    local
+      .join(broadcast(prefixes), "_pid")
+      .withColumn("cum_tokens", col("_cum_local") + col("_prefix"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col("score"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Cross-document boilerplate stripping: a line (fixed word-block, the
     * same segmentation as [[Dedup.lineDedup]]) that appears in
     * `minDocs`+ DISTINCT documents is boilerplate — headers, footers,

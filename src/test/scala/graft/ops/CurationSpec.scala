@@ -135,6 +135,38 @@ class CurationSpec extends AnyFunSuite with Matchers {
     out(2L) shouldBe 1L   // stripped here
   }
 
+  // ------------------------------------------------------ token budget
+  test("budgetSelect: matches the naive global cumsum, across partition boundaries") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("q", DoubleType),
+      StructField("tok", LongType)))
+    val rows = (1L to 500L).map(i => Row(i, (i % 97).toDouble / 97.0, 10L + i % 7))
+    val d = spark.createDataFrame(rows.asJava, schema)
+    val got = Curation.budgetSelect(d, "id", "q", "tok", budget = 2000L, partitions = 8)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("cum_tokens"))).sortBy(_._1)
+    // naive reference: sort by (q desc, id), running sum, cut at budget
+    val ref = rows.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+      .scanLeft((0L, 0.0, 0L, 0L)) { case ((_, _, _, cum), (id, q, t)) => (id, q, t, cum + t) }
+      .drop(1)
+      .takeWhile(_._4 <= 2000L)
+      .map(t => (t._1, t._4)).sortBy(_._1)
+    got shouldBe ref.toArray
+    got.length should be > 8 // spans multiple range partitions
+    Materialize.dropAll()
+  }
+
+  test("budgetSelect: zero budget selects nothing; infinite budget selects everything") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("q", DoubleType),
+      StructField("tok", LongType)))
+    val d = spark.createDataFrame(
+      (1L to 20L).map(i => Row(i, 0.5, 5L)).asJava, schema)
+    Curation.budgetSelect(d, "id", "q", "tok", budget = 0L).count() shouldBe 0L
+    Curation.budgetSelect(d, "id", "q", "tok", budget = Long.MaxValue).count() shouldBe 20L
+    Materialize.dropAll()
+  }
+
   // --------------------------------------------------------- count-min
   test("CMS invariant: estimate >= exact for every key; grid mass = d * rows") {
     val schema = StructType(Seq(StructField("k", LongType)))
