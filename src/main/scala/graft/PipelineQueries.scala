@@ -951,6 +951,51 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** Per-domain quota capping ([[graft.ops.Curation.domainQuota]]): at
+    * most 5 docs per source, ranked by distinct-word ratio — two-phase
+    * top-k, no single-task hot-domain window. */
+  def domainQuota(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val scored = t(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      round(size(array_distinct(toks)) * 1.0 / size(toks), 4).as("score"))
+    Curation.domainQuota(scored, "doc_id", "source", "score", cap = 5)
+      .orderBy("source", "rank_in_domain")
+  }
+
+  /** Leak-free split assignment ([[graft.ops.Curation.leakFreeSplit]]):
+    * every document inherits its near-dup CLUSTER's hash split, so
+    * near-duplicates can never straddle train/eval. Singletons are their
+    * own cluster (LEFT join + coalesce against the CC labels). */
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    val comp = graft.ops.Cluster
+      .dupClusters(minhashVerifiedPairs(s, dir).select("id_a", "id_b"))
+      .select(col("doc_id"), col("cluster"))
+    val grouped = t(s, dir, "documents").select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    Curation.leakFreeSplit(grouped, "cluster").orderBy("doc_id")
+  }
+
+  /** PMI collocations ([[graft.ops.TextAnalysis.pmiCollocations]]): the
+    * 50 strongest adjacent-word associations in the corpus. */
+  def pmiCollocations(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(t(s, dir, "documents"), minCount = 5L, topK = 50)
+
+  /** Deterministic normalization pass
+    * ([[graft.ops.TextAnalysis.normalizeText]]) — zero-shuffle scan-speed
+    * projection. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.normalizeText(t(s, dir, "documents")).orderBy("doc_id")
+
+  /** Johnson-Lindenstrauss projection
+    * ([[graft.ops.Similarity.randomProject]]): 64-dim embeddings down to
+    * 16 deterministic ±1-sign components, skinny (id, j, comp) form. */
+  def embedProject(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dIn = 64, dOut = 16)
+      .orderBy("vec_id", "j")
+
   /** Hard-negative mining ([[graft.ops.Similarity.hardNegatives]]): per
     * query, the 5 most-similar vectors with a DIFFERENT label — the
     * contrastive-training negative-sampling step. */
@@ -1048,6 +1093,11 @@ object PipelineQueries {
     "hard_negatives" -> (hardNegatives _),
     "token_budget" -> (tokenBudget _),
     "mix_temperature" -> (mixTemperature _),
+    "domain_quota" -> (domainQuota _),
+    "split_assign" -> (splitAssign _),
+    "pmi_collocations" -> (pmiCollocations _),
+    "text_normalize" -> (textNormalize _),
+    "embed_project" -> (embedProject _),
     "approx_distinct" -> (approxDistinctUsers _),
     "embed_pq_codes" -> (embedPqCodes _),
     "embed_knn_pq" -> (embedKnnPq _),
@@ -1492,6 +1542,65 @@ object PipelineQueries {
         |  round((n_docs ** 0.7) / zsum, 4) AS temp_share,
         |  round(((n_docs ** 0.7) / zsum) / (n_docs * 1.0 / total), 4) AS upweight
         |FROM c CROSS JOIN t ORDER BY lang""".stripMargin,
+    "domain_quota" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    round(len(list_distinct(string_split(lower(text), ' '))) * 1.0
+        |      / len(string_split(lower(text), ' ')), 4) AS score
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id)
+        |      AS rank_in_domain
+        |  FROM d)
+        |SELECT doc_id, source, score, rank_in_domain FROM r
+        |WHERE rank_in_domain <= 5 ORDER BY source, rank_in_domain""".stripMargin,
+    "split_assign" ->
+      s"""WITH RECURSIVE $duckClusterCtes,
+         |allc AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         |dg AS (SELECT doc_id, cluster,
+         |    instr('0123456789abcdef',
+         |      substring(md5(CAST(cluster AS VARCHAR)), 1, 1)) - 1 AS g
+         |  FROM allc)
+         |SELECT doc_id, cluster,
+         |  CASE WHEN g < 2 THEN 'val' WHEN g < 4 THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM dg ORDER BY doc_id""".stripMargin,
+    "pmi_collocations" ->
+      s"""WITH s AS (SELECT unnest(${duckShingles(2)}) AS b FROM documents),
+         |w AS (SELECT b, split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2 FROM s),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+        |cb AS (SELECT b, w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM w GROUP BY 1, 2, 3),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM w GROUP BY 1),
+        |c2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM w GROUP BY 1)
+        |SELECT b AS bigram, n_pair,
+        |  round(ln((n_pair * n) / (c1.c1 * c2.c2)), 4) AS pmi
+        |FROM cb JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+        |WHERE n_pair >= 5
+        |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^ -~]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS norm_text,
+        |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^ -~]', ' ', 'g'),
+        |    ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^ -~]', ' ', 'g'),
+        |    ' +', ' ', 'g')) <> text AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "embed_project" ->
+      """WITH m AS (SELECT CAST(i.i AS INT) AS i, CAST(j.j AS INT) AS j,
+        |    CASE WHEN instr('13579bdf', substring(md5(CAST(i.i AS VARCHAR)
+        |      || '_' || CAST(j.j AS VARCHAR)), 1, 1)) > 0
+        |    THEN -1.0 ELSE 1.0 END AS s
+        |  FROM (SELECT unnest(range(0, 64)) AS i) i,
+        |       (SELECT unnest(range(0, 16)) AS j) j),
+        |f AS (SELECT vec_id, CAST(i AS INT) AS i,
+        |    CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(range(0, len(embedding))) AS i FROM embeddings))
+        |SELECT vec_id, j, round(sum(v * s) / sqrt(16), 4) AS comp
+        |FROM f JOIN m USING (i)
+        |GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
     "hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
          |    CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id < 10),

@@ -210,4 +210,56 @@ object Curation {
             x => x.getField("line")),
           " ").as("text_clean"))
   }
+
+  /** Per-domain quota capping: keep at most `cap` documents per domain,
+    * ranked by a quality score — the "no single domain dominates the
+    * corpus" rule every web-scale mixture applies.
+    *
+    * The scale trap is a hot domain: a plain
+    * `Window.partitionBy(domain)` funnels the whole domain through one
+    * task. Two-phase top-k instead: phase 1 windows on
+    * (domain, input-partition id) — a hot domain spreads across as many
+    * tasks as it has input splits, and each emits at most `cap`
+    * survivors — phase 2 windows on domain alone over the pruned
+    * ≤ cap·P candidate set. Both exchanges are bounded; no task ever
+    * sorts more than its own slice (phase 1) or cap·P rows per domain
+    * (phase 2). Ranking is (score desc, id) so the cut is total-ordered
+    * and engine-reproducible.
+    */
+  def domainQuota(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      scoreCol: String,
+      cap: Int): DataFrame = {
+    val order = Seq(col(scoreCol).desc, col(idCol))
+    val wLocal = Window.partitionBy(col(domainCol), col("_pid")).orderBy(order: _*)
+    val wGlobal = Window.partitionBy(col(domainCol)).orderBy(order: _*)
+    df.select(col(idCol), col(domainCol), col(scoreCol))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrk", row_number().over(wLocal))
+      .filter(col("_lrk") <= cap)
+      .withColumn("rank_in_domain", row_number().over(wGlobal).cast("long"))
+      .filter(col("rank_in_domain") <= cap)
+      .drop("_pid", "_lrk")
+  }
+
+  /** Leak-free train/val/test split: every row inherits its GROUP's
+    * split, where the group is a near-duplicate cluster id (or any other
+    * leakage unit — url host, conversation id). Hashing the group
+    * instead of the row guarantees near-duplicates can never straddle
+    * the train/eval boundary — the contamination mode row-level random
+    * splits always have.
+    *
+    * Assignment is the first hex digit of md5(group): digits 0-1 → val
+    * (1/8 expected), 2-3 → test (1/8), rest → train (3/4). Content-hash
+    * membership, no RNG — reproducible across runs and engines, and a
+    * pure scan-side projection (zero shuffles) given the group column.
+    */
+  def leakFreeSplit(df: DataFrame, groupCol: String): DataFrame = {
+    val digit = expr(
+      s"instr('0123456789abcdef', substring(md5(cast($groupCol AS string)), 1, 1)) - 1")
+    df.withColumn("split",
+      when(digit < 2, "val").when(digit < 4, "test").otherwise("train"))
+  }
 }

@@ -691,4 +691,38 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Johnson-Lindenstrauss random projection: reduce `dIn`-dim embeddings
+    * to `dOut` components with a deterministic ±1 sign matrix,
+    * out_j = Σ_i sign(i,j)·v_i / √dOut. Signs derive from md5 hex parity
+    * (content-addressed, no RNG to ship or seed-sync across executors) —
+    * the same projection is reproducible on any engine, which is also
+    * what makes the DuckDB oracle possible.
+    *
+    * Scale shape: the sign matrix is dIn·dOut rows — KBs — built
+    * executor-side from `range` and BROADCAST; the corpus flattens to a
+    * skinny (id, i, v) stream via posexplode and the contraction is a
+    * broadcast join + partial-aggregated groupBy on (id, j). Nothing
+    * collects to the driver; the n·dIn·dOut intermediate is the honest
+    * cost of a dense matmul and map-side combine collapses it to n·dOut
+    * before the exchange. Returns (idCol, j, comp) skinny form. */
+  def randomProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dIn: Int,
+      dOut: Int): DataFrame = {
+    val mat = df.sparkSession.range(dIn.toLong * dOut)
+      .select(
+        (col("id") / dOut).cast("int").as("i"),
+        (col("id") % dOut).cast("int").as("j"))
+      .withColumn("s", when(
+        expr("instr('13579bdf', substring(md5(concat(cast(i AS string), '_', cast(j AS string))), 1, 1))") > 0,
+        -1.0).otherwise(1.0))
+    val flat = df.select(col(idCol),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "v")))
+    flat.join(broadcast(mat), "i")
+      .groupBy(col(idCol), col("j"))
+      .agg(round(sum(col("v") * col("s")) / math.sqrt(dOut.toDouble), 4).as("comp"))
+  }
 }

@@ -372,4 +372,66 @@ object TextAnalysis {
           col("symbol_ratio") <= 0.1)
       .drop("_tk")
   }
+
+  /** Top-k word collocations by pointwise mutual information,
+    * PMI(w1,w2) = ln( c(w1 w2)·N / (c(w1·)·c(·w2)) ) over the corpus's
+    * adjacent-bigram stream — the standard phrase-mining signal
+    * ("new york", "machine learning") a tokenizer-vocabulary or
+    * phrase-merging pass consumes.
+    *
+    * Scale shape: the per-occurrence bigram stream is the one expensive
+    * map stage and is materialized once (the [[lmScore]] pattern); the
+    * three count tables (bigram, left-slot, right-slot) are
+    * partial-aggregated groupBys over it; the scoring join keys on
+    * word-level cardinality (vocabulary-sized, hash-distributed), the
+    * 1-row N is a broadcast, and the top-k is a TakeOrdered (no global
+    * sort materialization). minCount prunes the long tail BEFORE the
+    * scoring joins, which is what keeps the join input collocation-sized
+    * rather than corpus-sized.
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      textCol: String = "text",
+      minCount: Long = 5L,
+      topK: Int = 50): DataFrame = {
+    val stream = Materialize.index(
+      df.select(explode(DedupOps.shingles(textCol, 2)).as("b"))
+        .withColumn("w1", expr("split_part(b, ' ', 1)"))
+        .withColumn("w2", expr("split_part(b, ' ', 2)")),
+      "pmi-bigrams")
+    val n = stream.agg(count(lit(1)).as("n"))
+    val cb = stream.groupBy("b", "w1", "w2").agg(count(lit(1)).as("cb"))
+    val c1 = stream.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c2 = stream.groupBy("w2").agg(count(lit(1)).as("c2"))
+    cb.filter(col("cb") >= minCount)
+      .join(c1, "w1")
+      .join(c2, "w2")
+      .crossJoin(broadcast(n)) // 1-row scalar — the broadcast idiom
+      .select(
+        col("b").as("bigram"),
+        col("cb").as("n_pair"),
+        round(log(col("cb") * col("n") / (col("c1") * col("c2"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(topK)
+  }
+
+  /** Deterministic text normalization — the cheap cleanup every corpus
+    * gets before hashing/tokenization: lowercase, non-printable bytes to
+    * spaces, whitespace runs collapsed, ends trimmed. RE2-compatible
+    * patterns only (no lookarounds), so the identical regexes run in
+    * Spark and DuckDB. Pure zero-shuffle projection — scan speed, and
+    * the normalized column prunes down to just `textCol`. */
+  def normalizeText(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^ -~]", " "), " +", " "))
+    df.select(
+      col(idCol),
+      norm.as("norm_text"),
+      length(col(textCol)).cast("long").as("n_chars_raw"),
+      length(norm).cast("long").as("n_chars_norm"),
+      (norm =!= col(textCol)).as("changed"))
+  }
 }

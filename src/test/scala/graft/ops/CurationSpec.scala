@@ -167,6 +167,62 @@ class CurationSpec extends AnyFunSuite with Matchers {
     Materialize.dropAll()
   }
 
+  // ------------------------------------------------------ domain quota
+  test("domainQuota: two-phase top-k matches the naive global window") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("dom", StringType),
+      StructField("sc", DoubleType)))
+    // one hot domain (200 rows), several small ones, deliberate score ties
+    val rows = (1L to 200L).map(i => Row(i, "hot", (i % 13).toDouble)) ++
+      (201L to 230L).map(i => Row(i, s"d${i % 3}", (i % 7).toDouble))
+    val d = spark.createDataFrame(rows.asJava, schema).repartition(8)
+    val got = Curation.domainQuota(d, "id", "dom", "sc", cap = 5)
+      .collect()
+      .map(r => (r.getAs[String]("dom"), r.getAs[Long]("rank_in_domain"), r.getLong(0)))
+      .sortBy(t => (t._1, t._2))
+    val ref = rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._2).toSeq.flatMap { case (dom, rs) =>
+        rs.sortBy { case (id, _, sc) => (-sc, id) }.take(5).zipWithIndex
+          .map { case ((id, _, _), i) => (dom, i + 1L, id) }
+      }.sortBy(t => (t._1, t._2))
+    got.toSeq shouldBe ref
+    got.count(_._1 == "hot") shouldBe 5
+  }
+
+  test("domainQuota: cap larger than any domain passes everything through") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("dom", StringType),
+      StructField("sc", DoubleType)))
+    val d = spark.createDataFrame(
+      (1L to 30L).map(i => Row(i, s"d${i % 4}", 1.0)).asJava, schema)
+    Curation.domainQuota(d, "id", "dom", "sc", cap = 100).count() shouldBe 30L
+  }
+
+  // --------------------------------------------------- leak-free split
+  test("leakFreeSplit: same group always lands in the same split; all splits occur") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("grp", LongType)))
+    val d = spark.createDataFrame(
+      (1L to 400L).map(i => Row(i, i % 50)).asJava, schema)
+    val rows = Curation.leakFreeSplit(d, "grp").collect()
+      .map(r => (r.getAs[Long]("grp"), r.getAs[String]("split")))
+    rows.groupBy(_._1).values.foreach { members =>
+      members.map(_._2).distinct.length shouldBe 1 // no straddling
+    }
+    rows.map(_._2).distinct.sorted shouldBe Array("test", "train", "val")
+    // train is the bulk (12/16 of hash space)
+    val byFreq = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    byFreq("train") should be > byFreq("val")
+    byFreq("train") should be > byFreq("test")
+  }
+
+  test("leakFreeSplit plan: pure projection, no exchange") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("grp", LongType)))
+    val d = spark.createDataFrame((1L to 5L).map(i => Row(i, i)).asJava, schema)
+    physicalPlan(Curation.leakFreeSplit(d, "grp")) should not include "Exchange"
+  }
+
   // --------------------------------------------------------- count-min
   test("CMS invariant: estimate >= exact for every key; grid mass = d * rows") {
     val schema = StructType(Seq(StructField("k", LongType)))

@@ -756,4 +756,81 @@ class OpsSpec extends AnyFunSuite with Matchers {
     plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
       .foreach(_ should (include("doc_id") or include("cls") or include("cat") or include("w#")))
   }
+
+  test("pmi collocations: perfect pair tops the list, hand-checked pmi value") {
+    // "new york" always co-occurs (10 times); on this corpus every
+    // surviving pair happens to score ln 3, so the deterministic
+    // (pmi desc, bigram asc) ordering is what the second half pins.
+    val rows = (1L to 10L).map(i =>
+      (i, if (i % 2 == 0) "new york the cat" else "new york the dog"))
+    val out = TextAnalysis.pmiCollocations(docs(rows: _*), minCount = 2L, topK = 10)
+      .collect().map(r => r.getAs[String]("bigram") ->
+        (r.getAs[Long]("n_pair"), r.getAs[Double]("pmi"))).toMap
+    // stream: 30 bigrams total; "new york" 10/30, c1(new)=10, c2(york)=10
+    // pmi = ln(10*30 / (10*10)) = ln 3
+    out("new york") shouldBe ((10L, BigDecimal(math.log(3.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // "the cat": c(pair)=5, c1(the)=10, c2(cat)=5 -> ln(5*30/50) = ln 3 too;
+    // but "york the" is also ln(10*30/(10*10)) = ln 3. All valid pairs
+    // surface; ranking is (pmi desc, bigram asc) and deterministic.
+    val ordered = TextAnalysis.pmiCollocations(docs(rows: _*), minCount = 2L, topK = 10)
+      .collect().map(_.getAs[String]("bigram"))
+    ordered.toSeq shouldBe ordered.sortBy(b => (-out(b)._2, b)).toSeq
+    Materialize.dropAll()
+  }
+
+  test("text normalization: control bytes, case, runs, and ends; changed flag") {
+    val d = docs(
+      (1L, "Hello\u0007  World\t"),  // bell + double space + tab
+      (2L, "already clean"))
+    val out = TextAnalysis.normalizeText(d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[String]("norm_text"),
+        r.getAs[Long]("n_chars_raw"), r.getAs[Long]("n_chars_norm"),
+        r.getAs[Boolean]("changed"))).toMap
+    out(1L) shouldBe (("hello world", 14L, 11L, true))
+    out(2L) shouldBe (("already clean", 13L, 13L, false))
+  }
+
+  test("text normalization plan: zero shuffles (rides the scan)") {
+    val plan = TextAnalysis.normalizeText(docs((1L, "x")))
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
+  test("random projection: matches a local matmul with the same sign matrix") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val vecs = Seq(
+      1L -> Array.tabulate(8)(i => (i + 1).toFloat / 10f),
+      2L -> Array.tabulate(8)(i => (8 - i).toFloat / 5f))
+    val d = spark.createDataFrame(
+      vecs.map { case (id, v) => Row(id, v) }.asJava, schema)
+    val got = Similarity.randomProject(d, "vec_id", "embedding", dIn = 8, dOut = 4)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("j")) -> r.getAs[Double]("comp"))
+      .toMap
+    def sign(i: Int, j: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_$j".getBytes("UTF-8"))
+      val hex = f"${(md(0) >> 4) & 0xf}%x"
+      if ("13579bdf".contains(hex)) -1.0 else 1.0
+    }
+    for ((id, v) <- vecs; j <- 0 until 4) {
+      val expect = (0 until 8).map(i => v(i).toDouble * sign(i, j)).sum / math.sqrt(4.0)
+      got((id, j)) shouldBe BigDecimal(expect)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+    }
+  }
+
+  test("random projection plan: sign matrix broadcasts; corpus side never collects") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val d = spark.createDataFrame(
+      Seq(Row(1L, Array.fill(8)(0.5f))).asJava, schema)
+    val plan = Similarity.randomProject(d, "vec_id", "embedding", 8, 4)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "CollectLimit"
+  }
 }
