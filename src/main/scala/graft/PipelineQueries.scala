@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Classify, CountMin, Curation, Dedup, Hll, Similarity, Skew, TextAnalysis}
+import graft.ops.{Classify, CountMin, Curation, Dedup, Hll, Quantile, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -996,6 +996,76 @@ object PipelineQueries {
         dIn = 64, dOut = 16)
       .orderBy("vec_id", "j")
 
+  /** Fuzzy decontamination ([[graft.ops.Dedup.crossSetNearDups]]): max
+    * verified Jaccard of each training doc against the benchmark split
+    * (src0) via cross-set MinHash banding — catches the lightly-edited
+    * copies the exact 8-gram `decontaminate` misses. */
+  def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.crossSetNearDups(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Content-defined chunking ([[graft.ops.TextAnalysis.cdcChunks]]):
+    * Rabin-style cut points from an 8-char rolling window, ~1/64 cut
+    * probability per position. */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cdcChunks(t(s, dir, "documents"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Log-histogram quantile sketch ([[graft.ops.Quantile]]) over event
+    * amounts in cents, with the exact percentile and the realized
+    * relative error alongside — the sketch's ≤25% midpoint bound is
+    * itself oracle-checked. */
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val cents = t(s, dir, "events")
+      .select(round(col("value") * 100, 0).cast("long").as("c"))
+    val ests = Quantile.quantileEstimates(
+      Quantile.logHist(cents, col("c")), Seq(0.5, 0.9, 0.99))
+    val exactTall = cents
+      .agg(
+        expr("percentile(c, 0.5)").as("e50"),
+        expr("percentile(c, 0.9)").as("e90"),
+        expr("percentile(c, 0.99)").as("e99"))
+      .select(explode(map(
+        lit(0.5), col("e50"), lit(0.9), col("e90"), lit(0.99), col("e99")))
+        .as(Seq("q", "exact")))
+    ests.join(broadcast(exactTall), "q")
+      .select(col("q"), round(col("est"), 4).as("est"),
+        round(col("exact"), 4).as("exact"),
+        round(abs(col("est") - col("exact")) / col("exact"), 4).as("rel_err"))
+      .orderBy("q")
+  }
+
+  /** Context-length padding-waste analysis: for each candidate sequence
+    * length, per-language document count, token total, sequence count
+    * (one doc per padded sequence), and the padding fraction — the
+    * "pick the context length" planning table. Pure integer arithmetic
+    * ((n+c-1) div c), one partial-agg shuffle after a broadcast explode
+    * of the 4-row context list. */
+  def packEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val ctxs = Seq(128, 256, 512, 1024)
+    t(s, dir, "documents")
+      .select(col("lang"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_toks"))
+      .select(col("lang"), col("n_toks"),
+        explode(array(ctxs.map(c => lit(c)): _*)).as("ctx"))
+      .withColumn("n_seqs", expr("(n_toks + ctx - 1) div ctx"))
+      .groupBy("ctx", "lang")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("n_toks").as("total_toks"),
+        sum("n_seqs").as("total_seqs"))
+      .select(col("ctx"), col("lang"), col("n_docs"), col("total_toks"),
+        col("total_seqs"),
+        round(lit(1.0) - col("total_toks") * 1.0 / (col("total_seqs") * col("ctx")), 4)
+          .as("pad_frac"))
+      .orderBy("ctx", "lang")
+  }
+
   /** Hard-negative mining ([[graft.ops.Similarity.hardNegatives]]): per
     * query, the 5 most-similar vectors with a DIFFERENT label — the
     * contrastive-training negative-sampling step. */
@@ -1098,6 +1168,10 @@ object PipelineQueries {
     "pmi_collocations" -> (pmiCollocations _),
     "text_normalize" -> (textNormalize _),
     "embed_project" -> (embedProject _),
+    "decontaminate_fuzzy" -> (decontaminateFuzzy _),
+    "cdc_chunks" -> (cdcChunks _),
+    "quantile_sketch" -> (quantileSketch _),
+    "pack_efficiency" -> (packEfficiency _),
     "approx_distinct" -> (approxDistinctUsers _),
     "embed_pq_codes" -> (embedPqCodes _),
     "embed_knn_pq" -> (embedKnnPq _),
@@ -1601,6 +1675,86 @@ object PipelineQueries {
         |SELECT vec_id, j, round(sum(v * s) / sqrt(16), 4) AS comp
         |FROM f JOIN m USING (i)
         |GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
+    "decontaminate_fuzzy" ->
+      s"""WITH tr AS (SELECT * FROM documents WHERE source <> 'src0'),
+         |be AS (SELECT * FROM documents WHERE source = 'src0'),
+         |st AS (SELECT doc_id, ${duckMinhash(0)} AS h0, ${duckMinhash(1)} AS h1,
+         |    ${duckMinhash(2)} AS h2, ${duckMinhash(3)} AS h3 FROM tr),
+         |sb AS (SELECT doc_id, ${duckMinhash(0)} AS h0, ${duckMinhash(1)} AS h1,
+         |    ${duckMinhash(2)} AS h2, ${duckMinhash(3)} AS h3 FROM be),
+         |bt AS (SELECT doc_id, md5(h0 || '|' || h1) AS band0, md5(h2 || '|' || h3) AS band1 FROM st),
+         |bb AS (SELECT doc_id, md5(h0 || '|' || h1) AS band0, md5(h2 || '|' || h3) AS band1 FROM sb),
+         |cand AS (
+         |  SELECT DISTINCT t.doc_id AS tid, b.doc_id AS bid FROM bt t JOIN bb b ON t.band0 = b.band0
+         |  UNION
+         |  SELECT DISTINCT t.doc_id, b.doc_id FROM bt t JOIN bb b ON t.band1 = b.band1),
+         |tkt AS (SELECT doc_id, list_distinct($toks) AS ts FROM tr),
+         |tkb AS (SELECT doc_id, list_distinct($toks) AS ts FROM be),
+         |mj AS (SELECT tid,
+         |    max(round(len(list_intersect(a.ts, b.ts)) /
+         |      len(list_distinct(list_concat(a.ts, b.ts))), 4)) AS max_jac
+         |  FROM cand JOIN tkt a ON a.doc_id = tid JOIN tkb b ON b.doc_id = bid
+         |  GROUP BY tid)
+         |SELECT t.doc_id, coalesce(mj.max_jac, 0.0) AS max_jac,
+         |  coalesce(mj.max_jac, 0.0) >= 0.5 AS contaminated
+         |FROM tr t LEFT JOIN mj ON mj.tid = t.doc_id ORDER BY doc_id""".stripMargin,
+    "cdc_chunks" ->
+      """WITH c AS (SELECT doc_id, text,
+        |    list_filter(range(8, length(text) + 1),
+        |      p -> (instr('0123456789abcdef',
+        |              substring(md5(substring(text, CAST(p - 7 AS INT), 8)), 1, 1)) - 1) * 16
+        |         + (instr('0123456789abcdef',
+        |              substring(md5(substring(text, CAST(p - 7 AS INT), 8)), 2, 1)) - 1) < 4) AS cuts
+        |  FROM documents),
+        |u AS (SELECT doc_id, text, cuts, unnest(range(0, len(cuts) + 1)) AS i FROM c),
+        |ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |    substring(text,
+        |      CAST(CASE WHEN i = 0 THEN 1 ELSE cuts[CAST(i AS INT)] + 1 END AS INT),
+        |      CAST((CASE WHEN i = CAST(len(cuts) AS BIGINT) THEN length(text)
+        |              ELSE cuts[CAST(i + 1 AS INT)] END)
+        |        - (CASE WHEN i = 0 THEN 0 ELSE cuts[CAST(i AS INT)] END) AS INT)) AS chunk
+        |  FROM u)
+        |SELECT doc_id, chunk_id, CAST(length(chunk) AS BIGINT) AS chunk_len,
+        |  md5(chunk) AS chunk_md5
+        |FROM ch WHERE length(chunk) > 0 ORDER BY doc_id, chunk_id""".stripMargin,
+    "quantile_sketch" ->
+      """WITH c AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+        |h AS (SELECT CAST(length(bin(c)) AS INT) AS oct,
+        |    CASE WHEN length(bin(c)) = 1 THEN 0
+        |         ELSE CAST(substring(bin(c), 2, 1) AS INT) END AS half,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM c GROUP BY 1, 2),
+        |w AS (SELECT oct, half,
+        |    CAST(sum(cnt) OVER (ORDER BY oct, half ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS n FROM h),
+        |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |    CAST(0.99 AS DOUBLE)]) AS q),
+        |sel AS (SELECT q, oct, half,
+        |    CASE WHEN oct = 1 THEN 1.0
+        |         ELSE pow(2.0, oct - 1) + half * pow(2.0, oct - 2)
+        |            + pow(2.0, oct - 2) / 2.0 END AS est,
+        |    row_number() OVER (PARTITION BY q ORDER BY oct, half) AS rn
+        |  FROM w CROSS JOIN qs WHERE cum >= ceil(n * q)),
+        |ex AS (SELECT quantile_cont(c, 0.5) AS e50, quantile_cont(c, 0.9) AS e90,
+        |    quantile_cont(c, 0.99) AS e99 FROM c),
+        |tall AS (SELECT CAST(0.5 AS DOUBLE) AS q, e50 AS exact FROM ex
+        |  UNION ALL SELECT CAST(0.9 AS DOUBLE), e90 FROM ex
+        |  UNION ALL SELECT CAST(0.99 AS DOUBLE), e99 FROM ex)
+        |SELECT s.q, round(s.est, 4) AS est, round(t.exact, 4) AS exact,
+        |  round(abs(s.est - t.exact) / t.exact, 4) AS rel_err
+        |FROM (SELECT q, est FROM sel WHERE rn = 1) s JOIN tall t USING (q)
+        |ORDER BY q""".stripMargin,
+    "pack_efficiency" ->
+      """WITH cx AS (SELECT unnest([128, 256, 512, 1024]) AS ctx),
+        |d AS (SELECT lang, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |e AS (SELECT ctx, lang, n_toks, (n_toks + ctx - 1) // ctx AS n_seqs
+        |  FROM d CROSS JOIN cx)
+        |SELECT ctx, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS total_toks,
+        |  CAST(sum(n_seqs) AS BIGINT) AS total_seqs,
+        |  round(1.0 - sum(n_toks) * 1.0 / (sum(n_seqs) * ctx), 4) AS pad_frac
+        |FROM e GROUP BY ctx, lang ORDER BY ctx, lang""".stripMargin,
     "hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
          |    CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id < 10),

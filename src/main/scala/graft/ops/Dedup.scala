@@ -200,6 +200,56 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
 
+  /** Fuzzy decontamination: per TRAINING document, the maximum verified
+    * n-gram Jaccard against any BENCHMARK document that shares a MinHash
+    * band — catches lightly-edited benchmark copies the exact-substring
+    * decontaminator misses (it needs 8 verbatim words in a row; a
+    * synonym swap every 7 words defeats it, but barely moves Jaccard).
+    *
+    * Scale shape: cross-set banding, not a self-join — each side
+    * computes signatures scan-side, candidates come from an equi-join on
+    * (band index, band hash), and the benchmark side is DISTINCT-reduced
+    * and orders of magnitude smaller than the corpus (the decontaminate
+    * pattern), so the join broadcasts. Only banded candidates pay the
+    * exact-Jaccard verify; training docs with no shared band short to
+    * max_jac 0 via LEFT join + coalesce. One corpus scan, no pair
+    * explosion.
+    *
+    * Returns every training row: (idCol, max_jac, contaminated). */
+  def crossSetNearDups(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 4,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    def banded(df: DataFrame, side: String) = {
+      val bandCols = (0 until nBands).map(b => col(s"band$b"))
+      lshBands(minhashSignatures(df, textCol, numHashes), numHashes, rowsPerBand)
+        .select(col(idCol).as(side),
+          posexplode(array(bandCols: _*)).as(Seq("band_idx", "bk")))
+    }
+    val tok = Materialize.index(
+      train.select(col(idCol), array_distinct(split(lower(col(textCol)), " ")).as("toks"))
+        .unionByName(
+          bench.select(col(idCol), array_distinct(split(lower(col(textCol)), " ")).as("toks"))),
+      "decon-toks")
+    val cand = banded(train, "tid")
+      .join(broadcast(banded(bench, "bid")), Seq("band_idx", "bk"))
+      .select("tid", "bid").distinct()
+    val jac = cand
+      .join(tok.select(col(idCol).as("tid"), col("toks").as("toks_t")), "tid")
+      .join(tok.select(col(idCol).as("bid"), col("toks").as("toks_b")), "bid")
+      .groupBy("tid")
+      .agg(max(round(jaccard(col("toks_t"), col("toks_b")), 4)).as("max_jac"))
+    train.select(col(idCol))
+      .join(jac.withColumnRenamed("tid", idCol), Seq(idCol), "left")
+      .withColumn("max_jac", coalesce(col("max_jac"), lit(0.0)))
+      .withColumn("contaminated", col("max_jac") >= threshold)
+  }
+
   /** 16-dimension SimHash over word tokens, as a 16-char bit string.
     * Dimension i's +1/-1 vote is hex digit i of md5(token) vs its 7.5
     * midpoint; kept in exact integer arithmetic (2*sum > 15*n). */

@@ -415,6 +415,50 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Content-defined chunking (Rabin-style CDC, the dedup-storage /
+    * incremental-ingest segmentation): a cut happens after position p
+    * whenever the hash of the `window`-char run ending at p lands in the
+    * boundary set (first two md5 hex chars clear the `maskBits` high
+    * bits → P = 2^-maskBits per position, expected chunk ≈ 2^maskBits
+    * chars). Because boundaries depend only on LOCAL content, inserting
+    * a byte re-chunks just the neighborhood — unlike fixed-size chunks
+    * where one insertion shifts every later boundary — which is the
+    * whole point for chunk-level dedup of evolving corpora.
+    *
+    * Pure zero-shuffle projection: cuts are a higher-order filter over
+    * the doc's own positions, chunks explode from the cut list; per-doc
+    * work is O(len·window) md5s, embarrassingly parallel, codegen'd.
+    * Returns (idCol, chunk_id, chunk_len, chunk_md5) skinny rows. */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      window: Int = 8,
+      maskBits: Int = 6): DataFrame = {
+    val thresh = 256 >> maskBits // first-2-hex-char value below this → cut
+    // sequence(a, b) DESCENDS when a > b — short docs must short-circuit
+    // to an empty cut list, and conv() returns a string, so cast before
+    // the numeric compare.
+    val cuts = expr(
+      s"""CASE WHEN length($textCol) < $window THEN cast(array() AS array<int>)
+         |ELSE filter(sequence($window, length($textCol)),
+         |  p -> cast(conv(substring(md5(substring($textCol, p - ${window - 1}, $window)), 1, 2), 16, 10) AS int)
+         |       < $thresh) END""".stripMargin)
+    val chunks = expr(
+      s"""transform(sequence(0, size(_cuts)),
+         |  i -> substring($textCol,
+         |    IF(i = 0, 1, element_at(_cuts, i) + 1),
+         |    IF(i = size(_cuts), length($textCol), element_at(_cuts, i + 1))
+         |      - IF(i = 0, 0, element_at(_cuts, i))))""".stripMargin)
+    df.select(col(idCol), col(textCol))
+      .withColumn("_cuts", cuts)
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk")))
+      .filter(length(col("chunk")) > 0)
+      .select(col(idCol), col("chunk_id"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+  }
+
   /** Deterministic text normalization — the cheap cleanup every corpus
     * gets before hashing/tokenization: lowercase, non-printable bytes to
     * spaces, whitespace runs collapsed, ends trimmed. RE2-compatible

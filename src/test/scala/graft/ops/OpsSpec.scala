@@ -822,6 +822,78 @@ class OpsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("cross-set near-dups: verbatim and lightly-edited benchmark copies flag; fresh text doesn't") {
+    val bench = docs((100L, "the quick brown fox jumps over the lazy dog again and again today"))
+    val train = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"), // verbatim
+      (2L, "the quick brown fox leaps over the lazy dog again and again today"), // 1-word edit
+      (3L, "completely unrelated text about training data pipelines at scale"))
+    val out = Dedup.crossSetNearDups(train, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("max_jac"), r.getAs[Boolean]("contaminated"))).toMap
+    out(1L) shouldBe ((1.0, true))
+    out(2L)._1 should be >= 0.7 // 12/14 distinct-token jaccard
+    out(2L)._2 shouldBe true
+    out(3L) shouldBe ((0.0, false))
+    Materialize.dropAll()
+  }
+
+  test("cdc chunks: reassemble to the doc; an insertion only re-chunks the neighborhood") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val edited = base.replace("w30", "w30 inserted")
+    val d = docs((1L, base), (2L, edited), (3L, "tiny")) // doc 3 shorter than the window
+    val out = TextAnalysis.cdcChunks(d, window = 8, maskBits = 4)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("chunk_id"),
+        r.getAs[Long]("chunk_len"), r.getAs[String]("chunk_md5")))
+    // chunk lengths per doc must sum back to the full text
+    out.filter(_._1 == 1L).map(_._3).sum shouldBe base.length.toLong
+    out.filter(_._1 == 2L).map(_._3).sum shouldBe edited.length.toLong
+    out.filter(_._1 == 3L) shouldBe Array((3L, 0, 4L, // one whole-doc chunk
+      out.find(_._1 == 3L).get._4))
+    // translation invariance: chunks strictly after the edit region are
+    // IDENTICAL (same content hash) — fixed-size chunking would shift
+    // every boundary after the insertion
+    val h1 = out.filter(_._1 == 1L).map(_._4)
+    val h2 = out.filter(_._1 == 2L).map(_._4)
+    val shared = h1.toSet intersect h2.toSet
+    withClue(s"doc1 ${h1.length} chunks, doc2 ${h2.length} chunks, shared ${shared.size}: ") {
+      shared should not be empty
+    }
+    // and at least the final chunk survives the edit verbatim
+    h1.last shouldBe h2.last
+  }
+
+  test("quantile sketch: estimates land within the 25% bucket bound; sketch merges cellwise") {
+    val schema = StructType(Seq(StructField("v", LongType)))
+    val vals = (1L to 3000L).map(i => Row(1L + (i * i) % 5000L))
+    val d = spark.createDataFrame(vals.asJava, schema)
+    val hist = Quantile.logHist(d, col("v"))
+    val out = Quantile.quantileEstimates(hist, Seq(0.5, 0.9)).collect()
+      .map(r => r.getAs[Double]("q") -> r.getAs[Double]("est")).toMap
+    val exact = d.select(expr("percentile(v, 0.5)"), expr("percentile(v, 0.9)"))
+      .head()
+    math.abs(out(0.5) - exact.getDouble(0)) / exact.getDouble(0) should be <= 0.25
+    math.abs(out(0.9) - exact.getDouble(1)) / exact.getDouble(1) should be <= 0.25
+    // mergeability: hist(a ∪ b) = cellwise sum of hist(a) + hist(b)
+    val (a, b) = (vals.take(1500), vals.drop(1500))
+    val ha = Quantile.logHist(spark.createDataFrame(a.asJava, schema), col("v"))
+    val hb = Quantile.logHist(spark.createDataFrame(b.asJava, schema), col("v"))
+    val merged = ha.unionByName(hb).groupBy("oct", "half")
+      .agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Long]("cnt")).toMap
+    val whole = hist.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Long]("cnt")).toMap
+    merged shouldBe whole
+  }
+
+  test("quantile sketch plan: one partial-aggregated shuffle; scan side carries no sort") {
+    val schema = StructType(Seq(StructField("v", LongType)))
+    val d = spark.createDataFrame((1L to 10L).map(Row(_)).asJava, schema)
+    val plan = Quantile.logHist(d, col("v")).queryExecution.executedPlan.toString
+    plan should include("partial") // map-side combine before the exchange
+    plan.split("Exchange").length shouldBe 2 // exactly one exchange
+  }
+
   test("random projection plan: sign matrix broadcasts; corpus side never collects") {
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
