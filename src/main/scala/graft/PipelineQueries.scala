@@ -996,6 +996,48 @@ object PipelineQueries {
         dIn = 64, dOut = 16)
       .orderBy("vec_id", "j")
 
+  /** Temperature resampling MATERIALIZED ([[graft.ops.Curation.resampleReplicate]]):
+    * the [[mixTemperature]] up/down-weights turned into an actual
+    * replicated corpus — floor(w) copies per doc plus a
+    * deterministically-hashed fractional copy. */
+  def resampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents").groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(
+      sum("n_docs").as("total"),
+      sum(pow(col("n_docs").cast("double"), 0.7)).as("zsum"))
+    val weights = counts.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        round((pow(col("n_docs").cast("double"), 0.7) / col("zsum")) /
+          (col("n_docs") * 1.0 / col("total")), 4).as("weight"))
+    Curation.resampleReplicate(
+        t(s, dir, "documents").select("doc_id", "lang")
+          .join(broadcast(weights), "lang"),
+        "doc_id", "weight")
+      .select("doc_id", "lang", "weight", "n_copies", "copy_id")
+      .orderBy("doc_id", "copy_id")
+  }
+
+  /** Quality-aware dedup keeper selection
+    * ([[graft.ops.Cluster.priorityKeepers]]): within each near-dup
+    * cluster keep the copy from the best-ranked source instead of the
+    * lowest id. The rank table derives deterministically from the
+    * source names (numeric suffix mod 4). */
+  def dedupPriorityKeeper(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val comp = graft.ops.Cluster
+      .dupClusters(minhashVerifiedPairs(s, dir).select("id_a", "id_b"))
+      .select(col("doc_id"), col("cluster"))
+    val members = docs.select("doc_id", "source")
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val prio = docs.select("source").distinct()
+      .withColumn("rank", expr("cast(substring(source, 4) AS int) % 4"))
+    graft.ops.Cluster.priorityKeepers(members, prio)
+      .select("doc_id", "source", "cluster", "keeper", "is_keeper")
+      .orderBy("doc_id")
+  }
+
   /** Fuzzy decontamination ([[graft.ops.Dedup.crossSetNearDups]]): max
     * verified Jaccard of each training doc against the benchmark split
     * (src0) via cross-set MinHash banding — catches the lightly-edited
@@ -1172,6 +1214,8 @@ object PipelineQueries {
     "cdc_chunks" -> (cdcChunks _),
     "quantile_sketch" -> (quantileSketch _),
     "pack_efficiency" -> (packEfficiency _),
+    "resample_temperature" -> (resampleTemperature _),
+    "dedup_priority_keeper" -> (dedupPriorityKeeper _),
     "approx_distinct" -> (approxDistinctUsers _),
     "embed_pq_codes" -> (embedPqCodes _),
     "embed_knn_pq" -> (embedKnnPq _),
@@ -1675,6 +1719,38 @@ object PipelineQueries {
         |SELECT vec_id, j, round(sum(v * s) / sqrt(16), 4) AS comp
         |FROM f JOIN m USING (i)
         |GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
+    "resample_temperature" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS total, sum(n_docs ** 0.7) AS zsum FROM c),
+        |wt AS (SELECT lang,
+        |    round((n_docs ** 0.7 / zsum) / (n_docs * 1.0 / total), 4) AS weight
+        |  FROM c CROSS JOIN t),
+        |d AS (SELECT doc_id, lang, weight,
+        |    CAST(floor(weight) AS BIGINT) +
+        |    CASE WHEN instr('0123456789abcdef',
+        |        substring(md5(CAST(doc_id AS VARCHAR) || '|rep'), 1, 1)) - 1
+        |      < round((weight - floor(weight)) * 16, 4) THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents JOIN wt USING (lang))
+        |SELECT doc_id, lang, weight, n_copies, CAST(copy_id AS BIGINT) AS copy_id
+        |FROM (SELECT doc_id, lang, weight, n_copies,
+        |        unnest(range(1, n_copies + 1)) AS copy_id FROM d)
+        |ORDER BY doc_id, copy_id""".stripMargin,
+    "dedup_priority_keeper" ->
+      s"""WITH RECURSIVE $duckClusterCtes,
+         |mem AS (SELECT d.doc_id, d.source, coalesce(c.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         |pr AS (SELECT DISTINCT source,
+         |    CAST(substring(source, 4) AS INT) % 4 AS rank FROM documents),
+         |mr AS (SELECT m.doc_id, m.source, m.cluster, p.rank
+         |  FROM mem m JOIN pr p USING (source)),
+         |k AS (SELECT cluster, doc_id AS keeper,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY rank, doc_id) AS rn
+         |  FROM mr)
+         |SELECT m.doc_id, m.source, m.cluster, k.keeper,
+         |  m.doc_id = k.keeper AS is_keeper
+         |FROM mr m JOIN (SELECT cluster, keeper FROM k WHERE rn = 1) k USING (cluster)
+         |ORDER BY doc_id""".stripMargin,
     "decontaminate_fuzzy" ->
       s"""WITH tr AS (SELECT * FROM documents WHERE source <> 'src0'),
          |be AS (SELECT * FROM documents WHERE source = 'src0'),

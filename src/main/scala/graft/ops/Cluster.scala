@@ -215,4 +215,31 @@ object Cluster {
     labels.join(sizes, "label")
       .select(col("node").as("doc_id"), col("label").as("cluster"), col("csize"))
   }
+
+  /** Quality-aware keeper selection: within each near-dup cluster keep
+    * the member from the BEST source (lowest priority rank), not the
+    * lowest id — production dedup prefers the curated copy of a page
+    * over the scraped one. Tie-break inside a rank is doc id, so the
+    * choice is total-ordered and engine-reproducible.
+    *
+    * Scale shape: `members` is (docCol, clusterCol) plus whatever the
+    * caller carries; `priorities` is a tiny (sourceCol, rank) dimension
+    * that BROADCASTS; the argmin is one min-of-struct partial aggregate
+    * on the cluster key joined back to the members — two bounded
+    * shuffles on cluster, no windows over data-sized partitions.
+    * Returns every member row + (keeper, is_keeper). */
+  def priorityKeepers(
+      members: DataFrame,
+      priorities: DataFrame,
+      docCol: String = "doc_id",
+      clusterCol: String = "cluster",
+      sourceCol: String = "source",
+      rankCol: String = "rank"): DataFrame = {
+    val ranked = members.join(broadcast(priorities), Seq(sourceCol))
+    val keepers = ranked.groupBy(clusterCol)
+      .agg(min(struct(col(rankCol), col(docCol))).as("_best"))
+      .select(col(clusterCol), col(s"_best.$docCol").as("keeper"))
+    ranked.join(keepers, clusterCol)
+      .withColumn("is_keeper", col(docCol) === col("keeper"))
+  }
 }

@@ -256,6 +256,37 @@ object Curation {
     * membership, no RNG — reproducible across runs and engines, and a
     * pure scan-side projection (zero shuffles) given the group column.
     */
+  /** Materialize a weighted mixture by integer replication: each row
+    * emits floor(w) copies plus one more with probability frac(w),
+    * decided by a content-derived hex digit (no RNG — the same doc
+    * always resolves the same way, across runs and engines). This is
+    * the step that turns [[graft.PipelineQueries.mixTemperature]]'s
+    * up/down-weights into an actual resampled corpus: w ≥ 1 languages
+    * replicate, w < 1 languages thin to a deterministic subset.
+    *
+    * The fractional compare (digit < 16·frac) rounds to 4 decimals
+    * first so a pow()-derived weight can't flip acceptance on engine
+    * ulp. Zero-shuffle: weight arrives pre-joined (broadcast-sized per
+    * group), the explode is a generator riding the scan, and rows with
+    * n_copies = 0 never materialize.
+    */
+  def resampleReplicate(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String): DataFrame = {
+    val digit = expr(
+      s"instr('0123456789abcdef', substring(md5(concat(cast($idCol AS string), '|rep')), 1, 1)) - 1")
+    val extra = when(
+      digit < round((col(weightCol) - floor(col(weightCol))) * 16, 4), 1L)
+      .otherwise(0L)
+    df.withColumn("n_copies", floor(col(weightCol)).cast("long") + extra)
+      // sequence(1, 0) DESCENDS in Spark — zero-copy rows need an
+      // explicit empty list, and explode drops them entirely
+      .withColumn("copy_id", explode(expr(
+        "CASE WHEN n_copies < 1 THEN cast(array() AS array<bigint>) " +
+          "ELSE sequence(1L, n_copies) END")))
+  }
+
   def leakFreeSplit(df: DataFrame, groupCol: String): DataFrame = {
     val digit = expr(
       s"instr('0123456789abcdef', substring(md5(cast($groupCol AS string)), 1, 1)) - 1")

@@ -223,6 +223,53 @@ class CurationSpec extends AnyFunSuite with Matchers {
     physicalPlan(Curation.leakFreeSplit(d, "grp")) should not include "Exchange"
   }
 
+  // ------------------------------------------------- weighted replicate
+  test("resampleReplicate: integer weights replicate exactly; fractional part is a hash subset") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("w", DoubleType)))
+    val d = spark.createDataFrame(
+      ((1L to 40L).map(i => Row(i, 2.0)) ++ (41L to 80L).map(i => Row(i, 0.25))).asJava,
+      schema)
+    val out = Curation.resampleReplicate(d, "id", "w").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_copies"), r.getAs[Long]("copy_id")))
+    // w = 2.0: every doc exactly twice, copy ids 1 and 2
+    val whole = out.filter(_._1 <= 40L)
+    whole.length shouldBe 80
+    whole.groupBy(_._1).values.foreach(_.map(_._3).sorted shouldBe Array(1L, 2L))
+    // w = 0.25: only docs whose hash digit < 4 survive, exactly once —
+    // a deterministic subset, the same one on every run
+    val frac = out.filter(_._1 > 40L)
+    frac.foreach(_._2 shouldBe 1L)
+    val again = Curation.resampleReplicate(d, "id", "w").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("copy_id"))).sorted
+    again shouldBe out.map(t => (t._1, t._3)).sorted
+    frac.length should (be > 0 and be < 40) // thinned, not empty/full
+  }
+
+  // --------------------------------------------------- priority keeper
+  test("priorityKeepers: best-ranked source wins the cluster; ties break by id") {
+    val mSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("cluster", LongType)))
+    val pSchema = StructType(Seq(
+      StructField("source", StringType), StructField("rank", IntegerType)))
+    val members = spark.createDataFrame(Seq(
+      Row(1L, "scrape", 1L), Row(2L, "curated", 1L), Row(3L, "scrape", 1L),
+      Row(4L, "scrape", 4L), Row(5L, "scrape", 4L),
+      Row(6L, "curated", 6L)).asJava, mSchema)
+    val prio = spark.createDataFrame(Seq(
+      Row("curated", 0), Row("scrape", 1)).asJava, pSchema)
+    val out = graft.ops.Cluster.priorityKeepers(members, prio).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("keeper"), r.getAs[Boolean]("is_keeper"))).toMap
+    out(1L) shouldBe ((2L, false)) // curated doc 2 beats lower-id scrape doc 1
+    out(2L) shouldBe ((2L, true))
+    out(3L) shouldBe ((2L, false))
+    out(4L) shouldBe ((4L, true))  // all-scrape cluster: min id wins
+    out(5L) shouldBe ((4L, false))
+    out(6L) shouldBe ((6L, true))  // singleton keeps itself
+  }
+
   // --------------------------------------------------------- count-min
   test("CMS invariant: estimate >= exact for every key; grid mass = d * rows") {
     val schema = StructType(Seq(StructField("k", LongType)))

@@ -240,6 +240,33 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming quantile sketch buckets merge across micro-batches to the batch sketch") {
+    // Like the HLL registers: the log-histogram's merge is a plain count
+    // sum, so the identical logHist code runs as a streaming aggregation
+    // and any micro-batch split must yield the batch sketch bit-for-bit
+    // — and therefore identical quantile estimates.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vals = (1 until 500).map(i => 1L + (i.toLong * 37) % 3000)
+    val input = MemoryStream[Long]
+    val streamedHist = graft.ops.Quantile.logHist(input.toDF().toDF("v"), col("v"))
+    val q = streamedHist.writeStream.queryName("qsketch_stream")
+      .outputMode(OutputMode.Complete()).format("memory").start()
+    try {
+      input.addData(vals.take(200): _*)
+      q.processAllAvailable()
+      input.addData(vals.drop(200): _*)
+      q.processAllAvailable()
+      val got = graft.ops.Quantile.quantileEstimates(
+        spark.table("qsketch_stream"), Seq(0.5, 0.9)).collect()
+        .map(r => r.getAs[Double]("q") -> r.getAs[Double]("est")).toMap
+      val batch = graft.ops.Quantile.quantileEstimates(
+        graft.ops.Quantile.logHist(vals.toDF("v"), col("v")), Seq(0.5, 0.9))
+        .collect().map(r => r.getAs[Double]("q") -> r.getAs[Double]("est")).toMap
+      got shouldBe batch
+    } finally q.stop()
+  }
+
   test("salted join spreads a hot key and matches the plain join result") {
     import scala.jdk.CollectionConverters._
     val factSchema = StructType(Seq(
