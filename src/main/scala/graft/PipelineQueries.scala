@@ -996,6 +996,27 @@ object PipelineQueries {
         dIn = 64, dOut = 16)
       .orderBy("vec_id", "j")
 
+  /** Chunk-containment dedup ([[graft.ops.Dedup.cdcOverlapPairs]]) over
+    * [[graft.ops.TextAnalysis.cdcChunks]] — the storage-dedup
+    * composition: shared-chunk containment catches engulfed/mosaic
+    * duplicates pair-Jaccard dilutes away. */
+  def dedupCdcOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcOverlapPairs(
+        TextAnalysis.cdcChunks(t(s, dir, "documents")), "doc_id", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** Embedding outliers ([[graft.ops.Similarity.labelOutliers]]):
+    * distance-to-label-centroid z-scores — the quarantine filter before
+    * ANN indexing. */
+  def embedOutliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelOutliers(t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+      .orderBy("vec_id")
+
+  /** Lexical coverage ([[graft.ops.TextAnalysis.oovRate]]): per-doc OOV
+    * rate against the corpus's own top-1000 word vocabulary. */
+  def oovRateQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovRate(t(s, dir, "documents")).orderBy("doc_id")
+
   /** Temperature resampling MATERIALIZED ([[graft.ops.Curation.resampleReplicate]]):
     * the [[mixTemperature]] up/down-weights turned into an actual
     * replicated corpus — floor(w) copies per doc plus a
@@ -1216,6 +1237,9 @@ object PipelineQueries {
     "pack_efficiency" -> (packEfficiency _),
     "resample_temperature" -> (resampleTemperature _),
     "dedup_priority_keeper" -> (dedupPriorityKeeper _),
+    "dedup_cdc_overlap" -> (dedupCdcOverlap _),
+    "embed_outliers" -> (embedOutliers _),
+    "oov_rate" -> (oovRateQ _),
     "approx_distinct" -> (approxDistinctUsers _),
     "embed_pq_codes" -> (embedPqCodes _),
     "embed_knn_pq" -> (embedKnnPq _),
@@ -1311,6 +1335,26 @@ object PipelineQueries {
        |  UNION
        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
        |comp AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node)""".stripMargin
+
+  /** CDC cut + chunk CTEs (window 8, maskBits 6 → first-2-hex < 4),
+    * construct-matching [[graft.ops.TextAnalysis.cdcChunks]]; yields
+    * `ch(doc_id, chunk_id, chunk)`. */
+  private lazy val duckCdcCtes: String =
+    """c AS (SELECT doc_id, text,
+      |    list_filter(range(8, length(text) + 1),
+      |      p -> (instr('0123456789abcdef',
+      |              substring(md5(substring(text, CAST(p - 7 AS INT), 8)), 1, 1)) - 1) * 16
+      |         + (instr('0123456789abcdef',
+      |              substring(md5(substring(text, CAST(p - 7 AS INT), 8)), 2, 1)) - 1) < 4) AS cuts
+      |  FROM documents),
+      |u AS (SELECT doc_id, text, cuts, unnest(range(0, len(cuts) + 1)) AS i FROM c),
+      |ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_id,
+      |    substring(text,
+      |      CAST(CASE WHEN i = 0 THEN 1 ELSE cuts[CAST(i AS INT)] + 1 END AS INT),
+      |      CAST((CASE WHEN i = CAST(len(cuts) AS BIGINT) THEN length(text)
+      |              ELSE cuts[CAST(i + 1 AS INT)] END)
+      |        - (CASE WHEN i = 0 THEN 0 ELSE cuts[CAST(i AS INT)] END) AS INT)) AS chunk
+      |  FROM u)""".stripMargin
 
   private def duckShingles(n: Int): String = duckShinglesOf(toks, n)
   private def duckMinhash(i: Int): String =
@@ -1775,24 +1819,47 @@ object PipelineQueries {
          |  coalesce(mj.max_jac, 0.0) >= 0.5 AS contaminated
          |FROM tr t LEFT JOIN mj ON mj.tid = t.doc_id ORDER BY doc_id""".stripMargin,
     "cdc_chunks" ->
-      """WITH c AS (SELECT doc_id, text,
-        |    list_filter(range(8, length(text) + 1),
-        |      p -> (instr('0123456789abcdef',
-        |              substring(md5(substring(text, CAST(p - 7 AS INT), 8)), 1, 1)) - 1) * 16
-        |         + (instr('0123456789abcdef',
-        |              substring(md5(substring(text, CAST(p - 7 AS INT), 8)), 2, 1)) - 1) < 4) AS cuts
-        |  FROM documents),
-        |u AS (SELECT doc_id, text, cuts, unnest(range(0, len(cuts) + 1)) AS i FROM c),
-        |ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_id,
-        |    substring(text,
-        |      CAST(CASE WHEN i = 0 THEN 1 ELSE cuts[CAST(i AS INT)] + 1 END AS INT),
-        |      CAST((CASE WHEN i = CAST(len(cuts) AS BIGINT) THEN length(text)
-        |              ELSE cuts[CAST(i + 1 AS INT)] END)
-        |        - (CASE WHEN i = 0 THEN 0 ELSE cuts[CAST(i AS INT)] END) AS INT)) AS chunk
-        |  FROM u)
-        |SELECT doc_id, chunk_id, CAST(length(chunk) AS BIGINT) AS chunk_len,
-        |  md5(chunk) AS chunk_md5
-        |FROM ch WHERE length(chunk) > 0 ORDER BY doc_id, chunk_id""".stripMargin,
+      s"""WITH $duckCdcCtes
+         |SELECT doc_id, chunk_id, CAST(length(chunk) AS BIGINT) AS chunk_len,
+         |  md5(chunk) AS chunk_md5
+         |FROM ch WHERE length(chunk) > 0 ORDER BY doc_id, chunk_id""".stripMargin,
+    "dedup_cdc_overlap" ->
+      s"""WITH $duckCdcCtes,
+         |hs AS (SELECT DISTINCT doc_id, md5(chunk) AS h
+         |  FROM ch WHERE length(chunk) > 0),
+         |nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nch FROM hs GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, shared,
+         |  round(shared / least(na.nch, nb.nch), 4) AS containment
+         |FROM p JOIN nc na ON na.doc_id = id_a JOIN nc nb ON nb.doc_id = id_b
+         |WHERE round(shared / least(na.nch, nb.nch), 4) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "embed_outliers" ->
+      """WITH f AS (SELECT vec_id, label, CAST(i AS INT) AS j,
+        |    CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, label, embedding,
+        |          unnest(range(0, len(embedding))) AS i FROM embeddings)),
+        |c AS (SELECT label, j, round(avg(v), 6) AS c FROM f GROUP BY 1, 2),
+        |d AS (SELECT f.label, vec_id, round(sqrt(sum((v - c.c) ** 2)), 4) AS dist
+        |  FROM f JOIN c ON f.label = c.label AND f.j = c.j GROUP BY 1, 2),
+        |s AS (SELECT label, round(avg(dist), 4) AS mdist,
+        |    round(stddev_pop(dist), 4) AS sdist FROM d GROUP BY 1)
+        |SELECT vec_id, label, dist, round((dist - mdist) / sdist, 2) AS z,
+        |  round((dist - mdist) / sdist, 2) >= 2.0 AS is_outlier
+        |FROM d JOIN s USING (label) ORDER BY vec_id""".stripMargin,
+    "oov_rate" ->
+      s"""WITH w AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+         |v AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM w GROUP BY 1
+         |        ORDER BY cnt DESC, w LIMIT 1000)),
+         |j AS (SELECT w.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM w LEFT JOIN v ON w.w = v.w)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(oov) AS BIGINT) AS n_oov,
+         |  round(sum(oov) * 1.0 / count(*), 4) AS oov_rate
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "quantile_sketch" ->
       """WITH c AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
         |h AS (SELECT CAST(length(bin(c)) AS INT) AS oct,

@@ -250,6 +250,40 @@ object Dedup {
       .withColumn("contaminated", col("max_jac") >= threshold)
   }
 
+  /** Chunk-containment near-dups over content-defined chunks
+    * ([[TextAnalysis.cdcChunks]] output): pair (a,b) scores
+    * |shared distinct chunk hashes| / min(|a|, |b|) — containment, not
+    * Jaccard, so a document ENGULFED by a larger one still scores 1.0
+    * (the mosaic/superset case word-level pair Jaccard dilutes away).
+    * This is the storage-dedup use of CDC: identical regions hash to
+    * identical chunks regardless of position.
+    *
+    * Scale shape: the distinct (id, hash) table materializes once and
+    * self-joins on the chunk hash — high-cardinality key, evenly
+    * hashed; a boilerplate hot chunk is the AQE skew-join case. Pair
+    * aggregation and the two per-doc-count joins all key on ids.
+    * Returns (id_a, id_b, shared, containment) over the threshold. */
+  def cdcOverlapPairs(
+      chunks: DataFrame,
+      idCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val h = Materialize.index(
+      chunks.select(col(idCol), col("chunk_md5")).distinct(), "cdc-hashes")
+    val counts = h.groupBy(idCol).agg(count(lit(1)).as("nch"))
+    val pairs = h.select(col(idCol).as("id_a"), col("chunk_md5"))
+      .join(h.select(col(idCol).as("id_b"), col("chunk_md5")), "chunk_md5")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(counts.select(col(idCol).as("id_a"), col("nch").as("na")), "id_a")
+      .join(counts.select(col(idCol).as("id_b"), col("nch").as("nb")), "id_b")
+      .withColumn("containment",
+        round(col("shared") / least(col("na"), col("nb")), 4))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "shared", "containment")
+  }
+
   /** 16-dimension SimHash over word tokens, as a 16-char bit string.
     * Dimension i's +1/-1 vote is hex digit i of md5(token) vs its 7.5
     * midpoint; kept in exact integer arithmetic (2*sum > 15*n). */

@@ -692,6 +692,43 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Embedding-space outlier detection — the data-quality filter for
+    * embedding columns: distance of each vector to its LABEL's centroid,
+    * z-scored against the label's own distance distribution; vectors
+    * beyond `zThresh` sigma are mislabeled/corrupt/off-distribution
+    * candidates. Ingest pipelines quarantine these before ANN indexing
+    * (an outlier in an IVF cell poisons the cell's recall).
+    *
+    * Scale shape: everything is posexploded skinny rows with full
+    * partial aggregation — centroid means, per-vector distance sums,
+    * and per-label moments are all map-side-combined groupBys; the
+    * label-level stats table is tiny and broadcasts back. Centroids
+    * round to 6 decimals and distances to 4 BEFORE the downstream
+    * stats, so the z-scores are engine-exact (the kmeans precedent).
+    * Returns (idCol, labelCol, dist, z, is_outlier). */
+  def labelOutliers(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      zThresh: Double = 2.0): DataFrame = {
+    val flat = Materialize.index(
+      df.select(col(labelCol), col(idCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "v"))),
+      "outlier-flat")
+    val cent = flat.groupBy(labelCol, "j").agg(round(avg("v"), 6).as("c"))
+    val dist = flat.join(cent, Seq(labelCol, "j"))
+      .groupBy(labelCol, idCol)
+      .agg(round(sqrt(sum(pow(col("v") - col("c"), 2))), 4).as("dist"))
+    val stats = dist.groupBy(labelCol).agg(
+      round(avg("dist"), 4).as("mdist"),
+      round(stddev_pop("dist"), 4).as("sdist"))
+    dist.join(broadcast(stats), labelCol)
+      .withColumn("z", round((col("dist") - col("mdist")) / col("sdist"), 2))
+      .withColumn("is_outlier", col("z") >= zThresh)
+      .select(idCol, labelCol, "dist", "z", "is_outlier")
+  }
+
   /** Johnson-Lindenstrauss random projection: reduce `dIn`-dim embeddings
     * to `dOut` components with a deterministic ±1 sign matrix,
     * out_j = Σ_i sign(i,j)·v_i / √dOut. Signs derive from md5 hex parity

@@ -415,6 +415,36 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Lexical coverage against the corpus's own top-`vocabSize` word
+    * vocabulary: per document, token count, out-of-vocabulary count and
+    * rate — the cheap "will the tokenizer fragment this?" signal (high
+    * OOV → rare-script/noise/code documents that inflate token budgets).
+    *
+    * Scale shape: the per-occurrence word stream materializes once and
+    * feeds both the frequency cut and the per-doc coverage join; the
+    * top-k vocabulary cut is a TakeOrdered over the (small) distinct
+    * vocabulary, total-ordered by (count desc, word) so the boundary is
+    * engine-reproducible; the vocab then BROADCASTS back onto the
+    * stream. One expensive map stage, two partial-agg shuffles. */
+  def oovRate(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      vocabSize: Int = 1000): DataFrame = {
+    val words = Materialize.index(
+      df.select(col(idCol), explode(split(lower(col(textCol)), " ")).as("w")),
+      "oov-words")
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1).as("known"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") * 1.0 / col("n_tokens"), 4))
+  }
+
   /** Content-defined chunking (Rabin-style CDC, the dedup-storage /
     * incremental-ingest segmentation): a cut happens after position p
     * whenever the hash of the `window`-char run ending at p lands in the

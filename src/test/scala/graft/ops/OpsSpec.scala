@@ -894,6 +894,55 @@ class OpsSpec extends AnyFunSuite with Matchers {
     plan.split("Exchange").length shouldBe 2 // exactly one exchange
   }
 
+  test("cdc overlap: engulfed doc scores ~1.0 containment; disjoint doc pairs with nobody") {
+    val a = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val d = docs(
+      (1L, a),
+      (2L, a + " " + (200 to 240).map(i => s"new$i").mkString(" ")), // engulfs doc 1
+      (3L, (500 to 580).map(i => s"other$i").mkString(" ")))
+    val out = Dedup.cdcOverlapPairs(
+        TextAnalysis.cdcChunks(d, window = 8, maskBits = 4), "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("containment"))
+      .toMap
+    // doc 1's chunks reappear verbatim inside doc 2 (only the chunk
+    // straddling the append boundary can differ) — containment ≈ 1
+    // against min(|1|,|2|) even though pair Jaccard would dilute
+    out.keySet shouldBe Set((1L, 2L))
+    out((1L, 2L)) should be >= 0.85
+    Materialize.dropAll()
+  }
+
+  test("label outliers: the far vector flags, the cluster doesn't") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", StringType)))
+    val rows = (1L to 9L).map(i =>
+      Row(i, Array(0.1f * (i % 3), 0.1f * ((i + 1) % 3)), "g")) :+
+      Row(10L, Array(10f, 10f), "g")
+    val d = spark.createDataFrame(rows.asJava, schema)
+    val out = Similarity.labelOutliers(d, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("z"), r.getAs[Boolean]("is_outlier"))).toMap
+    out(10L)._2 shouldBe true
+    out(10L)._1 should be >= 2.0
+    (1L to 9L).foreach { i => out(i)._2 shouldBe false }
+    Materialize.dropAll()
+  }
+
+  test("oov rate: tokens outside the top-k vocabulary count as OOV") {
+    val d = docs(
+      (1L, "the cat the cat the"), // all in-vocab once vocab = {the, cat}
+      (2L, "the dog zebra"))       // dog/zebra out of a size-2 vocab
+    val out = TextAnalysis.oovRate(d, vocabSize = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_rate"))).toMap
+    out(1L) shouldBe ((5L, 0L, 0.0))
+    out(2L) shouldBe ((3L, 2L, 0.6667))
+    Materialize.dropAll()
+  }
+
   test("random projection plan: sign matrix broadcasts; corpus side never collects") {
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
