@@ -996,6 +996,39 @@ object PipelineQueries {
         dIn = 64, dOut = 16)
       .orderBy("vec_id", "j")
 
+  /** Session journey assembly ([[graft.ops.Sessionize.sessionPaths]]):
+    * per (user, session) the time-ordered event-type path string — the
+    * sequence-training prep over an event log. */
+  def sessionPaths(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessionize.sessionPaths(t(s, dir, "events"),
+        key = "user_id", tsCol = "ts", idCol = "event_id",
+        typeCol = "event_type", gapSeconds = 21600)
+      .orderBy("user_id", "session_idx")
+
+  /** Composed corpus selection: the round-6 curation ops chained —
+    * quality scoring → per-domain quota (cap 20) → global token budget
+    * (30k, distributed cumsum) → leak-free cluster split. One
+    * self-contained query; the oracle replays the full chain. */
+  def pipelineSelectCorpus(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val scored = t(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      round(size(array_distinct(toks)) * 1.0 / size(toks), 4).as("score"),
+      size(toks).cast("long").as("n_tokens"))
+    val quota = Curation.domainQuota(scored, "doc_id", "source", "score", cap = 20)
+    val picked = Curation.budgetSelect(
+      quota.join(scored.select("doc_id", "n_tokens"), "doc_id"),
+      "doc_id", "score", "n_tokens", budget = 30000L)
+    val comp = graft.ops.Cluster
+      .dupClusters(minhashVerifiedPairs(s, dir).select("id_a", "id_b"))
+      .select(col("doc_id"), col("cluster"))
+    val grouped = picked.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    Curation.leakFreeSplit(grouped, "cluster")
+      .select("doc_id", "score", "n_tokens", "cum_tokens", "cluster", "split")
+      .orderBy("doc_id")
+  }
+
   /** Chunk-containment dedup ([[graft.ops.Dedup.cdcOverlapPairs]]) over
     * [[graft.ops.TextAnalysis.cdcChunks]] — the storage-dedup
     * composition: shared-chunk containment catches engulfed/mosaic
@@ -1240,6 +1273,8 @@ object PipelineQueries {
     "dedup_cdc_overlap" -> (dedupCdcOverlap _),
     "embed_outliers" -> (embedOutliers _),
     "oov_rate" -> (oovRateQ _),
+    "session_paths" -> (sessionPaths _),
+    "pipeline_select_corpus" -> (pipelineSelectCorpus _),
     "approx_distinct" -> (approxDistinctUsers _),
     "embed_pq_codes" -> (embedPqCodes _),
     "embed_knn_pq" -> (embedKnnPq _),
@@ -1763,6 +1798,45 @@ object PipelineQueries {
         |SELECT vec_id, j, round(sum(v * s) / sqrt(16), 4) AS comp
         |FROM f JOIN m USING (i)
         |GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
+    "session_paths" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pus
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, event_type, t,
+        |    CASE WHEN pus IS NULL OR t - pus > 21600000000 THEN 1 ELSE 0 END AS st
+        |  FROM o),
+        |x AS (SELECT user_id, event_id, event_type, t,
+        |    CAST(sum(st) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+        |  FROM m)
+        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(t) - min(t) AS BIGINT) AS dur_us,
+        |  string_agg(event_type, '>' ORDER BY t, event_id) AS path
+        |FROM x GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "pipeline_select_corpus" ->
+      s"""WITH RECURSIVE $duckClusterCtes,
+         |sc AS (SELECT doc_id, source,
+         |    round(len(list_distinct($toks)) * 1.0 / len($toks), 4) AS score,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |q AS (SELECT doc_id, source, score, n_tokens,
+         |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rk
+         |  FROM sc),
+         |cm AS (SELECT doc_id, score, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM q WHERE rk <= 20),
+         |picked AS (SELECT * FROM cm WHERE cum_tokens <= 30000),
+         |ac AS (SELECT p.doc_id, p.score, p.n_tokens, p.cum_tokens,
+         |    coalesce(c.cluster, p.doc_id) AS cluster
+         |  FROM picked p LEFT JOIN comp c ON p.doc_id = c.node)
+         |SELECT doc_id, score, n_tokens, cum_tokens, cluster,
+         |  CASE WHEN dg < 2 THEN 'val' WHEN dg < 4 THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM (SELECT ac.*, instr('0123456789abcdef',
+         |        substring(md5(CAST(cluster AS VARCHAR)), 1, 1)) - 1 AS dg FROM ac)
+         |ORDER BY doc_id""".stripMargin,
     "resample_temperature" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
         |  FROM documents GROUP BY 1),

@@ -53,4 +53,33 @@ object Sessionize {
         max(col(tsCol)).as("end_ts"))
       .withColumn("duration_sec",
         round((unix_micros(col("end_ts")) - unix_micros(col("start_ts"))) / 1e6, 3))
+
+  /** Per-session event-type path — the "user journey" assembly that
+    * turns an event log into sequence training data (next-action
+    * models, funnel mining). collect_list is order-nondeterministic
+    * under parallel merge, so the path sorts (ts, id) STRUCTS after
+    * collection — total order, engine-reproducible. Same single
+    * key-shuffle ledger as [[sessions]]: the groupBy reuses the
+    * window's hash partitioning on the key. */
+  def sessionPaths(
+      events: DataFrame,
+      key: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      gapSeconds: Long): DataFrame =
+    assign(events, key, tsCol, idCol, gapSeconds)
+      .groupBy(col(key), col("session_idx"))
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
+          .as("dur_us"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(
+              unix_micros(col(tsCol)).as("t"),
+              col(idCol).as("i"),
+              col(typeCol).as("e")))),
+            x => x.getField("e")),
+          ">").as("path"))
 }

@@ -94,6 +94,29 @@ class RangeSessionSpec extends AnyFunSuite with Matchers {
     got(1).getAs[Double]("duration_sec") shouldBe 0.0
   }
 
+  test("session paths: time-ordered type strings, bit-identical under repartition") {
+    val pSchema = StructType(Seq(
+      StructField("eid", LongType), StructField("u", StringType),
+      StructField("ts", TimestampType), StructField("et", StringType)))
+    def pe(eid: Long, u: String, sec: Long, et: String) =
+      Row(eid, u, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), et)
+    val events = df(pSchema,
+      pe(1L, "u1", 0L, "view"), pe(2L, "u1", 50L, "click"),
+      pe(3L, "u1", 50L, "add"), // ts tie with eid 2 — eid breaks it
+      pe(4L, "u1", 1000L, "buy"),
+      pe(5L, "u2", 0L, "view"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sessionize.sessionPaths(d, "u", "ts", "eid", "et", gapSeconds = 100)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getAs[Long]("n_events"), r.getAs[Long]("dur_us"), r.getAs[String]("path")))
+        .toMap
+    val got = run(events)
+    got(("u1", 0L)) shouldBe ((3L, 50000000L, "view>click>add"))
+    got(("u1", 1L)) shouldBe ((1L, 0L, "buy"))
+    got(("u2", 0L)) shouldBe ((1L, 0L, "view"))
+    run(events.repartition(7)) shouldBe got // collect_list order can't leak
+  }
+
   test("sessionize is one key shuffle (single Window partitioning)") {
     val events = df(evSchema, ev(1L, "u1", 0L), ev(2L, "u1", 10L))
     val plan = Sessionize.assign(events, "u", "ts", "eid", 100)
