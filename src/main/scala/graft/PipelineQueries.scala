@@ -1029,6 +1029,28 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Conversion funnel ([[graft.ops.Sessionize.funnelSteps]]) over the
+    * event log: per user the earliest view → click-after-view →
+    * purchase-after-click times and the consecutive depth reached. */
+  def funnelStepsQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessionize.funnelSteps(t(s, dir, "events"),
+        key = "user_id", tsCol = "ts", typeCol = "event_type",
+        steps = Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
+  /** Language-consistency audit: per source, how often the n-gram
+    * lang-id disagrees with the declared `lang` column — the metadata
+    * quality check run before trusting per-language mixture weights.
+    * One partial-agg shuffle over the zero-shuffle scoring projection. */
+  def langMismatch(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langScores(t(s, dir, "documents"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("pred_lang") =!= col("lang"), 1L).otherwise(0L)).as("n_mismatch"))
+      .withColumn("mismatch_rate", round(col("n_mismatch") * 1.0 / col("n_docs"), 4))
+      .orderBy("source")
+
   /** Chunk-containment dedup ([[graft.ops.Dedup.cdcOverlapPairs]]) over
     * [[graft.ops.TextAnalysis.cdcChunks]] — the storage-dedup
     * composition: shared-chunk containment catches engulfed/mosaic
@@ -1275,6 +1297,8 @@ object PipelineQueries {
     "oov_rate" -> (oovRateQ _),
     "session_paths" -> (sessionPaths _),
     "pipeline_select_corpus" -> (pipelineSelectCorpus _),
+    "funnel_steps" -> (funnelStepsQ _),
+    "lang_mismatch" -> (langMismatch _),
     "approx_distinct" -> (approxDistinctUsers _),
     "embed_pq_codes" -> (embedPqCodes _),
     "embed_knn_pq" -> (embedKnnPq _),
@@ -1798,6 +1822,38 @@ object PipelineQueries {
         |SELECT vec_id, j, round(sum(v * s) / sqrt(16), 4) AS comp
         |FROM f JOIN m USING (i)
         |GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type AS et FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.et = 'click' AND e.t > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.et = 'purchase' AND e.t > s2.t2 GROUP BY 1)
+        |SELECT u.user_id, t1, t2, t3,
+        |  (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS steps_reached
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "lang_mismatch" ->
+      s"""WITH s AS (SELECT doc_id, source, lang,
+         |  len(list_intersect(list_distinct($toks), ['der','die','und','das','ein'])) AS score_de,
+         |  len(list_intersect(list_distinct($toks), ['the','a','and','of','to'])) AS score_en,
+         |  len(list_intersect(list_distinct($toks), ['el','la','de','y','que'])) AS score_es,
+         |  len(list_intersect(list_distinct($toks), ['le','la','et','de','un'])) AS score_fr
+         |FROM documents),
+         |p AS (SELECT source, lang,
+         |  CASE WHEN score_fr > greatest(score_de, score_en, score_es) THEN 'fr'
+         |       WHEN score_es > greatest(score_de, score_en) THEN 'es'
+         |       WHEN score_en > score_de THEN 'en' ELSE 'de' END AS pred_lang
+         |FROM s)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN pred_lang <> lang THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+         |  round(sum(CASE WHEN pred_lang <> lang THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         |    AS mismatch_rate
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
     "session_paths" ->
       """WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pus

@@ -82,4 +82,48 @@ object Sessionize {
               col(typeCol).as("e")))),
             x => x.getField("e")),
           ">").as("path"))
+
+  /** Ordered funnel analysis: for each key, the earliest time it reached
+    * step k STRICTLY AFTER its step-k-1 time (the classic conversion
+    * funnel — a purchase before the click doesn't count). `steps_reached`
+    * counts the consecutive prefix completed; once a step is missing,
+    * later stages can't match (their `t > prev` predicate is null-safe
+    * false), so the depth is well-defined.
+    *
+    * Scale shape: the skinny (key, t, type) stream materializes once;
+    * each step is a filtered partial-aggregated min keyed on the funnel
+    * key, LEFT-joined back — |steps| bounded shuffles all on the SAME
+    * key (exchange-reusable), no windows, no per-key event arrays.
+    * Returns (key, t1..tN micros, steps_reached). */
+  def funnelSteps(
+      events: DataFrame,
+      key: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    val keyed = Materialize.index(
+      events.select(col(key), unix_micros(col(tsCol)).as("t"),
+        col(typeCol).as("et")),
+      "funnel-events")
+    var acc = keyed.select(col(key)).distinct()
+    var prev: Option[String] = None
+    steps.zipWithIndex.foreach { case (step, i) =>
+      val cname = s"t${i + 1}"
+      val cand = prev match {
+        case None =>
+          keyed.filter(col("et") === step)
+            .groupBy(key).agg(min("t").as(cname))
+        case Some(p) =>
+          keyed.filter(col("et") === step)
+            .join(acc.select(col(key), col(p)), key)
+            .filter(col("t") > col(p)) // null prev → no match, by design
+            .groupBy(key).agg(min("t").as(cname))
+      }
+      acc = acc.join(cand, Seq(key), "left")
+      prev = Some(cname)
+    }
+    acc.withColumn("steps_reached",
+      steps.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1).otherwise(0))
+        .reduce(_ + _))
+  }
 }

@@ -123,4 +123,52 @@ class RangeSessionSpec extends AnyFunSuite with Matchers {
       .queryExecution.executedPlan.toString
     "Exchange hashpartitioning\\(u".r.findAllIn(plan).size shouldBe 1
   }
+
+  // --------------------------------------------------------------- funnel
+  test("funnelSteps: strict ordering — a purchase BEFORE the click does not count") {
+    val fSchema = StructType(Seq(
+      StructField("u", StringType), StructField("ts", TimestampType),
+      StructField("et", StringType)))
+    def fe(u: String, sec: Long, et: String) =
+      Row(u, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), et)
+    val events = df(fSchema,
+      // u1 completes the funnel in order
+      fe("u1", 10L, "view"), fe("u1", 20L, "click"), fe("u1", 30L, "buy"),
+      // u2: buy happens BEFORE its click — depth stops at 2
+      fe("u2", 10L, "view"), fe("u2", 30L, "click"), fe("u2", 20L, "buy"),
+      // u3: click with no prior view — depth 0 (strict prefix)
+      fe("u3", 10L, "click"), fe("u3", 20L, "buy"),
+      // u4: view only
+      fe("u4", 10L, "view"))
+    try {
+      val got = Sessionize
+        .funnelSteps(events, "u", "ts", "et", Seq("view", "click", "buy"))
+        .collect()
+        .map(r => r.getString(0) -> (
+          Option(r.getAs[java.lang.Long]("t1")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t2")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t3")).map(_.toLong),
+          r.getAs[Int]("steps_reached")))
+        .toMap
+      got("u1") shouldBe ((Some(10000000L), Some(20000000L), Some(30000000L), 3))
+      got("u2") shouldBe ((Some(10000000L), Some(30000000L), None, 2))
+      got("u3") shouldBe ((None, None, None, 0))
+      got("u4") shouldBe ((Some(10000000L), None, None, 1))
+    } finally Materialize.dropAll()
+  }
+
+  test("funnelSteps: same-timestamp step does not advance (strictly-after)") {
+    val fSchema = StructType(Seq(
+      StructField("u", StringType), StructField("ts", TimestampType),
+      StructField("et", StringType)))
+    def fe(u: String, sec: Long, et: String) =
+      Row(u, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), et)
+    val events = df(fSchema, fe("u1", 10L, "view"), fe("u1", 10L, "click"))
+    try {
+      val r = Sessionize.funnelSteps(events, "u", "ts", "et", Seq("view", "click"))
+        .collect().head
+      r.getAs[Int]("steps_reached") shouldBe 1
+      r.getAs[java.lang.Long]("t2") shouldBe null
+    } finally Materialize.dropAll()
+  }
 }
