@@ -1594,7 +1594,7 @@ object PipelineQueries {
     * construct (MergePasses = 3). */
   private def duckBpeCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
-      s"""p$r AS (SELECT pair, sum(f) AS cnt FROM (
+      s"""p$r AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
          |    SELECT f, syms[CAST(i AS INT)] || ' ' || syms[CAST(i + 1 AS INT)] AS pair
          |    FROM (SELECT f, list_filter(string_split(state, '|'), x -> x <> '') AS syms
          |      FROM v${r - 1}),
@@ -1604,11 +1604,11 @@ object PipelineQueries {
          |    replace(pair, ' ', '') AS merged, cnt
          |  FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
          |v$r AS (SELECT w, f,
-         |    replace(replace(replace(state,
+         |    coalesce(replace(replace(replace(state,
          |      '|' || sym_a || '|' || sym_b || '|', '|' || merged || '|'),
          |      '|' || sym_a || '|' || sym_b || '|', '|' || merged || '|'),
-         |      '|' || sym_a || '|' || sym_b || '|', '|' || merged || '|') AS state
-         |  FROM v${r - 1} CROSS JOIN b$r)""".stripMargin
+         |      '|' || sym_a || '|' || sym_b || '|', '|' || merged || '|'), state) AS state
+         |  FROM v${r - 1} LEFT JOIN b$r ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH v0 AS (SELECT w, count(*) AS f,
        |    '|' || array_to_string(list_transform(range(1, len(w) + 1),
@@ -1819,7 +1819,7 @@ object PipelineQueries {
         |    CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS v
         |  FROM (SELECT vec_id, embedding,
         |          unnest(range(0, len(embedding))) AS i FROM embeddings))
-        |SELECT vec_id, j, round(sum(v * s) / sqrt(16), 4) AS comp
+        |SELECT vec_id, j, round(sum(v * s) / sqrt(16), 4) + 0.0 AS comp
         |FROM f JOIN m USING (i)
         |GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
     "funnel_steps" ->

@@ -15,16 +15,25 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark cannot represent
-    // natively (PARQUET_TYPE_ILLEGAL). Sessions set
-    // spark.sql.legacy.parquet.nanosAsLong=true, so it arrives as an
-    // epoch-nanos long; normalize to a microsecond TimestampType here
-    // (integer-div truncation — identical semantics to DuckDB's reading of
-    // the full nanos value when later truncated to millis).
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    // Normalize events.ts to a session-tz TimestampType whatever physical
+    // type the generator used:
+    //   - TIMESTAMP(NANOS): Spark cannot represent it natively
+    //     (PARQUET_TYPE_ILLEGAL); sessions set
+    //     spark.sql.legacy.parquet.nanosAsLong=true, so it arrives as an
+    //     epoch-nanos long — truncate to micros (identical semantics to
+    //     DuckDB's nanos read truncated later to millis);
+    //   - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    //     TIMESTAMP_NTZ — reinterpret the wall clock in the session zone
+    //     (sessions pin UTC), matching DuckDB's naive TIMESTAMP read.
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    } else df
   }
 
   /** Register every table as a temp view named after itself. */
