@@ -2,7 +2,7 @@ package graft.frontend
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
 import java.net.InetSocketAddress
@@ -15,12 +15,14 @@ import java.util.concurrent.atomic.AtomicInteger
   * speak Calcite Avatica's documented JSON protocol over HTTP
   * (`readerator/server/.../FineoServer.java:49-66`, handler
   * `AvaticaProtobufHandler`/JSON). This endpoint implements the JSON
-  * variant's core RPCs — openConnection / createStatement /
-  * prepareAndExecute / fetch / closeStatement / closeConnection — over
-  * the same [[TenantSession]] objects every other entry point uses, so
-  * the full isolation model (plan-level read-only gate, statement-local
-  * relation substitution with nearline time pruning, server-side row
-  * clamp) applies to this wire too.
+  * variant's RPC surface — openConnection / connectionSync /
+  * createStatement / prepareAndExecute / prepare / execute / fetch /
+  * syncResults / commit / rollback / closeStatement / closeConnection,
+  * plus the metadata RPCs (getSchemas/getTables/getColumns/getTableTypes/
+  * getTypeInfo/getCatalogs) — over the same [[TenantSession]] objects
+  * every other entry point uses, so the full isolation model (plan-level
+  * read-only gate, statement-local relation substitution with nearline
+  * time pruning, server-side row clamp) applies to this wire too.
   *
   * Tenancy follows the reference's connection contract: the client's
   * `openConnection.info` map must carry the API key (`apikey`, or `user`
@@ -28,12 +30,23 @@ import java.util.concurrent.atomic.AtomicInteger
   * resolves the per-org TenantSession; an unknown key is an error
   * response, and every later RPC on that connectionId is tenant-bound.
   *
-  * Result paging mirrors Avatica frames: `prepareAndExecute` returns a
-  * first frame of at most `maxRowCount`/fetch size rows with
-  * `done=false` when more remain; `fetch` continues from the held
-  * statement result by offset. Results are bounded server-side by the
-  * TenantSession clamp before any frame slicing, so a statement never
-  * holds an unbounded collect (reference `FineoJdbcMeta.setMaxRows`).
+  * Parameterized statements (reference `FineoJdbcMeta` delegates the full
+  * Avatica `JdbcMeta` prepare/execute surface): `prepare` records the SQL
+  * and returns a statement handle whose signature advertises one generic
+  * parameter per `?` placeholder; `execute` binds the request's Avatica
+  * `TypedValue`s as typed SQL literals (rendered server-side with full
+  * escaping, then re-gated by the read-only parser like any statement)
+  * and runs through the TenantSession. A typed null binds as
+  * `CAST(NULL AS <type>)` so comparisons keep their column type.
+  *
+  * Result paging mirrors Avatica frames, backed by a STREAMING cursor:
+  * statement results are held as a `toLocalIterator` over the clamped
+  * DataFrame, so the server holds at most one frame of rows (plus
+  * Spark's own one-partition read-ahead) per open statement instead of
+  * the full collect — N concurrent statements hold N×frameSize rows, not
+  * N×clamp. The TenantSession clamp still bounds the result itself
+  * (reference `FineoJdbcMeta.setMaxRows`): `fetch` walks forward from
+  * the held offset; the last served frame stays replayable.
   *
   * Fidelity note: request/response field shapes follow the public
   * Avatica JSON reference; the spec drives them with a hand-rolled
@@ -50,9 +63,49 @@ class GraftAvaticaServer(
   private val mapper = new ObjectMapper()
 
   private case class Conn(tenant: TenantSession)
-  private case class Stmt(
-      var columns: Seq[StructField] = Nil,
-      var rows: Array[Row] = Array.empty)
+
+  /** One statement's state: prepared SQL (for prepare/execute) and the
+    * live cursor. All cursor access is synchronized — the HTTP pool may
+    * interleave fetches with a concurrent close. */
+  private final class Stmt {
+    var preparedSql: Option[String] = None
+    var preparedMaxRows: Int = serverMaxRows
+    var paramCount: Int = 0
+    var columns: Seq[StructField] = Nil
+    private var iter: Iterator[Row] = Iterator.empty
+    private var fetched = 0 // rows consumed off the iterator so far
+    private var frame: Array[Row] = Array.empty // last served frame (replay)
+    private var frameOffset = 0
+    var peakHeldRows = 0 // test observability: max rows buffered at once
+
+    def reset(cols: Seq[StructField], it: Iterator[Row]): Unit = synchronized {
+      columns = cols; iter = it; fetched = 0; frame = Array.empty; frameOffset = 0
+    }
+
+    /** Serve the frame at `offset`: advance the cursor when the offset is
+      * the next unseen row, replay when it re-requests the current frame.
+      * Returns (rows, done). */
+    def frameAt(offset: Int, n: Int): (Array[Row], Boolean) = synchronized {
+      if (offset == frameOffset && offset < fetched) {
+        // replay of the frame already served at this offset
+        val slice = frame.take(n)
+        (slice, frameOffset + slice.length >= fetched && !iter.hasNext)
+      } else if (offset == fetched) {
+        val buf = Array.newBuilder[Row]
+        var k = 0
+        while (k < n && iter.hasNext) { buf += iter.next(); k += 1 }
+        frame = buf.result(); frameOffset = offset; fetched += frame.length
+        peakHeldRows = math.max(peakHeldRows, frame.length)
+        (frame, !iter.hasNext)
+      } else
+        throw new IllegalArgumentException(
+          s"non-sequential fetch offset $offset (cursor at $fetched)")
+    }
+
+    def moreAfter(offset: Int): Boolean = synchronized {
+      offset < fetched || iter.hasNext
+    }
+  }
 
   private val conns = new ConcurrentHashMap[String, Conn]()
   private val stmts = new ConcurrentHashMap[(String, Int), Stmt]()
@@ -95,11 +148,23 @@ class GraftAvaticaServer(
     pool.shutdown()
   }
 
+  /** Test hook: max rows this statement's cursor ever buffered at once
+    * (the streaming-cursor bound the spec pins). */
+  private[frontend] def peakHeldRows(cid: String, sid: Int): Int =
+    stmtOf(cid, sid).peakHeldRows
+
   // ----------------------------------------------------------------- RPCs
 
   private def handle(req: JsonNode): String = {
     def cid: String = req.get("connectionId").asText()
     def sid: Int = req.get("statementId").asInt()
+    // The SERVER always owns a cap (reference setMaxRows; same invariant
+    // as the HTTP layer's mandatory clamp) — a client's maxRowCount may
+    // only lower it; -1/absent means "server default", never "unbounded".
+    def clampOf(field: String): Int = {
+      val v = Option(req.get(field)).map(_.asLong()).getOrElse(-1L)
+      if (v > 0) math.min(v, serverMaxRows.toLong).toInt else serverMaxRows
+    }
     req.get("request").asText() match {
       case "openConnection" =>
         val info = Option(req.get("info"))
@@ -110,6 +175,12 @@ class GraftAvaticaServer(
             "connection info must carry the tenant api key"))
         conns.put(cid, Conn(sessionFor(key))) // SecurityException if unknown
         """{"response":"openConnection"}"""
+      case "connectionSync" =>
+        connOf(cid)
+        // read-only engine: acknowledge whatever connProps the client
+        // syncs (autoCommit etc. have no server-side effect)
+        val props = Option(req.get("connProps")).map(_.toString).getOrElse("{}")
+        s"""{"response":"connectionSync","connProps":$props}"""
       case "closeConnection" =>
         conns.remove(cid)
         stmts.keySet.removeIf(_._1 == cid)
@@ -117,7 +188,7 @@ class GraftAvaticaServer(
       case "createStatement" =>
         connOf(cid)
         val id = nextStmt.incrementAndGet()
-        stmts.put((cid, id), Stmt())
+        stmts.put((cid, id), new Stmt)
         s"""{"response":"createStatement","connectionId":${JsonCodec.jstr(cid)},"statementId":$id}"""
       case "closeStatement" =>
         stmts.remove((cid, sid))
@@ -125,24 +196,31 @@ class GraftAvaticaServer(
       case "prepareAndExecute" =>
         val conn = connOf(cid)
         val st = stmtOf(cid, sid)
+        runStatement(conn, st, req.get("sql").asText(), clampOf("maxRowCount"))
+        executeResultsJson(cid, sid, st)
+      case "prepare" =>
+        val _ = connOf(cid)
         val sql = req.get("sql").asText()
-        val maxRowCount = Option(req.get("maxRowCount")).map(_.asLong()).getOrElse(-1L)
-        // The SERVER always owns a cap (reference setMaxRows; same
-        // invariant as the HTTP layer's mandatory clamp) — a client's
-        // maxRowCount may only lower it; -1/absent means "server default",
-        // never "unbounded". The statement's collect is therefore bounded
-        // regardless of how sessionFor configured the TenantSession.
-        val perCall =
-          if (maxRowCount > 0) math.min(maxRowCount, serverMaxRows.toLong).toInt
-          else serverMaxRows
-        val df = conn.tenant.sql(sql, Some(perCall))
-        st.columns = df.schema.fields.toSeq
-        st.rows = df.collect()
-        val frame = frameJson(st, offset = 0, defaultFrameRows)
-        s"""{"response":"executeResults","missingStatement":false,"results":[""" +
-          s"""{"response":"resultSet","connectionId":${JsonCodec.jstr(cid)},""" +
-          s""""statementId":$sid,"ownStatement":true,"signature":${signatureJson(st)},""" +
-          s""""firstFrame":$frame,"updateCount":-1}]}"""
+        val id = nextStmt.incrementAndGet()
+        val st = new Stmt
+        st.preparedSql = Some(sql)
+        st.preparedMaxRows = clampOf("maxRowCount")
+        st.paramCount = countPlaceholders(sql)
+        stmts.put((cid, id), st)
+        s"""{"response":"prepare","statement":{"connectionId":${JsonCodec.jstr(cid)},""" +
+          s""""id":$id,"signature":${signatureJson(st)}}}"""
+      case "execute" =>
+        val h = req.get("statementHandle")
+        val hcid = h.get("connectionId").asText()
+        val hsid = h.get("id").asInt()
+        val conn = connOf(hcid)
+        val st = stmtOf(hcid, hsid)
+        val sql = st.preparedSql.getOrElse(throw new IllegalStateException(
+          s"statement $hsid was not prepared"))
+        val params = Option(req.get("parameterValues"))
+          .map(a => (0 until a.size()).map(a.get)).getOrElse(Seq.empty)
+        runStatement(conn, st, bindParameters(sql, params), st.preparedMaxRows)
+        executeResultsJson(hcid, hsid, st)
       case "fetch" =>
         val st = stmtOf(cid, sid)
         val offset = Option(req.get("offset")).map(_.asInt()).getOrElse(0)
@@ -150,23 +228,45 @@ class GraftAvaticaServer(
           .filter(_ > 0).getOrElse(defaultFrameRows)
         s"""{"response":"fetch","connectionId":${JsonCodec.jstr(cid)},""" +
           s""""statementId":$sid,"frame":${frameJson(st, offset, n)}}"""
+      case "syncResults" =>
+        val st = stmts.get((cid, sid))
+        val offset = Option(req.get("offset")).map(_.asInt()).getOrElse(0)
+        if (st == null)
+          """{"response":"syncResults","missingStatement":true,"moreResults":false}"""
+        else
+          s"""{"response":"syncResults","missingStatement":false,""" +
+            s""""moreResults":${st.moreAfter(offset)}}"""
+      // Transaction no-ops: the serving surface is read-only, but stock
+      // clients emit these on close/autocommit toggles and expect an ack.
+      case "commit" =>
+        connOf(cid); """{"response":"commit"}"""
+      case "rollback" =>
+        connOf(cid); """{"response":"rollback"}"""
       // Metadata RPCs (what a BI tool calls on connect): served by the
       // tenant-bound facade (reference `FineoDatabaseMetaData`), returned
       // as ownStatement result sets the client closes like any other.
-      case "schemas" | "tables" | "columns" =>
+      // Both the documented JSON request names (get-prefixed) and the
+      // bare forms are accepted.
+      case m @ ("schemas" | "getSchemas" | "tables" | "getTables" |
+          "columns" | "getColumns" | "tableTypes" | "getTableTypes" |
+          "typeInfo" | "getTypeInfo" | "catalogs" | "getCatalogs") =>
         val conn = connOf(cid)
         val meta = conn.tenant.metadata
         def pat(field: String): String =
           Option(req.get(field)).map(_.asText()).orNull
-        val df = req.get("request").asText() match {
+        val df = m.stripPrefix("get").toLowerCase match {
           case "schemas" => meta.getSchemas()
           case "tables"  => meta.getTables(tableNamePattern = pat("tableNamePattern"))
-          case _         => meta.getColumns(
+          case "columns" => meta.getColumns(
             tableNamePattern = pat("tableNamePattern"),
             columnNamePattern = pat("columnNamePattern"))
+          case "tabletypes" => meta.getTableTypes
+          case "typeinfo"   => meta.getTypeInfo
+          case _            => meta.getCatalogs
         }
         val id = nextStmt.incrementAndGet()
-        val st = Stmt(df.schema.fields.toSeq, df.collect())
+        val st = new Stmt
+        st.reset(df.schema.fields.toSeq, localIterator(df))
         stmts.put((cid, id), st)
         s"""{"response":"resultSet","connectionId":${JsonCodec.jstr(cid)},""" +
           s""""statementId":$id,"ownStatement":true,"signature":${signatureJson(st)},""" +
@@ -174,6 +274,27 @@ class GraftAvaticaServer(
       case other =>
         throw new UnsupportedOperationException(s"unsupported avatica rpc: $other")
     }
+  }
+
+  /** Run `sql` through the tenant (clamped) and point the statement's
+    * cursor at the result — a `toLocalIterator`, so rows stream into
+    * frames instead of materializing server-side. */
+  private def runStatement(conn: Conn, st: Stmt, sql: String, perCall: Int): Unit = {
+    val df = conn.tenant.sql(sql, Some(perCall))
+    st.reset(df.schema.fields.toSeq, localIterator(df))
+  }
+
+  private def localIterator(df: DataFrame): Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala
+  }
+
+  private def executeResultsJson(cid: String, sid: Int, st: Stmt): String = {
+    val frame = frameJson(st, offset = 0, defaultFrameRows)
+    s"""{"response":"executeResults","missingStatement":false,"results":[""" +
+      s"""{"response":"resultSet","connectionId":${JsonCodec.jstr(cid)},""" +
+      s""""statementId":$sid,"ownStatement":true,"signature":${signatureJson(st)},""" +
+      s""""firstFrame":$frame,"updateCount":-1}]}"""
   }
 
   private def connOf(cid: String): Conn = {
@@ -188,15 +309,122 @@ class GraftAvaticaServer(
     st
   }
 
+  // ---------------------------------------------------- parameter binding
+
+  /** Count `?` placeholders outside quoted strings / identifiers. */
+  private[frontend] def countPlaceholders(sql: String): Int = {
+    var n = 0
+    walkPlaceholders(sql, _ => { n += 1; "?" })
+    n
+  }
+
+  /** Splice Avatica `TypedValue`s into the prepared SQL as typed SQL
+    * literals. Values are rendered with full escaping and the statement
+    * then re-passes the read-only parser gate, so binding cannot widen
+    * the statement surface. */
+  private def bindParameters(sql: String, params: Seq[JsonNode]): String = {
+    var i = -1
+    val bound = walkPlaceholders(sql, _ => {
+      i += 1
+      if (i >= params.length)
+        throw new IllegalArgumentException(
+          s"statement has ${i + 1}+ placeholders but ${params.length} parameters")
+      literalOf(params(i))
+    })
+    bound
+  }
+
+  /** Rewrite each `?` outside single-quoted strings, double-quoted /
+    * backticked identifiers, and line or block comments via `sub`. */
+  private def walkPlaceholders(sql: String, sub: Int => String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var ord = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' | '"' | '`' =>
+          val q = sql.charAt(i)
+          val end = {
+            var j = i + 1
+            while (j < sql.length && sql.charAt(j) != q) {
+              if (sql.charAt(j) == '\\' && q == '\'') j += 1 // escaped char
+              j += 1
+            }
+            math.min(j + 1, sql.length)
+          }
+          out.append(sql.substring(i, end)); i = end
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          val end = sql.indexOf('\n', i) match { case -1 => sql.length; case e => e }
+          out.append(sql.substring(i, end)); i = end
+        case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
+          val close = sql.indexOf("*/", i + 2)
+          val end = if (close == -1) sql.length else close + 2
+          out.append(sql.substring(i, end)); i = end
+        case '?' =>
+          out.append(sub(ord)); ord += 1; i += 1
+        case c =>
+          out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** Render one Avatica TypedValue (`{"type": rep, "value": v}`) as a
+    * typed SQL literal. */
+  private def literalOf(tv: JsonNode): String = {
+    val rep = Option(tv.get("type")).map(_.asText()).getOrElse("OBJECT")
+    val v = tv.get("value")
+    def str(s: String) =
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if (v == null || v.isNull || rep == "NULL") {
+      // typed null: keep the declared type so comparisons/projections
+      // resolve as the column type, not VOID
+      sqlTypeOf(rep).fold("NULL")(t => s"CAST(NULL AS $t)")
+    } else rep match {
+      case "STRING" | "CHARACTER" | "PRIMITIVE_CHAR" => str(v.asText())
+      case "BOOLEAN" | "PRIMITIVE_BOOLEAN" => if (v.asBoolean()) "TRUE" else "FALSE"
+      case "BYTE" | "PRIMITIVE_BYTE" | "SHORT" | "PRIMITIVE_SHORT" |
+          "INTEGER" | "PRIMITIVE_INT" => s"CAST(${v.asLong()} AS INT)"
+      case "LONG" | "PRIMITIVE_LONG" | "BIG_INTEGER" => s"CAST(${v.asLong()} AS BIGINT)"
+      case "FLOAT" | "PRIMITIVE_FLOAT" | "DOUBLE" | "PRIMITIVE_DOUBLE" =>
+        s"CAST(${str(v.asText())} AS DOUBLE)"
+      case "BIG_DECIMAL" => s"CAST(${str(v.decimalValue().toPlainString)} AS DECIMAL(38,18))"
+      case "NUMBER" =>
+        if (v.isIntegralNumber) s"CAST(${v.asLong()} AS BIGINT)"
+        else s"CAST(${str(v.asText())} AS DOUBLE)"
+      case "JAVA_SQL_TIMESTAMP" | "JAVA_UTIL_DATE" => s"timestamp_millis(${v.asLong()})"
+      case "JAVA_SQL_DATE" => s"date_from_unix_date(${v.asInt()})"
+      case "BYTE_STRING" => s"unbase64(${str(v.asText())})"
+      case "OBJECT" if v.isTextual => str(v.asText())
+      case "OBJECT" if v.isBoolean => if (v.asBoolean()) "TRUE" else "FALSE"
+      case "OBJECT" if v.isIntegralNumber => s"CAST(${v.asLong()} AS BIGINT)"
+      case "OBJECT" if v.isNumber => s"CAST(${str(v.asText())} AS DOUBLE)"
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported parameter rep: $other")
+    }
+  }
+
+  /** SQL type name for a typed-null rep; None → bare NULL. */
+  private def sqlTypeOf(rep: String): Option[String] = rep match {
+    case "BYTE" | "PRIMITIVE_BYTE" => Some("TINYINT")
+    case "SHORT" | "PRIMITIVE_SHORT" => Some("SMALLINT")
+    case "INTEGER" | "PRIMITIVE_INT" => Some("INT")
+    case "LONG" | "PRIMITIVE_LONG" | "BIG_INTEGER" => Some("BIGINT")
+    case "FLOAT" | "PRIMITIVE_FLOAT" => Some("FLOAT")
+    case "DOUBLE" | "PRIMITIVE_DOUBLE" => Some("DOUBLE")
+    case "BIG_DECIMAL" | "NUMBER" => Some("DECIMAL(38,18)")
+    case "BOOLEAN" | "PRIMITIVE_BOOLEAN" => Some("BOOLEAN")
+    case "STRING" | "CHARACTER" | "PRIMITIVE_CHAR" => Some("STRING")
+    case "JAVA_SQL_TIMESTAMP" | "JAVA_UTIL_DATE" => Some("TIMESTAMP")
+    case "JAVA_SQL_DATE" => Some("DATE")
+    case "BYTE_STRING" => Some("BINARY")
+    case _ => None
+  }
+
   // --------------------------------------------------------------- frames
 
   private def frameJson(st: Stmt, offset: Int, n: Int): String = {
-    // Long arithmetic for the slice end: offset + Int.MaxValue ("fetch
-    // everything") must not wrap negative into a permanently-empty,
-    // never-done frame
-    val end = math.min(st.rows.length.toLong, offset.toLong + n).toInt
-    val slice = st.rows.slice(offset, end)
-    val done = offset + slice.length >= st.rows.length
+    val (slice, done) = st.frameAt(offset, n)
     val rows = slice.map(r =>
       (0 until r.length).map(i => JsonCodec.jval(r.get(i))).mkString("[", ",", "]"))
       .mkString("[", ",", "]")
@@ -204,7 +432,9 @@ class GraftAvaticaServer(
   }
 
   /** Avatica signature: column metadata + LIST cursor style (rows travel
-    * as JSON arrays in frame order). */
+    * as JSON arrays in frame order) + one generic AvaticaParameter per
+    * `?` placeholder for prepared statements (parameter types are not
+    * inferred server-side; clients bind TypedValues regardless). */
   private def signatureJson(st: Stmt): String = {
     val cols = st.columns.zipWithIndex.map { case (f, i) =>
       val (jdbcType, typeName) = jdbcTypeOf(f.dataType)
@@ -212,7 +442,12 @@ class GraftAvaticaServer(
         s""""label":${JsonCodec.jstr(f.name)},"nullable":${if (f.nullable) 1 else 0},""" +
         s""""type":{"type":"scalar","id":$jdbcType,"name":${JsonCodec.jstr(typeName)},"rep":"OBJECT"}}"""
     }.mkString("[", ",", "]")
-    s"""{"columns":$cols,"sql":null,"parameters":[],""" +
+    val params = (1 to st.paramCount).map { i =>
+      s"""{"signed":false,"precision":0,"scale":0,"parameterType":${java.sql.Types.JAVA_OBJECT},""" +
+        s""""typeName":"ANY","className":"java.lang.Object","name":"?$i"}"""
+    }.mkString("[", ",", "]")
+    val sqlJson = st.preparedSql.fold("null")(JsonCodec.jstr)
+    s"""{"columns":$cols,"sql":$sqlJson,"parameters":$params,""" +
       """"cursorFactory":{"style":"LIST","clazz":null,"fieldNames":null},"statementType":null}"""
   }
 

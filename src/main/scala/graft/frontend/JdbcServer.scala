@@ -128,6 +128,104 @@ object GraftJdbcServer {
     new GraftJdbcServer(srv, serving, p)
   }
 
+  /** Session conf carrying the tenant API key on a multi-tenant endpoint.
+    * A stock client supplies it in the JDBC URL's hive-conf list:
+    * `jdbc:hive2://host:port/default;auth=noSasl?graft.apikey=KEY` —
+    * HiveServer2 applies the conf list to the connection's session at
+    * open, exactly the "key in connection properties" contract of the
+    * reference (`FineoJdbcMeta` org-scoped connections,
+    * `FineoConnectionProperty.API_KEY`). */
+  val TenantConfKey = "graft.apikey"
+
+  /** ONE Thrift endpoint serving EVERY tenant, tenant resolved
+    * per-connection — the reference's actual topology (`FineoServer` is a
+    * single Avatica server; `FineoJdbcMeta` scopes each connection by its
+    * org key) where [[start]] binds one tenant per port.
+    *
+    * Mechanics: the server runs WITHOUT `singleSession`, so Spark's
+    * Thrift frontend gives every connection its own `newSession()` clone.
+    * Those clones inherit the serving session's EXTENSIONS (the
+    * read-only + rewriter parser chain) but start with an empty catalog
+    * and default confs. At the connection's first parsed statement, the
+    * rewriter resolves the session's [[TenantConfKey]] conf — applied at
+    * open from the client's URL conf list — validates it against the
+    * registry, hardens the session (runSQLOnFiles off, incremental
+    * collect on), and registers exactly that tenant's metric views. A
+    * connection with a missing/unknown key fails its first statement and
+    * can name no tables at all (its catalog is empty); it can never see
+    * another tenant's views because those live in OTHER connections'
+    * sessions. The key is pinned at first use — later conf changes can't
+    * re-tenant a connection (and the parser refuses `SET` anyway).
+    *
+    * Catalog metadata (DatabaseMetaData.getTables / SHOW TABLES) lists
+    * the per-connection session views, so it is tenant-scoped by
+    * construction — populated from the first statement on. */
+  def startMultiTenant(
+      root: SparkSession,
+      registry: SchemaRegistry,
+      sources: SourceSet,
+      errorsDir: Option[String] = None,
+      port: Int = 0,
+      maxRows: Option[Int] = None): GraftJdbcServer = {
+    GraftSessions.setStaticConf(root, "spark.sql.hive.thriftServer.singleSession", "false")
+    val catalogTables = root.sessionState.catalog.externalCatalog
+      .listDatabases().flatMap(db =>
+        root.sessionState.catalog.externalCatalog.listTables(db))
+    require(catalogTables.isEmpty,
+      s"serving context must have an empty external catalog; found: ${catalogTables.take(5).mkString(", ")}")
+
+    val ctxCache = new java.util.concurrent.ConcurrentHashMap[SparkSession, WireTenantContext]()
+
+    def initTenant(sess: SparkSession, orgId: String): WireTenantContext = {
+      registry.org(orgId).getOrElse(
+        throw new SecurityException(s"unknown tenant: $orgId"))
+      // Per-connection hardening: session confs do NOT inherit through
+      // newSession(), so re-assert them here (and a client's URL conf
+      // list cannot stick — this runs after open, at first parse).
+      sess.conf.set("spark.sql.runSQLOnFiles", "false")
+      sess.conf.set("spark.sql.thriftServer.incrementalCollect", "true")
+      sess.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.functions.GraftExtensions.register(sess)
+      registry.listTables(orgId).foreach { t =>
+        registry.metric(orgId, t).foreach { m =>
+          Assembler.metricTable(sess, orgId, m, sources, sorted = false)
+            .createOrReplaceTempView(t)
+        }
+      }
+      var views = Set.empty[String]
+      errorsDir.filter(d => new java.io.File(d).exists).foreach { dir =>
+        sess.read.json(s"$dir/stream").filter(col("apikey") === orgId)
+          .createOrReplaceTempView("errors_stream")
+        views += "errors_stream"
+      }
+      WireTenantContext(sess, orgId, registry, sources, views, maxRows)
+    }
+
+    def ctxFor(sess: SparkSession): Option[WireTenantContext] =
+      Option(ctxCache.get(sess)).orElse {
+        sess.conf.getOption(TenantConfKey).filter(_.nonEmpty).map { key =>
+          ctxCache.computeIfAbsent(sess, s => initTenant(s, key))
+        }
+      }
+
+    val serving = GraftSessions.withSessionWrappedParser(root, (sess, delegate) =>
+      new WireQueryRewriter(
+        new ReadOnlyParser(delegate, blockedNamespaces = Set("global_temp", "spark_catalog")),
+        () => ctxFor(sess)))
+    serving.conf.set("spark.sql.runSQLOnFiles", "false")
+    serving.conf.set("spark.sql.thriftServer.incrementalCollect", "true")
+    graft.functions.GraftExtensions.register(serving)
+
+    val p = if (port == 0) freePort() else port
+    serving.conf.set("hive.server2.thrift.port", p.toString)
+    serving.conf.set("hive.server2.thrift.bind.host", "localhost")
+    serving.conf.set("hive.server2.authentication", "NOSASL")
+    serving.conf.set("hive.server2.transport.mode", "binary")
+    val srv = ThriftShim.start(serving)
+    awaitPort(p)
+    new GraftJdbcServer(srv, serving, p)
+  }
+
   private def freePort(): Int = {
     val s = new java.net.ServerSocket(0)
     try s.getLocalPort finally s.close()

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The "build the index once" step shared by the dedup/similarity
   * operators: write an intermediate table (signatures, buckets, token
@@ -18,34 +18,59 @@ import org.apache.spark.sql.DataFrame
   *     recomputing the signature expression tree through the join lineage
   *     (a >100× slowdown observed with naive lineage).
   *
+  * Where the indexes land: `spark.graft.indexDir` when set — on a real
+  * cluster this is a shared-FS/lake URI every executor can reach (the
+  * driver-local default would be invisible to executors there) — else a
+  * driver-local temp directory (right for local[*] runs). Both paths go
+  * through the Hadoop FileSystem API, so any supported scheme works.
+  *
   * Lifecycle: every index directory is registered in a live set;
   * [[dropAll]] deletes them once the consuming query's terminal action
   * has run. Query batteries (Bench/Verify) and any long-lived serving
   * process call it between statements — `deleteOnExit` alone would leak
   * one directory per dedup/ANN query onto local disk for the life of the
   * JVM (the round-1 memory-accumulation lesson, one level down the
-  * storage hierarchy). At 100 TB the same call writes a bucketed table
-  * to the lake and `dropAll` is the table-retention policy.
+  * storage hierarchy). At 100 TB `dropAll` is the table-retention policy
+  * for the lake prefix.
   */
 object Materialize {
 
-  private lazy val root: java.nio.file.Path = {
+  /** Session conf naming the shared index root (e.g. an object-store or
+    * shared-FS prefix). Unset/empty → driver-local temp dir. */
+  val IndexDirConf = "spark.graft.indexDir"
+
+  private lazy val localRoot: String = {
     val p = java.nio.file.Files.createTempDirectory("graft-index")
     p.toFile.deleteOnExit()
-    p
+    p.toString
   }
 
+  private def rootFor(spark: SparkSession): String =
+    spark.conf.getOption(IndexDirConf).filter(_.nonEmpty).getOrElse(localRoot)
+
   private val live =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** A fresh per-call directory under the session's index root, registered
+    * for [[dropAll]]. Uniqueness = JVM-wide counter + nanoTime, so
+    * concurrent queries (and successive JVMs sharing a lake prefix) never
+    * clobber each other. */
+  private def newDir(spark: SparkSession, tag: String): String = {
+    val dir = s"${rootFor(spark)}/$tag${nextId.incrementAndGet()}-${System.nanoTime().toHexString}"
+    live.add(dir)
+    dir
+  }
 
   /** Materialize `df` as a parquet index table and return a fresh scan of
     * it. `tag` names the index for debuggability; the directory is unique
     * per call, so concurrent queries never clobber each other. */
   def index(df: DataFrame, tag: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(root, tag)
-    live.add(dir)
-    df.write.mode("overwrite").parquet(dir.toString)
-    df.sparkSession.read.parquet(dir.toString)
+    val spark = df.sparkSession
+    val dir = newDir(spark, tag)
+    df.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
   }
 
   /** Ensure a heavy map stage (per-shingle md5 loops, signature
@@ -65,29 +90,25 @@ object Materialize {
   /** A fresh scratch directory under the index root, registered for
     * [[dropAll]] like any index — for operators that manage their own
     * write (e.g. [[Layout.compact]]'s output table). */
-  def scratchDir(tag: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(root, tag)
-    live.add(dir)
-    dir.toString
-  }
+  def scratchDir(tag: String): String =
+    newDir(SparkSession.active, tag)
 
-  /** Number of index directories currently on disk. */
+  /** Number of index directories currently registered. */
   def liveCount: Int = live.size()
 
   /** Delete every index directory created so far. Only call after the
     * terminal action of every query whose plan reads them — the returned
     * DataFrames scan these files lazily. */
   def dropAll(): Unit = {
+    val hconf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
     val it = live.iterator()
     while (it.hasNext) {
-      deleteRecursively(it.next().toFile)
+      val p = new org.apache.hadoop.fs.Path(it.next())
+      try p.getFileSystem(hconf).delete(p, true)
+      catch { case _: java.io.IOException => () } // best-effort retention
       it.remove()
     }
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete()
   }
 }

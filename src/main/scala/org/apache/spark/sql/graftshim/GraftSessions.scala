@@ -55,10 +55,21 @@ object GraftSessions {
     * invoked reflectively (same contract `newSession()` itself uses). */
   def withWrappedParser(
       root: SparkSession,
-      wrap: ParserInterface => ParserInterface): SparkSession = {
+      wrap: ParserInterface => ParserInterface): SparkSession =
+    withSessionWrappedParser(root, (_, delegate) => wrap(delegate))
+
+  /** Like [[withWrappedParser]], but the wrapper also receives the session
+    * whose parser is being built. Because the injected extensions ride the
+    * session object, `newSession()` CLONES (e.g. the Thrift frontend's
+    * per-connection sessions) re-apply the same builder with THEIR session
+    * — the hook a multi-tenant endpoint needs to scope each connection's
+    * parser to that connection's session state. */
+  def withSessionWrappedParser(
+      root: SparkSession,
+      wrap: (SparkSession, ParserInterface) => ParserInterface): SparkSession = {
     val classic = root.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val ext = new SparkSessionExtensions
-    ext.injectParser((_, delegate) => wrap(delegate))
+    ext.injectParser((s, delegate) => wrap(s, delegate))
     val ctor = classOf[org.apache.spark.sql.classic.SparkSession].getConstructor(
       classOf[org.apache.spark.SparkContext],
       classOf[Option[_]],

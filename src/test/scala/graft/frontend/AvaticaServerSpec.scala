@@ -201,4 +201,97 @@ class AvaticaServerSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     st shouldBe 500
     resp.get("response").asText() shouldBe "error"
   }
+
+  test("prepare + execute bind TypedValue parameters, including a typed null") {
+    open("c8", "orga")
+    val (st, prep) = rpc(
+      """{"request":"prepare","connectionId":"c8","sql":"SELECT `timestamp`, v FROM avmetric WHERE v > ? AND ? IS NULL ORDER BY `timestamp`","maxRowCount":-1}""")
+    st shouldBe 200
+    prep.get("response").asText() shouldBe "prepare"
+    val sid = prep.at("/statement/id").asInt()
+    // the signature advertises one parameter per placeholder
+    prep.at("/statement/signature/parameters").size() shouldBe 2
+    // execute with v > 4 and a typed NULL (binds as CAST(NULL AS BIGINT))
+    val (st2, resp) = rpc(
+      s"""{"request":"execute","statementHandle":{"connectionId":"c8","id":$sid},""" +
+        """"parameterValues":[{"type":"LONG","value":4},{"type":"LONG","value":null}]}""")
+    st2 shouldBe 200
+    resp.get("response").asText() shouldBe "executeResults"
+    val f = resp.at("/results/0/firstFrame")
+    f.get("rows").size() shouldBe 3 // v in {5,6,7}
+    f.at("/rows/0/0").asLong() shouldBe 50L
+    // re-execute the SAME prepared statement with a different binding
+    val (_, resp2) = rpc(
+      s"""{"request":"execute","statementHandle":{"connectionId":"c8","id":$sid},""" +
+        """"parameterValues":[{"type":"LONG","value":6},{"type":"LONG","value":null}]}""")
+    val f2 = resp2.at("/results/0/firstFrame")
+    f2.get("rows").size() shouldBe 1
+    f2.at("/rows/0/1").asLong() shouldBe 7L
+    // string parameters are escaped, not spliced raw
+    val (_, prep3) = rpc(
+      """{"request":"prepare","connectionId":"c8","sql":"SELECT count(*) AS n FROM avmetric WHERE 'x' = ?","maxRowCount":-1}""")
+    val sid3 = prep3.at("/statement/id").asInt()
+    val (_, resp3) = rpc(
+      s"""{"request":"execute","statementHandle":{"connectionId":"c8","id":$sid3},""" +
+        """"parameterValues":[{"type":"STRING","value":"x' OR '1'='1"}]}""")
+    resp3.at("/results/0/firstFrame/rows/0/0").asLong() shouldBe 0L
+  }
+
+  test("getTableTypes and getTypeInfo route over the wire (documented request names)") {
+    open("c10", "orga")
+    val (st, tt) = rpc("""{"request":"getTableTypes","connectionId":"c10"}""")
+    st shouldBe 200
+    tt.get("response").asText() shouldBe "resultSet"
+    val ttRows = tt.at("/firstFrame/rows")
+    (0 until ttRows.size()).map(i => ttRows.get(i).get(0).asText()) should contain("TABLE")
+    val (_, ti) = rpc("""{"request":"getTypeInfo","connectionId":"c10"}""")
+    val tiRows = ti.at("/firstFrame/rows")
+    tiRows.size() should be > 0
+    val typeNames = (0 until tiRows.size()).map(i => tiRows.get(i).get(0).asText())
+    typeNames should contain("BIGINT")
+    // the get-prefixed documented names alias the bare forms
+    val (_, ts) = rpc("""{"request":"getTables","connectionId":"c10"}""")
+    val names = (0 until ts.at("/firstFrame/rows").size())
+      .map(i => ts.at("/firstFrame/rows").get(i).get(2).asText())
+    names should contain("avmetric")
+  }
+
+  test("syncResults, commit and rollback acks (stock-client housekeeping)") {
+    open("c11", "orga")
+    val sid = createStatement("c11")
+    rpc(s"""{"request":"prepareAndExecute","connectionId":"c11","statementId":$sid,""" +
+      """"sql":"SELECT v FROM avmetric ORDER BY v","maxRowCount":-1}""")
+    val (_, sr) = rpc(
+      s"""{"request":"syncResults","connectionId":"c11","statementId":$sid,"offset":3}""")
+    sr.get("response").asText() shouldBe "syncResults"
+    sr.get("missingStatement").asBoolean() shouldBe false
+    sr.get("moreResults").asBoolean() shouldBe true
+    val (_, srGone) = rpc(
+      """{"request":"syncResults","connectionId":"c11","statementId":99999,"offset":0}""")
+    srGone.get("missingStatement").asBoolean() shouldBe true
+    rpc("""{"request":"commit","connectionId":"c11"}""")
+      ._2.get("response").asText() shouldBe "commit"
+    rpc("""{"request":"rollback","connectionId":"c11"}""")
+      ._2.get("response").asText() shouldBe "rollback"
+    val (_, cs) = rpc(
+      """{"request":"connectionSync","connectionId":"c11","connProps":{"autoCommit":true}}""")
+    cs.get("response").asText() shouldBe "connectionSync"
+  }
+
+  test("statement results stream: peak held rows stays within one frame") {
+    open("c12", "orga")
+    val sid = createStatement("c12")
+    rpc(s"""{"request":"prepareAndExecute","connectionId":"c12","statementId":$sid,""" +
+      """"sql":"SELECT `timestamp`, v FROM avmetric ORDER BY `timestamp`","maxRowCount":-1}""")
+    val (_, f1) = rpc(
+      s"""{"request":"fetch","connectionId":"c12","statementId":$sid,"offset":3,"fetchMaxRowCount":3}""")
+    f1.at("/frame/done").asBoolean() shouldBe false
+    val (_, f2) = rpc(
+      s"""{"request":"fetch","connectionId":"c12","statementId":$sid,"offset":6,"fetchMaxRowCount":3}""")
+    f2.at("/frame/done").asBoolean() shouldBe true
+    f2.at("/frame/rows").size() shouldBe 1
+    // the full 7-row result was paged in 3-row frames; the server never
+    // buffered more than one frame (the old collect() held all 7)
+    server.peakHeldRows("c12", sid) should be <= 3
+  }
 }

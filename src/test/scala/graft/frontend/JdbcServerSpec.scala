@@ -11,11 +11,13 @@ import org.scalatest.matchers.should.Matchers
 import java.sql.DriverManager
 
 /** A REAL stock JDBC client (hive-jdbc over the Thrift wire protocol)
-  * against the per-tenant endpoint: connect, list tables, round-trip a
-  * query — the reference's primary production entry point
-  * (`FineoServer` + Avatica; `TestFineoServer.java` does the same
-  * connect-and-select round trip). Write statements must die at the
-  * parser regardless of what the wire client sends. */
+  * against the MULTI-TENANT endpoint: one server, one port, tenant
+  * resolved per-connection from the URL's hive-conf list — the
+  * reference's actual topology (`FineoServer` + Avatica;
+  * `TestFineoServer.java` does the same connect-and-select round trip,
+  * `FineoJdbcMeta` scopes each connection by its org key). Write
+  * statements must die at the parser regardless of what the wire client
+  * sends. */
 class JdbcServerSpec extends AnyFunSuite with Matchers {
   private lazy val spark = SparkFixture.spark
   import scala.jdk.CollectionConverters._
@@ -70,16 +72,23 @@ class JdbcServerSpec extends AnyFunSuite with Matchers {
     Class.forName("org.apache.hive.jdbc.HiveDriver")
     // server-side clamp = 3: every plain query in this spec returns ≤ 3
     // rows anyway, and the clamp test proves the cap on a wider result
-    GraftJdbcServer.start(spark, registry, "orgj", sources, maxRows = Some(3))
+    val s = GraftJdbcServer.startMultiTenant(spark, registry, sources, maxRows = Some(3))
+    // the serving root session doubles as "just another connection" for
+    // the plan-shape assertions below: give it the tenant key conf
+    s.serving.conf.set(GraftJdbcServer.TenantConfKey, "orgj")
+    s
   }
 
-  private def withConn[A](f: java.sql.Connection => A): A = {
-    val c = DriverManager.getConnection(server.jdbcUrl, "anyuser", "")
+  /** Connect as `key` — the tenant rides the URL's hive-conf list, the
+    * same "key in connection properties" contract as the reference. */
+  private def withConn[A](key: String = "orgj")(f: java.sql.Connection => A): A = {
+    val c = DriverManager.getConnection(
+      s"${server.jdbcUrl}?${GraftJdbcServer.TenantConfKey}=$key", "anyuser", "")
     try f(c) finally c.close()
   }
 
   test("a stock JDBC client connects and SHOW TABLES lists the tenant's tables") {
-    withConn { c =>
+    withConn() { c =>
       val rs = c.createStatement().executeQuery("SHOW TABLES")
       val names = Iterator.continually(rs).takeWhile(_.next())
         .map(_.getString("tableName")).toSet
@@ -89,7 +98,7 @@ class JdbcServerSpec extends AnyFunSuite with Matchers {
   }
 
   test("SELECT round-trips typed rows over the wire") {
-    withConn { c =>
+    withConn() { c =>
       val rs = c.createStatement().executeQuery(
         "SELECT `timestamp`, v, amt FROM jdbcmetric ORDER BY `timestamp`")
       val got = Iterator.continually(rs).takeWhile(_.next())
@@ -103,7 +112,10 @@ class JdbcServerSpec extends AnyFunSuite with Matchers {
   }
 
   test("JDBC metadata calls (DatabaseMetaData.getTables/getColumns) work") {
-    withConn { c =>
+    withConn() { c =>
+      // catalog registration is statement-triggered on a multi-tenant
+      // endpoint (the tenant context pins at the first parsed statement)
+      c.createStatement().execute("SHOW TABLES")
       val md = c.getMetaData
       val ts = md.getTables(null, null, "%", null)
       val names = Iterator.continually(ts).takeWhile(_.next())
@@ -117,7 +129,7 @@ class JdbcServerSpec extends AnyFunSuite with Matchers {
   }
 
   test("writes and session mutation die at the parser, whatever the client sends") {
-    withConn { c =>
+    withConn() { c =>
       val st = c.createStatement()
       for (sql <- Seq(
           "DROP TABLE jdbcmetric",
@@ -142,7 +154,7 @@ class JdbcServerSpec extends AnyFunSuite with Matchers {
     // host-app global temp view WOULD resolve — the namespace fence must
     // refuse it at parse time (reads, not just writes, are tenant-scoped).
     spark.range(3).createOrReplaceGlobalTempView("host_secret")
-    try withConn { c =>
+    try withConn() { c =>
       val st = c.createStatement()
       val e = intercept[java.sql.SQLException] {
         st.executeQuery("SELECT * FROM global_temp.host_secret")
@@ -167,7 +179,7 @@ class JdbcServerSpec extends AnyFunSuite with Matchers {
   }
 
   test("wire statements prune out-of-range nearline sources (reference R1 over JDBC)") {
-    withConn { c =>
+    withConn() { c =>
       // correctness across both windows, over the real wire
       val rs = c.createStatement().executeQuery(
         "SELECT `timestamp`, v FROM nlmetric ORDER BY `timestamp`")
@@ -193,7 +205,7 @@ class JdbcServerSpec extends AnyFunSuite with Matchers {
   }
 
   test("EXPLAIN over the wire shows the substituted, time-pruned plan") {
-    withConn { c =>
+    withConn() { c =>
       val rs = c.createStatement().executeQuery(
         "EXPLAIN SELECT v FROM nlmetric WHERE `timestamp` >= 2000")
       val plan = Iterator.continually(rs).takeWhile(_.next())
@@ -211,7 +223,7 @@ class JdbcServerSpec extends AnyFunSuite with Matchers {
     // a cap; a stock client's unbounded statement returns at most it.
     // (Only one Thrift endpoint can live per JVM, so the cap is on the
     // shared spec server — 3, which no other query here exceeds.)
-    withConn { c =>
+    withConn() { c =>
       val rs = c.createStatement().executeQuery(
         "SELECT a.v FROM jdbcmetric a JOIN jdbcmetric b") // 9 rows unclamped
       Iterator.continually(rs).takeWhile(_.next()).size shouldBe 3
@@ -223,7 +235,7 @@ class JdbcServerSpec extends AnyFunSuite with Matchers {
   }
 
   test("the read-only parser still runs the full query surface") {
-    withConn { c =>
+    withConn() { c =>
       val rs = c.createStatement().executeQuery(
         """WITH big AS (SELECT * FROM jdbcmetric WHERE v >= 2)
           |SELECT count(*) AS n, sum(v) AS s FROM big""".stripMargin)
@@ -231,5 +243,49 @@ class JdbcServerSpec extends AnyFunSuite with Matchers {
       rs.getLong("n") shouldBe 2L
       rs.getLong("s") shouldBe 5L
     }
+  }
+
+  test("two tenants share one port, each seeing only its own catalog") {
+    withConn("orgz") { c =>
+      val rs = c.createStatement().executeQuery("SHOW TABLES")
+      val names = Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getString("tableName")).toSet
+      names should contain("zmetric")
+      (names should not).contain("jdbcmetric")
+      val v = c.createStatement().executeQuery("SELECT v FROM zmetric")
+      v.next() shouldBe true
+      v.getLong(1) shouldBe 9L
+      // the other tenant's table is unnameable from this connection
+      val e = intercept[java.sql.SQLException] {
+        c.createStatement().executeQuery("SELECT v FROM jdbcmetric")
+      }
+      e.getMessage should include("cannot be found")
+    }
+    // and the original tenant still resolves on the same port
+    withConn() { c =>
+      val rs = c.createStatement().executeQuery("SELECT count(*) AS n FROM jdbcmetric")
+      rs.next() shouldBe true
+      rs.getLong(1) shouldBe 3L
+    }
+  }
+
+  test("a connection without a tenant key can name nothing") {
+    val c = DriverManager.getConnection(server.jdbcUrl, "anyuser", "")
+    try {
+      val e = intercept[java.sql.SQLException] {
+        c.createStatement().executeQuery("SELECT v FROM jdbcmetric")
+      }
+      e.getMessage should include("cannot be found") // empty catalog, not a leak
+    } finally c.close()
+  }
+
+  test("an unknown tenant key is refused at connection open") {
+    // the first statement the wire session parses trips tenant
+    // resolution during open — a bad key never yields a connection,
+    // the same connect-time rejection as the reference's key check
+    val e = intercept[java.sql.SQLException] {
+      withConn("nosuchorg")(_ => ())
+    }
+    e.getMessage should include("unknown tenant")
   }
 }
