@@ -1794,7 +1794,7 @@ object PipelineQueries {
         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM w GROUP BY 1),
         |c2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM w GROUP BY 1)
         |SELECT b AS bigram, n_pair,
-        |  round(ln((n_pair * n) / (c1.c1 * c2.c2)), 4) AS pmi
+        |  round(ln((CAST(n_pair AS DOUBLE) * n) / (CAST(c1.c1 AS DOUBLE) * c2.c2)), 4) AS pmi
         |FROM cb JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
         |WHERE n_pair >= 5
         |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,

@@ -231,17 +231,24 @@ object Dedup {
         .select(col(idCol).as(side),
           posexplode(array(bandCols: _*)).as(Seq("band_idx", "bk")))
     }
+    // the token table tags each row's SIDE: train and bench are separate
+    // corpora whose id spaces may collide (an external benchmark keeps
+    // its own ids), and an id-only join would attach the wrong side's
+    // tokens to colliding ids, duplicating candidates and corrupting
+    // the Jaccard values
+    def sided(df: DataFrame, side: String) =
+      df.select(col(idCol), lit(side).as("side"),
+        array_distinct(split(lower(col(textCol)), " ")).as("toks"))
     val tok = Materialize.index(
-      train.select(col(idCol), array_distinct(split(lower(col(textCol)), " ")).as("toks"))
-        .unionByName(
-          bench.select(col(idCol), array_distinct(split(lower(col(textCol)), " ")).as("toks"))),
-      "decon-toks")
+      sided(train, "t").unionByName(sided(bench, "b")), "decon-toks")
     val cand = banded(train, "tid")
       .join(broadcast(banded(bench, "bid")), Seq("band_idx", "bk"))
       .select("tid", "bid").distinct()
     val jac = cand
-      .join(tok.select(col(idCol).as("tid"), col("toks").as("toks_t")), "tid")
-      .join(tok.select(col(idCol).as("bid"), col("toks").as("toks_b")), "bid")
+      .join(tok.filter(col("side") === "t")
+        .select(col(idCol).as("tid"), col("toks").as("toks_t")), "tid")
+      .join(tok.filter(col("side") === "b")
+        .select(col(idCol).as("bid"), col("toks").as("toks_b")), "bid")
       .groupBy("tid")
       .agg(max(round(jaccard(col("toks_t"), col("toks_b")), 4)).as("max_jac"))
     train.select(col(idCol))

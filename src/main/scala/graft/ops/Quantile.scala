@@ -25,9 +25,14 @@ import org.apache.spark.sql.functions._
 object Quantile {
 
   /** The sketch: (oct, half, cnt) bucket counts of a positive long
-    * expression. Bucket low edge = 2^(oct-1) + half·2^(oct-2). */
+    * expression. Bucket low edge = 2^(oct-1) + half·2^(oct-2).
+    * Non-positive inputs are dropped up front: bin() of a negative long
+    * is its 64-char two's-complement (a wildly wrong oct=64 bucket) and
+    * 0 would alias the value-1 bucket — neither is a representable
+    * histogram point, so filtering is the only non-corrupting choice. */
   def logHist(df: DataFrame, value: Column): DataFrame =
-    df.select(length(bin(value)).cast("int").as("oct"),
+    df.filter(value > 0)
+      .select(length(bin(value)).cast("int").as("oct"),
         when(length(bin(value)) === 1, 0)
           .otherwise(substring(bin(value), 2, 1).cast("int")).as("half"))
       .groupBy("oct", "half")

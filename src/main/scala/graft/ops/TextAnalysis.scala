@@ -410,7 +410,12 @@ object TextAnalysis {
       .select(
         col("b").as("bigram"),
         col("cb").as("n_pair"),
-        round(log(col("cb") * col("n") / (col("c1") * col("c2"))), 4).as("pmi"))
+        // operands cast to double BEFORE multiplying: at corpus scale
+        // (N ≈ 10^12 occurrences) cb·N as a long multiplication silently
+        // wraps past Long.MaxValue; the double product is exact for all
+        // test-scale values (< 2^53) and overflow-free at any scale
+        round(log(col("cb").cast("double") * col("n")
+          / (col("c1").cast("double") * col("c2"))), 4).as("pmi"))
       .orderBy(col("pmi").desc, col("bigram"))
       .limit(topK)
   }
