@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale soak of the flagship curation path (minhash-LSH → transitive
+  * components → quality gate → decontaminate → token budget/pack) at
+  * ~10× the bench corpus — the measured scaling point behind the
+  * 100 TB design claims.
+  *
+  * The driver ships no sf1 test data, so the soak scales the LARGEST
+  * driver corpus (sf0.1) by unioning R in-plan replicas with disjoint,
+  * re-keyed id spaces and per-replica text salting (a replica marker
+  * prepended to each text). Re-keying keeps every replica a distinct
+  * document population: near-dup structure within each replica matches
+  * the base corpus, the salt keeps replicas from being trivial exact
+  * dups of each other, and NOTHING under /root/testdata is written or
+  * modified — the replication is a plan-side `unionAll` over the same
+  * parquet scan.
+  *
+  * Prints ONE JSON line: per-stage seconds, row counts, and the
+  * replica factor, plus the same physical sanity counters the bench
+  * records (spill bytes must stay 0).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ScaleSoak [replicas]
+  */
+object ScaleSoak {
+  def main(args: Array[String]): Unit = {
+    val replicas = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
+
+    val base = Tables.load(spark, sfDir, "documents")
+    val maxId = base.agg(max("doc_id")).head().getLong(0) + 1
+    val scaled = (0 until replicas).map { i =>
+      base.select(
+        (col("doc_id") + lit(i * maxId)).as("doc_id"),
+        concat(lit(s"r$i "), col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+
+    val spill = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          spill.addAndGet(t.taskMetrics.diskBytesSpilled + t.taskMetrics.memoryBytesSpilled)
+    })
+
+    val stages = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      stages(name) = (System.nanoTime() - t0) / 1e9
+      r
+    }
+
+    // the corpus is consumed by several stages — materialize the scaled
+    // union once, exactly as a lake pipeline would land its input
+    val docs = timed("materialize_input") {
+      val d = graft.ops.Materialize.index(scaled, "soak-docs")
+      counts("input_rows") = d.count()
+      d
+    }
+
+    // 1. minhash-LSH candidates + exact-Jaccard verify
+    val pairs = timed("lsh_verify") {
+      val sigs = graft.ops.Dedup.minhashSignatures(docs, "text", numHashes = 4)
+      val tok = graft.ops.Materialize.index(
+        docs.select(col("doc_id"),
+          array_distinct(split(lower(col("text")), " ")).as("toks")),
+        "soak-toks")
+      val bands = graft.ops.Dedup.lshBands(sigs, numHashes = 4, rowsPerBand = 2)
+      val cand = graft.ops.Dedup.lshCandidatePairs(
+        bands.select(col("doc_id"), col("band0"), col("band1")), "doc_id", numBands = 2)
+      val verified = graft.ops.Materialize.index(
+        graft.ops.Dedup.verifyPairsTok(cand, tok, "doc_id", threshold = 0.5),
+        "soak-pairs")
+      counts("verified_pairs") = verified.count()
+      verified
+    }
+
+    // 2. transitive closure → cluster keepers
+    val drops = timed("components") {
+      val cl = graft.ops.Materialize.index(
+        graft.ops.Cluster.dupClusters(pairs.select("id_a", "id_b")), "soak-clusters")
+      counts("clustered_docs") = cl.count()
+      cl.filter(col("doc_id") =!= col("cluster")).select("doc_id")
+    }
+
+    // 3. quality gate + dedup-drop join
+    val gated = timed("quality_gate") {
+      val kept = docs.join(drops, Seq("doc_id"), "left_anti")
+      val g = graft.ops.Materialize.index(
+        graft.ops.TextAnalysis.gopherSignals(kept)
+          .filter(col("passes"))
+          .select("doc_id", "lang", "source", "text"), "soak-gated")
+      counts("gated_rows") = g.count()
+      g
+    }
+
+    // 4. decontaminate against the src0 slice
+    val clean = timed("decontaminate") {
+      val cleanIds = graft.ops.TextAnalysis.contamination(
+          train = gated.filter(col("source") =!= "src0"),
+          bench = docs.filter(col("source") === "src0"),
+          shingleWords = 8)
+        .filter(!col("contaminated"))
+        .select("doc_id")
+      val c = graft.ops.Materialize.index(
+        gated.join(cleanIds, "doc_id"), "soak-clean")
+      counts("clean_rows") = c.count()
+      c
+    }
+
+    // 5. token-budget selection (distributed cumsum path)
+    timed("budget_pack") {
+      val packed = graft.ops.Curation.budgetSelect(
+        clean.withColumn("n_toks",
+          size(split(lower(col("text")), " ")).cast("long")),
+        idCol = "doc_id", scoreCol = "n_toks", tokensCol = "n_toks",
+        budget = counts("clean_rows") * 64) // ~half the corpus by tokens
+      counts("budget_rows") = packed.count()
+    }
+
+    graft.ops.Materialize.dropAll()
+    val total = stages.values.sum
+    val stagesJson = stages.map { case (k, v) => s""""$k":${f"$v%.2f"}""" }.mkString(",")
+    val countsJson = counts.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    println(s"""{"metric":"soak_total","value":${f"$total%.2f"},"unit":"sec","replicas":$replicas,""" +
+      s""""sf":"$sfDir","stages":{$stagesJson},"counts":{$countsJson},"spill_bytes":${spill.get()}}""")
+    spark.stop()
+  }
+}
