@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Classify, CountMin, Curation, Dedup, Hll, Quantile, Similarity, Skew, TextAnalysis}
+import graft.ops.{Classify, CountMin, Curation, Dedup, Hll, Quantile, Retrieval, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -121,6 +121,25 @@ object PipelineQueries {
     Dedup.simhash16(t(s, dir, "documents"), "text")
       .select("doc_id", "simhash")
       .orderBy("doc_id")
+
+  /** SimHash near-dup PAIRS within hamming distance 2 via radius-1
+    * probing ([[graft.ops.Dedup.simhashHammingPairs]]) — probe buckets,
+    * never all-pairs. */
+  def dedupSimhashHamming(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashHammingPairs(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
+  /** Okapi BM25 of the corpus against a fixed probe query
+    * ([[graft.ops.Retrieval.bm25]]): scan-side term pruning, broadcast
+    * df/stats, TakeOrdered top-k on the rounded score. */
+  def bm25Retrieval(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
+      terms = Seq("table", "query", "spark"))
+
+  /** Capped inverted-index build ([[graft.ops.Retrieval.invertedIndex]]):
+    * champion postings lists bounded BEFORE any array materializes. */
+  def invertedIndexQ(s: SparkSession, dir: String): DataFrame =
+    Retrieval.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
 
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.ops.Materialize.spread(t(s, dir, "documents"))
@@ -1327,6 +1346,9 @@ object PipelineQueries {
     "dedup_cluster_star" -> (dedupClusterStar _),
     "sample_stratified" -> (sampleStratified _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_hamming" -> (dedupSimhashHamming _),
+    "bm25_retrieval" -> (bm25Retrieval _),
+    "inverted_index" -> (invertedIndexQ _),
     "decontaminate" -> (decontaminate _),
     "range_join" -> (rangeJoin _),
     "range_join_auto" -> (rangeJoinAuto _),
@@ -2381,6 +2403,53 @@ object PipelineQueries {
     "dedup_simhash" ->
       s"""SELECT doc_id, $duckSimhashBits AS simhash
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_hamming" ->
+      s"""WITH sh AS (SELECT doc_id, $duckSimhashBits AS s FROM documents),
+         |pr AS (SELECT doc_id,
+         |    CASE WHEN k = 0 THEN s
+         |    ELSE substring(s, 1, CAST(k AS INT) - 1)
+         |      || (CASE WHEN substring(s, CAST(k AS INT), 1) = '1' THEN '0' ELSE '1' END)
+         |      || substring(s, CAST(k AS INT) + 1, 16) END AS probe
+         |  FROM sh, unnest(range(0, 17)) AS t(k)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pr a JOIN pr b ON a.probe = b.probe AND a.doc_id < b.doc_id),
+         |h AS (SELECT id_a, id_b,
+         |    CAST(list_sum(list_transform(range(1, 17),
+         |      i -> CASE WHEN substring(sa.s, CAST(i AS INT), 1)
+         |          = substring(sb.s, CAST(i AS INT), 1) THEN 0 ELSE 1 END)) AS BIGINT) AS hd
+         |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id JOIN sh sb ON cand.id_b = sb.doc_id)
+         |SELECT id_a, id_b, hd FROM h WHERE hd <= 2 ORDER BY id_a, id_b""".stripMargin,
+    "bm25_retrieval" ->
+      """WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM base),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS tok FROM base)
+        |  WHERE tok IN ('table', 'query', 'spark') GROUP BY doc_id, tok),
+        |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |sc AS (SELECT doc_id,
+        |    ln((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+        |        + CAST(1.0 AS DOUBLE))
+        |      * (tf * CAST(2.2 AS DOUBLE))
+        |      / (tf + CAST(1.2 AS DOUBLE)
+        |          * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS w
+        |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st)
+        |SELECT doc_id, round(sum(w), 4) AS score, CAST(count(*) AS BIGINT) AS n_terms
+        |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "inverted_index" ->
+      """WITH pd AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok, doc_id FROM documents)
+        |  GROUP BY tok, doc_id),
+        |ag AS (SELECT tok, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS cf
+        |  FROM pd GROUP BY tok),
+        |cap AS (SELECT tok, doc_id FROM (
+        |    SELECT tok, doc_id, row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+        |    FROM pd) WHERE rn <= 20),
+        |po AS (SELECT tok, array_to_string(list_transform(list_sort(list(doc_id)),
+        |    x -> CAST(x AS VARCHAR)), ',') AS postings
+        |  FROM cap GROUP BY tok)
+        |SELECT tok, df, cf, postings FROM ag JOIN po USING (tok)
+        |WHERE df >= 5 ORDER BY tok""".stripMargin,
     "range_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id
         |FROM events c JOIN events p ON c.user_id = p.user_id

@@ -294,6 +294,48 @@ object Dedup {
   /** 16-dimension SimHash over word tokens, as a 16-char bit string.
     * Dimension i's +1/-1 vote is hex digit i of md5(token) vs its 7.5
     * midpoint; kept in exact integer arithmetic (2*sum > 15*n). */
+  /** Near-dup pairs within SimHash hamming distance `maxDist` (≤ 2),
+    * found by radius-1 probing instead of an all-pairs comparison: each
+    * doc emits 17 keys — its 16-bit simhash plus every one-bit flip —
+    * and two docs at distance ≤ 2 are GUARANTEED to collide on at least
+    * one key (d=0 on the exact key, d=1 exact-vs-flip, d=2 flip-vs-flip
+    * of their two differing bits). The candidate join keys on those
+    * probes; exact hamming distance verifies.
+    *
+    * Scale shape: probe fan-out is a fixed ×17 on a 16-char column (not
+    * the text), the probe self-join keys on a high-cardinality hash
+    * bucket, and verification touches candidates only — the same
+    * probe-don't-compare structure Google's simhash dedup uses at web
+    * scale (Manku et al., WWW'07). The simhash table is materialized
+    * once; both probe sides and the verify join read it. */
+  def simhashHammingPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 2): DataFrame = {
+    require(maxDist <= 2, s"radius-1 probing certifies distance <= 2, got $maxDist")
+    val sh = Materialize.index(
+      simhash16(df, textCol).select(col(idCol), col("simhash")), "simhash-idx")
+    val probes = sh.select(col(idCol), explode(expr(
+      """transform(sequence(0, 16), k -> CASE WHEN k = 0 THEN simhash
+        |ELSE concat(substring(simhash, 1, k - 1),
+        |  CASE WHEN substring(simhash, k, 1) = '1' THEN '0' ELSE '1' END,
+        |  substring(simhash, k + 1, 16)) END)""".stripMargin)).as("probe"))
+    val cand = probes.select(col(idCol).as("id_a"), col("probe"))
+      .join(probes.select(col(idCol).as("id_b"), col("probe")), "probe")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("simhash").as("sa")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("simhash").as("sb")), "id_b")
+      .withColumn("hd", expr(
+        """aggregate(sequence(1, 16), 0,
+          |  (acc, i) -> acc + IF(substring(sa, i, 1) = substring(sb, i, 1), 0, 1))"""
+          .stripMargin).cast("long"))
+      .filter(col("hd") <= maxDist)
+      .select("id_a", "id_b", "hd")
+  }
+
   def simhash16(df: DataFrame, textCol: String): DataFrame = {
     val toksExpr = s"split(lower($textCol), ' ')"
     val bitCols = (1 to 16).map { i =>

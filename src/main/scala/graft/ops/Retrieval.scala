@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval primitives — the search half of a training-data
+  * pipeline (quality-biased sampling pulls the docs most similar to a
+  * trusted seed set; eval-set mining pulls the docs matching a probe
+  * query): Okapi BM25 scoring against a fixed term set, and the
+  * capped inverted-index build that serves it at scale.
+  */
+object Retrieval {
+
+  /** Okapi BM25 (Robertson et al.) of every document against a fixed
+    * bag of query `terms`; top-`topK` docs by rounded score.
+    *
+    * Scale shape: the query terms broadcast onto the token stream and
+    * prune it SCAN-SIDE (the per-doc token explode never leaves the map
+    * stage for non-query terms); tf is a partial-agg groupBy on
+    * (doc, term) — |terms| · |docs| worst case, not corpus tokens; df
+    * and the (N, avgdl) stats are tiny broadcasts back onto it. The
+    * final top-k is a TakeOrdered, no global sort. Tie-break is on the
+    * ROUNDED score then doc id, so the cut is engine-reproducible.
+    *
+    * All double arithmetic is written in the exact operation order the
+    * DuckDB oracle uses (constants pre-cast to double) so scores match
+    * bit-for-bit before the defensive round. */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val termTab = terms.toDF("tok")
+    val base = docs.select(col(idCol), split(lower(col(textCol)), " ").as("toks"))
+    val dl = base.select(col(idCol), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n"), avg("dl").as("avgdl"))
+    val tf = base.select(col(idCol), explode(col("toks")).as("tok"))
+      .join(broadcast(termTab), "tok")
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(
+        round(sum("w"), 4).as("score"),
+        count(lit(1)).cast("long").as("n_terms"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Inverted-index build: per term, document frequency, collection
+    * frequency, and a postings list CAPPED at the first `cap` doc ids
+    * (a champion list). Terms under `minDf` are dropped.
+    *
+    * Scale shape: the cap is applied by a per-term row_number BEFORE any
+    * list materializes — a stop-word appearing in every document streams
+    * through its window partition and contributes `cap` postings, never
+    * a corpus-sized array (`collect_list` only ever sees ≤ cap rows per
+    * term). df/cf come from the same (term, doc) partial agg the window
+    * reads. Postings travel as a comma-joined string — the
+    * engine-neutral wire form. */
+  def invertedIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long = 5L,
+      cap: Int = 20): DataFrame = {
+    val perDoc = docs
+      .select(explode(split(lower(col(textCol)), " ")).as("tok"), col(idCol))
+      .groupBy("tok", idCol).agg(count(lit(1)).as("c"))
+    val agg = perDoc.groupBy("tok").agg(
+      count(lit(1)).cast("long").as("df"),
+      sum("c").cast("long").as("cf"))
+    val capped = perDoc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("tok").orderBy(col(idCol))))
+      .filter(col("rn") <= cap)
+    val posts = capped.groupBy("tok").agg(
+      array_join(transform(sort_array(collect_list(col(idCol))),
+        (x: Column) => x.cast("string")), ",").as("postings"))
+    agg.join(posts, "tok")
+      .filter(col("df") >= minDf)
+      .select("tok", "df", "cf", "postings")
+      .orderBy("tok")
+  }
+}
