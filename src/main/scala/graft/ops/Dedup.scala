@@ -291,9 +291,6 @@ object Dedup {
       .select("id_a", "id_b", "shared", "containment")
   }
 
-  /** 16-dimension SimHash over word tokens, as a 16-char bit string.
-    * Dimension i's +1/-1 vote is hex digit i of md5(token) vs its 7.5
-    * midpoint; kept in exact integer arithmetic (2*sum > 15*n). */
   /** Near-dup pairs within SimHash hamming distance `maxDist` (≤ 2),
     * found by radius-1 probing instead of an all-pairs comparison: each
     * doc emits 17 keys — its 16-bit simhash plus every one-bit flip —
@@ -316,33 +313,58 @@ object Dedup {
     require(maxDist <= 2, s"radius-1 probing certifies distance <= 2, got $maxDist")
     val sh = Materialize.index(
       simhash16(df, textCol).select(col(idCol), col("simhash")), "simhash-idx")
-    val probes = sh.select(col(idCol), explode(expr(
+    // Probe over DISTINCT fingerprints, not documents (Manku's actual
+    // table layout): exact-dup documents collapse into one fingerprint
+    // row, so a hot content cluster of m docs costs 17 probe rows — not
+    // 17m probe rows whose self-join degenerates into 17m² in-bucket
+    // candidates. Doc pairs re-expand afterwards: same-fingerprint
+    // groups pair within (distance 0 by construction), and verified
+    // fingerprint pairs fan out to their member cross products — both
+    // output-sized joins.
+    val hashes = sh.select("simhash").distinct()
+    val probes = hashes.select(col("simhash"), explode(expr(
       """transform(sequence(0, 16), k -> CASE WHEN k = 0 THEN simhash
         |ELSE concat(substring(simhash, 1, k - 1),
         |  CASE WHEN substring(simhash, k, 1) = '1' THEN '0' ELSE '1' END,
         |  substring(simhash, k + 1, 16)) END)""".stripMargin)).as("probe"))
-    val cand = probes.select(col(idCol).as("id_a"), col("probe"))
-      .join(probes.select(col(idCol).as("id_b"), col("probe")), "probe")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cand
-      .join(sh.select(col(idCol).as("id_a"), col("simhash").as("sa")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("simhash").as("sb")), "id_b")
+    val hpairs = probes.select(col("simhash").as("sa"), col("probe"))
+      .join(probes.select(col("simhash").as("sb"), col("probe")), "probe")
+      .filter(col("sa") < col("sb"))
+      .select("sa", "sb").distinct()
       .withColumn("hd", expr(
         """aggregate(sequence(1, 16), 0,
           |  (acc, i) -> acc + IF(substring(sa, i, 1) = substring(sb, i, 1), 0, 1))"""
           .stripMargin).cast("long"))
       .filter(col("hd") <= maxDist)
-      .select("id_a", "id_b", "hd")
+    val cross = hpairs
+      .join(sh.select(col(idCol).as("ia"), col("simhash").as("sa")), "sa")
+      .join(sh.select(col(idCol).as("ib"), col("simhash").as("sb")), "sb")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hd"))
+    val within = sh.select(col(idCol).as("ia"), col("simhash"))
+      .join(sh.select(col(idCol).as("ib"), col("simhash")), "simhash")
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"), lit(0L).as("hd"))
+    within.unionAll(cross)
   }
 
+  /** 16-dimension SimHash over word tokens, as a 16-char bit string.
+    * Dimension i's +1/-1 vote is hex digit i of md5(token) vs its 7.5
+    * midpoint; kept in exact integer arithmetic (2*sum > 15*n).
+    *
+    * Each token is hashed ONCE into a per-row md5 array behind its own
+    * projection (CollapseProject keeps the boundary — the transform is
+    * not a cheap expression), and the 16 digit sums read that array:
+    * 16× less hashing than folding md5 into every per-bit aggregate,
+    * which dominated the operator's runtime. */
   def simhash16(df: DataFrame, textCol: String): DataFrame = {
-    val toksExpr = s"split(lower($textCol), ' ')"
     val bitCols = (1 to 16).map { i =>
       val sumExpr =
-        s"aggregate($toksExpr, 0L, (acc, t) -> acc + instr('0123456789abcdef', substring(md5(t), $i, 1)) - 1)"
-      s"CASE WHEN 2 * ($sumExpr) > 15 * size($toksExpr) THEN '1' ELSE '0' END"
+        s"aggregate(_tok_md5, 0L, (acc, h) -> acc + instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
+      s"CASE WHEN 2 * ($sumExpr) > 15 * size(_tok_md5) THEN '1' ELSE '0' END"
     }
-    df.withColumn("simhash", expr(s"concat(${bitCols.mkString(", ")})"))
+    df.withColumn("_tok_md5", expr(s"transform(split(lower($textCol), ' '), t -> md5(t))"))
+      .withColumn("simhash", expr(s"concat(${bitCols.mkString(", ")})"))
+      .drop("_tok_md5")
   }
 }
