@@ -80,6 +80,15 @@ object PipelineQueries {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashVerifiedPairs(s, dir).orderBy("id_a", "id_b")
 
+  /** PageRank over the verified near-dup pair graph
+    * ([[graft.ops.Cluster.pageRank]]): 3 synchronous rounds, 8-dp
+    * intermediate rounding mirrored by the oracle's unrolled CTEs. */
+  def pairGraphRank(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cluster.pageRank(
+      minhashVerifiedPairs(s, dir).select("id_a", "id_b"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Transitive near-dup clusters: connected components over the verified
     * pair graph (A~B, B~C ⇒ one cluster). The LSH front half emits edges;
     * [[graft.ops.Cluster]] resolves them to per-document cluster ids with
@@ -1342,6 +1351,7 @@ object PipelineQueries {
     "token_counts" -> (tokenCounts _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "pair_graph_rank" -> (pairGraphRank _),
     "dedup_cluster" -> (dedupCluster _),
     "dedup_cluster_star" -> (dedupClusterStar _),
     "sample_stratified" -> (sampleStratified _),
@@ -2347,6 +2357,24 @@ object PipelineQueries {
     "dedup_minhash_lsh" ->
       s"""WITH $duckMinhashPairCtes
          |SELECT id_a, id_b, jac FROM vpairs ORDER BY id_a, id_b""".stripMargin,
+    "pair_graph_rank" -> {
+      def rnd(r: Int) =
+        s"""r$r AS (SELECT dst AS id,
+           |    round(CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+           |      * sum(r.rank / d.deg), 8) AS rank
+           |  FROM e JOIN r${r - 1} r ON e.src = r.id JOIN d ON e.src = d.src
+           |  GROUP BY dst)""".stripMargin
+      s"""WITH $duckMinhashPairCtes,
+         |e AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+         |  UNION SELECT id_b, id_a FROM vpairs),
+         |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) AS rank FROM d),
+         |${rnd(1)},
+         |${rnd(2)},
+         |${rnd(3)}
+         |SELECT id AS doc_id, d.deg, round(rank, 4) AS rank
+         |FROM r3 JOIN d ON r3.id = d.src ORDER BY doc_id""".stripMargin
+    },
     "dedup_cluster" ->
       // Connected components of the verified pair graph as a recursive
       // reachability closure + min-per-node: tiny in DuckDB at oracle

@@ -198,6 +198,44 @@ object Cluster {
     out
   }
 
+  /** PageRank over the undirected near-dup pair graph — graph-centrality
+    * document importance (a hub re-posted everywhere outranks its
+    * copies; the downstream keeper policy can prefer it). `rounds`
+    * synchronous iterations of
+    * `rank' = 0.15 + 0.85 · Σ_in rank/deg`, every intermediate rounded
+    * to 8 dp — the SAME rounding the oracle's unrolled CTEs apply, so
+    * cross-engine double-sum reordering cannot drift across rounds.
+    *
+    * Scale shape: textbook distributed PageRank — the bidirectional
+    * edge table materializes once, rank is a node-sized table, each
+    * round is one edge⋈rank join plus a partial-aggregated groupBy on
+    * the destination (2 shuffles/round), and the per-round parquet cut
+    * keeps the plan linear in rounds (the [[graft.ops.Bpe]] /
+    * [[connectedComponents]] loop discipline). Nothing collects.
+    * Returns (id, deg, rank) for every node of the pair graph. */
+  def pageRank(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+    val edges = Materialize.index(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct(), "pr-edges")
+    val deg = Materialize.index(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")), "pr-deg")
+    var rank = deg.select(col("src").as("id"), lit(1.0).as("rank"))
+    for (r <- 1 to rounds) {
+      val next = edges
+        .join(rank.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy("dst")
+        .agg(round(lit(0.15) + lit(0.85) * sum("c"), 8).as("rank"))
+        .select(col("dst").as("id"), col("rank"))
+      rank = Materialize.index(next, s"pr-round$r")
+    }
+    rank.join(deg.withColumnRenamed("src", "id"), "id")
+      .select(col("id"), col("deg").cast("long").as("deg"),
+        round(col("rank"), 4).as("rank"))
+  }
+
   /** Cluster assignment for a dup-pair list: (`doc_id`, `cluster`,
     * `csize`) per clustered document, cluster = min doc id in the
     * component, csize = component size. The downstream cleanse keeps
