@@ -2023,7 +2023,8 @@ object PipelineQueries {
          |  round(sum(oov) * 1.0 / count(*), 4) AS oov_rate
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "quantile_sketch" ->
-      """WITH c AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+      """WITH c AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
+        |  WHERE CAST(round(value * 100, 0) AS BIGINT) > 0),
         |h AS (SELECT CAST(length(bin(c)) AS INT) AS oct,
         |    CASE WHEN length(bin(c)) = 1 THEN 0
         |         ELSE CAST(substring(bin(c), 2, 1) AS INT) END AS half,

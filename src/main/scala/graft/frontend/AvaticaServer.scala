@@ -65,41 +65,53 @@ class GraftAvaticaServer(
   private case class Conn(tenant: TenantSession)
 
   /** One statement's state: prepared SQL (for prepare/execute) and the
-    * live cursor. All cursor access is synchronized — the HTTP pool may
-    * interleave fetches with a concurrent close. */
+    * live cursor. The cursor holds an iterator FACTORY, not just the
+    * iterator: forward fetches stream (≤ one frame held), while a
+    * non-sequential offset — syncResults repositioning after a client
+    * reset, or a shrunken replay window — re-executes the statement and
+    * skips forward to the requested offset (bounded by the server
+    * clamp), preserving the full offset semantics of the old
+    * collect-based paging without its memory ceiling. All cursor access
+    * is synchronized — the HTTP pool may interleave fetches with a
+    * concurrent close. */
   private final class Stmt {
     var preparedSql: Option[String] = None
     var preparedMaxRows: Int = serverMaxRows
     var paramCount: Int = 0
     var columns: Seq[StructField] = Nil
+    private var source: () => Iterator[Row] = () => Iterator.empty
     private var iter: Iterator[Row] = Iterator.empty
     private var fetched = 0 // rows consumed off the iterator so far
     private var frame: Array[Row] = Array.empty // last served frame (replay)
     private var frameOffset = 0
     var peakHeldRows = 0 // test observability: max rows buffered at once
 
-    def reset(cols: Seq[StructField], it: Iterator[Row]): Unit = synchronized {
-      columns = cols; iter = it; fetched = 0; frame = Array.empty; frameOffset = 0
+    def reset(cols: Seq[StructField], src: () => Iterator[Row]): Unit = synchronized {
+      columns = cols; source = src; iter = src()
+      fetched = 0; frame = Array.empty; frameOffset = 0
     }
 
     /** Serve the frame at `offset`: advance the cursor when the offset is
-      * the next unseen row, replay when it re-requests the current frame.
-      * Returns (rows, done). */
+      * the next unseen row, replay the current frame when re-requested,
+      * re-execute and skip for any other offset. Returns (rows, done). */
     def frameAt(offset: Int, n: Int): (Array[Row], Boolean) = synchronized {
-      if (offset == frameOffset && offset < fetched) {
-        // replay of the frame already served at this offset
+      if (offset == frameOffset && offset < fetched && offset + n >= fetched) {
+        // exact replay of the frame already served at this offset
         val slice = frame.take(n)
         (slice, frameOffset + slice.length >= fetched && !iter.hasNext)
-      } else if (offset == fetched) {
+      } else {
+        if (offset != fetched) {
+          // reposition: rerun the statement, skip to the offset
+          iter = source(); fetched = 0; frame = Array.empty; frameOffset = 0
+          while (fetched < offset && iter.hasNext) { iter.next(); fetched += 1 }
+        }
         val buf = Array.newBuilder[Row]
         var k = 0
         while (k < n && iter.hasNext) { buf += iter.next(); k += 1 }
         frame = buf.result(); frameOffset = offset; fetched += frame.length
         peakHeldRows = math.max(peakHeldRows, frame.length)
         (frame, !iter.hasNext)
-      } else
-        throw new IllegalArgumentException(
-          s"non-sequential fetch offset $offset (cursor at $fetched)")
+      }
     }
 
     def moreAfter(offset: Int): Boolean = synchronized {
@@ -266,7 +278,7 @@ class GraftAvaticaServer(
         }
         val id = nextStmt.incrementAndGet()
         val st = new Stmt
-        st.reset(df.schema.fields.toSeq, localIterator(df))
+        st.reset(df.schema.fields.toSeq, () => localIterator(df))
         stmts.put((cid, id), st)
         s"""{"response":"resultSet","connectionId":${JsonCodec.jstr(cid)},""" +
           s""""statementId":$id,"ownStatement":true,"signature":${signatureJson(st)},""" +
@@ -281,7 +293,7 @@ class GraftAvaticaServer(
     * frames instead of materializing server-side. */
   private def runStatement(conn: Conn, st: Stmt, sql: String, perCall: Int): Unit = {
     val df = conn.tenant.sql(sql, Some(perCall))
-    st.reset(df.schema.fields.toSeq, localIterator(df))
+    st.reset(df.schema.fields.toSeq, () => localIterator(df))
   }
 
   private def localIterator(df: DataFrame): Iterator[Row] = {

@@ -174,7 +174,19 @@ object GraftJdbcServer {
     require(catalogTables.isEmpty,
       s"serving context must have an empty external catalog; found: ${catalogTables.take(5).mkString(", ")}")
 
-    val ctxCache = new java.util.concurrent.ConcurrentHashMap[SparkSession, WireTenantContext]()
+    // Bounded LRU, NOT an unbounded map: per-connection session clones
+    // are the keys, and HiveServer2 gives no public close hook to evict
+    // on disconnect — connection churn would otherwise retain one dead
+    // SessionState (with its registered view DataFrames) per connection
+    // forever. Evicting a LIVE connection's entry is harmless: its next
+    // statement re-resolves the (already-registered) tenant context.
+    val MaxCachedSessions = 512
+    val ctxCache = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[SparkSession, WireTenantContext](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[SparkSession, WireTenantContext]): Boolean =
+          size() > MaxCachedSessions
+      })
 
     def initTenant(sess: SparkSession, orgId: String): WireTenantContext = {
       registry.org(orgId).getOrElse(
@@ -204,14 +216,21 @@ object GraftJdbcServer {
     def ctxFor(sess: SparkSession): Option[WireTenantContext] =
       Option(ctxCache.get(sess)).orElse {
         sess.conf.getOption(TenantConfKey).filter(_.nonEmpty).map { key =>
-          ctxCache.computeIfAbsent(sess, s => initTenant(s, key))
+          ctxCache.synchronized {
+            Option(ctxCache.get(sess)).getOrElse {
+              val c = initTenant(sess, key)
+              ctxCache.put(sess, c)
+              c
+            }
+          }
         }
       }
 
     val serving = GraftSessions.withSessionWrappedParser(root, (sess, delegate) =>
       new WireQueryRewriter(
         new ReadOnlyParser(delegate, blockedNamespaces = Set("global_temp", "spark_catalog")),
-        () => ctxFor(sess)))
+        () => ctxFor(sess),
+        requireTenant = true))
     serving.conf.set("spark.sql.runSQLOnFiles", "false")
     serving.conf.set("spark.sql.thriftServer.incrementalCollect", "true")
     graft.functions.GraftExtensions.register(serving)

@@ -50,11 +50,22 @@ private[frontend] case class WireTenantContext(
   * that already passed them. */
 private[frontend] class WireQueryRewriter(
     delegate: ParserInterface,
-    ctx: () => Option[WireTenantContext]) extends ParserInterface {
+    ctx: () => Option[WireTenantContext],
+    requireTenant: Boolean = false) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     val plan = delegate.parsePlan(sqlText)
     ctx() match {
+      // Multi-tenant endpoints REQUIRE a resolved tenant: a keyless
+      // connection's session clone still carries Spark's conf DEFAULTS
+      // (runSQLOnFiles=true — file-path relations would resolve) and no
+      // row clamp, because hardening runs inside tenant init. Refusing
+      // the statement outright closes both holes — no key, no service
+      // (the reference's connection contract).
+      case None if requireTenant =>
+        throw new SecurityException(
+          "no tenant key on this connection: statements are refused " +
+            s"(set ${GraftJdbcServer.TenantConfKey} in the JDBC URL's conf list)")
       case None => plan
       case Some(c) =>
         def subst(p: LogicalPlan): LogicalPlan = Substitution.substituteMetrics(

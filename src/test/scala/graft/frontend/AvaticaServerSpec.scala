@@ -294,4 +294,24 @@ class AvaticaServerSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     // buffered more than one frame (the old collect() held all 7)
     server.peakHeldRows("c12", sid) should be <= 3
   }
+
+  test("cursor repositioning: a backward fetch re-executes and serves the offset") {
+    open("c13", "orga")
+    val sid = createStatement("c13")
+    rpc(s"""{"request":"prepareAndExecute","connectionId":"c13","statementId":$sid,""" +
+      """"sql":"SELECT `timestamp` FROM avmetric ORDER BY `timestamp`","maxRowCount":-1}""")
+    rpc(s"""{"request":"fetch","connectionId":"c13","statementId":$sid,"offset":3,"fetchMaxRowCount":3}""")
+    // rewind to 0 (the syncResults-reset flow) — the cursor re-executes
+    val (st, f0) = rpc(
+      s"""{"request":"fetch","connectionId":"c13","statementId":$sid,"offset":0,"fetchMaxRowCount":2}""")
+    st shouldBe 200
+    f0.at("/frame/rows/0/0").asLong() shouldBe 10L
+    f0.at("/frame/done").asBoolean() shouldBe false
+    // and a mid-stream reposition (neither replay nor next-sequential)
+    val (_, f5) = rpc(
+      s"""{"request":"fetch","connectionId":"c13","statementId":$sid,"offset":5,"fetchMaxRowCount":5}""")
+    f5.at("/frame/rows").size() shouldBe 2
+    f5.at("/frame/rows/0/0").asLong() shouldBe 60L
+    f5.at("/frame/done").asBoolean() shouldBe true
+  }
 }

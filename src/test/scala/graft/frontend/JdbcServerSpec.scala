@@ -269,14 +269,19 @@ class JdbcServerSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("a connection without a tenant key can name nothing") {
-    val c = DriverManager.getConnection(server.jdbcUrl, "anyuser", "")
-    try {
-      val e = intercept[java.sql.SQLException] {
-        c.createStatement().executeQuery("SELECT v FROM jdbcmetric")
-      }
-      e.getMessage should include("cannot be found") // empty catalog, not a leak
-    } finally c.close()
+  test("a keyless connection is refused service entirely") {
+    // not just an empty catalog: a keyless session clone still carries
+    // Spark's conf DEFAULTS (runSQLOnFiles=true) and no clamp, so the
+    // rewriter refuses every statement — including file-path relations
+    // and table-free driver-DoS selects — at parse time
+    val e = intercept[java.sql.SQLException] {
+      val c = DriverManager.getConnection(server.jdbcUrl, "anyuser", "")
+      try {
+        c.createStatement().executeQuery(
+          "SELECT * FROM parquet.`/root/testdata/sf0.001/region.parquet`")
+      } finally c.close()
+    }
+    e.getMessage should include("no tenant key")
   }
 
   test("an unknown tenant key is refused at connection open") {
