@@ -91,20 +91,42 @@ class GraftAvaticaServer(
       fetched = 0; frame = Array.empty; frameOffset = 0
     }
 
-    /** Serve the frame at `offset`: advance the cursor when the offset is
-      * the next unseen row, replay the current frame when re-requested,
-      * re-execute and skip for any other offset. Returns (rows, done). */
+    /** Serve the frame at `offset`. Offsets inside the kept frame replay
+      * EXACTLY the rows already delivered (long arithmetic — clients
+      * commonly send fetchMaxRowCount=Int.MaxValue, and an int sum would
+      * wrap negative and miss the replay path); offsets at or past the
+      * cursor advance the SAME iterator (a forward skip never
+      * re-executes, so it can never contradict frames already served);
+      * offset 0 resets the statement (the syncResults-reset flow — the
+      * client has discarded all prior frames, so a fresh execution is
+      * consistent by definition). Any OTHER backward offset is refused:
+      * Spark row order is nondeterministic across executions unless the
+      * query carries a total ORDER BY, so re-executing and skipping
+      * could silently serve rows inconsistent with frames the client
+      * already holds — duplicates or losses from its point of view.
+      * Returns (rows, done). */
     def frameAt(offset: Int, n: Int): (Array[Row], Boolean) = synchronized {
-      if (offset == frameOffset && offset < fetched && offset + n >= fetched) {
-        // exact replay of the frame already served at this offset
-        val slice = frame.take(n)
-        (slice, frameOffset + slice.length >= fetched && !iter.hasNext)
+      if (offset >= frameOffset && offset < fetched) {
+        // offset lands inside the kept frame: replay from the buffer. A
+        // request overlapping the unseen tail gets ONLY the buffered
+        // slice with done=false — an Avatica frame may legally be short,
+        // the client's next fetch lands exactly at the cursor, and the
+        // held rows stay bounded by one frame.
+        val start = offset - frameOffset
+        val slice = frame.slice(start, math.min(frame.length, start + math.max(n, 0)))
+        (slice, offset.toLong + slice.length >= fetched && !iter.hasNext)
       } else {
-        if (offset != fetched) {
-          // reposition: rerun the statement, skip to the offset
-          iter = source(); fetched = 0; frame = Array.empty; frameOffset = 0
-          while (fetched < offset && iter.hasNext) { iter.next(); fetched += 1 }
+        if (offset < frameOffset) {
+          if (offset == 0) {
+            // full reset: rerun the statement from the top
+            iter = source(); fetched = 0; frame = Array.empty; frameOffset = 0
+          } else throw new IllegalStateException(
+            s"cannot reposition to offset $offset: rows before $fetched were " +
+              "served from a streaming cursor and re-execution does not " +
+              "guarantee the same row order; reset to offset 0 or replay " +
+              "the last served frame")
         }
+        while (fetched < offset && iter.hasNext) { iter.next(); fetched += 1 }
         val buf = Array.newBuilder[Row]
         var k = 0
         while (k < n && iter.hasNext) { buf += iter.next(); k += 1 }
@@ -292,6 +314,13 @@ class GraftAvaticaServer(
     * cursor at the result — a `toLocalIterator`, so rows stream into
     * frames instead of materializing server-side. */
   private def runStatement(conn: Conn, st: Stmt, sql: String, perCall: Int): Unit = {
+    // Parameter literals are rendered with backslash doubling, which the
+    // legacy escapedStringLiterals parser mode would mis-read (see
+    // literalOf.str) — refuse to run against a session in that mode
+    // rather than corrupt bound values.
+    require(
+      !conn.tenant.spark.conf.get("spark.sql.parser.escapedStringLiterals", "false").toBoolean,
+      "serving sessions must keep spark.sql.parser.escapedStringLiterals=false")
     val df = conn.tenant.sql(sql, Some(perCall))
     st.reset(df.schema.fields.toSeq, () => localIterator(df))
   }
@@ -386,8 +415,13 @@ class GraftAvaticaServer(
   private def literalOf(tv: JsonNode): String = {
     val rep = Option(tv.get("type")).map(_.asText()).getOrElse("OBJECT")
     val v = tv.get("value")
+    // Quotes escape by DOUBLING — valid in both Spark parser modes —
+    // never by backslash, which under `spark.sql.parser.escapedStringLiterals`
+    // = true would leave \' terminating the literal early (injection-shaped).
+    // Backslash doubling is only correct in the default mode, so
+    // runStatement asserts that conf on every bound execution.
     def str(s: String) =
-      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     if (v == null || v.isNull || rep == "NULL") {
       // typed null: keep the declared type so comparisons/projections
       // resolve as the column type, not VOID

@@ -197,6 +197,18 @@ object GraftJdbcServer {
       sess.conf.set("spark.sql.runSQLOnFiles", "false")
       sess.conf.set("spark.sql.thriftServer.incrementalCollect", "true")
       sess.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Result-SHAPING confs a client could smuggle in through the URL's
+      // hive-conf list (spark.sql.session.timeZone, ansi mode, parser
+      // escaping, case sensitivity) would silently shift this
+      // connection's answers away from the tenant contract — re-pin them
+      // to the serving session's values. Confined to the client's own
+      // connection either way (read-only gate holds), but answers must
+      // not depend on who asked.
+      Seq("spark.sql.session.timeZone", "spark.sql.ansi.enabled",
+        "spark.sql.caseSensitive").foreach { k =>
+        sess.conf.set(k, root.conf.get(k))
+      }
+      sess.conf.set("spark.sql.parser.escapedStringLiterals", "false")
       graft.functions.GraftExtensions.register(sess)
       registry.listTables(orgId).foreach { t =>
         registry.metric(orgId, t).foreach { m =>

@@ -295,6 +295,46 @@ class AvaticaServerSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     server.peakHeldRows("c12", sid) should be <= 3
   }
 
+  test("replay with fetchMaxRowCount=Int.MaxValue hits the buffer, not a re-execution") {
+    open("c14", "orga")
+    val sid = createStatement("c14")
+    rpc(s"""{"request":"prepareAndExecute","connectionId":"c14","statementId":$sid,""" +
+      """"sql":"SELECT `timestamp` FROM avmetric ORDER BY `timestamp`","maxRowCount":-1}""")
+    // firstFrame served rows 0-2; re-fetch the same offset with the huge
+    // fetch count stock clients send — int arithmetic would wrap
+    // offset+n negative and miss the replay path
+    val (_, f) = rpc(s"""{"request":"fetch","connectionId":"c14","statementId":$sid,""" +
+      s""""offset":0,"fetchMaxRowCount":${Int.MaxValue}}""")
+    // the buffered slice comes back (a short frame is legal, done=false
+    // tells the client to fetch on from the cursor)
+    f.at("/frame/rows").size() shouldBe 3
+    f.at("/frame/done").asBoolean() shouldBe false
+    f.at("/frame/rows/0/0").asLong() shouldBe 10L
+    // a SHRUNKEN replay window re-slices the same buffer too
+    val (_, f2) = rpc(s"""{"request":"fetch","connectionId":"c14","statementId":$sid,""" +
+      """"offset":1,"fetchMaxRowCount":1}""")
+    f2.at("/frame/rows").size() shouldBe 1
+    f2.at("/frame/rows/0/0").asLong() shouldBe 20L
+    f2.at("/frame/done").asBoolean() shouldBe false
+    server.peakHeldRows("c14", sid) should be <= 3
+  }
+
+  test("non-zero backward reposition past the kept frame is refused, not served inconsistently") {
+    open("c15", "orga")
+    val sid = createStatement("c15")
+    rpc(s"""{"request":"prepareAndExecute","connectionId":"c15","statementId":$sid,""" +
+      """"sql":"SELECT `timestamp` FROM avmetric ORDER BY `timestamp`","maxRowCount":-1}""")
+    // advance: frame now covers offsets 3-5
+    rpc(s"""{"request":"fetch","connectionId":"c15","statementId":$sid,"offset":3,"fetchMaxRowCount":3}""")
+    // offset 1 is before the kept frame and not 0: Spark row order is not
+    // stable across executions, so the server refuses rather than risk
+    // serving rows inconsistent with frames already delivered
+    val (st, err) = rpc(
+      s"""{"request":"fetch","connectionId":"c15","statementId":$sid,"offset":1,"fetchMaxRowCount":2}""")
+    st shouldBe 500
+    err.get("errorMessage").asText() should include("reposition")
+  }
+
   test("cursor repositioning: a backward fetch re-executes and serves the offset") {
     open("c13", "orga")
     val sid = createStatement("c13")
