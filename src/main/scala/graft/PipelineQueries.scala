@@ -131,9 +131,11 @@ object PipelineQueries {
       .select("doc_id", "simhash")
       .orderBy("doc_id")
 
-  /** SimHash near-dup PAIRS within hamming distance 2 via radius-1
-    * probing ([[graft.ops.Dedup.simhashHammingPairs]]) — probe buckets,
-    * never all-pairs. */
+  /** SimHash near-dup PAIRS within hamming distance 2 over 64-bit
+    * fingerprints via Manku 3-block candidate keys
+    * ([[graft.ops.Dedup.simhashHammingPairs]]) — block buckets, never
+    * all-pairs; the ORACLE is the all-pairs closure, so a missed true
+    * pair can't hide. */
   def dedupSimhashHamming(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashHammingPairs(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("id_a", "id_b")
@@ -1455,6 +1457,16 @@ object PipelineQueries {
        |  t -> instr('0123456789abcdef', substring(md5(t), $i, 1)) - 1))
        |  > 15 * len($toks) THEN '1' ELSE '0' END""".stripMargin
   }.mkString("concat(", ", ", ")")
+
+  /** 64-bit simhash bits over a precomputed per-doc digit array `ds`
+    * (list of 16-digit lists, one per token) — mirrors
+    * [[graft.ops.Dedup.simhash64]]'s bit/digit arithmetic exactly. */
+  private val duckSimhashBits64: String = (1 to 64).map { i =>
+    val digit = (i - 1) / 4 + 1
+    val pow = 1 << (3 - ((i - 1) % 4))
+    s"""CASE WHEN 2 * list_sum(list_transform(ds,
+       |  d -> (d[$digit] // $pow) % 2)) > len(ds) THEN '1' ELSE '0' END""".stripMargin
+  }.mkString("concat(", ", ", ")")
   private val duckCos =
     """round(list_dot_product(qvec, cvec) /
       |  (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))), 4)""".stripMargin
@@ -2432,21 +2444,21 @@ object PipelineQueries {
     "dedup_simhash" ->
       s"""SELECT doc_id, $duckSimhashBits AS simhash
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // Oracle is BRUTE-FORCE all-pairs over the same 64-bit fingerprints —
+    // deliberately not mirroring the 3-block candidate scheme, so a block
+    // key that ever MISSED a true <=2 pair would hash-mismatch here.
     "dedup_simhash_hamming" ->
-      s"""WITH sh AS (SELECT doc_id, $duckSimhashBits AS s FROM documents),
-         |pr AS (SELECT doc_id,
-         |    CASE WHEN k = 0 THEN s
-         |    ELSE substring(s, 1, CAST(k AS INT) - 1)
-         |      || (CASE WHEN substring(s, CAST(k AS INT), 1) = '1' THEN '0' ELSE '1' END)
-         |      || substring(s, CAST(k AS INT) + 1, 16) END AS probe
-         |  FROM sh, unnest(range(0, 17)) AS t(k)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM pr a JOIN pr b ON a.probe = b.probe AND a.doc_id < b.doc_id),
-         |h AS (SELECT id_a, id_b,
-         |    CAST(list_sum(list_transform(range(1, 17),
-         |      i -> CASE WHEN substring(sa.s, CAST(i AS INT), 1)
-         |          = substring(sb.s, CAST(i AS INT), 1) THEN 0 ELSE 1 END)) AS BIGINT) AS hd
-         |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id JOIN sh sb ON cand.id_b = sb.doc_id)
+      s"""WITH dg AS (SELECT doc_id,
+         |    list_transform(list_transform($toks, t -> md5(t)),
+         |      h -> list_transform(range(1, 17),
+         |        j -> instr('0123456789abcdef', substring(h, CAST(j AS INT), 1)) - 1)) AS ds
+         |  FROM documents),
+         |sh AS (SELECT doc_id, $duckSimhashBits64 AS s FROM dg),
+         |h AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      i -> CASE WHEN substring(a.s, CAST(i AS INT), 1)
+         |          = substring(b.s, CAST(i AS INT), 1) THEN 0 ELSE 1 END)) AS BIGINT) AS hd
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, hd FROM h WHERE hd <= 2 ORDER BY id_a, id_b""".stripMargin,
     "bm25_retrieval" ->
       """WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),

@@ -291,48 +291,60 @@ object Dedup {
       .select("id_a", "id_b", "shared", "containment")
   }
 
-  /** Near-dup pairs within SimHash hamming distance `maxDist` (≤ 2),
-    * found by radius-1 probing instead of an all-pairs comparison: each
-    * doc emits 17 keys — its 16-bit simhash plus every one-bit flip —
-    * and two docs at distance ≤ 2 are GUARANTEED to collide on at least
-    * one key (d=0 on the exact key, d=1 exact-vs-flip, d=2 flip-vs-flip
-    * of their two differing bits). The candidate join keys on those
-    * probes; exact hamming distance verifies.
+  /** Block boundaries for [[simhashHammingPairs]]'s candidate keys:
+    * 3 blocks over the 64-bit fingerprint (22 + 22 + 20). Two
+    * fingerprints within hamming distance 2 have their ≤ 2 differing
+    * bits in at most 2 blocks, so by pigeonhole they MATCH on at least
+    * one whole block — Manku et al.'s table design (WWW'07 §3), with
+    * the block count tied to the radius instead of probing bit flips. */
+  private val HammingBlocks: Seq[(Int, Int)] = Seq((1, 22), (23, 22), (45, 20))
+
+  /** Near-dup pairs within SimHash hamming distance `maxDist` (≤ 2) over
+    * 64-BIT fingerprints, found by block-match candidate generation
+    * instead of an all-pairs comparison: each distinct fingerprint emits
+    * one key per block (block ordinal + that block's 22-or-20 bits), two
+    * fingerprints at distance ≤ 2 are GUARANTEED to share at least one
+    * key (pigeonhole over 3 blocks), and exact hamming distance verifies
+    * the candidates.
     *
-    * Scale shape: probe fan-out is a fixed ×17 on a 16-char column (not
-    * the text), the probe self-join keys on a high-cardinality hash
-    * bucket, and verification touches candidates only — the same
-    * probe-don't-compare structure Google's simhash dedup uses at web
-    * scale (Manku et al., WWW'07). The simhash table is materialized
-    * once; both probe sides and the verify join read it. */
+    * Width matters as much as structure: at 16 bits the hamming-≤2 ball
+    * covers 137/65,536 of the whole fingerprint space, so near-random
+    * documents collide and candidate volume grows ~quadratically with
+    * corpus size; at 64 bits (Manku's width) unrelated documents sit
+    * ~32 bits apart and the ball is vanishingly sparse, so candidates —
+    * and output — track TRUE near-dups linearly.
+    *
+    * Scale shape: probe fan-out is a fixed ×3 on short block keys, the
+    * candidate self-join keys on a 2²⁰⁺-value block bucket, and the
+    * probe table holds DISTINCT fingerprints, not documents — exact-dup
+    * clusters collapse to one row each, so a hot content cluster of m
+    * docs costs 3 probe rows, never 3m rows whose self-join degenerates
+    * to in-bucket m². Doc pairs re-expand afterwards: same-fingerprint
+    * groups pair within (distance 0 by construction), and verified
+    * fingerprint pairs fan out to their member cross products — both
+    * output-sized joins. The simhash table is materialized once; both
+    * probe sides and the re-expansion read it. */
   def simhashHammingPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxDist: Int = 2): DataFrame = {
-    require(maxDist <= 2, s"radius-1 probing certifies distance <= 2, got $maxDist")
+    require(maxDist <= 2,
+      s"${HammingBlocks.size}-block keys certify distance <= 2, got $maxDist")
     val sh = Materialize.index(
-      simhash16(df, textCol).select(col(idCol), col("simhash")), "simhash-idx")
-    // Probe over DISTINCT fingerprints, not documents (Manku's actual
-    // table layout): exact-dup documents collapse into one fingerprint
-    // row, so a hot content cluster of m docs costs 17 probe rows — not
-    // 17m probe rows whose self-join degenerates into 17m² in-bucket
-    // candidates. Doc pairs re-expand afterwards: same-fingerprint
-    // groups pair within (distance 0 by construction), and verified
-    // fingerprint pairs fan out to their member cross products — both
-    // output-sized joins.
+      simhash64(df, textCol).select(col(idCol), col("simhash")), "simhash-idx")
     val hashes = sh.select("simhash").distinct()
-    val probes = hashes.select(col("simhash"), explode(expr(
-      """transform(sequence(0, 16), k -> CASE WHEN k = 0 THEN simhash
-        |ELSE concat(substring(simhash, 1, k - 1),
-        |  CASE WHEN substring(simhash, k, 1) = '1' THEN '0' ELSE '1' END,
-        |  substring(simhash, k + 1, 16)) END)""".stripMargin)).as("probe"))
+    val blockKeys = HammingBlocks.zipWithIndex.map { case ((start, len), b) =>
+      s"concat('$b|', substring(simhash, $start, $len))"
+    }
+    val probes = hashes.select(col("simhash"),
+      explode(expr(s"array(${blockKeys.mkString(", ")})")).as("probe"))
     val hpairs = probes.select(col("simhash").as("sa"), col("probe"))
       .join(probes.select(col("simhash").as("sb"), col("probe")), "probe")
       .filter(col("sa") < col("sb"))
       .select("sa", "sb").distinct()
       .withColumn("hd", expr(
-        """aggregate(sequence(1, 16), 0,
+        """aggregate(sequence(1, 64), 0,
           |  (acc, i) -> acc + IF(substring(sa, i, 1) = substring(sb, i, 1), 0, 1))"""
           .stripMargin).cast("long"))
       .filter(col("hd") <= maxDist)
@@ -346,6 +358,34 @@ object Dedup {
       .filter(col("ia") < col("ib"))
       .select(col("ia").as("id_a"), col("ib").as("id_b"), lit(0L).as("hd"))
     within.unionAll(cross)
+  }
+
+  /** 64-dimension SimHash over word tokens, as a 64-char bit string —
+    * the width Manku et al. use, wide enough that unrelated documents
+    * sit ~32 bits apart. Dimension i's +1/-1 vote is BIT i of
+    * md5(token)'s first 64 bits (hex digit (i-1)/4 + 1, bit 3-(i-1)%4
+    * within it); majority of token votes sets the bit (ties → 0, i.e.
+    * 2·ones > n).
+    *
+    * Each token is hashed ONCE into a per-row digit-array projection
+    * (md5 then all 16 leading hex digits decoded in one pass —
+    * CollapseProject keeps the boundary), and the 64 bit sums read that
+    * array: the hashing cost is identical to [[simhash16]]'s, only the
+    * vote extraction widens. */
+  def simhash64(df: DataFrame, textCol: String): DataFrame = {
+    val bitCols = (1 to 64).map { i =>
+      val digit = (i - 1) / 4 + 1
+      val pow = 1 << (3 - ((i - 1) % 4))
+      val sumExpr =
+        s"aggregate(_tok_digits, 0L, (acc, ds) -> acc + (element_at(ds, $digit) div $pow) % 2)"
+      s"CASE WHEN 2 * ($sumExpr) > size(_tok_digits) THEN '1' ELSE '0' END"
+    }
+    df.withColumn("_tok_digits", expr(
+      s"""transform(transform(split(lower($textCol), ' '), t -> md5(t)),
+         |  h -> transform(sequence(1, 16),
+         |    j -> instr('0123456789abcdef', substring(h, j, 1)) - 1))""".stripMargin))
+      .withColumn("simhash", expr(s"concat(${bitCols.mkString(", ")})"))
+      .drop("_tok_digits")
   }
 
   /** 16-dimension SimHash over word tokens, as a 16-char bit string.

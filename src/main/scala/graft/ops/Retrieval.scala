@@ -65,13 +65,15 @@ object Retrieval {
     * frequency, and a postings list CAPPED at the first `cap` doc ids
     * (a champion list). Terms under `minDf` are dropped.
     *
-    * Scale shape: the cap is applied by a per-term row_number BEFORE any
-    * list materializes — a stop-word appearing in every document streams
-    * through its window partition and contributes `cap` postings, never
-    * a corpus-sized array (`collect_list` only ever sees ≤ cap rows per
-    * term). df/cf come from the same (term, doc) partial agg the window
-    * reads. Postings travel as a comma-joined string — the
-    * engine-neutral wire form. */
+    * Scale shape: the cap is applied by a TWO-PHASE row_number BEFORE any
+    * list materializes (the [[Curation.domainQuota]] pattern) — a
+    * stop-word appearing in every document never funnels df ≈ corpus
+    * rows through one window task: phase 1 caps per (term, input
+    * partition), so the global per-term window reads ≤ cap · partitions
+    * survivors, and `collect_list` only ever sees ≤ cap rows per term.
+    * df/cf come from the same (term, doc) partial agg the cap reads.
+    * Postings travel as a comma-joined string — the engine-neutral wire
+    * form. */
   def invertedIndex(
       docs: DataFrame,
       idCol: String,
@@ -84,10 +86,7 @@ object Retrieval {
     val agg = perDoc.groupBy("tok").agg(
       count(lit(1)).cast("long").as("df"),
       sum("c").cast("long").as("cf"))
-    val capped = perDoc
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("tok").orderBy(col(idCol))))
-      .filter(col("rn") <= cap)
+    val capped = championCap(championPrecap(perDoc, idCol, cap), idCol, cap)
     val posts = capped.groupBy("tok").agg(
       array_join(transform(sort_array(collect_list(col(idCol))),
         (x: Column) => x.cast("string")), ",").as("postings"))
@@ -96,4 +95,28 @@ object Retrieval {
       .select("tok", "df", "cf", "postings")
       .orderBy("tok")
   }
+
+  /** Phase 1 of the champion cap: keep, per (term, INPUT partition), the
+    * `cap` lowest doc ids. Every id in the global first-`cap` of its term
+    * is also in the first `cap` of whatever partition it sits in, so the
+    * survivor set (≤ cap · partitions rows per term, by construction)
+    * provably contains the global champions — the hot-term df ≈ N window
+    * funnel dies here, in a window whose partition key spreads the term
+    * over the shuffle. */
+  private[ops] def championPrecap(perDoc: DataFrame, idCol: String, cap: Int): DataFrame =
+    perDoc
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrk", row_number().over(
+        Window.partitionBy(col("tok"), col("_pid")).orderBy(col(idCol))))
+      .filter(col("_lrk") <= cap)
+      .drop("_pid", "_lrk")
+
+  /** Phase 2: the exact global first-`cap` per term, over phase 1's
+    * bounded survivor set. */
+  private[ops] def championCap(precapped: DataFrame, idCol: String, cap: Int): DataFrame =
+    precapped
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("tok").orderBy(col(idCol))))
+      .filter(col("_rn") <= cap)
+      .drop("_rn")
 }

@@ -40,6 +40,35 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
     row.getString(3) shouldBe (1L to 20L).mkString(",")
   }
 
+  test("two-phase champion cap: global window input is bounded by cap x partitions") {
+    import org.apache.spark.sql.functions._
+    // a stop word hitting every one of 300 docs, spread over many input
+    // partitions — the shape that used to funnel df ≈ N rows through ONE
+    // window task
+    val d = docs((1L to 300L).map(i => i -> "stop word").toSeq: _*)
+    val perDoc = d
+      .select(explode(split(lower(col("text")), " ")).as("tok"), col("doc_id"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+    val cap = 20
+    val parts = perDoc.rdd.getNumPartitions
+    val precap = Retrieval.championPrecap(perDoc, "doc_id", cap)
+    // phase-1 survivors per term — the GLOBAL window's entire input —
+    // stay within cap x partitions no matter the term's df
+    val survivorCounts = precap.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    survivorCounts.values.foreach(_ should be <= cap.toLong * parts)
+    survivorCounts("stop") should be < 300L // actually pruned, not pass-through
+    // and phase 2 over the survivors is EXACTLY the naive global cap
+    val twoPhase = Retrieval.championCap(precap, "doc_id", cap)
+      .select("tok", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val naive = perDoc
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("tok").orderBy("doc_id")))
+      .filter(col("rn") <= cap)
+      .select("tok", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    twoPhase shouldBe naive
+  }
+
   test("hamming pairs: identical docs at distance 0, disjoint docs absent") {
     val d = docs(
       1L -> "alpha beta gamma delta epsilon",
@@ -53,5 +82,28 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
       a should be < b
       hd should be <= 2L
     }
+  }
+
+  test("64-bit width keeps pair volume linear: only planted dups pair, 2x corpus -> 2x pairs") {
+    // n base docs with disjoint vocabularies, each planted TWICE: at 64
+    // bits unrelated fingerprints sit ~32 bits apart, so the ONLY pairs
+    // within distance 2 are the n planted dup pairs — and doubling the
+    // corpus doubles them. (At the old 16-bit width the hamming<=2 ball
+    // covered 137/65536 of the space and near-random docs collided, so
+    // pair volume grew ~quadratically: 20k pairs from 500 corpus docs.)
+    def planted(n: Int) = docs((1 to n).flatMap { k =>
+      val text = (1 to 12).map(w => s"w${k}base$w").mkString(" ")
+      Seq((2L * k - 1) -> text, (2L * k) -> text)
+    }: _*)
+    def pairs(n: Int): Array[(Long, Long, Long)] = {
+      val p = Dedup.simhashHammingPairs(planted(n), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      Materialize.dropAll()
+      p
+    }
+    val p40 = pairs(40)
+    p40.length shouldBe 40 // exactly the planted dups, zero cross-talk
+    p40.foreach { case (a, b, hd) => hd shouldBe 0L; b shouldBe a + 1 }
+    pairs(80).length shouldBe 80 // linear, not quadratic
   }
 }
