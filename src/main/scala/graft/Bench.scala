@@ -81,18 +81,43 @@ object Bench {
     // regression once shipped silently because nothing diffed the rounds.
     // Sub-second deltas are skipped (scheduling noise); the driver's exit
     // code is untouched (a slow query is a loud report, not a dead bench).
+    //
+    // Ambient-load defense: this box has multi-minute contention windows
+    // (round 7's driver record flagged 14 phantom regressions at 10-20×
+    // on queries whose code hadn't changed). Each suspect is therefore
+    // RE-TIMED once at the end of the run — a genuine plan regression
+    // reproduces; a machine-load spike doesn't. Only reproducing
+    // slowdowns reach the regressions block; cleared ones are recorded
+    // with their retime so the record shows why they were dismissed.
+    val retimes = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     val regressions: Seq[(String, Double, Double)] = previousBench() match {
       case None => Nil
       case Some((file, prev)) =>
-        val regs = results.collect {
-          case (name, cur) if prev.get(name).exists(p => cur > 2 * p && cur - p > 1.0) =>
+        def flagged(p: Double, t: Double): Boolean = t > 2 * p && t - p > 1.0
+        val suspects = results.collect {
+          case (name, cur) if prev.get(name).exists(flagged(_, cur)) =>
             (name, prev(name), cur)
         }
-        regs.foreach { case (name, p, c) =>
-          System.err.println(f"[benchgate] REGRESSION $name: $p%.2f s -> $c%.2f s (${c / p}%.1fx) vs $file")
+        val regs = suspects.flatMap { case (name, p, first) =>
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(name)(spark, sfDir).count() }
+          catch { case _: Throwable => () }
+          finally graft.ops.Materialize.dropAll()
+          val again = (System.nanoTime() - t0) / 1e9
+          retimes(name) = (p, first, again)
+          if (flagged(p, again)) {
+            System.err.println(
+              f"[benchgate] REGRESSION $name: $p%.2f s -> $first%.2f s, reproduced at $again%.2f s vs $file")
+            Some((name, p, math.min(first, again)))
+          } else {
+            System.err.println(
+              f"[benchgate] cleared $name: $first%.2f s retimed to $again%.2f s (prev $p%.2f s) — load noise, not a regression")
+            None
+          }
         }
         System.err.println(s"[benchgate] ${regs.size} regression(s) >2x vs $file " +
-          f"(totals: prev=${prev.values.sum}%.1f s cur=$total%.1f s)")
+          s"(${suspects.size - regs.size} flagged-then-cleared on retime; " +
+          f"totals: prev=${prev.values.sum}%.1f s cur=$total%.1f s)")
         regs
     }
     val regJson = regressions.map { case (n, p, c) =>
@@ -107,8 +132,12 @@ object Bench {
     // window — the gate then silently fell back to a 25×-slow round).
     val qsFull = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
+    val retimeJson = retimes.map { case (n, (p, first, again)) =>
+      s"${jstr(n)}:{" + f""""prev":$p%.3f,"first":$first%.3f,"retime":$again%.3f}""" }
+      .mkString("{", ",", "}")
     val diagnostics =
-      s"""{"queries":$qsFull,"regressions":$regJson,"queryMetrics":$pm,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"queries":$qsFull,"regressions":$regJson,"retimes":$retimeJson,""" +
+        s""""queryMetrics":$pm,"errors":$errs,"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("target/bench_diagnostics.json")
       java.nio.file.Files.createDirectories(out.getParent)
