@@ -89,6 +89,22 @@ object PipelineQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** PageRank-keeper dedup: compose the cluster closure with
+    * [[pairGraphRank]]'s importance scores — within each near-dup
+    * cluster the HIGHEST-PageRank member survives
+    * ([[graft.ops.Cluster.rankKeepers]]), so dedup keeps the
+    * most-referenced copy instead of an arbitrary lowest id. The pair
+    * list materializes once and feeds both the closure and the rank
+    * iteration. */
+  def dedupPagerankKeeper(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ops.Materialize.index(
+      minhashVerifiedPairs(s, dir).select("id_a", "id_b"), "prk-pairs")
+    val comp = graft.ops.Cluster.dupClusters(pairs).select("doc_id", "cluster")
+    val ranks = graft.ops.Cluster.pageRank(pairs)
+      .select(col("id").as("doc_id"), col("rank"))
+    graft.ops.Cluster.rankKeepers(comp, ranks).orderBy("doc_id")
+  }
+
   /** Transitive near-dup clusters: connected components over the verified
     * pair graph (A~B, B~C ⇒ one cluster). The LSH front half emits edges;
     * [[graft.ops.Cluster]] resolves them to per-document cluster ids with
@@ -146,6 +162,21 @@ object PipelineQueries {
   def bm25Retrieval(s: SparkSession, dir: String): DataFrame =
     Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
       terms = Seq("table", "query", "spark"))
+
+  /** The same BM25 probe served FROM the materialized postings index
+    * ([[graft.ops.Retrieval.bm25FromIndex]]): the corpus is tokenized
+    * once into (term, doc, tf) + doc-length parquet, and the query reads
+    * only its terms' postings via a pushed `tok IN` scan filter — shares
+    * [[bm25Retrieval]]'s oracle because the scoring core is the same
+    * code path on exactly equal inputs. */
+  def bm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    val (postings, doclens) =
+      Retrieval.postingsIndex(t(s, dir, "documents"), "doc_id", "text")
+    Retrieval.bm25FromIndex(
+      graft.ops.Materialize.index(postings, "bm25-postings"),
+      graft.ops.Materialize.index(doclens, "bm25-doclens"),
+      "doc_id", terms = Seq("table", "query", "spark"))
+  }
 
   /** Capped inverted-index build ([[graft.ops.Retrieval.invertedIndex]]):
     * champion postings lists bounded BEFORE any array materializes. */
@@ -1354,12 +1385,14 @@ object PipelineQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "pair_graph_rank" -> (pairGraphRank _),
+    "dedup_pagerank_keeper" -> (dedupPagerankKeeper _),
     "dedup_cluster" -> (dedupCluster _),
     "dedup_cluster_star" -> (dedupClusterStar _),
     "sample_stratified" -> (sampleStratified _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_hamming" -> (dedupSimhashHamming _),
     "bm25_retrieval" -> (bm25Retrieval _),
+    "bm25_indexed" -> (bm25Indexed _),
     "inverted_index" -> (invertedIndexQ _),
     "decontaminate" -> (decontaminate _),
     "range_join" -> (rangeJoin _),
@@ -1457,6 +1490,27 @@ object PipelineQueries {
        |  t -> instr('0123456789abcdef', substring(md5(t), $i, 1)) - 1))
        |  > 15 * len($toks) THEN '1' ELSE '0' END""".stripMargin
   }.mkString("concat(", ", ", ")")
+
+  /** Okapi BM25 of the corpus against the fixed probe terms — judges BOTH
+    * `bm25_retrieval` (scored from raw text) and `bm25_indexed` (scored
+    * from the materialized postings index): the two must agree exactly. */
+  private val duckBm25: String =
+    """WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM base),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(tk) AS tok FROM base)
+      |  WHERE tok IN ('table', 'query', 'spark') GROUP BY doc_id, tok),
+      |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+      |sc AS (SELECT doc_id,
+      |    ln((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+      |        + CAST(1.0 AS DOUBLE))
+      |      * (tf * CAST(2.2 AS DOUBLE))
+      |      / (tf + CAST(1.2 AS DOUBLE)
+      |          * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS w
+      |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st)
+      |SELECT doc_id, round(sum(w), 4) AS score, CAST(count(*) AS BIGINT) AS n_terms
+      |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   /** 64-bit simhash bits over a precomputed per-doc digit array `ds`
     * (list of 16-digit lists, one per token) — mirrors
@@ -2388,6 +2442,32 @@ object PipelineQueries {
          |SELECT id AS doc_id, d.deg, round(rank, 4) AS rank
          |FROM r3 JOIN d ON r3.id = d.src ORDER BY doc_id""".stripMargin
     },
+    "dedup_pagerank_keeper" -> {
+      def rnd(r: Int) =
+        s"""r$r AS (SELECT dst AS id,
+           |    round(CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+           |      * sum(r.rank / d.deg), 8) AS rank
+           |  FROM e JOIN r${r - 1} r ON e.src = r.id JOIN d ON e.src = d.src
+           |  GROUP BY dst)""".stripMargin
+      s"""WITH RECURSIVE $duckClusterCtes,
+         |e AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT id_a AS src, id_b AS dst FROM vpairs
+         |  UNION ALL SELECT id_b, id_a FROM vpairs)),
+         |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) AS rank FROM d),
+         |${rnd(1)},
+         |${rnd(2)},
+         |${rnd(3)},
+         |m AS (SELECT node AS doc_id, cluster, round(rank, 4) AS rank
+         |  FROM comp JOIN r3 ON comp.node = r3.id),
+         |k AS (SELECT cluster, doc_id AS keeper FROM (
+         |    SELECT cluster, doc_id,
+         |      row_number() OVER (PARTITION BY cluster ORDER BY rank DESC, doc_id) AS rn
+         |    FROM m) WHERE rn = 1)
+         |SELECT m.doc_id, m.cluster, m.rank, k.keeper,
+         |  m.doc_id = k.keeper AS is_keeper
+         |FROM m JOIN k USING (cluster) ORDER BY m.doc_id""".stripMargin
+    },
     "dedup_cluster" ->
       // Connected components of the verified pair graph as a recursive
       // reachability closure + min-per-node: tiny in DuckDB at oracle
@@ -2460,23 +2540,10 @@ object PipelineQueries {
          |          = substring(b.s, CAST(i AS INT), 1) THEN 0 ELSE 1 END)) AS BIGINT) AS hd
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, hd FROM h WHERE hd <= 2 ORDER BY id_a, id_b""".stripMargin,
-    "bm25_retrieval" ->
-      """WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
-        |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM base),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl),
-        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest(tk) AS tok FROM base)
-        |  WHERE tok IN ('table', 'query', 'spark') GROUP BY doc_id, tok),
-        |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
-        |sc AS (SELECT doc_id,
-        |    ln((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
-        |        + CAST(1.0 AS DOUBLE))
-        |      * (tf * CAST(2.2 AS DOUBLE))
-        |      / (tf + CAST(1.2 AS DOUBLE)
-        |          * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS w
-        |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st)
-        |SELECT doc_id, round(sum(w), 4) AS score, CAST(count(*) AS BIGINT) AS n_terms
-        |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "bm25_retrieval" -> duckBm25,
+    // the indexed variant must agree with the from-text variant exactly —
+    // one oracle judges both
+    "bm25_indexed" -> duckBm25,
     "inverted_index" ->
       """WITH pd AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok, doc_id FROM documents)

@@ -280,4 +280,30 @@ object Cluster {
     ranked.join(keepers, clusterCol)
       .withColumn("is_keeper", col(docCol) === col("keeper"))
   }
+
+  /** Importance-aware keeper selection: within each near-dup cluster keep
+    * the member with the HIGHEST per-document rank — e.g. [[pageRank]]
+    * importance over the pair graph, so the most-referenced copy
+    * survives dedup instead of an arbitrary lowest id. Tie-break inside
+    * a rank is lowest doc id (total order, engine-reproducible).
+    *
+    * Scale shape: `ranks` is doc-keyed like `members`, so their join
+    * co-shuffles on the doc id; the argmax is one min-of-struct partial
+    * aggregate on the cluster key (rank negated so min ≡ max-rank with
+    * min-id tiebreak) joined back to the members — two bounded shuffles,
+    * no windows over data-sized partitions, nothing collects. */
+  def rankKeepers(
+      members: DataFrame,
+      ranks: DataFrame,
+      docCol: String = "doc_id",
+      clusterCol: String = "cluster",
+      rankCol: String = "rank"): DataFrame = {
+    val ranked = members.join(ranks, Seq(docCol))
+    val keepers = ranked.groupBy(clusterCol)
+      .agg(min(struct(negate(col(rankCol)).as("nr"), col(docCol).as("d"))).as("_best"))
+      .select(col(clusterCol), col("_best.d").as("keeper"))
+    ranked.join(keepers, clusterCol)
+      .withColumn("is_keeper", col(docCol) === col("keeper"))
+      .select(col(docCol), col(clusterCol), col(rankCol), col("keeper"), col("is_keeper"))
+  }
 }

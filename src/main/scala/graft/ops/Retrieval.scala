@@ -39,11 +39,57 @@ object Retrieval {
     val termTab = terms.toDF("tok")
     val base = docs.select(col(idCol), split(lower(col(textCol)), " ").as("toks"))
     val dl = base.select(col(idCol), size(col("toks")).cast("long").as("dl"))
-    val stats = dl.agg(
-      count(lit(1)).as("n"), avg("dl").as("avgdl"))
     val tf = base.select(col(idCol), explode(col("toks")).as("tok"))
       .join(broadcast(termTab), "tok")
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    bm25Score(tf, dl, idCol, k1, b, topK)
+  }
+
+  /** Full (UNCAPPED) postings + doc-length tables — the index layout that
+    * serves [[bm25FromIndex]] without touching the raw text again. At
+    * lake scale both land in parquet partitioned large (postings carries
+    * one row per distinct (term, doc), doclens one per doc), and the
+    * probe-time read is a pushed `tok IN (...)` scan, so a query touches
+    * only its terms' row groups — the whole point of an inverted index. */
+  def postingsIndex(docs: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol), split(lower(col(textCol)), " ").as("toks"))
+    val postings = base.select(col(idCol), explode(col("toks")).as("tok"))
+      .groupBy("tok", idCol).agg(count(lit(1)).as("tf"))
+    val doclens = base.select(col(idCol), size(col("toks")).cast("long").as("dl"))
+    (postings, doclens)
+  }
+
+  /** Okapi BM25 served FROM a [[postingsIndex]] instead of re-tokenizing
+    * the corpus: term selection is a literal `isin` filter that pushes
+    * into the postings scan (parquet reads only matching row groups —
+    * assert `PushedFilters: [In(tok, ...)]` in the plan), df comes from
+    * the filtered postings (exact — the index is uncapped), and the
+    * scoring arithmetic is the SAME code path as [[bm25]], so both agree
+    * to the bit. */
+  def bm25FromIndex(
+      postings: DataFrame,
+      doclens: DataFrame,
+      idCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    val tf = postings.filter(col("tok").isin(terms: _*))
+    bm25Score(tf, doclens, idCol, k1, b, topK)
+  }
+
+  /** Shared BM25 scoring core over a (doc, term, tf) stream and a doc
+    * length table: df/(N,avgdl) reduce to tiny broadcasts back onto the
+    * term-pruned tf stream; the final top-k is a TakeOrdered on the
+    * rounded score with an id tiebreak, no global sort. */
+  private def bm25Score(
+      tf: DataFrame,
+      dl: DataFrame,
+      idCol: String,
+      k1: Double,
+      b: Double,
+      topK: Int): DataFrame = {
+    val stats = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "tok")
       .join(dl, idCol)

@@ -90,6 +90,24 @@ class ClusterSpec extends AnyFunSuite with Matchers {
     spark.sparkContext.getPersistentRDDs.size shouldBe before
   }
 
+  test("rankKeepers keeps the highest-ranked member, lowest id on ties") {
+    // star component {1,2,3,4} where 2 is the hub (highest PageRank) plus
+    // a 2-cycle {10,11} whose members tie — keeper must fall to 10
+    val p = pairs((1L, 2L), (2L, 3L), (2L, 4L), (10L, 11L))
+    val comp = Cluster.dupClusters(p).select("doc_id", "cluster")
+    val ranks = Cluster.pageRank(p).select(
+      org.apache.spark.sql.functions.col("id").as("doc_id"),
+      org.apache.spark.sql.functions.col("rank"))
+    val got = Cluster.rankKeepers(comp, ranks).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    Materialize.dropAll()
+    got(1L)._1 shouldBe 2L // hub outranks the leaves
+    got(2L) shouldBe ((2L, true))
+    got(3L)._1 shouldBe 2L
+    got(10L) shouldBe ((10L, true)) // tie broken to the lowest id
+    got(11L) shouldBe ((10L, false))
+  }
+
   test("the loop releases every checkpoint (no pinned blocks left behind)") {
     // each round eagerly localCheckpoints; an unreleased round would leave
     // its RDD in the context's persistent set forever — at corpus scale

@@ -40,6 +40,28 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
     row.getString(3) shouldBe (1L to 20L).mkString(",")
   }
 
+  test("bm25FromIndex agrees with from-text bm25 exactly, with the term filter pushed to the scan") {
+    import org.apache.spark.sql.functions.col
+    val d = docs(
+      1L -> "spark table query engine",
+      2L -> "spark spark spark filler filler filler filler",
+      3L -> "unrelated words only here",
+      4L -> "table query table query")
+    val terms = Seq("spark", "table", "query")
+    val direct = Retrieval.bm25(d, "doc_id", "text", terms, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val (postings, doclens) = Retrieval.postingsIndex(d, "doc_id", "text")
+    val pIdx = Materialize.index(postings, "spec-postings")
+    val lIdx = Materialize.index(doclens, "spec-doclens")
+    val served = Retrieval.bm25FromIndex(pIdx, lIdx, "doc_id", terms, topK = 4)
+    val got = served.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // the probe reads the postings parquet through a pushed In(tok) filter
+    val plan = served.queryExecution.executedPlan.toString
+    plan should include regex "PushedFilters: \\[.*In\\(tok"
+    Materialize.dropAll()
+    got shouldBe direct
+  }
+
   test("two-phase champion cap: global window input is bounded by cap x partitions") {
     import org.apache.spark.sql.functions._
     // a stop word hitting every one of 300 docs, spread over many input
