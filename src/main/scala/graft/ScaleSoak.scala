@@ -132,6 +132,32 @@ object ScaleSoak {
       counts("budget_rows") = packed.count()
     }
 
+    // 6. 64-bit simhash hamming dedup — block-key candidates must stay
+    // output-sized as the corpus replicates (the 16-bit width grew
+    // ~quadratically here; 64-bit pair volume tracks true near-dups)
+    timed("simhash_hamming") {
+      counts("simhash_pairs") =
+        graft.ops.Dedup.simhashHammingPairs(docs, "doc_id", "text").count()
+    }
+
+    // 7. capped inverted index — the two-phase champion cap keeps the
+    // per-term global window bounded even for stop words with df ≈ N
+    timed("inverted_index") {
+      counts("index_terms") =
+        graft.ops.Retrieval.invertedIndex(docs, "doc_id", "text").count()
+    }
+
+    // 8. BM25 served from the materialized postings index (build + probe:
+    // the probe must stay cheap — a pushed tok IN scan over the postings)
+    timed("bm25_indexed") {
+      val (postings, doclens) =
+        graft.ops.Retrieval.postingsIndex(docs, "doc_id", "text")
+      val pIdx = graft.ops.Materialize.index(postings, "soak-postings")
+      val lIdx = graft.ops.Materialize.index(doclens, "soak-doclens")
+      counts("bm25_rows") = graft.ops.Retrieval.bm25FromIndex(
+        pIdx, lIdx, "doc_id", Seq("table", "query", "spark")).count()
+    }
+
     graft.ops.Materialize.dropAll()
     val total = stages.values.sum
     val stagesJson = stages.map { case (k, v) => s""""$k":${f"$v%.2f"}""" }.mkString(",")

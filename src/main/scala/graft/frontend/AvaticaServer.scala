@@ -48,9 +48,15 @@ import java.util.concurrent.atomic.AtomicInteger
   * (reference `FineoJdbcMeta.setMaxRows`): `fetch` walks forward from
   * the held offset; the last served frame stays replayable.
   *
+  * The endpoint content-negotiates BOTH Avatica transports: JSON (the
+  * debug wire) and protobuf (`application/x-google-protobuf`, the
+  * production wire the reference's `AvaticaProtobufHandler` serves) —
+  * see [[AvaticaProtobuf]]; both decode to the same `handle()`.
+  *
   * Fidelity note: request/response field shapes follow the public
-  * Avatica JSON reference; the spec drives them with a hand-rolled
-  * client (the stock `avatica-core` jar is not on this classpath, so
+  * Avatica JSON/proto references; the specs drive them with hand-rolled
+  * clients (the stock `avatica-core` jar cannot be resolved in this
+  * zero-egress build environment — it is in no pre-warmed cache — so
   * stock-client interop is asserted against the documented protocol,
   * not a live client). */
 class GraftAvaticaServer(
@@ -150,19 +156,39 @@ class GraftAvaticaServer(
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress(port), 0)
     s.createContext("/", (ex: HttpExchange) => {
-      val (status, body) =
-        try (200, handle(mapper.readTree(
-          new String(ex.getRequestBody.readAllBytes(), UTF_8))))
-        catch {
-          case e: Exception =>
-            // Avatica error response shape: the client rethrows message +
-            // SQLSTATE; severity/code are advisory
-            (500, s"""{"response":"error","errorMessage":${JsonCodec.jstr(
-              Option(e.getMessage).getOrElse(e.getClass.getName))},""" +
-              """"errorCode":-1,"sqlState":"00000","severity":"ERROR"}""")
+      // Content negotiation, the reference server's topology: protobuf is
+      // Avatica's default production wire (`AvaticaProtobufHandler` in
+      // FineoServer), JSON the debug one. Both transports decode to the
+      // SAME JSON-request handle() — one implementation of the RPC
+      // semantics, two encodings.
+      val proto = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+        .exists(_.toLowerCase.contains("protobuf"))
+      def errorJson(e: Exception): String =
+        s"""{"response":"error","errorMessage":${JsonCodec.jstr(
+          Option(e.getMessage).getOrElse(e.getClass.getName))},""" +
+          """"errorCode":-1,"sqlState":"00000","severity":"ERROR"}"""
+      val reqBytes = ex.getRequestBody.readAllBytes()
+      val (status, bytes) =
+        if (proto) {
+          try {
+            val json = AvaticaProtobuf.requestToJson(reqBytes)
+            (200, AvaticaProtobuf.responseToProto(mapper.readTree(handle(mapper.readTree(json)))))
+          } catch {
+            case e: Exception =>
+              (500, AvaticaProtobuf.errorToProto(mapper.readTree(errorJson(e))))
+          }
+        } else {
+          val (st, body) =
+            try (200, handle(mapper.readTree(new String(reqBytes, UTF_8))))
+            catch {
+              // Avatica error response shape: the client rethrows message +
+              // SQLSTATE; severity/code are advisory
+              case e: Exception => (500, errorJson(e))
+            }
+          (st, body.getBytes(UTF_8))
         }
-      val bytes = body.getBytes(UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.getResponseHeaders.set("Content-Type",
+        if (proto) "application/x-google-protobuf" else "application/json")
       ex.sendResponseHeaders(status, bytes.length)
       val os = ex.getResponseBody
       try os.write(bytes) finally os.close()
