@@ -142,8 +142,10 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-document SimHash fingerprint at the 64-bit production width
+    * (the same signature [[dedupSimhashHamming]] buckets on). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash16(t(s, dir, "documents"), "text")
+    Dedup.simhash64(t(s, dir, "documents"), "text")
       .select("doc_id", "simhash")
       .orderBy("doc_id")
 
@@ -1485,12 +1487,6 @@ object PipelineQueries {
   private def duckShingles(n: Int): String = duckShinglesOf(toks, n)
   private def duckMinhash(i: Int): String =
     s"list_min(list_transform(${duckShingles(3)}, s -> md5('salt$i|' || s)))"
-  private val duckSimhashBits: String = (1 to 16).map { i =>
-    s"""CASE WHEN 2 * list_sum(list_transform($toks,
-       |  t -> instr('0123456789abcdef', substring(md5(t), $i, 1)) - 1))
-       |  > 15 * len($toks) THEN '1' ELSE '0' END""".stripMargin
-  }.mkString("concat(", ", ", ")")
-
   /** Okapi BM25 of the corpus against the fixed probe terms — judges BOTH
     * `bm25_retrieval` (scored from raw text) and `bm25_indexed` (scored
     * from the materialized postings index): the two must agree exactly. */
@@ -2522,8 +2518,13 @@ object PipelineQueries {
         |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < keep16
         |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
-      s"""SELECT doc_id, $duckSimhashBits AS simhash
-         |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH dg AS (SELECT doc_id,
+         |    list_transform(list_transform($toks, t -> md5(t)),
+         |      h -> list_transform(range(1, 17),
+         |        j -> instr('0123456789abcdef', substring(h, CAST(j AS INT), 1)) - 1)) AS ds
+         |  FROM documents)
+         |SELECT doc_id, $duckSimhashBits64 AS simhash
+         |FROM dg ORDER BY doc_id""".stripMargin,
     // Oracle is BRUTE-FORCE all-pairs over the same 64-bit fingerprints —
     // deliberately not mirroring the 3-block candidate scheme, so a block
     // key that ever MISSED a true <=2 pair would hash-mismatch here.

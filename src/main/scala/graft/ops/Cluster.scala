@@ -212,7 +212,16 @@ object Cluster {
     * the destination (2 shuffles/round), and the per-round parquet cut
     * keeps the plan linear in rounds (the [[graft.ops.Bpe]] /
     * [[connectedComponents]] loop discipline). Nothing collects.
-    * Returns (id, deg, rank) for every node of the pair graph. */
+    * Returns (id, deg, rank) for every node of the pair graph.
+    *
+    * Determinism caveat (accepted): the 8-dp round absorbs partial-agg
+    * reordering ulps, but a per-node sum landing within an ulp of a
+    * 0.5e-8 boundary could still round differently across engines and
+    * feed the next round. The deterministic alternative — sort-agg over
+    * collected contribution structs — would trade the partial aggregate
+    * (map-side combine on the hot dst key) for per-node collect_list,
+    * a worse scale shape; the repo-wide defensive-round convention
+    * stands, and the brute-force oracles would surface any flip. */
   def pageRank(pairs: DataFrame, rounds: Int = 3): DataFrame = {
     val edges = Materialize.index(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
