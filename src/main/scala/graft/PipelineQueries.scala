@@ -143,10 +143,10 @@ object PipelineQueries {
   }
 
   /** Per-document SimHash fingerprint at the 64-bit production width
-    * (the same signature [[dedupSimhashHamming]] buckets on). */
+    * (the same signature [[dedupSimhashHamming]] buckets on), computed
+    * via the codegen explode+partial-agg form. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash64(t(s, dir, "documents"), "text")
-      .select("doc_id", "simhash")
+    Dedup.simhash64Agg(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
   /** SimHash near-dup PAIRS within hamming distance 2 over 64-bit

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch main: stage timing of the simhash hamming-radius pipeline. */
+/** Scratch main: stage timing of the 64-bit simhash hamming pipeline —
+  * fingerprint compute vs index materialize vs block-key probing. */
 object ProfileHamming {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -21,29 +22,48 @@ object ProfileHamming {
       println(f"[profile] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     val docs = Tables.load(spark, sfDir, "documents")
-    time("simhash16 only") {
+    time("simhash16 compute") {
       graft.ops.Dedup.simhash16(docs, "text").selectExpr("count(distinct simhash)").collect()
     }
-    time("simhash16 again (warm)") {
-      graft.ops.Dedup.simhash16(docs, "text").selectExpr("count(distinct simhash)").collect()
+    time("simhash64 compute (cold)") {
+      graft.ops.Dedup.simhash64(docs, "text").selectExpr("count(distinct simhash)").collect()
     }
-    val sh = time("materialize sh") {
-      graft.ops.Materialize.index(
-        graft.ops.Dedup.simhash16(docs, "text").select(col("doc_id"), col("simhash")), "ph")
+    time("simhash64 compute (warm)") {
+      graft.ops.Dedup.simhash64(docs, "text").selectExpr("count(distinct simhash)").collect()
     }
-    val probes = sh.select(col("doc_id"), explode(expr(
-      """transform(sequence(0, 16), k -> CASE WHEN k = 0 THEN simhash
-        |ELSE concat(substring(simhash, 1, k - 1),
-        |  CASE WHEN substring(simhash, k, 1) = '1' THEN '0' ELSE '1' END,
-        |  substring(simhash, k + 1, 16)) END)""".stripMargin)).as("probe"))
-    time("probe explode count") { println(probes.count()) }
-    val cand = probes.select(col("doc_id").as("id_a"), col("probe"))
-      .join(probes.select(col("doc_id").as("id_b"), col("probe")), "probe")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    time("candidates") { println(cand.count()) }
-    time("full pairs") {
-      println(graft.ops.Dedup.simhashHammingPairs(docs, "doc_id", "text").count())
+    time("simhash64Agg compute (cold)") {
+      graft.ops.Dedup.simhash64Agg(docs, "doc_id", "text")
+        .selectExpr("count(distinct simhash)").collect()
+    }
+    time("simhash64Agg compute (warm)") {
+      graft.ops.Dedup.simhash64Agg(docs, "doc_id", "text")
+        .selectExpr("count(distinct simhash)").collect()
+    }
+    time("agg == projection (string-for-string)") {
+      val proj = graft.ops.Dedup.simhash64(docs, "text").select(col("doc_id"), col("simhash"))
+      val agg = graft.ops.Dedup.simhash64Agg(docs, "doc_id", "text")
+      val diff = proj.except(agg).count() + agg.except(proj).count()
+      println(s"disagreements=$diff")
+    }
+    val sh = time("materialize simhash64 index") {
+      val m = graft.ops.Materialize.index(
+        graft.ops.Dedup.simhash64(docs, "text").select(col("doc_id"), col("simhash")), "ph")
+      m.count(); m
+    }
+    val hashes = sh.select("simhash").distinct()
+    val blockKeys = Seq((1, 22), (23, 22), (45, 20)).zipWithIndex.map {
+      case ((start, len), b) => s"concat('$b|', substring(simhash, $start, $len))"
+    }
+    val probes = hashes.select(col("simhash"),
+      explode(expr(s"array(${blockKeys.mkString(", ")})")).as("probe"))
+    val cand = probes.select(col("simhash").as("sa"), col("probe"))
+      .join(probes.select(col("simhash").as("sb"), col("probe")), "probe")
+      .filter(col("sa") < col("sb"))
+      .select("sa", "sb").distinct()
+    time("block-key candidates") { println(s"candidates=${cand.count()}") }
+    time("full pairs end-to-end") {
+      println("pairs=" +
+        graft.ops.Dedup.simhashHammingPairs(docs, "doc_id", "text").count())
     }
     graft.ops.Materialize.dropAll()
     spark.stop()

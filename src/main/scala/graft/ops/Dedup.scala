@@ -332,7 +332,7 @@ object Dedup {
     require(maxDist <= 2,
       s"${HammingBlocks.size}-block keys certify distance <= 2, got $maxDist")
     val sh = Materialize.index(
-      simhash64(df, textCol).select(col(idCol), col("simhash")), "simhash-idx")
+      simhash64Agg(df, idCol, textCol), "simhash-idx")
     val hashes = sh.select("simhash").distinct()
     val blockKeys = HammingBlocks.zipWithIndex.map { case ((start, len), b) =>
       s"concat('$b|', substring(simhash, $start, $len))"
@@ -386,6 +386,35 @@ object Dedup {
          |    j -> instr('0123456789abcdef', substring(h, j, 1)) - 1))""".stripMargin))
       .withColumn("simhash", expr(s"concat(${bitCols.mkString(", ")})"))
       .drop("_tok_digits")
+  }
+
+  /** [[simhash64]] as an explode + partial-aggregate instead of a per-row
+    * projection: tokens explode, each row decodes its md5's 16 leading
+    * hex digits ONCE as plain int columns, and the 64 bit sums are
+    * ordinary `sum()` aggregates — every operator whole-stage-codegen'd
+    * (the projection form pays interpreted higher-order-lambda
+    * evaluation per element). Costs one doc-keyed shuffle of 65 longs
+    * per partial — map-side combine keeps it doc-sized, tiny next to
+    * the text being fingerprinted. Bit arithmetic is IDENTICAL to
+    * [[simhash64]]; the two must agree string-for-string. Returns
+    * (idCol, simhash). */
+  def simhash64Agg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val digitCols = (1 to 16).map { j =>
+      expr(s"instr('0123456789abcdef', substring(_h, $j, 1)) - 1").as(s"_d$j")
+    }
+    val sums = (1 to 64).map { i =>
+      val digit = (i - 1) / 4 + 1
+      val pow = 1 << (3 - ((i - 1) % 4))
+      sum(expr(s"(_d$digit div $pow) % 2")).as(s"_b$i")
+    }
+    val bitCols = (1 to 64).map(i => s"CASE WHEN 2 * _b$i > _n THEN '1' ELSE '0' END")
+    df.select(col(idCol), explode(split(lower(col(textCol)), " ")).as("_tok"))
+      .withColumn("_h", md5(col("_tok")))
+      .select(col(idCol) +: digitCols: _*)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("_n"), sums: _*)
+      .withColumn("simhash", expr(s"concat(${bitCols.mkString(", ")})"))
+      .select(col(idCol), col("simhash"))
   }
 
   /** 16-dimension SimHash over word tokens, as a 16-char bit string.

@@ -106,6 +106,21 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("simhash64 agg form agrees with the projection form string-for-string") {
+    import org.apache.spark.sql.functions.col
+    val d = docs(
+      1L -> "alpha beta gamma delta",
+      2L -> "one two three four five six seven eight nine ten",
+      3L -> "", // single empty token after split
+      4L -> "repeated repeated repeated distinct")
+    val proj = Dedup.simhash64(d, "text").select(col("doc_id"), col("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val agg = Dedup.simhash64Agg(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    agg shouldBe proj
+    agg.values.foreach(_.length shouldBe 64)
+  }
+
   test("64-bit width keeps pair volume linear: only planted dups pair, 2x corpus -> 2x pairs") {
     // n base docs with disjoint vocabularies, each planted TWICE: at 64
     // bits unrelated fingerprints sit ~32 bits apart, so the ONLY pairs
