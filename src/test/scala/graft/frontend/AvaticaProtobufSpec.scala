@@ -146,6 +146,41 @@ class AvaticaProtobufSpec extends AnyFunSuite with Matchers with BeforeAndAfterA
     frameRows(rs.sub(5).get) shouldBe Seq(Seq(5L))
   }
 
+  test("typed-null and double parameters bind over protobuf") {
+    open("p6", "orga")
+    val (_, _, pr) = rpc("PrepareRequest", w => {
+      w.string(1, "p6")
+      w.string(2, "SELECT count(*) AS c FROM avmetric WHERE v = coalesce(?, v) AND v < ?")
+    })
+    val hid = pr.sub(1).get.int(2)
+    val (_, en, ex) = rpc("ExecuteRequest", w => {
+      w.message(1, h => { h.string(1, "p6"); h.uint32(2, hid) })
+      // typed null LONG: rep=13, null=true — must keep the column type
+      w.message(2, tv => { tv.int64(1, 13); tv.bool(7, true) })
+      // DOUBLE 3.5: rep=15, double_value (fixed64)
+      w.message(2, tv => { tv.int64(1, 15); tv.double(6, 3.5) })
+      w.bool(4, true)
+    })
+    en shouldBe "ExecuteResponse"
+    val rs = new ProtoReader(ex.first(1).map(_.payload).getOrElse(fail("no results")))
+    frameRows(rs.sub(5).get) shouldBe Seq(Seq(3L)) // v in {1,2,3} < 3.5
+  }
+
+  test("deprecated fetch_max_row_count still pages when frame_max_size is absent") {
+    open("p7", "orga")
+    val (_, _, cs) = rpc("CreateStatementRequest", _.string(1, "p7"))
+    val sid = cs.int(2)
+    rpc("PrepareAndExecuteRequest", w => {
+      w.string(1, "p7")
+      w.string(2, "SELECT v FROM avmetric ORDER BY v")
+      w.uint32(4, sid)
+    })
+    val (_, _, fr) = rpc("FetchRequest", w => {
+      w.string(1, "p7"); w.uint32(2, sid); w.uint64(3, 3); w.uint32(4, 2) // field 4, not 5
+    })
+    frameRows(fr.sub(1).get).map(_.head) shouldBe Seq(4L, 5L)
+  }
+
   test("metadata RPC (getTables) rides the protobuf wire as a ResultSetResponse") {
     open("p3", "orga")
     val (_, name, rs) = rpc("TablesRequest", _.string(7, "p3"))
