@@ -100,11 +100,16 @@ object Bench {
         }
         val regs = suspects.flatMap { case (name, p, first) =>
           val t0 = System.nanoTime()
-          try { SparkEntry.queries(name)(spark, sfDir).count() }
-          catch { case _: Throwable => () }
-          finally graft.ops.Materialize.dropAll()
-          val again = (System.nanoTime() - t0) / 1e9
-          retimes(name) = (p, first, again)
+          // a retime that ERRORS must keep the flag, not clear it — a
+          // fast failure would otherwise measure as "load noise"
+          val retimeOk =
+            try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+            catch { case scala.util.control.NonFatal(_) => false }
+            finally graft.ops.Materialize.dropAll()
+          val again =
+            if (retimeOk) (System.nanoTime() - t0) / 1e9
+            else first // errored: conservatively reproduce the first timing
+          retimes(name) = (p, first, if (retimeOk) again else -1.0)
           if (flagged(p, again)) {
             System.err.println(
               f"[benchgate] REGRESSION $name: $p%.2f s -> $first%.2f s, reproduced at $again%.2f s vs $file")

@@ -51,11 +51,8 @@ object ProfileHamming {
       m.count(); m
     }
     val hashes = sh.select("simhash").distinct()
-    val blockKeys = Seq((1, 22), (23, 22), (45, 20)).zipWithIndex.map {
-      case ((start, len), b) => s"concat('$b|', substring(simhash, $start, $len))"
-    }
     val probes = hashes.select(col("simhash"),
-      explode(expr(s"array(${blockKeys.mkString(", ")})")).as("probe"))
+      explode(expr(s"array(${graft.ops.Dedup.hammingBlockKeySql.mkString(", ")})")).as("probe"))
     val cand = probes.select(col("simhash").as("sa"), col("probe"))
       .join(probes.select(col("simhash").as("sb"), col("probe")), "probe")
       .filter(col("sa") < col("sb"))

@@ -72,14 +72,12 @@ class GraftAvaticaServer(
 
   /** One statement's state: prepared SQL (for prepare/execute) and the
     * live cursor. The cursor holds an iterator FACTORY, not just the
-    * iterator: forward fetches stream (≤ one frame held), while a
-    * non-sequential offset — syncResults repositioning after a client
-    * reset, or a shrunken replay window — re-executes the statement and
-    * skips forward to the requested offset (bounded by the server
-    * clamp), preserving the full offset semantics of the old
-    * collect-based paging without its memory ceiling. All cursor access
-    * is synchronized — the HTTP pool may interleave fetches with a
-    * concurrent close. */
+    * iterator: forward fetches stream (≤ one frame held) off one
+    * iterator, offsets inside the kept frame replay from the buffer
+    * (including shrunken windows), and ONLY offset 0 re-executes via the
+    * factory (the syncResults-reset flow); any other backward offset is
+    * refused — see [[frameAt]]. All cursor access is synchronized — the
+    * HTTP pool may interleave fetches with a concurrent close. */
   private final class Stmt {
     var preparedSql: Option[String] = None
     var preparedMaxRows: Int = serverMaxRows
@@ -119,7 +117,10 @@ class GraftAvaticaServer(
         // the client's next fetch lands exactly at the cursor, and the
         // held rows stay bounded by one frame.
         val start = offset - frameOffset
-        val slice = frame.slice(start, math.min(frame.length, start + math.max(n, 0)))
+        // Long upper bound: start + Int.MaxValue would wrap negative and
+        // serve an empty never-done frame (infinite client fetch loop)
+        val end = math.min(frame.length.toLong, start.toLong + math.max(n, 0)).toInt
+        val slice = frame.slice(start, end)
         (slice, offset.toLong + slice.length >= fetched && !iter.hasNext)
       } else {
         if (offset < frameOffset) {
@@ -133,10 +134,16 @@ class GraftAvaticaServer(
               "the last served frame")
         }
         while (fetched < offset && iter.hasNext) { iter.next(); fetched += 1 }
+        // the frame starts at the position actually REACHED — a skip past
+        // the end of the result must not leave frameOffset > fetched, or
+        // the invariant fetched == frameOffset + frame.length breaks and
+        // the next legitimate sequential fetch is refused as a backward
+        // reposition
+        val at = fetched
         val buf = Array.newBuilder[Row]
         var k = 0
         while (k < n && iter.hasNext) { buf += iter.next(); k += 1 }
-        frame = buf.result(); frameOffset = offset; fetched += frame.length
+        frame = buf.result(); frameOffset = at; fetched += frame.length
         peakHeldRows = math.max(peakHeldRows, frame.length)
         (frame, !iter.hasNext)
       }

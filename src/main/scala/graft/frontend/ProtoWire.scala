@@ -118,6 +118,10 @@ private[frontend] final class ProtoReader(buf: Array[Byte]) {
           ProtoField(wire, v, Array.empty)
         case ProtoWire.WireBytes =>
           val len = varint().toInt
+          // copyOfRange would silently NUL-pad past the end — a truncated
+          // request must be an error, not garbage SQL
+          require(len >= 0 && i + len <= buf.length,
+            s"truncated length-delimited field: need $len bytes, have ${buf.length - i}")
           val p = java.util.Arrays.copyOfRange(buf, i, i + len)
           i += len
           ProtoField(wire, 0, p)

@@ -297,7 +297,15 @@ object Dedup {
     * bits in at most 2 blocks, so by pigeonhole they MATCH on at least
     * one whole block — Manku et al.'s table design (WWW'07 §3), with
     * the block count tied to the radius instead of probing bit flips. */
-  private val HammingBlocks: Seq[(Int, Int)] = Seq((1, 22), (23, 22), (45, 20))
+  private[graft] val HammingBlocks: Seq[(Int, Int)] = Seq((1, 22), (23, 22), (45, 20))
+
+  /** SQL for the block-match candidate keys over a `simhash` column —
+    * shared with the profiler so its measurements track the production
+    * scheme. */
+  private[graft] def hammingBlockKeySql: Seq[String] =
+    HammingBlocks.zipWithIndex.map { case ((start, len), b) =>
+      s"concat('$b|', substring(simhash, $start, $len))"
+    }
 
   /** Near-dup pairs within SimHash hamming distance `maxDist` (≤ 2) over
     * 64-BIT fingerprints, found by block-match candidate generation
@@ -334,11 +342,8 @@ object Dedup {
     val sh = Materialize.index(
       simhash64Agg(df, idCol, textCol), "simhash-idx")
     val hashes = sh.select("simhash").distinct()
-    val blockKeys = HammingBlocks.zipWithIndex.map { case ((start, len), b) =>
-      s"concat('$b|', substring(simhash, $start, $len))"
-    }
     val probes = hashes.select(col("simhash"),
-      explode(expr(s"array(${blockKeys.mkString(", ")})")).as("probe"))
+      explode(expr(s"array(${hammingBlockKeySql.mkString(", ")})")).as("probe"))
     val hpairs = probes.select(col("simhash").as("sa"), col("probe"))
       .join(probes.select(col("simhash").as("sb"), col("probe")), "probe")
       .filter(col("sa") < col("sb"))
@@ -380,8 +385,10 @@ object Dedup {
         s"aggregate(_tok_digits, 0L, (acc, ds) -> acc + (element_at(ds, $digit) div $pow) % 2)"
       s"CASE WHEN 2 * ($sumExpr) > size(_tok_digits) THEN '1' ELSE '0' END"
     }
+    // null text ≡ empty text (one empty token) so the projection and agg
+    // forms agree: explode of a null array would DROP the row entirely
     df.withColumn("_tok_digits", expr(
-      s"""transform(transform(split(lower($textCol), ' '), t -> md5(t)),
+      s"""transform(transform(split(lower(coalesce($textCol, '')), ' '), t -> md5(t)),
          |  h -> transform(sequence(1, 16),
          |    j -> instr('0123456789abcdef', substring(h, j, 1)) - 1))""".stripMargin))
       .withColumn("simhash", expr(s"concat(${bitCols.mkString(", ")})"))
@@ -408,7 +415,8 @@ object Dedup {
       sum(expr(s"(_d$digit div $pow) % 2")).as(s"_b$i")
     }
     val bitCols = (1 to 64).map(i => s"CASE WHEN 2 * _b$i > _n THEN '1' ELSE '0' END")
-    df.select(col(idCol), explode(split(lower(col(textCol)), " ")).as("_tok"))
+    df.select(col(idCol),
+        explode(split(lower(coalesce(col(textCol), lit(""))), " ")).as("_tok"))
       .withColumn("_h", md5(col("_tok")))
       .select(col(idCol) +: digitCols: _*)
       .groupBy(idCol)

@@ -316,7 +316,32 @@ class AvaticaServerSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     f2.at("/frame/rows").size() shouldBe 1
     f2.at("/frame/rows/0/0").asLong() shouldBe 20L
     f2.at("/frame/done").asBoolean() shouldBe false
+    // INTERIOR offset with the huge fetch count: start+n must not wrap
+    // (an int sum would slice an empty never-done frame — a fetch loop)
+    val (_, f3) = rpc(s"""{"request":"fetch","connectionId":"c14","statementId":$sid,""" +
+      s""""offset":1,"fetchMaxRowCount":${Int.MaxValue}}""")
+    f3.at("/frame/rows").size() shouldBe 2
+    f3.at("/frame/rows/0/0").asLong() shouldBe 20L
     server.peakHeldRows("c14", sid) should be <= 3
+  }
+
+  test("a fetch past the end leaves the cursor consistent for the next sequential fetch") {
+    open("c16", "orga")
+    val sid = createStatement("c16")
+    rpc(s"""{"request":"prepareAndExecute","connectionId":"c16","statementId":$sid,""" +
+      """"sql":"SELECT `timestamp` FROM avmetric ORDER BY `timestamp`","maxRowCount":-1}""")
+    // 7-row result; skip straight past the end
+    val (_, f9) = rpc(
+      s"""{"request":"fetch","connectionId":"c16","statementId":$sid,"offset":9,"fetchMaxRowCount":2}""")
+    f9.at("/frame/rows").size() shouldBe 0
+    f9.at("/frame/done").asBoolean() shouldBe true
+    // the true cursor position (7) must still be servable, not refused as
+    // a backward reposition (frameOffset may never exceed fetched)
+    val (st, f7) = rpc(
+      s"""{"request":"fetch","connectionId":"c16","statementId":$sid,"offset":7,"fetchMaxRowCount":2}""")
+    st shouldBe 200
+    f7.at("/frame/rows").size() shouldBe 0
+    f7.at("/frame/done").asBoolean() shouldBe true
   }
 
   test("non-zero backward reposition past the kept frame is refused, not served inconsistently") {

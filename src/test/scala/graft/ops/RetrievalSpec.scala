@@ -112,7 +112,8 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
       1L -> "alpha beta gamma delta",
       2L -> "one two three four five six seven eight nine ten",
       3L -> "", // single empty token after split
-      4L -> "repeated repeated repeated distinct")
+      4L -> "repeated repeated repeated distinct",
+      5L -> (null: String)) // null ≡ empty: explode must not drop the row
     val proj = Dedup.simhash64(d, "text").select(col("doc_id"), col("simhash"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val agg = Dedup.simhash64Agg(d, "doc_id", "text")
