@@ -147,6 +147,30 @@ class PlanSpec extends AnyFunSuite with Matchers {
     scans.exists(_.schema.fieldNames.contains("text")) shouldBe false
   }
 
+  test("hamming dedup plans no cartesian product; probe join reads the fingerprint index") {
+    val out = PipelineQueries.dedupSimhashHamming(spark, dir)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // every scan in the final plan reads the materialized fingerprint
+    // index (doc_id/simhash) — the raw text is tokenized exactly once,
+    // during the index write
+    val scans = allScans(out.queryExecution.executedPlan)
+    scans should not be empty
+    scans.foreach(_.schema.fieldNames should not contain "text")
+    graft.ops.Materialize.dropAll()
+  }
+
+  test("pagerank keeper plans no cartesian product off the shared pair index") {
+    val out = PipelineQueries.dedupPagerankKeeper(spark, dir)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    graft.ops.Materialize.dropAll()
+  }
+
   test("semantic-dedup cell self-join moves (id, cell) only; vectors join back by id") {
     val out = PipelineQueries.embedSemanticDedup(spark, dir)
     out.collect()
