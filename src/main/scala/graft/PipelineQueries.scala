@@ -1307,6 +1307,20 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Ingest-time near-dup novelty ([[graft.ops.Dedup.simhashNovelty]]):
+    * odd-id docs are the "new batch", even-id the existing corpus (the
+    * [[dedupIncremental]] split) — but gated on 64-bit SimHash hamming
+    * distance ≤ 2 instead of an exact head-line hash, so lightly edited
+    * re-crawls are caught too. */
+  def dedupSimhashNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.simhashNovelty(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Source-level curation gate ([[graft.ops.Curation.domainStats]]):
     * pooled distinct-word ratio + short-doc fraction per source, with
     * integer-sum arithmetic so the keep flag is bit-stable. */
@@ -1334,6 +1348,7 @@ object PipelineQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "shuffle_shards" -> (shuffleShards _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_simhash_novelty" -> (dedupSimhashNovelty _),
     "domain_filter" -> (domainFilter _),
     "strip_boilerplate" -> (stripBoilerplate _),
     "cms_counts" -> (cmsCounts _),
@@ -1762,6 +1777,39 @@ object PipelineQueries {
         |  b.doc_id = min(b.doc_id) OVER (PARTITION BY b.fp) AS first_in_batch,
         |  c.fp IS NULL AND b.doc_id = min(b.doc_id) OVER (PARTITION BY b.fp) AS novel
         |FROM b LEFT JOIN c ON b.fp = c.fp ORDER BY doc_id""".stripMargin,
+    // Block-join candidate oracle: by pigeonhole (3 blocks, <=2 differing
+    // bits) block-sharing candidates provably contain EVERY hd<=2 pair, so
+    // this is exactly equivalent to brute force for the gated output (the
+    // brute-force completeness of the block scheme itself is already
+    // oracle-pinned by dedup_simhash_hamming on the same corpus).
+    "dedup_simhash_novelty" -> {
+      val blockKeyCtes = (tbl: String) =>
+        graft.ops.Dedup.HammingBlocks.zipWithIndex.map { case ((st, ln), b) =>
+          s"SELECT DISTINCT s, concat('$b|', substring(s, $st, $ln)) AS k FROM $tbl"
+        }.mkString(" UNION ALL ")
+      s"""WITH dg AS (SELECT doc_id,
+         |    list_transform(list_transform($toks, t -> md5(t)),
+         |      h -> list_transform(range(1, 17),
+         |        j -> instr('0123456789abcdef', substring(h, CAST(j AS INT), 1)) - 1)) AS ds
+         |  FROM documents),
+         |sh AS (SELECT doc_id, $duckSimhashBits64 AS s FROM dg),
+         |nw AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 1),
+         |old AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0),
+         |kn AS (${blockKeyCtes("nw")}),
+         |ko AS (${blockKeyCtes("old")}),
+         |cand AS (SELECT DISTINCT kn.s AS sn, ko.s AS so
+         |  FROM kn JOIN ko ON kn.k = ko.k),
+         |hd AS (SELECT sn, so,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> CASE WHEN substring(sn, CAST(i AS INT), 1)
+         |          = substring(so, CAST(i AS INT), 1) THEN 0 ELSE 1 END)) AS d
+         |  FROM cand),
+         |h AS (SELECT sn, CAST(min(d) AS BIGINT) AS min_dist
+         |  FROM hd WHERE d <= 2 GROUP BY sn)
+         |SELECT nw.doc_id, nw.s AS simhash, h.min_dist,
+         |  h.min_dist IS NULL AS novel
+         |FROM nw LEFT JOIN h ON nw.s = h.sn ORDER BY nw.doc_id""".stripMargin
+    },
     "domain_filter" ->
       """WITH d AS (SELECT source,
         |    CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS dw,

@@ -365,6 +365,51 @@ object Dedup {
     within.unionAll(cross)
   }
 
+  /** Ingest-time near-dup gate: each NEW document's minimum SimHash
+    * hamming distance into the EXISTING corpus (within `maxDist` ≤ 2),
+    * and a `novel` flag when nothing is that close — the hamming
+    * generalization of [[graft.ops.Curation.incrementalNovelty]]'s
+    * exact-fingerprint gate (a lightly edited re-crawl of a known page
+    * is NOT novel, an exact-hash gate says it is).
+    *
+    * Scale shape: both sides reduce to fingerprint tables ([[simhash64Agg]]
+    * — the existing side further to DISTINCT fingerprints, so corpus
+    * growth in exact-dup clusters is free), candidates come from the
+    * same ×3 block keys as [[simhashHammingPairs]] (cross-set join, no
+    * self-join), verification touches candidates only, and the min-dist
+    * is a partial aggregate on the new-side fingerprint. The batch joins
+    * back by fingerprint — output-sized. */
+  def simhashNovelty(
+      newDocs: DataFrame,
+      existing: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 2): DataFrame = {
+    require(maxDist <= 2,
+      s"${HammingBlocks.size}-block keys certify distance <= 2, got $maxDist")
+    val fpNew = Materialize.index(
+      simhash64Agg(newDocs, idCol, textCol), "novelty-new")
+    val fpOld = Materialize.index(
+      simhash64Agg(existing, idCol, textCol).select("simhash").distinct(),
+      "novelty-old")
+    // the block-key exprs read the column named `simhash`; alias it in
+    // the same select, which evaluates against the input columns
+    def probes(fp: DataFrame, as: String) = fp.select("simhash").distinct()
+      .select(col("simhash").as(as),
+        explode(expr(s"array(${hammingBlockKeySql.mkString(", ")})")).as("probe"))
+    val hits = probes(fpNew, "sn").join(probes(fpOld, "so"), "probe")
+      .select("sn", "so").distinct()
+      .withColumn("hd", expr(
+        """aggregate(sequence(1, 64), 0,
+          |  (acc, i) -> acc + IF(substring(sn, i, 1) = substring(so, i, 1), 0, 1))"""
+          .stripMargin).cast("long"))
+      .filter(col("hd") <= maxDist)
+      .groupBy("sn").agg(min("hd").as("min_dist"))
+    fpNew.join(hits, fpNew("simhash") === hits("sn"), "left")
+      .select(col(idCol), col("simhash"), col("min_dist"),
+        col("min_dist").isNull.as("novel"))
+  }
+
   /** 64-dimension SimHash over word tokens, as a 64-char bit string —
     * the width Manku et al. use, wide enough that unrelated documents
     * sit ~32 bits apart. Dimension i's +1/-1 vote is BIT i of

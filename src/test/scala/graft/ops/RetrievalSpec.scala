@@ -122,6 +122,21 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
     agg.values.foreach(_.length shouldBe 64)
   }
 
+  test("simhash novelty: known copies gate at distance 0, fresh content is novel") {
+    val existing = docs(
+      10L -> "alpha beta gamma delta epsilon zeta",
+      11L -> "one two three four five six seven")
+    val batch = docs(
+      1L -> "alpha beta gamma delta epsilon zeta", // exact re-crawl of 10
+      2L -> "entirely new material nothing shared here at all")
+    val got = Dedup.simhashNovelty(batch, existing, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3))).toMap
+    Materialize.dropAll()
+    got(1L) shouldBe ((Some(0L), false)) // known content: not novel
+    got(2L) shouldBe ((None, true)) // nothing within distance 2: novel
+  }
+
   test("64-bit width keeps pair volume linear: only planted dups pair, 2x corpus -> 2x pairs") {
     // n base docs with disjoint vocabularies, each planted TWICE: at 64
     // bits unrelated fingerprints sit ~32 bits apart, so the ONLY pairs
