@@ -143,6 +143,57 @@ object EventStreams {
       .join(corpusFps.select("fp").distinct(), Seq("fp"), "left_anti")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming NEAR-dup novelty gate — the online half of
+    * [[graft.ops.Dedup.simhashNovelty]]: a document stream is admitted
+    * only if its 64-bit SimHash is NOT within hamming distance ≤ 2 of
+    * the static corpus fingerprint index, so a lightly edited re-crawl
+    * of a known page is dropped at ingest (the exact-hash
+    * [[noveltyGateStream]] admits it).
+    *
+    * Stream-legal by construction: the fingerprint is the PROJECTION
+    * form ([[graft.ops.Dedup.simhash64]] — per-row; the faster agg form
+    * needs a groupBy a stream can't run statelessly), and the distance
+    * check avoids both explode-self-join and stream-side aggregation by
+    * pre-bucketing the STATIC side per Manku block key (probe →
+    * collect_set of fingerprints, sparse buckets at 64-bit width) and
+    * LEFT-joining the stream's 3 key columns against it — three
+    * stream-static joins, then one per-row `exists` over the ≤ 3 small
+    * candidate arrays. Within-stream exact re-delivery rides
+    * `dropDuplicatesWithinWatermark` on the fingerprint (bounded
+    * state); within-stream NEAR-dups are out of scope here — run the
+    * batch [[graft.ops.Dedup.simhashHammingPairs]] over the landed
+    * horizon for those. */
+  def simhashGateStream(
+      docs: DataFrame,
+      corpusFps: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.ops.Dedup
+    val keys = Dedup.hammingBlockKeySql
+    val buckets = corpusFps.select(col("simhash").as("_cfp")).distinct()
+      .select(col("_cfp"),
+        explode(expr(s"array(${keys.map(_.replace("simhash", "_cfp")).mkString(", ")})"))
+          .as("_probe"))
+      .groupBy("_probe").agg(collect_set("_cfp").as("_fps"))
+    val keyed = keys.zipWithIndex.foldLeft(
+      Dedup.simhash64(docs.withWatermark("ts", watermark), "text")) {
+      case (df, (sql, b)) => df.withColumn(s"_k$b", expr(sql))
+    }
+    val joined = keys.indices.foldLeft(keyed) { case (df, b) =>
+      df.join(
+        buckets.withColumnRenamed("_probe", s"_k$b").withColumnRenamed("_fps", s"_fps$b"),
+        Seq(s"_k$b"), "left")
+    }
+    val candidates = keys.indices.map(b => s"coalesce(_fps$b, array())").mkString(", ")
+    joined
+      .filter(expr(
+        s"""NOT exists(concat($candidates), so ->
+           |  aggregate(sequence(1, 64), 0,
+           |    (acc, i) -> acc + IF(substring(simhash, i, 1) = substring(so, i, 1), 0, 1))
+           |  <= 2)""".stripMargin))
+      .dropDuplicatesWithinWatermark("simhash")
+      .drop((keys.indices.map(b => s"_k$b") ++ keys.indices.map(b => s"_fps$b")): _*)
+  }
+
   /** Stream the events landing directory (parquet files appearing over
     * time) into the windowed aggregation, writing to an in-memory sink —
     * the readStream → transform → writeStream shape. */

@@ -98,6 +98,41 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("simhash gate drops near-dups of the corpus, not just exact copies") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val knownText = "already indexed content for the corpus"
+    val editedText = "slightly different content for testing near dup admission"
+    // hand-plant a corpus fingerprint ONE BIT away from editedText's, so
+    // the near-dup path (0 < distance <= 2) is exercised deterministically
+    // (text edits shift an uncontrollable number of majority votes)
+    def fpOf(text: String): String =
+      graft.ops.Dedup.simhash64(Seq((1L, text)).toDF("doc_id", "text"), "text")
+        .select("simhash").head.getString(0)
+    val editedFp = fpOf(editedText)
+    val oneOff = editedFp.updated(7, if (editedFp(7) == '1') '0' else '1')
+    val corpus = Seq(fpOf(knownText), oneOff).toDF("simhash")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = EventStreams.simhashGateStream(
+        input.toDF().toDF("doc_id", "ts", "text"), corpus)
+      .writeStream.queryName("simhash_gate").outputMode(OutputMode.Append())
+      .format("memory").start()
+    try {
+      input.addData(
+        (1L, ts(1), knownText), // exact copy of corpus content — dropped (d=0)
+        (2L, ts(2), editedText), // one bit from a corpus fingerprint — dropped (d=1)
+        (3L, ts(3), "entirely new material nothing shared at all")) // admitted
+      q.processAllAvailable()
+      input.addData(
+        (4L, ts(4), "entirely new material nothing shared at all"), // re-delivery — dropped
+        (5L, ts(5), "and one more genuinely fresh document here")) // admitted
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM simhash_gate")
+        .collect().map(_.getLong(0)).toSet
+      got shouldBe Set(3L, 5L)
+    } finally q.stop()
+  }
+
   test("sessionization accumulates per-user state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
