@@ -140,6 +140,16 @@ object ScaleSoak {
         graft.ops.Dedup.simhashHammingPairs(docs, "doc_id", "text").count()
     }
 
+    // 6b. ingest-time near-dup novelty: odd-id half as the "new batch"
+    // against the even-id half as the standing corpus — the cross-set
+    // block join must stay candidate-sized as both sides replicate
+    timed("simhash_novelty") {
+      counts("novelty_rows") = graft.ops.Dedup.simhashNovelty(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text").count()
+    }
+
     // 7. capped inverted index — the two-phase champion cap keeps the
     // per-term global window bounded even for stop words with df ≈ N
     timed("inverted_index") {

@@ -307,6 +307,14 @@ object Dedup {
       s"concat('$b|', substring(simhash, $start, $len))"
     }
 
+  /** SQL for the exact hamming distance between two 64-char bit-string
+    * columns — the single verify expression every block-candidate
+    * consumer (pair dedup, novelty gate, streaming gate) shares. */
+  private[graft] def hammingDistSql(a: String, b: String): String =
+    s"""aggregate(sequence(1, 64), 0,
+       |  (acc, i) -> acc + IF(substring($a, i, 1) = substring($b, i, 1), 0, 1))"""
+      .stripMargin
+
   /** Near-dup pairs within SimHash hamming distance `maxDist` (≤ 2) over
     * 64-BIT fingerprints, found by block-match candidate generation
     * instead of an all-pairs comparison: each distinct fingerprint emits
@@ -348,10 +356,7 @@ object Dedup {
       .join(probes.select(col("simhash").as("sb"), col("probe")), "probe")
       .filter(col("sa") < col("sb"))
       .select("sa", "sb").distinct()
-      .withColumn("hd", expr(
-        """aggregate(sequence(1, 64), 0,
-          |  (acc, i) -> acc + IF(substring(sa, i, 1) = substring(sb, i, 1), 0, 1))"""
-          .stripMargin).cast("long"))
+      .withColumn("hd", expr(hammingDistSql("sa", "sb")).cast("long"))
       .filter(col("hd") <= maxDist)
     val cross = hpairs
       .join(sh.select(col(idCol).as("ia"), col("simhash").as("sa")), "sa")
@@ -399,10 +404,7 @@ object Dedup {
         explode(expr(s"array(${hammingBlockKeySql.mkString(", ")})")).as("probe"))
     val hits = probes(fpNew, "sn").join(probes(fpOld, "so"), "probe")
       .select("sn", "so").distinct()
-      .withColumn("hd", expr(
-        """aggregate(sequence(1, 64), 0,
-          |  (acc, i) -> acc + IF(substring(sn, i, 1) = substring(so, i, 1), 0, 1))"""
-          .stripMargin).cast("long"))
+      .withColumn("hd", expr(hammingDistSql("sn", "so")).cast("long"))
       .filter(col("hd") <= maxDist)
       .groupBy("sn").agg(min("hd").as("min_dist"))
     fpNew.join(hits, fpNew("simhash") === hits("sn"), "left")

@@ -187,9 +187,7 @@ object EventStreams {
     joined
       .filter(expr(
         s"""NOT exists(concat($candidates), so ->
-           |  aggregate(sequence(1, 64), 0,
-           |    (acc, i) -> acc + IF(substring(simhash, i, 1) = substring(so, i, 1), 0, 1))
-           |  <= 2)""".stripMargin))
+           |  ${Dedup.hammingDistSql("simhash", "so")} <= 2)""".stripMargin))
       .dropDuplicatesWithinWatermark("simhash")
       .drop((keys.indices.map(b => s"_k$b") ++ keys.indices.map(b => s"_fps$b")): _*)
   }
