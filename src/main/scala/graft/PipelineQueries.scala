@@ -1502,6 +1502,18 @@ object PipelineQueries {
   private def duckShingles(n: Int): String = duckShinglesOf(toks, n)
   private def duckMinhash(i: Int): String =
     s"list_min(list_transform(${duckShingles(3)}, s -> md5('salt$i|' || s)))"
+
+  /** One unrolled PageRank round over (e, d, r`r-1`): the per-edge 8-dp
+    * contribution is lifted to a fixed-point BIGINT before the sum — the
+    * identical lift [[graft.ops.Cluster.pageRank]] applies — so the
+    * iterated per-node sum is integer arithmetic in BOTH engines and no
+    * float-reorder ulp can flip a round and compound. */
+  private def duckPagerankRound(r: Int): String =
+    s"""r$r AS (SELECT dst AS id,
+       |    round(CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+       |      * (CAST(sum(CAST(round(round(r.rank / d.deg, 8) * 1e8, 0) AS BIGINT)) AS DOUBLE) / 1e8), 8) AS rank
+       |  FROM e JOIN r${r - 1} r ON e.src = r.id JOIN d ON e.src = d.src
+       |  GROUP BY dst)""".stripMargin
   /** Okapi BM25 of the corpus against the fixed probe terms — judges BOTH
     * `bm25_retrieval` (scored from raw text) and `bm25_indexed` (scored
     * from the materialized postings index): the two must agree exactly. */
@@ -2469,39 +2481,27 @@ object PipelineQueries {
       s"""WITH $duckMinhashPairCtes
          |SELECT id_a, id_b, jac FROM vpairs ORDER BY id_a, id_b""".stripMargin,
     "pair_graph_rank" -> {
-      def rnd(r: Int) =
-        s"""r$r AS (SELECT dst AS id,
-           |    round(CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
-           |      * sum(r.rank / d.deg), 8) AS rank
-           |  FROM e JOIN r${r - 1} r ON e.src = r.id JOIN d ON e.src = d.src
-           |  GROUP BY dst)""".stripMargin
       s"""WITH $duckMinhashPairCtes,
          |e AS (SELECT id_a AS src, id_b AS dst FROM vpairs
          |  UNION SELECT id_b, id_a FROM vpairs),
          |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
          |r0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) AS rank FROM d),
-         |${rnd(1)},
-         |${rnd(2)},
-         |${rnd(3)}
+         |${duckPagerankRound(1)},
+         |${duckPagerankRound(2)},
+         |${duckPagerankRound(3)}
          |SELECT id AS doc_id, d.deg, round(rank, 4) AS rank
          |FROM r3 JOIN d ON r3.id = d.src ORDER BY doc_id""".stripMargin
     },
     "dedup_pagerank_keeper" -> {
-      def rnd(r: Int) =
-        s"""r$r AS (SELECT dst AS id,
-           |    round(CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
-           |      * sum(r.rank / d.deg), 8) AS rank
-           |  FROM e JOIN r${r - 1} r ON e.src = r.id JOIN d ON e.src = d.src
-           |  GROUP BY dst)""".stripMargin
       s"""WITH RECURSIVE $duckClusterCtes,
          |e AS (SELECT DISTINCT src, dst FROM (
          |  SELECT id_a AS src, id_b AS dst FROM vpairs
          |  UNION ALL SELECT id_b, id_a FROM vpairs)),
          |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
          |r0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) AS rank FROM d),
-         |${rnd(1)},
-         |${rnd(2)},
-         |${rnd(3)},
+         |${duckPagerankRound(1)},
+         |${duckPagerankRound(2)},
+         |${duckPagerankRound(3)},
          |m AS (SELECT node AS doc_id, cluster, round(rank, 4) AS rank
          |  FROM comp JOIN r3 ON comp.node = r3.id),
          |k AS (SELECT cluster, doc_id AS keeper FROM (

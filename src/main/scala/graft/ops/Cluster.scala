@@ -202,9 +202,7 @@ object Cluster {
     * document importance (a hub re-posted everywhere outranks its
     * copies; the downstream keeper policy can prefer it). `rounds`
     * synchronous iterations of
-    * `rank' = 0.15 + 0.85 · Σ_in rank/deg`, every intermediate rounded
-    * to 8 dp — the SAME rounding the oracle's unrolled CTEs apply, so
-    * cross-engine double-sum reordering cannot drift across rounds.
+    * `rank' = 0.15 + 0.85 · Σ_in rank/deg`.
     *
     * Scale shape: textbook distributed PageRank — the bidirectional
     * edge table materializes once, rank is a node-sized table, each
@@ -214,14 +212,16 @@ object Cluster {
     * [[connectedComponents]] loop discipline). Nothing collects.
     * Returns (id, deg, rank) for every node of the pair graph.
     *
-    * Determinism caveat (accepted): the 8-dp round absorbs partial-agg
-    * reordering ulps, but a per-node sum landing within an ulp of a
-    * 0.5e-8 boundary could still round differently across engines and
-    * feed the next round. The deterministic alternative — sort-agg over
-    * collected contribution structs — would trade the partial aggregate
-    * (map-side combine on the hot dst key) for per-node collect_list,
-    * a worse scale shape; the repo-wide defensive-round convention
-    * stands, and the brute-force oracles would surface any flip. */
+    * Determinism: the per-edge contribution is rounded to 8 dp and
+    * lifted to a FIXED-POINT long (× 1e8) before the aggregate, so the
+    * per-node sum is integer arithmetic — exactly associative, immune
+    * to Spark's nondeterministic partial-agg ordering AND bit-equal to
+    * any other engine summing the same contributions in any order. An
+    * iterated float sum was the one place the repo's defensive-round
+    * convention could still flip an ulp across engines and compound it
+    * round-over-round; integer summation closes that without giving up
+    * the map-side combine (the collect_list/sort-agg alternative
+    * would). The oracle's unrolled CTEs apply the identical lift. */
   def pageRank(pairs: DataFrame, rounds: Int = 3): DataFrame = {
     val edges = Materialize.index(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -234,9 +234,15 @@ object Cluster {
       val next = edges
         .join(rank.withColumnRenamed("id", "src"), "src")
         .join(deg, "src")
-        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .select(col("dst"),
+          // 8-dp contribution as fixed-point long: round(x,8)*1e8 is
+          // within an ulp of an integer, so the 0-dp round + cast is
+          // exact and the downstream sum is order-independent.
+          round(round(col("rank") / col("deg"), 8) * lit(1e8), 0)
+            .cast("long").as("cfx"))
         .groupBy("dst")
-        .agg(round(lit(0.15) + lit(0.85) * sum("c"), 8).as("rank"))
+        .agg(round(lit(0.15) + lit(0.85) * (sum("cfx").cast("double") / lit(1e8)), 8)
+          .as("rank"))
         .select(col("dst").as("id"), col("rank"))
       rank = Materialize.index(next, s"pr-round$r")
     }
