@@ -185,6 +185,51 @@ object PipelineQueries {
   def invertedIndexQ(s: SparkSession, dir: String): DataFrame =
     Retrieval.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
 
+  /** Batched multi-query BM25 ([[graft.ops.Retrieval.bm25Batch]]): three
+    * probe queries — one stop-wordy on purpose — scored in ONE pass over
+    * the postings index, per-query top-5 via the two-phase cap. */
+  def bm25BatchQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (postings, doclens) =
+      Retrieval.postingsIndex(t(s, dir, "documents"), "doc_id", "text")
+    val queries = Seq(
+      (1L, "table"), (1L, "query"),
+      (2L, "spark"), (2L, "data"),
+      (3L, "the"), (3L, "of")).toDF("query_id", "tok")
+    Retrieval.bm25Batch(
+      graft.ops.Materialize.index(postings, "bm25b-postings"),
+      graft.ops.Materialize.index(doclens, "bm25b-doclens"),
+      "doc_id", queries)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Hybrid retrieval ([[graft.ops.Retrieval.rrfFuse]]): reciprocal-rank
+    * fusion of the sparse BM25 top-20 and the dense brute-cosine top-20
+    * around probe vector 0 (embeddings and documents share ids) — the
+    * standard sparse+dense combiner for quality-biased corpus sampling.
+    * The post-limit rank windows run over 20 rows, not the corpus. */
+  def retrievalHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("table", "query", "spark"), topK = 20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "rank")
+    val emb = t(s, dir, "embeddings")
+    val dense = Similarity.bruteForceTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") === 0),
+        idCol = "vec_id", vecCol = "embedding", k = 20)
+      .select(col("corpus_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(Seq(sparse, dense), "doc_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  /** Weekly cohort retention over the event stream
+    * ([[graft.ops.Sessionize.cohortRetention]]). */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessionize.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.ops.Materialize.spread(t(s, dir, "documents"))
     // n-gram = word BIGRAM sets: char-3-grams of same-language prose share
@@ -1410,6 +1455,9 @@ object PipelineQueries {
     "dedup_simhash_hamming" -> (dedupSimhashHamming _),
     "bm25_retrieval" -> (bm25Retrieval _),
     "bm25_indexed" -> (bm25Indexed _),
+    "bm25_batch" -> (bm25BatchQ _),
+    "retrieval_hybrid_rrf" -> (retrievalHybridRrf _),
+    "cohort_retention" -> (cohortRetention _),
     "inverted_index" -> (invertedIndexQ _),
     "decontaminate" -> (decontaminate _),
     "range_join" -> (rangeJoin _),
@@ -1517,8 +1565,8 @@ object PipelineQueries {
   /** Okapi BM25 of the corpus against the fixed probe terms — judges BOTH
     * `bm25_retrieval` (scored from raw text) and `bm25_indexed` (scored
     * from the materialized postings index): the two must agree exactly. */
-  private val duckBm25: String =
-    """WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+  private val duckBm25Ctes: String =
+    """base AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
       |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM base),
       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl),
       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
@@ -1531,9 +1579,11 @@ object PipelineQueries {
       |      * (tf * CAST(2.2 AS DOUBLE))
       |      / (tf + CAST(1.2 AS DOUBLE)
       |          * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS w
-      |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st)
-      |SELECT doc_id, round(sum(w), 4) AS score, CAST(count(*) AS BIGINT) AS n_terms
-      |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+      |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st)""".stripMargin
+  private val duckBm25: String =
+    s"""WITH $duckBm25Ctes
+       |SELECT doc_id, round(sum(w), 4) AS score, CAST(count(*) AS BIGINT) AS n_terms
+       |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   /** 64-bit simhash bits over a precomputed per-doc digit array `ds`
     * (list of 16-digit lists, one per token) — mirrors
@@ -2593,6 +2643,65 @@ object PipelineQueries {
     // the indexed variant must agree with the from-text variant exactly —
     // one oracle judges both
     "bm25_indexed" -> duckBm25,
+    "bm25_batch" ->
+      """WITH qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, tok FROM (VALUES
+        |    (1, 'table'), (1, 'query'), (2, 'spark'), (2, 'data'),
+        |    (3, 'the'), (3, 'of')) AS v(query_id, tok)),
+        |base AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM base),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl),
+        |tfb AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS tok FROM base)
+        |  WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
+        |dfb AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tfb GROUP BY tok),
+        |sc2 AS (SELECT query_id, doc_id,
+        |    ln((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+        |        + CAST(1.0 AS DOUBLE))
+        |      * (tf * CAST(2.2 AS DOUBLE))
+        |      / (tf + CAST(1.2 AS DOUBLE)
+        |          * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS w
+        |  FROM qt JOIN tfb USING (tok) JOIN dfb USING (tok)
+        |    JOIN dl USING (doc_id) CROSS JOIN st),
+        |ag AS (SELECT query_id, doc_id, round(sum(w), 4) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM sc2 GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, score, n_terms, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM ag) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "retrieval_hybrid_rrf" ->
+      s"""WITH $duckBm25Ctes,
+         |bs AS (SELECT doc_id, round(sum(w), 4) AS score
+         |  FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+         |sr AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bs),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec
+         |  FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM embeddings WHERE vec_id <> 0),
+         |s2 AS (SELECT corpus_id, $duckCos AS cos FROM c CROSS JOIN q),
+         |dr AS (SELECT corpus_id AS doc_id, rank FROM (
+         |    SELECT corpus_id,
+         |      row_number() OVER (ORDER BY cos DESC, corpus_id) AS rank FROM s2)
+         |  WHERE rank <= 20),
+         |fx AS (SELECT doc_id, CAST(round(round(CAST(1.0 AS DOUBLE) / (60 + rank), 6)
+         |      * 1e6, 0) AS BIGINT) AS cfx FROM sr
+         |  UNION ALL
+         |  SELECT doc_id, CAST(round(round(CAST(1.0 AS DOUBLE) / (60 + rank), 6)
+         |      * 1e6, 0) AS BIGINT) FROM dr)
+         |SELECT doc_id, round(CAST(sum(cfx) AS DOUBLE) / 1e6, 6) AS rrf,
+         |  CAST(count(*) AS BIGINT) AS n_lists
+         |FROM fx GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "cohort_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY user_id)
+        |SELECT cohort_week, CAST((wk - cohort_week) // 7 AS BIGINT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "inverted_index" ->
       """WITH pd AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok, doc_id FROM documents)

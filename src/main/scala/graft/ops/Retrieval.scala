@@ -143,26 +143,113 @@ object Retrieval {
   }
 
   /** Phase 1 of the champion cap: keep, per (term, INPUT partition), the
-    * `cap` lowest doc ids. Every id in the global first-`cap` of its term
-    * is also in the first `cap` of whatever partition it sits in, so the
-    * survivor set (≤ cap · partitions rows per term, by construction)
-    * provably contains the global champions — the hot-term df ≈ N window
-    * funnel dies here, in a window whose partition key spreads the term
-    * over the shuffle. */
+    * `cap` lowest doc ids — [[topKPerKeyPhase1]] with the term key. */
   private[ops] def championPrecap(perDoc: DataFrame, idCol: String, cap: Int): DataFrame =
-    perDoc
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_lrk", row_number().over(
-        Window.partitionBy(col("tok"), col("_pid")).orderBy(col(idCol))))
-      .filter(col("_lrk") <= cap)
-      .drop("_pid", "_lrk")
+    topKPerKeyPhase1(perDoc, Seq("tok"), Seq(col(idCol).asc), cap)
 
   /** Phase 2: the exact global first-`cap` per term, over phase 1's
     * bounded survivor set. */
   private[ops] def championCap(precapped: DataFrame, idCol: String, cap: Int): DataFrame =
-    precapped
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("tok").orderBy(col(idCol))))
-      .filter(col("_rn") <= cap)
-      .drop("_rn")
+    topKPerKeyPhase2(precapped, Seq("tok"), Seq(col(idCol).asc), cap).drop("rank")
+
+  /** Exact per-key top-`k` in the given `order` WITHOUT a data-sized
+    * window partition — the generalized two-phase champion pattern
+    * ([[Curation.domainQuota]] lineage). Any row in a key's global
+    * top-`k` is also in the top-`k` of whatever input partition it sits
+    * in, so phase 1's per-(key, partition) window — whose partition key
+    * spreads a hot key over the whole shuffle — provably keeps a
+    * superset, bounded at k · partitions rows per key, and phase 2's
+    * exact global window only ever reads that bounded survivor set. A
+    * key matching the entire corpus (a stop-word query term, a
+    * celebrity join key) costs the same as any other. Appends `rank`
+    * (1-based long, in `order`). */
+  def topKPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int): DataFrame =
+    topKPerKeyPhase2(topKPerKeyPhase1(df, keys, order, k), keys, order, k)
+
+  private[ops] def topKPerKeyPhase1(
+      df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int): DataFrame =
+    df.withColumn("_pid", spark_partition_id())
+      .withColumn("_lrk", row_number().over(
+        Window.partitionBy((keys.map(col) :+ col("_pid")): _*).orderBy(order: _*)))
+      .filter(col("_lrk") <= k)
+      .drop("_pid", "_lrk")
+
+  private[ops] def topKPerKeyPhase2(
+      df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int): DataFrame =
+    df.withColumn("rank", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(order: _*)).cast("long"))
+      .filter(col("rank") <= k)
+
+  /** Batched multi-query BM25 from a [[postingsIndex]]: every query's
+    * top-`topK` docs in ONE pass over the postings — the shape that
+    * serves an eval-mining or seed-expansion batch of thousands of
+    * probes without thousands of corpus scans.
+    *
+    * Scale shape: the whole query batch is a small (query_id, tok)
+    * dimension that BROADCASTS onto the term-filtered postings stream
+    * (the scan reads only probed terms' row groups, as in
+    * [[bm25FromIndex]]); df comes from the same filtered stream
+    * per-term, NOT per-query. The per-query cut is [[topKPerKey]], so a
+    * stop-wordy probe whose candidate set is the whole corpus never
+    * funnels through one window task. Scoring arithmetic is the same
+    * operation order as [[bm25]]/[[bm25Score]], bit-replayable by the
+    * oracle. */
+  def bm25Batch(
+      postings: DataFrame,
+      doclens: DataFrame,
+      idCol: String,
+      queryTerms: DataFrame,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 5): DataFrame = {
+    val probeToks = queryTerms.select("tok").distinct()
+    val tf = postings.join(broadcast(probeToks), "tok")
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = doclens.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+    val scored = tf
+      .join(broadcast(queryTerms), "tok")
+      .join(broadcast(dfreq), "tok")
+      .join(doclens, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(
+        round(sum("w"), 4).as("score"),
+        count(lit(1)).cast("long").as("n_terms"))
+    topKPerKey(scored, Seq("query_id"), Seq(col("score").desc, col(idCol).asc), topK)
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked
+    * lists — the standard hybrid-retrieval combiner (sparse BM25 +
+    * dense ANN): each list contributes `1/(k0 + rank)` for the docs it
+    * ranked, fused docs sort by the summed contribution.
+    *
+    * Inputs carry (`idCol`, `rank`); ranks need not be dense or
+    * bounded. Contributions are rounded to 6 dp and lifted to
+    * fixed-point longs before the sum (the [[Cluster.pageRank]]
+    * convention), so the fusion score is exact integer arithmetic —
+    * order-independent and engine-reproducible regardless of how many
+    * lists fuse. Cost: the inputs are top-k lists (k rows each), so the
+    * union + groupBy is trivially small at any corpus scale. */
+  def rrfFuse(
+      ranked: Seq[DataFrame],
+      idCol: String,
+      k0: Int = 60,
+      topK: Int = 10): DataFrame = {
+    val contribs = ranked
+      .map(_.select(col(idCol),
+        round(round(lit(1.0) / (lit(k0) + col("rank")), 6) * lit(1e6), 0)
+          .cast("long").as("cfx")))
+      .reduce(_ unionAll _)
+    contribs.groupBy(idCol)
+      .agg(
+        round(sum("cfx").cast("double") / lit(1e6), 6).as("rrf"),
+        count(lit(1)).cast("long").as("n_lists"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+  }
 }

@@ -126,4 +126,30 @@ object Sessionize {
       steps.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1).otherwise(0))
         .reduce(_ + _))
   }
+
+  /** Weekly cohort retention: keys grouped by the week (Monday-truncated)
+    * of their FIRST event; cell (cohort_week, week_offset) counts how
+    * many of that cohort's keys were active `week_offset` weeks after
+    * joining — the classic retention triangle.
+    *
+    * Scale shape: the event stream reduces immediately to DISTINCT
+    * (key, week) — at most 52·|keys| rows/year no matter the event
+    * volume; the cohort week is a per-key partial-aggregated min; the
+    * join back is on the key (exchange-reusable with the distinct's
+    * hash partitioning), and the final cell aggregate's output is
+    * |weeks|² rows. `n_users` is a plain count: rows are already
+    * distinct per (key, week), so no count-distinct shuffle is needed.
+    * Both week columns are exact 7-day multiples apart, so the offset
+    * division is exact in any engine. */
+  def cohortRetention(events: DataFrame, key: String, tsCol: String): DataFrame = {
+    val weeks = events
+      .select(col(key), date_trunc("week", col(tsCol)).cast("date").as("wk"))
+      .distinct()
+    val cohorts = weeks.groupBy(key).agg(min("wk").as("cohort_week"))
+    weeks.join(cohorts, key)
+      .select(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).cast("long").as("n_users"))
+  }
 }

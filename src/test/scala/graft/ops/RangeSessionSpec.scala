@@ -171,4 +171,26 @@ class RangeSessionSpec extends AnyFunSuite with Matchers {
       r.getAs[java.lang.Long]("t2") shouldBe null
     } finally Materialize.dropAll()
   }
+
+  test("cohortRetention: first-week cohorts, exact offsets, per-week-deduped counts") {
+    val cSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    def ce(u: Long, iso: String) =
+      Row(u, java.sql.Timestamp.from(java.time.Instant.parse(iso)))
+    // 2026-01-05 is a Monday. user 1: joins that week, returns twice in
+    // week+1 (must count once) and once in week+3; user 2: joins the same
+    // week, never returns; user 3: joins week+1
+    val ev = df(cSchema,
+      ce(1L, "2026-01-06T10:00:00Z"), ce(1L, "2026-01-13T09:00:00Z"),
+      ce(1L, "2026-01-14T12:00:00Z"), ce(1L, "2026-01-27T11:00:00Z"),
+      ce(2L, "2026-01-07T11:00:00Z"),
+      ce(3L, "2026-01-15T08:00:00Z"))
+    val got = Sessionize.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    got shouldBe Map(
+      ("2026-01-05", 0L) -> 2L, // users 1 and 2 join
+      ("2026-01-05", 1L) -> 1L, // user 1 — two events, ONE active week
+      ("2026-01-05", 3L) -> 1L, // user 1 again
+      ("2026-01-12", 0L) -> 1L) // user 3's own cohort
+  }
 }

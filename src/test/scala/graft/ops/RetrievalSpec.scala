@@ -137,6 +137,65 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
     got(2L) shouldBe ((None, true)) // nothing within distance 2: novel
   }
 
+  test("topKPerKey equals the naive global window; phase-1 survivor set is bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one hot key holding every row — the shape that funnels a whole
+    // corpus through a single window task in the naive form
+    val d = (1L to 300L).map(i => ("hot", i, (i * 37) % 97)).toDF("k", "id", "v")
+    val order = Seq(col("v").desc, col("id").asc)
+    val parts = d.rdd.getNumPartitions
+    val pre = Retrieval.topKPerKeyPhase1(d, Seq("k"), order, 10)
+    pre.count() should be <= 10L * parts
+    pre.count() should be < 300L // actually pruned, not pass-through
+    val got = Retrieval.topKPerKey(d, Seq("k"), order, 10)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(3)))
+    val naive = d.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy(order: _*))
+        .cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(3)))
+    got shouldBe naive
+  }
+
+  test("bm25Batch agrees per-query with bm25FromIndex on the same index") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "spark table query engine",
+      2L -> "spark spark spark filler filler filler",
+      3L -> "unrelated words only here",
+      4L -> "table query table query data")
+    val (p, l) = Retrieval.postingsIndex(d, "doc_id", "text")
+    val pIdx = Materialize.index(p, "batch-p")
+    val lIdx = Materialize.index(l, "batch-l")
+    val queries = Seq((1L, "spark"), (1L, "table"), (2L, "query"), (2L, "data"))
+      .toDF("query_id", "tok")
+    val batch = Retrieval.bm25Batch(pIdx, lIdx, "doc_id", queries, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // df is per TERM over the index, independent of which query probes it,
+    // so each batch slice must equal the single-query indexed run exactly
+    val q1 = Retrieval.bm25FromIndex(pIdx, lIdx, "doc_id", Seq("spark", "table"), topK = 4)
+      .collect().map(r => (1L, r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val q2 = Retrieval.bm25FromIndex(pIdx, lIdx, "doc_id", Seq("query", "data"), topK = 4)
+      .collect().map(r => (2L, r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    Materialize.dropAll()
+    batch shouldBe (q1 ++ q2)
+  }
+
+  test("rrfFuse: overlap outranks single-list hits; fixed-point fusion is exact") {
+    import spark.implicits._
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a, b), "doc_id", k0 = 60, topK = 10)
+      .collect()
+    // both-lists doc fuses to the top despite ranking first in neither
+    fused.head.getLong(0) shouldBe 20L
+    val got = fused.map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    got(20L) shouldBe ((0.032522, 2L)) // round6(1/61) + round6(1/62), exactly
+    got(10L) shouldBe ((0.016393, 1L)) // round6(1/61)
+    got(40L) shouldBe ((0.016129, 1L)) // round6(1/62)
+  }
+
   test("64-bit width keeps pair volume linear: only planted dups pair, 2x corpus -> 2x pairs") {
     // n base docs with disjoint vocabularies, each planted TWICE: at 64
     // bits unrelated fingerprints sit ~32 bits apart, so the ONLY pairs
