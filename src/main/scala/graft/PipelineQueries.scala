@@ -230,6 +230,13 @@ object PipelineQueries {
     graft.ops.Sessionize.cohortRetention(t(s, dir, "events"), "user_id", "ts")
       .orderBy("cohort_week", "week_offset")
 
+  /** Rolling 7-day active users ([[graft.ops.Sessionize.rollingActive]]):
+    * the sliding distinct-count series via coverage explode, never a
+    * per-frame distinct window. */
+  def rollingActiveQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessionize.rollingActive(t(s, dir, "events"), "user_id", "ts")
+      .orderBy("day")
+
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.ops.Materialize.spread(t(s, dir, "documents"))
     // n-gram = word BIGRAM sets: char-3-grams of same-language prose share
@@ -1458,6 +1465,7 @@ object PipelineQueries {
     "bm25_batch" -> (bm25BatchQ _),
     "retrieval_hybrid_rrf" -> (retrievalHybridRrf _),
     "cohort_retention" -> (cohortRetention _),
+    "rolling_active" -> (rollingActiveQ _),
     "inverted_index" -> (invertedIndexQ _),
     "decontaminate" -> (decontaminate _),
     "range_join" -> (rangeJoin _),
@@ -2693,6 +2701,14 @@ object PipelineQueries {
          |SELECT doc_id, round(CAST(sum(cfx) AS DOUBLE) / 1e6, 6) AS rrf,
          |  CAST(count(*) AS BIGINT) AS n_lists
          |FROM fx GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "rolling_active" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+        |r AS (SELECT DISTINCT user_id, day + CAST(i AS INT) AS rday
+        |  FROM d, unnest(range(0, 7)) AS t(i))
+        |SELECT rday AS day, CAST(count(*) AS BIGINT) AS active_keys
+        |FROM r CROSS JOIN b WHERE rday BETWEEN lo AND hi
+        |GROUP BY rday ORDER BY rday""".stripMargin,
     "cohort_retention" ->
       """WITH w AS (SELECT DISTINCT user_id,
         |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),

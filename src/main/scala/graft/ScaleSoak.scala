@@ -159,13 +159,26 @@ object ScaleSoak {
 
     // 8. BM25 served from the materialized postings index (build + probe:
     // the probe must stay cheap — a pushed tok IN scan over the postings)
-    timed("bm25_indexed") {
+    val (pIdx, lIdx) = timed("bm25_indexed") {
       val (postings, doclens) =
         graft.ops.Retrieval.postingsIndex(docs, "doc_id", "text")
-      val pIdx = graft.ops.Materialize.index(postings, "soak-postings")
-      val lIdx = graft.ops.Materialize.index(doclens, "soak-doclens")
+      val pi = graft.ops.Materialize.index(postings, "soak-postings")
+      val li = graft.ops.Materialize.index(doclens, "soak-doclens")
       counts("bm25_rows") = graft.ops.Retrieval.bm25FromIndex(
-        pIdx, lIdx, "doc_id", Seq("table", "query", "spark")).count()
+        pi, li, "doc_id", Seq("table", "query", "spark")).count()
+      (pi, li)
+    }
+
+    // 8b. batched BM25 off the same index — the stop-wordy probe (q3)
+    // matches ~every doc, so its candidate set replicates with the
+    // corpus; the two-phase per-key top-k must keep the cut bounded
+    timed("bm25_batch") {
+      import spark.implicits._
+      val queries = Seq(
+        (1L, "table"), (1L, "query"), (2L, "spark"), (2L, "data"),
+        (3L, "the"), (3L, "of")).toDF("query_id", "tok")
+      counts("bm25_batch_rows") =
+        graft.ops.Retrieval.bm25Batch(pIdx, lIdx, "doc_id", queries).count()
     }
 
     graft.ops.Materialize.dropAll()

@@ -141,6 +141,40 @@ object Sessionize {
     * distinct per (key, week), so no count-distinct shuffle is needed.
     * Both week columns are exact 7-day multiples apart, so the offset
     * division is exact in any engine. */
+  /** Rolling `windowDays`-day active keys per day (the WAU/N-day-active
+    * series): for each day in the observed range, how many distinct keys
+    * had ≥ 1 event in the trailing window ending that day.
+    *
+    * Scale shape: a sliding COUNT DISTINCT is the classic trap (a
+    * window-function form would re-scan each day's trailing events and
+    * still need per-frame distinct state). Instead the stream reduces to
+    * DISTINCT (key, day) first — bounded by keys · days regardless of
+    * event volume — then each active day COVERS the `windowDays` report
+    * days it contributes to via a bounded explode (×7, not ×events), a
+    * second distinct collapses multi-active keys per report day, and the
+    * count is a plain partial-agg groupBy. Report days clip to the
+    * observed [min, max] day range (1-row broadcast bound), so trailing
+    * partial windows don't emit. */
+  def rollingActive(
+      events: DataFrame,
+      key: String,
+      tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    val days = events
+      .select(col(key), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val bounds = days.agg(min("day").as("lo"), max("day").as("hi"))
+    days
+      .select(col(key),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"), col("day"))
+      .select(col(key), date_add(col("day"), col("off")).as("rday"))
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .filter(col("rday").between(col("lo"), col("hi")))
+      .groupBy(col("rday").as("day"))
+      .agg(count(lit(1)).cast("long").as("active_keys"))
+  }
+
   def cohortRetention(events: DataFrame, key: String, tsCol: String): DataFrame = {
     val weeks = events
       .select(col(key), date_trunc("week", col(tsCol)).cast("date").as("wk"))

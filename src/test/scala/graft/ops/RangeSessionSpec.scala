@@ -193,4 +193,23 @@ class RangeSessionSpec extends AnyFunSuite with Matchers {
       ("2026-01-05", 3L) -> 1L, // user 1 again
       ("2026-01-12", 0L) -> 1L) // user 3's own cohort
   }
+
+  test("rollingActive: trailing-window coverage, clipped to the observed range") {
+    val cSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    def ce(u: Long, iso: String) =
+      Row(u, java.sql.Timestamp.from(java.time.Instant.parse(iso)))
+    // u1 active Jan 1 (twice — same day dedups) and Jan 9; u2 active Jan 1.
+    // Jan-1 actives cover report days 1-7; day 8 is covered by nobody
+    // (absent, not zero); Jan-9 coverage clips at the max observed day.
+    val ev = df(cSchema,
+      ce(1L, "2026-01-01T10:00:00Z"), ce(1L, "2026-01-01T11:00:00Z"),
+      ce(1L, "2026-01-09T12:00:00Z"),
+      ce(2L, "2026-01-01T09:00:00Z"))
+    val got = Sessionize.rollingActive(ev, "user_id", "ts", windowDays = 7)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val expected =
+      (1 to 7).map(d => f"2026-01-0$d" -> 2L).toMap + ("2026-01-09" -> 1L)
+    got shouldBe expected
+  }
 }
