@@ -607,6 +607,22 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Triangle enumeration ([[graft.ops.Cluster.triangles]]) over the
+    * embedding near-dup graph: mutual-similarity triangles are the
+    * strongest transitivity evidence a near-dup cluster can show (every
+    * member pair agrees), and the textbook graph-analytics kernel the
+    * degree-ordered wedge join keeps O(m^{3/2}) at any scale. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+    val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val r = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    val pairs = l.join(r, col("id_a") < col("id_b"))
+      .withColumn("cos", round(Similarity.cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("cos") >= 0.35)
+      .select("id_a", "id_b")
+    graft.ops.Cluster.triangles(pairs).orderBy("a", "b", "c")
+  }
+
   /** LSH-blocked near-dup — the SCALE path, oracle-checked: same
     * multi-band sign buckets as embed_knn_lsh (plane constants baked into
     * the SQL), per-bucket cap, exact cosine verify over candidates. */
@@ -1466,6 +1482,7 @@ object PipelineQueries {
     "retrieval_hybrid_rrf" -> (retrievalHybridRrf _),
     "cohort_retention" -> (cohortRetention _),
     "rolling_active" -> (rollingActiveQ _),
+    "graph_triangles" -> (graphTriangles _),
     "inverted_index" -> (invertedIndexQ _),
     "decontaminate" -> (decontaminate _),
     "range_join" -> (rangeJoin _),
@@ -2701,6 +2718,30 @@ object PipelineQueries {
          |SELECT doc_id, round(CAST(sum(cfx) AS DOUBLE) / 1e6, 6) AS rrf,
          |  CAST(count(*) AS BIGINT) AS n_lists
          |FROM fx GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "graph_triangles" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 300),
+        |pe AS (SELECT a.vec_id AS x, b.vec_id AS y
+        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35),
+        |ue AS (SELECT x, y FROM pe UNION ALL SELECT y, x FROM pe),
+        |dg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM ue GROUP BY x),
+        |orient AS (SELECT
+        |    CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND p.x < p.y)
+        |      THEN p.x ELSE p.y END AS src,
+        |    CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND p.x < p.y)
+        |      THEN p.y ELSE p.x END AS dst
+        |  FROM pe p JOIN dg dx ON p.x = dx.x JOIN dg dy ON p.y = dy.x),
+        |od AS (SELECT o.src, o.dst, d.deg AS ddst
+        |  FROM orient o JOIN dg d ON o.dst = d.x),
+        |wd AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS z
+        |  FROM od e1 JOIN od e2 ON e1.src = e2.src
+        |  WHERE e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst)),
+        |tri AS (SELECT u, v, z FROM wd JOIN orient o ON wd.v = o.src AND wd.z = o.dst)
+        |SELECT l[1] AS a, l[2] AS b, l[3] AS c
+        |FROM (SELECT list_sort([u, v, z]) AS l FROM tri)
+        |ORDER BY a, b, c""".stripMargin,
     "rolling_active" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),

@@ -251,6 +251,46 @@ object Cluster {
         round(col("rank"), 4).as("rank"))
   }
 
+  /** Triangle enumeration over an undirected pair graph — the classic
+    * degree-ordered orientation (Latapy's compact-forward; Suri &
+    * Vassilvitskii's MR partition pattern, WWW'11): every edge is
+    * oriented from its (deg, id)-smaller endpoint, wedges form by
+    * self-joining the oriented adjacency on the source, and a wedge
+    * (u; v, w) closes iff the oriented edge v→w exists. Each triangle
+    * is emitted exactly once, anchored at its order-minimal vertex.
+    *
+    * Scale shape: orientation caps out-degree at O(√m), so the wedge
+    * join generates O(m^{3/2}) candidates TOTAL — the celebrity node
+    * that makes the naive neighbor self-join Σ deg² ≈ deg(hub)²
+    * contributes only its forward edges here. The oriented edge list
+    * materializes once and feeds both wedge sides and the closure
+    * semi-join; degrees ride along the edges so the wedge ordering
+    * needs no extra join. Returns one (a, b, c) row per triangle,
+    * ids ascending within the row. */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
+      .unionAll(pairs.select(col("id_b"), col("id_a")))
+      .distinct()
+    val deg = und.groupBy("x").agg(count(lit(1)).as("deg"))
+    val base = und.filter(col("x") < col("y"))
+      .join(deg.withColumnRenamed("deg", "dx"), "x")
+      .join(deg.select(col("x").as("y"), col("deg").as("dy")), "y")
+    val fwd = base
+      .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("x").as("src"), col("y").as("dst"), col("dy").as("ddst"))
+    val rev = base
+      .filter(col("dx") > col("dy") || (col("dx") === col("dy") && col("x") > col("y")))
+      .select(col("y").as("src"), col("x").as("dst"), col("dx").as("ddst"))
+    val oriented = Materialize.index(fwd.unionAll(rev), "tri-oriented")
+    val wedges = oriented.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
+      .join(oriented.select(col("src"), col("dst").as("w"), col("ddst").as("dw")), "src")
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+    wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(sort_array(array(col("src"), col("v"), col("w"))).as("t"))
+      .select(col("t")(0).as("a"), col("t")(1).as("b"), col("t")(2).as("c"))
+  }
+
   /** Cluster assignment for a dup-pair list: (`doc_id`, `cluster`,
     * `csize`) per clustered document, cluster = min doc id in the
     * component, csize = component size. The downstream cleanse keeps

@@ -108,6 +108,19 @@ class ClusterSpec extends AnyFunSuite with Matchers {
     got(11L) shouldBe ((10L, false))
   }
 
+  test("triangles: each emitted once, none fabricated, pendant/disjoint edges ignored") {
+    // K4 on {1,2,3,4} (exactly its 4 triangles) + pendant edge (1,5) +
+    // a disjoint edge (6,7) — neither may fabricate or suppress any
+    val p = pairs((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (6L, 7L))
+    val got = Cluster.triangles(p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    Materialize.dropAll()
+    got.length shouldBe got.toSet.size // exactly-once, not once-per-orientation
+    got.toSet shouldBe Set(
+      (1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L))
+  }
+
   test("the loop releases every checkpoint (no pinned blocks left behind)") {
     // each round eagerly localCheckpoints; an unreleased round would leave
     // its RDD in the context's persistent set forever — at corpus scale
