@@ -162,6 +162,39 @@ class PlanSpec extends AnyFunSuite with Matchers {
     graft.ops.Materialize.dropAll()
   }
 
+  test("batched bm25 broadcasts the query batch; no cartesian product") {
+    val out = PipelineQueries.bm25BatchQ(spark, dir)
+    val p = plan(out)
+    // the (query_id, tok) batch and the per-term df reach the postings
+    // stream as broadcast hash joins — the postings side never shuffles
+    // for them; the only nested-loop is the 1-row (N, avgdl) stats bind
+    p should include ("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    graft.ops.Materialize.dropAll()
+  }
+
+  test("triangle wedge join is an equi-join on the oriented source; no cartesian") {
+    val out = PipelineQueries.graphTriangles(spark, dir)
+    val p = plan(out)
+    p should not include "CartesianProduct"
+    // wedge + closure joins are hash joins on (src) / (v, w) — the
+    // all-pairs cosine front end is the only nested-loop, and it is the
+    // deliberately-chosen oracle-scale candidate generator, vec_id < 300
+    p should include ("Join")
+    graft.ops.Materialize.dropAll()
+  }
+
+  test("rolling actives and cohort retention plan no data-sized windows or cartesians") {
+    for (q <- Seq(PipelineQueries.rollingActiveQ(spark, dir),
+                  PipelineQueries.cohortRetention(spark, dir))) {
+      val p = plan(q)
+      p should not include "CartesianProduct"
+      // the sliding distinct is a coverage explode + partial-agg count,
+      // never a window over a data-sized partition
+      p should not include "Window"
+    }
+  }
+
   test("pagerank keeper plans no cartesian product off the shared pair index") {
     val out = PipelineQueries.dedupPagerankKeeper(spark, dir)
     out.collect()
