@@ -623,6 +623,22 @@ object PipelineQueries {
     graft.ops.Cluster.triangles(pairs).orderBy("a", "b", "c")
   }
 
+  /** 2-core of the embedding near-dup graph
+    * ([[graft.ops.Cluster.kCore]]): peels pendant chains and LSH
+    * false-positive tendrils until every surviving doc keeps ≥ 2
+    * mutually-similar neighbors — the graph-hygiene cut applied before
+    * trusting transitive dedup clusters. */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+    val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val r = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    val pairs = l.join(r, col("id_a") < col("id_b"))
+      .withColumn("cos", round(Similarity.cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("cos") >= 0.35)
+      .select("id_a", "id_b")
+    graft.ops.Cluster.kCore(pairs, k = 2).orderBy("doc_id")
+  }
+
   /** LSH-blocked near-dup — the SCALE path, oracle-checked: same
     * multi-band sign buckets as embed_knn_lsh (plane constants baked into
     * the SQL), per-bucket cap, exact cosine verify over candidates. */
@@ -1483,6 +1499,7 @@ object PipelineQueries {
     "cohort_retention" -> (cohortRetention _),
     "rolling_active" -> (rollingActiveQ _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_kcore" -> (graphKcore _),
     "inverted_index" -> (invertedIndexQ _),
     "decontaminate" -> (decontaminate _),
     "range_join" -> (rangeJoin _),
@@ -2742,6 +2759,30 @@ object PipelineQueries {
         |SELECT l[1] AS a, l[2] AS b, l[3] AS c
         |FROM (SELECT list_sort([u, v, z]) AS l FROM tri)
         |ORDER BY a, b, c""".stripMargin,
+    "graph_kcore" -> {
+      // peeling is monotone: converged rounds are no-ops, so a generous
+      // fixed unroll replays the Spark loop's run-to-fixpoint exactly.
+      // Each round's edge list is AS MATERIALIZED — u(r-1) is referenced
+      // three times per round, and DuckDB would otherwise INLINE the
+      // reference tree (3^rounds parquet re-scans → fd exhaustion)
+      def peel(r: Int) =
+        s"""s$r AS MATERIALIZED (SELECT x
+           |  FROM (SELECT x, count(*) AS c FROM u${r - 1} GROUP BY x)
+           |  WHERE c >= 2),
+           |u$r AS MATERIALIZED (SELECT u.x, u.y FROM u${r - 1} u
+           |  JOIN s$r a ON u.x = a.x JOIN s$r b ON u.y = b.x)""".stripMargin
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 300),
+         |pe AS MATERIALIZED (SELECT a.vec_id AS x, b.vec_id AS y
+         |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35),
+         |u0 AS MATERIALIZED (SELECT DISTINCT x, y FROM
+         |  (SELECT x, y FROM pe UNION ALL SELECT y, x FROM pe)),
+         |${(1 to 8).map(peel).mkString(",\n")}
+         |SELECT x AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM u8 GROUP BY x ORDER BY doc_id""".stripMargin
+    },
     "rolling_active" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),

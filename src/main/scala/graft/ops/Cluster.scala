@@ -291,6 +291,47 @@ object Cluster {
       .select(col("t")(0).as("a"), col("t")(1).as("b"), col("t")(2).as("c"))
   }
 
+  /** k-core of the undirected pair graph — the maximal subgraph in which
+    * every node keeps degree ≥ `k` — by iterative peeling (Batagelj &
+    * Zaveršnik's algorithm, distributed form): each round drops nodes
+    * below the degree bar and restricts the edge list to survivors,
+    * until nothing peels. On a near-dup graph this is the standard
+    * hygiene cut: LSH false-positive tendrils and pendant chains fall
+    * out, genuinely mutually-similar groups survive.
+    *
+    * Loop discipline as [[connectedComponents]]: the per-round edge
+    * list cuts to parquet ([[Materialize.index]]), each round is two
+    * bounded shuffles (degree partial-agg + survivor semi-joins),
+    * convergence reads the materialized count (parquet metadata, no
+    * recompute), nothing collects. Peeling is MONOTONE — once converged,
+    * further rounds are no-ops — which is exactly the property that
+    * lets the oracle replay it as a fixed generous unroll. Returns
+    * (doc_id, core_deg) for every surviving node. */
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
+    var edges = Materialize.index(
+      pairs.select(col("id_a").as("x"), col("id_b").as("y"))
+        .unionAll(pairs.select(col("id_b"), col("id_a")))
+        .distinct(), "kcore-edges0")
+    var size = edges.count()
+    var removed = 1L
+    var round = 0
+    while (removed > 0 && round < maxRounds) {
+      round += 1
+      val keep = edges.groupBy("x").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("x")
+      val next = Materialize.index(
+        edges.join(keep, "x")
+          .join(keep.withColumnRenamed("x", "y"), "y")
+          .select("x", "y"), s"kcore-edges$round")
+      val nextSize = next.count()
+      removed = size - nextSize
+      size = nextSize
+      edges = next
+    }
+    edges.groupBy("x").agg(count(lit(1)).cast("long").as("core_deg"))
+      .select(col("x").as("doc_id"), col("core_deg"))
+  }
+
   /** Cluster assignment for a dup-pair list: (`doc_id`, `cluster`,
     * `csize`) per clustered document, cluster = min doc id in the
     * component, csize = component size. The downstream cleanse keeps

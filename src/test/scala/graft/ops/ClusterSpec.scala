@@ -121,6 +121,18 @@ class ClusterSpec extends AnyFunSuite with Matchers {
       (1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L))
   }
 
+  test("kCore: pendant chain peels away layer by layer, the cycle survives") {
+    // triangle {1,2,3} + chain 3-5-6-7 hanging off it + isolated edge (8,9):
+    // 2-core must peel the chain COMPLETELY (7 first, then 6, then 5 —
+    // multi-round convergence, not one pass) and drop the lone edge
+    val p = pairs((1L, 2L), (2L, 3L), (1L, 3L), (3L, 5L), (5L, 6L), (6L, 7L),
+      (8L, 9L))
+    val got = Cluster.kCore(p, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Materialize.dropAll()
+    got shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+  }
+
   test("the loop releases every checkpoint (no pinned blocks left behind)") {
     // each round eagerly localCheckpoints; an unreleased round would leave
     // its RDD in the context's persistent set forever — at corpus scale
