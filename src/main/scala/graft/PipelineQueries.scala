@@ -639,6 +639,22 @@ object PipelineQueries {
     graft.ops.Cluster.kCore(pairs, k = 2).orderBy("doc_id")
   }
 
+  /** Local clustering coefficient
+    * ([[graft.ops.Cluster.clusteringCoefficient]]) over the embedding
+    * near-dup graph: coherent mutual-similarity groups score ~1, hubs
+    * stitching unrelated docs score ~0 — the per-node LSH-false-positive
+    * smell test. */
+  def graphClustering(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+    val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val r = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    val pairs = l.join(r, col("id_a") < col("id_b"))
+      .withColumn("cos", round(Similarity.cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("cos") >= 0.35)
+      .select("id_a", "id_b")
+    graft.ops.Cluster.clusteringCoefficient(pairs).orderBy("doc_id")
+  }
+
   /** LSH-blocked near-dup — the SCALE path, oracle-checked: same
     * multi-band sign buckets as embed_knn_lsh (plane constants baked into
     * the SQL), per-bucket cap, exact cosine verify over candidates. */
@@ -1500,6 +1516,7 @@ object PipelineQueries {
     "rolling_active" -> (rollingActiveQ _),
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
+    "graph_clustering" -> (graphClustering _),
     "inverted_index" -> (invertedIndexQ _),
     "decontaminate" -> (decontaminate _),
     "range_join" -> (rangeJoin _),
@@ -1592,6 +1609,32 @@ object PipelineQueries {
   private def duckShingles(n: Int): String = duckShinglesOf(toks, n)
   private def duckMinhash(i: Int): String =
     s"list_min(list_transform(${duckShingles(3)}, s -> md5('salt$i|' || s)))"
+
+  /** Shared CTE chain for the degree-oriented triangle kernel over the
+    * embedding near-dup graph, ending at `tri(u, v, z)` (one row per
+    * triangle, u the order-minimal anchor) with `dg(x, deg)` available —
+    * mirrors [[graft.ops.Cluster.triangles]] stage for stage. */
+  private val duckTriangleCtes: String =
+    """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id < 300),
+      |pe AS MATERIALIZED (SELECT a.vec_id AS x, b.vec_id AS y
+      |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+      |  WHERE round(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35),
+      |ue AS (SELECT x, y FROM pe UNION ALL SELECT y, x FROM pe),
+      |dg AS MATERIALIZED (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM ue GROUP BY x),
+      |orient AS MATERIALIZED (SELECT
+      |    CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND p.x < p.y)
+      |      THEN p.x ELSE p.y END AS src,
+      |    CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND p.x < p.y)
+      |      THEN p.y ELSE p.x END AS dst
+      |  FROM pe p JOIN dg dx ON p.x = dx.x JOIN dg dy ON p.y = dy.x),
+      |od AS (SELECT o.src, o.dst, d.deg AS ddst
+      |  FROM orient o JOIN dg d ON o.dst = d.x),
+      |wd AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS z
+      |  FROM od e1 JOIN od e2 ON e1.src = e2.src
+      |  WHERE e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst)),
+      |tri AS (SELECT u, v, z FROM wd JOIN orient o ON wd.v = o.src AND wd.z = o.dst)""".stripMargin
 
   /** One unrolled PageRank round over (e, d, r`r-1`): the per-edge 8-dp
     * contribution is lifted to a fixed-point BIGINT before the sum — the
@@ -2736,29 +2779,19 @@ object PipelineQueries {
          |  CAST(count(*) AS BIGINT) AS n_lists
          |FROM fx GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "graph_triangles" ->
-      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings WHERE vec_id < 300),
-        |pe AS (SELECT a.vec_id AS x, b.vec_id AS y
-        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
-        |  WHERE round(list_dot_product(a.v, b.v) /
-        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35),
-        |ue AS (SELECT x, y FROM pe UNION ALL SELECT y, x FROM pe),
-        |dg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM ue GROUP BY x),
-        |orient AS (SELECT
-        |    CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND p.x < p.y)
-        |      THEN p.x ELSE p.y END AS src,
-        |    CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND p.x < p.y)
-        |      THEN p.y ELSE p.x END AS dst
-        |  FROM pe p JOIN dg dx ON p.x = dx.x JOIN dg dy ON p.y = dy.x),
-        |od AS (SELECT o.src, o.dst, d.deg AS ddst
-        |  FROM orient o JOIN dg d ON o.dst = d.x),
-        |wd AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS z
-        |  FROM od e1 JOIN od e2 ON e1.src = e2.src
-        |  WHERE e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst)),
-        |tri AS (SELECT u, v, z FROM wd JOIN orient o ON wd.v = o.src AND wd.z = o.dst)
-        |SELECT l[1] AS a, l[2] AS b, l[3] AS c
-        |FROM (SELECT list_sort([u, v, z]) AS l FROM tri)
-        |ORDER BY a, b, c""".stripMargin,
+      s"""WITH $duckTriangleCtes
+         |SELECT l[1] AS a, l[2] AS b, l[3] AS c
+         |FROM (SELECT list_sort([u, v, z]) AS l FROM tri)
+         |ORDER BY a, b, c""".stripMargin,
+    "graph_clustering" ->
+      s"""WITH $duckTriangleCtes,
+         |tc AS (SELECT x, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
+         |  SELECT unnest([u, v, z]) AS x FROM tri) GROUP BY x)
+         |SELECT d.x AS doc_id, d.deg, coalesce(tc.tri_cnt, 0) AS tri_cnt,
+         |  round(CAST(2.0 AS DOUBLE) * coalesce(tc.tri_cnt, 0)
+         |    / (d.deg * (d.deg - 1)), 4) AS coeff
+         |FROM dg d LEFT JOIN tc ON d.x = tc.x WHERE d.deg >= 2
+         |ORDER BY doc_id""".stripMargin,
     "graph_kcore" -> {
       // peeling is monotone: converged rounds are no-ops, so a generous
       // fixed unroll replays the Spark loop's run-to-fixpoint exactly.

@@ -291,6 +291,30 @@ object Cluster {
       .select(col("t")(0).as("a"), col("t")(1).as("b"), col("t")(2).as("c"))
   }
 
+  /** Local clustering coefficient per node: 2·tri(v) / (deg(v)·(deg(v)−1))
+    * for deg ≥ 2 — how close each node's neighborhood is to a clique.
+    * On a near-dup graph, high coefficient = a coherent mutual-similarity
+    * group; low = a hub stitching unrelated docs (an LSH false-positive
+    * smell). Composes [[triangles]] (each emitted triangle increments
+    * its three corners via a bounded ×3 explode) with the degree table;
+    * the division is exact integer → one deterministic round. Returns
+    * (doc_id, deg, tri_cnt, coeff). */
+  def clusteringCoefficient(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
+      .unionAll(pairs.select(col("id_b"), col("id_a")))
+      .distinct()
+    val deg = und.groupBy("x").agg(count(lit(1)).as("deg"))
+    val triCnt = triangles(pairs)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("tri_cnt"))
+    deg.filter(col("deg") >= 2)
+      .join(triCnt, Seq("x"), "left")
+      .select(col("x").as("doc_id"), col("deg").cast("long").as("deg"),
+        coalesce(col("tri_cnt"), lit(0L)).cast("long").as("tri_cnt"),
+        round(lit(2.0) * coalesce(col("tri_cnt"), lit(0L)) /
+          (col("deg") * (col("deg") - lit(1))), 4).as("coeff"))
+  }
+
   /** k-core of the undirected pair graph — the maximal subgraph in which
     * every node keeps degree ≥ `k` — by iterative peeling (Batagelj &
     * Zaveršnik's algorithm, distributed form): each round drops nodes

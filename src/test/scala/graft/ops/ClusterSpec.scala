@@ -121,6 +121,20 @@ class ClusterSpec extends AnyFunSuite with Matchers {
       (1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L))
   }
 
+  test("clusteringCoefficient: clique corners 1.0, bridge 0, pendant excluded") {
+    // triangle {1,2,3}; node 3 also bridges to 4 (3's neighborhood is no
+    // longer a clique); 4-5 pendant: 5 has deg 1 → excluded entirely
+    val p = pairs((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val got = Cluster.clusteringCoefficient(p).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    Materialize.dropAll()
+    got(1L) shouldBe ((2L, 1L, 1.0))
+    got(2L) shouldBe ((2L, 1L, 1.0))
+    got(3L) shouldBe ((3L, 1L, 0.3333)) // 1 triangle of 3 possible pairs
+    got(4L) shouldBe ((2L, 0L, 0.0)) // bridge: neighbors unconnected
+    got.keySet should not contain 5L
+  }
+
   test("kCore: pendant chain peels away layer by layer, the cycle survives") {
     // triangle {1,2,3} + chain 3-5-6-7 hanging off it + isolated edge (8,9):
     // 2-core must peel the chain COMPLETELY (7 first, then 6, then 5 —
