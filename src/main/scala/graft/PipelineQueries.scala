@@ -1665,9 +1665,13 @@ object PipelineQueries {
       |      / (tf + CAST(1.2 AS DOUBLE)
       |          * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS w
       |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st)""".stripMargin
+  /** Fixed-point BM25 score sum — the identical 6-dp lift
+    * [[graft.ops.Retrieval]]'s bm25Score applies before aggregating. */
+  private val duckBm25Sum: String =
+    "round(CAST(sum(CAST(round(round(w, 6) * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6, 4)"
   private val duckBm25: String =
     s"""WITH $duckBm25Ctes
-       |SELECT doc_id, round(sum(w), 4) AS score, CAST(count(*) AS BIGINT) AS n_terms
+       |SELECT doc_id, $duckBm25Sum AS score, CAST(count(*) AS BIGINT) AS n_terms
        |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   /** 64-bit simhash bits over a precomputed per-doc digit array `ds`
@@ -2747,7 +2751,8 @@ object PipelineQueries {
         |          * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS w
         |  FROM qt JOIN tfb USING (tok) JOIN dfb USING (tok)
         |    JOIN dl USING (doc_id) CROSS JOIN st),
-        |ag AS (SELECT query_id, doc_id, round(sum(w), 4) AS score,
+        |ag AS (SELECT query_id, doc_id,
+        |    round(CAST(sum(CAST(round(round(w, 6) * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6, 4) AS score,
         |    CAST(count(*) AS BIGINT) AS n_terms
         |  FROM sc2 GROUP BY query_id, doc_id)
         |SELECT query_id, doc_id, score, n_terms, rank FROM (
@@ -2757,7 +2762,7 @@ object PipelineQueries {
         |ORDER BY query_id, rank""".stripMargin,
     "retrieval_hybrid_rrf" ->
       s"""WITH $duckBm25Ctes,
-         |bs AS (SELECT doc_id, round(sum(w), 4) AS score
+         |bs AS (SELECT doc_id, $duckBm25Sum AS score
          |  FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
          |sr AS (SELECT doc_id,
          |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bs),

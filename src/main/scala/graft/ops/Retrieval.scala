@@ -81,7 +81,10 @@ object Retrieval {
   /** Shared BM25 scoring core over a (doc, term, tf) stream and a doc
     * length table: df/(N,avgdl) reduce to tiny broadcasts back onto the
     * term-pruned tf stream; the final top-k is a TakeOrdered on the
-    * rounded score with an id tiebreak, no global sort. */
+    * rounded score with an id tiebreak, no global sort. Per-term weights
+    * are rounded to 6 dp and summed as FIXED-POINT longs (the
+    * [[Cluster.pageRank]] convention) — the per-doc score is integer
+    * arithmetic, immune to partial-agg reordering in either engine. */
   private def bm25Score(
       tf: DataFrame,
       dl: DataFrame,
@@ -99,9 +102,11 @@ object Retrieval {
       .withColumn("w",
         col("idf") * (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("wfx",
+        round(round(col("w"), 6) * lit(1e6), 0).cast("long"))
       .groupBy(col(idCol))
       .agg(
-        round(sum("w"), 4).as("score"),
+        round(sum("wfx").cast("double") / lit(1e6), 4).as("score"),
         count(lit(1)).cast("long").as("n_terms"))
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
@@ -216,9 +221,11 @@ object Retrieval {
       .withColumn("w",
         col("idf") * (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("wfx",
+        round(round(col("w"), 6) * lit(1e6), 0).cast("long"))
       .groupBy(col("query_id"), col(idCol))
       .agg(
-        round(sum("w"), 4).as("score"),
+        round(sum("wfx").cast("double") / lit(1e6), 4).as("score"),
         count(lit(1)).cast("long").as("n_terms"))
     topKPerKey(scored, Seq("query_id"), Seq(col("score").desc, col(idCol).asc), topK)
   }
