@@ -339,42 +339,38 @@ object PipelineQueries {
 
   /** Deterministic per-stratum uniform sample WITHOUT replacement: the k
     * smallest content-hash ranks per source — a bottom-k / reservoir
-    * sample that is reproducible across engines and runs. One shuffle on
-    * the stratum key; the per-partition sort is TopK-bounded because the
-    * rank filter follows the window directly. */
-  def sampleReservoir(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    t(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        md5(concat(col("doc_id").cast("string"), lit("rsv"))).as("rk"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("source").orderBy(col("rk"), col("doc_id"))))
-      .filter(col("rn") <= 3)
-      .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"))
+    * sample that is reproducible across engines and runs. The cut is
+    * [[graft.ops.Retrieval.topKPerKey]]: with a handful of strata a
+    * plain per-source window would funnel corpus/strata rows through
+    * one task; the two-phase cap bounds it at k · partitions. */
+  def sampleReservoir(s: SparkSession, dir: String): DataFrame =
+    Retrieval.topKPerKey(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(concat(col("doc_id").cast("string"), lit("rsv"))).as("rk")),
+      Seq("source"), Seq(col("rk").asc, col("doc_id").asc), 3)
+      .select(col("doc_id"), col("source"), col("rank").as("rn"))
       .orderBy("doc_id")
-  }
 
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * per document a deterministic uniform u from md5, key = ln(u)/w with
     * w = n_chars (u^(1/w) order-equivalently) — the top keys per source
     * are a weight-proportional sample, the quality-weighted corpus
-    * sampling primitive. Zero-shuffle key computation + one per-source
-    * window; at scale the window becomes a bounded top-k per partition
-    * (same shape as [[sampleReservoir]]). */
+    * sampling primitive. Zero-shuffle key computation; the per-source
+    * cut is the two-phase [[graft.ops.Retrieval.topKPerKey]] (same
+    * hot-stratum reasoning as [[sampleReservoir]]). */
   def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = conv(substring(
       md5(concat(col("doc_id").cast("string"), lit("wsmp"))), 1, 12), 16, 10)
       .cast("double")
     val u = (v + lit(1.0)) / lit(281474976710657.0) // (16^12)+1: u ∈ (0,1]
-    t(s, dir, "documents")
+    Retrieval.topKPerKey(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (log(u) / col("n_chars")).as("skeyRaw")),
+      Seq("source"), Seq(col("skeyRaw").desc, col("doc_id").asc), 3)
       .select(col("doc_id"), col("source"),
-        (log(u) / col("n_chars")).as("skeyRaw"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("source").orderBy(col("skeyRaw").desc, col("doc_id"))))
-      .filter(col("rn") <= 3)
-      .select(col("doc_id"), col("source"),
-        round(col("skeyRaw"), 6).as("skey"), col("rn").cast("long").as("rn"))
+        round(col("skeyRaw"), 6).as("skey"), col("rank").as("rn"))
       .orderBy("doc_id")
   }
 
@@ -521,10 +517,10 @@ object PipelineQueries {
       .crossJoin(broadcast(nsrc))
       .withColumn("tfidf",
         round(col("tf") * log(col("nsrc").cast("double") / col("df")), 4))
-    scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("source").orderBy(col("tfidf").desc, col("tok"))))
-      .filter(col("rn") <= 3)
+    // per-source cut via the two-phase top-k: the vocabulary of one
+    // source is corpus-sized at scale — never one window task's input
+    Retrieval.topKPerKey(scored, Seq("source"),
+        Seq(col("tfidf").desc, col("tok").asc), 3)
       .select("source", "tok", "tf", "df", "tfidf")
       .orderBy("source", "tok")
   }
@@ -963,16 +959,17 @@ object PipelineQueries {
 
   /** Cluster-balanced subsample ([[graft.ops.Similarity.corpusCells]] +
     * deterministic per-cell bottom-k by content hash): even coverage of
-    * the semantic space instead of mirroring its density. */
+    * the semantic space instead of mirroring its density. The per-cell
+    * cut is the two-phase [[graft.ops.Retrieval.topKPerKey]] — a cell
+    * holds corpus/centroids vectors, a data-sized window partition at
+    * scale. */
   def embedCellSample(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cells = Similarity.corpusCells(
       t(s, dir, "embeddings"), "vec_id", "embedding", numCentroids = IvfCentroids)
-    val w = Window.partitionBy("cell")
-      .orderBy(md5(concat(col("vec_id").cast("string"), lit("cellsmp"))), col("vec_id"))
-    cells.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 8)
-      .select(col("vec_id"), col("cell"), col("rn").cast("long").as("rn"))
+      .withColumn("rk", md5(concat(col("vec_id").cast("string"), lit("cellsmp"))))
+    Retrieval.topKPerKey(cells, Seq("cell"),
+        Seq(col("rk").asc, col("vec_id").asc), 8)
+      .select(col("vec_id"), col("cell"), col("rank").as("rn"))
       .orderBy("vec_id")
   }
 
