@@ -192,6 +192,31 @@ object EventStreams {
       .drop((keys.indices.map(b => s"_k$b") ++ keys.indices.map(b => s"_fps$b")): _*)
   }
 
+  /** Stream-STREAM interval join — the attribution primitive: each
+    * impression pairs with the clicks of the same user landing within
+    * `withinSeconds` after it. Both sides carry watermarks and the join
+    * predicate bounds the event-time range, which is exactly what lets
+    * Spark size and EVICT each side's join state (an unbounded
+    * stream-stream join is rejected in append mode without the bound) —
+    * state per side is one watermark+bound horizon, however long the
+    * streams run.
+    *
+    * Left schema: (imp_id, ts, user_id); right: (click_id, cts,
+    * cuser_id). Returns (user_id, imp_id, click_id, ts, cts,
+    * delay_sec), one row per attributed pair. */
+  def attributionJoinStream(
+      imps: DataFrame,
+      clicks: DataFrame,
+      withinSeconds: Long = 600,
+      watermark: String = "10 minutes"): DataFrame =
+    imps.withWatermark("ts", watermark)
+      .join(clicks.withWatermark("cts", watermark),
+        expr(s"""user_id = cuser_id AND
+                 cts >= ts AND cts <= ts + INTERVAL $withinSeconds SECONDS"""))
+      .select(col("user_id"), col("imp_id"), col("click_id"), col("ts"), col("cts"),
+        round((unix_micros(col("cts")) - unix_micros(col("ts"))) / 1e6, 3)
+          .as("delay_sec"))
+
   /** Stream the events landing directory (parquet files appearing over
     * time) into the windowed aggregation, writing to an in-memory sink —
     * the readStream → transform → writeStream shape. */

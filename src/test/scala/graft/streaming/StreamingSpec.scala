@@ -201,6 +201,33 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join: in-window same-user clicks only, state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val imps = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val out = EventStreams.attributionJoinStream(
+      imps.toDF().toDF("imp_id", "ts", "user_id"),
+      clicks.toDF().toDF("click_id", "cts", "cuser_id"),
+      withinSeconds = 600)
+    val q = out.writeStream.queryName("attrib").outputMode(OutputMode.Append())
+      .format("memory").start()
+    try {
+      imps.addData((100L, ts(1), 7L), (101L, ts(1), 8L))
+      clicks.addData(
+        (200L, ts(5), 7L),  // same user, +4 min → attributed
+        (201L, ts(20), 7L), // same user, +19 min → outside the window
+        (202L, ts(5), 9L))  // wrong user
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT imp_id, click_id, delay_sec FROM attrib")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      rows shouldBe Seq((100L, 200L, 240.0))
+      // the bounded-range predicate is what makes append-mode state
+      // evictable — the join must carry watermarks on BOTH sides
+      out.isStreaming shouldBe true
+    } finally q.stop()
+  }
+
   test("streaming nearline ingest lands items the DSv2 connector reads back") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
