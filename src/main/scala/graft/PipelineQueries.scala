@@ -651,6 +651,29 @@ object PipelineQueries {
     graft.ops.Cluster.clusteringCoefficient(pairs).orderBy("doc_id")
   }
 
+  /** Composed graph-hygiene audit — the round-8 graph family as one
+    * pipeline: the embedding near-dup graph's 2-core (pendant/tendril
+    * peel, [[graft.ops.Cluster.kCore]]) intersected with its coherence
+    * scores ([[graft.ops.Cluster.clusteringCoefficient]]); survivors are
+    * the docs whose similarity neighborhood is BOTH robust (core) and
+    * clique-like (coeff ≥ 0.5) — the membership set transitive dedup can
+    * trust. The pair list feeds both kernels once. */
+  def pipelineGraphHygiene(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+    val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val r = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    val pairs = graft.ops.Materialize.index(
+      l.join(r, col("id_a") < col("id_b"))
+        .withColumn("cos", round(Similarity.cosine(col("vec_a"), col("vec_b")), 4))
+        .filter(col("cos") >= 0.35)
+        .select("id_a", "id_b"), "hygiene-pairs")
+    graft.ops.Cluster.kCore(pairs, k = 2)
+      .join(graft.ops.Cluster.clusteringCoefficient(pairs), "doc_id")
+      .filter(col("coeff") >= 0.5)
+      .select("doc_id", "core_deg", "deg", "tri_cnt", "coeff")
+      .orderBy("doc_id")
+  }
+
   /** LSH-blocked near-dup — the SCALE path, oracle-checked: same
     * multi-band sign buckets as embed_knn_lsh (plane constants baked into
     * the SQL), per-bucket cap, exact cosine verify over candidates. */
@@ -1514,6 +1537,7 @@ object PipelineQueries {
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
     "graph_clustering" -> (graphClustering _),
+    "pipeline_graph_hygiene" -> (pipelineGraphHygiene _),
     "inverted_index" -> (invertedIndexQ _),
     "decontaminate" -> (decontaminate _),
     "range_join" -> (rangeJoin _),
@@ -1632,6 +1656,19 @@ object PipelineQueries {
       |  FROM od e1 JOIN od e2 ON e1.src = e2.src
       |  WHERE e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst)),
       |tri AS (SELECT u, v, z FROM wd JOIN orient o ON wd.v = o.src AND wd.z = o.dst)""".stripMargin
+
+  /** One unrolled k-core peel round over the bidirectional edge CTE
+    * u`r-1` → survivors s`r` → u`r`. Peeling is monotone — converged
+    * rounds are no-ops — so a generous fixed unroll replays the Spark
+    * loop's run-to-fixpoint exactly. MATERIALIZED: u(r-1) is referenced
+    * three times per round and DuckDB would otherwise inline the
+    * 3^rounds reference tree (fd exhaustion). */
+  private def duckPeel(r: Int): String =
+    s"""s$r AS MATERIALIZED (SELECT x
+       |  FROM (SELECT x, count(*) AS c FROM u${r - 1} GROUP BY x)
+       |  WHERE c >= 2),
+       |u$r AS MATERIALIZED (SELECT u.x, u.y FROM u${r - 1} u
+       |  JOIN s$r a ON u.x = a.x JOIN s$r b ON u.y = b.x)""".stripMargin
 
   /** One unrolled PageRank round over (e, d, r`r-1`): the per-edge 8-dp
     * contribution is lifted to a fixed-point BIGINT before the sum — the
@@ -2794,18 +2831,7 @@ object PipelineQueries {
          |    / (d.deg * (d.deg - 1)), 4) AS coeff
          |FROM dg d LEFT JOIN tc ON d.x = tc.x WHERE d.deg >= 2
          |ORDER BY doc_id""".stripMargin,
-    "graph_kcore" -> {
-      // peeling is monotone: converged rounds are no-ops, so a generous
-      // fixed unroll replays the Spark loop's run-to-fixpoint exactly.
-      // Each round's edge list is AS MATERIALIZED — u(r-1) is referenced
-      // three times per round, and DuckDB would otherwise INLINE the
-      // reference tree (3^rounds parquet re-scans → fd exhaustion)
-      def peel(r: Int) =
-        s"""s$r AS MATERIALIZED (SELECT x
-           |  FROM (SELECT x, count(*) AS c FROM u${r - 1} GROUP BY x)
-           |  WHERE c >= 2),
-           |u$r AS MATERIALIZED (SELECT u.x, u.y FROM u${r - 1} u
-           |  JOIN s$r a ON u.x = a.x JOIN s$r b ON u.y = b.x)""".stripMargin
+    "graph_kcore" ->
       s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings WHERE vec_id < 300),
          |pe AS MATERIALIZED (SELECT a.vec_id AS x, b.vec_id AS y
@@ -2814,10 +2840,26 @@ object PipelineQueries {
          |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35),
          |u0 AS MATERIALIZED (SELECT DISTINCT x, y FROM
          |  (SELECT x, y FROM pe UNION ALL SELECT y, x FROM pe)),
-         |${(1 to 8).map(peel).mkString(",\n")}
+         |${(1 to 8).map(duckPeel).mkString(",\n")}
          |SELECT x AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
-         |FROM u8 GROUP BY x ORDER BY doc_id""".stripMargin
-    },
+         |FROM u8 GROUP BY x ORDER BY doc_id""".stripMargin,
+    "pipeline_graph_hygiene" ->
+      // the triangle chain supplies pe/dg/tri; the peel unroll runs off
+      // the same bidirectional ue; survivors join coherence scores
+      s"""WITH $duckTriangleCtes,
+         |u0 AS MATERIALIZED (SELECT x, y FROM ue),
+         |${(1 to 8).map(duckPeel).mkString(",\n")},
+         |core AS (SELECT x AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+         |  FROM u8 GROUP BY x),
+         |tc AS (SELECT x, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
+         |  SELECT unnest([u, v, z]) AS x FROM tri) GROUP BY x),
+         |cc AS (SELECT d.x AS doc_id, d.deg, coalesce(tc.tri_cnt, 0) AS tri_cnt,
+         |    round(CAST(2.0 AS DOUBLE) * coalesce(tc.tri_cnt, 0)
+         |      / (d.deg * (d.deg - 1)), 4) AS coeff
+         |  FROM dg d LEFT JOIN tc ON d.x = tc.x WHERE d.deg >= 2)
+         |SELECT core.doc_id, core.core_deg, cc.deg, cc.tri_cnt, cc.coeff
+         |FROM core JOIN cc USING (doc_id) WHERE cc.coeff >= 0.5
+         |ORDER BY doc_id""".stripMargin,
     "rolling_active" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),

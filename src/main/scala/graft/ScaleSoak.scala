@@ -135,9 +135,20 @@ object ScaleSoak {
     // 6. 64-bit simhash hamming dedup — block-key candidates must stay
     // output-sized as the corpus replicates (the 16-bit width grew
     // ~quadratically here; 64-bit pair volume tracks true near-dups)
-    timed("simhash_hamming") {
-      counts("simhash_pairs") =
-        graft.ops.Dedup.simhashHammingPairs(docs, "doc_id", "text").count()
+    val hammingPairs = timed("simhash_hamming") {
+      val p = graft.ops.Materialize.index(
+        graft.ops.Dedup.simhashHammingPairs(docs, "doc_id", "text")
+          .select("id_a", "id_b"), "soak-hamming-pairs")
+      counts("simhash_pairs") = p.count()
+      p
+    }
+
+    // 6c. graph kernels over the hamming pair graph: at 10x the pair list
+    // is ~900x — the degree-ordered wedge join must stay O(m^1.5) and the
+    // k-core peel must converge without the edge list ever re-deriving
+    timed("graph_kernels") {
+      counts("triangle_rows") = graft.ops.Cluster.triangles(hammingPairs).count()
+      counts("kcore_rows") = graft.ops.Cluster.kCore(hammingPairs, k = 2).count()
     }
 
     // 6b. ingest-time near-dup novelty: odd-id half as the "new batch"
