@@ -27,6 +27,23 @@ object PipelineQueries {
         col("mean_word_len"))
       .orderBy("doc_id")
 
+  /** GD-trained linear quality gate ([[graft.ops.Classify.logisticGd]]):
+    * 3 batch rounds over (1, n_words/100, distinct_ratio,
+    * mean_word_len/10) toward the curated `src0` label, then every doc
+    * scored scan-side with the trained weights as plan literals. The
+    * oracle REPLAYS training: unrolled rounds, hard-sigmoid activation,
+    * fixed-point gradient sums — the whole loop is engine-exact. */
+  def qualityLogreg(s: SparkSession, dir: String): DataFrame = {
+    val f = TextAnalysis.qualityStats(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        lit(1.0).as("x0"),
+        (col("n_words").cast("double") / lit(100.0)).as("x1"),
+        col("distinct_ratio").as("x2"),
+        (col("mean_word_len") / lit(10.0)).as("x3"),
+        when(col("source") === "src0", lit(1.0)).otherwise(lit(0.0)).as("y"))
+    graft.ops.Classify.logisticGd(f, "doc_id", dims = 4).orderBy("doc_id")
+  }
+
   def textLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langScores(t(s, dir, "documents"))
       .select(
@@ -1538,6 +1555,7 @@ object PipelineQueries {
     "graph_kcore" -> (graphKcore _),
     "graph_clustering" -> (graphClustering _),
     "pipeline_graph_hygiene" -> (pipelineGraphHygiene _),
+    "quality_logreg" -> (qualityLogreg _),
     "inverted_index" -> (invertedIndexQ _),
     "decontaminate" -> (decontaminate _),
     "range_join" -> (rangeJoin _),
@@ -1656,6 +1674,25 @@ object PipelineQueries {
       |  FROM od e1 JOIN od e2 ON e1.src = e2.src
       |  WHERE e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst)),
       |tri AS (SELECT u, v, z FROM wd JOIN orient o ON wd.v = o.src AND wd.z = o.dst)""".stripMargin
+
+  /** Unrolled GD round r for the quality-logreg oracle: gradient CTE
+    * g`r` (fixed-point component sums over f × w`r-1`) then weights
+    * w`r` — arithmetic in the EXACT operation order
+    * [[graft.ops.Classify.logisticGd]] uses, hard-sigmoid activation,
+    * so the replayed weights are bit-identical per round. */
+  private def duckGdRound(r: Int, lr: Double): String = {
+    def gsum(j: Int) =
+      s"CAST(sum(CAST(round(round(err * x$j, 8) * 1e8, 0) AS BIGINT)) AS DOUBLE) AS s$j"
+    def wupd(j: Int) =
+      s"round(a$j - $lr * (s$j / 1e8 / n), 8) AS a$j"
+    s"""g$r AS (SELECT ${(0 to 3).map(gsum).mkString(", ")}
+       |  FROM (SELECT x0, x1, x2, x3,
+       |      greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+       |        0.5 + (a0*x0 + a1*x1 + a2*x2 + a3*x3) / CAST(4.0 AS DOUBLE))) - y AS err
+       |    FROM f CROSS JOIN w${r - 1})),
+       |w$r AS (SELECT ${(0 to 3).map(wupd).mkString(", ")}
+       |  FROM w${r - 1} CROSS JOIN g$r CROSS JOIN nn)""".stripMargin
+  }
 
   /** One unrolled k-core peel round over the bidirectional edge CTE
     * u`r-1` → survivors s`r` → u`r`. Peeling is monotone — converged
@@ -2830,6 +2867,26 @@ object PipelineQueries {
          |  round(CAST(2.0 AS DOUBLE) * coalesce(tc.tri_cnt, 0)
          |    / (d.deg * (d.deg - 1)), 4) AS coeff
          |FROM dg d LEFT JOIN tc ON d.x = tc.x WHERE d.deg >= 2
+         |ORDER BY doc_id""".stripMargin,
+    "quality_logreg" ->
+      s"""WITH f AS MATERIALIZED (SELECT doc_id,
+         |    CAST(1.0 AS DOUBLE) AS x0,
+         |    len($toks) / CAST(100.0 AS DOUBLE) AS x1,
+         |    round(len(list_distinct($toks)) / len($toks), 4) AS x2,
+         |    round((length(text) - len($toks) + 1) / len($toks), 4)
+         |      / CAST(10.0 AS DOUBLE) AS x3,
+         |    CASE WHEN source = 'src0' THEN CAST(1.0 AS DOUBLE)
+         |         ELSE CAST(0.0 AS DOUBLE) END AS y
+         |  FROM documents),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+         |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS a0, CAST(0.0 AS DOUBLE) AS a1,
+         |  CAST(0.0 AS DOUBLE) AS a2, CAST(0.0 AS DOUBLE) AS a3),
+         |${(1 to 3).map(duckGdRound(_, 0.5)).mkString(",\n")}
+         |SELECT doc_id, y, round(p, 6) AS score, round(p, 6) >= 0.5 AS pred
+         |FROM (SELECT doc_id, y,
+         |    greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+         |      0.5 + (a0*x0 + a1*x1 + a2*x2 + a3*x3) / CAST(4.0 AS DOUBLE))) AS p
+         |  FROM f CROSS JOIN w3)
          |ORDER BY doc_id""".stripMargin,
     "graph_kcore" ->
       s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

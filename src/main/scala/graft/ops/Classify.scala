@@ -76,4 +76,52 @@ object Classify {
         col("cls").as(s"pred_$labelCol"), col("score"),
         (col("cls") === col(labelCol)).as("hit"))
   }
+
+  /** Linear quality classifier trained by distributed batch gradient
+    * descent — the "train a cheap model on a trusted slice, score the
+    * corpus" gate modern pipelines put in front of the tokenizer
+    * (DCLM / FineWeb-Edu style), with every engine-forking float op
+    * pinned so another engine replays the training bit-for-bit:
+    *
+    *  - the activation is the HARD sigmoid `clamp(0.5 + z/4, 0, 1)` —
+    *    pure rational arithmetic. libm `exp()` differs across runtimes
+    *    by ulps, and a weights-update loop COMPOUNDS an ulp per round;
+    *    the piecewise-linear unit has no transcendental to fork on.
+    *  - per-row gradient components round to 8 dp and sum as
+    *    FIXED-POINT longs (the pageRank convention): the update is
+    *    order-independent under partial-agg reordering.
+    *  - weights round to 8 dp per round, so round r+1 starts from
+    *    identical inputs in every engine.
+    *
+    * `feats` carries (idCol, x0..x{dims-1}, y ∈ {0,1}). Each round is
+    * ONE partial-aggregated pass producing `dims` fixed-point sums (a
+    * 1-row aggregate — the accepted driver touch, same class as the
+    * bounds/stats collects); weights return to the plan as literals, so
+    * scoring is scan-side codegen with no join at all. Returns every
+    * row scored: (idCol, y, score, pred). */
+  def logisticGd(
+      feats: DataFrame,
+      idCol: String,
+      dims: Int,
+      rounds: Int = 3,
+      lr: Double = 0.5): DataFrame = {
+    def round8(x: Double): Double =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = feats.count()
+    val w = Array.fill(dims)(0.0)
+    for (_ <- 1 to rounds) {
+      val z = (0 until dims).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
+      val p = greatest(lit(0.0), least(lit(1.0), lit(0.5) + z / lit(4.0)))
+      val err = p - col("y")
+      val gs = (0 until dims).map(j =>
+        sum(round(round(err * col(s"x$j"), 8) * lit(1e8), 0).cast("long")).as(s"g$j"))
+      val row = feats.agg(gs.head, gs.tail: _*).head()
+      for (j <- 0 until dims)
+        w(j) = round8(w(j) - lr * (row.getLong(j).toDouble / 1e8 / n))
+    }
+    val z = (0 until dims).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
+    val p = greatest(lit(0.0), least(lit(1.0), lit(0.5) + z / lit(4.0)))
+    feats.select(col(idCol), col("y"),
+      round(p, 6).as("score"), (round(p, 6) >= 0.5).as("pred"))
+  }
 }

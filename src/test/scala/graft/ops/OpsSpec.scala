@@ -132,6 +132,25 @@ class OpsSpec extends AnyFunSuite with Matchers {
     out(9L) shouldBe (("num", false))
   }
 
+  test("logisticGd: zero rounds score 0.5 flat; 3 rounds separate a separable feature") {
+    import spark.implicits._
+    // balanced classes, y determined by x1 with a clean margin
+    val f = (1L to 40L).map { i =>
+      val y = if (i % 2 == 0) 1.0 else 0.0
+      val x1 = (if (y == 1.0) 0.8 else 0.2) + (i % 5) * 0.01
+      (i, 1.0, x1, y)
+    }.toDF("id", "x0", "x1", "y")
+    val flat = Classify.logisticGd(f, "id", dims = 2, rounds = 0)
+      .collect().map(_.getDouble(2)).toSet
+    flat shouldBe Set(0.5) // untrained hard sigmoid at w = 0
+    val got = Classify.logisticGd(f, "id", dims = 2, rounds = 3, lr = 1.0)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val pos = got.filter(_._1 == 1.0).map(_._2)
+    val neg = got.filter(_._1 == 0.0).map(_._2)
+    pos.min should be > neg.max // the learned weight orders the classes
+    pos.foreach(s => s should (be >= 0.0 and be <= 1.0))
+  }
+
   test("dsir weights: target-domain docs score positive, general model matches lmScore") {
     // two "domains": letter-ish docs (target) vs number-ish docs. A doc
     // from the target domain must look more like the target LM than the
