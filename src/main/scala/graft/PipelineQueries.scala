@@ -44,6 +44,12 @@ object PipelineQueries {
     graft.ops.Classify.logisticGd(f, "doc_id", dims = 4).orderBy("doc_id")
   }
 
+  /** Exact ROC-AUC of the GD quality gate ([[graft.ops.Classify.aucEval]]
+    * over [[qualityLogreg]]'s scores) — integer pair counting over the
+    * bounded distinct-score grid, engine-exact to the final division. */
+  def evalAucQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Classify.aucEval(qualityLogreg(s, dir), "score", "y")
+
   def textLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langScores(t(s, dir, "documents"))
       .select(
@@ -1556,6 +1562,7 @@ object PipelineQueries {
     "graph_clustering" -> (graphClustering _),
     "pipeline_graph_hygiene" -> (pipelineGraphHygiene _),
     "quality_logreg" -> (qualityLogreg _),
+    "eval_auc" -> (evalAucQ _),
     "inverted_index" -> (invertedIndexQ _),
     "decontaminate" -> (decontaminate _),
     "range_join" -> (rangeJoin _),
@@ -1693,6 +1700,30 @@ object PipelineQueries {
        |w$r AS (SELECT ${(0 to 3).map(wupd).mkString(", ")}
        |  FROM w${r - 1} CROSS JOIN g$r CROSS JOIN nn)""".stripMargin
   }
+
+  /** Shared CTE chain replaying [[graft.ops.Classify.logisticGd]]'s
+    * 3-round training on the documents quality features, ending at
+    * `lrscored(doc_id, y, score)` — consumed by both the classifier
+    * query and its AUC evaluation. */
+  private def duckLogregCtes: String =
+    s"""f AS MATERIALIZED (SELECT doc_id,
+       |    CAST(1.0 AS DOUBLE) AS x0,
+       |    len($toks) / CAST(100.0 AS DOUBLE) AS x1,
+       |    round(len(list_distinct($toks)) / len($toks), 4) AS x2,
+       |    round((length(text) - len($toks) + 1) / len($toks), 4)
+       |      / CAST(10.0 AS DOUBLE) AS x3,
+       |    CASE WHEN source = 'src0' THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(0.0 AS DOUBLE) END AS y
+       |  FROM documents),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+       |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS a0, CAST(0.0 AS DOUBLE) AS a1,
+       |  CAST(0.0 AS DOUBLE) AS a2, CAST(0.0 AS DOUBLE) AS a3),
+       |${(1 to 3).map(duckGdRound(_, 0.5)).mkString(",\n")},
+       |lrscored AS MATERIALIZED (SELECT doc_id, y, round(p, 6) AS score
+       |  FROM (SELECT doc_id, y,
+       |      greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+       |        0.5 + (a0*x0 + a1*x1 + a2*x2 + a3*x3) / CAST(4.0 AS DOUBLE))) AS p
+       |    FROM f CROSS JOIN w3))""".stripMargin
 
   /** One unrolled k-core peel round over the bidirectional edge CTE
     * u`r-1` → survivors s`r` → u`r`. Peeling is monotone — converged
@@ -2869,25 +2900,24 @@ object PipelineQueries {
          |FROM dg d LEFT JOIN tc ON d.x = tc.x WHERE d.deg >= 2
          |ORDER BY doc_id""".stripMargin,
     "quality_logreg" ->
-      s"""WITH f AS MATERIALIZED (SELECT doc_id,
-         |    CAST(1.0 AS DOUBLE) AS x0,
-         |    len($toks) / CAST(100.0 AS DOUBLE) AS x1,
-         |    round(len(list_distinct($toks)) / len($toks), 4) AS x2,
-         |    round((length(text) - len($toks) + 1) / len($toks), 4)
-         |      / CAST(10.0 AS DOUBLE) AS x3,
-         |    CASE WHEN source = 'src0' THEN CAST(1.0 AS DOUBLE)
-         |         ELSE CAST(0.0 AS DOUBLE) END AS y
-         |  FROM documents),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
-         |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS a0, CAST(0.0 AS DOUBLE) AS a1,
-         |  CAST(0.0 AS DOUBLE) AS a2, CAST(0.0 AS DOUBLE) AS a3),
-         |${(1 to 3).map(duckGdRound(_, 0.5)).mkString(",\n")}
-         |SELECT doc_id, y, round(p, 6) AS score, round(p, 6) >= 0.5 AS pred
-         |FROM (SELECT doc_id, y,
-         |    greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
-         |      0.5 + (a0*x0 + a1*x1 + a2*x2 + a3*x3) / CAST(4.0 AS DOUBLE))) AS p
-         |  FROM f CROSS JOIN w3)
-         |ORDER BY doc_id""".stripMargin,
+      s"""WITH $duckLogregCtes
+         |SELECT doc_id, y, score, score >= 0.5 AS pred
+         |FROM lrscored ORDER BY doc_id""".stripMargin,
+    "eval_auc" ->
+      s"""WITH $duckLogregCtes,
+         |sg AS (SELECT score AS sc,
+         |    CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |    CAST(sum(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS nn2
+         |  FROM lrscored GROUP BY score),
+         |cum AS (SELECT np, nn2,
+         |    CAST(sum(nn2) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      - nn2 AS cumnn
+         |  FROM sg)
+         |SELECT round((CAST(sum(np * cumnn) AS DOUBLE)
+         |      + 0.5 * CAST(sum(np * nn2) AS DOUBLE))
+         |    / (CAST(sum(np) AS DOUBLE) * CAST(sum(nn2) AS DOUBLE)), 6) AS auc,
+         |  CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn2) AS BIGINT) AS n_neg
+         |FROM cum""".stripMargin,
     "graph_kcore" ->
       s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings WHERE vec_id < 300),

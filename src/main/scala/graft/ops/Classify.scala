@@ -124,4 +124,35 @@ object Classify {
     feats.select(col(idCol), col("y"),
       round(p, 6).as("score"), (round(p, 6) >= 0.5).as("pred"))
   }
+
+  /** Exact ROC-AUC of a scored frame (Mann–Whitney U rank form) — the
+    * evaluation step that decides whether a quality gate is worth its
+    * threshold. AUC = (#correctly-ordered (pos, neg) pairs + ½·ties) /
+    * (n_pos·n_neg), computed in INTEGER pair counts — no per-pair join,
+    * no float accumulation, engine-exact to the final division.
+    *
+    * Scale shape: rows reduce to one row PER DISTINCT SCORE first
+    * (partial-agg), and because scores are defensively rounded (6 dp in
+    * [0, 1] → ≤ 10⁶ + 1 values), the cumulative window's input is
+    * bounded BY CONSTRUCTION regardless of corpus size — a
+    * single-partition window over a table that cannot grow past the
+    * score grid. Returns one row: (auc, n_pos, n_neg). */
+  def aucEval(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val s = scored.groupBy(col(scoreCol).as("sc"))
+      .agg(
+        sum(when(col(labelCol) === 1.0, 1L).otherwise(0L)).as("np"),
+        sum(when(col(labelCol) === 1.0, 0L).otherwise(1L)).as("nn"))
+    val w = Window.orderBy("sc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.withColumn("cumnn", sum("nn").over(w) - col("nn"))
+      .agg(
+        sum(col("np") * col("cumnn")).as("wins"),
+        sum(col("np") * col("nn")).as("ties"),
+        sum("np").as("npos"), sum("nn").as("nneg"))
+      .select(
+        round((col("wins").cast("double") + lit(0.5) * col("ties").cast("double")) /
+          (col("npos").cast("double") * col("nneg").cast("double")), 6).as("auc"),
+        col("npos").cast("long").as("n_pos"),
+        col("nneg").cast("long").as("n_neg"))
+  }
 }

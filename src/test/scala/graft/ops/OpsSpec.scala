@@ -151,6 +151,20 @@ class OpsSpec extends AnyFunSuite with Matchers {
     pos.foreach(s => s should (be >= 0.0 and be <= 1.0))
   }
 
+  test("aucEval: hand-counted pairs, half credit for ties") {
+    import spark.implicits._
+    // pos {0.9, 0.5}, neg {0.5, 0.1}: 3 wins + 1 tie of 4 pairs → 0.875
+    val scored = Seq((0.9, 1.0), (0.5, 1.0), (0.5, 0.0), (0.1, 0.0))
+      .toDF("score", "y")
+    val r = Classify.aucEval(scored, "score", "y").collect().head
+    (r.getDouble(0), r.getLong(1), r.getLong(2)) shouldBe ((0.875, 2L, 2L))
+    // perfect separation → 1.0; inverted → 0.0
+    val perfect = Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0)).toDF("score", "y")
+    Classify.aucEval(perfect, "score", "y").collect().head.getDouble(0) shouldBe 1.0
+    val inverted = Seq((0.1, 1.0), (0.8, 0.0)).toDF("score", "y")
+    Classify.aucEval(inverted, "score", "y").collect().head.getDouble(0) shouldBe 0.0
+  }
+
   test("dsir weights: target-domain docs score positive, general model matches lmScore") {
     // two "domains": letter-ish docs (target) vs number-ish docs. A doc
     // from the target domain must look more like the target LM than the
