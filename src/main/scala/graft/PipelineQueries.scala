@@ -50,6 +50,12 @@ object PipelineQueries {
   def evalAucQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Classify.aucEval(qualityLogreg(s, dir), "score", "y")
 
+  /** Calibration bins of the GD gate's scores
+    * ([[graft.ops.Classify.calibrationBins]]). */
+  def evalCalibrationQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Classify.calibrationBins(qualityLogreg(s, dir), "score", "y")
+      .orderBy("bin")
+
   def textLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langScores(t(s, dir, "documents"))
       .select(
@@ -1563,6 +1569,7 @@ object PipelineQueries {
     "pipeline_graph_hygiene" -> (pipelineGraphHygiene _),
     "quality_logreg" -> (qualityLogreg _),
     "eval_auc" -> (evalAucQ _),
+    "eval_calibration" -> (evalCalibrationQ _),
     "inverted_index" -> (invertedIndexQ _),
     "decontaminate" -> (decontaminate _),
     "range_join" -> (rangeJoin _),
@@ -2918,6 +2925,15 @@ object PipelineQueries {
          |    / (CAST(sum(np) AS DOUBLE) * CAST(sum(nn2) AS DOUBLE)), 6) AS auc,
          |  CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn2) AS BIGINT) AS n_neg
          |FROM cum""".stripMargin,
+    "eval_calibration" ->
+      s"""WITH $duckLogregCtes
+         |SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(CAST(round(score * 1e6, 0) AS BIGINT)) AS DOUBLE)
+         |    / 1e6 / count(*), 6) AS mean_score,
+         |  round(CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS frac_pos
+         |FROM lrscored GROUP BY bin ORDER BY bin""".stripMargin,
     "graph_kcore" ->
       s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings WHERE vec_id < 300),

@@ -137,6 +137,24 @@ object Classify {
     * bounded BY CONSTRUCTION regardless of corpus size — a
     * single-partition window over a table that cannot grow past the
     * score grid. Returns one row: (auc, n_pos, n_neg). */
+  /** Calibration (reliability) bins: decile buckets of the score, each
+    * reporting its doc count, mean score, and positive fraction — the
+    * diagram that shows whether a gate's scores can be READ as
+    * probabilities or only as a ranking. Mean scores accumulate as
+    * fixed-point longs (scores are 6-dp by construction, so ×1e6 is
+    * exact) — integer arithmetic to the final division, engine-exact.
+    * One partial-agg pass; output is ≤ 10 rows at any scale. */
+  def calibrationBins(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    scored
+      .groupBy(least(floor(col(scoreCol) * 10), lit(9L)).cast("long").as("bin"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(round(col(scoreCol) * lit(1e6), 0).cast("long")).as("sfx"),
+        sum(when(col(labelCol) === 1.0, 1L).otherwise(0L)).as("npos"))
+      .select(col("bin"), col("n"),
+        round(col("sfx").cast("double") / lit(1e6) / col("n"), 6).as("mean_score"),
+        round(col("npos").cast("double") / col("n"), 6).as("frac_pos"))
+
   def aucEval(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val s = scored.groupBy(col(scoreCol).as("sc"))
       .agg(

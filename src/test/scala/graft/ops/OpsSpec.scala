@@ -165,6 +165,18 @@ class OpsSpec extends AnyFunSuite with Matchers {
     Classify.aucEval(inverted, "score", "y").collect().head.getDouble(0) shouldBe 0.0
   }
 
+  test("calibrationBins: decile edges, score 1.0 folds into bin 9, exact means") {
+    import spark.implicits._
+    val scored = Seq((0.05, 0.0), (0.05, 1.0), (0.95, 1.0), (1.0, 1.0))
+      .toDF("score", "y")
+    val got = Classify.calibrationBins(scored, "score", "y")
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    got shouldBe Map(
+      0L -> ((2L, 0.05, 0.5)),
+      9L -> ((2L, 0.975, 1.0)))
+  }
+
   test("dsir weights: target-domain docs score positive, general model matches lmScore") {
     // two "domains": letter-ish docs (target) vs number-ish docs. A doc
     // from the target domain must look more like the target LM than the
