@@ -56,6 +56,11 @@ object PipelineQueries {
     graft.ops.Classify.calibrationBins(qualityLogreg(s, dir), "score", "y")
       .orderBy("bin")
 
+  /** F1-optimal threshold for the GD gate
+    * ([[graft.ops.Classify.f1Sweep]]). */
+  def evalF1SweepQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Classify.f1Sweep(qualityLogreg(s, dir), "score", "y")
+
   def textLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langScores(t(s, dir, "documents"))
       .select(
@@ -1570,6 +1575,7 @@ object PipelineQueries {
     "quality_logreg" -> (qualityLogreg _),
     "eval_auc" -> (evalAucQ _),
     "eval_calibration" -> (evalCalibrationQ _),
+    "eval_f1_sweep" -> (evalF1SweepQ _),
     "inverted_index" -> (invertedIndexQ _),
     "decontaminate" -> (decontaminate _),
     "range_join" -> (rangeJoin _),
@@ -2925,6 +2931,24 @@ object PipelineQueries {
          |    / (CAST(sum(np) AS DOUBLE) * CAST(sum(nn2) AS DOUBLE)), 6) AS auc,
          |  CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn2) AS BIGINT) AS n_neg
          |FROM cum""".stripMargin,
+    "eval_f1_sweep" ->
+      s"""WITH $duckLogregCtes,
+         |sg AS (SELECT score AS sc,
+         |    CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |    CAST(sum(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS nn2
+         |  FROM lrscored GROUP BY score),
+         |pts AS MATERIALIZED (SELECT sc,
+         |    CAST(sum(np) OVER (ORDER BY sc DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+         |    CAST(sum(nn2) OVER (ORDER BY sc DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp,
+         |    CAST(sum(np) OVER () AS BIGINT)
+         |      - CAST(sum(np) OVER (ORDER BY sc DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fn
+         |  FROM sg),
+         |pts2 AS (SELECT *, round(CAST(2.0 AS DOUBLE) * tp
+         |    / (CAST(2.0 AS DOUBLE) * tp + fp + fn), 6) AS f1 FROM pts)
+         |SELECT sc AS threshold, tp, fp, fn,
+         |  round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+         |  round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall, f1
+         |FROM pts2 ORDER BY f1 DESC, sc LIMIT 1""".stripMargin,
     "eval_calibration" ->
       s"""WITH $duckLogregCtes
          |SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,

@@ -125,6 +125,45 @@ object Classify {
       round(p, 6).as("score"), (round(p, 6) >= 0.5).as("pred"))
   }
 
+  /** Threshold sweep → the F1-optimal operating point: every DISTINCT
+    * score is a candidate threshold (predict positive when
+    * score ≥ threshold); precision/recall/F1 come from suffix-cumulative
+    * integer counts over the score grid, and the argmax is a
+    * min-of-struct aggregate (highest F1, ties → lowest threshold).
+    * Same bounded-window argument as [[aucEval]]: the sweep's input is
+    * one row per distinct 6-dp score, never the corpus. tp/fp/fn are
+    * exact suffix-cumulative longs; F1 = 2tp/(2tp+fp+fn) rounds to 6 dp
+    * before the argmax so the comparison can't fork on an ulp. Returns
+    * one row: (threshold, tp, fp, fn, precision, recall, f1). */
+  def f1Sweep(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val s = scored.groupBy(col(scoreCol).as("sc"))
+      .agg(
+        sum(when(col(labelCol) === 1.0, 1L).otherwise(0L)).as("np"),
+        sum(when(col(labelCol) === 1.0, 0L).otherwise(1L)).as("nn"))
+    val wSuffix = Window.orderBy(col("sc").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totPos = Window.orderBy(col("sc"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pts = s
+      .withColumn("tp", sum("np").over(wSuffix))
+      .withColumn("fp", sum("nn").over(wSuffix))
+      .withColumn("fn", sum("np").over(totPos) - col("tp"))
+      .withColumn("f1", round(
+        lit(2.0) * col("tp") / (lit(2.0) * col("tp") + col("fp") + col("fn")), 6))
+    pts
+      .agg(max(struct(col("f1"), (-col("sc")).as("negsc"))).as("best"))
+      .select(col("best"))
+      .join(pts.select(col("sc"), col("tp"), col("fp"), col("fn"), col("f1")),
+        col("f1") === col("best.f1") && (-col("sc")) === col("best.negsc"))
+      .select(
+        col("sc").as("threshold"),
+        col("tp").cast("long").as("tp"), col("fp").cast("long").as("fp"),
+        col("fn").cast("long").as("fn"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6).as("precision"),
+        round(col("tp").cast("double") / (col("tp") + col("fn")), 6).as("recall"),
+        col("f1"))
+  }
+
   /** Exact ROC-AUC of a scored frame (Mann–Whitney U rank form) — the
     * evaluation step that decides whether a quality gate is worth its
     * threshold. AUC = (#correctly-ordered (pos, neg) pairs + ½·ties) /

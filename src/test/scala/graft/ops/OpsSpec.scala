@@ -177,6 +177,19 @@ class OpsSpec extends AnyFunSuite with Matchers {
       9L -> ((2L, 0.975, 1.0)))
   }
 
+  test("f1Sweep: hand-computed optimal threshold with counts") {
+    import spark.implicits._
+    // pos {0.9, 0.7}, neg {0.8, 0.1}: t=0.7 → tp2 fp1 fn0, F1 0.8 — the max
+    val scored = Seq((0.9, 1.0), (0.7, 1.0), (0.8, 0.0), (0.1, 0.0))
+      .toDF("score", "y")
+    val r = Classify.f1Sweep(scored, "score", "y").collect().head
+    r.getDouble(0) shouldBe 0.7
+    (r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe ((2L, 1L, 0L))
+    r.getDouble(4) shouldBe 0.666667
+    r.getDouble(5) shouldBe 1.0
+    r.getDouble(6) shouldBe 0.8
+  }
+
   test("dsir weights: target-domain docs score positive, general model matches lmScore") {
     // two "domains": letter-ish docs (target) vs number-ish docs. A doc
     // from the target domain must look more like the target LM than the
