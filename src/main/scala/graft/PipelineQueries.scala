@@ -214,6 +214,24 @@ object PipelineQueries {
       "doc_id", terms = Seq("table", "query", "spark"))
   }
 
+  /** Incremental index maintenance proof
+    * ([[graft.ops.Retrieval.mergeIndex]]): the corpus indexed as two
+    * disjoint delta batches, monoid-merged, then probed — shares
+    * [[bm25Retrieval]]'s oracle because the merged index must be
+    * bit-equal to the from-scratch build. */
+  def indexIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val a = Retrieval.postingsIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val b = Retrieval.postingsIndex(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    val (p, l) = Retrieval.mergeIndex(a, b)
+    Retrieval.bm25FromIndex(
+      graft.ops.Materialize.index(p, "incr-postings"),
+      graft.ops.Materialize.index(l, "incr-doclens"),
+      "doc_id", terms = Seq("table", "query", "spark"))
+  }
+
   /** Capped inverted-index build ([[graft.ops.Retrieval.invertedIndex]]):
     * champion postings lists bounded BEFORE any array materializes. */
   def invertedIndexQ(s: SparkSession, dir: String): DataFrame =
@@ -1565,6 +1583,7 @@ object PipelineQueries {
     "bm25_retrieval" -> (bm25Retrieval _),
     "bm25_indexed" -> (bm25Indexed _),
     "bm25_batch" -> (bm25BatchQ _),
+    "index_incremental" -> (indexIncremental _),
     "retrieval_hybrid_rrf" -> (retrievalHybridRrf _),
     "cohort_retention" -> (cohortRetention _),
     "rolling_active" -> (rollingActiveQ _),
@@ -2845,8 +2864,9 @@ object PipelineQueries {
          |SELECT id_a, id_b, hd FROM h WHERE hd <= 2 ORDER BY id_a, id_b""".stripMargin,
     "bm25_retrieval" -> duckBm25,
     // the indexed variant must agree with the from-text variant exactly —
-    // one oracle judges both
+    // one oracle judges both, and the delta-merged index a third time
     "bm25_indexed" -> duckBm25,
+    "index_incremental" -> duckBm25,
     "bm25_batch" ->
       """WITH qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, tok FROM (VALUES
         |    (1, 'table'), (1, 'query'), (2, 'spark'), (2, 'data'),

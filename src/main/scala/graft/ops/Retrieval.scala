@@ -59,6 +59,29 @@ object Retrieval {
     (postings, doclens)
   }
 
+  /** Monoid merge of two [[postingsIndex]] builds — incremental index
+    * maintenance: yesterday's index plus today's delta batch combine by
+    * re-aggregating (term, doc) rows, WITHOUT touching yesterday's raw
+    * text. Both tables are commutative-monoid encoded (tf and dl sum),
+    * so merge order and batch granularity don't matter: daily deltas,
+    * hourly deltas, or a full rebuild all land on the identical index,
+    * and [[bm25FromIndex]] scores from the merged index are bit-equal
+    * to a from-scratch build. For a REVISED document, anti-join its id
+    * out of the old index first (delete + re-insert); for append-only
+    * corpora — the training-data lake case — the merge is the whole
+    * maintenance story. Cost: one partial-agg shuffle over the DELTA
+    * plus the touched old rows, not the corpus. */
+  def mergeIndex(
+      a: (DataFrame, DataFrame),
+      b: (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    val idc = a._1.columns.filterNot(Set("tok", "tf")).head
+    val posts = a._1.unionAll(b._1)
+      .groupBy("tok", idc).agg(sum("tf").as("tf"))
+    val lens = a._2.unionAll(b._2)
+      .groupBy(idc).agg(sum("dl").as("dl"))
+    (posts, lens)
+  }
+
   /** Okapi BM25 served FROM a [[postingsIndex]] instead of re-tokenizing
     * the corpus: term selection is a literal `isin` filter that pushes
     * into the postings scan (parquet reads only matching row groups —

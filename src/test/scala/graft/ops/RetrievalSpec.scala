@@ -137,6 +137,24 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
     got(2L) shouldBe ((None, true)) // nothing within distance 2: novel
   }
 
+  test("mergeIndex: delta-merged index is row-identical to the from-scratch build") {
+    val d = docs(
+      1L -> "spark table query engine",
+      2L -> "spark spark filler",
+      3L -> "unrelated words only",
+      4L -> "table query table data")
+    val full = Retrieval.postingsIndex(d, "doc_id", "text")
+    val (mp, ml) = Retrieval.mergeIndex(
+      Retrieval.postingsIndex(d.filter(org.apache.spark.sql.functions.col("doc_id") <= 2),
+        "doc_id", "text"),
+      Retrieval.postingsIndex(d.filter(org.apache.spark.sql.functions.col("doc_id") > 2),
+        "doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    rows(mp) shouldBe rows(full._1)
+    rows(ml) shouldBe rows(full._2)
+  }
+
   test("topKPerKey equals the naive global window; phase-1 survivor set is bounded") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
