@@ -195,6 +195,17 @@ class PlanSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("GD gate scoring is scan-side: trained weights are literals, plan has no join") {
+    val out = PipelineQueries.qualityLogreg(spark, dir)
+    val p = plan(out)
+    // training collapsed to plan literals on the driver; scoring every
+    // doc is a pure projection over one scan — no join, no hash shuffle
+    // (the only exchange is the deterministic output sort's range
+    // partitioning)
+    p should not include "Join"
+    p should not include "hashpartitioning"
+  }
+
   test("pagerank keeper plans no cartesian product off the shared pair index") {
     val out = PipelineQueries.dedupPagerankKeeper(spark, dir)
     out.collect()
