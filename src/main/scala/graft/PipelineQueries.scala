@@ -232,6 +232,31 @@ object PipelineQueries {
       "doc_id", terms = Seq("table", "query", "spark"))
   }
 
+  /** Snapshot diff between two corpus versions — the CDC-style audit a
+    * lake pipeline runs before re-processing: per doc id,
+    * added / removed / changed / unchanged, decided by content hash
+    * over a single full-outer join on the id. Versions derive
+    * deterministically from the one documents table (old = all but
+    * src4; new = all but src0, docs ≡ 0 mod 10 "revised"), so the
+    * oracle replays both sides exactly. Scale: two scans + one id-keyed
+    * join; hashes compare scan-side — no text ever shuffles. */
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("source") =!= "src4")
+      .select(col("doc_id"), md5(col("text")).as("h_old"))
+    val neu = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 10 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text"))).as("h_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** Capped inverted-index build ([[graft.ops.Retrieval.invertedIndex]]):
     * champion postings lists bounded BEFORE any array materializes. */
   def invertedIndexQ(s: SparkSession, dir: String): DataFrame =
@@ -1584,6 +1609,7 @@ object PipelineQueries {
     "bm25_indexed" -> (bm25Indexed _),
     "bm25_batch" -> (bm25BatchQ _),
     "index_incremental" -> (indexIncremental _),
+    "corpus_diff" -> (corpusDiff _),
     "retrieval_hybrid_rrf" -> (retrievalHybridRrf _),
     "cohort_retention" -> (cohortRetention _),
     "rolling_active" -> (rollingActiveQ _),
@@ -2867,6 +2893,19 @@ object PipelineQueries {
     // one oracle judges both, and the delta-merged index a third time
     "bm25_indexed" -> duckBm25,
     "index_incremental" -> duckBm25,
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h_old
+        |  FROM documents WHERE source <> 'src4'),
+        |n AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]' ELSE text END) AS h_new
+        |  FROM documents WHERE source <> 'src0')
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.h_old IS NULL THEN 'added'
+        |       WHEN n.h_new IS NULL THEN 'removed'
+        |       WHEN o.h_old <> n.h_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "bm25_batch" ->
       """WITH qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, tok FROM (VALUES
         |    (1, 'table'), (1, 'query'), (2, 'spark'), (2, 'data'),
