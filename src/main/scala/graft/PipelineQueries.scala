@@ -680,53 +680,43 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** The embedding near-dup pair graph every graph-kernel query runs on
+    * (vec_id < 300, cosine ≥ 0.35) — ONE definition so the threshold
+    * and cut can never desynchronize across the four consumers and
+    * their shared oracle CTEs. */
+  private def embPairGraph(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+    val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val r = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    l.join(r, col("id_a") < col("id_b"))
+      .withColumn("cos", round(Similarity.cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("cos") >= 0.35)
+      .select("id_a", "id_b")
+  }
+
   /** Triangle enumeration ([[graft.ops.Cluster.triangles]]) over the
     * embedding near-dup graph: mutual-similarity triangles are the
     * strongest transitivity evidence a near-dup cluster can show (every
     * member pair agrees), and the textbook graph-analytics kernel the
     * degree-ordered wedge join keeps O(m^{3/2}) at any scale. */
-  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
-    val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
-    val r = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
-    val pairs = l.join(r, col("id_a") < col("id_b"))
-      .withColumn("cos", round(Similarity.cosine(col("vec_a"), col("vec_b")), 4))
-      .filter(col("cos") >= 0.35)
-      .select("id_a", "id_b")
-    graft.ops.Cluster.triangles(pairs).orderBy("a", "b", "c")
-  }
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cluster.triangles(embPairGraph(s, dir)).orderBy("a", "b", "c")
 
   /** 2-core of the embedding near-dup graph
     * ([[graft.ops.Cluster.kCore]]): peels pendant chains and LSH
     * false-positive tendrils until every surviving doc keeps ≥ 2
     * mutually-similar neighbors — the graph-hygiene cut applied before
     * trusting transitive dedup clusters. */
-  def graphKcore(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
-    val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
-    val r = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
-    val pairs = l.join(r, col("id_a") < col("id_b"))
-      .withColumn("cos", round(Similarity.cosine(col("vec_a"), col("vec_b")), 4))
-      .filter(col("cos") >= 0.35)
-      .select("id_a", "id_b")
-    graft.ops.Cluster.kCore(pairs, k = 2).orderBy("doc_id")
-  }
+  def graphKcore(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cluster.kCore(embPairGraph(s, dir), k = 2).orderBy("doc_id")
 
   /** Local clustering coefficient
     * ([[graft.ops.Cluster.clusteringCoefficient]]) over the embedding
     * near-dup graph: coherent mutual-similarity groups score ~1, hubs
     * stitching unrelated docs score ~0 — the per-node LSH-false-positive
     * smell test. */
-  def graphClustering(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
-    val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
-    val r = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
-    val pairs = l.join(r, col("id_a") < col("id_b"))
-      .withColumn("cos", round(Similarity.cosine(col("vec_a"), col("vec_b")), 4))
-      .filter(col("cos") >= 0.35)
-      .select("id_a", "id_b")
-    graft.ops.Cluster.clusteringCoefficient(pairs).orderBy("doc_id")
-  }
+  def graphClustering(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cluster.clusteringCoefficient(embPairGraph(s, dir)).orderBy("doc_id")
 
   /** Composed graph-hygiene audit — the round-8 graph family as one
     * pipeline: the embedding near-dup graph's 2-core (pendant/tendril
@@ -736,14 +726,7 @@ object PipelineQueries {
     * clique-like (coeff ≥ 0.5) — the membership set transitive dedup can
     * trust. The pair list feeds both kernels once. */
   def pipelineGraphHygiene(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
-    val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
-    val r = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
-    val pairs = graft.ops.Materialize.index(
-      l.join(r, col("id_a") < col("id_b"))
-        .withColumn("cos", round(Similarity.cosine(col("vec_a"), col("vec_b")), 4))
-        .filter(col("cos") >= 0.35)
-        .select("id_a", "id_b"), "hygiene-pairs")
+    val pairs = graft.ops.Materialize.index(embPairGraph(s, dir), "hygiene-pairs")
     graft.ops.Cluster.kCore(pairs, k = 2)
       .join(graft.ops.Cluster.clusteringCoefficient(pairs), "doc_id")
       .filter(col("coeff") >= 0.5)

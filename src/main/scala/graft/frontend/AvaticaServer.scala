@@ -150,7 +150,11 @@ class GraftAvaticaServer(
     }
 
     def moreAfter(offset: Int): Boolean = synchronized {
-      offset < fetched || iter.hasNext
+      // consistent with frameAt: an offset in (0, frameOffset) would be
+      // REFUSED there (backward reposition past the kept frame), so
+      // syncResults must not advertise it as resumable — the client's
+      // recovery is reset-to-0 or replay of the held frame
+      (offset == 0 || offset >= frameOffset) && (offset < fetched || iter.hasNext)
     }
   }
 

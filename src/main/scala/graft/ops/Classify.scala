@@ -128,8 +128,8 @@ object Classify {
   /** Threshold sweep → the F1-optimal operating point: every DISTINCT
     * score is a candidate threshold (predict positive when
     * score ≥ threshold); precision/recall/F1 come from suffix-cumulative
-    * integer counts over the score grid, and the argmax is a
-    * min-of-struct aggregate (highest F1, ties → lowest threshold).
+    * integer counts over the score grid, and the argmax is a TakeOrdered
+    * over that grid (highest F1, ties → lowest threshold).
     * Same bounded-window argument as [[aucEval]]: the sweep's input is
     * one row per distinct 6-dp score, never the corpus. tp/fp/fn are
     * exact suffix-cumulative longs; F1 = 2tp/(2tp+fp+fn) rounds to 6 dp
@@ -150,11 +150,11 @@ object Classify {
       .withColumn("fn", sum("np").over(totPos) - col("tp"))
       .withColumn("f1", round(
         lit(2.0) * col("tp") / (lit(2.0) * col("tp") + col("fp") + col("fn")), 6))
+    // the grid is bounded (one row per distinct 6-dp score), so the
+    // argmax is a TakeOrdered over it — no self-join, single lineage
     pts
-      .agg(max(struct(col("f1"), (-col("sc")).as("negsc"))).as("best"))
-      .select(col("best"))
-      .join(pts.select(col("sc"), col("tp"), col("fp"), col("fn"), col("f1")),
-        col("f1") === col("best.f1") && (-col("sc")) === col("best.negsc"))
+      .orderBy(col("f1").desc, col("sc").asc)
+      .limit(1)
       .select(
         col("sc").as("threshold"),
         col("tp").cast("long").as("tp"), col("fp").cast("long").as("fp"),
@@ -164,18 +164,6 @@ object Classify {
         col("f1"))
   }
 
-  /** Exact ROC-AUC of a scored frame (Mann–Whitney U rank form) — the
-    * evaluation step that decides whether a quality gate is worth its
-    * threshold. AUC = (#correctly-ordered (pos, neg) pairs + ½·ties) /
-    * (n_pos·n_neg), computed in INTEGER pair counts — no per-pair join,
-    * no float accumulation, engine-exact to the final division.
-    *
-    * Scale shape: rows reduce to one row PER DISTINCT SCORE first
-    * (partial-agg), and because scores are defensively rounded (6 dp in
-    * [0, 1] → ≤ 10⁶ + 1 values), the cumulative window's input is
-    * bounded BY CONSTRUCTION regardless of corpus size — a
-    * single-partition window over a table that cannot grow past the
-    * score grid. Returns one row: (auc, n_pos, n_neg). */
   /** Calibration (reliability) bins: decile buckets of the score, each
     * reporting its doc count, mean score, and positive fraction — the
     * diagram that shows whether a gate's scores can be READ as
@@ -194,6 +182,18 @@ object Classify {
         round(col("sfx").cast("double") / lit(1e6) / col("n"), 6).as("mean_score"),
         round(col("npos").cast("double") / col("n"), 6).as("frac_pos"))
 
+  /** Exact ROC-AUC of a scored frame (Mann–Whitney U rank form) — the
+    * evaluation step that decides whether a quality gate is worth its
+    * threshold. AUC = (#correctly-ordered (pos, neg) pairs + ½·ties) /
+    * (n_pos·n_neg), computed in INTEGER pair counts — no per-pair join,
+    * no float accumulation, engine-exact to the final division.
+    *
+    * Scale shape: rows reduce to one row PER DISTINCT SCORE first
+    * (partial-agg), and because scores are defensively rounded (6 dp in
+    * [0, 1] → ≤ 10⁶ + 1 values), the cumulative window's input is
+    * bounded BY CONSTRUCTION regardless of corpus size — a
+    * single-partition window over a table that cannot grow past the
+    * score grid. Returns one row: (auc, n_pos, n_neg). */
   def aucEval(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val s = scored.groupBy(col(scoreCol).as("sc"))
       .agg(

@@ -352,6 +352,14 @@ object Cluster {
       size = nextSize
       edges = next
     }
+    // same contract as connectedComponents: a partially-peeled edge list
+    // is NOT a k-core — refuse rather than return wrong membership (a
+    // long pendant chain peels one layer per round, so depth can exceed
+    // any fixed bound on adversarial inputs)
+    if (removed > 0)
+      throw new IllegalStateException(
+        s"k-core peeling did not converge in $maxRounds rounds " +
+          "(pendant-chain depth exceeds the bound; raise maxRounds)")
     edges.groupBy("x").agg(count(lit(1)).cast("long").as("core_deg"))
       .select(col("x").as("doc_id"), col("core_deg"))
   }

@@ -127,20 +127,6 @@ object Sessionize {
         .reduce(_ + _))
   }
 
-  /** Weekly cohort retention: keys grouped by the week (Monday-truncated)
-    * of their FIRST event; cell (cohort_week, week_offset) counts how
-    * many of that cohort's keys were active `week_offset` weeks after
-    * joining — the classic retention triangle.
-    *
-    * Scale shape: the event stream reduces immediately to DISTINCT
-    * (key, week) — at most 52·|keys| rows/year no matter the event
-    * volume; the cohort week is a per-key partial-aggregated min; the
-    * join back is on the key (exchange-reusable with the distinct's
-    * hash partitioning), and the final cell aggregate's output is
-    * |weeks|² rows. `n_users` is a plain count: rows are already
-    * distinct per (key, week), so no count-distinct shuffle is needed.
-    * Both week columns are exact 7-day multiples apart, so the offset
-    * division is exact in any engine. */
   /** Rolling `windowDays`-day active keys per day (the WAU/N-day-active
     * series): for each day in the observed range, how many distinct keys
     * had ≥ 1 event in the trailing window ending that day.
@@ -175,6 +161,20 @@ object Sessionize {
       .agg(count(lit(1)).cast("long").as("active_keys"))
   }
 
+  /** Weekly cohort retention: keys grouped by the week (Monday-truncated)
+    * of their FIRST event; cell (cohort_week, week_offset) counts how
+    * many of that cohort's keys were active `week_offset` weeks after
+    * joining — the classic retention triangle.
+    *
+    * Scale shape: the event stream reduces immediately to DISTINCT
+    * (key, week) — at most 52·|keys| rows/year no matter the event
+    * volume; the cohort week is a per-key partial-aggregated min; the
+    * join back is on the key (exchange-reusable with the distinct's
+    * hash partitioning), and the final cell aggregate's output is
+    * |weeks|² rows. `n_users` is a plain count: rows are already
+    * distinct per (key, week), so no count-distinct shuffle is needed.
+    * Both week columns are exact 7-day multiples apart, so the offset
+    * division is exact in any engine. */
   def cohortRetention(events: DataFrame, key: String, tsCol: String): DataFrame = {
     val weeks = events
       .select(col(key), date_trunc("week", col(tsCol)).cast("date").as("wk"))

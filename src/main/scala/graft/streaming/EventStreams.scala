@@ -169,11 +169,18 @@ object EventStreams {
       watermark: String = "10 minutes"): DataFrame = {
     import graft.ops.Dedup
     val keys = Dedup.hammingBlockKeySql
-    val buckets = corpusFps.select(col("simhash").as("_cfp")).distinct()
-      .select(col("_cfp"),
-        explode(expr(s"array(${keys.map(_.replace("simhash", "_cfp")).mkString(", ")})"))
-          .as("_probe"))
-      .groupBy("_probe").agg(collect_set("_cfp").as("_fps"))
+    // the bucket table is STATIC — materialize it once at stream build
+    // time: a stream-static join re-executes the static sub-plan every
+    // micro-batch, and this one is referenced three times per batch, so
+    // an unmaterialized corpus-wide distinct + collect_set aggregate
+    // would run 3× per trigger forever; frozen to parquet it's a scan
+    val buckets = graft.ops.Materialize.index(
+      corpusFps.select(col("simhash").as("_cfp")).distinct()
+        .select(col("_cfp"),
+          explode(expr(s"array(${keys.map(_.replace("simhash", "_cfp")).mkString(", ")})"))
+            .as("_probe"))
+        .groupBy("_probe").agg(collect_set("_cfp").as("_fps")),
+      "gate-buckets")
     val keyed = keys.zipWithIndex.foldLeft(
       Dedup.simhash64(docs.withWatermark("ts", watermark), "text")) {
       case (df, (sql, b)) => df.withColumn(s"_k$b", expr(sql))
