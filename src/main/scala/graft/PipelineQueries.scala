@@ -708,7 +708,10 @@ object PipelineQueries {
     * mutually-similar neighbors — the graph-hygiene cut applied before
     * trusting transitive dedup clusters. */
   def graphKcore(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Cluster.kCore(embPairGraph(s, dir), k = 2).orderBy("doc_id")
+    // maxRounds matches the oracle's fixed unroll: convergence past 8
+    // rounds must throw (visible), never silently diverge from the replay
+    graft.ops.Cluster.kCore(embPairGraph(s, dir), k = 2, maxRounds = 8)
+      .orderBy("doc_id")
 
   /** Local clustering coefficient
     * ([[graft.ops.Cluster.clusteringCoefficient]]) over the embedding
@@ -727,7 +730,8 @@ object PipelineQueries {
     * trust. The pair list feeds both kernels once. */
   def pipelineGraphHygiene(s: SparkSession, dir: String): DataFrame = {
     val pairs = graft.ops.Materialize.index(embPairGraph(s, dir), "hygiene-pairs")
-    graft.ops.Cluster.kCore(pairs, k = 2)
+    // maxRounds = the oracle's unroll bound, as in graphKcore
+    graft.ops.Cluster.kCore(pairs, k = 2, maxRounds = 8)
       .join(graft.ops.Cluster.clusteringCoefficient(pairs), "doc_id")
       .filter(col("coeff") >= 0.5)
       .select("doc_id", "core_deg", "deg", "tri_cnt", "coeff")
