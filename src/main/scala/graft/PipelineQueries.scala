@@ -34,13 +34,17 @@ object PipelineQueries {
     * oracle REPLAYS training: unrolled rounds, hard-sigmoid activation,
     * fixed-point gradient sums — the whole loop is engine-exact. */
   def qualityLogreg(s: SparkSession, dir: String): DataFrame = {
-    val f = TextAnalysis.qualityStats(t(s, dir, "documents"))
-      .select(col("doc_id"),
-        lit(1.0).as("x0"),
-        (col("n_words").cast("double") / lit(100.0)).as("x1"),
-        col("distinct_ratio").as("x2"),
-        (col("mean_word_len") / lit(10.0)).as("x3"),
-        when(col("source") === "src0", lit(1.0)).otherwise(lit(0.0)).as("y"))
+    // the feature matrix materializes ONCE: every GD round scans the
+    // skinny parquet instead of re-tokenizing the corpus text per round
+    val f = graft.ops.Materialize.index(
+      TextAnalysis.qualityStats(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          lit(1.0).as("x0"),
+          (col("n_words").cast("double") / lit(100.0)).as("x1"),
+          col("distinct_ratio").as("x2"),
+          (col("mean_word_len") / lit(10.0)).as("x3"),
+          when(col("source") === "src0", lit(1.0)).otherwise(lit(0.0)).as("y")),
+      "logreg-feats")
     graft.ops.Classify.logisticGd(f, "doc_id", dims = 4).orderBy("doc_id")
   }
 

@@ -196,12 +196,16 @@ object ScaleSoak {
     // partial-agg each) + scan-side scoring with literal weights — the
     // iterative-ML stage whose wall must track corpus size, not rounds²
     timed("logreg_train") {
-      val f = graft.ops.TextAnalysis.qualityStats(docs)
-        .select(col("doc_id"), lit(1.0).as("x0"),
-          (col("n_words").cast("double") / lit(100.0)).as("x1"),
-          col("distinct_ratio").as("x2"),
-          (col("mean_word_len") / lit(10.0)).as("x3"),
-          when(col("source") === "src0", lit(1.0)).otherwise(lit(0.0)).as("y"))
+      // features materialize once — each GD round scans the skinny
+      // matrix, not the corpus text
+      val f = graft.ops.Materialize.index(
+        graft.ops.TextAnalysis.qualityStats(docs)
+          .select(col("doc_id"), lit(1.0).as("x0"),
+            (col("n_words").cast("double") / lit(100.0)).as("x1"),
+            col("distinct_ratio").as("x2"),
+            (col("mean_word_len") / lit(10.0)).as("x3"),
+            when(col("source") === "src0", lit(1.0)).otherwise(lit(0.0)).as("y")),
+        "soak-logreg-feats")
       counts("logreg_rows") =
         graft.ops.Classify.logisticGd(f, "doc_id", dims = 4).count()
     }

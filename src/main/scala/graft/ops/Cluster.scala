@@ -268,9 +268,13 @@ object Cluster {
     * needs no extra join. Returns one (a, b, c) row per triangle,
     * ids ascending within the row. */
   def triangles(pairs: DataFrame): DataFrame = {
-    val und = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
-      .unionAll(pairs.select(col("id_b"), col("id_a")))
-      .distinct()
+    // the bidirectional edge list materializes once: deg and base both
+    // consume it, and the pair SOURCE may be an expensive lineage (an
+    // unmaterialized candidate join would otherwise recompute per branch)
+    val und = Materialize.index(
+      pairs.select(col("id_a").as("x"), col("id_b").as("y"))
+        .unionAll(pairs.select(col("id_b"), col("id_a")))
+        .distinct(), "tri-und")
     val deg = und.groupBy("x").agg(count(lit(1)).as("deg"))
     val base = und.filter(col("x") < col("y"))
       .join(deg.withColumnRenamed("deg", "dx"), "x")
@@ -300,11 +304,14 @@ object Cluster {
     * the division is exact integer → one deterministic round. Returns
     * (doc_id, deg, tri_cnt, coeff). */
   def clusteringCoefficient(pairs: DataFrame): DataFrame = {
-    val und = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
-      .unionAll(pairs.select(col("id_b"), col("id_a")))
+    // cut the (possibly expensive) pair lineage once; both the degree
+    // table and the triangle kernel read the parquet copy
+    val p = Materialize.index(pairs.select("id_a", "id_b"), "cc-pairs")
+    val und = p.select(col("id_a").as("x"), col("id_b").as("y"))
+      .unionAll(p.select(col("id_b"), col("id_a")))
       .distinct()
     val deg = und.groupBy("x").agg(count(lit(1)).as("deg"))
-    val triCnt = triangles(pairs)
+    val triCnt = triangles(p)
       .select(explode(array(col("a"), col("b"), col("c"))).as("x"))
       .groupBy("x").agg(count(lit(1)).as("tri_cnt"))
     deg.filter(col("deg") >= 2)
