@@ -278,6 +278,26 @@ class AvaticaServerSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     cs.get("response").asText() shouldBe "connectionSync"
   }
 
+  test("syncResults never advertises an offset the fetch would refuse") {
+    open("c16", "orga")
+    val sid = createStatement("c16")
+    rpc(s"""{"request":"prepareAndExecute","connectionId":"c16","statementId":$sid,""" +
+      """"sql":"SELECT v FROM avmetric ORDER BY v","maxRowCount":-1}""")
+    // advance past the first frame so frameOffset > 0
+    rpc(s"""{"request":"fetch","connectionId":"c16","statementId":$sid,""" +
+      """"offset":3,"fetchMaxRowCount":3}""")
+    // offset 1 sits BEFORE the kept frame: fetch would refuse it as a
+    // backward reposition, so syncResults must not call it resumable
+    val (_, sr) = rpc(
+      s"""{"request":"syncResults","connectionId":"c16","statementId":$sid,"offset":1}""")
+    sr.get("moreResults").asBoolean() shouldBe false
+    // in-frame and reset offsets stay advertised
+    rpc(s"""{"request":"syncResults","connectionId":"c16","statementId":$sid,"offset":3}""")
+      ._2.get("moreResults").asBoolean() shouldBe true
+    rpc(s"""{"request":"syncResults","connectionId":"c16","statementId":$sid,"offset":0}""")
+      ._2.get("moreResults").asBoolean() shouldBe true
+  }
+
   test("statement results stream: peak held rows stays within one frame") {
     open("c12", "orga")
     val sid = createStatement("c12")
