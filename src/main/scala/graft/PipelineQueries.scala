@@ -850,6 +850,55 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Pipeline observability: the drop-reason funnel —
+    * [[pipelinePrepareTraining]]'s gates re-run as per-(source, stage)
+    * COUNTS, the audit a production pipeline publishes next to its
+    * output (where did each source's documents go?). Stages: input,
+    * dedup_dropped, quality_dropped, benchmark_held_out,
+    * decontam_dropped, kept — input = the sum of the rest per source.
+    * Each gate's expensive intermediate materializes once (the same
+    * index-once discipline as the pipeline itself); every stage count
+    * is then one partial aggregate, so the audit adds no shuffle wider
+    * than (source, stage). */
+  def pipelineAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val drops = graft.ops.Cluster
+      .dupClusters(minhashVerifiedPairs(s, dir).select("id_a", "id_b"))
+      .filter(col("doc_id") =!= col("cluster"))
+      .select("doc_id")
+    val dropped = docs.join(drops, "doc_id")
+    val kept = docs.join(drops, Seq("doc_id"), "left_anti")
+    // one gopher pass; the (doc, source, passes) verdicts re-read as parquet
+    val sigs = graft.ops.Materialize.index(
+      TextAnalysis.gopherSignals(kept).select("doc_id", "source", "passes"),
+      "audit-sigs")
+    val gated = kept.join(
+      sigs.filter(col("passes")).select("doc_id"), "doc_id")
+    val train = graft.ops.Materialize.index(
+      gated.filter(col("source") =!= "src0"), "audit-train")
+    val verdicts = graft.ops.Materialize.index(
+      TextAnalysis.contamination(
+          train = train, bench = docs.filter(col("source") === "src0"),
+          shingleWords = 8)
+        .select("doc_id", "contaminated"), "audit-contam")
+    def stage(df: DataFrame, name: String) =
+      df.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .withColumn("stage", lit(name))
+    stage(docs, "input")
+      .unionAll(stage(dropped, "dedup_dropped"))
+      .unionAll(stage(sigs.filter(!col("passes")), "quality_dropped"))
+      .unionAll(stage(gated.filter(col("source") === "src0"), "benchmark_held_out"))
+      .unionAll(stage(
+        train.join(verdicts.filter(col("contaminated")).select("doc_id"), "doc_id"),
+        "decontam_dropped"))
+      .unionAll(stage(
+        train.join(verdicts.filter(!col("contaminated")).select("doc_id"), "doc_id"),
+        "kept"))
+      .select("source", "stage", "n_docs")
+      .orderBy("source", "stage")
+  }
+
   /** The training-data story end-to-end in ONE declarative pipeline:
     * exact-dedup to keeper docs → token/quality gate → token counting.
     * Every stage is a narrow transformation over one corpus scan plus the
@@ -1601,6 +1650,7 @@ object PipelineQueries {
     "bm25_batch" -> (bm25BatchQ _),
     "index_incremental" -> (indexIncremental _),
     "corpus_diff" -> (corpusDiff _),
+    "pipeline_audit" -> (pipelineAudit _),
     "retrieval_hybrid_rrf" -> (retrievalHybridRrf _),
     "cohort_retention" -> (cohortRetention _),
     "rolling_active" -> (rollingActiveQ _),
@@ -2884,6 +2934,44 @@ object PipelineQueries {
     // one oracle judges both, and the delta-merged index a third time
     "bm25_indexed" -> duckBm25,
     "index_incremental" -> duckBm25,
+    "pipeline_audit" ->
+      // the prepare-training chain (proven CTEs), re-read as per-stage counts
+      s"""WITH RECURSIVE $duckClusterCtes,
+         |drops AS (SELECT node FROM comp WHERE node <> cluster),
+         |kept AS (SELECT * FROM documents
+         |         WHERE doc_id NOT IN (SELECT node FROM drops)),
+         |g AS (SELECT doc_id, lang, source, text, $toks AS tk,
+         |             len($toks) AS n_words FROM kept),
+         |gated AS (SELECT doc_id, lang, source, text FROM g WHERE
+         |  n_words >= 40
+         |  AND round((length(text) - n_words + 1) / n_words, 4) BETWEEN 3.0 AND 8.0
+         |  AND round(len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is'], t))) / n_words, 4) >= 0.05
+         |  AND round(list_max(list_transform(list_distinct(tk), d -> len(list_filter(tk, x -> x = d)))) / n_words, 4) <= 0.15
+         |  AND round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / length(text), 4) <= 0.1),
+         |bg AS (SELECT DISTINCT substr(md5(gr), 1, 16) AS gh
+         |  FROM (SELECT unnest(${duckShingles(8)}) AS gr FROM documents WHERE source = 'src0')),
+         |train AS (SELECT doc_id, source,
+         |    list_distinct(list_transform(${duckShingles(8)}, g2 -> substr(md5(g2), 1, 16))) AS ghs
+         |  FROM gated WHERE source <> 'src0'),
+         |h AS (SELECT doc_id, count(*) AS hits
+         |  FROM (SELECT doc_id, unnest(ghs) AS gh FROM train) JOIN bg USING (gh)
+         |  GROUP BY doc_id),
+         |cln AS (SELECT tr.doc_id FROM train tr LEFT JOIN h USING (doc_id)
+         |  WHERE round(coalesce(h.hits, 0) / len(tr.ghs), 4) < 0.2),
+         |a AS (
+         |  SELECT source, 'input' AS stage, CAST(count(*) AS BIGINT) AS n_docs
+         |    FROM documents GROUP BY source
+         |  UNION ALL SELECT source, 'dedup_dropped', CAST(count(*) AS BIGINT)
+         |    FROM documents WHERE doc_id IN (SELECT node FROM drops) GROUP BY source
+         |  UNION ALL SELECT source, 'quality_dropped', CAST(count(*) AS BIGINT)
+         |    FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM gated) GROUP BY source
+         |  UNION ALL SELECT source, 'benchmark_held_out', CAST(count(*) AS BIGINT)
+         |    FROM gated WHERE source = 'src0' GROUP BY source
+         |  UNION ALL SELECT source, 'decontam_dropped', CAST(count(*) AS BIGINT)
+         |    FROM train WHERE doc_id NOT IN (SELECT doc_id FROM cln) GROUP BY source
+         |  UNION ALL SELECT source, 'kept', CAST(count(*) AS BIGINT)
+         |    FROM train WHERE doc_id IN (SELECT doc_id FROM cln) GROUP BY source)
+         |SELECT source, stage, n_docs FROM a ORDER BY source, stage""".stripMargin,
     "corpus_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS h_old
         |  FROM documents WHERE source <> 'src4'),
