@@ -862,10 +862,13 @@ object PipelineQueries {
     * than (source, stage). */
   def pipelineAudit(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val drops = graft.ops.Cluster
-      .dupClusters(minhashVerifiedPairs(s, dir).select("id_a", "id_b"))
-      .filter(col("doc_id") =!= col("cluster"))
-      .select("doc_id")
+    // the LSH → cluster lineage feeds three branches (dropped, kept,
+    // and through kept every later gate) — cut it to parquet once
+    val drops = graft.ops.Materialize.index(
+      graft.ops.Cluster
+        .dupClusters(minhashVerifiedPairs(s, dir).select("id_a", "id_b"))
+        .filter(col("doc_id") =!= col("cluster"))
+        .select("doc_id"), "audit-drops")
     val dropped = docs.join(drops, "doc_id")
     val kept = docs.join(drops, Seq("doc_id"), "left_anti")
     // one gopher pass; the (doc, source, passes) verdicts re-read as parquet
