@@ -902,6 +902,35 @@ object PipelineQueries {
       .orderBy("source", "stage")
   }
 
+  /** Pairwise source vocabulary overlap — exact Jaccard between every
+    * two sources' token SETS: the corpus-composition diagnostic (two
+    * crawls of the same sites show ~1, disjoint domains ~0) that
+    * decides whether sources are worth separate mixture weights.
+    *
+    * Scale shape: the corpus reduces ONCE to DISTINCT (source, token)
+    * — bounded by vocabulary · sources, sublinear in corpus size — and
+    * materializes for its three consumers; the intersection self-join
+    * on the token key emits ≤ sources² rows per token (sources is a
+    * handful), and set sizes join back as a tiny broadcast. No
+    * all-pairs over documents anywhere. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.ops.Materialize.index(
+      t(s, dir, "documents")
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+        .distinct(), "overlap-st")
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+    st.select(col("source").as("src_a"), col("tok"))
+      .join(st.select(col("source").as("src_b"), col("tok")), "tok")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter").cast("long").as("inter"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** The training-data story end-to-end in ONE declarative pipeline:
     * exact-dedup to keeper docs → token/quality gate → token counting.
     * Every stage is a narrow transformation over one corpus scan plus the
@@ -1654,6 +1683,7 @@ object PipelineQueries {
     "index_incremental" -> (indexIncremental _),
     "corpus_diff" -> (corpusDiff _),
     "pipeline_audit" -> (pipelineAudit _),
+    "source_overlap" -> (sourceOverlap _),
     "retrieval_hybrid_rrf" -> (retrievalHybridRrf _),
     "cohort_retention" -> (cohortRetention _),
     "rolling_active" -> (rollingActiveQ _),
@@ -2937,6 +2967,19 @@ object PipelineQueries {
     // one oracle judges both, and the delta-merged index a third time
     "bm25_indexed" -> duckBm25,
     "index_incremental" -> duckBm25,
+    "source_overlap" ->
+      s"""WITH st AS MATERIALIZED (SELECT DISTINCT source, tok
+         |  FROM (SELECT source, unnest($toks) AS tok FROM documents)),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY source),
+         |iv AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT src_a, src_b, inter,
+         |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+         |FROM iv JOIN sz sa ON iv.src_a = sa.source
+         |  JOIN sz sb ON iv.src_b = sb.source
+         |ORDER BY src_a, src_b""".stripMargin,
     "pipeline_audit" ->
       // the prepare-training chain (proven CTEs), re-read as per-stage counts
       s"""WITH RECURSIVE $duckClusterCtes,
