@@ -931,6 +931,94 @@ object PipelineQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** EXACT similarity self-join via prefix filtering
+    * ([[graft.ops.Dedup.allPairsJaccard]], Bayardo et al. WWW'07): every
+    * pair with token-Jaccard ≥ 0.5, no LSH misses. The oracle is BRUTE
+    * FORCE all-pairs — algorithm vs definition, so any false negative
+    * from the prefix/size filters would hash-mismatch. */
+  def dedupAllpairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.allPairsJaccard(
+      graft.ops.Materialize.spread(t(s, dir, "documents")),
+      "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** Cross-source near-dup contamination matrix: for each ordered source
+    * pair, how many verified near-dup pairs ([[minhashVerifiedPairs]])
+    * link them and what fraction of the row-source's documents have a
+    * near-dup in the column source — the "how much of corpus A is
+    * already in corpus B" audit that decides whether a new crawl adds
+    * anything. Pair list is output-sized, the source lookups are
+    * id-keyed joins, per-source totals broadcast. */
+  def sourceContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = minhashVerifiedPairs(s, dir).select("id_a", "id_b")
+    val sym = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val totals = docs.groupBy(col("source").as("src_a")).agg(count(lit(1)).as("total_a"))
+    sym
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("id_a")).as("docs_a"))
+      .join(broadcast(totals), "src_a")
+      .select(col("src_a"), col("src_b"), col("n_pairs"), col("docs_a"),
+        round(col("docs_a").cast("double") / col("total_a"), 6).as("frac_a"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Memorization-risk audit ([[graft.ops.TextAnalysis.topDupGrams]]):
+    * the 20 most-duplicated 8-word grams with doc/occurrence counts —
+    * the verbatim spans a model would memorize. */
+  def memorizationGrams(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.topDupGrams(
+      graft.ops.Materialize.spread(t(s, dir, "documents")),
+      "doc_id", "text", n = 8, k = 20)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
+
+  /** Winnowing fingerprint overlap ([[graft.ops.Dedup.winnowFingerprints]]
+    * → [[graft.ops.Dedup.cdcOverlapPairs]]): MOSS-style plagiarism pairs —
+    * min-sampled char-gram fingerprints, then containment over shared
+    * fingerprints. */
+  def fingerprintWinnow(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcOverlapPairs(
+      Dedup.winnowFingerprints(
+        graft.ops.Materialize.spread(t(s, dir, "documents")),
+        "doc_id", "text", k = 8, w = 4)
+        .withColumnRenamed("fp", "chunk_md5"),
+      "doc_id", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** Dedup-quality eval: recall/precision of the banded-MinHash near-dup
+    * pipeline ([[minhashVerifiedPairs]]) against the EXACT prefix-filtering
+    * ground truth ([[graft.ops.Dedup.allPairsJaccard]]) at the same
+    * threshold — the measured miss rate of the approximate path (the
+    * number that justifies band/hash counts before a 100 TB run).
+    * Both sides verify on identical word token sets, so LSH precision
+    * is 1.0 by construction and the interesting number is recall.
+    * Three 1-row aggregates cross-joined — pair tables never collect. */
+  def dedupRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = Dedup.allPairsJaccard(
+      graft.ops.Materialize.spread(t(s, dir, "documents")),
+      "doc_id", "text", threshold = 0.5).select("id_a", "id_b")
+    val lsh = minhashVerifiedPairs(s, dir).select("id_a", "id_b")
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
+    val nBoth = truth.join(lsh, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_both"))
+    nTruth.crossJoin(nLsh).crossJoin(nBoth)
+      .select(col("n_truth"), col("n_lsh"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_truth"), 4).as("recall"),
+        round(col("n_both").cast("double") / col("n_lsh"), 4).as("precision"))
+  }
+
+  /** kNN label-noise audit ([[graft.ops.Similarity.labelNoise]]): per
+    * label, how many members' IVF-probed 5-NN majority disagrees with
+    * the label itself. */
+  def labelNoiseQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelNoise(t(s, dir, "embeddings"), "vec_id", "embedding",
+      "label", k = 5, numCentroids = IvfCentroids, nprobe = IvfProbes)
+      .orderBy("label")
+
   /** The training-data story end-to-end in ONE declarative pipeline:
     * exact-dedup to keeper docs → token/quality gate → token counting.
     * Every stage is a narrow transformation over one corpus scan plus the
@@ -1231,6 +1319,36 @@ object PipelineQueries {
   def approxDistinctUsers(s: SparkSession, dir: String): DataFrame =
     Hll.approxDistinct(t(s, dir, "events"), "event_type", "user_id")
       .orderBy("event_type")
+
+  /** Sketch-union maintenance proof ([[graft.ops.Hll.registersBy]]): the
+    * per-day register tables an append-only lake would persist, merged
+    * by the register monoid (groupBy-max over the key), must estimate
+    * BIT-IDENTICALLY to a from-scratch sketch over all events — the
+    * mergeIndex contract applied to the sketch family. One partial-agg
+    * shuffle per day's delta at any scale; nothing rescans history. */
+  def sketchUnion(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val daily = graft.ops.Materialize.index(
+      Hll.registersBy(ev, Seq("event_type", "day"), "user_id"), "hll-daily")
+    val merged = daily.groupBy("event_type", "_bucket").agg(max("r").as("r"))
+    Hll.estimateFromRegisters(merged, "event_type")
+      .withColumnRenamed("n_approx", "n_merged")
+      .join(Hll.estimate(ev, "event_type", "user_id")
+        .withColumnRenamed("n_approx", "n_full"), "event_type")
+      .select(col("event_type"), col("n_full"), col("n_merged"),
+        (col("n_merged") === col("n_full")).as("merge_exact"))
+      .orderBy("event_type")
+  }
+
+  /** Clustering-quality eval ([[graft.ops.Similarity.silhouette]]):
+    * simplified per-cell silhouette over the IVF cells — the number
+    * that says whether cell-blocked semantic dedup / sampling can
+    * trust the cells. */
+  def evalSilhouette(s: SparkSession, dir: String): DataFrame =
+    Similarity.silhouette(t(s, dir, "embeddings"), "vec_id", "embedding",
+      numCentroids = IvfCentroids)
+      .orderBy("cell")
 
   /** BPE merge learning ([[graft.ops.Bpe.learnMerges]]): three merge
     * rounds over the corpus vocabulary — the ordered merge list a
@@ -1647,6 +1765,8 @@ object PipelineQueries {
     "funnel_steps" -> (funnelStepsQ _),
     "lang_mismatch" -> (langMismatch _),
     "approx_distinct" -> (approxDistinctUsers _),
+    "sketch_union" -> (sketchUnion _),
+    "eval_silhouette" -> (evalSilhouette _),
     "embed_pq_codes" -> (embedPqCodes _),
     "embed_knn_pq" -> (embedKnnPq _),
     "embed_knn_pq_rerank" -> (embedKnnPqRerank _),
@@ -1670,6 +1790,12 @@ object PipelineQueries {
     "token_counts" -> (tokenCounts _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_allpairs" -> (dedupAllpairs _),
+    "source_contamination" -> (sourceContamination _),
+    "memorization_grams" -> (memorizationGrams _),
+    "fingerprint_winnow" -> (fingerprintWinnow _),
+    "label_noise" -> (labelNoiseQ _),
+    "dedup_recall" -> (dedupRecall _),
     "pair_graph_rank" -> (pairGraphRank _),
     "dedup_pagerank_keeper" -> (dedupPagerankKeeper _),
     "dedup_cluster" -> (dedupCluster _),
@@ -2494,6 +2620,78 @@ object PipelineQueries {
          |FROM p JOIN nc na ON na.doc_id = id_a JOIN nc nb ON nb.doc_id = id_b
          |WHERE round(shared / least(na.nch, nb.nch), 4) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_recall" ->
+      s"""WITH $duckMinhashPairCtes,
+         |tokset AS (SELECT doc_id, list_distinct($toks) AS ts FROM documents),
+         |tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM tokset a JOIN tokset b ON a.doc_id < b.doc_id
+         |  WHERE round(len(list_intersect(a.ts, b.ts)) /
+         |        len(list_distinct(list_concat(a.ts, b.ts))), 4) >= 0.5),
+         |vp AS (SELECT id_a, id_b FROM vpairs),
+         |c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM tr),
+         |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM vp),
+         |c3 AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+         |  FROM tr JOIN vp USING (id_a, id_b))
+         |SELECT n_truth, n_lsh, n_both,
+         |  round(CAST(n_both AS DOUBLE) / n_truth, 4) AS recall,
+         |  round(CAST(n_both AS DOUBLE) / n_lsh, 4) AS precision
+         |FROM c1, c2, c3""".stripMargin,
+    "memorization_grams" ->
+      s"""WITH g AS (SELECT doc_id, unnest(${duckShingles(8)}) AS gram FROM documents)
+         |SELECT gram, count(DISTINCT doc_id) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occ
+         |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 20""".stripMargin,
+    "fingerprint_winnow" ->
+      """WITH g AS (SELECT doc_id,
+        |    CASE WHEN length(text) < 8 THEN [md5(text)]
+        |    ELSE list_transform(range(1, length(text) - 6),
+        |      p -> md5(substring(text, CAST(p AS INT), 8))) END AS wh
+        |  FROM documents),
+        |fp AS (SELECT DISTINCT doc_id, h FROM (
+        |    SELECT doc_id, unnest(
+        |      CASE WHEN len(wh) < 4 THEN [list_min(wh)]
+        |      ELSE list_transform(range(1, len(wh) - 2),
+        |        i -> list_min(wh[CAST(i AS INT):CAST(i + 3 AS INT)])) END) AS h
+        |    FROM g)),
+        |nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nch FROM fp GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared,
+        |  round(shared / least(na.nch, nb.nch), 4) AS containment
+        |FROM p JOIN nc na ON na.doc_id = id_a JOIN nc nb ON nb.doc_id = id_b
+        |WHERE round(shared / least(na.nch, nb.nch), 4) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "label_noise" ->
+      s"""$duckIvfCellsCte,
+         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+         |    FROM sims) WHERE rn <= $IvfProbes),
+         |cand AS (SELECT DISTINCT query_id, corpus_id
+         |         FROM probes JOIN cells USING (cell)
+         |         WHERE query_id <> corpus_id),
+         |scored AS (SELECT query_id, corpus_id, $duckCosIds AS cos
+         |           FROM cand JOIN e qv ON qv.vec_id = query_id
+         |                     JOIN e cv ON cv.vec_id = corpus_id),
+         |knn AS (SELECT query_id, corpus_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, corpus_id) AS rank
+         |  FROM scored) WHERE rank <= 5),
+         |votes AS (SELECT query_id, lab.label AS nlabel, count(*) AS votes
+         |  FROM knn JOIN embeddings lab ON lab.vec_id = knn.corpus_id GROUP BY 1, 2),
+         |pred AS (SELECT query_id, nlabel FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY votes DESC, nlabel) AS rn
+         |  FROM votes) WHERE rn = 1)
+         |SELECT own.label AS label, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN pred.nlabel <> own.label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  round(CAST(sum(CASE WHEN pred.nlabel <> own.label THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 4) AS noise_rate
+         |FROM pred JOIN embeddings own ON own.vec_id = pred.query_id
+         |GROUP BY own.label ORDER BY label""".stripMargin,
     "embed_outliers" ->
       """WITH f AS (SELECT vec_id, label, CAST(i AS INT) AS j,
         |    CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS v
@@ -2647,6 +2845,57 @@ object PipelineQueries {
          |  round(abs(n_approx - n_exact) / n_exact, 4) AS rel_err
          |FROM ex JOIN ap USING (event_type) ORDER BY event_type""".stripMargin
     },
+    "sketch_union" -> {
+      val m = 256
+      val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+      val est = (regs: String, out: String) =>
+        s"""est_$out AS (SELECT event_type, count(*) AS cnt, sum(pow(2.0, -r)) AS sumpow
+           |  FROM $regs GROUP BY 1),
+           |ap_$out AS (SELECT event_type,
+           |    round(CASE WHEN $alphaM2 / (sumpow + ($m - cnt)) <= ${2.5 * m} AND cnt < $m
+           |      THEN ${m.toDouble} * ln(${m.toDouble} / ($m - cnt))
+           |      ELSE $alphaM2 / (sumpow + ($m - cnt)) END, 4) AS $out
+           |  FROM est_$out)""".stripMargin
+      s"""WITH hh AS (SELECT event_type, CAST(ts AS DATE) AS day, user_id,
+         |    md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+         |rr AS (SELECT event_type, day,
+         |    (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+         |      + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) AS bucket,
+         |    CAST(list_sum(list_transform(range(1, 13),
+         |      i -> (instr('0123456789abcdef', substring(h, CAST(i + 2 AS INT), 1)) - 1)
+         |        * 16 ** (12 - i))) AS BIGINT) AS rem
+         |  FROM hh),
+         |daily AS (SELECT event_type, day, bucket,
+         |    max(CASE WHEN rem = 0 THEN 49
+         |      ELSE 49 - len(ltrim(bin(rem), '0')) END) AS r
+         |  FROM rr GROUP BY 1, 2, 3),
+         |merged AS (SELECT event_type, bucket, max(r) AS r FROM daily GROUP BY 1, 2),
+         |full_regs AS (SELECT event_type, bucket,
+         |    max(CASE WHEN rem = 0 THEN 49
+         |      ELSE 49 - len(ltrim(bin(rem), '0')) END) AS r
+         |  FROM rr GROUP BY 1, 2),
+         |${est("merged", "n_merged")},
+         |${est("full_regs", "n_full")}
+         |SELECT event_type, n_full, n_merged, n_merged = n_full AS merge_exact
+         |FROM ap_n_full JOIN ap_n_merged USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    },
+    "eval_silhouette" ->
+      s"""$duckIvfCellsCte,
+         |own AS (SELECT s.vec_id, c.cell, s.s AS s_own
+         |  FROM sims s JOIN cells c ON c.corpus_id = s.vec_id AND s.cid = c.cell),
+         |oth AS (SELECT s.vec_id, max(s.s) AS s_other
+         |  FROM sims s JOIN cells c ON c.corpus_id = s.vec_id AND s.cid <> c.cell
+         |  GROUP BY 1),
+         |pp AS (SELECT own.cell, round(1.0 - s_own, 6) AS a, round(1.0 - s_other, 6) AS b
+         |  FROM own JOIN oth USING (vec_id)),
+         |ps AS (SELECT cell,
+         |    CASE WHEN greatest(a, b) <= 0.0 THEN 0.0
+         |    ELSE round((b - a) / greatest(a, b), 6) END AS sil FROM pp),
+         |pf AS (SELECT cell, CAST(round(sil * 1000000.0, 0) AS BIGINT) AS silfx FROM ps)
+         |SELECT cell, count(*) AS n,
+         |  round(CAST(sum(silfx) AS DOUBLE) / count(*) / 1000000.0, 6) + 0.0 AS mean_sil
+         |FROM pf GROUP BY cell ORDER BY cell""".stripMargin,
     "embed_pq_codes" ->
       s"""$duckPqCodesCte
          |SELECT vec_id,
@@ -2853,6 +3102,32 @@ object PipelineQueries {
     "dedup_minhash_lsh" ->
       s"""WITH $duckMinhashPairCtes
          |SELECT id_a, id_b, jac FROM vpairs ORDER BY id_a, id_b""".stripMargin,
+    "dedup_allpairs" ->
+      // brute-force all-pairs: the DEFINITION the prefix-filtering join
+      // must reproduce exactly (no candidate-generation shortcuts here)
+      s"""WITH tok AS (SELECT doc_id, list_distinct($toks) AS ts FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.ts, b.ts)) /
+         |        len(list_distinct(list_concat(a.ts, b.ts))), 4) AS jac
+         |FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+         |WHERE round(len(list_intersect(a.ts, b.ts)) /
+         |        len(list_distinct(list_concat(a.ts, b.ts))), 4) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "source_contamination" ->
+      s"""WITH $duckMinhashPairCtes,
+         |sym AS (SELECT id_a, id_b FROM vpairs
+         |        UNION ALL SELECT id_b, id_a FROM vpairs),
+         |j AS (SELECT da.source AS src_a, db.source AS src_b, s.id_a
+         |      FROM sym s
+         |      JOIN documents da ON da.doc_id = s.id_a
+         |      JOIN documents db ON db.doc_id = s.id_b),
+         |tot AS (SELECT source AS src_a, count(*) AS total_a FROM documents GROUP BY 1)
+         |SELECT j.src_a, j.src_b, count(*) AS n_pairs,
+         |  count(DISTINCT j.id_a) AS docs_a,
+         |  round(count(DISTINCT j.id_a) / CAST(tot.total_a AS DOUBLE), 6) AS frac_a
+         |FROM j JOIN tot ON tot.src_a = j.src_a
+         |GROUP BY j.src_a, j.src_b, tot.total_a
+         |ORDER BY 1, 2""".stripMargin,
     "pair_graph_rank" -> {
       s"""WITH $duckMinhashPairCtes,
          |e AS (SELECT id_a AS src, id_b AS dst FROM vpairs

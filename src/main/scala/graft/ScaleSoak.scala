@@ -89,6 +89,17 @@ object ScaleSoak {
       verified
     }
 
+    // 1b. EXACT all-pairs similarity join (prefix filtering) — the
+    // ground-truth path beside LSH: candidate volume must track true
+    // pair volume (rarest-token prefixes keep stop words out of the
+    // inverted index; the size filter prunes cross-length pairs), not
+    // corpus². allpairs_pairs − verified_pairs = LSH's measured miss
+    // count at this scale.
+    timed("allpairs_exact") {
+      counts("allpairs_pairs") = graft.ops.Dedup.allPairsJaccard(
+        docs, "doc_id", "text", threshold = 0.5).count()
+    }
+
     // 2. transitive closure → cluster keepers
     val drops = timed("components") {
       val cl = graft.ops.Materialize.index(

@@ -491,4 +491,106 @@ object Dedup {
       .withColumn("simhash", expr(s"concat(${bitCols.mkString(", ")})"))
       .drop("_tok_md5")
   }
+
+  /** Robust-winnowing document fingerprints (Schleimer, Wilkerson,
+    * Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — the MOSS scheme): hash every k-char gram, then keep
+    * the minimum hash of each sliding window of w consecutive gram
+    * hashes. Guarantee: any shared substring of length ≥ w + k − 1
+    * contributes at least one shared fingerprint, while only ~2/(w+1)
+    * of positions are kept — position-based min-sampling, the
+    * complement of [[graft.ops.TextAnalysis.cdcChunks]]'s
+    * content-defined cuts.
+    *
+    * Everything is per-row array expressions over one corpus scan (the
+    * gram hash array computes ONCE behind its own projection and the
+    * window mins read it); the only shuffle is the caller's. Docs
+    * shorter than k chars fingerprint as one whole-text hash; fewer
+    * than w grams → one window over them all.
+    *
+    * Returns (idCol, fp) DISTINCT — feed to [[cdcOverlapPairs]] for
+    * containment pairs. */
+  def winnowFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4): DataFrame = {
+    val grams =
+      s"""CASE WHEN length($textCol) < $k THEN array(md5($textCol))
+         |ELSE transform(sequence(1, length($textCol) - ${k - 1}),
+         |  p -> md5(substring($textCol, p, $k))) END""".stripMargin
+    val mins =
+      s"""CASE WHEN size(_wh) < $w THEN array(array_min(_wh))
+         |ELSE transform(sequence(1, size(_wh) - ${w - 1}),
+         |  i -> array_min(slice(_wh, i, $w))) END""".stripMargin
+    docs.select(col(idCol), expr(grams).as("_wh"))
+      .select(col(idCol), explode(expr(mins)).as("fp"))
+      .distinct()
+  }
+
+  /** EXACT all-pairs Jaccard similarity join via prefix filtering
+    * (Bayardo/Ma/Srikant "Scaling Up All Pairs Similarity Search",
+    * WWW'07) — finds EVERY pair of documents with token-set Jaccard
+    * ≥ `threshold`, no LSH false negatives, without the all-pairs
+    * product.
+    *
+    * Prefix lemma: order every token set by a single global total
+    * order; if |A∩B| ≥ α then the first |A|−α+1 tokens of A intersect
+    * the first |B|−α+1 of B. Jaccard ≥ t implies |A∩B| ≥ ceil(t·|A|)
+    * and ≥ ceil(t·|B|), so indexing only each doc's first
+    * n − ceil(t·n) + 1 tokens is a complete candidate generator.
+    *
+    * Scale shape: the global order is ascending document frequency
+    * (rarest first, ties by token), so the inverted index holds only
+    * each doc's RAREST tokens — a stop word never becomes a join key
+    * unless a doc consists almost entirely of stop words, and bucket
+    * sizes stay small precisely where df is large. The size filter
+    * (t·|A| ≤ |B| ≤ |A|/t, valid since jac ≥ t forces
+    * t·max(|A|,|B|) ≤ min(|A|,|B|)) prunes candidates before the
+    * verify join. Stages: one df aggregation, one tok⋈df shuffle
+    * join, one per-doc sort-agg, the prefix-index equi-self-join, and
+    * the pair verify — all keyed shuffles, no window over data-sized
+    * partitions, no cartesian. Verification reads the same
+    * materialized token table as the candidate generator.
+    *
+    * Complements [[minhashSignatures]]+[[lshCandidatePairs]]: LSH is
+    * the probabilistic fast path, this is the exact reference (and the
+    * ground truth an LSH recall evaluation needs).
+    *
+    * Returns (id_a, id_b, jac) with id_a < id_b, jac rounded to 4 dp. */
+  def allPairsJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val tok = Materialize.index(
+      docs.select(col(idCol),
+        array_distinct(split(lower(col(textCol)), " ")).as("toks")),
+      "allpairs-tok")
+    val exploded = tok.select(col(idCol), explode(col("toks")).as("tok"))
+    val dfCounts = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc tokens re-sorted under the global (df asc, tok) order;
+    // sort_array on (df, tok) structs is engine-deterministic
+    val ordered = exploded
+      .join(dfCounts, "tok")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"),
+        count(lit(1)).as("n"))
+    val prefix = Materialize.index(
+      ordered
+        .withColumn("plen",
+          col("n") - ceil(lit(threshold) * col("n")).cast("int") + lit(1))
+        .select(col(idCol), col("n"),
+          explode(expr("transform(slice(ord, 1, plen), s -> s.tok)")).as("tok")),
+      "allpairs-prefix")
+    val cand = prefix.select(col(idCol).as("id_a"), col("n").as("na"), col("tok"))
+      .join(prefix.select(col(idCol).as("id_b"), col("n").as("nb"), col("tok")), "tok")
+      .filter(col("id_a") < col("id_b") &&
+        col("nb") * lit(threshold) <= col("na") &&
+        col("na") * lit(threshold) <= col("nb"))
+      .select("id_a", "id_b")
+      .distinct()
+    verifyPairsTok(cand, tok, idCol, threshold)
+  }
 }

@@ -30,6 +30,18 @@ object Hll {
       df: DataFrame,
       groupCol: String,
       valueCol: String,
+      bBits: Int = 8): DataFrame =
+    registersBy(df, Seq(groupCol), valueCol, bBits)
+
+  /** [[registers]] keyed by several columns — the persisted per-slice
+    * form for incremental maintenance: write registers per (group,
+    * ingest slice), and merging slices is a groupBy-max over the key
+    * alone (max is the register monoid), bit-identical to recomputing
+    * from raw data. */
+  def registersBy(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
       bBits: Int = 8): DataFrame = {
     val bucketChars = bBits / 4 // whole hex chars keep both engines trivial
     require(bBits % 4 == 0, "bBits must be a multiple of 4")
@@ -39,9 +51,10 @@ object Hll {
     val rem = conv(remHex, 16, 10).cast("long")
     val rank = when(col("_rem") === 0L, lit(49))
       .otherwise(lit(49) - length(conv(col("_remhex"), 16, 2)))
-    df.select(col(groupCol), bucket.as("_bucket"), rem.as("_rem"), remHex.as("_remhex"))
+    df.select(groupCols.map(col) ++
+        Seq(bucket.as("_bucket"), rem.as("_rem"), remHex.as("_remhex")): _*)
       .withColumn("_rank", rank)
-      .groupBy(groupCol, "_bucket")
+      .groupBy(groupCols.map(col) :+ col("_bucket"): _*)
       .agg(max("_rank").as("r"))
   }
 

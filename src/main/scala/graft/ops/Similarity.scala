@@ -743,6 +743,126 @@ object Similarity {
     * collects to the driver; the n·dIn·dOut intermediate is the honest
     * cost of a dense matmul and map-side combine collapses it to n·dOut
     * before the exchange. Returns (idCol, j, comp) skinny form. */
+  /** kNN label-noise audit over a labeled embedding corpus: every
+    * point's k nearest neighbors vote; points whose neighborhood
+    * majority disagrees with their own label are flagged, aggregated
+    * to a per-label noise rate — the standard mislabel sweep before a
+    * labeled set trains a quality gate.
+    *
+    * This is self-kNN with the FULL corpus as the query side, so
+    * unlike [[ivfTopK]] (small query batch → broadcast) every join
+    * here is cell- or id-keyed: IVF cell assignment and per-point
+    * probe lists come off ONE materialized (point, centroid, sim)
+    * stream, candidates are the probe⋈cell equi-join, and scoring
+    * joins vectors back BY ID — nothing corpus-sized broadcasts or
+    * collects. Ranking windows partition per point (bounded by probed
+    * cell membership, the IVF contract; a hot cell is AQE's skew
+    * case). Majority tie-break: (votes desc, label asc); neighbor
+    * tie-break: (cos desc, id asc) on 4-dp cosine, both
+    * oracle-mirrored.
+    *
+    * Returns (label, n, n_flagged, noise_rate). */
+  def labelNoise(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      numCentroids: Int,
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpusD = corpus.select(
+      col(idCol), expr(s"transform($vecCol, x -> cast(x AS double))").as("v"),
+      col(labelCol).as("_lab"))
+    val cents = broadcast(seedCentroids(corpusD, idCol, "v", numCentroids))
+    val sims = Materialize.index(
+      Materialize.spread(corpusD).select(col(idCol).as("pid"), col("v"))
+        .join(cents)
+        .select(col("pid"), col("cid"), cosine(col("v"), col("cvec")).as("s")),
+      "noise-sims")
+    val cells = sims.groupBy("pid")
+      .agg(max(struct(col("s"), (-col("cid")).as("negcid"))).as("best"))
+      .select(col("pid").as("corpus_id"), (-col("best.negcid")).cast("int").as("cell"))
+    val wProbe = Window.partitionBy("pid").orderBy(col("s").desc, col("cid").desc)
+    val probes = sims.withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("pid").as("query_id"), col("cid").as("cell"))
+    val cand = probes.join(cells, "cell")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "corpus_id")
+      .distinct()
+    val scored = cand
+      .join(corpusD.select(col(idCol).as("query_id"), col("v").as("qv")), "query_id")
+      .join(corpusD.select(col(idCol).as("corpus_id"), col("v").as("cv")), "corpus_id")
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
+    val knn = scored.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id")
+    val votes = knn
+      .join(corpusD.select(col(idCol).as("corpus_id"), col("_lab").as("nlabel")), "corpus_id")
+      .groupBy("query_id", "nlabel").agg(count(lit(1)).as("votes"))
+    val wVote = Window.partitionBy("query_id").orderBy(col("votes").desc, col("nlabel"))
+    votes.withColumn("rn", row_number().over(wVote)).filter(col("rn") === 1)
+      .join(corpusD.select(col(idCol).as("query_id"), col("_lab").as("label")), "query_id")
+      .groupBy("label")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("nlabel") =!= col("label"), 1L).otherwise(0L)).as("n_flagged"))
+      .select(col("label"), col("n"), col("n_flagged"),
+        round(col("n_flagged").cast("double") / col("n"), 4).as("noise_rate"))
+  }
+
+  /** Simplified (centroid) silhouette — the clustering-quality half of
+    * the eval family: per point, a = cosine distance to its OWN cell
+    * centroid, b = min distance to any OTHER centroid,
+    * sil = (b − a) / max(a, b) ∈ [−1, 1], averaged per cell. The
+    * classical pairwise silhouette is O(n²); the centroid form
+    * (Hruschka et al. 2004) is the one that survives 100 TB: one
+    * broadcast-centroid join per point (n·k skinny rows, fully
+    * map-side combinable), the same argmax-of-struct cell assignment
+    * as [[corpusCells]], and a cell-keyed mean.
+    *
+    * Determinism: per-point distances round to 6 dp, sil rounds to
+    * 6 dp, and the per-cell mean sums FIXED-POINT longs (exactly
+    * associative) — partial-agg reordering cannot move the result.
+    * The argmax tie-break (lowest cid) matches [[assignCells]], so own
+    * vs other centroids can't fork across engines.
+    *
+    * Returns (cell, n, mean_sil) — low mean_sil flags cells whose
+    * members straddle centroids (candidates for re-clustering before
+    * cell-based semantic dedup trusts them). */
+  def silhouette(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int): DataFrame = {
+    val corpusD = corpus.select(
+      col(idCol).as("pid"), expr(s"transform($vecCol, x -> cast(x AS double))").as("v"))
+    val cents = broadcast(seedCentroids(corpusD, "pid", "v", numCentroids))
+    val sims = Materialize.index(
+      corpusD.join(cents)
+        .select(col("pid"), col("cid"), cosine(col("v"), col("cvec")).as("s")),
+      "sil-sims")
+    val best = sims.groupBy("pid")
+      .agg(max(struct(col("s"), (-col("cid")).as("negcid"))).as("best"))
+      .select(col("pid"), (-col("best.negcid")).cast("int").as("cell"),
+        col("best.s").as("s_own"))
+    val other = sims.join(best.select("pid", "cell"), "pid")
+      .filter(col("cid") =!= col("cell"))
+      .groupBy("pid").agg(max("s").as("s_other"))
+    best.join(other, "pid")
+      .withColumn("a", round(lit(1.0) - col("s_own"), 6))
+      .withColumn("b", round(lit(1.0) - col("s_other"), 6))
+      .withColumn("sil",
+        when(greatest(col("a"), col("b")) <= lit(0.0), lit(0.0))
+          .otherwise(round((col("b") - col("a")) / greatest(col("a"), col("b")), 6)))
+      .withColumn("silfx", round(col("sil") * lit(1e6), 0).cast("long"))
+      .groupBy("cell")
+      .agg(count(lit(1)).cast("long").as("n"), sum("silfx").as("sfx"))
+      .select(col("cell"), col("n"),
+        round(col("sfx").cast("double") / col("n") / lit(1e6), 6).as("mean_sil"))
+  }
+
   def randomProject(
       df: DataFrame,
       idCol: String,

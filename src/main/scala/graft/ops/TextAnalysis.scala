@@ -513,4 +513,26 @@ object TextAnalysis {
       length(norm).cast("long").as("n_chars_norm"),
       (norm =!= col(textCol)).as("changed"))
   }
+
+  /** Memorization-risk audit: the most-duplicated word n-grams across
+    * the corpus — long verbatim spans appearing in many documents are
+    * exactly what a trained model regurgitates (and what boilerplate
+    * removal should have caught). One inverted-gram aggregation
+    * (exact doc-frequency via partial-dedup count-distinct, occurrence
+    * count map-side combined) and a global top-k that compiles to
+    * TakeOrdered — no data-sized window, no collect; the full ordering
+    * (n_docs, n_occ, gram) makes the cut deterministic under ties.
+    * Returns the k worst grams: (gram, n_docs, n_occ). */
+  def topDupGrams(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      k: Int = 20): DataFrame =
+    docs.select(col(idCol), explode(Dedup.shingles(textCol, n)).as("gram"))
+      .groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
+      .limit(k)
 }

@@ -61,6 +61,26 @@ object EventStreams {
       }
   }
 
+  /** Declarative gap-sessionization via the NATIVE `session_window`
+    * function — the complement of [[sessionize]]'s hand-rolled
+    * mapGroupsWithState: when the per-session result is expressible as
+    * aggregates, the built-in operator is preferable (Catalyst's
+    * merging-session state format, watermark-driven eviction, and no
+    * user state class to version). Works identically on a batch frame
+    * (sessions become plain merged groups) — same unification contract
+    * as [[windowedCounts]]. */
+  def sessionWindowCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n"), col("total_value"))
+
   /** Streaming exact-dedup: drop re-delivered events by id, with state
     * bounded by the watermark (the streaming analog of the batch
     * `Dedup.exactGroups` — at-least-once upstream delivery becomes

@@ -1001,6 +1001,91 @@ class OpsSpec extends AnyFunSuite with Matchers {
     Materialize.dropAll()
   }
 
+  test("hll register merge: per-slice registers merged by max ≡ from-scratch sketch") {
+    import spark.implicits._
+    // 3 ingest slices with overlapping values — merge must agree exactly
+    val d = (0 until 3000).map(i => ("g", i % 3, (i % 700).toLong))
+      .toDF("grp", "slice", "v")
+    val daily = Hll.registersBy(d, Seq("grp", "slice"), "v")
+    val merged = daily.groupBy("grp", "_bucket").agg(max("r").as("r"))
+    val viaMerge = Hll.estimateFromRegisters(merged, "grp").collect().head.getDouble(1)
+    val direct = Hll.estimate(d, "grp", "v").collect().head.getDouble(1)
+    viaMerge shouldBe direct
+  }
+
+  test("silhouette: on-centroid clusters score 1.0; an equidistant straddler scores 0") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // ids 0..6 sit exactly on centroid 0 = vec(id 0) = [1,0];
+    // ids 7..13 on centroid 1 = vec(id 7) = [0,1] (stride-7 seeding);
+    // id 14 = [1,1] is equidistant → sil 0, tie-broken into cell 0.
+    val rows = (0L to 6L).map(i => Row(i, Array(1f, 0f))) ++
+      (7L to 13L).map(i => Row(i, Array(0f, 1f))) :+ Row(14L, Array(1f, 1f))
+    val d = spark.createDataFrame(rows.asJava, schema)
+    val out = Similarity.silhouette(d, "vec_id", "embedding", numCentroids = 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    out(0) shouldBe ((8L, 0.875)) // seven 1.0s + one 0 straddler
+    out(1) shouldBe ((7L, 1.0))
+    Materialize.dropAll()
+  }
+
+  test("winnowing: shared substring ≥ w+k−1 chars guarantees a shared fingerprint") {
+    // k=8, w=4 → any 11-char shared run must fingerprint on both sides
+    val shared = "ABCDEFGHIJK" // 11 chars, unique casing so no accidental hits
+    val d = docs(
+      (1L, s"xxxx$shared"),
+      (2L, s"${shared}zzzzzz"),
+      (3L, "totally different content here"))
+    val fps = Dedup.winnowFingerprints(d, "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = fps.groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    byDoc(1L).intersect(byDoc(2L)) should not be empty
+    byDoc(3L).intersect(byDoc(1L)) shouldBe empty
+    // degenerate shapes: shorter than k → whole-text hash; < w grams → one window
+    val tiny = Dedup.winnowFingerprints(docs((9L, "abc")), "doc_id", "text", 8, 4)
+      .collect()
+    tiny.length shouldBe 1
+    val few = Dedup.winnowFingerprints(docs((8L, "abcdefghij")), "doc_id", "text", 8, 4)
+      .collect() // 3 grams < w=4 → exactly one min fingerprint
+    few.length shouldBe 1
+  }
+
+  test("topDupGrams: cross-doc duplicated grams surface, singletons don't") {
+    val span = "one two three four five six seven eight"
+    val d = docs(
+      (1L, s"$span tail1"),
+      (2L, s"lead $span"),
+      (3L, "no overlap with anything else at all here"))
+    val out = TextAnalysis.topDupGrams(d, "doc_id", "text", n = 8, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.map(_._1) should contain(span)
+    val row = out.find(_._1 == span).get
+    row._2 shouldBe 2L // two docs
+    all(out.map(_._2)) should be >= 2L // n_docs >= 2 filter
+  }
+
+  test("labelNoise: a mislabeled point inside a tight cluster gets flagged") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", StringType)))
+    // ids 0..6 at [1,0] labeled a — except id 3 mislabeled b;
+    // ids 7..13 at [0,1] labeled b. Stride-7 seeding puts one centroid
+    // on each cluster; id 3's 5-NN are all a → flagged.
+    val rows = (0L to 6L).map(i =>
+      Row(i, Array(1f, 0f), if (i == 3L) "b" else "a")) ++
+      (7L to 13L).map(i => Row(i, Array(0f, 1f), "b"))
+    val d = spark.createDataFrame(rows.asJava, schema)
+    val out = Similarity.labelNoise(d, "vec_id", "embedding", "label",
+      k = 5, numCentroids = 2, nprobe = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    out("a") shouldBe ((6L, 0L, 0.0))
+    out("b") shouldBe ((8L, 1L, 0.125))
+    Materialize.dropAll()
+  }
+
   test("random projection plan: sign matrix broadcasts; corpus side never collects") {
     val schema = StructType(Seq(
       StructField("vec_id", LongType),

@@ -329,6 +329,42 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("native session_window: gap sessions emit on watermark passage; batch unifies") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "value")
+    val q = EventStreams.sessionWindowCounts(df, gap = "5 minutes", watermark = "10 minutes")
+      .writeStream.queryName("sess_counts").outputMode(OutputMode.Append())
+      .format("memory").start()
+    try {
+      input.addData((1L, ts(1), 1L, 1.0), (2L, ts(2), 1L, 2.0))
+      q.processAllAvailable()
+      input.addData((3L, ts(50), 1L, 4.0)) // watermark will pass session 1
+      q.processAllAvailable()
+      input.addData((4L, ts(59), 2L, 0.0)) // batch that sees wm=40 → emits
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n, total_value FROM sess_counts ORDER BY sess_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      rows should contain((1L, 2L, 3.0)) // minutes 1+2 merged into one session
+      rows.map(_._1) should not contain 2L // user 2's session still open
+    } finally q.stop()
+    // batch unification: same function, plain frame, sessions merge directly
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val batch = spark.createDataFrame(Seq(
+      Row(1L, ts(1), 1L, 1.0), Row(2L, ts(2), 1L, 2.0),
+      Row(3L, ts(50), 1L, 4.0)).asJava, schema)
+    val out = EventStreams.sessionWindowCounts(batch).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("sess_start"), r.getAs[Long]("n")))
+      .sortBy(_._1.getTime)
+    // 30-min default gap: minutes 1-2 merge, minute 50 starts a new session
+    out.map(_._2).toSeq shouldBe Seq(2L, 1L)
+  }
+
   test("salted join spreads a hot key and matches the plain join result") {
     import scala.jdk.CollectionConverters._
     val factSchema = StructType(Seq(
