@@ -988,6 +988,37 @@ object PipelineQueries {
       "doc_id", threshold = 0.5)
       .orderBy("id_a", "id_b")
 
+  /** Incremental component maintenance ([[graft.ops.Cluster.mergeClusters]]):
+    * the standing (doc → cluster) table updated with a delta edge batch
+    * — closure runs only on the CONTRACTED cluster graph (delta-sized),
+    * history is key-joined, never re-closed. The split point is
+    * arbitrary (any split must reach the same fixpoint), so the oracle
+    * is dedup_cluster's FULL recursive closure — merge ≡ recompute is
+    * the checked contract, like index_incremental and sketch_union. */
+  def dedupClusterIncremental(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ops.Materialize.index(
+      minhashVerifiedPairs(s, dir).select("id_a", "id_b"), "inc-cc-pairs")
+    // bounds lookup (1-row aggregate, the permitted collect class)
+    val cut = Option(pairs.agg(max(greatest(col("id_a"), col("id_b")))).head().get(0))
+      .map(_.asInstanceOf[Long] / 2).getOrElse(0L)
+    val base = pairs.filter(col("id_a") < cut && col("id_b") < cut)
+    val delta = pairs.filter(!(col("id_a") < cut && col("id_b") < cut))
+    val comp0 = graft.ops.Cluster.connectedComponents(base)
+      .select(col("node").as("doc_id"), col("label").as("cluster"))
+    val merged = graft.ops.Cluster.mergeClusters(comp0, delta)
+    val sizes = merged.groupBy("cluster").agg(count(lit(1)).as("csize"))
+    merged.join(sizes, "cluster")
+      .select("doc_id", "cluster", "csize").orderBy("doc_id")
+  }
+
+  /** Ingest-volume anomaly monitor ([[graft.ops.Sessionize.ewmaAnomaly]]):
+    * per (event type, day), today's count vs the half-life-weighted mean
+    * of the prior 20 days — dyadic weights make the sums exact, so the
+    * spike flag can't fork across engines. */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessionize.ewmaAnomaly(t(s, dir, "events"), "event_type", "ts")
+      .orderBy("etype", "day")
+
   /** Dedup-quality eval: recall/precision of the banded-MinHash near-dup
     * pipeline ([[minhashVerifiedPairs]]) against the EXACT prefix-filtering
     * ground truth ([[graft.ops.Dedup.allPairsJaccard]]) at the same
@@ -1796,6 +1827,8 @@ object PipelineQueries {
     "fingerprint_winnow" -> (fingerprintWinnow _),
     "label_noise" -> (labelNoiseQ _),
     "dedup_recall" -> (dedupRecall _),
+    "dedup_cluster_incremental" -> (dedupClusterIncremental _),
+    "events_anomaly" -> (eventsAnomaly _),
     "pair_graph_rank" -> (pairGraphRank _),
     "dedup_pagerank_keeper" -> (dedupPagerankKeeper _),
     "dedup_cluster" -> (dedupCluster _),
@@ -3168,6 +3201,27 @@ object PipelineQueries {
          |SELECT node AS doc_id, cluster,
          |  count(*) OVER (PARTITION BY cluster) AS csize
          |FROM comp ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_incremental" ->
+      // merge ≡ recompute: the incremental path must land on the same
+      // full closure whatever the base/delta split was
+      s"""WITH RECURSIVE $duckClusterCtes
+         |SELECT node AS doc_id, cluster,
+         |  count(*) OVER (PARTITION BY cluster) AS csize
+         |FROM comp ORDER BY doc_id""".stripMargin,
+    "events_anomaly" ->
+      """WITH daily AS (SELECT event_type AS etype, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |ew AS (SELECT d.etype, d.day,
+        |    round(sum(h.cnt * pow(0.5, datediff('day', h.day, d.day) - 1)) /
+        |          sum(pow(0.5, datediff('day', h.day, d.day) - 1)), 4) AS ewma_prev
+        |  FROM daily d JOIN daily h ON d.etype = h.etype
+        |    AND datediff('day', h.day, d.day) BETWEEN 1 AND 20
+        |  GROUP BY 1, 2)
+        |SELECT d.etype, d.day, d.cnt, ew.ewma_prev,
+        |  round(d.cnt / ew.ewma_prev, 4) AS ratio,
+        |  coalesce(round(d.cnt / ew.ewma_prev, 4) > 3.0, false) AS is_spike
+        |FROM daily d LEFT JOIN ew ON d.etype = ew.etype AND d.day = ew.day
+        |ORDER BY 1, 2""".stripMargin,
     "dedup_cluster_star" -> // star contraction must agree with the same closure
       s"""WITH RECURSIVE $duckClusterCtes
          |SELECT node AS doc_id, cluster,

@@ -383,6 +383,47 @@ object Cluster {
   def dupClustersStar(pairs: DataFrame): DataFrame =
     assignments(connectedComponentsStar(pairs))
 
+  /** INCREMENTAL component maintenance: fold a delta edge batch into a
+    * materialized (doc_id, cluster) assignment WITHOUT re-running the
+    * closure over the full graph — the append-only-lake form of
+    * [[dupClusters]], the [[graft.ops.Retrieval.mergeIndex]] contract
+    * applied to the dedup graph.
+    *
+    * Min-label components compose: a delta edge can only MERGE existing
+    * clusters (or attach new nodes), and the merged label is the min of
+    * the member clusters' labels — which is exactly the old graph's
+    * global min over the union. So: lift delta edges to CLUSTER-id
+    * edges through the standing assignment (new nodes become singleton
+    * clusters first), run the closure on that contracted graph — sized
+    * by the DELTA, not the corpus — and relabel by one cluster-keyed
+    * join. History is touched only as (id → cluster) lookups and the
+    * final relabel join; document text, signatures, and the old pair
+    * list never re-derive.
+    *
+    * Returns the updated (doc_id, cluster) for every node in
+    * comp ∪ delta — row-identical to [[connectedComponents]] over the
+    * union of all edges ever seen (property-pinned). */
+  def mergeClusters(comp: DataFrame, deltaPairs: DataFrame): DataFrame = {
+    val base = comp.select(col("doc_id"), col("cluster"))
+    val deltaNodes = deltaPairs.select(col("id_a").as("doc_id"))
+      .union(deltaPairs.select(col("id_b").as("doc_id")))
+      .distinct()
+    val newNodes = deltaNodes.join(base, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+    val all = Materialize.index(base.unionByName(newNodes), "merge-comp")
+    val clusterEdges = deltaPairs
+      .join(all.select(col("doc_id").as("id_a"), col("cluster").as("ca")), "id_a")
+      .join(all.select(col("doc_id").as("id_b"), col("cluster").as("cb")), "id_b")
+      .filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("id_a"),
+        greatest(col("ca"), col("cb")).as("id_b"))
+      .distinct()
+    val superLabels = connectedComponents(clusterEdges)
+      .select(col("node").as("cluster"), col("label"))
+    all.join(superLabels, Seq("cluster"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("cluster")).as("cluster"))
+  }
+
   private def assignments(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
     labels.join(sizes, "label")

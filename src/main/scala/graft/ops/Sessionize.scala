@@ -186,4 +186,46 @@ object Sessionize {
       .groupBy("cohort_week", "week_offset")
       .agg(count(lit(1)).cast("long").as("n_users"))
   }
+
+  /** EWMA spike detection over the per-(type, day) event-count series —
+    * the volume-anomaly monitor an ingest pipeline runs before trusting
+    * a day's data. Each day's count is compared against the
+    * exponentially-weighted mean of the PREVIOUS `trailingDays` days
+    * (half-life decay: yesterday weighs 1, the day before 0.5, …).
+    *
+    * Engine-exactness by construction: the raw stream first reduces to
+    * per-(type, day) counts — bounded by calendar × type cardinality,
+    * not event volume — and every EWMA term is count·2^−k, a dyadic
+    * rational; with counts < 2^37 and k ≤ 20 the weighted sums are
+    * EXACT in double (no summation-order ulp to defend against), so
+    * the only rounding is the final display round. The trailing window
+    * runs as a bounded self-join on the small daily table (fan-out ≤
+    * trailingDays), not a window over the event stream; days with no
+    * events are absent (missing, not zero) and calendar distance still
+    * drives the decay.
+    *
+    * Returns (etype, day, cnt, ewma_prev, ratio, is_spike); the first
+    * day of a type has no history → null ewma/ratio, is_spike false. */
+  def ewmaAnomaly(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      trailingDays: Int = 20,
+      spikeFactor: Double = 3.0): DataFrame = {
+    val daily = Materialize.index(
+      events.select(col(typeCol).as("etype"), to_date(col(tsCol)).as("day"))
+        .groupBy("etype", "day").agg(count(lit(1)).as("cnt")),
+      "ewma-daily")
+    val hist = daily.select(col("etype"), col("day").as("hday"), col("cnt").as("hcnt"))
+    val w = pow(lit(0.5), datediff(col("day"), col("hday")) - 1)
+    val ew = daily.join(hist, "etype")
+      .filter(datediff(col("day"), col("hday")).between(1, trailingDays))
+      .groupBy("etype", "day")
+      .agg(round(sum(col("hcnt") * w) / sum(w), 4).as("ewma_prev"))
+    daily.join(ew, Seq("etype", "day"), "left")
+      .select(col("etype"), col("day"), col("cnt"), col("ewma_prev"),
+        round(col("cnt") / col("ewma_prev"), 4).as("ratio"),
+        coalesce(round(col("cnt") / col("ewma_prev"), 4) > lit(spikeFactor),
+          lit(false)).as("is_spike"))
+  }
 }

@@ -81,4 +81,18 @@ object GraphProps extends Properties("Graph") {
       Materialize.dropAll()
       got == brute
     }
+
+  property("mergeClusters(base, delta) ≡ full closure for ANY base/delta split") =
+    forAll(genEdges, org.scalacheck.Gen.choose(0, 99)) { (es, seed) =>
+      import org.apache.spark.sql.functions.col
+      val (base, delta) = es.partition(e => (e._1 + e._2 + seed) % 3 != 0)
+      val comp0 = Cluster.connectedComponents(pairsDf(base))
+        .select(col("node").as("doc_id"), col("label").as("cluster"))
+      val merged = Cluster.mergeClusters(comp0, pairsDf(delta))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = Cluster.connectedComponents(pairsDf(es))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Materialize.dropAll()
+      merged == full
+    }
 }

@@ -212,4 +212,25 @@ class RangeSessionSpec extends AnyFunSuite with Matchers {
       (1 to 7).map(d => f"2026-01-0$d" -> 2L).toMap + ("2026-01-09" -> 1L)
     got shouldBe expected
   }
+
+  test("ewma anomaly: half-life weights, first-day null history, spike flagged") {
+    val aSchema = StructType(Seq(
+      StructField("et", StringType), StructField("ts", TimestampType)))
+    def day(d: Int, n: Int): Seq[Row] = (1 to n).map(_ =>
+      Row("a", java.sql.Timestamp.valueOf(f"2026-03-0$d 10:00:00")))
+    // day1: 2 events, day2: 2, day3: 12 → ewma_prev(d3) = (2·1 + 2·0.5)/1.5 = 2.0
+    val events = df(aSchema, (day(1, 2) ++ day(2, 2) ++ day(3, 12)): _*)
+    val got = Sessionize.ewmaAnomaly(events, "et", "ts")
+      .orderBy("day").collect()
+    got.length shouldBe 3
+    got(0).isNullAt(3) shouldBe true            // no history
+    got(0).getAs[Boolean]("is_spike") shouldBe false
+    got(1).getAs[Double]("ewma_prev") shouldBe 2.0
+    got(1).getAs[Double]("ratio") shouldBe 1.0
+    got(1).getAs[Boolean]("is_spike") shouldBe false
+    got(2).getAs[Double]("ewma_prev") shouldBe 2.0
+    got(2).getAs[Double]("ratio") shouldBe 6.0
+    got(2).getAs[Boolean]("is_spike") shouldBe true
+    Materialize.dropAll()
+  }
 }
