@@ -318,7 +318,10 @@ object PipelineQueries {
     graft.ops.Sessionize.rollingActive(t(s, dir, "events"), "user_id", "ts")
       .orderBy("day")
 
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramVerifiedPairs(s, dir).orderBy("id_a", "id_b")
+
+  private def ngramVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.ops.Materialize.spread(t(s, dir, "documents"))
     // n-gram = word BIGRAM sets: char-3-grams of same-language prose share
     // a tiny alphabet, so their baseline Jaccard sits at ~0.43 on this
@@ -356,7 +359,6 @@ object PipelineQueries {
           size(array_union(col("ga"), col("gb"))), 4))
       .filter(col("jac") >= 0.5)
       .select("id_a", "id_b", "jac")
-      .orderBy("id_a", "id_b")
   }
 
   /** Recall@5 of the LSH ANN against brute-force ground truth — the
@@ -931,15 +933,27 @@ object PipelineQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** Word-bigram gram sets as 16-hex md5 prefixes — the similarity
+    * domain shared by [[dedupNgramJaccard]], [[dedupAllpairs]] and
+    * [[dedupRecall]]. Bigrams because the predicate must DISCRIMINATE:
+    * unigram sets at t=0.5 marked 74% of all soak-corpus pairs similar
+    * (truth itself quadratic — no algorithm survives that); bigram
+    * baseline is ~0.02 with true near-dups ≥ 0.5. */
+  private def bigramTok(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        array_distinct(Dedup.shingles("text", 2)).as("_g"))
+      .select(col("doc_id"),
+        expr("transform(_g, g -> substring(md5(g), 1, 16))").as("toks"))
+
   /** EXACT similarity self-join via prefix filtering
-    * ([[graft.ops.Dedup.allPairsJaccard]], Bayardo et al. WWW'07): every
-    * pair with token-Jaccard ≥ 0.5, no LSH misses. The oracle is BRUTE
-    * FORCE all-pairs — algorithm vs definition, so any false negative
-    * from the prefix/size filters would hash-mismatch. */
+    * ([[graft.ops.Dedup.allPairsJaccardTok]], Bayardo et al. WWW'07):
+    * every pair with bigram-gram Jaccard ≥ 0.5, no LSH misses. The
+    * oracle is BRUTE FORCE all-pairs — algorithm vs definition, so any
+    * false negative from the prefix/size filters would hash-mismatch. */
   def dedupAllpairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.allPairsJaccard(
-      graft.ops.Materialize.spread(t(s, dir, "documents")),
-      "doc_id", "text", threshold = 0.5)
+    Dedup.allPairsJaccardTok(
+      bigramTok(graft.ops.Materialize.spread(t(s, dir, "documents"))),
+      "doc_id", threshold = 0.5)
       .orderBy("id_a", "id_b")
 
   /** Cross-source near-dup contamination matrix: for each ordered source
@@ -1019,19 +1033,51 @@ object PipelineQueries {
     graft.ops.Sessionize.ewmaAnomaly(t(s, dir, "events"), "event_type", "ts")
       .orderBy("etype", "day")
 
-  /** Dedup-quality eval: recall/precision of the banded-MinHash near-dup
-    * pipeline ([[minhashVerifiedPairs]]) against the EXACT prefix-filtering
-    * ground truth ([[graft.ops.Dedup.allPairsJaccard]]) at the same
+  /** Per-source quality dashboard: doc counts, Gopher-gate pass rate,
+    * mean-word-length quartiles (exact percentile over 4-dp signals),
+    * and the fixed-point mean stopword fraction — the one-glance report
+    * deciding which crawl slice needs re-cleaning. One aggregation over
+    * the scan-side [[graft.ops.TextAnalysis.gopherSignals]] projection. */
+  def sourceQualityReport(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.gopherSignals(t(s, dir, "documents"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        round(sum(when(col("passes"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 4).as("pass_rate"),
+        expr("percentile(mean_word_len, 0.25)").as("mwl_p25"),
+        expr("percentile(mean_word_len, 0.5)").as("mwl_p50"),
+        expr("percentile(mean_word_len, 0.75)").as("mwl_p75"),
+        round(sum(round(col("stop_frac") * lit(1e4), 0).cast("long")).cast("double") /
+          count(lit(1)) / lit(1e4), 4).as("mean_stop_frac"))
+      .orderBy("source")
+
+  /** Embedding-lake novelty gate ([[graft.ops.Similarity.embedNovelty]]):
+    * odd-id vectors as the new batch probed against the even-id standing
+    * corpus — max candidate cosine + novel flag per new vector. */
+  def embedNoveltyQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.embedNovelty(
+      emb.filter(col("vec_id") % 2 === 1),
+      emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding",
+      numCentroids = IvfCentroids, nprobe = IvfProbes, threshold = 0.35)
+      .orderBy("vec_id")
+  }
+
+  /** Dedup-quality eval: recall/precision of the gram-minhash-banded
+    * near-dup pipeline ([[ngramVerifiedPairs]]) against the EXACT
+    * prefix-filtering ground truth over the SAME bigram gram sets and
     * threshold — the measured miss rate of the approximate path (the
     * number that justifies band/hash counts before a 100 TB run).
-    * Both sides verify on identical word token sets, so LSH precision
-    * is 1.0 by construction and the interesting number is recall.
+    * Both sides verify the identical similarity, so precision is 1.0
+    * by construction and the interesting number is recall.
     * Three 1-row aggregates cross-joined — pair tables never collect. */
   def dedupRecall(s: SparkSession, dir: String): DataFrame = {
-    val truth = Dedup.allPairsJaccard(
-      graft.ops.Materialize.spread(t(s, dir, "documents")),
-      "doc_id", "text", threshold = 0.5).select("id_a", "id_b")
-    val lsh = minhashVerifiedPairs(s, dir).select("id_a", "id_b")
+    val truth = Dedup.allPairsJaccardTok(
+      bigramTok(graft.ops.Materialize.spread(t(s, dir, "documents"))),
+      "doc_id", threshold = 0.5).select("id_a", "id_b")
+    val lsh = ngramVerifiedPairs(s, dir).select("id_a", "id_b")
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
     val nBoth = truth.join(lsh, Seq("id_a", "id_b"))
@@ -1829,6 +1875,8 @@ object PipelineQueries {
     "dedup_recall" -> (dedupRecall _),
     "dedup_cluster_incremental" -> (dedupClusterIncremental _),
     "events_anomaly" -> (eventsAnomaly _),
+    "source_quality_report" -> (sourceQualityReport _),
+    "embed_novelty" -> (embedNoveltyQ _),
     "pair_graph_rank" -> (pairGraphRank _),
     "dedup_pagerank_keeper" -> (dedupPagerankKeeper _),
     "dedup_cluster" -> (dedupCluster _),
@@ -1909,6 +1957,36 @@ object PipelineQueries {
        |  round(len(list_intersect(ta.ts, tb.ts)) / len(list_distinct(list_concat(ta.ts, tb.ts))), 4) AS jac
        |FROM pairs JOIN tok ta ON ta.doc_id = id_a JOIN tok tb ON tb.doc_id = id_b
        |WHERE round(len(list_intersect(ta.ts, tb.ts)) / len(list_distinct(list_concat(ta.ts, tb.ts))), 4) >= 0.5)""".stripMargin
+  /** CTE chain producing `ngpairs` — the word-bigram gram-minhash-banded
+    * verified near-dup pairs (id_a, id_b, jac ≥ 0.5) — shared by the
+    * ngram-jaccard oracle and the dedup-recall oracle's approximate
+    * side. Also defines `g` (doc_id, grams as md5-16 prefixes), the
+    * similarity domain the recall oracle's brute-force truth reuses. */
+  private lazy val duckNgramPairCtes: String =
+    s"""graw AS (SELECT doc_id, list_distinct(${duckShingles(2)}) AS grams
+       |FROM documents),
+       |g AS (SELECT doc_id,
+       |  list_transform(grams, x -> substr(md5(x), 1, 16)) AS grams FROM graw),
+       |sig AS (SELECT doc_id,
+       |  list_min(list_transform(grams, x -> md5('gsalt0|' || x))) AS g0,
+       |  list_min(list_transform(grams, x -> md5('gsalt1|' || x))) AS g1,
+       |  list_min(list_transform(grams, x -> md5('gsalt2|' || x))) AS g2,
+       |  list_min(list_transform(grams, x -> md5('gsalt3|' || x))) AS g3
+       |FROM graw),
+       |gbands AS (SELECT doc_id, md5(g0 || '|' || g1) AS band0, md5(g2 || '|' || g3) AS band1 FROM sig),
+       |gpairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM gbands a JOIN gbands b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM gbands a JOIN gbands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id),
+       |ngpairs AS (SELECT id_a, id_b,
+       |  round(len(list_intersect(ga.grams, gb.grams)) /
+       |        len(list_distinct(list_concat(ga.grams, gb.grams))), 4) AS jac
+       |FROM gpairs JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b
+       |WHERE round(len(list_intersect(ga.grams, gb.grams)) /
+       |        len(list_distinct(list_concat(ga.grams, gb.grams))), 4) >= 0.5)""".stripMargin
+
   /** CTE chain extending `vpairs` to `comp` — per-node transitive cluster
     * assignment (recursive reachability closure + min per node), shared by
     * the cluster oracle and the composed-pipeline oracle. Callers must
@@ -2654,13 +2732,12 @@ object PipelineQueries {
          |WHERE round(shared / least(na.nch, nb.nch), 4) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup_recall" ->
-      s"""WITH $duckMinhashPairCtes,
-         |tokset AS (SELECT doc_id, list_distinct($toks) AS ts FROM documents),
+      s"""WITH $duckNgramPairCtes,
          |tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM tokset a JOIN tokset b ON a.doc_id < b.doc_id
-         |  WHERE round(len(list_intersect(a.ts, b.ts)) /
-         |        len(list_distinct(list_concat(a.ts, b.ts))), 4) >= 0.5),
-         |vp AS (SELECT id_a, id_b FROM vpairs),
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE round(len(list_intersect(a.grams, b.grams)) /
+         |        len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.5),
+         |vp AS (SELECT id_a, id_b FROM ngpairs),
          |c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM tr),
          |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM vp),
          |c3 AS (SELECT CAST(count(*) AS BIGINT) AS n_both
@@ -3136,13 +3213,17 @@ object PipelineQueries {
       s"""WITH $duckMinhashPairCtes
          |SELECT id_a, id_b, jac FROM vpairs ORDER BY id_a, id_b""".stripMargin,
     "dedup_allpairs" ->
-      // brute-force all-pairs: the DEFINITION the prefix-filtering join
-      // must reproduce exactly (no candidate-generation shortcuts here)
-      s"""WITH tok AS (SELECT doc_id, list_distinct($toks) AS ts FROM documents)
+      // brute-force all-pairs over the bigram gram sets: the DEFINITION
+      // the prefix-filtering join must reproduce exactly (no
+      // candidate-generation shortcuts here)
+      s"""WITH graw AS (SELECT doc_id, list_distinct(${duckShingles(2)}) AS grams
+         |FROM documents),
+         |g AS (SELECT doc_id,
+         |  list_transform(grams, x -> substr(md5(x), 1, 16)) AS ts FROM graw)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  round(len(list_intersect(a.ts, b.ts)) /
          |        len(list_distinct(list_concat(a.ts, b.ts))), 4) AS jac
-         |FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+         |FROM g a JOIN g b ON a.doc_id < b.doc_id
          |WHERE round(len(list_intersect(a.ts, b.ts)) /
          |        len(list_distinct(list_concat(a.ts, b.ts))), 4) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
@@ -3208,6 +3289,60 @@ object PipelineQueries {
          |SELECT node AS doc_id, cluster,
          |  count(*) OVER (PARTITION BY cluster) AS csize
          |FROM comp ORDER BY doc_id""".stripMargin,
+    "source_quality_report" ->
+      s"""WITH g AS (SELECT doc_id, source, text, $toks AS tk, len($toks) AS n_words
+         |  FROM documents),
+         |sig AS (SELECT source,
+         |    round((length(text) - n_words + 1) / n_words, 4) AS mwl,
+         |    round(len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is'], t)))
+         |      / n_words, 4) AS stop_frac,
+         |    (n_words >= 40
+         |      AND round((length(text) - n_words + 1) / n_words, 4) BETWEEN 3.0 AND 8.0
+         |      AND round(len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is'], t))) / n_words, 4) >= 0.05
+         |      AND round(list_max(list_transform(list_distinct(tk), d -> len(list_filter(tk, x -> x = d)))) / n_words, 4) <= 0.15
+         |      AND round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / length(text), 4) <= 0.1
+         |    ) AS passes
+         |  FROM g)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+         |    AS pass_rate,
+         |  quantile_cont(mwl, 0.25) AS mwl_p25,
+         |  quantile_cont(mwl, 0.5) AS mwl_p50,
+         |  quantile_cont(mwl, 0.75) AS mwl_p75,
+         |  round(CAST(sum(CAST(round(stop_frac * 10000, 0) AS BIGINT)) AS DOUBLE)
+         |    / count(*) / 10000.0, 4) AS mean_stop_frac
+         |FROM sig GROUP BY source ORDER BY source""".stripMargin,
+    "embed_novelty" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ex AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         |nw AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+         |cents AS (SELECT CAST((rn - 1) // 7 AS INT) AS cid, v AS cvec FROM (
+         |    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+         |    FROM ex ORDER BY vec_id LIMIT ${IvfCentroids * 7})
+         |  WHERE (rn - 1) % 7 = 0),
+         |exsims AS (SELECT ex.vec_id, cents.cid,
+         |    list_dot_product(ex.v, cents.cvec) /
+         |      (sqrt(list_dot_product(ex.v, ex.v)) * sqrt(list_dot_product(cents.cvec, cents.cvec))) AS s
+         |  FROM ex CROSS JOIN cents),
+         |cells AS (SELECT vec_id AS corpus_id, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+         |    FROM exsims) WHERE rn = 1),
+         |nwsims AS (SELECT nw.vec_id, cents.cid,
+         |    list_dot_product(nw.v, cents.cvec) /
+         |      (sqrt(list_dot_product(nw.v, nw.v)) * sqrt(list_dot_product(cents.cvec, cents.cvec))) AS s
+         |  FROM nw CROSS JOIN cents),
+         |probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+         |    FROM nwsims) WHERE rn <= $IvfProbes),
+         |cand AS (SELECT DISTINCT p.qid, c.corpus_id FROM probes p JOIN cells c USING (cell)),
+         |mc AS (SELECT cand.qid, max($duckCosIds) AS max_cos
+         |  FROM cand JOIN e qv ON qv.vec_id = cand.qid
+         |            JOIN e cv ON cv.vec_id = cand.corpus_id
+         |  GROUP BY 1)
+         |SELECT nw.vec_id, mc.max_cos,
+         |  coalesce(mc.max_cos < 0.35, true) AS novel
+         |FROM nw LEFT JOIN mc ON mc.qid = nw.vec_id
+         |ORDER BY vec_id""".stripMargin,
     "events_anomaly" ->
       """WITH daily AS (SELECT event_type AS etype, CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
@@ -3660,30 +3795,8 @@ object PipelineQueries {
         |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq))), 4) AS cos_recon
         |FROM dd ORDER BY vec_id""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""WITH graw AS (SELECT doc_id, list_distinct(${duckShingles(2)}) AS grams
-         |FROM documents),
-         |g AS (SELECT doc_id,
-         |  list_transform(grams, x -> substr(md5(x), 1, 16)) AS grams FROM graw),
-         |sig AS (SELECT doc_id,
-         |  list_min(list_transform(grams, x -> md5('gsalt0|' || x))) AS g0,
-         |  list_min(list_transform(grams, x -> md5('gsalt1|' || x))) AS g1,
-         |  list_min(list_transform(grams, x -> md5('gsalt2|' || x))) AS g2,
-         |  list_min(list_transform(grams, x -> md5('gsalt3|' || x))) AS g3
-         |FROM graw),
-         |bands AS (SELECT doc_id, md5(g0 || '|' || g1) AS band0, md5(g2 || '|' || g3) AS band1 FROM sig),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
-         |  UNION
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b,
-         |  round(len(list_intersect(ga.grams, gb.grams)) /
-         |        len(list_distinct(list_concat(ga.grams, gb.grams))), 4) AS jac
-         |FROM pairs JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b
-         |WHERE round(len(list_intersect(ga.grams, gb.grams)) /
-         |        len(list_distinct(list_concat(ga.grams, gb.grams))), 4) >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $duckNgramPairCtes
+         |SELECT id_a, id_b, jac FROM ngpairs ORDER BY id_a, id_b""".stripMargin,
     "embed_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
          |           FROM embeddings WHERE vec_id < 10),

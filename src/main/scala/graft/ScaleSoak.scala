@@ -89,15 +89,23 @@ object ScaleSoak {
       verified
     }
 
-    // 1b. EXACT all-pairs similarity join (prefix filtering) — the
-    // ground-truth path beside LSH: candidate volume must track true
-    // pair volume (rarest-token prefixes keep stop words out of the
-    // inverted index; the size filter prunes cross-length pairs), not
-    // corpus². allpairs_pairs − verified_pairs = LSH's measured miss
-    // count at this scale.
+    // 1b. EXACT all-pairs similarity join (prefix filtering) over the
+    // word-BIGRAM gram sets — the ground-truth path beside LSH:
+    // candidate volume must track true pair volume (rarest-gram
+    // prefixes keep common grams out of the inverted index; the size
+    // filter prunes cross-length pairs), not corpus². The gram choice
+    // is load-bearing: a first soak over UNIGRAM sets found 9.2M of
+    // 12.5M possible pairs ≥ 0.5 at 1× — when the predicate itself is
+    // near-vacuous the truth is quadratic and no exact algorithm
+    // survives; bigram baseline ~0.02 keeps the truth output-sized.
     timed("allpairs_exact") {
-      counts("allpairs_pairs") = graft.ops.Dedup.allPairsJaccard(
-        docs, "doc_id", "text", threshold = 0.5).count()
+      val gramTok = docs
+        .select(col("doc_id"),
+          array_distinct(graft.ops.Dedup.shingles("text", 2)).as("_g"))
+        .select(col("doc_id"),
+          expr("transform(_g, g -> substring(md5(g), 1, 16))").as("toks"))
+      counts("allpairs_pairs") = graft.ops.Dedup.allPairsJaccardTok(
+        gramTok, "doc_id", threshold = 0.5).count()
     }
 
     // 2. transitive closure → cluster keepers

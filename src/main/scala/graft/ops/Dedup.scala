@@ -558,16 +558,35 @@ object Dedup {
     * the probabilistic fast path, this is the exact reference (and the
     * ground truth an LSH recall evaluation needs).
     *
+    * THE TOKEN DEFINITION DECIDES SCALABILITY: the algorithm's output
+    * is the true pair set, so if the similarity predicate itself is
+    * near-vacuous the exact join is quadratic BY DEFINITION — measured
+    * here: unigram token sets at t=0.5 marked 9.2M of 12.5M possible
+    * pairs "similar" on the 5k-doc soak corpus, while word-BIGRAM sets
+    * (baseline ~0.02) kept the truth output-sized. Production callers
+    * should pass bigram-or-wider gram sets ([[allPairsJaccardTok]]);
+    * the unigram text wrapper below exists for generic small-set use
+    * and the brute-force property pins.
+    *
     * Returns (id_a, id_b, jac) with id_a < id_b, jac rounded to 4 dp. */
   def allPairsJaccard(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double): DataFrame = {
-    val tok = Materialize.index(
+      threshold: Double): DataFrame =
+    allPairsJaccardTok(
       docs.select(col(idCol),
         array_distinct(split(lower(col(textCol)), " ")).as("toks")),
-      "allpairs-tok")
+      idCol, threshold)
+
+  /** [[allPairsJaccard]] over a prepared (idCol, toks) table — the form
+    * that lets the caller choose the gram definition (word bigrams,
+    * md5-prefixed shingles, CDC chunk hashes, …). */
+  def allPairsJaccardTok(
+      tokens: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    val tok = Materialize.index(tokens, "allpairs-tok")
     val exploded = tok.select(col(idCol), explode(col("toks")).as("tok"))
     val dfCounts = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
     // per-doc tokens re-sorted under the global (df asc, tok) order;

@@ -812,6 +812,53 @@ object Similarity {
         round(col("n_flagged").cast("double") / col("n"), 4).as("noise_rate"))
   }
 
+  /** Cross-set embedding novelty gate — the ANN analog of
+    * [[graft.ops.Dedup.simhashNovelty]]: for each NEW-batch vector, the
+    * max cosine into the EXISTING corpus among IVF-probed cells, plus a
+    * novel flag (no candidate above `threshold`). The ingest-time dedup
+    * decision for an embedding lake: centroids seed from the standing
+    * corpus (at scale they're the persisted IVF index), the existing
+    * side's cell assignment is reused across batches, and each new
+    * vector pays nprobe cells of candidates — cross-set equi-joins plus
+    * one max partial aggregate, nothing corpus-sized broadcast or
+    * re-derived per batch. New vectors whose probed cells hold no
+    * candidates stay novel with null max_cos.
+    *
+    * Returns (idCol, max_cos, novel) for every new-batch vector. */
+  def embedNovelty(
+      newBatch: DataFrame,
+      existing: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int,
+      nprobe: Int,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def prep(df: DataFrame) = df.select(
+      col(idCol), expr(s"transform($vecCol, x -> cast(x AS double))").as("v"))
+    val exD = prep(existing)
+    val nwD = prep(newBatch)
+    val cents = broadcast(seedCentroids(exD, idCol, "v", numCentroids))
+    val cells = assignCells(Materialize.spread(exD), cents, idCol, "corpus_id", "v")
+    val wProbe = Window.partitionBy("qid").orderBy(col("s").desc, col("cid").desc)
+    val probes = nwD.select(col(idCol).as("qid"), col("v"))
+      .join(cents)
+      .select(col("qid"), col("cid"), cosine(col("v"), col("cvec")).as("s"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("cid").as("cell"))
+    val cand = probes.join(cells, "cell").select("qid", "corpus_id").distinct()
+    val scored = cand
+      .join(nwD.select(col(idCol).as("qid"), col("v").as("qv")), "qid")
+      .join(exD.select(col(idCol).as("corpus_id"), col("v").as("cv")), "corpus_id")
+      .groupBy("qid")
+      .agg(max(round(cosine(col("qv"), col("cv")), 4)).as("max_cos"))
+    nwD.select(col(idCol).as("qid"))
+      .join(scored, Seq("qid"), "left")
+      .select(col("qid").as(idCol), col("max_cos"),
+        coalesce(col("max_cos") < lit(threshold), lit(true)).as("novel"))
+  }
+
   /** Simplified (centroid) silhouette — the clustering-quality half of
     * the eval family: per point, a = cosine distance to its OWN cell
     * centroid, b = min distance to any OTHER centroid,

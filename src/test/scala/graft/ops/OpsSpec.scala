@@ -1086,6 +1086,26 @@ class OpsSpec extends AnyFunSuite with Matchers {
     Materialize.dropAll()
   }
 
+  test("embedNovelty: exact copy gated, off-axis vector novel, null-cos no-candidate safe") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val existing = spark.createDataFrame(
+      ((0L to 13L).map(i =>
+        Row(i * 2, if (i < 7) Array(1f, 0f) else Array(0f, 1f)))).asJava, schema)
+    val fresh = spark.createDataFrame(Seq(
+      Row(101L, Array(1f, 0f)),                 // exact copy of cluster 0
+      Row(103L, Array(0.7071f, -0.7071f))).asJava, schema) // cos ≤ 0.71 anywhere
+    val out = Similarity.embedNovelty(fresh, existing, "vec_id", "embedding",
+      numCentroids = 2, nprobe = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Any]("max_cos"), r.getBoolean(2)))).toMap
+    out(101L)._1.asInstanceOf[Double] shouldBe 1.0
+    out(101L)._2 shouldBe false
+    out(103L)._1.asInstanceOf[Double] should be < 0.9
+    out(103L)._2 shouldBe true
+    Materialize.dropAll()
+  }
+
   test("random projection plan: sign matrix broadcasts; corpus side never collects") {
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
