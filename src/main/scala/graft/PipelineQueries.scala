@@ -218,6 +218,58 @@ object PipelineQueries {
       "doc_id", terms = Seq("table", "query", "spark"))
   }
 
+  /** Pseudo-relevance feedback retrieval
+    * ([[graft.ops.Retrieval.bm25Prf]]): seed probe → top-3 feedback
+    * docs → top-5 TF-IDF expansion terms → re-retrieval, all off the
+    * postings index. */
+  def retrievalPrf(s: SparkSession, dir: String): DataFrame = {
+    val (postings, doclens) =
+      Retrieval.postingsIndex(t(s, dir, "documents"), "doc_id", "text")
+    Retrieval.bm25Prf(
+      graft.ops.Materialize.index(postings, "prf-postings"),
+      graft.ops.Materialize.index(doclens, "prf-doclens"),
+      "doc_id", seed = Seq("table", "query", "spark"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Retrieval ranking-quality eval: ln-discounted nDCG@10 and MRR of
+    * the BM25 ranking against term-coverage relevance (gain = number of
+    * distinct probe terms a doc contains, 0–3). Both metric inputs are
+    * bounded lists (the top-10 ranking and the ideal top-10), every
+    * discounted contribution rounds to 6 dp and sums as fixed-point
+    * longs, so the metric is engine-exact; the relevance scan is one
+    * corpus pass with the gain computed scan-side. */
+  def evalNdcg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("table", "query", "spark")
+    val docs = t(s, dir, "documents")
+    val gains = docs.select(col("doc_id"),
+      terms.map(tm =>
+        when(array_contains(split(lower(col("text")), " "), tm), 1L).otherwise(0L))
+        .reduce(_ + _).as("gain"))
+    val wAll = Window.orderBy(col("score").desc, col("doc_id"))
+    val ranked = Retrieval.bm25(docs, "doc_id", "text", terms, topK = 10)
+      .withColumn("rank", row_number().over(wAll))
+    val contrib = ranked.join(gains, "doc_id")
+      .select(col("rank"), col("gain"),
+        round(round(col("gain") / log(col("rank") + lit(1.0)), 6) * lit(1e6), 0)
+          .cast("long").as("cfx"))
+    val dcg = contrib.agg(sum("cfx").as("dcgfx"),
+      min(when(col("gain") > 0, col("rank"))).as("first_rel"),
+      sum(when(col("gain") > 0, 1L).otherwise(0L)).as("n_rel"))
+    val wIdeal = Window.orderBy(col("gain").desc, col("doc_id"))
+    val idcg = gains.orderBy(col("gain").desc, col("doc_id")).limit(10)
+      .withColumn("irank", row_number().over(wIdeal))
+      .select(round(round(col("gain") / log(col("irank") + lit(1.0)), 6) * lit(1e6), 0)
+        .cast("long").as("ifx"))
+      .agg(sum("ifx").as("idcgfx"))
+    dcg.crossJoin(idcg)
+      .select(
+        round(col("dcgfx").cast("double") / col("idcgfx"), 4).as("ndcg10"),
+        coalesce(round(lit(1.0) / col("first_rel"), 4), lit(0.0)).as("mrr"),
+        col("n_rel"))
+  }
+
   /** Incremental index maintenance proof
     * ([[graft.ops.Retrieval.mergeIndex]]): the corpus indexed as two
     * disjoint delta batches, monoid-merged, then probed — shares
@@ -1877,6 +1929,8 @@ object PipelineQueries {
     "events_anomaly" -> (eventsAnomaly _),
     "source_quality_report" -> (sourceQualityReport _),
     "embed_novelty" -> (embedNoveltyQ _),
+    "retrieval_prf" -> (retrievalPrf _),
+    "eval_ndcg" -> (evalNdcg _),
     "pair_graph_rank" -> (pairGraphRank _),
     "dedup_pagerank_keeper" -> (dedupPagerankKeeper _),
     "dedup_cluster" -> (dedupCluster _),
@@ -2144,6 +2198,49 @@ object PipelineQueries {
     s"""WITH $duckBm25Ctes
        |SELECT doc_id, $duckBm25Sum AS score, CAST(count(*) AS BIGINT) AS n_terms
        |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** The BM25 per-(doc, term) weight formula over aliased tf/df tables —
+    * shared by the PRF oracle's two retrieval rounds. */
+  private def duckBm25W: String =
+    """ln((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+      |        + CAST(1.0 AS DOUBLE))
+      |      * (tf * CAST(2.2 AS DOUBLE))
+      |      / (tf + CAST(1.2 AS DOUBLE)
+      |          * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))""".stripMargin
+
+  /** Rocchio PRF: round 1 over the seed terms, top-3 docs, fixed-point
+    * tf·idf expansion term selection, round 2 over seed ∪ expansion —
+    * mirrors [[graft.ops.Retrieval.bm25Prf]] stage for stage. */
+  private val duckBm25Prf: String =
+    s"""WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM base),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl),
+       |tfall AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(tk) AS tok FROM base) GROUP BY doc_id, tok),
+       |tf1 AS (SELECT * FROM tfall WHERE tok IN ('table', 'query', 'spark')),
+       |dfq1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf1 GROUP BY tok),
+       |sc1 AS (SELECT doc_id, $duckBm25W AS w
+       |  FROM tf1 JOIN dfq1 USING (tok) JOIN dl USING (doc_id) CROSS JOIN st),
+       |r1 AS (SELECT doc_id FROM (
+       |    SELECT doc_id, $duckBm25Sum AS score FROM sc1 GROUP BY doc_id)
+       |  ORDER BY score DESC, doc_id LIMIT 3),
+       |cand AS (SELECT tfall.* FROM tfall JOIN r1 USING (doc_id)
+       |  WHERE tok NOT IN ('table', 'query', 'spark')),
+       |dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tfall
+       |  WHERE tok IN (SELECT tok FROM cand) GROUP BY tok),
+       |tsc AS (SELECT cand.tok,
+       |    sum(CAST(round(round(cand.tf * ln((n - df + CAST(0.5 AS DOUBLE))
+       |      / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 6) * 1e6, 0)
+       |      AS BIGINT)) AS twfx
+       |  FROM cand JOIN dfc USING (tok) CROSS JOIN st GROUP BY cand.tok),
+       |expn AS (SELECT tok FROM tsc ORDER BY twfx DESC, tok LIMIT 5),
+       |tf2 AS (SELECT * FROM tfall WHERE tok IN ('table', 'query', 'spark')
+       |  OR tok IN (SELECT tok FROM expn)),
+       |dfq2 AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY tok),
+       |sc2 AS (SELECT doc_id, $duckBm25W AS w
+       |  FROM tf2 JOIN dfq2 USING (tok) JOIN dl USING (doc_id) CROSS JOIN st)
+       |SELECT doc_id, $duckBm25Sum AS score, CAST(count(*) AS BIGINT) AS n_terms
+       |FROM sc2 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   /** 64-bit simhash bits over a precomputed per-doc digit array `ds`
     * (list of 16-digit lists, one per token) — mirrors
@@ -3430,6 +3527,32 @@ object PipelineQueries {
     // the indexed variant must agree with the from-text variant exactly —
     // one oracle judges both, and the delta-merged index a third time
     "bm25_indexed" -> duckBm25,
+    "retrieval_prf" -> duckBm25Prf,
+    "eval_ndcg" ->
+      s"""WITH $duckBm25Ctes,
+         |gains AS (SELECT doc_id,
+         |    (CASE WHEN list_contains(tk, 'table') THEN 1 ELSE 0 END
+         |   + CASE WHEN list_contains(tk, 'query') THEN 1 ELSE 0 END
+         |   + CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END) AS gain
+         |  FROM base),
+         |ranked AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM (
+         |    SELECT doc_id, $duckBm25Sum AS score FROM sc GROUP BY doc_id
+         |    ORDER BY score DESC, doc_id LIMIT 10)),
+         |co AS (SELECT r.rank, g.gain,
+         |    CAST(round(round(g.gain / ln(r.rank + 1.0), 6) * 1e6, 0) AS BIGINT) AS cfx
+         |  FROM ranked r JOIN gains g USING (doc_id)),
+         |d AS (SELECT CAST(sum(cfx) AS BIGINT) AS dcgfx,
+         |    min(CASE WHEN gain > 0 THEN rank END) AS first_rel,
+         |    CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+         |  FROM co),
+         |ideal AS (SELECT gain, row_number() OVER (ORDER BY gain DESC, doc_id) AS irank
+         |  FROM (SELECT doc_id, gain FROM gains ORDER BY gain DESC, doc_id LIMIT 10)),
+         |i AS (SELECT CAST(sum(CAST(round(round(gain / ln(irank + 1.0), 6) * 1e6, 0)
+         |    AS BIGINT)) AS BIGINT) AS idcgfx FROM ideal)
+         |SELECT round(CAST(dcgfx AS DOUBLE) / idcgfx, 4) AS ndcg10,
+         |  coalesce(round(1.0 / first_rel, 4), 0.0) AS mrr, n_rel
+         |FROM d, i""".stripMargin,
     "index_incremental" -> duckBm25,
     "source_overlap" ->
       s"""WITH st AS MATERIALIZED (SELECT DISTINCT source, tok

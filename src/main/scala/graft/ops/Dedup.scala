@@ -586,22 +586,27 @@ object Dedup {
       tokens: DataFrame,
       idCol: String,
       threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tok = Materialize.index(tokens, "allpairs-tok")
     val exploded = tok.select(col(idCol), explode(col("toks")).as("tok"))
     val dfCounts = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
-    // per-doc tokens re-sorted under the global (df asc, tok) order;
-    // sort_array on (df, tok) structs is engine-deterministic
-    val ordered = exploded
-      .join(dfCounts, "tok")
-      .groupBy(idCol)
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"),
-        count(lit(1)).as("n"))
+    // Per-doc rank under the global (df asc, tok) order, as skinny rows:
+    // the prefix only needs each token's RANK within its document, so a
+    // per-doc row_number (partition bounded by document length, never
+    // data-sized) replaces the earlier sort_array(collect_list(...)) —
+    // which shipped every document's full gram array through the
+    // groupBy shuffle and SPILLED 6.5 GB at the 3× soak point (143 s →
+    // the window form re-sorts the same rows in place).
+    val wDoc = Window.partitionBy(idCol)
+    val wOrd = Window.partitionBy(idCol).orderBy(col("df"), col("tok"))
     val prefix = Materialize.index(
-      ordered
-        .withColumn("plen",
+      exploded
+        .join(dfCounts, "tok")
+        .withColumn("n", count(lit(1)).over(wDoc))
+        .withColumn("rnk", row_number().over(wOrd))
+        .filter(col("rnk") <=
           col("n") - ceil(lit(threshold) * col("n")).cast("int") + lit(1))
-        .select(col(idCol), col("n"),
-          explode(expr("transform(slice(ord, 1, plen), s -> s.tok)")).as("tok")),
+        .select(col(idCol), col("n"), col("tok")),
       "allpairs-prefix")
     val cand = prefix.select(col(idCol).as("id_a"), col("n").as("na"), col("tok"))
       .join(prefix.select(col(idCol).as("id_b"), col("n").as("nb"), col("tok")), "tok")

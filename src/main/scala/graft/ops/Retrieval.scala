@@ -282,4 +282,57 @@ object Retrieval {
       .orderBy(col("rrf").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Pseudo-relevance feedback (Rocchio-style query expansion, the
+    * classic PRF loop): seed query → BM25 top `fbDocs` — assumed
+    * relevant — → their top `fbTerms` TF-IDF terms (seed terms
+    * excluded) join the query → one re-retrieval. The retrieval-side
+    * vocabulary-mismatch fix: a query for "table" also surfaces docs
+    * that say "relation" if the feedback docs do.
+    *
+    * Everything stays declarative off the postings index: round 1 is
+    * [[bm25FromIndex]]'s pushed `tok IN` scan; candidate terms come
+    * from fbDocs' postings rows (bounded by a handful of docs'
+    * vocabularies) with df looked up by a term semi-join — never a full
+    * vocabulary aggregation at query time; the expansion top-k is a
+    * TakeOrdered over fixed-point (tf·idf) sums (deterministic under
+    * ties by term); the expanded term set is a ~(seed+fbTerms)-row
+    * broadcast feeding the same [[bm25Score]] core — no collect, the
+    * expansion terms never touch the driver.
+    *
+    * Returns round-2's (idCol, score, n_terms) top `topK`. */
+  def bm25Prf(
+      postings: DataFrame,
+      doclens: DataFrame,
+      idCol: String,
+      seed: Seq[String],
+      fbDocs: Int = 3,
+      fbTerms: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val topDocs = bm25FromIndex(postings, doclens, idCol, seed, k1, b, fbDocs)
+      .select(col(idCol))
+    val n1 = broadcast(doclens.agg(count(lit(1)).as("n")))
+    val cand = postings.join(topDocs, idCol)
+      .filter(!col("tok").isin(seed: _*))
+    val dfCand = postings
+      .join(cand.select("tok").distinct(), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val expansion = cand
+      .join(dfCand, "tok")
+      .crossJoin(n1)
+      .withColumn("idf",
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("twfx",
+        round(round(col("tf") * col("idf"), 6) * lit(1e6), 0).cast("long"))
+      .groupBy("tok").agg(sum("twfx").as("tw"))
+      .orderBy(col("tw").desc, col("tok"))
+      .limit(fbTerms)
+    val terms2 = seed.toDF("tok").union(expansion.select("tok"))
+    val tf2 = postings.join(broadcast(terms2), "tok")
+    bm25Score(tf2, doclens, idCol, k1, b, topK)
+  }
 }

@@ -236,4 +236,23 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
     p40.foreach { case (a, b, hd) => hd shouldBe 0L; b shouldBe a + 1 }
     pairs(80).length shouldBe 80 // linear, not quadratic
   }
+
+  test("bm25Prf: expansion term from feedback docs surfaces a doc round 1 misses") {
+    val d = docs(
+      1L -> "alpha beta beta",   // feedback doc, carries the expansion term
+      2L -> "alpha beta",        // feedback doc
+      3L -> "beta gamma",        // invisible to the seed query
+      4L -> "delta delta")       // noise, must stay invisible
+    val (p, l) = Retrieval.postingsIndex(d, "doc_id", "text")
+    val round1 = Retrieval.bm25FromIndex(p, l, "doc_id", Seq("alpha"), topK = 10)
+      .collect().map(_.getLong(0))
+    round1 should not contain 3L
+    val round2 = Retrieval.bm25Prf(p, l, "doc_id", Seq("alpha"),
+      fbDocs = 2, fbTerms = 1, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_terms")).toMap
+    round2.keySet should contain(3L) // reached via the expanded term "beta"
+    round2(3L) shouldBe 1L           // matched only the expansion term
+    round2.keySet should not contain 4L
+    Materialize.dropAll()
+  }
 }
