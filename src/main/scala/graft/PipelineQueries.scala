@@ -232,6 +232,36 @@ object PipelineQueries {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** Gate-agreement eval: Cohen's kappa between the Gopher quality gate
+    * and the repetition gate — do two independent heuristics flag the
+    * same documents, or is each catching different garbage? Counts are
+    * exact longs from one join of the two scan-side gate projections;
+    * kappa's divisions happen once, at the end, in identical expression
+    * order in both engines. One output row
+    * (n11, n10, n01, n00, po, kappa). */
+  def evalGateAgreement(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val a = graft.ops.TextAnalysis.gopherSignals(docs)
+      .select(col("doc_id"), col("passes").as("a"))
+    val b = graft.ops.TextAnalysis.repetitionSignals(docs)
+      .select(col("doc_id"), col("keep").as("b"))
+    a.join(b, "doc_id")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .withColumn("po", (col("n11") + col("n00")) / col("n"))
+      .withColumn("pa", (col("n11") + col("n10")) / col("n"))
+      .withColumn("pb", (col("n11") + col("n01")) / col("n"))
+      .withColumn("pe",
+        col("pa") * col("pb") + (lit(1.0) - col("pa")) * (lit(1.0) - col("pb")))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"),
+        round(col("po"), 4).as("po"),
+        round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 4).as("kappa"))
+  }
+
   /** Retrieval ranking-quality eval: ln-discounted nDCG@10 and MRR of
     * the BM25 ranking against term-coverage relevance (gain = number of
     * distinct probe terms a doc contains, 0–3). Both metric inputs are
@@ -1931,6 +1961,7 @@ object PipelineQueries {
     "embed_novelty" -> (embedNoveltyQ _),
     "retrieval_prf" -> (retrievalPrf _),
     "eval_ndcg" -> (evalNdcg _),
+    "eval_gate_agreement" -> (evalGateAgreement _),
     "pair_graph_rank" -> (pairGraphRank _),
     "dedup_pagerank_keeper" -> (dedupPagerankKeeper _),
     "dedup_cluster" -> (dedupCluster _),
@@ -3528,6 +3559,35 @@ object PipelineQueries {
     // one oracle judges both, and the delta-merged index a third time
     "bm25_indexed" -> duckBm25,
     "retrieval_prf" -> duckBm25Prf,
+    "eval_gate_agreement" ->
+      s"""WITH g AS (SELECT doc_id, text, $toks AS tk, len($toks) AS n_words
+         |  FROM documents),
+         |ga AS (SELECT doc_id,
+         |    (n_words >= 40
+         |      AND round((length(text) - n_words + 1) / n_words, 4) BETWEEN 3.0 AND 8.0
+         |      AND round(len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is'], t))) / n_words, 4) >= 0.05
+         |      AND round(list_max(list_transform(list_distinct(tk), d -> len(list_filter(tk, x -> x = d)))) / n_words, 4) <= 0.15
+         |      AND round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / length(text), 4) <= 0.1
+         |    ) AS a
+         |  FROM g),
+         |gr AS (SELECT doc_id, ${duckShingles(2)} AS g2, ${duckShingles(3)} AS g3
+         |  FROM documents),
+         |gb AS (SELECT doc_id,
+         |    round((len(g2) - len(list_distinct(g2))) / len(g2), 4) <= 0.3 AND
+         |    round((len(g3) - len(list_distinct(g3))) / len(g3), 4) <= 0.3 AS b
+         |  FROM gr),
+         |c AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+         |  FROM ga JOIN gb USING (doc_id)),
+         |k AS (SELECT *, (n11 + n00) / n AS po, (n11 + n10) / n AS pa,
+         |    (n11 + n01) / n AS pb FROM c),
+         |k2 AS (SELECT *, pa * pb + (1.0 - pa) * (1.0 - pb) AS pe FROM k)
+         |SELECT n11, n10, n01, n00, round(po, 4) AS po,
+         |  round((po - pe) / (1.0 - pe), 4) AS kappa
+         |FROM k2""".stripMargin,
     "eval_ndcg" ->
       s"""WITH $duckBm25Ctes,
          |gains AS (SELECT doc_id,

@@ -154,6 +154,23 @@ object QueriesExtra {
       .select(col("window.start").as("bucket"), col("n"), col("sum_value"))
       .orderBy("bucket")
 
+  /** Rank-distribution window functions (ntile / percent_rank /
+    * cume_dist) — the analytic trio the §2.5 battery didn't yet cover;
+    * partitions are per-nation customer sets (bounded by the dimension,
+    * never data-sized). */
+  def windowNtile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .filter(col("c_custkey") % 10 === 0) // thin the output, keep full ranks
+      .orderBy("c_custkey")
+  }
+
   /** LIKE / pattern filters (recognized but residual in the reference's
     * pushdown map — here they run native). */
   def likeFilter(s: SparkSession, dir: String): DataFrame =
@@ -303,6 +320,7 @@ object QueriesExtra {
     "percentile_agg" -> (percentileAgg _),
     "unpivot_op" -> (unpivotOp _),
     "window_tumbling" -> (windowTumbling _),
+    "window_ntile" -> (windowNtile _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -419,6 +437,16 @@ object QueriesExtra {
         |  array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "window_ntile" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal, quartile, pct_rank, cdist
+        |FROM (SELECT c_custkey, c_nationkey, c_acctbal,
+        |    ntile(4) OVER w AS quartile,
+        |    round(percent_rank() OVER w, 6) AS pct_rank,
+        |    round(cume_dist() OVER w, 6) AS cdist
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey
+        |               ORDER BY c_acctbal DESC, c_custkey))
+        |WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin,
     "percentile_agg" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS p25,

@@ -98,7 +98,14 @@ object ScaleSoak {
     // 12.5M possible pairs ≥ 0.5 at 1× — when the predicate itself is
     // near-vacuous the truth is quadratic and no exact algorithm
     // survives; bigram baseline ~0.02 keeps the truth output-sized.
-    timed("allpairs_exact") {
+    // Gated at replicas ≤ 3: salted replicas of one base doc are TRUE
+    // near-dups of each other, so the truth pair set is quadratic in the
+    // replica factor BY CONSTRUCTION (256 pairs at 1× → 17,304 at 3×) —
+    // past 3× the stage's wall clock measures the output's size, not the
+    // algorithm (an exact join cannot emit fewer pairs than exist). The
+    // 1×→3× points carry the structural claim: candidates track truth,
+    // zero spill, and the stage stays within ~an order of the LSH pass.
+    if (replicas <= 3) timed("allpairs_exact") {
       val gramTok = docs
         .select(col("doc_id"),
           array_distinct(graft.ops.Dedup.shingles("text", 2)).as("_g"))

@@ -606,13 +606,26 @@ object Dedup {
         .withColumn("rnk", row_number().over(wOrd))
         .filter(col("rnk") <=
           col("n") - ceil(lit(threshold) * col("n")).cast("int") + lit(1))
-        .select(col(idCol), col("n"), col("tok")),
+        .select(col(idCol), col("n"), col("rnk"), col("tok")),
       "allpairs-prefix")
-    val cand = prefix.select(col(idCol).as("id_a"), col("n").as("na"), col("tok"))
-      .join(prefix.select(col(idCol).as("id_b"), col("n").as("nb"), col("tok")), "tok")
+    // PPJoin positional filter (Xiao et al. VLDB'08): a match on a token
+    // at 1-based sorted positions (ra, rb) can witness overlap at most
+    // 1 + min(na − ra, nb − rb); jac ≥ t needs overlap ≥ t/(1+t)·(na+nb),
+    // and the FIRST common token of any truly-similar pair satisfies the
+    // bound, so pruning deeper matches loses no pairs (the bound is
+    // relaxed by an epsilon so float rounding can only keep, not drop).
+    // This is what keeps candidate volume near the true pair volume when
+    // replicated/boilerplate docs put the same rare gram in many docs.
+    val alphaFrac = threshold / (1.0 + threshold)
+    val cand = prefix.select(col(idCol).as("id_a"), col("n").as("na"),
+        col("rnk").as("ra"), col("tok"))
+      .join(prefix.select(col(idCol).as("id_b"), col("n").as("nb"),
+        col("rnk").as("rb"), col("tok")), "tok")
       .filter(col("id_a") < col("id_b") &&
         col("nb") * lit(threshold) <= col("na") &&
-        col("na") * lit(threshold) <= col("nb"))
+        col("na") * lit(threshold) <= col("nb") &&
+        lit(1.0) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
+          lit(alphaFrac) * (col("na") + col("nb")) - lit(1e-9))
       .select("id_a", "id_b")
       .distinct()
     verifyPairsTok(cand, tok, idCol, threshold)

@@ -258,4 +258,38 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should include("EqualTo(partition,orgAm1)")
     df.collect().length shouldBe 1
   }
+
+  test("exact all-pairs join: no cartesian; prefix index built without wide arrays") {
+    val out = PipelineQueries.dedupAllpairs(spark, dir)
+    val p = plan(out)
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the per-doc prefix rank runs as a window over skinny rows — the
+    // sort_array(collect_list) form that spilled at the soak is gone
+    p should not include "sort_array"
+    graft.ops.Materialize.dropAll()
+  }
+
+  test("label noise: all joins keyed; nothing corpus-sized nested-loops") {
+    val out = PipelineQueries.labelNoiseQ(spark, dir)
+    val p = plan(out)
+    p should not include "CartesianProduct"
+    // centroid bind is the only broadcast nested loop (1 small table);
+    // candidate/scoring joins must be hash joins
+    p should include ("BroadcastHashJoin")
+    graft.ops.Materialize.dropAll()
+  }
+
+  test("PRF round 2 terms reach the postings scan as a broadcast, never collected") {
+    val (postings, doclens) = graft.ops.Retrieval.postingsIndex(
+      Tables.load(spark, dir, "documents"), "doc_id", "text")
+    val pi = graft.ops.Materialize.index(postings, "plan-prf-p")
+    val li = graft.ops.Materialize.index(doclens, "plan-prf-l")
+    val out = graft.ops.Retrieval.bm25Prf(pi, li, "doc_id",
+      Seq("table", "query", "spark"))
+    val p = plan(out)
+    p should not include "CartesianProduct"
+    p should include ("BroadcastHashJoin") // terms2 ⋈ postings
+    graft.ops.Materialize.dropAll()
+  }
 }
