@@ -299,8 +299,27 @@ object QueriesExtra {
       .orderBy("event_id")
   }
 
+  /** [[asofJoin]] with a 1-hour staleness tolerance
+    * ([[graft.ops.AsOf.asofJoinTolerance]]): an error older than an hour
+    * no longer explains a click — pandas merge_asof `tolerance`
+    * semantics, microsecond-exact cutoff. */
+  def asofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "ts", "event_id")
+    graft.ops.AsOf.asofJoinTolerance(clicks, errors,
+        key = "user_id", ts = "ts", rightPayload = Seq("event_id"),
+        toleranceUs = 3600L * 1000000L)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("ts_r").as("err_ts"), col("event_id_r").as("err_event_id"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> (asofJoin _),
+    "asof_tolerance" -> (asofTolerance _),
     "cube_counts" -> (cubeCounts _),
     "grouping_sets" -> (groupingSets _),
     "window_lead_lag" -> (windowLeadLag _),
@@ -327,6 +346,16 @@ object QueriesExtra {
     "asof_join" ->
       """SELECT c.event_id AS event_id, c.user_id AS user_id, c.ts AS ts,
         |  e.ts AS err_ts, e.event_id AS err_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY event_id""".stripMargin,
+    "asof_tolerance" ->
+      """SELECT c.event_id AS event_id, c.user_id AS user_id, c.ts AS ts,
+        |  CASE WHEN epoch_us(c.ts) - epoch_us(e.ts) <= 3600000000 THEN e.ts END
+        |    AS err_ts,
+        |  CASE WHEN epoch_us(c.ts) - epoch_us(e.ts) <= 3600000000 THEN e.event_id END
+        |    AS err_event_id
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
         |  ON c.user_id = e.user_id AND c.ts >= e.ts

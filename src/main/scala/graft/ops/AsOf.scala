@@ -86,4 +86,27 @@ object AsOf {
       .select(leftCols.map(col) ++
         payload.map(c => col("_match").getField(c).as(s"$c$suffix")): _*)
   }
+
+  /** [[asofJoin]] with a staleness bound — pandas `merge_asof`'s
+    * `tolerance`: a carried match older than `toleranceUs` microseconds
+    * is treated as NO match (payload nulled), so a sensor that went
+    * silent hours ago doesn't keep "matching" every later probe. Same
+    * single-shuffle cost: the bound is a scan-side conditional on the
+    * already-carried payload, in microseconds so the cutoff can't fork
+    * on sub-second timestamps. */
+  def asofJoinTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightPayload: Seq[String],
+      toleranceUs: Long,
+      suffix: String = "_r"): DataFrame = {
+    val joined = asofJoin(left, right, key, ts, rightPayload, suffix)
+    val payload = (ts +: rightPayload.filterNot(_ == ts)).distinct
+    val fresh = unix_micros(col(ts)) - unix_micros(col(s"$ts$suffix")) <= toleranceUs
+    payload.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"$c$suffix", when(fresh, col(s"$c$suffix")))
+    }
+  }
 }

@@ -81,6 +81,33 @@ object EventStreams {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n"), col("total_value"))
 
+  /** Streaming per-window top-k event types: the watermarked windowed
+    * counts stream, with the top-k cut applied per micro-batch through
+    * `foreachBatch` — reusing the BATCH two-phase
+    * [[graft.ops.Retrieval.topKPerKey]] primitive verbatim (rank
+    * windows aren't allowed downstream of a streaming aggregation, and
+    * foreachBatch is the documented composition point for exactly this:
+    * each update's result table is a normal DataFrame). State stays the
+    * windowed-count aggregation's (watermark-bounded); the top-k adds
+    * none. `sink` receives (win_start, event_type, n, rank ≤ k) per
+    * trigger. */
+  def windowTopKStream(
+      events: DataFrame,
+      k: Int,
+      sink: DataFrame => Unit,
+      watermark: String = "10 minutes",
+      window: String = "5 minutes"): org.apache.spark.sql.streaming.StreamingQuery =
+    windowedCounts(events, watermark, window)
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.ops.Retrieval.topKPerKey(
+          batch.select("win_start", "event_type", "n"),
+          keys = Seq("win_start"),
+          order = Seq(col("n").desc, col("event_type")), k = k))
+      }
+      .start()
+
   /** Streaming exact-dedup: drop re-delivered events by id, with state
     * bounded by the watermark (the streaming analog of the batch
     * `Dedup.exactGroups` — at-least-once upstream delivery becomes

@@ -105,4 +105,25 @@ class AsOfSpec extends AnyFunSuite with Matchers {
     got.length shouldBe 1
     got.head.isNullAt(3) shouldBe true
   }
+
+  test("tolerance: matches older than the bound null out, fresh ones survive") {
+    def tsec(s: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val lSchema = StructType(Seq(
+      StructField("id", LongType), StructField("k", StringType),
+      StructField("t", TimestampType)))
+    val rSchema = StructType(Seq(
+      StructField("k", StringType), StructField("t", TimestampType),
+      StructField("rid", LongType)))
+    val l = df(lSchema,
+      Row(1L, "a", tsec(1000L)),  // 600 s after the right row → fresh
+      Row(2L, "a", tsec(2000L)))  // 1600 s after → stale, nulled
+    val r = df(rSchema, Row("a", tsec(400L), 100L))
+    val got = AsOf.asofJoinTolerance(l, r, "k", "t", Seq("rid"),
+        toleranceUs = 900L * 1000000L)
+      .collect().map(x => x.getLong(0) ->
+        (Option(x.getAs[Any]("t_r")), Option(x.getAs[Any]("rid_r")))).toMap
+    got(1L)._1 should not be None
+    got(1L)._2 shouldBe Some(100L)
+    got(2L) shouldBe ((None, None))
+  }
 }

@@ -365,6 +365,27 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     out.map(_._2).toSeq shouldBe Seq(2L, 1L)
   }
 
+  test("streaming windowed top-k via foreachBatch reuses the batch primitive") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val got = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    val q = EventStreams.windowTopKStream(df, k = 2, sink = b => {
+      got.clear()
+      got ++= b.collect().map(r =>
+        (r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Long]("rank")))
+    })
+    try {
+      // one 5-min window: click×3, view×2, error×1 → top-2 is click, view
+      input.addData(
+        (1L, ts(1), "click", 1.0), (2L, ts(1), "click", 1.0), (3L, ts(2), "click", 1.0),
+        (4L, ts(2), "view", 1.0), (5L, ts(3), "view", 1.0), (6L, ts(3), "error", 1.0))
+      q.processAllAvailable()
+      got.sortBy(_._3).toList shouldBe List(("click", 3L, 1L), ("view", 2L, 2L))
+    } finally q.stop()
+  }
+
   test("salted join spreads a hot key and matches the plain join result") {
     import scala.jdk.CollectionConverters._
     val factSchema = StructType(Seq(
