@@ -31,10 +31,13 @@ note = (
 runs = []
 for path in sys.argv[1:]:
     s = open(path).read()
-    m = re.search(r'\{"metric".*\}', s)
+    m = re.search(r'\{"metric"', s)
     if not m:
         sys.exit(f"no JSON record in {path}")
-    runs.append(json.loads(m.group(0)))
+    # balanced parse from the match start — a greedy .*\} would swallow
+    # any trailing log content on the same line
+    obj, _ = json.JSONDecoder().raw_decode(s[m.start():])
+    runs.append(obj)
 
 with open("SOAK_r08.json", "w") as f:
     json.dump({"note": note, "runs": runs}, f, indent=1)

@@ -259,7 +259,11 @@ object PipelineQueries {
         col("pa") * col("pb") + (lit(1.0) - col("pa")) * (lit(1.0) - col("pb")))
       .select(col("n11"), col("n10"), col("n01"), col("n00"),
         round(col("po"), 4).as("po"),
-        round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 4).as("kappa"))
+        // degenerate gates (pe = 1: both constant) make kappa 0/0 — null,
+        // consistently in both engines, instead of a NaN/NULL fork
+        when(lit(1.0) - col("pe") === 0.0, lit(null).cast("double"))
+          .otherwise(round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 4))
+          .as("kappa"))
   }
 
   /** Retrieval ranking-quality eval: ln-discounted nDCG@10 and MRR of
@@ -295,7 +299,11 @@ object PipelineQueries {
       .agg(sum("ifx").as("idcgfx"))
     dcg.crossJoin(idcg)
       .select(
-        round(col("dcgfx").cast("double") / col("idcgfx"), 4).as("ndcg10"),
+        // no relevant docs at all → ideal DCG 0 → define ndcg as null
+        // (not NaN) so both engines agree on the degenerate corpus
+        when(col("idcgfx") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("dcgfx").cast("double") / col("idcgfx"), 4))
+          .as("ndcg10"),
         coalesce(round(lit(1.0) / col("first_rel"), 4), lit(0.0)).as("mrr"),
         col("n_rel"))
   }
@@ -1015,17 +1023,10 @@ object PipelineQueries {
       .orderBy("src_a", "src_b")
   }
 
-  /** Word-bigram gram sets as 16-hex md5 prefixes — the similarity
-    * domain shared by [[dedupNgramJaccard]], [[dedupAllpairs]] and
-    * [[dedupRecall]]. Bigrams because the predicate must DISCRIMINATE:
-    * unigram sets at t=0.5 marked 74% of all soak-corpus pairs similar
-    * (truth itself quadratic — no algorithm survives that); bigram
-    * baseline is ~0.02 with true near-dups ≥ 0.5. */
+  /** The shared word-bigram md5-prefix gram domain
+    * ([[graft.ops.Dedup.bigramMd5Tok]]) over the documents table. */
   private def bigramTok(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        array_distinct(Dedup.shingles("text", 2)).as("_g"))
-      .select(col("doc_id"),
-        expr("transform(_g, g -> substring(md5(g), 1, 16))").as("toks"))
+    Dedup.bigramMd5Tok(docs, "doc_id", "text")
 
   /** EXACT similarity self-join via prefix filtering
     * ([[graft.ops.Dedup.allPairsJaccardTok]], Bayardo et al. WWW'07):
@@ -3586,7 +3587,8 @@ object PipelineQueries {
          |    (n11 + n01) / n AS pb FROM c),
          |k2 AS (SELECT *, pa * pb + (1.0 - pa) * (1.0 - pb) AS pe FROM k)
          |SELECT n11, n10, n01, n00, round(po, 4) AS po,
-         |  round((po - pe) / (1.0 - pe), 4) AS kappa
+         |  CASE WHEN 1.0 - pe = 0.0 THEN NULL
+         |    ELSE round((po - pe) / (1.0 - pe), 4) END AS kappa
          |FROM k2""".stripMargin,
     "eval_ndcg" ->
       s"""WITH $duckBm25Ctes,
@@ -3610,7 +3612,8 @@ object PipelineQueries {
          |  FROM (SELECT doc_id, gain FROM gains ORDER BY gain DESC, doc_id LIMIT 10)),
          |i AS (SELECT CAST(sum(CAST(round(round(gain / ln(irank + 1.0), 6) * 1e6, 0)
          |    AS BIGINT)) AS BIGINT) AS idcgfx FROM ideal)
-         |SELECT round(CAST(dcgfx AS DOUBLE) / idcgfx, 4) AS ndcg10,
+         |SELECT CASE WHEN idcgfx = 0 THEN NULL
+         |    ELSE round(CAST(dcgfx AS DOUBLE) / idcgfx, 4) END AS ndcg10,
          |  coalesce(round(1.0 / first_rel, 4), 0.0) AS mrr, n_rel
          |FROM d, i""".stripMargin,
     "index_incremental" -> duckBm25,

@@ -106,13 +106,9 @@ object ScaleSoak {
     // 1×→3× points carry the structural claim: candidates track truth,
     // zero spill, and the stage stays within ~an order of the LSH pass.
     if (replicas <= 3) timed("allpairs_exact") {
-      val gramTok = docs
-        .select(col("doc_id"),
-          array_distinct(graft.ops.Dedup.shingles("text", 2)).as("_g"))
-        .select(col("doc_id"),
-          expr("transform(_g, g -> substring(md5(g), 1, 16))").as("toks"))
       counts("allpairs_pairs") = graft.ops.Dedup.allPairsJaccardTok(
-        gramTok, "doc_id", threshold = 0.5).count()
+        graft.ops.Dedup.bigramMd5Tok(docs, "doc_id", "text"),
+        "doc_id", threshold = 0.5).count()
     }
 
     // 2. transitive closure → cluster keepers

@@ -119,6 +119,18 @@ object Dedup {
     }.drop(sh)
   }
 
+  /** Word-bigram gram sets as 16-hex md5 prefixes, in a `toks` column —
+    * the similarity domain shared by the gram-minhash near-dup pipeline,
+    * the exact all-pairs join, the recall eval, and the soak stage. ONE
+    * definition on purpose: the gram choice decides whether the
+    * similarity predicate discriminates at all (unigram sets at t=0.5
+    * marked 74% of soak pairs "similar"), so every consumer must mean
+    * the same thing by "similar". */
+  def bigramMd5Tok(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), array_distinct(shingles(textCol, 2)).as("_g"))
+      .select(col(idCol),
+        expr("transform(_g, g -> substring(md5(g), 1, 16))").as("toks"))
+
   /** Word shingles of size n (full text as one shingle if shorter). */
   def shingles(textCol: String, n: Int): Column = {
     val toks = s"split(lower($textCol), ' ')"
@@ -597,6 +609,14 @@ object Dedup {
     // which shipped every document's full gram array through the
     // groupBy shuffle and SPILLED 6.5 GB at the 3× soak point (143 s →
     // the window form re-sorts the same rows in place).
+    // Every pruning bound below uses a RELAXED threshold, not `threshold`
+    // itself: verification (and the brute-force oracle) keep pairs whose
+    // 4-dp-ROUNDED jaccard reaches t, so a raw jaccard as low as
+    // t − 0.00005 must still reach the verify step — pruning at exact t
+    // would silently drop those boundary pairs (e.g. B ⊂ A with
+    // |B|/|A∪B| = 0.499975 rounds to 0.5000). The extra 1e-9 absorbs
+    // float rounding in ceil/multiply so the bounds can only widen.
+    val tPrune = threshold - 5.0e-5 - 1e-9
     val wDoc = Window.partitionBy(idCol)
     val wOrd = Window.partitionBy(idCol).orderBy(col("df"), col("tok"))
     val prefix = Materialize.index(
@@ -605,7 +625,7 @@ object Dedup {
         .withColumn("n", count(lit(1)).over(wDoc))
         .withColumn("rnk", row_number().over(wOrd))
         .filter(col("rnk") <=
-          col("n") - ceil(lit(threshold) * col("n")).cast("int") + lit(1))
+          col("n") - ceil(lit(tPrune) * col("n")).cast("int") + lit(1))
         .select(col(idCol), col("n"), col("rnk"), col("tok")),
       "allpairs-prefix")
     // PPJoin positional filter (Xiao et al. VLDB'08): a match on a token
@@ -616,14 +636,14 @@ object Dedup {
     // relaxed by an epsilon so float rounding can only keep, not drop).
     // This is what keeps candidate volume near the true pair volume when
     // replicated/boilerplate docs put the same rare gram in many docs.
-    val alphaFrac = threshold / (1.0 + threshold)
+    val alphaFrac = tPrune / (1.0 + tPrune)
     val cand = prefix.select(col(idCol).as("id_a"), col("n").as("na"),
         col("rnk").as("ra"), col("tok"))
       .join(prefix.select(col(idCol).as("id_b"), col("n").as("nb"),
         col("rnk").as("rb"), col("tok")), "tok")
       .filter(col("id_a") < col("id_b") &&
-        col("nb") * lit(threshold) <= col("na") &&
-        col("na") * lit(threshold) <= col("nb") &&
+        col("nb") * lit(tPrune) <= col("na") &&
+        col("na") * lit(tPrune) <= col("nb") &&
         lit(1.0) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
           lit(alphaFrac) * (col("na") + col("nb")) - lit(1e-9))
       .select("id_a", "id_b")

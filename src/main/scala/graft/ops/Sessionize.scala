@@ -196,9 +196,12 @@ object Sessionize {
     * Engine-exactness by construction: the raw stream first reduces to
     * per-(type, day) counts — bounded by calendar × type cardinality,
     * not event volume — and every EWMA term is count·2^−k, a dyadic
-    * rational; with counts < 2^37 and k ≤ 20 the weighted sums are
-    * EXACT in double (no summation-order ulp to defend against), so
-    * the only rounding is the final display round. The trailing window
+    * rational; with counts < 2^33 and k ≤ 20 the weighted sum needs at
+    * most 33 + 19 + 1 ≤ 53 mantissa bits, so it is EXACT in double (no
+    * summation-order ulp to defend against) and the only rounding is
+    * the final display round. (Past ~8.6e9 events per (type, day) the
+    * sum would go inexact and the cross-engine guarantee would need the
+    * fixed-point-long treatment instead.) The trailing window
     * runs as a bounded self-join on the small daily table (fan-out ≤
     * trailingDays), not a window over the event stream; days with no
     * events are absent (missing, not zero) and calendar distance still

@@ -82,15 +82,18 @@ object EventStreams {
         col("user_id"), col("n"), col("total_value"))
 
   /** Streaming per-window top-k event types: the watermarked windowed
-    * counts stream, with the top-k cut applied per micro-batch through
-    * `foreachBatch` — reusing the BATCH two-phase
+    * counts stream in APPEND mode — each window emits exactly once,
+    * finalized, when the watermark passes its end — with the top-k cut
+    * applied to those finalized windows per micro-batch through
+    * `foreachBatch`, reusing the BATCH two-phase
     * [[graft.ops.Retrieval.topKPerKey]] primitive verbatim (rank
     * windows aren't allowed downstream of a streaming aggregation, and
-    * foreachBatch is the documented composition point for exactly this:
-    * each update's result table is a normal DataFrame). State stays the
-    * windowed-count aggregation's (watermark-bounded); the top-k adds
-    * none. `sink` receives (win_start, event_type, n, rank ≤ k) per
-    * trigger. */
+    * foreachBatch is the documented composition point for exactly
+    * this). Append, not Complete: complete mode disables watermark
+    * eviction, so state and per-trigger work would grow with every
+    * window ever seen — append keeps state watermark-bounded and each
+    * batch carries only windows that just finalized. `sink` receives
+    * (win_start, event_type, n, rank ≤ k) per finalized window. */
   def windowTopKStream(
       events: DataFrame,
       k: Int,
@@ -99,7 +102,7 @@ object EventStreams {
       window: String = "5 minutes"): org.apache.spark.sql.streaming.StreamingQuery =
     windowedCounts(events, watermark, window)
       .writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(graft.ops.Retrieval.topKPerKey(
           batch.select("win_start", "event_type", "n"),

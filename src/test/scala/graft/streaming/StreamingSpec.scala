@@ -372,7 +372,6 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     val df = input.toDF().toDF("event_id", "ts", "event_type", "value")
     val got = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
     val q = EventStreams.windowTopKStream(df, k = 2, sink = b => {
-      got.clear()
       got ++= b.collect().map(r =>
         (r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Long]("rank")))
     })
@@ -381,6 +380,11 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       input.addData(
         (1L, ts(1), "click", 1.0), (2L, ts(1), "click", 1.0), (3L, ts(2), "click", 1.0),
         (4L, ts(2), "view", 1.0), (5L, ts(3), "view", 1.0), (6L, ts(3), "error", 1.0))
+      q.processAllAvailable()
+      got shouldBe empty // append mode: nothing finalizes until the watermark moves
+      input.addData((7L, ts(30), "click", 1.0)) // watermark → 20, past window [0,5)
+      q.processAllAvailable()
+      input.addData((8L, ts(31), "click", 1.0)) // batch that SEES watermark 20 → emits
       q.processAllAvailable()
       got.sortBy(_._3).toList shouldBe List(("click", 3L, 1L), ("view", 2L, 2L))
     } finally q.stop()
