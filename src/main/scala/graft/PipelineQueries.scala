@@ -1360,6 +1360,54 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Zone-map skipping audit — the number that justifies
+    * [[graft.ops.Layout.zorder]]: model BOTH layouts' file assignment
+    * deterministically (exact ntile in layout order: insertion order vs
+    * Morton order), derive each file's (doc_id, n_chars) min/max zone
+    * maps, and count the files a box predicate must scan under each.
+    * Z-order should leave most files skippable on BOTH dimensions;
+    * linear order only on the insertion key. The ntile model mirrors
+    * what the physical writer's range-partitioned sort produces while
+    * keeping file boundaries engine-deterministic; the audit itself at
+    * lake scale reads footer metadata (n_files rows), so the global
+    * ntile here is the modeling step, not the production plan. */
+  def layoutSkipping(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = 25
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val zdocs = docs.withColumn("zval", graft.ops.Layout.zValue(
+      pmod(col("doc_id"), lit(65536L)), pmod(col("n_chars"), lit(65536L))))
+    val lin = docs
+      .withColumn("f", ntile(files).over(Window.orderBy(col("doc_id"))))
+      .withColumn("layout", lit("linear"))
+    val zor = zdocs
+      .withColumn("f", ntile(files).over(Window.orderBy(col("zval"), col("doc_id"))))
+      .drop("zval")
+      .withColumn("layout", lit("zorder"))
+    val zone = lin.unionByName(zor).groupBy("layout", "f")
+      .agg(min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+        min("n_chars").as("min_nc"), max("n_chars").as("max_nc"))
+    val b = broadcast(docs.agg(
+      min("doc_id").as("i0"), max("doc_id").as("i1"),
+      min("n_chars").as("c0"), max("n_chars").as("c1")))
+    zone.crossJoin(b)
+      .withColumn("loI", (col("i0") + floor((col("i1") - col("i0")) * 0.25)).cast("long"))
+      .withColumn("hiI", (col("i0") + floor((col("i1") - col("i0")) * 0.35)).cast("long"))
+      .withColumn("loC", (col("c0") + floor((col("c1") - col("c0")) * 0.3)).cast("long"))
+      .withColumn("hiC", (col("c0") + floor((col("c1") - col("c0")) * 0.6)).cast("long"))
+      .withColumn("hit_id",
+        !(col("max_id") < col("loI") || col("min_id") > col("hiI")))
+      .withColumn("hit_nc",
+        !(col("max_nc") < col("loC") || col("min_nc") > col("hiC")))
+      .withColumn("hit_box", col("hit_id") && col("hit_nc"))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("hit_id"), 1L).otherwise(0L)).as("scan_id_range"),
+        sum(when(col("hit_nc"), 1L).otherwise(0L)).as("scan_nc_range"),
+        sum(when(col("hit_box"), 1L).otherwise(0L)).as("scan_box"))
+      .orderBy("layout")
+  }
+
   /** CCNet head/middle/tail bucketing of the LM score
     * ([[graft.ops.TextAnalysis.lmBuckets]]): per-language exact
     * percentile cuts, broadcast back, scan-side bucket assignment. */
@@ -1941,6 +1989,7 @@ object PipelineQueries {
     "embed_cell_sample" -> (embedCellSample _),
     "embed_semantic_dedup" -> (embedSemanticDedup _),
     "layout_zorder" -> (layoutZorder _),
+    "layout_skipping" -> (layoutSkipping _),
     "doc_chunking" -> (docChunking _),
     "multimodal_resize" -> (multimodalResize _),
     "heavy_hitters" -> (heavyHitters _),
@@ -3222,6 +3271,34 @@ object PipelineQueries {
       s"""SELECT doc_id, n_chars,
          |  ${duckZ("(doc_id % 65536)", "(n_chars % 65536)")} AS zval
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "layout_skipping" ->
+      s"""WITH d AS (SELECT doc_id, n_chars FROM documents),
+         |z AS (SELECT doc_id, n_chars,
+         |    ${duckZ("(doc_id % 65536)", "(n_chars % 65536)")} AS zval FROM documents),
+         |lin AS (SELECT 'linear' AS layout,
+         |    ntile(25) OVER (ORDER BY doc_id) AS f, doc_id, n_chars FROM d),
+         |zor AS (SELECT 'zorder' AS layout,
+         |    ntile(25) OVER (ORDER BY zval, doc_id) AS f, doc_id, n_chars FROM z),
+         |u AS (SELECT * FROM lin UNION ALL SELECT * FROM zor),
+         |zone AS (SELECT layout, f, min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |    min(n_chars) AS min_nc, max(n_chars) AS max_nc FROM u GROUP BY 1, 2),
+         |b AS (SELECT min(doc_id) AS i0, max(doc_id) AS i1,
+         |    min(n_chars) AS c0, max(n_chars) AS c1 FROM d),
+         |k AS (SELECT zone.*,
+         |    CAST(i0 + floor((i1 - i0) * 0.25) AS BIGINT) AS loI,
+         |    CAST(i0 + floor((i1 - i0) * 0.35) AS BIGINT) AS hiI,
+         |    CAST(c0 + floor((c1 - c0) * 0.3) AS BIGINT) AS loC,
+         |    CAST(c0 + floor((c1 - c0) * 0.6) AS BIGINT) AS hiC
+         |  FROM zone, b),
+         |h AS (SELECT layout,
+         |    CASE WHEN NOT (max_id < loI OR min_id > hiI) THEN 1 ELSE 0 END AS hid,
+         |    CASE WHEN NOT (max_nc < loC OR min_nc > hiC) THEN 1 ELSE 0 END AS hnc
+         |  FROM k)
+         |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(hid) AS BIGINT) AS scan_id_range,
+         |  CAST(sum(hnc) AS BIGINT) AS scan_nc_range,
+         |  CAST(sum(hid * hnc) AS BIGINT) AS scan_box
+         |FROM h GROUP BY layout ORDER BY layout""".stripMargin,
     "embed_semantic_dedup" ->
       s"""$duckIvfCellsCte,
          |pairs AS (SELECT a.corpus_id AS id_a, b.corpus_id AS id_b
