@@ -570,6 +570,44 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** Epoch scheduling for a training mixture: given per-language token
+    * inventories and target shares, the repeat factor (epochs) each
+    * language needs to fill its slice of a fixed token budget — the
+    * up-sampling complement of [[mixPlan]]'s down-sampling rates
+    * (epochs > 1 means the slice repeats data, the number a mixture
+    * designer watches for memorization risk). One aggregation over the
+    * scan-side token count, then a broadcast target join. */
+  def mixEpochs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 200000L
+    val target = Seq(("en", 0.30), ("de", 0.20), ("es", 0.20),
+      ("fr", 0.20), ("zh", 0.10)).toDF("lang", "target_share")
+    t(s, dir, "documents")
+      .select(col("lang"),
+        size(split(lower(col("text")), " ")).cast("long").as("nt"))
+      .groupBy("lang").agg(sum("nt").as("tokens"))
+      .join(broadcast(target), "lang")
+      .select(col("lang"), col("tokens"), col("target_share"),
+        round(lit(budget) * col("target_share"), 0).cast("long").as("budget_tokens"),
+        round(lit(budget) * col("target_share") / col("tokens"), 4).as("epochs"),
+        (lit(budget) * col("target_share") / col("tokens") > 1.0).as("repeats"))
+      .orderBy("lang")
+  }
+
+  /** Near-dup cluster-size distribution: how many clusters of each size
+    * the transitive closure produced and how many documents they hold —
+    * the shape that says whether dedup is trimming boilerplate families
+    * (many small clusters) or collapsing a template explosion (few
+    * giant ones). Two bounded aggregations off the shared closure. */
+  def dedupClusterStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cluster.dupClusters(
+      minhashVerifiedPairs(s, dir).select("id_a", "id_b"))
+      .select("cluster", "csize").distinct()
+      .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+      .select(col("csize"), col("n_clusters"),
+        (col("csize") * col("n_clusters")).as("n_docs"))
+      .orderBy("csize")
+
   /** Int8 symmetric quantization of the embedding column + reconstruction
     * quality — the compression step before an ANN index ships. Pure
     * per-row array arithmetic (codegen'd HOFs, zero shuffles); the
@@ -2049,6 +2087,8 @@ object PipelineQueries {
     "sample_reservoir" -> (sampleReservoir _),
     "sample_weighted" -> (sampleWeighted _),
     "mix_plan" -> (mixPlan _),
+    "mix_epochs" -> (mixEpochs _),
+    "dedup_cluster_stats" -> (dedupClusterStats _),
     "embed_quantize" -> (embedQuantize _),
     "knn_classify" -> (knnClassify _),
     "embed_label_centroids" -> (embedLabelCentroids _),
@@ -4030,6 +4070,24 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'rsv'), doc_id) AS rn
         |  FROM documents) WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
+    "mix_epochs" ->
+      s"""WITH t(lang, target_share) AS (VALUES
+         |  ('en', CAST(0.30 AS DOUBLE)), ('de', CAST(0.20 AS DOUBLE)),
+         |  ('es', CAST(0.20 AS DOUBLE)), ('fr', CAST(0.20 AS DOUBLE)),
+         |  ('zh', CAST(0.10 AS DOUBLE))),
+         |c AS (SELECT lang, CAST(sum(len($toks)) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY lang)
+         |SELECT lang, tokens, target_share,
+         |  CAST(round(200000 * target_share, 0) AS BIGINT) AS budget_tokens,
+         |  round(200000 * target_share / tokens, 4) AS epochs,
+         |  200000 * target_share / tokens > 1.0 AS repeats
+         |FROM c JOIN t USING (lang) ORDER BY lang""".stripMargin,
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $duckClusterCtes,
+         |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize FROM comp GROUP BY 1)
+         |SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(csize * count(*) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY csize ORDER BY csize""".stripMargin,
     "mix_plan" ->
       """WITH t(lang, target_share) AS (VALUES
         |  ('en', CAST(0.30 AS DOUBLE)), ('de', CAST(0.20 AS DOUBLE)),
