@@ -150,6 +150,7 @@ object Bench {
     } catch { case _: Throwable => () }
     System.err.println(s"[benchdiag] $diagnostics")
     println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":${errors.size},"sf":"$sfDir"}""")
+    graft.ops.Materialize.clearCache()
     spark.stop()
   }
 

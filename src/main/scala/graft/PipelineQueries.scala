@@ -1120,7 +1120,7 @@ object PipelineQueries {
         graft.ops.Materialize.spread(t(s, dir, "documents")),
         "doc_id", "text", k = 8, w = 4)
         .withColumnRenamed("fp", "chunk_md5"),
-      "doc_id", threshold = 0.5)
+      "doc_id", threshold = 0.5, maxDf = 64)
       .orderBy("id_a", "id_b")
 
   /** Incremental component maintenance ([[graft.ops.Cluster.mergeClusters]]):
@@ -1977,8 +1977,102 @@ object PipelineQueries {
     CountMin.estimates(t(s, dir, "events"), "user_id", d = 3, w = 32)
       .orderBy("user_id")
 
+  /** KMV bottom-k sketch overlap between source vocabularies
+    * ([[graft.ops.Kmv.pairwise]]): per source-pair approximate union /
+    * intersection / Jaccard of the word sets from k = 256-value
+    * sketches — the sketch-side answer to [[sourceOverlap]]'s exact
+    * join, usable when pairwise exact vocabulary joins are too wide. */
+  def kmvSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sk = graft.ops.Materialize.index(
+      graft.ops.Kmv.sketch(
+        t(s, dir, "documents")
+          .select(col("source"), explode(split(lower(col("text")), " ")).as("word")),
+        "source", "word", k = 256),
+      "kmv-sketch")
+    graft.ops.Kmv.pairwise(sk, "source", k = 256)
+      .orderBy("g_a", "g_b")
+  }
+
+  /** Kneser–Ney bigram LM quality score
+    * ([[graft.ops.TextAnalysis.knScore]]) per document. */
+  def lmKneserNey(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.knScore(t(s, dir, "documents")).orderBy("doc_id")
+
+  /** Dirichlet query-likelihood retrieval
+    * ([[graft.ops.Retrieval.queryLikelihood]]) — same probe terms as
+    * [[bm25Retrieval]], language-modeling scoring instead of BM25. */
+  def retrievalQlm(s: SparkSession, dir: String): DataFrame =
+    Retrieval.queryLikelihood(t(s, dir, "documents"), "doc_id", "text",
+      terms = Seq("table", "query", "spark"))
+
+  /** Encoding-damage audit ([[graft.ops.TextAnalysis.mojibakeSignals]])
+    * over every document. */
+  def textMojibake(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mojibakeSignals(t(s, dir, "documents")).orderBy("doc_id")
+
+  /** Per-source KL divergence from the corpus unigram distribution
+    * ([[graft.ops.TextAnalysis.sourceKlDivergence]]). */
+  def sourceKl(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceKlDivergence(t(s, dir, "documents")).orderBy("src")
+
+  /** Entity-resolution candidate pairs over the part catalog
+    * ([[graft.ops.Linkage.candidatePairs]]). */
+  def erPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Linkage.candidatePairs(t(s, dir, "part"))
+      .orderBy("id_a", "id_b")
+
+  /** Resolved entities ([[graft.ops.Linkage.entities]]): transitive
+    * match closure + per-entity member count and price spread. */
+  def erEntities(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Linkage.entities(t(s, dir, "part"))
+      .orderBy("entity")
+
+  /** Daily peak concurrency and covered time over the event sessions
+    * ([[graft.ops.Intervals.dailyCoverage]] on [[sessionize]]'s
+    * intervals — all users pooled). */
+  def intervalCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Intervals.dailyCoverage(
+      graft.ops.Sessionize.sessions(t(s, dir, "events"),
+        key = "user_id", tsCol = "ts", idCol = "event_id", gapSeconds = 21600),
+      "start_ts", "end_ts")
+      .orderBy("day")
+
+  /** Robust per-event-type outlier rates via median/MAD
+    * ([[graft.ops.Quantile.madOutliers]], Hampel's k = 3 rule). */
+  def robustOutliers(s: SparkSession, dir: String): DataFrame =
+    Quantile.madOutliers(t(s, dir, "events"), "event_type", "value")
+      .orderBy("event_type")
+
+  /** Point-in-time state reconstruction: each user's latest event at or
+    * before the cutoff — the event-sourcing "state as of T" read (the
+    * time-series analog of an SCD-2 snapshot). Per-user window, bounded
+    * by per-user event count; the cutoff filter pushes to the scan. */
+  def stateAsof(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .filter(col("ts") <= cutoff)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_event_type"),
+        col("value").as("last_value"), col("ts").as("last_ts"))
+      .orderBy("user_id")
+  }
+
   // ================================================================ maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmv_source_overlap" -> (kmvSourceOverlap _),
+    "lm_kneser_ney" -> (lmKneserNey _),
+    "retrieval_qlm" -> (retrievalQlm _),
+    "text_mojibake" -> (textMojibake _),
+    "source_kl" -> (sourceKl _),
+    "er_pairs" -> (erPairs _),
+    "er_entities" -> (erEntities _),
+    "interval_coverage" -> (intervalCoverage _),
+    "robust_outliers" -> (robustOutliers _),
+    "state_asof" -> (stateAsof _),
     "shuffle_shards" -> (shuffleShards _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash_novelty" -> (dedupSimhashNovelty _),
@@ -2593,6 +2687,193 @@ object PipelineQueries {
        |  i -> array_to_string($tk[i:i+${n - 1}], ' ')) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "kmv_source_overlap" ->
+      """WITH toksrc AS (SELECT DISTINCT source AS g, word FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS word FROM documents)),
+        |hs AS (SELECT DISTINCT g,
+        |    (list_sum(list_transform(range(1, 13),
+        |      i -> (instr('0123456789abcdef', substring(md5(word), CAST(i AS INT), 1)) - 1)
+        |        * 16 ** (12 - i))) + 1.0) / 281474976710656.0 AS u
+        |  FROM toksrc),
+        |sk AS (SELECT g, u FROM (
+        |    SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u) AS rn FROM hs)
+        |  WHERE rn <= 256),
+        |gs AS (SELECT DISTINCT g FROM sk),
+        |pr AS (SELECT a.g AS g_a, b.g AS g_b FROM gs a JOIN gs b ON a.g < b.g),
+        |merged AS (SELECT g_a, g_b, u, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        |    SELECT p.g_a, p.g_b, s.u, 1 AS in_a, 0 AS in_b FROM pr p JOIN sk s ON s.g = p.g_a
+        |    UNION ALL
+        |    SELECT p.g_a, p.g_b, s.u, 0, 1 FROM pr p JOIN sk s ON s.g = p.g_b)
+        |  GROUP BY 1, 2, 3),
+        |topk AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY g_a, g_b ORDER BY u) AS rn FROM merged)
+        |  WHERE rn <= 256)
+        |SELECT g_a, g_b,
+        |  round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+        |    ELSE 255.0 / max(u) END, 4) AS union_approx,
+        |  round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6) AS jaccard_approx,
+        |  round((CAST(sum(in_a * in_b) AS DOUBLE) / count(*)) *
+        |    CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+        |    ELSE 255.0 / max(u) END, 4) AS intersect_approx
+        |FROM topk GROUP BY g_a, g_b ORDER BY g_a, g_b""".stripMargin,
+    "lm_kneser_ney" ->
+      s"""WITH db AS (SELECT doc_id, b, split_part(b, ' ', 1) AS w, split_part(b, ' ', 2) AS w2
+         |  FROM (SELECT doc_id, unnest(${duckShingles(2)}) AS b FROM documents)),
+         |bi AS (SELECT b, count(*) AS cb FROM db GROUP BY b),
+         |pre AS (SELECT w, count(*) AS cu, count(DISTINCT w2) AS n1fwd FROM db GROUP BY w),
+         |cont AS (SELECT w2, count(DISTINCT w) AS n1bwd FROM db GROUP BY w2),
+         |btot AS (SELECT count(*) AS bcnt FROM bi)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(-avg(ln((cb - 0.75) / cu +
+         |    0.75 * n1fwd / cu * (CAST(n1bwd AS DOUBLE) / bcnt))), 4) AS nll_kn
+         |FROM db JOIN bi USING (b) JOIN pre USING (w) JOIN cont USING (w2) CROSS JOIN btot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "retrieval_qlm" ->
+      """WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+        |tk AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+        |ctot AS (SELECT sum(dl) AS ct FROM dl),
+        |terms(tok) AS (VALUES ('table'), ('query'), ('spark')),
+        |cstat AS (SELECT tok, pc FROM (
+        |    SELECT t.tok, CAST(coalesce(cf, 0) AS DOUBLE) / ct AS pc
+        |    FROM terms t LEFT JOIN (SELECT tok, count(*) AS cf FROM tk GROUP BY tok) c
+        |      ON c.tok = t.tok CROSS JOIN ctot)
+        |  WHERE pc > 0),
+        |qstats AS (SELECT sum(ln(pc * 2000.0)) AS lp_all, count(*) AS nq FROM cstat),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk JOIN terms USING (tok) GROUP BY 1, 2),
+        |pres AS (SELECT doc_id, sum(ln(tf + 2000.0 * pc) - ln(2000.0 * pc)) AS dsum
+        |  FROM tf JOIN cstat USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, dl,
+        |  round(coalesce(dsum, 0.0) + lp_all - nq * ln(dl + 2000.0), 4) AS score
+        |FROM dl LEFT JOIN pres USING (doc_id) CROSS JOIN qstats
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "text_mojibake" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_replacement,
+        |  CAST(len(regexp_extract_all(text, '[\x01-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT) AS n_control,
+        |  CAST(len(regexp_extract_all(text, '(Ã.|â€.|Â.)')) AS BIGINT) AS n_artifacts,
+        |  round(CAST(len(regexp_extract_all(text, '�')) +
+        |      len(regexp_extract_all(text, '[\x01-\x08\x0b\x0c\x0e-\x1f]')) +
+        |      len(regexp_extract_all(text, '(Ã.|â€.|Â.)')) AS DOUBLE) /
+        |    greatest(length(text), 1), 6) AS damage_ratio,
+        |  (CAST(len(regexp_extract_all(text, '�')) +
+        |      len(regexp_extract_all(text, '[\x01-\x08\x0b\x0c\x0e-\x1f]')) +
+        |      len(regexp_extract_all(text, '(Ã.|â€.|Â.)')) AS DOUBLE) /
+        |    greatest(length(text), 1) > 0.001) AS suspect
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "source_kl" ->
+      """WITH sw AS (SELECT source AS src, word, count(*) AS c FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  GROUP BY 1, 2),
+        |corpus AS (SELECT word, sum(c) AS cc FROM sw GROUP BY word),
+        |vs AS (SELECT count(*) AS v, sum(cc) AS nc FROM corpus),
+        |scal AS (SELECT sum(ln((cc + 1.0) / (nc + v))) AS lc FROM corpus CROSS JOIN vs),
+        |st AS (SELECT src, sum(c) AS ns FROM sw GROUP BY src)
+        |SELECT src, CAST(count(*) AS BIGINT) AS n_words,
+        |  round(sum(ps * ln(ps / pc)) +
+        |    (1.0 / (ns + v)) * ((v - count(*)) * ln(1.0 / (ns + v)) -
+        |      (lc - sum(ln(pc)))), 4) AS kl_vs_corpus
+        |FROM (SELECT src, ns, v, lc,
+        |    (c + 1.0) / (ns + v) AS ps, (cc + 1.0) / (nc + v) AS pc
+        |  FROM sw JOIN corpus USING (word) JOIN st USING (src) CROSS JOIN vs CROSS JOIN scal)
+        |GROUP BY src, ns, v, lc ORDER BY src""".stripMargin,
+    "er_pairs" ->
+      """WITH recs AS (SELECT p_partkey AS id, split_part(p_name, ' ', 1) AS adj,
+        |    string_split(p_name, ' ')[-1] AS noun, p_brand AS brand,
+        |    p_type AS ptype, p_size AS size FROM part),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    a.ptype AS ta, b.ptype AS tb, a.brand AS ba, b.brand AS bb,
+        |    a.adj AS aa, b.adj AS ab, a.size AS sa, b.size AS sb
+        |  FROM recs a JOIN recs b
+        |    ON a.noun = b.noun AND a.id < b.id AND (a.size = b.size OR a.brand = b.brand))
+        |SELECT id_a, id_b, score FROM (
+        |  SELECT id_a, id_b, round(
+        |    CASE WHEN ta = tb THEN 0.4 ELSE 0.0 END +
+        |    CASE WHEN ba = bb THEN 0.3 ELSE 0.0 END +
+        |    CASE WHEN aa = ab THEN 0.2 ELSE 0.0 END +
+        |    0.1 * (1.0 - CAST(abs(sa - sb) AS DOUBLE) / 50.0), 4) AS score
+        |  FROM cand)
+        |WHERE score >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    "er_entities" ->
+      """WITH RECURSIVE recs AS (SELECT p_partkey AS id, split_part(p_name, ' ', 1) AS adj,
+        |    string_split(p_name, ' ')[-1] AS noun, p_brand AS brand,
+        |    p_type AS ptype, p_size AS size FROM part),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    a.ptype AS ta, b.ptype AS tb, a.brand AS ba, b.brand AS bb,
+        |    a.adj AS aa, b.adj AS ab, a.size AS sa, b.size AS sb
+        |  FROM recs a JOIN recs b
+        |    ON a.noun = b.noun AND a.id < b.id AND (a.size = b.size OR a.brand = b.brand)),
+        |pairs AS (SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b, round(
+        |      CASE WHEN ta = tb THEN 0.4 ELSE 0.0 END +
+        |      CASE WHEN ba = bb THEN 0.3 ELSE 0.0 END +
+        |      CASE WHEN aa = ab THEN 0.2 ELSE 0.0 END +
+        |      0.1 * (1.0 - CAST(abs(sa - sb) AS DOUBLE) / 50.0), 4) AS score
+        |    FROM cand)
+        |  WHERE score >= 0.9),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, lab) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+        |comp AS (SELECT node, min(lab) AS entity FROM reach GROUP BY node)
+        |SELECT entity, CAST(count(*) AS BIGINT) AS n_members,
+        |  round(max(p_retailprice) - min(p_retailprice), 2) AS price_spread
+        |FROM comp JOIN part ON p_partkey = node
+        |GROUP BY entity ORDER BY entity""".stripMargin,
+    "interval_coverage" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pus
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN pus IS NULL OR epoch_us(ts) - pus > 21600000000 THEN 1 ELSE 0 END AS st
+        |  FROM o),
+        |x AS (SELECT user_id, ts,
+        |    CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+        |  FROM m),
+        |sess AS (SELECT epoch_us(min(ts)) AS su, epoch_us(max(ts)) AS eu
+        |  FROM x GROUP BY user_id, session_idx),
+        |frags AS (SELECT day, greatest(su, day * 86400000000) AS fs,
+        |    least(eu, (day + 1) * 86400000000) AS fe
+        |  FROM (SELECT su, eu, unnest(range(su // 86400000000,
+        |      greatest(eu - 1, su) // 86400000000 + 1)) AS day FROM sess)
+        |  WHERE greatest(su, day * 86400000000) < least(eu, (day + 1) * 86400000000)),
+        |ev AS (SELECT day, t, d, CAST(sum(d) AS BIGINT) AS delta FROM (
+        |    SELECT day, fs AS t, 1 AS d FROM frags
+        |    UNION ALL SELECT day, fe, -1 FROM frags) GROUP BY 1, 2, 3),
+        |sw AS (SELECT day, t, d, delta,
+        |    CAST(sum(delta) OVER (PARTITION BY day ORDER BY t, d
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc,
+        |    lead(t) OVER (PARTITION BY day ORDER BY t, d) AS next_t
+        |  FROM ev)
+        |SELECT CAST(make_timestamp(day * 86400000000) AS DATE) AS day,
+        |  CAST(max(conc) AS BIGINT) AS peak_concurrency,
+        |  round(CAST(sum(CASE WHEN conc > 0 AND next_t IS NOT NULL
+        |    THEN next_t - t ELSE 0 END) AS DOUBLE) / 1e6, 3) AS covered_sec,
+        |  CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS BIGINT) AS n_starts
+        |FROM sw GROUP BY day ORDER BY day""".stripMargin,
+    "robust_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM events JOIN med USING (event_type) GROUP BY event_type)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN abs(value - med) > 3.0 * 1.4826 * mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  round(med, 6) AS median, round(mad, 6) AS mad,
+        |  round(CAST(sum(CASE WHEN abs(value - med) > 3.0 * 1.4826 * mad THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS outlier_rate
+        |FROM events JOIN med USING (event_type) JOIN mad USING (event_type)
+        |GROUP BY event_type, med, mad ORDER BY event_type""".stripMargin,
+    "state_asof" ->
+      """SELECT user_id, event_type AS last_event_type, value AS last_value,
+        |  ts AS last_ts
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "shuffle_shards" ->
       """WITH s AS (SELECT doc_id, md5('shuf42|' || CAST(doc_id AS VARCHAR)) AS skey
         |  FROM documents),
@@ -2982,10 +3263,12 @@ object PipelineQueries {
         |      ELSE list_transform(range(1, len(wh) - 2),
         |        i -> list_min(wh[CAST(i AS INT):CAST(i + 3 AS INT)])) END) AS h
         |    FROM g)),
-        |nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nch FROM fp GROUP BY 1),
+        |fj AS (SELECT fp.* FROM fp JOIN (
+        |    SELECT h FROM fp GROUP BY h HAVING count(*) <= 64) k USING (h)),
+        |nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nch FROM fj GROUP BY 1),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(count(*) AS BIGINT) AS shared
-        |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  FROM fj a JOIN fj b ON a.h = b.h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, shared,
         |  round(shared / least(na.nch, nb.nch), 4) AS containment

@@ -26,7 +26,8 @@ object QuickBench {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       graft.ops.Materialize.dropAll()
-      println(f"[quickbench] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      val (ch, cm) = graft.ops.Materialize.cacheStats
+      println(f"[quickbench] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows, idxcache $ch hit/$cm miss)")
     }
     spark.stop()
   }

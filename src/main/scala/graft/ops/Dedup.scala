@@ -281,16 +281,40 @@ object Dedup {
     * self-joins on the chunk hash — high-cardinality key, evenly
     * hashed; a boilerplate hot chunk is the AQE skew-join case. Pair
     * aggregation and the two per-doc-count joins all key on ids.
+    *
+    * `maxDf` (0 = off) drops hashes present in more than that many
+    * documents BEFORE the self-join — MOSS's own noise rule: a
+    * fingerprint shared by hundreds of documents is boilerplate, not
+    * evidence of copying, and it is exactly the key whose join bucket
+    * grows quadratically with corpus size. With the cap, a hash
+    * contributes at most maxDf² pairs regardless of corpus growth.
+    * Containment is then computed over the RETAINED (discriminative)
+    * fingerprint space — numerator and denominator both — so two docs
+    * sharing their distinctive content still score ~1.0 after their
+    * common boilerplate is ignored, while a pair related ONLY through
+    * boilerplate disappears instead of spuriously passing.
+    * Content-defined chunk hashes are long high-entropy regions where
+    * ubiquity is real duplication — callers on that path leave the cap
+    * off.
+    *
     * Returns (id_a, id_b, shared, containment) over the threshold. */
   def cdcOverlapPairs(
       chunks: DataFrame,
       idCol: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxDf: Int = 0): DataFrame = {
     val h = Materialize.index(
       chunks.select(col(idCol), col("chunk_md5")).distinct(), "cdc-hashes")
-    val counts = h.groupBy(idCol).agg(count(lit(1)).as("nch"))
-    val pairs = h.select(col(idCol).as("id_a"), col("chunk_md5"))
-      .join(h.select(col(idCol).as("id_b"), col("chunk_md5")), "chunk_md5")
+    val joinable =
+      if (maxDf <= 0) h
+      else {
+        val keep = h.groupBy("chunk_md5").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("chunk_md5")
+        h.join(keep, "chunk_md5")
+      }
+    val counts = joinable.groupBy(idCol).agg(count(lit(1)).as("nch"))
+    val pairs = joinable.select(col(idCol).as("id_a"), col("chunk_md5"))
+      .join(joinable.select(col(idCol).as("id_b"), col("chunk_md5")), "chunk_md5")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
@@ -519,6 +543,11 @@ object Dedup {
     * window mins read it); the only shuffle is the caller's. Docs
     * shorter than k chars fingerprint as one whole-text hash; fewer
     * than w grams → one window over them all.
+    *
+    * Gram hash stays md5: Spark's digest + substring are codegen'd
+    * tight loops, while a "cheaper" per-position polynomial fold runs
+    * as interpreted higher-order-function lambdas — measured 2× SLOWER
+    * end to end at sf0.1, so the crypto hash wins here.
     *
     * Returns (idCol, fp) DISTINCT — feed to [[cdcOverlapPairs]] for
     * containment pairs. */

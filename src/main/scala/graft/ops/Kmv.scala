@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values / bottom-k) distinct sketches (Bar-Yossef et
+  * al. 2002; Beyer et al. SIGMOD'07). Complements [[Hll]]: HLL registers
+  * union cheaply but CANNOT estimate intersections — the bottom-k
+  * sketch can, because the k smallest hash values of A ∪ B are a
+  * uniform sample of the union, and membership of each sampled value in
+  * both input sketches is observable. This is the sketch family behind
+  * "how much does corpus A overlap corpus B" audits when the exact
+  * vocabulary join ([[graft.PipelineQueries.sourceOverlap]]-style) is
+  * too expensive to run pairwise at 100 TB.
+  *
+  * Engine-portable hashing: u(v) = (conv(md5 prefix) + 1) / 16^12 ∈
+  * (0, 1], identical in Spark and DuckDB, so every estimate is
+  * bit-reproducible and oracle-checkable (the repo-wide md5 convention).
+  *
+  * Scale shape: per group the sketch is the k ascending-smallest
+  * distinct hashes — computed as a distinct + two-phase per-key top-k
+  * ([[Retrieval.topKPerKey]] ascending), so a group with billions of
+  * distinct values still caps its window input at k · partitions rows.
+  * Downstream pair estimation touches only k-row sketches: a per-pair
+  * merge of 2k rows, broadcastable at any corpus size.
+  */
+object Kmv {
+
+  private val Denom = 281474976710656.0 // 16^12
+
+  /** The per-group bottom-k sketch: (groupCol, u, rank), rank 1..k
+    * ascending by hash. The sketch of a group IS this k-row table —
+    * persist it, union it, merge it (merge = k smallest of the union). */
+  def sketch(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 256): DataFrame = {
+    val u = (conv(substring(md5(col(valueCol).cast("string")), 1, 12), 16, 10)
+      .cast("double") + lit(1.0)) / lit(Denom)
+    Retrieval.topKPerKey(
+      df.select(col(groupCol), col(valueCol))
+        .distinct()
+        .select(col(groupCol), u.as("u"))
+        // md5 collisions across distinct values: keep one row per (g, u)
+        .distinct(),
+      Seq(groupCol), Seq(col("u").asc), k)
+  }
+
+  /** Distinct-count estimate per group from a [[sketch]]:
+    * n̂ = (k − 1) / u_(k) (the classic KMV estimator); a group whose
+    * sketch holds fewer than k values is EXACT (every distinct hash is
+    * present), so the estimate is its row count. */
+  def estimate(sk: DataFrame, groupCol: String, k: Int = 256): DataFrame =
+    sk.groupBy(groupCol)
+      .agg(count(lit(1)).as("_n"), max("u").as("_uk"))
+      .select(col(groupCol),
+        round(when(col("_n") < k, col("_n").cast("double"))
+          .otherwise(lit(k - 1.0) / col("_uk")), 4).as("n_approx"))
+
+  /** Pairwise union/intersection/Jaccard estimates for every ORDERED
+    * group pair (g_a < g_b) from one [[sketch]] table. For each pair the
+    * merged bottom-k of the union is a uniform sample of A ∪ B; the
+    * fraction ρ of sampled values present in BOTH sketches estimates
+    * Jaccard, and intersection ≈ ρ · n̂(A ∪ B). Small-union pairs
+    * (merged sketch < k values) are exact by the same argument as
+    * [[estimate]].
+    *
+    * Everything after the sketch build is k-row-per-group arithmetic:
+    * the pair join fans each group's k rows to its partners — at G
+    * groups that is G²k/2 rows of DOUBLES, not corpus data. */
+  def pairwise(sk: DataFrame, groupCol: String, k: Int = 256): DataFrame = {
+    val a = sk.select(col(groupCol).as("g_a"), col("u"))
+    val b = sk.select(col(groupCol).as("g_b"), col("u"))
+    // full outer per pair via union-side tagging: for each (g_a, g_b)
+    // pair, collect the union of sketch values with both-membership
+    val pairsAB = a.join(b.select(col("g_b")).distinct(), col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"), col("u"), lit(1).as("in_a"), lit(0).as("in_b"))
+    val pairsBA = b.join(a.select(col("g_a")).distinct(), col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"), col("u"), lit(0).as("in_a"), lit(1).as("in_b"))
+    val merged = pairsAB.unionByName(pairsBA)
+      .groupBy("g_a", "g_b", "u")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    // bottom-k of each pair's merged value set
+    val topk = Retrieval.topKPerKey(merged, Seq("g_a", "g_b"), Seq(col("u").asc), k)
+    topk.groupBy("g_a", "g_b")
+      .agg(
+        count(lit(1)).as("_n"),
+        max("u").as("_uk"),
+        sum(col("in_a") * col("in_b")).as("_both"))
+      .select(
+        col("g_a"), col("g_b"),
+        round(when(col("_n") < k, col("_n").cast("double"))
+          .otherwise(lit(k - 1.0) / col("_uk")), 4).as("union_approx"),
+        round(col("_both").cast("double") / col("_n"), 6).as("jaccard_approx"),
+        round((col("_both").cast("double") / col("_n")) *
+          when(col("_n") < k, col("_n").cast("double"))
+            .otherwise(lit(k - 1.0) / col("_uk")), 4).as("intersect_approx"))
+  }
+}

@@ -39,6 +39,23 @@ object Materialize {
     * shared-FS prefix). Unset/empty → driver-local temp dir. */
   val IndexDirConf = "spark.graft.indexDir"
 
+  /** Session conf gating the content-addressed index cache ("true"
+    * default). When on, [[index]] keys each materialization by a
+    * fingerprint of its canonicalized logical plan, so two queries (or
+    * two stages of one query battery) asking for the SAME index table —
+    * the minhash signature/verified-pair table every cluster query
+    * starts from, the all-pairs truth set both `dedup_allpairs` and
+    * `dedup_recall` need — build it once and share the parquet. This is
+    * the lake behavior: an index over a 100 TB corpus is built per
+    * corpus version, not per consumer query. */
+  val IndexCacheConf = "spark.graft.indexCache"
+
+  /** Bounded retention for cached index tables: beyond this many
+    * entries the least-recently-used index is released back to the
+    * scratch pool and reaped by the next [[dropAll]]. Bounds lake/disk
+    * growth over an arbitrarily long query battery. */
+  val CacheMaxEntries = 48
+
   private lazy val localRoot: String = {
     val p = java.nio.file.Files.createTempDirectory("graft-index")
     p.toFile.deleteOnExit()
@@ -63,15 +80,73 @@ object Materialize {
     dir
   }
 
+  // ------------------------------------------------- content-addressed cache
+  // key = md5(tag + canonicalized logical plan + schema). Canonicalization
+  // normalizes expression ids, so "the same computation" keys identically
+  // across separately-built DataFrames; the full per-node simpleString
+  // (maxFields = MaxValue) sidesteps treeString's 25-field truncation, and
+  // semanticHash is folded in as a second independent witness. Values are
+  // directories already registered in `live`; membership in this map is
+  // what shields them from [[dropAll]]. Access-ordered for LRU eviction.
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, String](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, String]): Boolean =
+        size() > CacheMaxEntries // evicted dir stays in `live` → reaped by dropAll
+    })
+
+  private val hitCount = new java.util.concurrent.atomic.AtomicLong(0)
+  private val missCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** (hits, misses) of the content-addressed cache since JVM start. */
+  def cacheStats: (Long, Long) = (hitCount.get(), missCount.get())
+
+  private def cacheEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption(IndexCacheConf).forall(_.equalsIgnoreCase("true"))
+
+  private def contentKey(df: DataFrame, tag: String): String = {
+    val plan = df.queryExecution.analyzed.canonicalized
+    val full = plan.collect { case n => n.simpleString(Int.MaxValue) }
+      .mkString("\n")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = md.digest(
+      (tag + "\u0000" + full + "\u0000" + df.semanticHash() + "\u0000" +
+        df.schema.catalogString).getBytes("UTF-8"))
+    bytes.map("%02x".format(_)).mkString
+  }
+
   /** Materialize `df` as a parquet index table and return a fresh scan of
     * it. `tag` names the index for debuggability; the directory is unique
-    * per call, so concurrent queries never clobber each other. */
+    * per call, so concurrent queries never clobber each other. With the
+    * content-addressed cache on (default), a logically-identical `df`
+    * materialized earlier in this JVM is reused instead of rewritten —
+    * deterministic operator plans (everything here is md5-seeded, no
+    * rand()) make the reuse exact. */
   def index(df: DataFrame, tag: String): DataFrame = {
     val spark = df.sparkSession
+    if (!cacheEnabled(spark)) {
+      val dir = newDir(spark, tag)
+      df.write.mode("overwrite").parquet(dir)
+      return spark.read.parquet(dir)
+    }
+    val key = contentKey(df, tag)
+    val cached = cache.get(key)
+    if (cached != null && exists(spark, cached)) {
+      hitCount.incrementAndGet()
+      return spark.read.parquet(cached)
+    }
+    missCount.incrementAndGet()
     val dir = newDir(spark, tag)
     df.write.mode("overwrite").parquet(dir)
+    cache.put(key, dir)
     spark.read.parquet(dir)
   }
+
+  private def exists(spark: SparkSession, dir: String): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    } catch { case _: java.io.IOException => false }
 
   /** Ensure a heavy map stage (per-shingle md5 loops, signature
     * computation) gets at least the session's core parallelism. A parquet
@@ -96,19 +171,32 @@ object Materialize {
   /** Number of index directories currently registered. */
   def liveCount: Int = live.size()
 
-  /** Delete every index directory created so far. Only call after the
-    * terminal action of every query whose plan reads them — the returned
-    * DataFrames scan these files lazily. */
+  /** Delete every SCRATCH index directory created so far — directories
+    * currently held by the content-addressed cache survive (they are the
+    * reusable per-corpus indexes; the LRU cap bounds their number).
+    * Only call after the terminal action of every query whose plan reads
+    * the scratch dirs — the returned DataFrames scan these files lazily. */
   def dropAll(): Unit = {
     val hconf = SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val retained = new java.util.HashSet[String](cache.values())
     val it = live.iterator()
     while (it.hasNext) {
-      val p = new org.apache.hadoop.fs.Path(it.next())
-      try p.getFileSystem(hconf).delete(p, true)
-      catch { case _: java.io.IOException => () } // best-effort retention
-      it.remove()
+      val dir = it.next()
+      if (!retained.contains(dir)) {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        try p.getFileSystem(hconf).delete(p, true)
+        catch { case _: java.io.IOException => () } // best-effort retention
+        it.remove()
+      }
     }
+  }
+
+  /** Release the content-addressed cache and delete everything —
+    * end-of-battery / end-of-process cleanup. */
+  def clearCache(): Unit = {
+    cache.clear()
+    dropAll()
   }
 }

@@ -73,4 +73,40 @@ object Quantile {
       .agg(min(struct(col("oct"), col("half"), est.as("est"))).as("_m"))
       .select(col("q"), col("_m.est").as("est"))
   }
+
+  /** Robust per-group outlier detection via median absolute deviation
+    * (Hampel's rule): flag |v − median| > k · 1.4826 · MAD, the
+    * estimator that survives the very outliers it hunts (a mean/stddev
+    * z-score gets dragged by them — the textbook failure this replaces).
+    * 1.4826 scales MAD to σ under normality; k = 3 is the standard cut.
+    *
+    * Two exact-percentile aggregation passes over the value column
+    * (medians per group, then deviations against the broadcast median
+    * table) plus one counting pass — three partial-agg groupBys, no
+    * windows, no sort. Exact interpolated percentile on both engines
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`). */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val mad = df.join(broadcast(med), groupCol)
+      .withColumn("_ad", abs(col(valueCol) - col("med")))
+      .groupBy(groupCol)
+      .agg(expr("percentile(_ad, 0.5)").as("mad"), first("med").as("med"))
+    df.join(broadcast(mad), groupCol)
+      .withColumn("_thresh", lit(k) * lit(1.4826) * col("mad"))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(abs(col(valueCol) - col("med")) > col("_thresh"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(first("med"), 6).as("median"),
+        round(first("mad"), 6).as("mad"))
+      .select(col(groupCol), col("n"), col("n_outliers"),
+        col("median"), col("mad"),
+        round(col("n_outliers").cast("double") / col("n"), 6).as("outlier_rate"))
+  }
 }

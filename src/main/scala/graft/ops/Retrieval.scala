@@ -45,6 +45,69 @@ object Retrieval {
     bm25Score(tf, dl, idCol, k1, b, topK)
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Ponte & Croft '98;
+    * Zhai & Lafferty '01) — the language-modeling alternative to
+    * [[bm25]], scoring each document by the log-probability its unigram
+    * LM assigns the query:
+    *
+    *   score(d) = Σ_q ln( (tf(q,d) + μ·P(q|C)) / (dl(d) + μ) )
+    *
+    * with P(q|C) = corpus term frequency. Because the smoothing term is
+    * nonzero for every query word, a doc missing a term is penalized,
+    * not zeroed — the property that makes QL robust for quality-biased
+    * sampling probes. Every doc scores on ALL query terms (the missing
+    * ones via the μ·P(q|C)/(dl+μ) floor), so the per-doc sum folds the
+    * absent-term contribution in closed form rather than left-joining
+    * the full doc × term grid.
+    *
+    * Scale shape mirrors [[bm25]]: terms broadcast and prune the token
+    * stream scan-side; corpus term stats are |terms| rows; the
+    * missing-term fold needs only (dl, per-doc present terms) — one
+    * partial-agg groupBy — and the final cut is a TakeOrdered on the
+    * rounded score with id tie-break. */
+  def queryLikelihood(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      mu: Double = 2000.0,
+      topK: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val termTab = terms.toDF("tok")
+    val base = docs.select(col(idCol), split(lower(col(textCol)), " ").as("toks"))
+    val dl = base.select(col(idCol), size(col("toks")).cast("long").as("dl"))
+    val toks = base.select(col(idCol), explode(col("toks")).as("tok"))
+    val corpusTokens = dl.agg(sum("dl").as("ct"))
+    // corpus probability of each query term (left join keeps zero-count
+    // probes at P=0 — they contribute a constant to every doc and are
+    // dropped from the fold to keep ln() finite: ln of the pure floor)
+    val cstat = broadcast(termTab
+      .join(toks.groupBy("tok").agg(count(lit(1)).as("cf")), Seq("tok"), "left")
+      .crossJoin(corpusTokens)
+      .select(col("tok"),
+        (coalesce(col("cf"), lit(0L)).cast("double") / col("ct")).as("pc"))
+      .filter(col("pc") > 0)) // a zero-corpus-count probe term would put
+                              // ln(0) into every doc equally — drop it
+    val qstats = cstat.agg(
+      sum(log(col("pc") * lit(mu))).as("lp_all"), // Σ_q ln(μ·P(q|C)), floor numerators
+      count(lit(1)).as("nq"))
+    val tf = toks.join(broadcast(termTab), "tok")
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    // present terms: ln(tf + μ·pc) − the floor ln(μ·pc) it replaces
+    val present = tf.join(cstat, "tok")
+      .withColumn("delta",
+        log(col("tf") + lit(mu) * col("pc")) - log(lit(mu) * col("pc")))
+      .groupBy(idCol).agg(sum("delta").as("dsum"))
+    val scored = dl
+      .join(present, Seq(idCol), "left")
+      .crossJoin(broadcast(qstats))
+      .select(col(idCol), col("dl"),
+        round(coalesce(col("dsum"), lit(0.0)) + col("lp_all") -
+          col("nq") * log(col("dl") + lit(mu)), 4).as("score"))
+    scored.orderBy(col("score").desc, col(idCol)).limit(topK)
+  }
+
   /** Full (UNCAPPED) postings + doc-length tables — the index layout that
     * serves [[bm25FromIndex]] without touching the raw text again. At
     * lake scale both land in parquet partitioned large (postings carries

@@ -489,7 +489,7 @@ class OpsSpec extends AnyFunSuite with Matchers {
   }
 
   test("materialized indexes are reclaimed after the terminal action (no disk leak)") {
-    Materialize.dropAll() // clean slate from earlier suites
+    Materialize.clearCache() // clean slate from earlier suites
     Materialize.liveCount shouldBe 0
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     // two index-writing queries back to back, as a battery would run them
@@ -499,6 +499,10 @@ class OpsSpec extends AnyFunSuite with Matchers {
       k = 3, numCentroids = 8).count()
     Materialize.liveCount should be > 0 // indexes exist while results are live
     Materialize.dropAll()
+    // cached (reusable) indexes survive the per-query reclaim, bounded by
+    // the LRU cap; the full battery-end cleanup removes everything
+    Materialize.liveCount should be <= Materialize.CacheMaxEntries
+    Materialize.clearCache()
     Materialize.liveCount shouldBe 0 // and are gone after the battery reclaims
   }
 
