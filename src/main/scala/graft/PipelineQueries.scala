@@ -2061,9 +2061,91 @@ object PipelineQueries {
       .orderBy("user_id")
   }
 
+  /** Modularity of the LABEL partition on the embedding similarity
+    * graph ([[graft.ops.Cluster.modularity]]): are same-label vectors
+    * denser-connected than chance? The quality score that says whether
+    * a labeling (or any community assignment) actually reflects the
+    * similarity structure. Q = sum(contribution). */
+  def graphModularity(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cluster.modularity(
+      embPairGraph(s, dir),
+      t(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("label")),
+      "vec_id", "label")
+      .orderBy("label")
+
+  /** Seasonal-naive forecast backtest: tomorrow's per-type daily event
+    * count predicted by the same weekday LAST week (the no-model
+    * baseline every real forecaster must beat); MAE/MAPE per event_type
+    * over the final 7 days. Daily counts are one partial-agg groupBy;
+    * the lag-7 join is day-keyed; the horizon cutoff is a 1-row max-day
+    * broadcast. */
+  def forecastSnaive(s: SparkSession, dir: String): DataFrame = {
+    val daily = graft.ops.Materialize.index(
+      t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c")),
+      "daily-counts")
+    val maxDay = daily.agg(max("day").as("max_day"))
+    val pred = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("c").as("pred"))
+    daily.join(pred, Seq("event_type", "day"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") > date_sub(col("max_day"), 7))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).cast("long").as("n_days"),
+        round(avg(abs(col("c") - col("pred")).cast("double")), 4).as("mae"),
+        round(avg(abs(col("c") - col("pred")).cast("double") / col("c")), 6).as("mape"))
+      .orderBy("event_type")
+  }
+
+  /** Flesch reading-ease per document with a vowel-group syllable
+    * approximation — the classic readability gate (very low or very
+    * high scores both correlate with non-prose content). Scan-side
+    * regexp projections only; identical RE2 patterns run in the
+    * oracle. */
+  def textReadability(s: SparkSession, dir: String): DataFrame = {
+    val words = size(split(col("text"), " ")).cast("double")
+    val sents = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("double")
+    val sylls = greatest(
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))), lit(1))
+      .cast("double")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      words.cast("long").as("n_words"),
+      sents.cast("long").as("n_sentences"),
+      sylls.cast("long").as("n_syllables"),
+      round(lit(206.835) - lit(1.015) * (words / sents) -
+        lit(84.6) * (sylls / words), 4).as("flesch"))
+      .orderBy("doc_id")
+  }
+
+  /** KMV sketch merge ≡ full rebuild — the incremental-maintenance
+    * contract checked the same way as [[sketchUnion]] (HLL registers)
+    * and [[indexIncremental]] (postings): per-source sketches built
+    * from two arbitrary corpus slices fold by [[graft.ops.Kmv.merge]]
+    * into estimates the oracle recomputes from the FULL data in one
+    * pass. Any merge bug hash-mismatches. */
+  def kmvMerge(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), " ")).as("word"))
+    def side(even: Boolean) = graft.ops.Kmv.sketch(
+      words.filter((col("doc_id") % 2 === 0) === even), "source", "word", k = 256)
+    graft.ops.Kmv.estimate(
+      graft.ops.Kmv.merge(side(true), side(false), "source", k = 256),
+      "source", k = 256)
+      .orderBy("source")
+  }
+
   // ================================================================ maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmv_source_overlap" -> (kmvSourceOverlap _),
+    "graph_modularity" -> (graphModularity _),
+    "forecast_snaive" -> (forecastSnaive _),
+    "text_readability" -> (textReadability _),
+    "kmv_merge" -> (kmvMerge _),
     "lm_kneser_ney" -> (lmKneserNey _),
     "retrieval_qlm" -> (retrievalQlm _),
     "text_mojibake" -> (textMojibake _),
@@ -2687,6 +2769,61 @@ object PipelineQueries {
        |  i -> array_to_string($tk[i:i+${n - 1}], ' ')) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_modularity" ->
+      s"""WITH $duckTriangleCtes,
+         |lab AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 300),
+         |mm AS (SELECT count(*) AS m FROM pe),
+         |tagged AS (SELECT p.x, p.y, la.label AS ca, lb.label AS cb
+         |  FROM pe p JOIN lab la ON la.vec_id = p.x JOIN lab lb ON lb.vec_id = p.y),
+         |intra AS (SELECT ca AS label, CAST(count(*) AS BIGINT) AS intra_edges
+         |  FROM tagged WHERE ca = cb GROUP BY 1),
+         |deg AS (SELECT label, CAST(count(*) AS BIGINT) AS degree_sum FROM (
+         |    SELECT ca AS label FROM tagged UNION ALL SELECT cb FROM tagged)
+         |  GROUP BY 1)
+         |SELECT label, coalesce(intra_edges, 0) AS intra_edges, degree_sum,
+         |  round(CAST(coalesce(intra_edges, 0) AS DOUBLE) / m -
+         |    power(CAST(degree_sum AS DOUBLE) / (2.0 * m), 2.0), 6) AS contribution
+         |FROM deg LEFT JOIN intra USING (label) CROSS JOIN mm
+         |ORDER BY label""".stripMargin,
+    "forecast_snaive" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |md AS (SELECT max(day) AS max_day FROM daily),
+        |j AS (SELECT d.event_type, d.c, p.c AS pred
+        |  FROM daily d JOIN daily p
+        |    ON p.event_type = d.event_type AND p.day + 7 = d.day
+        |  CROSS JOIN md WHERE d.day > md.max_day - 7)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(avg(CAST(abs(c - pred) AS DOUBLE)), 4) AS mae,
+        |  round(avg(CAST(abs(c - pred) AS DOUBLE) / c), 6) AS mape
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "text_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+        |    AS n_sentences,
+        |  CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT)
+        |    AS n_syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE) /
+        |        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+        |    - 84.6 * (CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS DOUBLE) /
+        |        CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "kmv_merge" ->
+      """WITH toksrc AS (SELECT DISTINCT source, word FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS word FROM documents)),
+        |hs AS (SELECT DISTINCT source,
+        |    (list_sum(list_transform(range(1, 13),
+        |      i -> (instr('0123456789abcdef', substring(md5(word), CAST(i AS INT), 1)) - 1)
+        |        * 16 ** (12 - i))) + 1.0) / 281474976710656.0 AS u
+        |  FROM toksrc),
+        |sk AS (SELECT source, u FROM (
+        |    SELECT source, u, row_number() OVER (PARTITION BY source ORDER BY u) AS rn
+        |    FROM hs) WHERE rn <= 256)
+        |SELECT source, round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+        |    ELSE 255.0 / max(u) END, 4) AS n_approx
+        |FROM sk GROUP BY source ORDER BY source""".stripMargin,
     "kmv_source_overlap" ->
       """WITH toksrc AS (SELECT DISTINCT source AS g, word FROM (
         |    SELECT source, unnest(string_split(lower(text), ' ')) AS word FROM documents)),

@@ -482,4 +482,52 @@ object Cluster {
       .withColumn("is_keeper", col(docCol) === col("keeper"))
       .select(col(docCol), col(clusterCol), col(rankCol), col("keeper"), col("is_keeper"))
   }
+
+  /** Newman modularity of a node partition on an undirected pair graph:
+    * per community c, Q_c = e_c/m − (d_c/2m)², where e_c = intra-community
+    * edges, d_c = summed degree of c's members, m = |edges|; Q = Σ Q_c.
+    * Measures whether the partition's groups are denser than a random
+    * graph with the same degrees — the quality score for ANY community
+    * assignment (labels, cluster closures, business taxonomies) on ANY
+    * similarity graph, and near 0 for a partition orthogonal to the
+    * graph's structure.
+    *
+    * Scale shape: two keyed joins attach each edge endpoint's community
+    * (the partition table is node-keyed — broadcast if small, hash join
+    * if not), then everything reduces through partial-aggregated
+    * groupBys on the community key plus one 1-row m scalar broadcast.
+    * No windows, nothing collects.
+    *
+    * `pairs` columns (id_a, id_b); `partition` columns (nodeCol,
+    * communityCol). Nodes absent from the partition table drop out of
+    * BOTH e_c and d_c (their edges still count in m). Returns one row
+    * per community: (communityCol, intra_edges, degree_sum,
+    * contribution) — Q = sum(contribution). */
+  def modularity(
+      pairs: DataFrame,
+      partition: DataFrame,
+      nodeCol: String,
+      communityCol: String): DataFrame = {
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val ca = partition.select(col(nodeCol).as("id_a"), col(communityCol).as("_ca"))
+    val cb = partition.select(col(nodeCol).as("id_b"), col(communityCol).as("_cb"))
+    val tagged = pairs.join(ca, "id_a").join(cb, "id_b")
+    val intra = tagged.filter(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as(communityCol))
+      .agg(count(lit(1)).as("intra_edges"))
+    val deg = tagged
+      .select(col("_ca").as(communityCol))
+      .unionByName(tagged.select(col("_cb").as(communityCol)))
+      .groupBy(communityCol)
+      .agg(count(lit(1)).as("degree_sum"))
+    deg
+      .join(intra, Seq(communityCol), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("contribution", round(
+        col("intra_edges").cast("double") / col("m") -
+          pow(col("degree_sum").cast("double") / (lit(2.0) * col("m")), 2.0), 6))
+      .select(col(communityCol), col("intra_edges"), col("degree_sum"),
+        col("contribution"))
+  }
 }

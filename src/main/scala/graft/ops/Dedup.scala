@@ -677,6 +677,10 @@ object Dedup {
           lit(alphaFrac) * (col("na") + col("nb")) - lit(1e-9))
       .select("id_a", "id_b")
       .distinct()
-    verifyPairsTok(cand, tok, idCol, threshold)
+    // The verified pair set is OUTPUT-sized — materializing it makes the
+    // exact join's result itself a shareable index: a recall evaluation
+    // (or any second consumer in the battery) reads these pairs from the
+    // content-addressed cache instead of re-running the prefix join.
+    Materialize.index(verifyPairsTok(cand, tok, idCol, threshold), "allpairs-out")
   }
 }

@@ -58,6 +58,20 @@ object Kmv {
         round(when(col("_n") < k, col("_n").cast("double"))
           .otherwise(lit(k - 1.0) / col("_uk")), 4).as("n_approx"))
 
+  /** Monoid merge of two [[sketch]] tables — incremental maintenance:
+    * the bottom-k of the UNION of two bottom-k sketches equals the
+    * bottom-k of the combined data (every union-wide k-smallest hash is
+    * k-smallest in whichever slice contained it), so per-slice sketches
+    * fold into the exact full-corpus sketch without touching raw data —
+    * the same checked merge ≡ recompute contract as the HLL registers
+    * and the postings index. */
+  def merge(a: DataFrame, b: DataFrame, groupCol: String, k: Int = 256): DataFrame =
+    Retrieval.topKPerKey(
+      a.select(col(groupCol), col("u"))
+        .unionByName(b.select(col(groupCol), col("u")))
+        .distinct(),
+      Seq(groupCol), Seq(col("u").asc), k)
+
   /** Pairwise union/intersection/Jaccard estimates for every ORDERED
     * group pair (g_a < g_b) from one [[sketch]] table. For each pair the
     * merged bottom-k of the union is a uniform sample of A ∪ B; the

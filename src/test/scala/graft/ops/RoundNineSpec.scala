@@ -79,6 +79,43 @@ class RoundNineSpec extends AnyFunSuite with Matchers {
     ents.head.getAs[Long]("n_members") shouldBe 3L
   }
 
+  test("kmv merge: per-slice sketches fold to EXACTLY the full-corpus sketch") {
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("v", StringType)))
+    val rows = (1 to 900).map(i => Row(if (i % 3 == 0) "A" else "B", s"val$i"))
+    val full = table(schema, rows: _*)
+    val s1 = Kmv.sketch(full.filter(md5(col("v")).startsWith("0") ||
+      md5(col("v")) >= "8"), "g", "v", k = 64)
+    val s2 = Kmv.sketch(full.filter(!(md5(col("v")).startsWith("0") ||
+      md5(col("v")) >= "8")), "g", "v", k = 64)
+    val merged = Kmv.merge(s1, s2, "g", k = 64)
+      .select("g", "u").collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val direct = Kmv.sketch(full, "g", "v", k = 64)
+      .select("g", "u").collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    merged shouldBe direct
+  }
+
+  // ------------------------------------------------- modularity
+  test("modularity: hand-computed contributions on a two-community graph") {
+    val pairSchema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+    val partSchema2 = StructType(Seq(
+      StructField("node", LongType), StructField("comm", StringType)))
+    // triangle {1,2,3} in c1, edge {4,5} in c2, one cross edge 3-4; m=5
+    val pairs = table(pairSchema,
+      Row(1L, 2L), Row(2L, 3L), Row(1L, 3L), Row(4L, 5L), Row(3L, 4L))
+    val part = table(partSchema2,
+      Row(1L, "c1"), Row(2L, "c1"), Row(3L, "c1"), Row(4L, "c2"), Row(5L, "c2"))
+    val out = Cluster.modularity(pairs, part, "node", "comm").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("intra_edges"), r.getAs[Long]("degree_sum"),
+          r.getAs[Double]("contribution"))).toMap
+    // c1: intra 3, degrees 2+2+3=7 → 3/5 − (7/10)² = 0.11
+    out("c1") shouldBe ((3L, 7L, 0.11))
+    // c2: intra 1, degrees 2+1=3 → 1/5 − (3/10)² = 0.11
+    out("c2") shouldBe ((1L, 3L, 0.11))
+  }
+
   // ------------------------------------------------- interval sweep
   private val ivSchema = StructType(Seq(
     StructField("s", TimestampType), StructField("e", TimestampType)))
