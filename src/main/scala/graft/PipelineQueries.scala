@@ -2139,10 +2139,51 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** IVF tuning curve: pooled recall@5 of the IVF index vs the brute
+    * ground truth at nprobe ∈ {1, 2, 4} — the measurement that picks an
+    * operating point on the recall/cost frontier before a corpus-wide
+    * ANN job. The brute top-k and the probe table build once (the
+    * content-addressed index cache serves repeats); each sweep point is
+    * one candidate join + top-k + a 1-row recall aggregate. */
+  def annNprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val brute = graft.ops.Materialize.index(
+      embedKnnBrute(s, dir).select("query_id", "corpus_id"), "sweep-brute")
+    Seq(1, 2, 4).map { p =>
+      val ivf = Similarity.ivfTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5,
+        numCentroids = IvfCentroids, nprobe = p)
+        .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+      brute.join(ivf, Seq("query_id", "corpus_id"), "left")
+        .agg(round(count(col("hit")).cast("double") / count(lit(1)), 4).as("recall"))
+        .select(lit(p).as("nprobe"), col("recall"))
+    }.reduce(_ unionByName _)
+      .orderBy("nprobe")
+  }
+
+  /** Tokenizer fertility per language: BPE-ish subword tokens per
+    * whitespace word — the tokenizer-efficiency number that decides
+    * whether a language is under-served by the vocabulary (high
+    * fertility = more compute per word of signal). One scan, one
+    * partial-agg groupBy. */
+  def tokenFertility(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        sum(size(split(lower(col("text")), " "))).cast("long").as("ws_tokens"),
+        sum(TextAnalysis.bpeishTokenCount(lower(col("text")))).cast("long")
+          .as("bpeish_tokens"))
+      .withColumn("fertility",
+        round(col("bpeish_tokens").cast("double") / col("ws_tokens"), 4))
+      .orderBy("lang")
+
   // ================================================================ maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmv_source_overlap" -> (kmvSourceOverlap _),
     "graph_modularity" -> (graphModularity _),
+    "ann_nprobe_sweep" -> (annNprobeSweep _),
+    "token_fertility" -> (tokenFertility _),
     "forecast_snaive" -> (forecastSnaive _),
     "text_readability" -> (textReadability _),
     "kmv_merge" -> (kmvMerge _),
@@ -2768,7 +2809,46 @@ object PipelineQueries {
        |ELSE list_transform(range(1, len($tk) - ${n - 2}),
        |  i -> array_to_string($tk[i:i+${n - 1}], ' ')) END""".stripMargin
 
+  private def duckSweepPoint(p: Int): String =
+    s"""pr$p AS (SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+       |    FROM sims WHERE vec_id < 10) WHERE rn <= $p),
+       |cd$p AS (SELECT DISTINCT query_id, corpus_id
+       |  FROM pr$p JOIN cells USING (cell) WHERE query_id <> corpus_id),
+       |sc$p AS (SELECT query_id, corpus_id, $duckCosIds AS cos
+       |  FROM cd$p JOIN e qv ON qv.vec_id = query_id JOIN e cv ON cv.vec_id = corpus_id),
+       |tp$p AS (SELECT query_id, corpus_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, corpus_id) AS rank FROM sc$p) WHERE rank <= 5),
+       |r$p AS (SELECT $p AS nprobe,
+       |    round(CAST(count(t.query_id) AS DOUBLE) / count(*), 4) AS recall
+       |  FROM brute b LEFT JOIN tp$p t USING (query_id, corpus_id))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ann_nprobe_sweep" ->
+      s"""$duckIvfCellsCte,
+         |bq AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 10),
+         |bs AS (SELECT query_id, e.vec_id AS corpus_id,
+         |    round(list_dot_product(qvec, e.v) /
+         |      (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cos
+         |  FROM e CROSS JOIN bq WHERE query_id <> e.vec_id),
+         |brute AS (SELECT query_id, corpus_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, corpus_id) AS rank FROM bs) WHERE rank <= 5),
+         |${duckSweepPoint(1)},
+         |${duckSweepPoint(2)},
+         |${duckSweepPoint(4)}
+         |SELECT nprobe, recall FROM (
+         |  SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r4)
+         |ORDER BY nprobe""".stripMargin,
+    "token_fertility" ->
+      s"""SELECT lang,
+         |  CAST(sum(len($toks)) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+         |    AS bpeish_tokens,
+         |  round(CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]'))) AS DOUBLE) /
+         |    sum(len($toks)), 4) AS fertility
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "graph_modularity" ->
       s"""WITH $duckTriangleCtes,
          |lab AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 300),

@@ -232,7 +232,77 @@ object ScaleSoak {
         graft.ops.Classify.logisticGd(f, "doc_id", dims = 4).count()
     }
 
-    graft.ops.Materialize.dropAll()
+    // 10. winnow fingerprint containment with the MOSS df-cap: the cap
+    // bounds every self-join bucket at maxDf rows no matter how the
+    // corpus grows — without it a boilerplate fingerprint's bucket is
+    // corpus-sized. Pair volume is construction-quadratic in replicas
+    // (salted replicas of one base doc are TRUE near-dups, same caveat
+    // as allpairs_exact) — the claim here is zero spill and capped
+    // buckets, not pair count.
+    timed("winnow_capped") {
+      counts("winnow_pairs") = graft.ops.Dedup.cdcOverlapPairs(
+        graft.ops.Dedup.winnowFingerprints(docs, "doc_id", "text", k = 8, w = 4)
+          .withColumnRenamed("fp", "chunk_md5"),
+        "doc_id", threshold = 0.5, maxDf = 64).count()
+    }
+
+    // 11. KMV sketches + pairwise overlap: the sketch build scans the
+    // corpus once; everything after is k-row-per-group arithmetic, so
+    // the pairwise stage's cost must be FLAT as the corpus replicates
+    timed("kmv_overlap") {
+      val sk = graft.ops.Materialize.index(
+        graft.ops.Kmv.sketch(
+          docs.select(col("source"),
+            explode(split(lower(col("text")), " ")).as("word")),
+          "source", "word", k = 256),
+        "soak-kmv")
+      counts("kmv_pairs") = graft.ops.Kmv.pairwise(sk, "source", k = 256).count()
+    }
+
+    // 12. modularity of the source partition on the hamming pair graph:
+    // two endpoint joins + partial aggs — cost tracks |edges|, and the
+    // edge list is the already-materialized hamming index
+    timed("modularity") {
+      counts("modularity_rows") = graft.ops.Cluster.modularity(
+        hammingPairs, docs.select(col("doc_id"), col("source")),
+        "doc_id", "source").count()
+    }
+
+    // 13. interval sweep over sessions from a replica-scaled event log
+    // (users re-keyed per replica): per-day boundary volume grows with
+    // the corpus but each day's window partition stays day-bounded —
+    // bucket granularity is the documented parallelism knob
+    timed("interval_sweep") {
+      val ev = Tables.load(spark, sfDir, "events")
+      val maxUser = ev.agg(max("user_id")).head().getLong(0) + 1
+      val scaledEv = (0 until replicas).map { i =>
+        ev.select((col("user_id") + lit(i * maxUser)).as("user_id"),
+          col("ts"), col("event_id"))
+      }.reduce(_ unionAll _)
+      counts("sweep_days") = graft.ops.Intervals.dailyCoverage(
+        graft.ops.Sessionize.sessions(scaledEv,
+          key = "user_id", tsCol = "ts", idCol = "event_id", gapSeconds = 21600),
+        "start_ts", "end_ts").count()
+    }
+
+    // 14. entity resolution over a replica-scaled part catalog. Gated
+    // at replicas ≤ 3 for the same by-construction reason as
+    // allpairs_exact: re-keyed replicas of one part row are IDENTICAL
+    // records, so every block's candidate count grows ×R² — the stage
+    // measures blocking-ER's Σ|block|² shape, and the claim carried is
+    // zero spill with candidates tracking block volume.
+    if (replicas <= 3) timed("entity_resolution") {
+      val parts = Tables.load(spark, sfDir, "part")
+      val maxPk = parts.agg(max("p_partkey")).head().getLong(0) + 1
+      val scaledParts = (0 until replicas).map { i =>
+        parts.select((col("p_partkey") + lit(i * maxPk)).as("p_partkey"),
+          col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+          col("p_retailprice"))
+      }.reduce(_ unionAll _)
+      counts("er_entities") = graft.ops.Linkage.entities(scaledParts).count()
+    }
+
+    graft.ops.Materialize.clearCache()
     val total = stages.values.sum
     val stagesJson = stages.map { case (k, v) => s""""$k":${f"$v%.2f"}""" }.mkString(",")
     val countsJson = counts.map { case (k, v) => s""""$k":$v""" }.mkString(",")

@@ -61,6 +61,45 @@ object EventStreams {
       }
   }
 
+  /** Streaming KMV distinct sketch: per group, hold the k smallest
+    * md5-derived hash fractions of the values seen so far (bounded
+    * state: exactly k doubles per group, however many rows stream
+    * through) and emit the group's running distinct estimate per
+    * micro-batch — the streaming face of [[graft.ops.Kmv]]: the state
+    * IS the batch sketch, so a snapshot folds into batch sketches via
+    * `Kmv.merge` with no translation. Estimate rule identical to
+    * `Kmv.estimate`: exact below k, (k−1)/u_k at capacity.
+    *
+    * mapGroupsWithState with NoTimeout: the sketch is monotone (min-k
+    * under union) so there is nothing to expire; state size is the
+    * k-array regardless of stream length. */
+  def kmvDistinctStream(
+      values: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 64): Dataset[(String, Long, Double)] = {
+    import values.sparkSession.implicits._
+    val denom = 281474976710656.0 // 16^12, the Kmv.sketch constant
+    values
+      .select(col(groupCol).cast("string").as("g"),
+        conv(substring(md5(col(valueCol).cast("string")), 1, 12), 16, 10)
+          .cast("double").as("raw"))
+      .select(col("g"), ((col("raw") + lit(1.0)) / lit(denom)).as("u"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Double], (String, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (g, batch, state: GroupState[Array[Double]]) =>
+          val prev = state.getOption.getOrElse(Array.empty[Double])
+          val merged = (prev ++ batch.map(_._2)).distinct.sorted.take(k)
+          state.update(merged)
+          val est =
+            if (merged.length < k) merged.length.toDouble
+            else (k - 1.0) / merged.last
+          (g, merged.length.toLong, math.rint(est * 10000) / 10000)
+      }
+  }
+
   /** Declarative gap-sessionization via the NATIVE `session_window`
     * function — the complement of [[sessionize]]'s hand-rolled
     * mapGroupsWithState: when the per-session result is expressible as

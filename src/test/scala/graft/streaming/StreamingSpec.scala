@@ -407,4 +407,31 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     salted.getLong(0) shouldBe plain.getLong(0)
     salted.getLong(1) shouldBe plain.getLong(1)
   }
+
+  test("streaming KMV sketch: bounded per-group state, exact-below-k estimates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val out = graft.streaming.EventStreams.kmvDistinctStream(
+      input.toDF().toDF("g", "v"), "g", "v", k = 64)
+      .toDF("g", "held", "estimate")
+    val q = out.writeStream.queryName("kmv_stream")
+      .outputMode(OutputMode.Update()).format("memory").start()
+    try {
+      input.addData(("A", "x1"), ("A", "x2"), ("A", "x2"), ("B", "y1"))
+      q.processAllAvailable()
+      // duplicates within and ACROSS batches must not inflate the sketch
+      input.addData(("A", "x2"), ("A", "x3"), ("B", "y1"))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT g, held, estimate FROM kmv_stream").collect()
+        .groupBy(_.getString(0)).map { case (g, rows) =>
+          // Update mode appends one row per group per batch — take the
+          // final (largest-held) snapshot per group
+          g -> rows.map(r => (r.getLong(1), r.getDouble(2))).maxBy(_._1)
+        }
+      last("A") shouldBe ((3L, 3.0)) // x1, x2, x3 — exact below k
+      last("B") shouldBe ((1L, 1.0))
+    } finally q.stop()
+  }
 }
