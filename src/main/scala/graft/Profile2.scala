@@ -51,7 +51,7 @@ object Profile2 {
       val pairs2 = Dedup.lshCandidatePairs(bands2, "doc_id", numBands = 2)
       Dedup.verifyPairsTok(pairs2, idx2.select("doc_id", "toks"), "doc_id", 0.5).count()
     }
-    Materialize.dropAll()
+    Materialize.clearCache()
     spark.stop()
   }
 }

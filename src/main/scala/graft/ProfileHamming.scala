@@ -62,7 +62,7 @@ object ProfileHamming {
       println("pairs=" +
         graft.ops.Dedup.simhashHammingPairs(docs, "doc_id", "text").count())
     }
-    graft.ops.Materialize.dropAll()
+    graft.ops.Materialize.clearCache()
     spark.stop()
   }
 }

@@ -68,7 +68,7 @@ object ProfileIvf {
     time("full embed_knn_ivf (2nd run, warm)") {
       PipelineQueries.embedKnnIvf(spark, sfDir).count()
     }
-    graft.ops.Materialize.dropAll()
+    graft.ops.Materialize.clearCache()
     spark.stop()
   }
 }

@@ -29,6 +29,7 @@ object QuickBench {
       val (ch, cm) = graft.ops.Materialize.cacheStats
       println(f"[quickbench] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows, idxcache $ch hit/$cm miss)")
     }
+    graft.ops.Materialize.clearCache()
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** KMV (k-minimum-values / bottom-k) distinct sketches (Bar-Yossef et
@@ -28,6 +28,14 @@ object Kmv {
 
   private val Denom = 281474976710656.0 // 16^12
 
+  /** The engine-portable hash fraction u(v) = (conv(md5 prefix) + 1) /
+    * 16^12 ∈ (0, 1] — the ONE definition shared by the batch sketch and
+    * [[graft.streaming.EventStreams.kmvDistinctStream]], so streaming
+    * state always folds into batch sketches via [[merge]]. */
+  private[graft] def hashFraction(v: Column): Column =
+    (conv(substring(md5(v.cast("string")), 1, 12), 16, 10)
+      .cast("double") + lit(1.0)) / lit(Denom)
+
   /** The per-group bottom-k sketch: (groupCol, u, rank), rank 1..k
     * ascending by hash. The sketch of a group IS this k-row table —
     * persist it, union it, merge it (merge = k smallest of the union). */
@@ -36,8 +44,7 @@ object Kmv {
       groupCol: String,
       valueCol: String,
       k: Int = 256): DataFrame = {
-    val u = (conv(substring(md5(col(valueCol).cast("string")), 1, 12), 16, 10)
-      .cast("double") + lit(1.0)) / lit(Denom)
+    val u = hashFraction(col(valueCol))
     Retrieval.topKPerKey(
       df.select(col(groupCol), col(valueCol))
         .distinct()

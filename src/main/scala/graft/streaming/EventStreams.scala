@@ -79,12 +79,9 @@ object EventStreams {
       valueCol: String,
       k: Int = 64): Dataset[(String, Long, Double)] = {
     import values.sparkSession.implicits._
-    val denom = 281474976710656.0 // 16^12, the Kmv.sketch constant
     values
       .select(col(groupCol).cast("string").as("g"),
-        conv(substring(md5(col(valueCol).cast("string")), 1, 12), 16, 10)
-          .cast("double").as("raw"))
-      .select(col("g"), ((col("raw") + lit(1.0)) / lit(denom)).as("u"))
+        graft.ops.Kmv.hashFraction(col(valueCol)).as("u"))
       .as[(String, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[Array[Double], (String, Long, Double)](

@@ -292,4 +292,54 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should include ("BroadcastHashJoin") // terms2 ⋈ postings
     graft.ops.Materialize.dropAll()
   }
+
+  test("entity resolution: blocking passes are equi-joins; no cartesian product") {
+    val out = PipelineQueries.erPairs(spark, dir)
+    val p = plan(out)
+    p should not include "CartesianProduct"
+    // (noun, size) / (noun, brand) blocking keys join as hash joins with
+    // the id inequality as a residual — never a nested loop over records
+    p should not include "BroadcastNestedLoopJoin"
+    p should include ("Join")
+    graft.ops.Materialize.dropAll()
+  }
+
+  test("interval sweep: windows partition by day, never one data-sized partition") {
+    val out = PipelineQueries.intervalCoverage(spark, dir)
+    val exec = { out.collect(); out.queryExecution.executedPlan }
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def windows(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+      p.collectWithSubqueries {
+        case w: WindowExec => Seq(w)
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case q: QueryStageExec => windows(q.plan)
+      }.flatten
+    val sweeps = windows(exec)
+    sweeps should not be empty
+    // every window in the sweep carries a partition spec (day, or the
+    // per-user session assignment) — an empty partitionBy would funnel
+    // the whole boundary stream through one task
+    sweeps.foreach(_.partitionSpec should not be empty)
+  }
+
+  test("kmv pairwise: the only nested loop is vs the tiny group list; sketch joins bounded") {
+    val sk = graft.ops.Kmv.sketch(
+      Tables.load(spark, dir, "documents")
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("word")),
+      "source", "word", k = 64)
+    val out = graft.ops.Kmv.pairwise(
+      graft.ops.Materialize.index(sk, "plan-kmv"), "source", k = 64)
+    val p = plan(out)
+    p should not include "CartesianProduct"
+    graft.ops.Materialize.dropAll()
+  }
+
+  test("modularity: endpoint-community joins are hash joins; m binds as a 1-row broadcast") {
+    val out = PipelineQueries.graphModularity(spark, dir)
+    val p = plan(out)
+    p should include ("BroadcastHashJoin")
+    // the only nested loop allowed is the 1-row m scalar bind
+    p should not include "CartesianProduct"
+  }
 }
