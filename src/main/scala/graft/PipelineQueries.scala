@@ -2178,11 +2178,56 @@ object PipelineQueries {
         round(col("bpeish_tokens").cast("double") / col("ws_tokens"), 4))
       .orderBy("lang")
 
+  /** Time-series gap fill + forward fill: the dense per-(type, day)
+    * grid a downstream consumer expects from a sparse event store —
+    * missing days appear with n = 0, the value column carries forward
+    * the last observed daily average, and `stale_days` says how old the
+    * carried value is (the staleness alarm). The forward fill avoids
+    * IGNORE NULLS (not portable to the oracle) via the ff_day trick:
+    * running max of observed days, then a keyed join back for that
+    * day's value. Grid = types × span (tiny); windows partition by
+    * type, bounded by the span. */
+  def eventsGapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = graft.ops.Materialize.index(
+      t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        // fixed-point value sum: a plain avg() can land a 0.5-ulp from a
+        // 4-dp rounding boundary and flip under partial-agg reordering
+        // (observed at sf0.001) — long sums are order-exact
+        // fixed-point to the end: the 4-dp rounded average is computed by
+        // INTEGER half-up division ((2s + c) div 2c at 1e-4 scale) —
+        // a double division can land exactly on a .00005 half, where
+        // Spark (BigDecimal of the shortest string) and DuckDB (binary
+        // round) disagree; integer arithmetic can't (values ≥ 0 here)
+        .agg(count(lit(1)).as("c"),
+          (expr("(2 * sum(cast(round(value * 10000.0) as bigint)) + count(1)) div (2 * count(1))")
+            .cast("double") / lit(10000.0)).as("v")),
+      "gapfill-daily")
+    val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = daily.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("ff_day",
+        max(when(col("c").isNotNull, col("day"))).over(w))
+      .join(daily.select(col("event_type"), col("day").as("ff_day"),
+        col("v").as("filled_v")), Seq("event_type", "ff_day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("c"), lit(0L)).as("n"),
+        col("filled_v"),
+        datediff(col("day"), col("ff_day")).cast("long").as("stale_days"))
+      .orderBy("event_type", "day")
+  }
+
   // ================================================================ maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmv_source_overlap" -> (kmvSourceOverlap _),
     "graph_modularity" -> (graphModularity _),
     "ann_nprobe_sweep" -> (annNprobeSweep _),
+    "events_gap_fill" -> (eventsGapFill _),
     "token_fertility" -> (tokenFertility _),
     "forecast_snaive" -> (forecastSnaive _),
     "text_readability" -> (textReadability _),
@@ -2825,6 +2870,27 @@ object PipelineQueries {
        |  FROM brute b LEFT JOIN tp$p t USING (query_id, corpus_id))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_gap_fill" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS c,
+        |    CAST((2 * sum(CAST(round(value * 10000.0, 0) AS BIGINT)) + count(*))
+        |      // (2 * count(*)) AS DOUBLE) / 10000.0 AS v
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |grid AS (SELECT event_type, CAST(unnest(generate_series(
+        |      CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM daily) CROSS JOIN span),
+        |j AS (SELECT g.event_type, g.day, d.c FROM grid g
+        |  LEFT JOIN daily d USING (event_type, day)),
+        |f AS (SELECT *, max(CASE WHEN c IS NOT NULL THEN day END)
+        |    OVER (PARTITION BY event_type ORDER BY day
+        |          ROWS UNBOUNDED PRECEDING) AS ff_day FROM j)
+        |SELECT f.event_type, f.day, CAST(coalesce(f.c, 0) AS BIGINT) AS n,
+        |  d2.v AS filled_v,
+        |  CAST(f.day - f.ff_day AS BIGINT) AS stale_days
+        |FROM f LEFT JOIN daily d2
+        |  ON d2.event_type = f.event_type AND d2.day = f.ff_day
+        |ORDER BY f.event_type, f.day""".stripMargin,
     "ann_nprobe_sweep" ->
       s"""$duckIvfCellsCte,
          |bq AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 10),
