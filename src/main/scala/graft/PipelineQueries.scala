@@ -2222,12 +2222,79 @@ object PipelineQueries {
       .orderBy("event_type", "day")
   }
 
+  /** Three-gate quality ensemble: Gopher rules, repetition signals and
+    * the mojibake audit as independent votes, each documented gate left
+    * exactly as its own query defines it — the ensemble reports the
+    * vote-pattern census (how many docs each gate combination claims)
+    * plus the majority-vote keep count. Eight bounded rows from one
+    * corpus scan; the per-gate projections fuse scan-side, the census
+    * is a single partial-agg groupBy. The operational read: patterns
+    * where exactly one gate dissents are the review queue. */
+  def gateEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val g = graft.ops.TextAnalysis.gopherSignals(docs)
+      .select(col("doc_id"), col("passes").as("g"))
+    val r = graft.ops.TextAnalysis.repetitionSignals(docs)
+      .select(col("doc_id"), col("keep").as("r"))
+    val m = graft.ops.TextAnalysis.mojibakeSignals(docs)
+      .select(col("doc_id"), (!col("suspect")).as("m"))
+    g.join(r, "doc_id").join(m, "doc_id")
+      .groupBy(col("g"), col("r"), col("m"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("votes",
+        (col("g").cast("int") + col("r").cast("int") + col("m").cast("int"))
+          .cast("long"))
+      .withColumn("majority_keep", col("votes") >= 2)
+      .orderBy("g", "r", "m")
+  }
+
+  /** Length-matched sampling: pick, per length decile of a TARGET slice
+    * (source src0), the same NUMBER of non-target docs from that decile
+    * — the standard construction for a comparison corpus where length
+    * is a confounder (eval pairs, ablation sets). Decile edges are
+    * exact percentiles of the target (a 1-row broadcast); the per-decile
+    * cut is deterministic md5 order through the two-phase per-key top-k,
+    * so no decile funnels the corpus through one window task. Emits the
+    * per-decile demand and the sampled doc ids. */
+  def sampleLengthMatched(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val target = docs.filter(col("source") === "src0")
+    val edges = target.agg(
+      expr("percentile(n_chars, 0.25)").as("q1"),
+      expr("percentile(n_chars, 0.5)").as("q2"),
+      expr("percentile(n_chars, 0.75)").as("q3"))
+    def decile(nc: org.apache.spark.sql.Column) =
+      when(nc <= col("q1"), 0).when(nc <= col("q2"), 1)
+        .when(nc <= col("q3"), 2).otherwise(3)
+    val demand = target.crossJoin(broadcast(edges))
+      .groupBy(decile(col("n_chars")).as("bucket"))
+      .agg(count(lit(1)).as("want"))
+    val pool = docs.filter(col("source") =!= "src0")
+      .crossJoin(broadcast(edges))
+      .select(col("doc_id"), decile(col("n_chars")).as("bucket"),
+        md5(concat(col("doc_id").cast("string"), lit("lms"))).as("ord"))
+    // 1-row bounds read (the repo's accepted driver aggregate): the
+    // two-phase top-k needs a STATIC cap, and max(want) ≤ |target| keeps
+    // every bucket's window input at cap · partitions rows
+    val maxWant = demand.agg(max("want")).head().getLong(0).toInt
+    val ranked = Retrieval.topKPerKey(
+      pool, Seq("bucket"), Seq(col("ord").asc, col("doc_id").asc), k = maxWant)
+    ranked
+      .join(broadcast(demand), "bucket")
+      .filter(col("rank") <= col("want"))
+      .select(col("bucket").cast("long").as("bucket"), col("doc_id"),
+        col("rank").as("rn"), col("want"))
+      .orderBy("bucket", "rn")
+  }
+
   // ================================================================ maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmv_source_overlap" -> (kmvSourceOverlap _),
     "graph_modularity" -> (graphModularity _),
     "ann_nprobe_sweep" -> (annNprobeSweep _),
     "events_gap_fill" -> (eventsGapFill _),
+    "gate_ensemble" -> (gateEnsemble _),
+    "sample_length_matched" -> (sampleLengthMatched _),
     "token_fertility" -> (tokenFertility _),
     "forecast_snaive" -> (forecastSnaive _),
     "text_readability" -> (textReadability _),
@@ -4243,6 +4310,54 @@ object PipelineQueries {
     // one oracle judges both, and the delta-merged index a third time
     "bm25_indexed" -> duckBm25,
     "retrieval_prf" -> duckBm25Prf,
+    "gate_ensemble" ->
+      s"""WITH g AS (SELECT doc_id, text, $toks AS tk, len($toks) AS n_words
+         |  FROM documents),
+         |ga AS (SELECT doc_id,
+         |    (n_words >= 40
+         |      AND round((length(text) - n_words + 1) / n_words, 4) BETWEEN 3.0 AND 8.0
+         |      AND round(len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is'], t))) / n_words, 4) >= 0.05
+         |      AND round(list_max(list_transform(list_distinct(tk), d -> len(list_filter(tk, x -> x = d)))) / n_words, 4) <= 0.15
+         |      AND round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / length(text), 4) <= 0.1
+         |    ) AS a
+         |  FROM g),
+         |gr AS (SELECT doc_id, ${duckShingles(2)} AS g2, ${duckShingles(3)} AS g3
+         |  FROM documents),
+         |gb AS (SELECT doc_id,
+         |    round((len(g2) - len(list_distinct(g2))) / len(g2), 4) <= 0.3 AND
+         |    round((len(g3) - len(list_distinct(g3))) / len(g3), 4) <= 0.3 AS b
+         |  FROM gr),
+         |gm AS (SELECT doc_id,
+         |    NOT (CAST(len(regexp_extract_all(text, '�')) +
+         |      len(regexp_extract_all(text, '[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]')) +
+         |      len(regexp_extract_all(text, '(Ã.|â€.|Â.)')) AS DOUBLE) /
+         |      greatest(length(text), 1) > 0.001) AS m
+         |  FROM documents)
+         |SELECT a AS g, b AS r, m, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(CAST(a AS INT) + CAST(b AS INT) + CAST(m AS INT) AS BIGINT) AS votes,
+         |  (CAST(a AS INT) + CAST(b AS INT) + CAST(m AS INT)) >= 2 AS majority_keep
+         |FROM ga JOIN gb USING (doc_id) JOIN gm USING (doc_id)
+         |GROUP BY a, b, m ORDER BY g, r, m""".stripMargin,
+    "sample_length_matched" ->
+      """WITH t AS (SELECT * FROM documents WHERE source = 'src0'),
+        |e AS (SELECT quantile_cont(n_chars, 0.25) AS q1,
+        |    quantile_cont(n_chars, 0.5) AS q2,
+        |    quantile_cont(n_chars, 0.75) AS q3 FROM t),
+        |dem AS (SELECT CASE WHEN n_chars <= q1 THEN 0 WHEN n_chars <= q2 THEN 1
+        |      WHEN n_chars <= q3 THEN 2 ELSE 3 END AS bucket,
+        |    count(*) AS want
+        |  FROM t CROSS JOIN e GROUP BY 1),
+        |pool AS (SELECT doc_id,
+        |    CASE WHEN n_chars <= q1 THEN 0 WHEN n_chars <= q2 THEN 1
+        |      WHEN n_chars <= q3 THEN 2 ELSE 3 END AS bucket,
+        |    md5(CAST(doc_id AS VARCHAR) || 'lms') AS ord
+        |  FROM documents CROSS JOIN e WHERE source <> 'src0'),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY bucket
+        |    ORDER BY ord, doc_id) AS rn FROM pool)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, doc_id,
+        |  CAST(rn AS BIGINT) AS rn, want
+        |FROM rk JOIN dem USING (bucket) WHERE rn <= want
+        |ORDER BY bucket, rn""".stripMargin,
     "eval_gate_agreement" ->
       s"""WITH g AS (SELECT doc_id, text, $toks AS tk, len($toks) AS n_words
          |  FROM documents),

@@ -500,9 +500,23 @@ object TextAnalysis {
         round((length(col(textCol)) -
           length(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""))).cast("double") /
           length(col(textCol)), 4))
+      // max token count via a LINEAR sorted-run scan. The transparent
+      // form — max over distinct tokens of filter-count — is
+      // O(len · distinct) interpreted lambda work PER DOCUMENT, i.e.
+      // quadratic in document length: ~3 s of the sf0.1 gate census and
+      // unbounded for long web docs. Sorting groups equal tokens into
+      // runs, so one linear fold tracking (prev, run, best) computes the
+      // identical value; both forms are plain value-equal, so the
+      // DuckDB oracle's transparent expression still matches.
       .withColumn("max_tok_frac",
-        round(array_max(transform(array_distinct(col("_tk")),
-          d => size(filter(col("_tk"), x => x === d)))).cast("double") /
+        round(expr(
+          """aggregate(sort_array(_tk),
+            |  named_struct('prev', '', 'run', 0L, 'best', 0L),
+            |  (a, x) -> named_struct(
+            |    'prev', x,
+            |    'run', IF(x = a.prev, a.run + 1L, 1L),
+            |    'best', greatest(a.best, IF(x = a.prev, a.run + 1L, 1L))),
+            |  a -> a.best)""".stripMargin).cast("double") /
           col("n_words"), 4))
       .withColumn("passes",
         col("n_words") >= 40 && col("mean_word_len").between(3.0, 8.0) &&

@@ -342,4 +342,27 @@ class PlanSpec extends AnyFunSuite with Matchers {
     // the only nested loop allowed is the 1-row m scalar bind
     p should not include "CartesianProduct"
   }
+
+  test("gate ensemble: one scan per gate, doc-keyed broadcast joins, no cartesian") {
+    val p = plan(PipelineQueries.gateEnsemble(spark, dir))
+    p should include ("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p should not include "SortMergeJoin" // 3 gate frames join broadcast, not shuffled
+  }
+
+  test("length-matched sampling: ranked cut windows carry the bucket partition") {
+    val out = PipelineQueries.sampleLengthMatched(spark, dir)
+    val exec = { out.collect(); out.queryExecution.executedPlan }
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def windows(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+      p.collectWithSubqueries {
+        case w: WindowExec => Seq(w)
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case q: QueryStageExec => windows(q.plan)
+      }.flatten
+    val ws = windows(exec)
+    ws should not be empty
+    ws.foreach(_.partitionSpec should not be empty)
+  }
 }
