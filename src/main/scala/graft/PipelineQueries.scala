@@ -2287,6 +2287,27 @@ object PipelineQueries {
       .orderBy("bucket", "rn")
   }
 
+  /** Language-ID confusion matrix: labeled lang × predicted lang with
+    * counts — the eval census behind [[langMismatch]]'s per-source rate
+    * (which cell is wrong tells you WHICH lexicon needs work). One scan,
+    * one partial-agg groupBy over a ≤ |langs|² grid. */
+  def langConfusion(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langScores(t(s, dir, "documents"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .orderBy("lang", "pred_lang")
+
+  /** PQ quantization distortion per subspace: mean/max squared L2 error
+    * of each vector's chosen centroid — the "is the codebook good
+    * enough" read before trusting PQ/IVFADC neighbors (a subspace with
+    * outsized error needs more centroids or a rotation). Reuses the
+    * code-assignment distances; two partial-agg groupBys, m-row
+    * output. */
+  def embedPqDistortion(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqDistortion(t(s, dir, "embeddings"), "vec_id", "embedding",
+      m = PqM, subDim = PqSubDim, k = PqK)
+      .orderBy("j")
+
   // ================================================================ maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmv_source_overlap" -> (kmvSourceOverlap _),
@@ -2294,6 +2315,8 @@ object PipelineQueries {
     "ann_nprobe_sweep" -> (annNprobeSweep _),
     "events_gap_fill" -> (eventsGapFill _),
     "gate_ensemble" -> (gateEnsemble _),
+    "lang_confusion" -> (langConfusion _),
+    "embed_pq_distortion" -> (embedPqDistortion _),
     "sample_length_matched" -> (sampleLengthMatched _),
     "token_fertility" -> (tokenFertility _),
     "forecast_snaive" -> (forecastSnaive _),
@@ -4310,6 +4333,26 @@ object PipelineQueries {
     // one oracle judges both, and the delta-merged index a third time
     "bm25_indexed" -> duckBm25,
     "retrieval_prf" -> duckBm25Prf,
+    "lang_confusion" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  len(list_intersect(list_distinct($toks), ['der','die','und','das','ein'])) AS score_de,
+         |  len(list_intersect(list_distinct($toks), ['the','a','and','of','to'])) AS score_en,
+         |  len(list_intersect(list_distinct($toks), ['el','la','de','y','que'])) AS score_es,
+         |  len(list_intersect(list_distinct($toks), ['le','la','et','de','un'])) AS score_fr
+         |FROM documents),
+         |p AS (SELECT lang,
+         |  CASE WHEN score_fr > greatest(score_de, score_en, score_es) THEN 'fr'
+         |       WHEN score_es > greatest(score_de, score_en) THEN 'es'
+         |       WHEN score_en > score_de THEN 'en' ELSE 'de' END AS pred_lang
+         |FROM s)
+         |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+    "embed_pq_distortion" ->
+      s"""$duckPqCodesCte,
+         |best AS (SELECT vec_id, j, min(d2) AS d2 FROM dd GROUP BY 1, 2)
+         |SELECT CAST(j AS BIGINT) AS j, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  round(avg(d2), 4) AS avg_d2, round(max(d2), 4) AS max_d2
+         |FROM best GROUP BY j ORDER BY j""".stripMargin,
     "gate_ensemble" ->
       s"""WITH g AS (SELECT doc_id, text, $toks AS tk, len($toks) AS n_words
          |  FROM documents),

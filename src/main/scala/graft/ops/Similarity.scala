@@ -466,6 +466,32 @@ object Similarity {
     long.groupBy(idCol).agg(codeCols.head, codeCols.tail: _*)
   }
 
+  /** Per-subspace PQ quantization distortion: each vector's squared-L2
+    * error against its CHOSEN centroid (the min over the codebook —
+    * identical distances to the code assignment), reduced to mean/max
+    * per subspace. The codebook-quality gauge read before trusting
+    * PQ/ADC neighbor lists. Two partial-agg groupBys over the
+    * (vector, subspace, centroid) distance stream; m-row output. */
+  def pqDistortion(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 4,
+      subDim: Int = 16,
+      k: Int = 8): DataFrame = {
+    val subCents = pqCodebooks(corpus, idCol, vecCol, m, subDim, k)
+    pqSubDistances(corpus, idCol, idCol, vecCol, subCents, m, subDim)
+      .groupBy(col(idCol), col("j"))
+      .agg(min("d2").as("d2"))
+      .groupBy("j")
+      .agg(
+        count(lit(1)).cast("long").as("n_vectors"),
+        round(avg("d2"), 4).as("avg_d2"),
+        round(max("d2"), 4).as("max_d2"))
+      .select(col("j").cast("long").as("j"), col("n_vectors"),
+        col("avg_d2"), col("max_d2"))
+  }
+
   /** PQ ANN via asymmetric distance computation (ADC): per query, a
     * lookup table of ||q_j − centroid_{j,c}||² contributions (m·k
     * doubles — broadcast), then every corpus vector's approximate
