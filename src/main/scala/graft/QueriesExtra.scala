@@ -317,7 +317,55 @@ object QueriesExtra {
       .orderBy("event_id")
   }
 
+  /** Nearest-in-time join ([[graft.ops.AsOf.asofNearest]]): every click
+    * paired with the error whose timestamp is CLOSEST in either
+    * direction (ties backward) — the sensor-alignment semantics where
+    * "most recent before" is the wrong default. The oracle runs BOTH
+    * DuckDB ASOF directions and replays the pick, pinning the tie and
+    * null rules to the native operator pair. */
+  def asofNearestQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "ts", "event_id")
+    graft.ops.AsOf.asofNearest(clicks, errors,
+        key = "user_id", ts = "ts", leftIdCol = "event_id",
+        rightPayload = Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("ts_n").as("near_ts"), col("event_id_n").as("near_event_id"),
+        col("direction"), col("delta_us"))
+      .orderBy("event_id")
+  }
+
+  /** Per-user session rollup over [[graft.ops.Sessionize.sessions]]:
+    * session count, bounce rate (single-event sessions), mean duration —
+    * the engagement summary an events store serves daily. One extra
+    * partial-agg groupBy on the session table (already user-keyed). */
+  def sessionStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessionize.sessions(t(s, dir, "events"),
+        key = "user_id", tsCol = "ts", idCol = "event_id", gapSeconds = 21600)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        // integer half-up rounding of the mean duration (the
+        // events_gap_fill convention): a plain round(avg, 4) can land on
+        // an exact .00005 half where the engines' rounding modes fork
+        sum(round(col("duration_sec") * lit(1000.0)).cast("long")).as("_sm"),
+        max(col("n_events")).cast("long").as("max_events"))
+      .withColumn("avg_duration_sec",
+        expr("(2 * _sm * 10 + n_sessions) div (2 * n_sessions)")
+          .cast("double") / lit(10000.0))
+      .withColumn("bounce_rate",
+        round(col("n_bounces").cast("double") / col("n_sessions"), 4))
+      .select("user_id", "n_sessions", "n_bounces", "avg_duration_sec",
+        "max_events", "bounce_rate")
+      .orderBy("user_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_nearest" -> (asofNearestQ _),
+    "session_stats" -> (sessionStats _),
     "asof_join" -> (asofJoin _),
     "asof_tolerance" -> (asofTolerance _),
     "cube_counts" -> (cubeCounts _),
@@ -343,6 +391,49 @@ object QueriesExtra {
   )
 
   val oracles: Map[String, String] = Map(
+    "asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'),
+        |b AS (SELECT c.event_id, e.ts AS bts, e.event_id AS bid
+        |  FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts),
+        |f AS (SELECT c.event_id, e.ts AS fts, e.event_id AS fid
+        |  FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts <= e.ts),
+        |j AS (SELECT c.event_id, c.user_id, c.ts, bts, bid, fts, fid,
+        |    (fts IS NULL OR (bts IS NOT NULL AND
+        |      epoch_us(c.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(c.ts)))
+        |      AS pick_back
+        |  FROM c JOIN b USING (event_id) JOIN f USING (event_id))
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN pick_back THEN bts ELSE fts END AS near_ts,
+        |  CASE WHEN pick_back THEN bid ELSE fid END AS near_event_id,
+        |  CASE WHEN (CASE WHEN pick_back THEN bts ELSE fts END) IS NULL THEN NULL
+        |    WHEN pick_back THEN 'backward' ELSE 'forward' END AS direction,
+        |  CASE WHEN (CASE WHEN pick_back THEN bts ELSE fts END) IS NULL THEN NULL
+        |    WHEN pick_back THEN epoch_us(ts) - epoch_us(bts)
+        |    ELSE epoch_us(fts) - epoch_us(ts) END AS delta_us
+        |FROM j ORDER BY event_id""".stripMargin,
+    "session_stats" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pus
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN pus IS NULL OR epoch_us(ts) - pus > 21600000000 THEN 1 ELSE 0 END AS st
+        |  FROM o),
+        |x AS (SELECT user_id, ts,
+        |    CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+        |  FROM m),
+        |sess AS (SELECT user_id, session_idx, count(*) AS n_events,
+        |    round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 3) AS duration_sec
+        |  FROM x GROUP BY user_id, session_idx)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        |  CAST((2 * sum(CAST(round(duration_sec * 1000.0, 0) AS BIGINT)) * 10 + count(*))
+        |    // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_duration_sec,
+        |  CAST(max(n_events) AS BIGINT) AS max_events,
+        |  round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS bounce_rate
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
     "asof_join" ->
       """SELECT c.event_id AS event_id, c.user_id AS user_id, c.ts AS ts,
         |  e.ts AS err_ts, e.event_id AS err_event_id

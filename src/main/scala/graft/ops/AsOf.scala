@@ -109,4 +109,61 @@ object AsOf {
       d.withColumn(s"$c$suffix", when(fresh, col(s"$c$suffix")))
     }
   }
+
+  /** NEAREST-in-time join: for every left row, the right row with the
+    * smallest |Δt| in EITHER direction — the sensor-alignment semantics
+    * when "most recent before" is the wrong default (a reading 1 ms
+    * later beats one an hour earlier). Ties (equal backward and forward
+    * distance, including the exact-equal case) resolve BACKWARD, the
+    * industry ASOF convention.
+    *
+    * Built as two [[asofJoin]] passes — the normal backward carry, and a
+    * forward pass running the SAME union-and-carry on negated
+    * microsecond ordinals (so "first at-or-after" is "last at-or-before"
+    * of the reversed axis; no new window machinery) — stitched by
+    * `leftIdCol`, a unique left row id. Cost: two key-shuffle sorts plus
+    * one id-keyed join; still no range-join pair explosion.
+    *
+    * Returns left columns + per-direction payloads under `_bk`/`_fw`
+    * + (`near_<ts>`, nearest payload under `suffix`, `direction`,
+    * `delta_us`). */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      leftIdCol: String,
+      rightPayload: Seq[String],
+      suffix: String = "_n"): DataFrame = {
+    val payload = (ts +: rightPayload.filterNot(_ == ts)).distinct
+    val back = asofJoin(left, right, key, ts, rightPayload, "_bk")
+    // forward = backward over the time-reversed axis: negated µs ordinal
+    val lN = left.withColumn("_nts", -unix_micros(col(ts)))
+    val rN = right.withColumn("_nts", -unix_micros(col(ts)))
+    val fwd = asofJoin(
+      lN.drop(ts), rN.drop(ts).withColumnRenamed("_nts", "_nts_pay")
+        .withColumn("_nts", col("_nts_pay")),
+      key, "_nts", rightPayload :+ "_nts_pay", "_fw")
+      .select(col(leftIdCol) +:
+        (("_nts_pay" +: rightPayload).map(c => col(s"${c}_fw"))): _*)
+    val db = unix_micros(col(ts)) - unix_micros(col(s"${ts}_bk"))
+    val df_ = -col("_nts_pay_fw") - unix_micros(col(ts))
+    val pickBack = col("_nts_pay_fw").isNull ||
+      (col(s"${ts}_bk").isNotNull && db <= df_)
+    val stitched = back.join(fwd, Seq(leftIdCol), "left")
+    val withNearest = payload.foldLeft(stitched) { (d, c) =>
+      val fwdCol =
+        if (c == ts) timestamp_micros(-col("_nts_pay_fw"))
+        else col(s"${c}_fw")
+      d.withColumn(s"$c$suffix", when(pickBack, col(s"${c}_bk")).otherwise(fwdCol))
+    }
+    withNearest
+      .withColumn("direction",
+        when(col(s"$ts$suffix").isNull, lit(null).cast("string"))
+          .when(pickBack, lit("backward")).otherwise(lit("forward")))
+      .withColumn("delta_us",
+        when(col(s"$ts$suffix").isNull, lit(null).cast("long"))
+          .when(pickBack, db).otherwise(df_))
+      .drop("_nts_pay_fw")
+  }
 }
