@@ -240,12 +240,14 @@ object PipelineQueries {
     * order in both engines. One output row
     * (n11, n10, n01, n00, po, kappa). */
   def evalGateAgreement(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val a = graft.ops.TextAnalysis.gopherSignals(docs)
-      .select(col("doc_id"), col("passes").as("a"))
-    val b = graft.ops.TextAnalysis.repetitionSignals(docs)
-      .select(col("doc_id"), col("keep").as("b"))
-    a.join(b, "doc_id")
+    // both gates are scan-side projections — compose them over ONE corpus
+    // scan (same fusion as [[gateEnsemble]]); the id join the previous
+    // shape paid becomes corpus-sized sort-merge work at scale for a
+    // query whose true cost is one pass and a 1-row aggregate
+    val docs = graft.ops.Materialize.spread(t(s, dir, "documents"))
+    graft.ops.TextAnalysis.repetitionSignals(
+        graft.ops.TextAnalysis.gopherSignals(docs))
+      .select(col("passes").as("a"), col("keep").as("b"))
       .agg(
         count(lit(1)).cast("double").as("n"),
         sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
@@ -1224,7 +1226,11 @@ object PipelineQueries {
     * scan projection, so the whole cleanse is two shuffles (dedup keys +
     * keeper join) at any scale. */
   def pipelineCleanCorpus(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    // spread: the heavy per-row stages (md5 grouping, BPE-ish token
+    // count) otherwise run at the single-file fixture's row-group
+    // parallelism (5 tasks on 32 cores in the r9 bench); no-op on a
+    // many-file lake layout
+    val docs = graft.ops.Materialize.spread(t(s, dir, "documents"))
     val keepers = Dedup.exactGroups(docs, "doc_id", "text")
       .select(col("keeper").as("doc_id"))
     docs.join(keepers, "doc_id")
@@ -2226,19 +2232,26 @@ object PipelineQueries {
     * the mojibake audit as independent votes, each documented gate left
     * exactly as its own query defines it — the ensemble reports the
     * vote-pattern census (how many docs each gate combination claims)
-    * plus the majority-vote keep count. Eight bounded rows from one
-    * corpus scan; the per-gate projections fuse scan-side, the census
-    * is a single partial-agg groupBy. The operational read: patterns
-    * where exactly one gate dissents are the review queue. */
+    * plus the majority-vote keep count. Eight bounded rows from ONE
+    * corpus scan: all three gates are scan-side projections, so they
+    * compose in a single select over a single pass ([[gopherSignals]] and
+    * [[repetitionSignals]] are withColumn chains, the mojibake verdict a
+    * bare expression) — zero joins, zero extra scans. At 100 TB this is
+    * the difference between one corpus pass and three passes plus two
+    * corpus-sized sort-merge joins (the round-9 plan defect this
+    * replaces). The operational read: patterns where exactly one gate
+    * dissents are the review queue. [[graft.ops.Materialize.spread]]
+    * lifts the single-file local fixture to core-wide parallelism; on a
+    * many-file lake layout it is a no-op. */
   def gateEnsemble(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val g = graft.ops.TextAnalysis.gopherSignals(docs)
-      .select(col("doc_id"), col("passes").as("g"))
-    val r = graft.ops.TextAnalysis.repetitionSignals(docs)
-      .select(col("doc_id"), col("keep").as("r"))
-    val m = graft.ops.TextAnalysis.mojibakeSignals(docs)
-      .select(col("doc_id"), (!col("suspect")).as("m"))
-    g.join(r, "doc_id").join(m, "doc_id")
+    val docs = graft.ops.Materialize.spread(t(s, dir, "documents"))
+    val gated = graft.ops.TextAnalysis.repetitionSignals(
+      graft.ops.TextAnalysis.gopherSignals(docs))
+    gated
+      .select(
+        col("passes").as("g"),
+        col("keep").as("r"),
+        (!graft.ops.TextAnalysis.mojibakeSuspect(col("text"))).as("m"))
       .groupBy(col("g"), col("r"), col("m"))
       .agg(count(lit(1)).cast("long").as("n_docs"))
       .withColumn("votes",

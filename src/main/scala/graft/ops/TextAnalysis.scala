@@ -288,8 +288,18 @@ object TextAnalysis {
       arti.cast("long").as("n_artifacts"),
       round((repl + ctrl + arti).cast("double") /
         greatest(length(t), lit(1)), 6).as("damage_ratio"),
-      ((repl + ctrl + arti).cast("double") /
-        greatest(length(t), lit(1)) > lit(0.001)).as("suspect"))
+      mojibakeSuspect(t).as("suspect"))
+  }
+
+  /** The [[mojibakeSignals]] verdict boolean as a bare column expression,
+    * so ensemble queries can fuse it into the SAME scan-side projection
+    * as the other gates instead of computing a second corpus pass and
+    * joining it back by id. */
+  def mojibakeSuspect(t: Column): Column = {
+    val repl = regexp_count(t, lit("�"))
+    val ctrl = regexp_count(t, lit("[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]"))
+    val arti = regexp_count(t, lit("(Ã.|â€.|Â.)"))
+    (repl + ctrl + arti).cast("double") / greatest(length(t), lit(1)) > lit(0.001)
   }
 
   /** Per-source unigram-distribution divergence from the corpus-wide

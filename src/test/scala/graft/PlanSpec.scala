@@ -343,11 +343,23 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should not include "CartesianProduct"
   }
 
-  test("gate ensemble: one scan per gate, doc-keyed broadcast joins, no cartesian") {
-    val p = plan(PipelineQueries.gateEnsemble(spark, dir))
-    p should include ("BroadcastHashJoin")
+  test("gate ensemble: all three gates fuse into ONE corpus scan, zero joins") {
+    // the r9 shape scanned the corpus three times and joined by doc_id;
+    // fused, the census is one scan + one partial-agg groupBy — at 100 TB
+    // that is one pass instead of three passes plus two corpus-sized joins
+    val df = PipelineQueries.gateEnsemble(spark, dir)
+    val exec = { df.collect(); df.queryExecution.executedPlan }
+    allScans(exec).length shouldBe 1
+    val p = exec.toString
+    p should not include "Join"
     p should not include "CartesianProduct"
-    p should not include "SortMergeJoin" // 3 gate frames join broadcast, not shuffled
+  }
+
+  test("gate agreement fuses both gates into one scan, zero joins") {
+    val df = PipelineQueries.evalGateAgreement(spark, dir)
+    val exec = { df.collect(); df.queryExecution.executedPlan }
+    allScans(exec).length shouldBe 1
+    exec.toString should not include "Join"
   }
 
   test("length-matched sampling: ranked cut windows carry the bucket partition") {
