@@ -136,6 +136,17 @@ object AsOf {
       rightPayload: Seq[String],
       suffix: String = "_n"): DataFrame = {
     val payload = (ts +: rightPayload.filterNot(_ == ts)).distinct
+    // The stitch emits fixed working/output names; a left frame already
+    // carrying one of them would silently shadow or ambiguate rather
+    // than error — refuse up front with the offending names spelled out.
+    val reserved = Seq("direction", "delta_us", "_nts", "_nts_pay") ++
+      payload.flatMap(c => Seq(s"${c}_bk", s"${c}_fw", s"$c$suffix"))
+    val collisions = left.columns.filter(reserved.contains)
+    require(collisions.isEmpty,
+      s"asofNearest reserved column collision on left frame: ${collisions.mkString(", ")} " +
+        s"— rename them or choose a different suffix")
+    require(left.columns.contains(leftIdCol),
+      s"asofNearest: leftIdCol '$leftIdCol' not in left frame")
     val back = asofJoin(left, right, key, ts, rightPayload, "_bk")
     // forward = backward over the time-reversed axis: negated µs ordinal
     val lN = left.withColumn("_nts", -unix_micros(col(ts)))

@@ -36,9 +36,14 @@ object Kmv {
     (conv(substring(md5(v.cast("string")), 1, 12), 16, 10)
       .cast("double") + lit(1.0)) / lit(Denom)
 
-  /** The per-group bottom-k sketch: (groupCol, u, rank), rank 1..k
+  /** The per-group bottom-k sketch: (groupCol, u, rank, _k), rank 1..k
     * ascending by hash. The sketch of a group IS this k-row table —
-    * persist it, union it, merge it (merge = k smallest of the union). */
+    * persist it, union it, merge it (merge = k smallest of the union).
+    * `_k` carries the capacity the sketch was BUILT with: every consumer
+    * ([[estimate]]/[[merge]]/[[pairwise]]) asserts its k parameter
+    * against it at execution, because a mismatched k (estimate(sk, 128)
+    * on a k=256 sketch) silently produces a wrong (k−1)/u_k estimate and
+    * a wrong exact-below-k branch — the failure must be loud. */
   def sketch(
       df: DataFrame,
       groupCol: String,
@@ -52,14 +57,27 @@ object Kmv {
         // md5 collisions across distinct values: keep one row per (g, u)
         .distinct(),
       Seq(groupCol), Seq(col("u").asc), k)
+      .withColumn("_k", lit(k))
   }
+
+  /** Execution-time guard: every row of the sketch must carry `_k` = the
+    * caller's k. A filter whose predicate routes through assert_true —
+    * the predicate is non-foldable, so Catalyst keeps it in the plan and
+    * a k-mismatched call throws at the first row instead of returning a
+    * plausible wrong estimate. A frame without `_k` (not built by
+    * [[sketch]]/[[merge]]) fails analysis, which is the same contract
+    * one level earlier. */
+  private def requireK(sk: DataFrame, k: Int): DataFrame =
+    sk.where(assert_true(col("_k") === lit(k),
+      concat(lit("KMV k mismatch: sketch built with k="), col("_k"),
+        lit(s", consumer called with k=$k"))).isNull)
 
   /** Distinct-count estimate per group from a [[sketch]]:
     * n̂ = (k − 1) / u_(k) (the classic KMV estimator); a group whose
     * sketch holds fewer than k values is EXACT (every distinct hash is
     * present), so the estimate is its row count. */
   def estimate(sk: DataFrame, groupCol: String, k: Int = 256): DataFrame =
-    sk.groupBy(groupCol)
+    requireK(sk, k).groupBy(groupCol)
       .agg(count(lit(1)).as("_n"), max("u").as("_uk"))
       .select(col(groupCol),
         round(when(col("_n") < k, col("_n").cast("double"))
@@ -74,10 +92,11 @@ object Kmv {
     * and the postings index. */
   def merge(a: DataFrame, b: DataFrame, groupCol: String, k: Int = 256): DataFrame =
     Retrieval.topKPerKey(
-      a.select(col(groupCol), col("u"))
-        .unionByName(b.select(col(groupCol), col("u")))
+      requireK(a, k).select(col(groupCol), col("u"))
+        .unionByName(requireK(b, k).select(col(groupCol), col("u")))
         .distinct(),
       Seq(groupCol), Seq(col("u").asc), k)
+      .withColumn("_k", lit(k))
 
   /** Pairwise union/intersection/Jaccard estimates for every ORDERED
     * group pair (g_a < g_b) from one [[sketch]] table. For each pair the
@@ -90,7 +109,8 @@ object Kmv {
     * Everything after the sketch build is k-row-per-group arithmetic:
     * the pair join fans each group's k rows to its partners — at G
     * groups that is G²k/2 rows of DOUBLES, not corpus data. */
-  def pairwise(sk: DataFrame, groupCol: String, k: Int = 256): DataFrame = {
+  def pairwise(sk0: DataFrame, groupCol: String, k: Int = 256): DataFrame = {
+    val sk = requireK(sk0, k)
     val a = sk.select(col(groupCol).as("g_a"), col("u"))
     val b = sk.select(col(groupCol).as("g_b"), col("u"))
     // full outer per pair via union-side tagging: for each (g_a, g_b)

@@ -111,8 +111,36 @@ object Materialize {
     val md = java.security.MessageDigest.getInstance("MD5")
     val bytes = md.digest(
       (tag + "\u0000" + full + "\u0000" + df.semanticHash() + "\u0000" +
-        df.schema.catalogString).getBytes("UTF-8"))
+        df.schema.catalogString + "\u0000" + inputDataVersion(df))
+        .getBytes("UTF-8"))
     bytes.map("%02x".format(_)).mkString
+  }
+
+  /** Data-version witness folded into [[contentKey]]: the source
+    * relations' file listing plus, when cheap to obtain, per-file size
+    * and modification time. Without it, a long-lived JVM whose source
+    * files are overwritten or appended between queries would silently be
+    * served the STALE cached index for the same logical plan. Paths alone
+    * catch most mutation (parquet writers emit fresh part-file names per
+    * commit); the size+mtime stat pass is capped so a million-file lake
+    * table doesn't pay a million namenode RPCs per index call — beyond
+    * the cap the sorted path list (with its count) is the witness. */
+  private def inputDataVersion(df: DataFrame): String = {
+    val files =
+      try df.inputFiles.sorted
+      catch { case scala.util.control.NonFatal(_) => Array.empty[String] }
+    val StatCap = 256
+    val stats =
+      if (files.isEmpty || files.length > StatCap) ""
+      else try {
+        val hconf = df.sparkSession.sessionState.newHadoopConf()
+        files.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(hconf).getFileStatus(p)
+          s"${st.getLen}:${st.getModificationTime}"
+        }.mkString(",")
+      } catch { case _: java.io.IOException => "" }
+    s"n=${files.length};${files.mkString(",")};$stats"
   }
 
   /** Materialize `df` as a parquet index table and return a fresh scan of

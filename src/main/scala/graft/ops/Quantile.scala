@@ -90,13 +90,18 @@ object Quantile {
       groupCol: String,
       valueCol: String,
       k: Double = 3.0): DataFrame = {
+    // No forced broadcast: the median/MAD tables are GROUP-cardinality
+    // sized — broadcast-small for typical grouping but driver-OOM bait
+    // for a high-cardinality groupCol. AQE broadcasts them when they
+    // measure small and shuffles when they don't, which is the right
+    // call at every cardinality.
     val med = df.groupBy(groupCol)
       .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
-    val mad = df.join(broadcast(med), groupCol)
+    val mad = df.join(med, groupCol)
       .withColumn("_ad", abs(col(valueCol) - col("med")))
       .groupBy(groupCol)
       .agg(expr("percentile(_ad, 0.5)").as("mad"), first("med").as("med"))
-    df.join(broadcast(mad), groupCol)
+    df.join(mad, groupCol)
       .withColumn("_thresh", lit(k) * lit(1.4826) * col("mad"))
       .groupBy(groupCol)
       .agg(

@@ -93,7 +93,12 @@ object EventStreams {
           val est =
             if (merged.length < k) merged.length.toDouble
             else (k - 1.0) / merged.last
-          (g, merged.length.toLong, math.rint(est * 10000) / 10000)
+          // HALF_UP via BigDecimal.valueOf (shortest-string decimal), the
+          // exact rule Spark's round() applies in Kmv.estimate — math.rint
+          // is half-EVEN and forks on exact .00005 halves
+          val rounded = java.math.BigDecimal.valueOf(est)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          (g, merged.length.toLong, rounded)
       }
   }
 
