@@ -63,7 +63,9 @@ class GraftAvaticaServer(
     sessionFor: String => TenantSession,
     port: Int = 0,
     defaultFrameRows: Int = 100,
-    serverMaxRows: Int = GraftHttpServer.DefaultMaxRows) {
+    serverMaxRows: Int = GraftHttpServer.DefaultMaxRows,
+    engine: Option[org.apache.spark.sql.SparkSession] = None,
+    val metrics: ServingMetrics = new ServingMetrics) {
   require(serverMaxRows > 0, "serverMaxRows must be positive")
 
   private val mapper = new ObjectMapper()
@@ -164,8 +166,30 @@ class GraftAvaticaServer(
 
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
 
+  metrics.gauge("avatica.open_connections")(conns.size().toLong)
+  metrics.gauge("avatica.open_statements")(stmts.size().toLong)
+
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress(port), 0)
+    // Operational endpoints on the same listener (reference FineoServer
+    // wires Dropwizard health + metrics into its Avatica server): the
+    // JDK server routes by longest matching prefix, so these win over "/"
+    s.createContext("/healthz", (ex: HttpExchange) => {
+      val (status, body) =
+        HealthChecks.httpResponse(HealthChecks.run(engine, tenant = None))
+      val bytes = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(status, bytes.length)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    })
+    s.createContext("/metrics", (ex: HttpExchange) => {
+      val bytes = metrics.snapshotJson.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, bytes.length)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    })
     s.createContext("/", (ex: HttpExchange) => {
       // Content negotiation, the reference server's topology: protobuf is
       // Avatica's default production wire (`AvaticaProtobufHandler` in
@@ -186,6 +210,7 @@ class GraftAvaticaServer(
             (200, AvaticaProtobuf.responseToProto(mapper.readTree(handle(mapper.readTree(json)))))
           } catch {
             case e: Exception =>
+              metrics.inc("avatica.errors")
               (500, AvaticaProtobuf.errorToProto(mapper.readTree(errorJson(e))))
           }
         } else {
@@ -194,7 +219,9 @@ class GraftAvaticaServer(
             catch {
               // Avatica error response shape: the client rethrows message +
               // SQLSTATE; severity/code are advisory
-              case e: Exception => (500, errorJson(e))
+              case e: Exception =>
+                metrics.inc("avatica.errors")
+                (500, errorJson(e))
             }
           (st, body.getBytes(UTF_8))
         }
@@ -236,7 +263,9 @@ class GraftAvaticaServer(
       val v = Option(req.get(field)).map(_.asLong()).getOrElse(-1L)
       if (v > 0) math.min(v, serverMaxRows.toLong).toInt else serverMaxRows
     }
-    req.get("request").asText() match {
+    val rpcName = req.get("request").asText()
+    metrics.inc(s"avatica.requests.$rpcName")
+    metrics.time(s"avatica.rpc.$rpcName") { rpcName match {
       case "openConnection" =>
         val info = Option(req.get("info"))
         val key = info.flatMap(i =>
@@ -267,8 +296,12 @@ class GraftAvaticaServer(
       case "prepareAndExecute" =>
         val conn = connOf(cid)
         val st = stmtOf(cid, sid)
-        runStatement(conn, st, req.get("sql").asText(), clampOf("maxRowCount"))
-        executeResultsJson(cid, sid, st)
+        // gated: the tenant's FAIR pool + concurrent-statement clamp
+        // cover execution AND the first frame's pull
+        conn.tenant.runGated {
+          runStatement(conn, st, req.get("sql").asText(), clampOf("maxRowCount"))
+          executeResultsJson(cid, sid, st)
+        }
       case "prepare" =>
         val _ = connOf(cid)
         val sql = req.get("sql").asText()
@@ -290,15 +323,22 @@ class GraftAvaticaServer(
           s"statement $hsid was not prepared"))
         val params = Option(req.get("parameterValues"))
           .map(a => (0 until a.size()).map(a.get)).getOrElse(Seq.empty)
-        runStatement(conn, st, bindParameters(sql, params), st.preparedMaxRows)
-        executeResultsJson(hcid, hsid, st)
+        conn.tenant.runGated {
+          runStatement(conn, st, bindParameters(sql, params), st.preparedMaxRows)
+          executeResultsJson(hcid, hsid, st)
+        }
       case "fetch" =>
+        val conn = connOf(cid)
         val st = stmtOf(cid, sid)
         val offset = Option(req.get("offset")).map(_.asInt()).getOrElse(0)
         val n = Option(req.get("fetchMaxRowCount")).map(_.asInt())
           .filter(_ > 0).getOrElse(defaultFrameRows)
+        // the streaming cursor's partition pulls submit Spark jobs — run
+        // them under the tenant's pool too, so pagination of a big result
+        // can't jump the fair-share queue
+        val frame = conn.tenant.runGated(frameJson(st, offset, n))
         s"""{"response":"fetch","connectionId":${JsonCodec.jstr(cid)},""" +
-          s""""statementId":$sid,"frame":${frameJson(st, offset, n)}}"""
+          s""""statementId":$sid,"frame":$frame}"""
       case "syncResults" =>
         val st = stmts.get((cid, sid))
         val offset = Option(req.get("offset")).map(_.asInt()).getOrElse(0)
@@ -344,7 +384,7 @@ class GraftAvaticaServer(
           s""""firstFrame":${frameJson(st, 0, Int.MaxValue)},"updateCount":-1}"""
       case other =>
         throw new UnsupportedOperationException(s"unsupported avatica rpc: $other")
-    }
+    } }
   }
 
   /** Run `sql` through the tenant (clamped) and point the statement's
@@ -508,6 +548,8 @@ class GraftAvaticaServer(
 
   private def frameJson(st: Stmt, offset: Int, n: Int): String = {
     val (slice, done) = st.frameAt(offset, n)
+    metrics.inc("avatica.frames_served")
+    metrics.inc("avatica.rows_served", slice.length.toLong)
     val rows = slice.map(r =>
       (0 until r.length).map(i => JsonCodec.jval(r.get(i))).mkString("[", ",", "]"))
       .mkString("[", ",", "]")

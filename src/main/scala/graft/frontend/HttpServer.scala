@@ -41,7 +41,9 @@ import java.nio.charset.StandardCharsets.UTF_8
 class GraftHttpServer(
     sessionFor: String => TenantSession,
     port: Int = 0,
-    defaultMaxRows: Int = GraftHttpServer.DefaultMaxRows) {
+    defaultMaxRows: Int = GraftHttpServer.DefaultMaxRows,
+    engine: Option[org.apache.spark.sql.SparkSession] = None,
+    val metrics: ServingMetrics = new ServingMetrics) {
   require(defaultMaxRows > 0, "defaultMaxRows must be positive")
 
   private val sessions =
@@ -49,14 +51,36 @@ class GraftHttpServer(
 
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
 
+  metrics.gauge("http.open_sessions")(sessions.size().toLong)
+
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress(port), 0)
-    s.createContext("/healthz", handler { _ => (200, """{"status":"ok"}""") })
+    s.createContext("/healthz", handler(healthHandler))
+    s.createContext("/metrics", handler { _ => (200, metrics.snapshotJson) })
     s.createContext("/v1/sql", handler(sqlHandler))
     s.createContext("/v1/metadata/", handler(metadataHandler))
     s.setExecutor(pool)
     s.start()
     s
+  }
+
+  /** Layered health (reference `RootHealthCheck`/`IsAliveHealthCheck`
+    * tree): server-alive always; engine-alive (a real probe query with a
+    * deadline) when the server was built with its engine session;
+    * tenant-alive when the caller passes `?tenant=KEY`. Any failing
+    * layer → 503 with the layer named. */
+  private def healthHandler(ex: HttpExchange): (Int, String) = {
+    val base = HealthChecks.run(engine, tenant = None)
+    // tenant layer: an unresolvable key is itself an UNHEALTHY tenant
+    // check (named), not a request error — health endpoints always answer
+    val tenantCheck = queryParams(ex).get("tenant").map { key =>
+      try HealthChecks.tenantAlive(sessions.computeIfAbsent(key, sessionFor(_)))
+      catch {
+        case e: Exception => HealthChecks.Check(s"tenant:$key", healthy = false,
+          Option(e.getMessage).getOrElse(e.getClass.getName), 0L)
+      }
+    }
+    HealthChecks.httpResponse(base ++ tenantCheck)
   }
 
   /** Bound port (ephemeral when constructed with port = 0). */
@@ -82,6 +106,7 @@ class GraftHttpServer(
 
   private def sqlHandler(ex: HttpExchange): (Int, String) = {
     if (ex.getRequestMethod != "POST") throw Halt(405, "POST required")
+    metrics.inc("http.requests.sql")
     val t = tenant(ex)
     val sql = new String(ex.getRequestBody.readAllBytes(), UTF_8)
     if (sql.trim.isEmpty) throw Halt(400, "empty statement")
@@ -91,10 +116,14 @@ class GraftHttpServer(
     val maxRows = queryParams(ex).get("maxRows")
       .map(s => s.toIntOption.getOrElse(throw Halt(400, s"invalid maxRows: $s")))
       .filter(_ > 0).fold(defaultMaxRows)(math.min(_, defaultMaxRows))
-    dfJson(t.sql(sql, Some(maxRows)))
+    // execution runs gated: the tenant's FAIR pool + concurrency clamp
+    metrics.time("http.sql") {
+      t.runGated(dfJson(t.sql(sql, Some(maxRows))))
+    }
   }
 
   private def metadataHandler(ex: HttpExchange): (Int, String) = {
+    metrics.inc("http.requests.metadata")
     val t = tenant(ex)
     val params = queryParams(ex)
     val meta = t.metadata
@@ -107,7 +136,7 @@ class GraftHttpServer(
       case "typeinfo" => meta.getTypeInfo
       case other      => throw Halt(404, s"unknown metadata call: $other")
     }
-    dfJson(df)
+    t.runGated(dfJson(df))
   }
 
   // -------------------------------------------------------------- plumbing
@@ -127,6 +156,7 @@ class GraftHttpServer(
           case e: Exception                     =>
             (500, errJson(Option(e.getMessage).getOrElse(e.getClass.getName)))
         }
+      if (status >= 400) metrics.inc("http.errors")
       val bytes = body.getBytes(UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(status, bytes.length)
@@ -148,6 +178,7 @@ class GraftHttpServer(
   private def dfJson(df: DataFrame): (Int, String) = {
     val cols = df.columns
     val rows = df.collect()
+    metrics.inc("http.rows_served", rows.length.toLong)
     val sb = new StringBuilder
     sb.append("{\"columns\":[")
     sb.append(cols.map(jstr).mkString(","))

@@ -49,7 +49,8 @@ import org.apache.spark.sql.hive.graftshim.ThriftShim
 class GraftJdbcServer private (
     server: AutoCloseable,
     val serving: SparkSession,
-    val port: Int) {
+    val port: Int,
+    val metrics: ServingMetrics) {
   def jdbcUrl: String = s"jdbc:hive2://localhost:$port/default;auth=noSasl"
   def stop(): Unit = server.close()
 }
@@ -63,7 +64,8 @@ object GraftJdbcServer {
       sources: SourceSet,
       errorsDir: Option[String] = None,
       port: Int = 0,
-      maxRows: Option[Int] = None): GraftJdbcServer = {
+      maxRows: Option[Int] = None,
+      metrics: ServingMetrics = new ServingMetrics): GraftJdbcServer = {
     registry.org(orgId).getOrElse(
       throw new SecurityException(s"unknown tenant: $orgId"))
     // All connections must share the serving session (views + read-only
@@ -92,8 +94,13 @@ object GraftJdbcServer {
     val serving = GraftSessions.withWrappedParser(root,
       delegate => new WireQueryRewriter(
         new ReadOnlyParser(delegate, blockedNamespaces = Set("global_temp", "spark_catalog")),
-        () => ctxRef.get))
+        () => ctxRef.get, metrics = Some(metrics)))
     serving.conf.set("spark.sql.runSQLOnFiles", "false")
+    // Per-tenant FAIR pool: Spark's Thrift operation reads this session
+    // conf and submits the statement's jobs under the named pool — with
+    // spark.scheduler.mode=FAIR on the context, this tenant's endpoint
+    // shares task slots fairly with every other tenant's.
+    serving.conf.set("spark.sql.thriftserver.scheduler.pool", s"tenant_$orgId")
     // Stream result partitions through the driver instead of collect():
     // the Thrift operation pulls rows via toLocalIterator under this conf,
     // so driver memory is bounded by one partition, not the result.
@@ -125,7 +132,7 @@ object GraftJdbcServer {
     serving.conf.set("hive.server2.transport.mode", "binary")
     val srv = ThriftShim.start(serving)
     awaitPort(p)
-    new GraftJdbcServer(srv, serving, p)
+    new GraftJdbcServer(srv, serving, p, metrics)
   }
 
   /** Session conf carrying the tenant API key on a multi-tenant endpoint.
@@ -166,7 +173,8 @@ object GraftJdbcServer {
       sources: SourceSet,
       errorsDir: Option[String] = None,
       port: Int = 0,
-      maxRows: Option[Int] = None): GraftJdbcServer = {
+      maxRows: Option[Int] = None,
+      metrics: ServingMetrics = new ServingMetrics): GraftJdbcServer = {
     GraftSessions.setStaticConf(root, "spark.sql.hive.thriftServer.singleSession", "false")
     val catalogTables = root.sessionState.catalog.externalCatalog
       .listDatabases().flatMap(db =>
@@ -197,6 +205,9 @@ object GraftJdbcServer {
       sess.conf.set("spark.sql.runSQLOnFiles", "false")
       sess.conf.set("spark.sql.thriftServer.incrementalCollect", "true")
       sess.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // per-tenant FAIR pool for this connection's statements (Spark's
+      // Thrift operation submits under this session conf's pool name)
+      sess.conf.set("spark.sql.thriftserver.scheduler.pool", s"tenant_$orgId")
       // Result-SHAPING confs a client could smuggle in through the URL's
       // hive-conf list (spark.sql.session.timeZone, ansi mode, parser
       // escaping, case sensitivity) would silently shift this
@@ -242,7 +253,7 @@ object GraftJdbcServer {
       new WireQueryRewriter(
         new ReadOnlyParser(delegate, blockedNamespaces = Set("global_temp", "spark_catalog")),
         () => ctxFor(sess),
-        requireTenant = true))
+        requireTenant = true, metrics = Some(metrics)))
     serving.conf.set("spark.sql.runSQLOnFiles", "false")
     serving.conf.set("spark.sql.thriftServer.incrementalCollect", "true")
     graft.functions.GraftExtensions.register(serving)
@@ -254,7 +265,7 @@ object GraftJdbcServer {
     serving.conf.set("hive.server2.transport.mode", "binary")
     val srv = ThriftShim.start(serving)
     awaitPort(p)
-    new GraftJdbcServer(srv, serving, p)
+    new GraftJdbcServer(srv, serving, p, metrics)
   }
 
   private def freePort(): Int = {

@@ -44,10 +44,47 @@ class TenantSession private (
     val orgId: String,
     registry: SchemaRegistry,
     sources: SourceSet,
-    serverMaxRows: Option[Int]) {
+    serverMaxRows: Option[Int],
+    maxConcurrentStatements: Int) {
 
   /** Views registered on this tenant session (errors table). */
   private[frontend] var registeredViews: Set[String] = Set.empty
+
+  /** This tenant's FAIR scheduler pool. All wire endpoints execute the
+    * tenant's statements under it (via [[runGated]]), so on a shared
+    * serving context one tenant's 100 TB scan cannot head-block another
+    * tenant's point query: with `spark.scheduler.mode=FAIR` on the
+    * context, task slots are shared ACROSS pools as they free, instead
+    * of FIFO-draining the big query's stage first. Pools materialize on
+    * first use with default weight/minShare — no allocation file needed
+    * for equal-weight tenants. */
+  def schedulerPool: String = s"tenant_$orgId"
+
+  /** Per-tenant concurrent-statement clamp (reference topology: one
+    * engine, many tenants — without a clamp one tenant can occupy every
+    * server thread). Permits bound EXECUTIONS in flight, not open
+    * statements: acquire blocks up to 60 s then fails loudly. */
+  private val stmtPermits =
+    new java.util.concurrent.Semaphore(math.max(1, maxConcurrentStatements), true)
+
+  /** Execute `f` (a statement's terminal action) under this tenant's
+    * scheduler pool and concurrency clamp. Wire endpoints wrap every
+    * collect/iterate in this; the pool local-property is thread-local,
+    * so it is set on the serving thread that actually submits the jobs
+    * and restored after. */
+  def runGated[A](f: => A): A = {
+    if (!stmtPermits.tryAcquire(60, java.util.concurrent.TimeUnit.SECONDS))
+      throw new IllegalStateException(
+        s"tenant $orgId exceeded its concurrent-statement limit ($maxConcurrentStatements)")
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.scheduler.pool")
+    sc.setLocalProperty("spark.scheduler.pool", schedulerPool)
+    try f
+    finally {
+      sc.setLocalProperty("spark.scheduler.pool", prev)
+      stmtPermits.release()
+    }
+  }
 
   /** Run tenant SQL. SELECT/WITH/VALUES + SHOW/DESCRIBE/USE only. */
   def sql(statement: String): DataFrame = sql(statement, None)
@@ -256,7 +293,8 @@ object TenantSession {
       orgId: String,
       sources: SourceSet,
       errorsDir: Option[String] = None,
-      maxRows: Option[Int] = None): TenantSession = {
+      maxRows: Option[Int] = None,
+      maxConcurrentStatements: Int = Int.MaxValue): TenantSession = {
     registry.org(orgId).getOrElse(
       throw new SecurityException(s"unknown tenant: $orgId"))
     val session = root.newSession()
@@ -267,7 +305,8 @@ object TenantSession {
     // tenant SQL gets the engine functions, incl. the reference's
     // fineo_base64_decode UDF surface
     graft.functions.GraftExtensions.register(session)
-    val tenant = new TenantSession(session, orgId, registry, sources, maxRows)
+    val tenant = new TenantSession(session, orgId, registry, sources, maxRows,
+      maxConcurrentStatements)
     // Errors table: JSON (possibly gzipped — Spark reads .gz natively)
     // under Hive-style partition dirs stream/stage=…/type=…/year=…/month=…/
     // day=…, so the directory components surface as partition columns and

@@ -51,7 +51,8 @@ private[frontend] case class WireTenantContext(
 private[frontend] class WireQueryRewriter(
     delegate: ParserInterface,
     ctx: () => Option[WireTenantContext],
-    requireTenant: Boolean = false) extends ParserInterface {
+    requireTenant: Boolean = false,
+    metrics: Option[ServingMetrics] = None) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     val plan = delegate.parsePlan(sqlText)
@@ -68,6 +69,11 @@ private[frontend] class WireQueryRewriter(
             s"(set ${GraftJdbcServer.TenantConfKey} in the JDBC URL's conf list)")
       case None => plan
       case Some(c) =>
+        metrics.foreach { m =>
+          m.inc("thrift.statements")
+          m.inc(s"thrift.statements.${c.orgId}")
+          if (plan.isInstanceOf[Command]) m.inc("thrift.commands")
+        }
         def subst(p: LogicalPlan): LogicalPlan = Substitution.substituteMetrics(
           c.spark, c.orgId, c.registry, c.sources, c.views, p, strict = false)
         plan match {

@@ -9,6 +9,11 @@ object SparkFixture {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // FAIR across scheduler pools: the serving layer runs each tenant
+      // in its own pool (TenantSession.runGated) so a slow scan cannot
+      // head-block another tenant's point query — must be set at
+      // SparkContext creation, hence here on the shared fixture
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.debug.maxToStringFields", "1000")

@@ -1,0 +1,244 @@
+package graft.frontend
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.SparkFixture
+import graft.schema._
+import graft.sources._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpRequest.BodyPublishers
+import java.net.http.HttpResponse.BodyHandlers
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+/** Serving-layer operations parity (reference `FineoServer`'s Dropwizard
+  * wiring + health tree + per-connection scheduling):
+  *
+  *   - layered health checks: server-alive / engine-alive (real probe
+  *     query under a deadline) / tenant-alive, healthy AND induced-failure
+  *     paths with the failing layer named;
+  *   - the shared metrics registry: per-RPC counters/timers move under
+  *     real wire traffic on both HTTP and Avatica endpoints;
+  *   - per-tenant FAIR scheduler pools + the concurrent-statement clamp:
+  *     tenant B's point query completes while tenant A's slow job still
+  *     occupies the context. */
+class ServingOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
+  private lazy val spark = SparkFixture.spark
+  import scala.jdk.CollectionConverters._
+
+  private val registry = SchemaRegistry(
+    Org("orgx", Seq(Metric("mx", "xmetric", Seq(Field("v", FieldType.LONG))))),
+    Org("orgy", Seq(Metric("my", "ymetric", Seq(Field("v", FieldType.LONG))))))
+
+  private lazy val sources: SourceSet = {
+    val dir = SparkFixture.tempDir("servops")
+    val schema = StructType(Seq(
+      StructField("companykey", StringType), StructField("metrictype", StringType),
+      StructField("timestamp", LongType), StructField("v", LongType)))
+    val rows = (1 to 5).map(i => Row("orgx", "mx", i * 10L, i.toLong)) :+
+      Row("orgy", "my", 99L, 7L)
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/0/parquet/orgx/mx")
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/0/parquet/orgy/my")
+    SourceSet(fs = Seq(FsSource("parquet", dir)))
+  }
+
+  private lazy val httpServer = new GraftHttpServer(
+    key => TenantSession.open(spark, registry, key, sources),
+    engine = Some(spark))
+  private lazy val avServer = new GraftAvaticaServer(
+    key => TenantSession.open(spark, registry, key, sources),
+    engine = Some(spark))
+
+  private val client = HttpClient.newHttpClient()
+  private val mapper = new ObjectMapper()
+
+  override def afterAll(): Unit = {
+    httpServer.stop()
+    avServer.stop()
+  }
+
+  private def get(port: Int, path: String, key: Option[String] = None)
+      : HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET()
+    key.foreach(b.header("X-Api-Key", _))
+    client.send(b.build(), BodyHandlers.ofString())
+  }
+
+  private def post(port: Int, path: String, body: String, key: Option[String])
+      : HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(BodyPublishers.ofString(body))
+    key.foreach(b.header("X-Api-Key", _))
+    client.send(b.build(), BodyHandlers.ofString())
+  }
+
+  // --------------------------------------------------------- health checks
+
+  test("healthz: server + engine layers healthy on a live engine") {
+    val r = get(httpServer.boundPort, "/healthz")
+    r.statusCode() shouldBe 200
+    val j = mapper.readTree(r.body())
+    j.get("status").asText() shouldBe "ok"
+    val names = (0 until j.get("checks").size()).map(j.get("checks").get(_).get("name").asText())
+    names should contain("server")
+    names should contain("engine")
+  }
+
+  test("healthz: tenant layer probes a real statement through the tenant session") {
+    val r = get(httpServer.boundPort, "/healthz?tenant=orgx")
+    r.statusCode() shouldBe 200
+    r.body() should include("tenant:orgx")
+  }
+
+  test("healthz: unknown tenant fails the TENANT layer (503, layer named), others stay healthy") {
+    val r = get(httpServer.boundPort, "/healthz?tenant=nosuch")
+    r.statusCode() shouldBe 503
+    val j = mapper.readTree(r.body())
+    j.get("status").asText() shouldBe "fail"
+    val failed = (0 until j.get("failed").size()).map(j.get("failed").get(_).asText())
+    failed shouldBe Seq("tenant:nosuch")
+  }
+
+  test("engine-alive fails with the layer named when the probe can't answer in time") {
+    // a wedged engine is one whose probe query never returns: induce it
+    // with a deadline the real probe can't meet
+    val c = HealthChecks.engineAlive(spark, timeoutMs = 0L)
+    c.name shouldBe "engine"
+    c.healthy shouldBe false
+    c.detail should include("timed out")
+    HealthChecks.httpResponse(Seq(HealthChecks.serverAlive(), c))._1 shouldBe 503
+  }
+
+  test("avatica endpoint serves the same layered healthz and a metrics snapshot") {
+    val h = get(avServer.boundPort, "/healthz")
+    h.statusCode() shouldBe 200
+    h.body() should include(""""name":"engine"""")
+    val m = get(avServer.boundPort, "/metrics")
+    m.statusCode() shouldBe 200
+    m.body() should include("counters")
+  }
+
+  // --------------------------------------------------------------- metrics
+
+  test("http metrics: request/row/error counters move under real traffic") {
+    val m0 = httpServer.metrics.counter("http.requests.sql")
+    val rows0 = httpServer.metrics.counter("http.rows_served")
+    val err0 = httpServer.metrics.counter("http.errors")
+    post(httpServer.boundPort, "/v1/sql", "SELECT v FROM xmetric", Some("orgx"))
+      .statusCode() shouldBe 200
+    post(httpServer.boundPort, "/v1/sql", "DROP TABLE xmetric", Some("orgx"))
+      .statusCode() should be >= 400
+    httpServer.metrics.counter("http.requests.sql") shouldBe (m0 + 2)
+    httpServer.metrics.counter("http.rows_served") shouldBe (rows0 + 5)
+    httpServer.metrics.counter("http.errors") should be >= (err0 + 1)
+    httpServer.metrics.timerCount("http.sql") should be >= 1L
+    // the /metrics endpoint exposes the same registry as JSON
+    val snap = get(httpServer.boundPort, "/metrics").body()
+    snap should include(""""http.requests.sql"""")
+    snap should include(""""http.open_sessions"""")
+  }
+
+  test("avatica metrics: per-RPC counters, frames and open-resource gauges move") {
+    def rpc(json: String) = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${avServer.boundPort}/"))
+        .POST(BodyPublishers.ofString(json)).build(),
+      BodyHandlers.ofString())
+    val open0 = avServer.metrics.counter("avatica.requests.openConnection")
+    val rows0 = avServer.metrics.counter("avatica.rows_served")
+    rpc("""{"request":"openConnection","connectionId":"cm1","info":{"apikey":"orgx"}}""")
+      .statusCode() shouldBe 200
+    rpc("""{"request":"createStatement","connectionId":"cm1"}""").statusCode() shouldBe 200
+    val sid = mapper.readTree(
+      rpc("""{"request":"createStatement","connectionId":"cm1"}""").body())
+      .get("statementId").asInt()
+    rpc(s"""{"request":"prepareAndExecute","connectionId":"cm1","statementId":$sid,""" +
+      s""""sql":"SELECT v FROM xmetric","maxRowCount":-1}""").statusCode() shouldBe 200
+    avServer.metrics.counter("avatica.requests.openConnection") shouldBe (open0 + 1)
+    avServer.metrics.counter("avatica.requests.prepareAndExecute") should be >= 1L
+    avServer.metrics.counter("avatica.rows_served") shouldBe (rows0 + 5)
+    avServer.metrics.counter("avatica.frames_served") should be >= 1L
+    val snap = get(avServer.boundPort, "/metrics").body()
+    snap should include(""""avatica.open_connections":1""")
+    // errors counter: an RPC on a closed connection
+    val bad = rpc("""{"request":"createStatement","connectionId":"nope"}""")
+    bad.statusCode() shouldBe 500
+    avServer.metrics.counter("avatica.errors") should be >= 1L
+  }
+
+  // ------------------------------------------- FAIR pools + statement clamp
+
+  test("tenant statements run under the tenant's own FAIR scheduler pool") {
+    val t = TenantSession.open(spark, registry, "orgx", sources)
+    t.schedulerPool shouldBe "tenant_orgx"
+    val seen = t.runGated {
+      t.spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+    }
+    seen shouldBe "tenant_orgx"
+    // restored after the gated block
+    spark.sparkContext.getLocalProperty("spark.scheduler.pool") should not be "tenant_orgx"
+  }
+
+  test("FAIR pools: tenant B's point query completes while tenant A's slow scan runs") {
+    spark.sparkContext.getConf.get("spark.scheduler.mode") shouldBe "FAIR"
+    val tA = TenantSession.open(spark, registry, "orgx", sources)
+    val tB = TenantSession.open(spark, registry, "orgy", sources)
+    val aDone = new java.util.concurrent.atomic.AtomicLong(0L)
+    val started = new CountDownLatch(1)
+    val t0 = System.nanoTime()
+    val aThread = new Thread(() => {
+      tA.runGated {
+        started.countDown()
+        // 8 tasks x ~1.2s on 4 cores: occupies every slot for 2+ waves
+        tA.spark.range(8).repartition(8)
+          .selectExpr("java_method('java.lang.Thread', 'sleep', 1200L)")
+          .collect()
+      }
+      aDone.set(System.nanoTime() - t0)
+    }, "tenant-a-scan")
+    aThread.start()
+    started.await(10, TimeUnit.SECONDS) shouldBe true
+    Thread.sleep(400) // let A's first task wave occupy the cores
+    val bStart = System.nanoTime()
+    val bRows = tB.runGated {
+      tB.sql("SELECT v FROM ymetric").collect()
+    }
+    val bElapsed = System.nanoTime() - bStart
+    bRows.length shouldBe 1
+    // B finished while A was still running: FAIR handed B the first freed
+    // slot instead of FIFO-draining A's remaining wave first
+    aDone.get() shouldBe 0L // A still in flight when B completed
+    aThread.join(30000)
+    aDone.get() should be > 0L
+    bElapsed should be < aDone.get()
+  }
+
+  test("per-tenant concurrent-statement clamp bounds executions in flight") {
+    val t = TenantSession.open(spark, registry, "orgx", sources,
+      maxConcurrentStatements = 1)
+    val inside = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val second = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val holder = new Thread(() => {
+      t.runGated { inside.countDown(); release.await(10, TimeUnit.SECONDS); () }
+    }, "clamp-holder")
+    holder.start()
+    inside.await(5, TimeUnit.SECONDS) shouldBe true
+    val waiter = new Thread(() => {
+      t.runGated { second.set(true) }
+    }, "clamp-waiter")
+    waiter.start()
+    Thread.sleep(300)
+    second.get() shouldBe false // clamped while the first statement holds the permit
+    release.countDown()
+    waiter.join(5000)
+    second.get() shouldBe true // admitted once the permit freed
+    holder.join(5000)
+  }
+}
