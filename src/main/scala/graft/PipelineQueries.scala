@@ -1370,6 +1370,55 @@ object PipelineQueries {
       .orderBy("asset_id")
   }
 
+  /** Perceptual near-dup over binary payloads
+    * ([[graft.ops.Multimodal.phashPairs]]): aHash-shaped block-mean
+    * fingerprints computed through the deterministic byte-level stub
+    * seam (integer-only bit rule — engine-exact), then the SAME Manku
+    * 3-block hamming candidate machinery as the text SimHash path. The
+    * oracle is brute-force all-pairs over the identical fingerprint
+    * formula, so a block key that ever missed a true ≤2 pair
+    * hash-mismatches here. */
+  def multimodalPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // Re-ingested copies — the scenario perceptual dedup exists for:
+    // every 10th asset re-appears under a new id with a 4-byte edit
+    // (same length, so the block structure is preserved and the aHash
+    // lands within the hamming ball of its original — typically 0-2
+    // bits moved, exercising BOTH the same-fingerprint and the
+    // block-key candidate paths).
+    val copies = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("zzzz"), expr("substring(text, 5)")).as("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(copies)
+    val assets = graft.ops.Multimodal.assetsFromText(corpus, "doc_id", "text")
+    graft.ops.Multimodal.phashPairs(assets)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Cross-modal asset↔caption join: the asset table (binary payload +
+    * typed meta struct) is MATERIALIZED once as parquet, a typed-meta
+    * predicate prunes assets WITHOUT projecting the payload (the scan's
+    * ReadSchema excludes `content` — plan-pinned in PlanSpec; at 100 TB
+    * this is the difference between moving metadata and moving media),
+    * and captions join by asset id with scan-side token stats. */
+  def multimodalCaptionJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val assets = graft.ops.Materialize.index(
+      graft.ops.Multimodal.assetsFromText(docs, "doc_id", "text"), "mm-assets")
+    val captions = docs.select(
+      col("doc_id").as("asset_id"),
+      expr("array_join(slice(split(text, ' '), 1, 10), ' ')").as("caption"))
+    assets
+      .filter(col("meta.width") > 320)
+      .select(col("asset_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("meta.n_bytes").as("n_bytes"))
+      .join(captions, "asset_id")
+      .select(col("asset_id"), col("width"), col("height"), col("n_bytes"),
+        size(split(col("caption"), " ")).cast("long").as("caption_tokens"),
+        md5(col("caption")).as("caption_md5"))
+      .orderBy("asset_id")
+  }
+
   /** Exact-substring novelty dedup ([[graft.ops.Dedup.substringNovelty]]):
     * per document, the fraction of its distinct word 8-grams it is the
     * FIRST (min-id) owner of — the linear suffix-array-dedup
@@ -2467,6 +2516,8 @@ object PipelineQueries {
     "embed_near_dup_lsh" -> (embedNearDupLsh _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_phash_dedup" -> (multimodalPhashDedup _),
+    "multimodal_caption_join" -> (multimodalCaptionJoin _),
     "skew_salted_join" -> (skewSaltedJoin _),
     "skew_histogram" -> (skewHistogram _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
@@ -4085,6 +4136,54 @@ object PipelineQueries {
         |  md5(substr(text, 1, CAST(least(len(text), CAST(ceil(len(text) * 76800.0
         |    / (((doc_id % 640) + 1) * ((doc_id % 480) + 1))) AS BIGINT)) AS INT))) AS resized_md5
         |FROM documents ORDER BY asset_id""".stripMargin,
+    // Brute-force all-pairs over the SAME integer-only aHash bit rule
+    // (block sum · L > total sum · block len) — deliberately not
+    // mirroring the 3-block candidate scheme, so a candidate key that
+    // ever missed a true <=2 pair would hash-mismatch here.
+    "multimodal_phash_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'zzzz' || substr(text, 5)
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |a AS (SELECT doc_id AS id, text AS s,
+        |    CAST(length(text) AS BIGINT) AS L FROM corpus),
+        |c AS (SELECT id, L,
+        |    list_transform(range(1, CAST(L AS INT) + 1),
+        |      i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+        |  FROM a),
+        |f AS (SELECT id, array_to_string(list_transform(range(0, 64),
+        |    b -> CASE WHEN
+        |      CAST(coalesce(list_sum(list_slice(codes,
+        |        CAST(b * L // 64 AS INT) + 1,
+        |        CAST((b + 1) * L // 64 AS INT))), 0) AS BIGINT) * L >
+        |      CAST(list_sum(codes) AS BIGINT) * ((b + 1) * L // 64 - b * L // 64)
+        |      THEN '1' ELSE '0' END), '') AS fp
+        |  FROM c)
+        |SELECT id_a, id_b, hd FROM (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN substr(a.fp, CAST(i AS INT), 1)
+        |                   = substr(b.fp, CAST(i AS INT), 1)
+        |           THEN 0 ELSE 1 END)) AS BIGINT) AS hd
+        |  FROM f a JOIN f b ON a.id < b.id)
+        |WHERE hd <= 2 ORDER BY id_a, id_b""".stripMargin,
+    "multimodal_caption_join" ->
+      // mirrors assetsFromText's meta formulas ((id % 640)+1 width,
+      // (id % 480)+1 height, byte length) and the 10-word caption cut
+      """WITH assets AS (SELECT doc_id AS asset_id,
+        |    CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+        |    CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+        |    CAST(length(text) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |caps AS (SELECT doc_id AS asset_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ') AS caption
+        |  FROM documents)
+        |SELECT asset_id, width, height, n_bytes,
+        |  CAST(len(string_split(caption, ' ')) AS BIGINT) AS caption_tokens,
+        |  md5(caption) AS caption_md5
+        |FROM assets JOIN caps USING (asset_id)
+        |WHERE width > 320 ORDER BY asset_id""".stripMargin,
     "doc_chunking" ->
       """SELECT doc_id,
         |  CAST(s / 150 AS BIGINT) AS chunk_idx,

@@ -380,11 +380,21 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
+      maxDist: Int = 2): DataFrame =
+    hammingPairs64(simhash64Agg(df, idCol, textCol), idCol, maxDist)
+
+  /** The fingerprint-GENERIC core of [[simhashHammingPairs]]: near-dup
+    * pairs within hamming `maxDist` (≤ 2) over ANY (id, 64-char
+    * bit-string `simhash`) frame — SimHash text fingerprints and the
+    * multimodal perceptual hashes ([[Multimodal.perceptualHash]]) share
+    * the same block-key candidate scheme and exact verify. */
+  private[ops] def hammingPairs64(
+      fingerprints: DataFrame,
+      idCol: String,
       maxDist: Int = 2): DataFrame = {
     require(maxDist <= 2,
       s"${HammingBlocks.size}-block keys certify distance <= 2, got $maxDist")
-    val sh = Materialize.index(
-      simhash64Agg(df, idCol, textCol), "simhash-idx")
+    val sh = Materialize.index(fingerprints, "simhash-idx")
     val hashes = sh.select("simhash").distinct()
     val probes = hashes.select(col("simhash"),
       explode(expr(s"array(${hammingBlockKeySql.mkString(", ")})")).as("probe"))

@@ -92,4 +92,103 @@ object Multimodal {
     sampled.select(col("asset_id"), explode(col("sampled_frames")).as("f"))
       .select(col("asset_id"), col("f.frame_no").as("frame_no"),
         col("f.frame_md5").as("frame_md5"))
+
+  /** Perceptual fingerprint over binary payloads — aHash's block-mean
+    * rule applied to the STUB decode's sample stream (the payload bytes
+    * read back as a codepoint sequence; a real deployment swaps the
+    * stream for decoded luma/PCM samples via [[decodeWith]], the bit
+    * rule is codec-agnostic): 64 equal-span blocks over the stream, bit
+    * b = (block b's mean sample) > (global mean sample).
+    *
+    * Engine-exactness: the comparison is INTEGER-only —
+    * `sum_b · L > S · l_b` (block sum, total length, total sum, block
+    * length) — so no double rounding can fork between Spark and the
+    * DuckDB oracle, including empty blocks on assets shorter than 64
+    * samples (0 > 0 = false → bit 0).
+    *
+    * Scale shape: one scan-side projection per asset (the per-row
+    * lambdas are O(payload) interpreted work bounded by asset size, not
+    * corpus size), no shuffle; the output is a skinny (id, 64-char
+    * bit-string) table that feeds the SAME Manku block-key machinery as
+    * the text SimHash path — near-dup candidate volume stays linear in
+    * true dups at any corpus size. */
+  def perceptualHash(
+      assets: DataFrame,
+      idCol: String = "asset_id",
+      contentCol: String = "content"): DataFrame =
+    withSampleStream(assets, contentCol).select(
+      col(idCol),
+      expr(
+        s"""array_join(transform(sequence(0, 63), b -> IF(
+           |  aggregate(slice(_codes, CAST(b * _L DIV 64 AS INT) + 1,
+           |      CAST((b + 1) * _L DIV 64 - b * _L DIV 64 AS INT)),
+           |    0L, (a, x) -> a + x) * _L >
+           |  _S * ((b + 1) * _L DIV 64 - b * _L DIV 64),
+           |  '1', '0')), '')""".stripMargin).as("phash"))
+
+  /** Internal: attach the decoded sample stream + totals used by
+    * [[perceptualHash]]'s fingerprint expression. Kept as a separate
+    * projection so the expensive decode runs once per row. */
+  private def withSampleStream(assets: DataFrame, contentCol: String): DataFrame =
+    assets
+      .withColumn("_s", expr(s"decode($contentCol, 'UTF-8')"))
+      .withColumn("_L", length(col("_s")).cast("long"))
+      .withColumn("_codes",
+        expr("transform(sequence(1, CAST(greatest(_L, 1) AS INT)), i -> CAST(ascii(substring(_s, i, 1)) AS BIGINT))"))
+      .withColumn("_S", expr("aggregate(_codes, 0L, (a, x) -> a + x)"))
+
+  /** Perceptual near-dup pairs at hamming distance ≤ `maxDist` (≤ 2)
+    * over [[perceptualHash]] fingerprints — block-key candidates + exact
+    * verify via the shared [[Dedup.hammingPairs64]] core, never
+    * all-pairs. */
+  def phashPairs(
+      assets: DataFrame,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      maxDist: Int = 2): DataFrame =
+    Dedup.hammingPairs64(
+      perceptualHash(assets, idCol, contentCol)
+        .select(col(idCol), col("phash").as("simhash")),
+      idCol, maxDist)
+
+  /** The swappable DECODER SEAM: run a per-partition decoder over the
+    * asset rows — the exact shape a real deployment plugs its codec
+    * batch into (arrow/pandas-style: one partition's rows in, one
+    * decoded row per asset out, schema declared up front; no shuffle,
+    * parallelism = input partitions). The library ships only the
+    * deterministic stub ([[stubDecoder]]) because this environment has
+    * no media libraries; everything AROUND the seam — binary parquet
+    * pruning, partition-parallel decode, typed output schema — is real
+    * and what matters at 100 TB.
+    *
+    * mapPartitions on the Row RDD is deliberate here: decode is genuine
+    * per-row imperative work against native codec libraries, the one
+    * case the repo's Spark-first rules reserve RDD plumbing for. */
+  def decodeWith(
+      assets: DataFrame,
+      outSchema: StructType)(
+      decoder: Iterator[org.apache.spark.sql.Row] => Iterator[org.apache.spark.sql.Row]): DataFrame =
+    assets.sparkSession.createDataFrame(assets.rdd.mapPartitions(decoder), outSchema)
+
+  /** Output schema of [[stubDecoder]]. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("content_md5", StringType),
+    StructField("content_bytes", LongType)))
+
+  /** Deterministic stand-in decoder for [[decodeWith]]: md5 content id +
+    * byte length per asset, computed partition-side exactly as a codec
+    * batch would be. Matches [[fakeDecodeFeatures]]'s md5/length columns
+    * value-for-value (spec-pinned), so the seam and the expression path
+    * agree on the contract. */
+  def stubDecoder(rows: Iterator[org.apache.spark.sql.Row]): Iterator[org.apache.spark.sql.Row] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.map { r =>
+      val id = r.getLong(r.fieldIndex("asset_id"))
+      val content = r.getAs[Array[Byte]]("content")
+      md.reset()
+      val hex = md.digest(content).map("%02x".format(_)).mkString
+      org.apache.spark.sql.Row(id, hex, content.length.toLong)
+    }
+  }
 }

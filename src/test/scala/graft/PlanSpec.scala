@@ -355,6 +355,17 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("caption join never reads the binary payload: asset scan prunes `content`") {
+    // the 100 TB multimodal contract: metadata predicates + caption joins
+    // move META, not media — the materialized asset table's scan must
+    // project meta only (parquet BYTE_ARRAY payload stays on disk)
+    val df = PipelineQueries.multimodalCaptionJoin(spark, dir)
+    val exec = { df.collect(); df.queryExecution.executedPlan }
+    val assetScans = allScans(exec).filter(_.schema.fieldNames.contains("meta"))
+    assetScans should not be empty
+    assetScans.foreach(_.schema.fieldNames should not contain "content")
+  }
+
   test("gate agreement fuses both gates into one scan, zero joins") {
     val df = PipelineQueries.evalGateAgreement(spark, dir)
     val exec = { df.collect(); df.queryExecution.executedPlan }
