@@ -49,22 +49,50 @@ object Bench {
     val qmetrics = new QueryMetricsListener
     spark.sparkContext.addSparkListener(qmetrics)
     val physical = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Long)]
-    // stable name order: per-query timings comparable across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      qmetrics.reset()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    // Ambient-load markers: this box has multi-minute contention windows
+    // that have produced phantom 2-10x "regressions" in driver captures
+    // since round 5 — every timing now carries the 1-min loadavg and the
+    // concurrent-java-process count at its start, so a slow number can
+    // be adjudicated from the record instead of re-litigated per round.
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    def jvmCount: Int =
+      try new java.io.File("/proc").listFiles()
+        .count { f => f.getName.forall(_.isDigit) &&
+          (try new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"/proc/${f.getName}/comm"))).trim == "java"
+          catch { case _: Throwable => false }) }
+      catch { case _: Throwable => -1 }
+    val loads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Int)]
+    def runBattery(): Seq[(String, Double)] =
+      // stable name order: per-query timings comparable across rounds
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        qmetrics.reset()
+        val (l0, j0) = (loadAvg, jvmCount)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        // index cleanup is part of the query's real cost — keep it timed
+        finally graft.ops.Materialize.dropAll()
+        val sec = (System.nanoTime() - t0) / 1e9
+        loads(name) = (l0, loadAvg, j0)
+        try {
+          org.apache.spark.sql.graftshim.GraftSessions.drainListenerBus(spark)
+          physical(name) = qmetrics.snapshot
+        } catch { case _: Throwable => () } // metrics are diagnosis, never a bench failure
+        name -> sec
       }
-      // index cleanup is part of the query's real cost — keep it timed
-      finally graft.ops.Materialize.dropAll()
-      val sec = (System.nanoTime() - t0) / 1e9
-      try {
-        org.apache.spark.sql.graftshim.GraftSessions.drainListenerBus(spark)
-        physical(name) = qmetrics.snapshot
-      } catch { case _: Throwable => () } // metrics are diagnosis, never a bench failure
-      name -> sec
+    // Min-of-N batteries (SPARK_GRAFT_RUNS, default 1): the committed
+    // record's per-query time is the MINIMUM across runs — a contended
+    // window inflates one run, not both, so the min is the engine's cost.
+    // Physical metrics/loads keep the LAST run's capture (plan-identical
+    // across runs; only scheduling noise differs).
+    val batteryRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toIntOption.getOrElse(1)
+    val allRuns = (1 to math.max(1, batteryRuns)).map(_ => runBattery())
+    val results: Seq[(String, Double)] = allRuns.head.map(_._1).map { name =>
+      name -> allRuns.map(_.toMap.apply(name)).min
     }
     def jstr(s: String): String =
       "\"" + s.flatMap { c => if (c == '"' || c == '\\') s"\\$c" else if (c < ' ') " " else c.toString } + "\""
@@ -89,7 +117,7 @@ object Bench {
     // reproduces; a machine-load spike doesn't. Only reproducing
     // slowdowns reach the regressions block; cleared ones are recorded
     // with their retime so the record shows why they were dismissed.
-    val retimes = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
+    val retimes = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double, Double)]
     val regressions: Seq[(String, Double, Double)] = previousBench() match {
       case None => Nil
       case Some((file, prev)) =>
@@ -109,7 +137,7 @@ object Bench {
           val again =
             if (retimeOk) (System.nanoTime() - t0) / 1e9
             else first // errored: conservatively reproduce the first timing
-          retimes(name) = (p, first, if (retimeOk) again else -1.0)
+          retimes(name) = (p, first, if (retimeOk) again else -1.0, loadAvg)
           if (flagged(p, again)) {
             System.err.println(
               f"[benchgate] REGRESSION $name: $p%.2f s -> $first%.2f s, reproduced at $again%.2f s vs $file")
@@ -137,12 +165,17 @@ object Bench {
     // window — the gate then silently fell back to a 25×-slow round).
     val qsFull = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val retimeJson = retimes.map { case (n, (p, first, again)) =>
-      s"${jstr(n)}:{" + f""""prev":$p%.3f,"first":$first%.3f,"retime":$again%.3f}""" }
+    val retimeJson = retimes.map { case (n, (p, first, again, ld)) =>
+      s"${jstr(n)}:{" +
+        f""""prev":$p%.3f,"first":$first%.3f,"retime":$again%.3f,"loadavg":$ld%.2f}""" }
+      .mkString("{", ",", "}")
+    val loadJson = loads.map { case (n, (l0, l1, j0)) =>
+      s"${jstr(n)}:{" + f""""before":$l0%.2f,"after":$l1%.2f,"jvms":$j0}""" }
       .mkString("{", ",", "}")
     val diagnostics =
       s"""{"queries":$qsFull,"regressions":$regJson,"retimes":$retimeJson,""" +
-        s""""queryMetrics":$pm,"errors":$errs,"sf":"$sfDir"}"""
+        s""""queryMetrics":$pm,"load":$loadJson,"runs":$batteryRuns,""" +
+        s""""errors":$errs,"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("target/bench_diagnostics.json")
       java.nio.file.Files.createDirectories(out.getParent)

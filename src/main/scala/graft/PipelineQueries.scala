@@ -16,6 +16,15 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** `documents` with guaranteed core-wide scan parallelism — for queries
+    * whose dominant cost is heavy per-row work (md5 shingle loops, LM
+    * bigram streams, CDC rolling hashes) that would otherwise run at the
+    * single-file local fixture's row-group parallelism (3-14 tasks on 32
+    * cores in the r9 bench). [[graft.ops.Materialize.spread]] is a no-op
+    * on a many-file lake layout, so at 100 TB no extra shuffle happens. */
+  private def td(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Materialize.spread(t(s, dir, "documents"))
+
   // ------------------------------------------------------- text analysis
   def textQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityStats(t(s, dir, "documents"))
@@ -184,7 +193,7 @@ object PipelineQueries {
     * (the same signature [[dedupSimhashHamming]] buckets on), computed
     * via the codegen explode+partial-agg form. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash64Agg(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.simhash64Agg(td(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
   /** SimHash near-dup PAIRS within hamming distance 2 over 64-bit
@@ -193,7 +202,7 @@ object PipelineQueries {
     * all-pairs; the ORACLE is the all-pairs closure, so a missed true
     * pair can't hide. */
   def dedupSimhashHamming(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashHammingPairs(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.simhashHammingPairs(td(s, dir), "doc_id", "text")
       .orderBy("id_a", "id_b")
 
   /** Okapi BM25 of the corpus against a fixed probe query
@@ -1419,6 +1428,49 @@ object PipelineQueries {
       .orderBy("asset_id")
   }
 
+  /** Margin-based bitext mining ([[graft.ops.Similarity.bitextMarginMine]]):
+    * the even-id embeddings stand in for language X, the odd-id ones for
+    * language Y; each X query (id < 400) pairs with its best Y candidate
+    * by the Artetxe-Schwenk ratio margin — cosine over the mean of both
+    * directions' k-NN cosines, computed entirely in 4-dp fixed-point
+    * integers so the ranking is engine-exact. */
+  def embedBitextMargin(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val xAll = emb.filter(col("vec_id") % 2 === 0)
+    Similarity.bitextMarginMine(
+        xQueries = xAll.filter(col("vec_id") < 400),
+        xCorpus = xAll,
+        yCorpus = emb.filter(col("vec_id") % 2 === 1),
+        idCol = "vec_id", vecCol = "embedding", k = 4)
+      .orderBy("x_id")
+  }
+
+  /** Matryoshka truncation eval: recall@5 of nearest-neighbor search on
+    * PREFIX-truncated embeddings (d ∈ 8/16/32/64) against the full-dim
+    * ranking — the measurement behind choosing an MRL serving dimension
+    * (how much ANN quality survives a 8×/4×/2× vector-size cut). The
+    * truncated search is [[graft.ops.Similarity.bruteForceTopK]] over a
+    * scan-side `slice` projection; recall denominators are integers, so
+    * the averaged recall cannot fork on a rounding half. */
+  def embedMrlDistortion(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 10)
+    def top5(d: Int): DataFrame = {
+      def proj(df: DataFrame) =
+        df.withColumn("embedding", expr(s"slice(embedding, 1, $d)"))
+      Similarity.bruteForceTopK(proj(emb), proj(qs), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("corpus_id"))
+    }
+    val full = graft.ops.Materialize.index(top5(64), "mrl-full")
+    val nQ = 10
+    Seq(8, 16, 32, 64).map { d =>
+      top5(d).join(full, Seq("query_id", "corpus_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(d.toLong).as("dim"),
+          round(col("hits") / lit(nQ * 5.0), 4).as("recall_at_5"))
+    }.reduce(_ unionByName _).orderBy("dim")
+  }
+
   /** Exact-substring novelty dedup ([[graft.ops.Dedup.substringNovelty]]):
     * per document, the fraction of its distinct word 8-grams it is the
     * FIRST (min-id) owner of — the linear suffix-array-dedup
@@ -1432,7 +1484,7 @@ object PipelineQueries {
     * the CCNet-style perplexity quality signal, average negative
     * log-likelihood under add-k-smoothed corpus bigram statistics. */
   def lmPerplexity(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.lmScore(t(s, dir, "documents"))
+    TextAnalysis.lmScore(td(s, dir))
       .orderBy("doc_id")
 
   /** Z-order layout ([[graft.ops.Layout.zorder]]): rewrite the table
@@ -1505,7 +1557,7 @@ object PipelineQueries {
     * ([[graft.ops.TextAnalysis.lmBuckets]]): per-language exact
     * percentile cuts, broadcast back, scan-side bucket assignment. */
   def lmPplBuckets(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.lmBuckets(t(s, dir, "documents"))
+    TextAnalysis.lmBuckets(td(s, dir))
       .select("doc_id", "lang", "nll", "bucket")
       .orderBy("doc_id")
 
@@ -1514,7 +1566,7 @@ object PipelineQueries {
     * target-domain LM (trained on source src0) vs the general-corpus LM,
     * per document — positive log_weight ⇒ closer to the target domain. */
   def lmDsirWeights(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.dsirWeights(t(s, dir, "documents"), col("source") === "src0")
+    TextAnalysis.dsirWeights(td(s, dir), col("source") === "src0")
       .select("doc_id", "nll_gen", "nll_tgt", "log_weight")
       .orderBy("doc_id")
 
@@ -1731,7 +1783,7 @@ object PipelineQueries {
   /** PMI collocations ([[graft.ops.TextAnalysis.pmiCollocations]]): the
     * 50 strongest adjacent-word associations in the corpus. */
   def pmiCollocations(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.pmiCollocations(t(s, dir, "documents"), minCount = 5L, topK = 50)
+    TextAnalysis.pmiCollocations(td(s, dir), minCount = 5L, topK = 50)
 
   /** Deterministic normalization pass
     * ([[graft.ops.TextAnalysis.normalizeText]]) — zero-shuffle scan-speed
@@ -1808,7 +1860,7 @@ object PipelineQueries {
     * duplicates pair-Jaccard dilutes away. */
   def dedupCdcOverlap(s: SparkSession, dir: String): DataFrame =
     Dedup.cdcOverlapPairs(
-        TextAnalysis.cdcChunks(t(s, dir, "documents")), "doc_id", threshold = 0.5)
+        TextAnalysis.cdcChunks(td(s, dir)), "doc_id", threshold = 0.5)
       .orderBy("id_a", "id_b")
 
   /** Embedding outliers ([[graft.ops.Similarity.labelOutliers]]):
@@ -1882,7 +1934,7 @@ object PipelineQueries {
     * Rabin-style cut points from an 8-char rolling window, ~1/64 cut
     * probability per position. */
   def cdcChunks(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.cdcChunks(t(s, dir, "documents"))
+    TextAnalysis.cdcChunks(td(s, dir))
       .orderBy("doc_id", "chunk_id")
 
   /** Log-histogram quantile sketch ([[graft.ops.Quantile]]) over event
@@ -1960,7 +2012,7 @@ object PipelineQueries {
     * Shuffle ledger: two line-keyed/doc-keyed shuffles from the dedup,
     * zero from the gate (scan-side), one lang join. */
   def pipelineCurateV2(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = td(s, dir)
     val cleaned = Dedup.lineDedup(docs, "doc_id", "text", blockWords = 10)
       .filter(col("n_kept") >= 1)
       .join(docs.select("doc_id", "lang"), "doc_id")
@@ -2001,7 +2053,7 @@ object PipelineQueries {
     * distance ≤ 2 instead of an exact head-line hash, so lightly edited
     * re-crawls are caught too. */
   def dedupSimhashNovelty(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = td(s, dir)
     Dedup.simhashNovelty(
         docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0),
@@ -2051,7 +2103,7 @@ object PipelineQueries {
   /** Kneser–Ney bigram LM quality score
     * ([[graft.ops.TextAnalysis.knScore]]) per document. */
   def lmKneserNey(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.knScore(t(s, dir, "documents")).orderBy("doc_id")
+    TextAnalysis.knScore(td(s, dir)).orderBy("doc_id")
 
   /** Dirichlet query-likelihood retrieval
     * ([[graft.ops.Retrieval.queryLikelihood]]) — same probe terms as
@@ -2518,6 +2570,8 @@ object PipelineQueries {
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_phash_dedup" -> (multimodalPhashDedup _),
     "multimodal_caption_join" -> (multimodalCaptionJoin _),
+    "embed_bitext_margin" -> (embedBitextMargin _),
+    "embed_mrl_distortion" -> (embedMrlDistortion _),
     "skew_salted_join" -> (skewSaltedJoin _),
     "skew_histogram" -> (skewHistogram _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
@@ -4184,6 +4238,58 @@ object PipelineQueries {
         |  md5(caption) AS caption_md5
         |FROM assets JOIN caps USING (asset_id)
         |WHERE width > 320 ORDER BY asset_id""".stripMargin,
+    "embed_bitext_margin" ->
+      """WITH x AS (SELECT vec_id AS x_id, CAST(embedding AS DOUBLE[]) AS xv
+        |           FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 400),
+        |xc AS (SELECT vec_id AS cx_id, CAST(embedding AS DOUBLE[]) AS cxv
+        |       FROM embeddings WHERE vec_id % 2 = 0),
+        |y AS (SELECT vec_id AS y_id, CAST(embedding AS DOUBLE[]) AS yv
+        |      FROM embeddings WHERE vec_id % 2 = 1),
+        |fwd AS (SELECT x_id, y_id,
+        |    CAST(round(round(list_dot_product(xv, yv) /
+        |      (sqrt(list_dot_product(xv, xv)) * sqrt(list_dot_product(yv, yv))), 4)
+        |      * 10000) AS BIGINT) AS c4
+        |  FROM x CROSS JOIN y),
+        |ftop AS (SELECT x_id, y_id, c4 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY c4 DESC, y_id) AS rk
+        |    FROM fwd WHERE c4 > 0) WHERE rk <= 4),
+        |fx AS (SELECT x_id, CAST(sum(c4) AS BIGINT) AS sx, count(*) AS nx
+        |       FROM ftop GROUP BY x_id),
+        |bwd AS (SELECT y.y_id, xc.cx_id,
+        |    CAST(round(round(list_dot_product(y.yv, xc.cxv) /
+        |      (sqrt(list_dot_product(y.yv, y.yv)) * sqrt(list_dot_product(xc.cxv, xc.cxv))), 4)
+        |      * 10000) AS BIGINT) AS c4
+        |  FROM (SELECT DISTINCT y_id FROM ftop) t JOIN y USING (y_id) CROSS JOIN xc),
+        |btop AS (SELECT y_id, c4 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY c4 DESC, cx_id) AS rk
+        |    FROM bwd WHERE c4 > 0) WHERE rk <= 4),
+        |byy AS (SELECT y_id, CAST(sum(c4) AS BIGINT) AS sy, count(*) AS ny
+        |        FROM btop GROUP BY y_id),
+        |m AS (SELECT f.x_id, f.y_id, f.c4,
+        |    (2 * (2 * f.c4 * fx.nx * byy.ny) * 10000 +
+        |      (fx.sx * byy.ny + byy.sy * fx.nx))
+        |      // (2 * (fx.sx * byy.ny + byy.sy * fx.nx)) AS m4
+        |  FROM ftop f JOIN fx USING (x_id) JOIN byy USING (y_id))
+        |SELECT x_id, y_id, round(c4 / 10000.0, 4) AS cos,
+        |  round(m4 / 10000.0, 4) AS margin
+        |FROM (SELECT *, row_number() OVER (PARTITION BY x_id
+        |        ORDER BY m4 DESC, y_id) AS mrk FROM m)
+        |WHERE mrk = 1 ORDER BY x_id""".stripMargin,
+    "embed_mrl_distortion" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |dims(d) AS (VALUES (8), (16), (32), (64)),
+        |s AS (SELECT d, q.vec_id AS qid, e.vec_id AS cid,
+        |    round(list_dot_product(list_slice(q.v, 1, d), list_slice(e.v, 1, d)) /
+        |      (sqrt(list_dot_product(list_slice(q.v, 1, d), list_slice(q.v, 1, d))) *
+        |       sqrt(list_dot_product(list_slice(e.v, 1, d), list_slice(e.v, 1, d)))), 4) AS cos
+        |  FROM dims, q, e WHERE q.vec_id <> e.vec_id),
+        |t AS (SELECT d, qid, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY d, qid ORDER BY cos DESC, cid) AS rk
+        |    FROM s) WHERE rk <= 5),
+        |f AS (SELECT qid, cid FROM t WHERE d = 64)
+        |SELECT CAST(d AS BIGINT) AS dim, round(count(*) / 50.0, 4) AS recall_at_5
+        |FROM t JOIN f USING (qid, cid) GROUP BY d ORDER BY dim""".stripMargin,
     "doc_chunking" ->
       """SELECT doc_id,
         |  CAST(s / 150 AS BIGINT) AS chunk_idx,

@@ -302,6 +302,38 @@ object ScaleSoak {
       counts("er_entities") = graft.ops.Linkage.entities(scaledParts).count()
     }
 
+    // 15. perceptual-hash dedup over the scaled corpus: fingerprints are
+    // one scan-side projection (cost linear in bytes), candidates ride
+    // the 3-block keys. The replica salt SHIFTS every block boundary
+    // (length changes), so replicas are NOT payload near-dups — pair
+    // volume stays ~flat and the stage measures the candidate machinery,
+    // not output size.
+    timed("phash_pairs") {
+      counts("phash_pairs") = graft.ops.Multimodal.phashPairs(
+        graft.ops.Multimodal.assetsFromText(docs, "doc_id", "text")).count()
+    }
+
+    // 16. bitext margin mining with the Y-language corpus scaled R×
+    // (re-keyed ids, per-replica vector ROTATION — norm-preserving but
+    // direction-changing, so replicas are distinct neighbors): the
+    // forward search is a broadcast-queries scan over Y (linear in R);
+    // the backward pass touches only the bounded candidate set.
+    timed("bitext_margin") {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val maxV = emb.agg(max("vec_id")).head().getLong(0) + 1
+      val x = emb.filter(col("vec_id") % 2 === 0)
+      val yScaled = (0 until replicas).map { i =>
+        val rot = i % 64
+        emb.filter(col("vec_id") % 2 === 1).select(
+          (col("vec_id") + lit(i * maxV)).as("vec_id"),
+          expr(s"concat(slice(embedding, ${rot + 1}, ${64 - rot}), slice(embedding, 1, $rot))")
+            .as("embedding"))
+      }.reduce(_ unionAll _)
+      counts("bitext_pairs") = graft.ops.Similarity.bitextMarginMine(
+        xQueries = x.filter(col("vec_id") < 400), xCorpus = x,
+        yCorpus = yScaled, idCol = "vec_id", vecCol = "embedding", k = 4).count()
+    }
+
     graft.ops.Materialize.clearCache()
     val total = stages.values.sum
     val stagesJson = stages.map { case (k, v) => s""""$k":${f"$v%.2f"}""" }.mkString(",")

@@ -936,6 +936,77 @@ object Similarity {
         round(col("sfx").cast("double") / col("n") / lit(1e6), 6).as("mean_sil"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL'19 — the "ratio"
+    * margin): pair each query vector of language X with its best
+    * candidate in language Y, scored by cosine DIVIDED by the average of
+    * the two directions' k-NN cosines. The normalization kills hubness —
+    * a Y vector close to *everything* has a high backward average, so
+    * its raw-cosine wins stop counting; absolute-threshold mining can't
+    * do that. The standard parallel-corpus construction for translation
+    * pairs and, generally, for cross-set alignment of any two embedding
+    * collections.
+    *
+    * Engine-exactness: every margin is computed in INTEGER arithmetic on
+    * 4-dp fixed-point cosines — `m4 = (2·(2·c4·nx·ny)·10⁴ + D) div (2·D)`
+    * with `D = sx·ny + sy·nx` — so the ratio (and its rank order) cannot
+    * fork between Spark and the oracle on a rounding half. Negative-cos
+    * candidates are dropped up front (a non-positive similarity is never
+    * a translation pair), which also keeps the integer div in the
+    * positive regime where Spark `div` ≡ DuckDB `//`.
+    *
+    * Scale shape: this is the exact brute baseline — query slice
+    * broadcasts over the Y scan, candidate Ys broadcast over the X scan,
+    * per-key cuts are rank windows on bounded candidate sets. At corpus
+    * scale the two neighbor searches swap to the IVF/LSH candidate
+    * generators (same (id, cos) candidate shape); the margin algebra is
+    * unchanged. */
+  def bitextMarginMine(
+      xQueries: DataFrame,
+      xCorpus: DataFrame,
+      yCorpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = xQueries.select(col(idCol).as("x_id"), col(vecCol).as("xv"))
+    val y = yCorpus.select(col(idCol).as("y_id"), col(vecCol).as("yv"))
+    val c4 = (a: Column, b: Column) =>
+      round(round(cosine(a, b), 4) * 10000).cast("long")
+    // forward: each x's top-k positive-cos candidates in Y
+    val fwd = y.join(broadcast(q))
+      .withColumn("c4", c4(col("xv"), col("yv")))
+      .filter(col("c4") > 0)
+    val wf = Window.partitionBy("x_id").orderBy(col("c4").desc, col("y_id"))
+    val fTop = Materialize.index(
+      fwd.withColumn("rk", row_number().over(wf)).filter(col("rk") <= k)
+        .select("x_id", "y_id", "c4"),
+      "bitext-fwd")
+    val fAvg = fTop.groupBy("x_id")
+      .agg(sum("c4").as("sx"), count(lit(1)).as("nx"))
+    // backward: each CANDIDATE y's top-k against the full X corpus
+    val candY = fTop.select("y_id").distinct().join(y, "y_id")
+    val xc = xCorpus.select(col(idCol).as("cx_id"), col(vecCol).as("cxv"))
+    val wb = Window.partitionBy("y_id").orderBy(col("c4").desc, col("cx_id"))
+    val bAvg = xc.join(broadcast(candY))
+      .withColumn("c4", c4(col("yv"), col("cxv")))
+      .filter(col("c4") > 0)
+      .withColumn("rk", row_number().over(wb)).filter(col("rk") <= k)
+      .groupBy("y_id")
+      .agg(sum("c4").as("sy"), count(lit(1)).as("ny"))
+    // integer fixed-point margin; best candidate per x by (margin, y_id)
+    val scored = fTop
+      .join(fAvg, "x_id")
+      .join(bAvg, "y_id")
+      .withColumn("_d", col("sx") * col("ny") + col("sy") * col("nx"))
+      .withColumn("m4",
+        expr("(2 * (2 * c4 * nx * ny) * 10000 + _d) div (2 * _d)"))
+    val wm = Window.partitionBy("x_id").orderBy(col("m4").desc, col("y_id"))
+    scored.withColumn("mrk", row_number().over(wm)).filter(col("mrk") === 1)
+      .select(col("x_id"), col("y_id"),
+        round(col("c4") / 10000.0, 4).as("cos"),
+        round(col("m4") / 10000.0, 4).as("margin"))
+  }
+
   def randomProject(
       df: DataFrame,
       idCol: String,
