@@ -1388,7 +1388,9 @@ object PipelineQueries {
     * formula, so a block key that ever missed a true ≤2 pair
     * hash-mismatches here. */
   def multimodalPhashDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    // spread: the per-row fingerprint (interpreted HOF over the payload)
+    // dominates — core-wide parallelism, no-op on a lake layout
+    val docs = td(s, dir)
     // Re-ingested copies — the scenario perceptual dedup exists for:
     // every 10th asset re-appears under a new id with a 4-byte edit
     // (same length, so the block structure is preserved and the aHash

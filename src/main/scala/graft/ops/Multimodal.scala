@@ -115,27 +115,38 @@ object Multimodal {
   def perceptualHash(
       assets: DataFrame,
       idCol: String = "asset_id",
-      contentCol: String = "content"): DataFrame =
-    withSampleStream(assets, contentCol).select(
-      col(idCol),
-      expr(
-        s"""array_join(transform(sequence(0, 63), b -> IF(
-           |  aggregate(slice(_codes, CAST(b * _L DIV 64 AS INT) + 1,
-           |      CAST((b + 1) * _L DIV 64 - b * _L DIV 64 AS INT)),
-           |    0L, (a, x) -> a + x) * _L >
-           |  _S * ((b + 1) * _L DIV 64 - b * _L DIV 64),
-           |  '1', '0')), '')""".stripMargin).as("phash"))
-
-  /** Internal: attach the decoded sample stream + totals used by
-    * [[perceptualHash]]'s fingerprint expression. Kept as a separate
-    * projection so the expensive decode runs once per row. */
-  private def withSampleStream(assets: DataFrame, contentCol: String): DataFrame =
-    assets
-      .withColumn("_s", expr(s"decode($contentCol, 'UTF-8')"))
-      .withColumn("_L", length(col("_s")).cast("long"))
-      .withColumn("_codes",
-        expr("transform(sequence(1, CAST(greatest(_L, 1) AS INT)), i -> CAST(ascii(substring(_s, i, 1)) AS BIGINT))"))
-      .withColumn("_S", expr("aggregate(_codes, 0L, (a, x) -> a + x)"))
+      contentCol: String = "content"): DataFrame = {
+    // Codegen'd explode + partial-agg, NOT a per-row HOF pipeline: the
+    // transparent transform/aggregate-lambda form runs INTERPRETED
+    // (~20 ms/asset — it dominated the whole query), while
+    // split/posexplode/ascii/sum compile into whole-stage codegen with a
+    // map-side partial aggregate, and the only remaining per-row lambda
+    // work is a 64-entry map lookup. Block membership uses the closed
+    // form b(i) = ceil(64·i/L) − 1, PROVABLY identical to the oracle's
+    // slice partition (e_b = floor((b+1)·L/64): i ≤ e_b ⟺ b+1 ≥
+    // ceil(64·i/L), integer i) — so the fingerprint is bit-identical to
+    // the transparent form at codegen speed.
+    val chars = assets
+      .select(col(idCol), expr(s"decode($contentCol, 'UTF-8')").as("_s"))
+      .select(col(idCol), length(col("_s")).cast("long").as("_L"),
+        posexplode(split(col("_s"), "")).as(Seq("_p", "_c")))
+      .filter(col("_c") =!= "") // split(, '', -1) keeps a trailing empty
+      .select(col(idCol), col("_L"),
+        expr("(64 * (_p + 1) + _L - 1) div _L - 1").cast("int").as("b"),
+        ascii(col("_c")).cast("long").as("code"))
+    chars
+      .groupBy(col(idCol), col("_L"), col("b"))
+      .agg(sum("code").as("sb"), count(lit(1)).as("lb"))
+      .groupBy(col(idCol), col("_L"))
+      .agg(sum("sb").as("_S"),
+        expr("map_from_entries(collect_list(struct(b, struct(sb, lb))))").as("_m"))
+      .select(col(idCol),
+        expr(
+          """array_join(transform(sequence(0, 63), bb -> IF(
+            |  coalesce(try_element_at(_m, bb).sb, 0L) * _L >
+            |  _S * coalesce(try_element_at(_m, bb).lb, 0L),
+            |  '1', '0')), '')""".stripMargin).as("phash"))
+  }
 
   /** Perceptual near-dup pairs at hamming distance ≤ `maxDist` (≤ 2)
     * over [[perceptualHash]] fingerprints — block-key candidates + exact
