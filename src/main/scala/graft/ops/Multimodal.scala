@@ -148,6 +148,32 @@ object Multimodal {
             |  '1', '0')), '')""".stripMargin).as("phash"))
   }
 
+  /** The stream-legal PROJECTION form of [[perceptualHash]]: identical
+    * bit rule and block partition (slice boundaries ≡ the closed form —
+    * same proof), computed per row with higher-order array expressions.
+    * Interpreted, so ~an order slower per asset than the batch form's
+    * codegen'd explode+agg — the price of statelessness; use it where a
+    * groupBy can't run (streaming gates), the batch form everywhere
+    * else. Both forms are value-equal (spec-pinned). */
+  def perceptualHashRow(
+      assets: DataFrame,
+      contentCol: String = "content"): DataFrame =
+    assets
+      .withColumn("_s", expr(s"decode($contentCol, 'UTF-8')"))
+      .withColumn("_L", length(col("_s")).cast("long"))
+      .withColumn("_codes",
+        expr("transform(sequence(1, CAST(greatest(_L, 1) AS INT)), i -> CAST(ascii(substring(_s, i, 1)) AS BIGINT))"))
+      .withColumn("_S", expr("aggregate(_codes, 0L, (a, x) -> a + x)"))
+      .withColumn("phash",
+        expr(
+          s"""array_join(transform(sequence(0, 63), b -> IF(
+             |  aggregate(slice(_codes, CAST(b * _L DIV 64 AS INT) + 1,
+             |      CAST((b + 1) * _L DIV 64 - b * _L DIV 64 AS INT)),
+             |    0L, (a, x) -> a + x) * _L >
+             |  _S * ((b + 1) * _L DIV 64 - b * _L DIV 64),
+             |  '1', '0')), '')""".stripMargin))
+      .drop("_s", "_L", "_codes", "_S")
+
   /** Perceptual near-dup pairs at hamming distance ≤ `maxDist` (≤ 2)
     * over [[perceptualHash]] fingerprints — block-key candidates + exact
     * verify via the shared [[Dedup.hammingPairs64]] core, never

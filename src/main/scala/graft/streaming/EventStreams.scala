@@ -257,7 +257,43 @@ object EventStreams {
   def simhashGateStream(
       docs: DataFrame,
       corpusFps: DataFrame,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes"): DataFrame =
+    hammingGateStream(
+      graft.ops.Dedup.simhash64(docs.withWatermark("ts", watermark), "text"),
+      corpusFps)
+
+  /** Streaming PERCEPTUAL novelty gate — the asset-side twin of
+    * [[simhashGateStream]]: an incoming media stream is admitted only if
+    * its aHash-style perceptual fingerprint
+    * ([[graft.ops.Multimodal.perceptualHashRow]] — the stream-legal
+    * per-row projection form; the batch op's explode+groupBy form needs
+    * an aggregation a stream can't run statelessly) is NOT within
+    * hamming distance ≤ 2 of the known-asset index, so a re-ingested
+    * copy with a few bytes changed (stripped metadata, minor edit) is
+    * dropped at ingest. Same block-key bucket machinery, same bounded
+    * state story. */
+  def phashGateStream(
+      assets: DataFrame,
+      corpusFps: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    hammingGateStream(
+      graft.ops.Multimodal.perceptualHashRow(
+        assets.withWatermark("ts", watermark), "content")
+        .withColumnRenamed("phash", "simhash"),
+      corpusFps)
+
+  /** Shared core of the hamming-≤2 novelty gates: the input stream
+    * already carries a 64-bit `simhash` fingerprint column; the static
+    * corpus index is pre-bucketed per Manku block key and LEFT-joined on
+    * the stream's 3 key columns, then one per-row `exists` over the ≤ 3
+    * small candidate arrays verifies exact distance — no explode
+    * self-join, no stream-side aggregation. Within-stream exact
+    * re-delivery rides `dropDuplicatesWithinWatermark` (bounded state);
+    * within-stream NEAR-dups are the batch pass's job over the landed
+    * horizon. */
+  private def hammingGateStream(
+      fingerprinted: DataFrame,
+      corpusFps: DataFrame): DataFrame = {
     import graft.ops.Dedup
     val keys = Dedup.hammingBlockKeySql
     // the bucket table is STATIC — materialize it once at stream build
@@ -272,8 +308,7 @@ object EventStreams {
             .as("_probe"))
         .groupBy("_probe").agg(collect_set("_cfp").as("_fps")),
       "gate-buckets")
-    val keyed = keys.zipWithIndex.foldLeft(
-      Dedup.simhash64(docs.withWatermark("ts", watermark), "text")) {
+    val keyed = keys.zipWithIndex.foldLeft(fingerprinted) {
       case (df, (sql, b)) => df.withColumn(s"_k$b", expr(sql))
     }
     val joined = keys.indices.foldLeft(keyed) { case (df, b) =>

@@ -62,6 +62,15 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     fp1.head shouldBe '1'
   }
 
+  test("perceptualHashRow (stream-legal projection) ≡ batch explode+agg form") {
+    val a = assets((1L to 30L).map(i => i -> s"varied payload number $i with content " * (i.toInt % 5 + 1)): _*)
+    val batch = Multimodal.perceptualHash(a).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val row = Multimodal.perceptualHashRow(a).select("asset_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    row shouldBe batch
+  }
+
   test("phash pairs: re-ingested near-identical payloads pair; unrelated ones don't") {
     val a = assets(
       1L -> ("the quick brown fox jumps over the lazy dog " * 4),

@@ -133,6 +133,43 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("phash gate drops re-ingested near-identical assets at ingest") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // known corpus asset, plus a planted fingerprint ONE BIT from the
+    // edited copy's (the simhash-gate spec's determinism trick: payload
+    // edits move an uncontrollable number of block votes) — so both the
+    // exact (d=0) and near (d=1) drop paths are exercised exactly
+    val known = "the quick brown fox jumps over the lazy dog " * 4
+    val editedCopy = "zzzz" + known.drop(4)
+    val fresh = "completely different material about database engines " * 3
+    def fpOf(text: String): String =
+      graft.ops.Multimodal.perceptualHash(
+        graft.ops.Multimodal.assetsFromText(
+          Seq((1L, text)).toDF("id", "txt"), "id", "txt")).head.getString(1)
+    val editedFp = fpOf(editedCopy)
+    val oneOff = editedFp.updated(9, if (editedFp(9) == '1') '0' else '1')
+    val corpus = Seq(fpOf(known), oneOff).toDF("simhash")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val assets = input.toDF().toDF("asset_id", "ts", "txt")
+      .withColumn("content", encode(col("txt"), "UTF-8"))
+    val q = EventStreams.phashGateStream(assets, corpus)
+      .writeStream.queryName("phash_gate").outputMode(OutputMode.Append())
+      .format("memory").start()
+    try {
+      input.addData(
+        (1L, ts(1), known),      // exact known payload — dropped (d=0)
+        (2L, ts(2), editedCopy), // near-identical re-ingest — dropped (d<=2)
+        (3L, ts(3), fresh))      // admitted
+      q.processAllAvailable()
+      input.addData((4L, ts(4), fresh)) // within-stream re-delivery — dropped
+      q.processAllAvailable()
+      val got = spark.sql("SELECT asset_id FROM phash_gate")
+        .collect().map(_.getLong(0)).toSet
+      got shouldBe Set(3L)
+    } finally q.stop()
+  }
+
   test("sessionization accumulates per-user state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
