@@ -1220,6 +1220,63 @@ object PipelineQueries {
         round(col("n_both").cast("double") / col("n_lsh"), 4).as("precision"))
   }
 
+  /** LSH banding-parameter sweep — the dedup twin of [[annNprobeSweep]]:
+    * the SAME 4 gram-minhashes banded three ways (1 band × 4 rows,
+    * 2 × 2 — the production config — and 4 × 1), each measured against
+    * the exact all-pairs truth set: candidate volume (the cost knob) vs
+    * verified recall (the coverage knob). This is the s-curve
+    * measurement a 100 TB dedup job runs on a sample BEFORE choosing
+    * (b, r) — the collision probability 1−(1−s^r)^b steepens with r and
+    * shifts left with b, and the sweep shows where the real corpus sits
+    * on it. The signature index, the gram sets, and the truth set are
+    * all read from the content-addressed cache (shared with
+    * `dedup_ngram_jaccard` / `dedup_allpairs` / `dedup_recall` in a
+    * battery), so the sweep pays only the three candidate joins +
+    * verifies. Verified pairs are a SUBSET of truth by construction
+    * (same exact-Jaccard threshold on the same gram sets), so recall is
+    * the single quality number and candidates-per-verified the cost
+    * ratio. */
+  def lshBandSweep(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.Materialize.spread(t(s, dir, "documents"))
+    val grams = docs.select(
+      col("doc_id"),
+      array_distinct(Dedup.shingles("text", 2)).as("grams"))
+    val sigs = (0 until 4).foldLeft(grams) { (d, i) =>
+      d.withColumn(s"g$i",
+        expr(s"array_min(transform(grams, g -> md5(concat('gsalt$i|', g))))"))
+    }.withColumn("grams", expr("transform(grams, g -> substring(md5(g), 1, 16))"))
+    val indexed = graft.ops.Materialize.index(sigs, "ngram-sig")
+    val truth = graft.ops.Materialize.index(
+      Dedup.allPairsJaccardTok(bigramTok(docs), "doc_id", threshold = 0.5)
+        .select("id_a", "id_b"),
+      "sweep-truth")
+    def bandsFor(cfg: String): (DataFrame, Int) = cfg match {
+      case "b1r4" => (indexed.select(col("doc_id"),
+        md5(concat_ws("|", col("g0"), col("g1"), col("g2"), col("g3"))).as("band0")), 1)
+      case "b2r2" => (indexed.select(col("doc_id"),
+        md5(concat_ws("|", col("g0"), col("g1"))).as("band0"),
+        md5(concat_ws("|", col("g2"), col("g3"))).as("band1")), 2)
+      case _ => (indexed.select(col("doc_id"),
+        col("g0").as("band0"), col("g1").as("band1"),
+        col("g2").as("band2"), col("g3").as("band3")), 4)
+    }
+    Seq("b1r4", "b2r2", "b4r1").map { cfg =>
+      val (bands, nb) = bandsFor(cfg)
+      val cand = Dedup.lshCandidatePairs(bands, "doc_id", numBands = nb)
+      val verified = cand
+        .join(indexed.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
+        .join(indexed.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
+        .filter(round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))), 4) >= 0.5)
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(lit(cfg).as("config"),
+          col("n_candidates"), col("n_verified"), col("n_truth"),
+          round(col("n_verified").cast("double") / col("n_truth"), 4).as("recall"))
+    }.reduce(_ unionByName _).orderBy("config")
+  }
+
   /** kNN label-noise audit ([[graft.ops.Similarity.labelNoise]]): per
     * label, how many members' IVF-probed 5-NN majority disagrees with
     * the label itself. */
@@ -2574,6 +2631,7 @@ object PipelineQueries {
     "multimodal_caption_join" -> (multimodalCaptionJoin _),
     "embed_bitext_margin" -> (embedBitextMargin _),
     "embed_mrl_distortion" -> (embedMrlDistortion _),
+    "lsh_band_sweep" -> (lshBandSweep _),
     "skew_salted_join" -> (skewSaltedJoin _),
     "skew_histogram" -> (skewHistogram _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
@@ -3738,6 +3796,51 @@ object PipelineQueries {
          |  round(CAST(n_both AS DOUBLE) / n_truth, 4) AS recall,
          |  round(CAST(n_both AS DOUBLE) / n_lsh, 4) AS precision
          |FROM c1, c2, c3""".stripMargin,
+    "lsh_band_sweep" ->
+      s"""WITH $duckNgramPairCtes,
+         |tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE round(len(list_intersect(a.grams, b.grams)) /
+         |        len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.5),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM tr),
+         |b1 AS (SELECT doc_id,
+         |    md5(g0 || '|' || g1 || '|' || g2 || '|' || g3) AS band FROM sig),
+         |p1 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM b1 a JOIN b1 b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |p2 AS (SELECT id_a, id_b FROM gpairs),
+         |p4 AS (SELECT DISTINCT id_a, id_b FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |    FROM sig a JOIN sig b ON a.g0 = b.g0 AND a.doc_id < b.doc_id
+         |  UNION ALL SELECT a.doc_id, b.doc_id
+         |    FROM sig a JOIN sig b ON a.g1 = b.g1 AND a.doc_id < b.doc_id
+         |  UNION ALL SELECT a.doc_id, b.doc_id
+         |    FROM sig a JOIN sig b ON a.g2 = b.g2 AND a.doc_id < b.doc_id
+         |  UNION ALL SELECT a.doc_id, b.doc_id
+         |    FROM sig a JOIN sig b ON a.g3 = b.g3 AND a.doc_id < b.doc_id)),
+         |stats AS (
+         |  SELECT 'b1r4' AS config,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM p1) AS n_candidates,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM p1 JOIN g ga ON ga.doc_id = id_a
+         |       JOIN g gb ON gb.doc_id = id_b
+         |     WHERE round(len(list_intersect(ga.grams, gb.grams)) /
+         |       len(list_distinct(list_concat(ga.grams, gb.grams))), 4) >= 0.5) AS n_verified
+         |  UNION ALL
+         |  SELECT 'b2r2',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM p2),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM p2 JOIN g ga ON ga.doc_id = id_a
+         |       JOIN g gb ON gb.doc_id = id_b
+         |     WHERE round(len(list_intersect(ga.grams, gb.grams)) /
+         |       len(list_distinct(list_concat(ga.grams, gb.grams))), 4) >= 0.5)
+         |  UNION ALL
+         |  SELECT 'b4r1',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM p4),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM p4 JOIN g ga ON ga.doc_id = id_a
+         |       JOIN g gb ON gb.doc_id = id_b
+         |     WHERE round(len(list_intersect(ga.grams, gb.grams)) /
+         |       len(list_distinct(list_concat(ga.grams, gb.grams))), 4) >= 0.5))
+         |SELECT config, n_candidates, n_verified, n_truth,
+         |  round(CAST(n_verified AS DOUBLE) / n_truth, 4) AS recall
+         |FROM stats, nt ORDER BY config""".stripMargin,
     "memorization_grams" ->
       s"""WITH g AS (SELECT doc_id, unnest(${duckShingles(8)}) AS gram FROM documents)
          |SELECT gram, count(DISTINCT doc_id) AS n_docs,

@@ -58,8 +58,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val xGet = if (elemIsFloat(left)) s"(double) $x.getFloat(i)" else s"$x.getDouble(i)"
-      val yGet = if (elemIsFloat(right)) s"(double) $y.getFloat(i)" else s"$y.getDouble(i)"
+      // EVERY local is freshName'd — incl. the loop variable: two
+      // instances of this expression inlined into one codegen scope
+      // (filter + project of the same cosine) otherwise collide on `i`
+      // ("Redefinition of local variable"), and the whole stage silently
+      // falls back to interpreted — the exact path this expression
+      // exists to accelerate.
+      val i = ctx.freshName("i")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val xGet = if (elemIsFloat(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val yGet = if (elemIsFloat(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val nx = ctx.freshName("nx")
@@ -70,9 +79,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |  for (int i = 0; i < $n; i++) {
-         |    double xv = $xGet; double yv = $yGet;
-         |    $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = $xGet; double $yv = $yGet;
+         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |  }
          |  ${ev.value} = ($nx == 0.0 || $ny == 0.0)
          |    ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
@@ -133,8 +142,11 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val xGet = if (elemIsFloat(left)) s"(double) $x.getFloat(i)" else s"$x.getDouble(i)"
-      val yGet = if (elemIsFloat(right)) s"(double) $y.getFloat(i)" else s"$y.getDouble(i)"
+      // freshName'd loop variable — same scope-collision hazard as
+      // CosineSimilarity (two inlined instances fell back to interpreted)
+      val i = ctx.freshName("i")
+      val xGet = if (elemIsFloat(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val yGet = if (elemIsFloat(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
@@ -143,7 +155,7 @@ case class DotProduct(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0;
-         |  for (int i = 0; i < $n; i++) {
+         |  for (int $i = 0; $i < $n; $i++) {
          |    $dot += ($xGet) * ($yGet);
          |  }
          |  ${ev.value} = $dot;
@@ -181,14 +193,15 @@ case class HammingDistance(left: Expression, right: Expression)
       val xs = ctx.freshName("xs")
       val ys = ctx.freshName("ys")
       val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
       s"""
          |String $xs = $x.toString(); String $ys = $y.toString();
          |if ($xs.length() != $ys.length()) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $d = 0;
-         |  for (int i = 0; i < $xs.length(); i++) {
-         |    if ($xs.charAt(i) != $ys.charAt(i)) $d++;
+         |  for (int $i = 0; $i < $xs.length(); $i++) {
+         |    if ($xs.charAt($i) != $ys.charAt($i)) $d++;
          |  }
          |  ${ev.value} = $d;
          |}
