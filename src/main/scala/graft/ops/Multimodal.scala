@@ -126,25 +126,32 @@ object Multimodal {
     // slice partition (e_b = floor((b+1)·L/64): i ≤ e_b ⟺ b+1 ≥
     // ceil(64·i/L), integer i) — so the fingerprint is bit-identical to
     // the transparent form at codegen speed.
-    val chars = assets
+    val decoded = assets
       .select(col(idCol), expr(s"decode($contentCol, 'UTF-8')").as("_s"))
+    val chars = decoded
       .select(col(idCol), length(col("_s")).cast("long").as("_L"),
         posexplode(split(col("_s"), "")).as(Seq("_p", "_c")))
       .filter(col("_c") =!= "") // split(, '', -1) keeps a trailing empty
       .select(col(idCol), col("_L"),
         expr("(64 * (_p + 1) + _L - 1) div _L - 1").cast("int").as("b"),
         ascii(col("_c")).cast("long").as("code"))
-    chars
+    val agg = chars
       .groupBy(col(idCol), col("_L"), col("b"))
       .agg(sum("code").as("sb"), count(lit(1)).as("lb"))
-      .groupBy(col(idCol), col("_L"))
-      .agg(sum("sb").as("_S"),
+      .groupBy(col(idCol))
+      .agg(first("_L").as("_L"), sum("sb").as("_S"),
         expr("map_from_entries(collect_list(struct(b, struct(sb, lb))))").as("_m"))
+    // LEFT join back to the asset base: a ZERO-LENGTH payload explodes to
+    // no rows and would silently vanish from the output — it must emit
+    // the all-zero fingerprint the row form produces (0 > 0 is false for
+    // every block; nulls coalesce the same way)
+    decoded.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
       .select(col(idCol),
         expr(
           """array_join(transform(sequence(0, 63), bb -> IF(
-            |  coalesce(try_element_at(_m, bb).sb, 0L) * _L >
-            |  _S * coalesce(try_element_at(_m, bb).lb, 0L),
+            |  coalesce(try_element_at(_m, bb).sb, 0L) * coalesce(_L, 0L) >
+            |  coalesce(_S, 0L) * coalesce(try_element_at(_m, bb).lb, 0L),
             |  '1', '0')), '')""".stripMargin).as("phash"))
   }
 
