@@ -1237,7 +1237,12 @@ object PipelineQueries {
     * the single quality number and candidates-per-verified the cost
     * ratio. */
   def lshBandSweep(s: SparkSession, dir: String): DataFrame = {
-    val docs = graft.ops.Materialize.spread(t(s, dir, "documents"))
+    // deterministic md5-keyed 1/4 sample — the production semantics: the
+    // s-curve is measured on a sample BEFORE the corpus-wide job, so the
+    // sweep's cost is sample-sized however large the corpus
+    val docs = graft.ops.Materialize.spread(
+      t(s, dir, "documents").filter(
+        expr("instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1 < 4")))
     val grams = docs.select(
       col("doc_id"),
       array_distinct(Dedup.shingles("text", 2)).as("grams"))
@@ -2667,9 +2672,14 @@ object PipelineQueries {
     * ngram-jaccard oracle and the dedup-recall oracle's approximate
     * side. Also defines `g` (doc_id, grams as md5-16 prefixes), the
     * similarity domain the recall oracle's brute-force truth reuses. */
-  private lazy val duckNgramPairCtes: String =
+  private lazy val duckNgramPairCtes: String = duckNgramPairCtesFrom("documents")
+
+  /** [[duckNgramPairCtes]] over an arbitrary source relation — the
+    * banding-sweep oracle runs the same chain over a deterministic
+    * md5-keyed sample. */
+  private def duckNgramPairCtesFrom(src: String): String =
     s"""graw AS (SELECT doc_id, list_distinct(${duckShingles(2)}) AS grams
-       |FROM documents),
+       |FROM $src),
        |g AS (SELECT doc_id,
        |  list_transform(grams, x -> substr(md5(x), 1, 16)) AS grams FROM graw),
        |sig AS (SELECT doc_id,
@@ -3797,7 +3807,9 @@ object PipelineQueries {
          |  round(CAST(n_both AS DOUBLE) / n_lsh, 4) AS precision
          |FROM c1, c2, c3""".stripMargin,
     "lsh_band_sweep" ->
-      s"""WITH $duckNgramPairCtes,
+      s"""WITH ${duckNgramPairCtesFrom(
+        "(SELECT * FROM documents WHERE instr('0123456789abcdef', " +
+          "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 4)")},
          |tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM g a JOIN g b ON a.doc_id < b.doc_id
          |  WHERE round(len(list_intersect(a.grams, b.grams)) /

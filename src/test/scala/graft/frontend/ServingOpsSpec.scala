@@ -189,22 +189,27 @@ class ServingOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     spark.sparkContext.getConf.get("spark.scheduler.mode") shouldBe "FAIR"
     val tA = TenantSession.open(spark, registry, "orgx", sources)
     val tB = TenantSession.open(spark, registry, "orgy", sources)
+    // warm B fully (session init + analysis + first scan) OUTSIDE the
+    // race: the race must measure SCHEDULING, not cold-session planning
+    // (under a loaded test battery the cold path once ate the margin)
+    tB.runGated(tB.sql("SELECT v FROM ymetric").collect())
     val aDone = new java.util.concurrent.atomic.AtomicLong(0L)
     val started = new CountDownLatch(1)
     val t0 = System.nanoTime()
     val aThread = new Thread(() => {
       tA.runGated {
         started.countDown()
-        // 8 tasks x ~1.2s on 4 cores: occupies every slot for 2+ waves
-        tA.spark.range(8).repartition(8)
-          .selectExpr("java_method('java.lang.Thread', 'sleep', 1200L)")
+        // 16 tasks x ~1.5s on 4 cores: occupies every slot for 4 waves
+        // (~6 s) — wide margin over B's warm sub-second point query
+        tA.spark.range(16).repartition(16)
+          .selectExpr("java_method('java.lang.Thread', 'sleep', 1500L)")
           .collect()
       }
       aDone.set(System.nanoTime() - t0)
     }, "tenant-a-scan")
     aThread.start()
     started.await(10, TimeUnit.SECONDS) shouldBe true
-    Thread.sleep(400) // let A's first task wave occupy the cores
+    Thread.sleep(500) // let A's first task wave occupy the cores
     val bStart = System.nanoTime()
     val bRows = tB.runGated {
       tB.sql("SELECT v FROM ymetric").collect()
@@ -212,9 +217,9 @@ class ServingOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     val bElapsed = System.nanoTime() - bStart
     bRows.length shouldBe 1
     // B finished while A was still running: FAIR handed B the first freed
-    // slot instead of FIFO-draining A's remaining wave first
+    // slot instead of FIFO-draining A's remaining waves first
     aDone.get() shouldBe 0L // A still in flight when B completed
-    aThread.join(30000)
+    aThread.join(60000)
     aDone.get() should be > 0L
     bElapsed should be < aDone.get()
   }
