@@ -452,12 +452,15 @@ object PipelineQueries {
       md5(concat_ws("|", col("g0"), col("g1"))).as("band0"),
       md5(concat_ws("|", col("g2"), col("g3"))).as("band1"))
     val pairs = Dedup.lshCandidatePairs(bands, "doc_id", numBands = 2)
+    // per-pair verify = codegen'd sorted-merge intersection count (sort
+    // once at the doc-sized gram table, |A∪B| = |A|+|B|−i)
+    val sortedG = indexed.select(col("doc_id"), sort_array(col("grams")).as("grams"))
     pairs
-      .join(indexed.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
-      .join(indexed.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
+      .join(sortedG.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
+      .join(sortedG.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
+      .withColumn("_i", Dedup.sortedIntersectCount(col("ga"), col("gb")).cast("double"))
       .withColumn("jac", round(
-        size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))), 4))
+        col("_i") / (size(col("ga")) + size(col("gb")) - col("_i")), 4))
       .filter(col("jac") >= 0.5)
       .select("id_a", "id_b", "jac")
   }
@@ -1265,14 +1268,16 @@ object PipelineQueries {
         col("g0").as("band0"), col("g1").as("band1"),
         col("g2").as("band2"), col("g3").as("band3")), 4)
     }
+    val sortedG = indexed.select(col("doc_id"), sort_array(col("grams")).as("grams"))
     Seq("b1r4", "b2r2", "b4r1").map { cfg =>
       val (bands, nb) = bandsFor(cfg)
       val cand = Dedup.lshCandidatePairs(bands, "doc_id", numBands = nb)
       val verified = cand
-        .join(indexed.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
-        .join(indexed.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
-        .filter(round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))), 4) >= 0.5)
+        .join(sortedG.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
+        .join(sortedG.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
+        .withColumn("_i", Dedup.sortedIntersectCount(col("ga"), col("gb")).cast("double"))
+        .filter(round(col("_i") /
+          (size(col("ga")) + size(col("gb")) - col("_i")), 4) >= 0.5)
       cand.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
         .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
@@ -1533,6 +1538,29 @@ object PipelineQueries {
         .select(lit(d.toLong).as("dim"),
           round(col("hits") / lit(nQ * 5.0), 4).as("recall_at_5"))
     }.reduce(_ unionByName _).orderBy("dim")
+  }
+
+  /** Schema-drift census over the `_fm` unknown-field capture
+    * ([[graft.ops.Curation.fmDriftCensus]]) — the reference's radio
+    * column holds fields written before they're declared
+    * (`core/Recombinator`, SURVEY §2.2); this is the audit that says
+    * which captured keys are ready to PROMOTE into the declared schema
+    * and with what type. The `_fm` here is built deterministically from
+    * the events table (always-present `k`, a conditional `beta_<type>`
+    * numeric field, a sparse `legacy_id` string field) so the census
+    * exercises coverage, distinctness and both type verdicts. */
+  def fmDriftCensus(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val fm = ev.withColumn("_fm", expr(
+      """map_from_entries(filter(array(
+        |  struct('k' AS key, regexp_extract(props, '[0-9]+', 0) AS value),
+        |  struct(concat('beta_', event_type) AS key,
+        |         IF(value > 30, cast(value AS string), cast(NULL AS string)) AS value),
+        |  struct('legacy_id' AS key,
+        |         IF(event_id % 7 = 0, concat('L-', cast(event_id AS string)),
+        |            cast(NULL AS string)) AS value)
+        |), e -> e.value IS NOT NULL))""".stripMargin))
+    graft.ops.Curation.fmDriftCensus(fm).orderBy("key")
   }
 
   /** Exact-substring novelty dedup ([[graft.ops.Dedup.substringNovelty]]):
@@ -2637,6 +2665,7 @@ object PipelineQueries {
     "embed_bitext_margin" -> (embedBitextMargin _),
     "embed_mrl_distortion" -> (embedMrlDistortion _),
     "lsh_band_sweep" -> (lshBandSweep _),
+    "fm_drift_census" -> (fmDriftCensus _),
     "skew_salted_join" -> (skewSaltedJoin _),
     "skew_histogram" -> (skewHistogram _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
@@ -3806,6 +3835,25 @@ object PipelineQueries {
          |  round(CAST(n_both AS DOUBLE) / n_truth, 4) AS recall,
          |  round(CAST(n_both AS DOUBLE) / n_lsh, 4) AS precision
          |FROM c1, c2, c3""".stripMargin,
+    "fm_drift_census" ->
+      """WITH fm AS (
+        |  SELECT 'k' AS key, regexp_extract(props, '[0-9]+', 0) AS value FROM events
+        |  UNION ALL
+        |  SELECT 'beta_' || event_type, CAST(value AS VARCHAR)
+        |  FROM events WHERE value > 30
+        |  UNION ALL
+        |  SELECT 'legacy_id', 'L-' || CAST(event_id AS VARCHAR)
+        |  FROM events WHERE event_id % 7 = 0),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM events)
+        |SELECT key,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN regexp_matches(value, '^-?[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT)
+        |    = count(*) AS all_long,
+        |  CAST(sum(CASE WHEN regexp_matches(value, '^-?[0-9]+(\.[0-9]+)?$') THEN 1 ELSE 0 END) AS BIGINT)
+        |    = count(*) AS all_numeric,
+        |  ((2 * CAST(count(*) AS BIGINT) * 10000 + t) // (2 * t)) / 10000.0 AS coverage
+        |FROM fm, tot GROUP BY key, t ORDER BY key""".stripMargin,
     "lsh_band_sweep" ->
       s"""WITH ${duckNgramPairCtesFrom(
         "(SELECT * FROM documents WHERE instr('0123456789abcdef', " +

@@ -293,4 +293,39 @@ object Curation {
     df.withColumn("split",
       when(digit < 2, "val").when(digit < 4, "test").otherwise("train"))
   }
+
+  /** Schema-drift census over an unknown-fields map column — the audit a
+    * schema-flexible read layer runs weekly over its `_fm` capture (the
+    * reference's radio column for fields written before they're declared,
+    * SURVEY §2.2 P1/P2): per unknown key, how often it appears
+    * (coverage), how many distinct values, and whether every value parses
+    * as a long / as a number — i.e. which keys are ready to PROMOTE into
+    * the declared schema and with what type.
+    *
+    * Scale shape: one explode of the map into skinny (key, value) rows +
+    * one partial-aggregated groupBy on the (low-cardinality) key; the
+    * type verdicts are sum(regex)==count equalities, so no engine-varying
+    * boolean aggregate (bool_and vs min) is involved; coverage rounds in
+    * INTEGER arithmetic ((2n·10⁴+T) div (2T)) so an exact half can't
+    * fork. */
+  def fmDriftCensus(
+      df: DataFrame,
+      fmCol: String = "_fm"): DataFrame = {
+    val total = df.agg(count(lit(1)).as("_t"))
+    df.select(explode(col(fmCol)).as(Seq("key", "value")))
+      .groupBy("key")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct("value").as("n_distinct"),
+        sum(when(col("value").rlike("^-?[0-9]+$"), 1L).otherwise(0L)).as("_nl"),
+        sum(when(col("value").rlike("^-?[0-9]+(\\.[0-9]+)?$"), 1L).otherwise(0L)).as("_nn"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("key"),
+        col("n_rows"),
+        col("n_distinct"),
+        (col("_nl") === col("n_rows")).as("all_long"),
+        (col("_nn") === col("n_rows")).as("all_numeric"),
+        (expr("(2 * n_rows * 10000 + _t) div (2 * _t)") / 10000.0).as("coverage"))
+  }
 }

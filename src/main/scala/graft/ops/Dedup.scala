@@ -204,13 +204,32 @@ object Dedup {
       pairs: DataFrame,
       tok: DataFrame,
       idCol: String,
-      threshold: Double): DataFrame =
+      threshold: Double): DataFrame = {
+    // Sort ONCE at the doc-sized token table; the per-pair verify is then
+    // the codegen'd two-pointer distinct-intersection count
+    // ([[graft.functions.SortedIntersectCount]]) plus |A∪B| = |A|+|B|−i —
+    // no per-pair array allocation. Value-identical to the portable
+    // array_intersect/array_union form (FunctionsSpec-pinned): the token
+    // arrays are distinct sets, so the counts agree and so does the
+    // rounded division the oracle replays.
+    val sorted = tok.select(col(idCol), sort_array(col("toks")).as("toks"))
     pairs
-      .join(tok.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
-      .join(tok.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")
-      .withColumn("jac", round(jaccard(col("toks_a"), col("toks_b")), 4))
+      .join(sorted.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(sorted.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")
+      .withColumn("_i", sortedIntersectCount(col("toks_a"), col("toks_b")).cast("double"))
+      .withColumn("jac", round(
+        col("_i") / (size(col("toks_a")) + size(col("toks_b")) - col("_i")), 4))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
+  }
+
+  /** Codegen'd distinct-intersection count over two SORTED string arrays
+    * ([[graft.functions.SortedIntersectCount]]). */
+  def sortedIntersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnExpr
+    ColumnExpr.column(graft.functions.SortedIntersectCount(
+      ColumnExpr.expr(a), ColumnExpr.expr(b)))
+  }
 
   /** Fuzzy decontamination: per TRAINING document, the maximum verified
     * n-gram Jaccard against any BENCHMARK document that shares a MinHash
@@ -250,7 +269,7 @@ object Dedup {
     // the Jaccard values
     def sided(df: DataFrame, side: String) =
       df.select(col(idCol), lit(side).as("side"),
-        array_distinct(split(lower(col(textCol)), " ")).as("toks"))
+        sort_array(array_distinct(split(lower(col(textCol)), " "))).as("toks"))
     val tok = Materialize.index(
       sided(train, "t").unionByName(sided(bench, "b")), "decon-toks")
     val cand = banded(train, "tid")
@@ -261,8 +280,13 @@ object Dedup {
         .select(col(idCol).as("tid"), col("toks").as("toks_t")), "tid")
       .join(tok.filter(col("side") === "b")
         .select(col(idCol).as("bid"), col("toks").as("toks_b")), "bid")
+      // per-candidate verify via the codegen'd sorted-merge count (the
+      // token table is sorted at build, |A∪B| = |A|+|B|−i)
+      .withColumn("_i", sortedIntersectCount(col("toks_t"), col("toks_b")).cast("double"))
+      .withColumn("_jac", round(
+        col("_i") / (size(col("toks_t")) + size(col("toks_b")) - col("_i")), 4))
       .groupBy("tid")
-      .agg(max(round(jaccard(col("toks_t"), col("toks_b")), 4)).as("max_jac"))
+      .agg(max(col("_jac")).as("max_jac"))
     train.select(col(idCol))
       .join(jac.withColumnRenamed("tid", idCol), Seq(idCol), "left")
       .withColumn("max_jac", coalesce(col("max_jac"), lit(0.0)))

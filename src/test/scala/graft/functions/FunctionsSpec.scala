@@ -104,6 +104,32 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     r.getInt(2) shouldBe 1
   }
 
+  test("sorted_intersect_count ≡ size(array_intersect) on random sets, incl. duplicates") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 60L).map { i =>
+      def arr() = Seq.fill(rnd.nextInt(40))(s"t${rnd.nextInt(30)}")
+      Row(i, arr(), arr())
+    }
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("a", ArrayType(StringType)), StructField("b", ArrayType(StringType))))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val both = df.select(
+      graft.ops.Dedup.sortedIntersectCount(
+        sort_array(col("a")), sort_array(col("b"))).as("fast"),
+      org.apache.spark.sql.functions.size(
+        array_intersect(col("a"), col("b"))).as("portable"))
+    both.collect().foreach { r =>
+      r.getInt(0) shouldBe r.getInt(1)
+    }
+    // two instances in ONE projection must not collide in codegen
+    // (the round-10 freshName lesson)
+    df.select(
+      graft.ops.Dedup.sortedIntersectCount(sort_array(col("a")), sort_array(col("b"))).as("x"),
+      graft.ops.Dedup.sortedIntersectCount(sort_array(col("b")), sort_array(col("a"))).as("y"))
+      .collect().foreach(r => r.getInt(0) shouldBe r.getInt(1))
+  }
+
   test("codegen path actually compiles (no fallback to interpreted)") {
     // force a plan through codegen and check it returns; a doGenCode bug
     // would surface as a janino compile error here
