@@ -1240,12 +1240,16 @@ object PipelineQueries {
     * the single quality number and candidates-per-verified the cost
     * ratio. */
   def lshBandSweep(s: SparkSession, dir: String): DataFrame = {
-    // deterministic md5-keyed 1/4 sample — the production semantics: the
-    // s-curve is measured on a sample BEFORE the corpus-wide job, so the
-    // sweep's cost is sample-sized however large the corpus
-    val docs = graft.ops.Materialize.spread(
-      t(s, dir, "documents").filter(
-        expr("instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1 < 4")))
+    // Full-corpus sweep: the signature index, gram sets and (critically)
+    // the exact all-pairs truth are then PLAN-IDENTICAL to what
+    // dedup_ngram_jaccard / dedup_allpairs / dedup_recall build, so in
+    // any battery they come from the content-addressed cache and the
+    // sweep pays only its three candidate joins + verifies (a sampled
+    // variant measured SLOWER in-battery: a 1/4 sample halves the truth
+    // cost but forfeits the share entirely). At 100 TB the sweep runs on
+    // a sample by the same mechanism — point it at the sampled corpus
+    // version whose truth index the recall eval already built.
+    val docs = graft.ops.Materialize.spread(t(s, dir, "documents"))
     val grams = docs.select(
       col("doc_id"),
       array_distinct(Dedup.shingles("text", 2)).as("grams"))
@@ -3855,9 +3859,7 @@ object PipelineQueries {
         |  ((2 * CAST(count(*) AS BIGINT) * 10000 + t) // (2 * t)) / 10000.0 AS coverage
         |FROM fm, tot GROUP BY key, t ORDER BY key""".stripMargin,
     "lsh_band_sweep" ->
-      s"""WITH ${duckNgramPairCtesFrom(
-        "(SELECT * FROM documents WHERE instr('0123456789abcdef', " +
-          "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 4)")},
+      s"""WITH $duckNgramPairCtes,
          |tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM g a JOIN g b ON a.doc_id < b.doc_id
          |  WHERE round(len(list_intersect(a.grams, b.grams)) /
