@@ -1471,7 +1471,11 @@ object PipelineQueries {
     val copies = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(lit("zzzz"), expr("substring(text, 5)")).as("text"))
-    val corpus = docs.select("doc_id", "text").unionByName(copies)
+    // materialized under the SAME tag/plan as pipeline_asset_manifest's
+    // corpus, so the downstream fingerprint index is content-cache-shared
+    // between the two queries in a battery
+    val corpus = graft.ops.Materialize.index(
+      docs.select("doc_id", "text").unionByName(copies), "asset-corpus")
     val assets = graft.ops.Multimodal.assetsFromText(corpus, "doc_id", "text")
     graft.ops.Multimodal.phashPairs(assets)
       .orderBy("id_a", "id_b")
@@ -1565,6 +1569,42 @@ object PipelineQueries {
         |            cast(NULL AS string)) AS value)
         |), e -> e.value IS NOT NULL))""".stripMargin))
     graft.ops.Curation.fmDriftCensus(fm).orderBy("key")
+  }
+
+  /** Composed multimodal curation — the asset-side flagship (the
+    * [[pipelinePrepareTraining]] shape applied to binary payloads):
+    * re-ingested copies planted, perceptual near-dup pairs
+    * ([[graft.ops.Multimodal.phashPairs]]) closed into clusters
+    * ([[graft.ops.Cluster.dupClusters]], min-id keeper), non-keepers
+    * dropped, typed-meta gate (width ≥ 100 — no payload touched), caption
+    * join + token-count gate, emitting the training manifest. One corpus
+    * materialization feeds both the fingerprint lineage and the caption
+    * side; everything downstream of the pair step is keeper-sized. */
+  def pipelineAssetManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = td(s, dir)
+    val copies = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("zzzz"), expr("substring(text, 5)")).as("text"))
+    val corpus = graft.ops.Materialize.index(
+      docs.select("doc_id", "text").unionByName(copies), "asset-corpus")
+    val assets = graft.ops.Multimodal.assetsFromText(corpus, "doc_id", "text")
+    val pairs = graft.ops.Multimodal.phashPairs(assets).select("id_a", "id_b")
+    val drops = graft.ops.Cluster.dupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as("asset_id"))
+    val captions = corpus.select(col("doc_id").as("asset_id"),
+      expr("array_join(slice(split(text, ' '), 1, 10), ' ')").as("caption"))
+    assets
+      .join(drops, Seq("asset_id"), "left_anti")
+      .filter(col("meta.width") >= 100)
+      .select(col("asset_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("meta.n_bytes").as("n_bytes"))
+      .join(captions, "asset_id")
+      .withColumn("caption_tokens", size(split(col("caption"), " ")).cast("long"))
+      .filter(col("caption_tokens") >= 5)
+      .select(col("asset_id"), col("width"), col("height"), col("n_bytes"),
+        col("caption_tokens"), md5(col("caption")).as("caption_md5"))
+      .orderBy("asset_id")
   }
 
   /** Exact-substring novelty dedup ([[graft.ops.Dedup.substringNovelty]]):
@@ -2670,6 +2710,7 @@ object PipelineQueries {
     "embed_mrl_distortion" -> (embedMrlDistortion _),
     "lsh_band_sweep" -> (lshBandSweep _),
     "fm_drift_census" -> (fmDriftCensus _),
+    "pipeline_asset_manifest" -> (pipelineAssetManifest _),
     "skew_salted_join" -> (skewSaltedJoin _),
     "skew_histogram" -> (skewHistogram _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
@@ -2739,6 +2780,35 @@ object PipelineQueries {
     * assignment (recursive reachability closure + min per node), shared by
     * the cluster oracle and the composed-pipeline oracle. Callers must
     * open with WITH RECURSIVE. */
+
+  /** Shared phash CTE chain over a `corpus(doc_id, text)` CTE: aHash
+    * fingerprints (integer-only bit rule, construct-matching
+    * [[graft.ops.Multimodal.perceptualHash]]) and brute-force all-pairs
+    * hamming, yielding `php(id_a, id_b, hd)` with hd <= 2. */
+  private lazy val duckPhashPairCtes: String =
+    """a AS (SELECT doc_id AS id, text AS s,
+      |    CAST(length(text) AS BIGINT) AS L FROM corpus),
+      |c AS (SELECT id, L,
+      |    list_transform(range(1, CAST(L AS INT) + 1),
+      |      i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+      |  FROM a),
+      |f AS (SELECT id, array_to_string(list_transform(range(0, 64),
+      |    b -> CASE WHEN
+      |      CAST(coalesce(list_sum(list_slice(codes,
+      |        CAST(b * L // 64 AS INT) + 1,
+      |        CAST((b + 1) * L // 64 AS INT))), 0) AS BIGINT) * L >
+      |      CAST(list_sum(codes) AS BIGINT) * ((b + 1) * L // 64 - b * L // 64)
+      |      THEN '1' ELSE '0' END), '') AS fp
+      |  FROM c),
+      |php AS (SELECT id_a, id_b, hd FROM (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      i -> CASE WHEN substr(a.fp, CAST(i AS INT), 1)
+      |                   = substr(b.fp, CAST(i AS INT), 1)
+      |           THEN 0 ELSE 1 END)) AS BIGINT) AS hd
+      |  FROM f a JOIN f b ON a.id < b.id)
+      |WHERE hd <= 2)""".stripMargin
+
   private lazy val duckClusterCtes: String =
     s"""$duckMinhashPairCtes,
        |edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
@@ -3858,6 +3928,34 @@ object PipelineQueries {
         |    = count(*) AS all_numeric,
         |  ((2 * CAST(count(*) AS BIGINT) * 10000 + t) // (2 * t)) / 10000.0 AS coverage
         |FROM fm, tot GROUP BY key, t ORDER BY key""".stripMargin,
+    "pipeline_asset_manifest" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 'zzzz' || substr(text, 5)
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |$duckPhashPairCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM php
+         |          UNION ALL SELECT id_b, id_a FROM php),
+         |reach(node, r) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
+         |comp AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node),
+         |drops AS (SELECT node FROM comp WHERE node <> cluster),
+         |meta AS (SELECT doc_id AS asset_id,
+         |    CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+         |    CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+         |    CAST(length(text) AS BIGINT) AS n_bytes,
+         |    array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ') AS caption
+         |  FROM corpus)
+         |SELECT asset_id, width, height, n_bytes,
+         |  CAST(len(string_split(caption, ' ')) AS BIGINT) AS caption_tokens,
+         |  md5(caption) AS caption_md5
+         |FROM meta
+         |WHERE asset_id NOT IN (SELECT node FROM drops)
+         |  AND width >= 100 AND len(string_split(caption, ' ')) >= 5
+         |ORDER BY asset_id""".stripMargin,
     "lsh_band_sweep" ->
       s"""WITH $duckNgramPairCtes,
          |tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -4362,33 +4460,13 @@ object PipelineQueries {
     // mirroring the 3-block candidate scheme, so a candidate key that
     // ever missed a true <=2 pair would hash-mismatch here.
     "multimodal_phash_dedup" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, 'zzzz' || substr(text, 5)
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |a AS (SELECT doc_id AS id, text AS s,
-        |    CAST(length(text) AS BIGINT) AS L FROM corpus),
-        |c AS (SELECT id, L,
-        |    list_transform(range(1, CAST(L AS INT) + 1),
-        |      i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT)) AS codes
-        |  FROM a),
-        |f AS (SELECT id, array_to_string(list_transform(range(0, 64),
-        |    b -> CASE WHEN
-        |      CAST(coalesce(list_sum(list_slice(codes,
-        |        CAST(b * L // 64 AS INT) + 1,
-        |        CAST((b + 1) * L // 64 AS INT))), 0) AS BIGINT) * L >
-        |      CAST(list_sum(codes) AS BIGINT) * ((b + 1) * L // 64 - b * L // 64)
-        |      THEN '1' ELSE '0' END), '') AS fp
-        |  FROM c)
-        |SELECT id_a, id_b, hd FROM (
-        |  SELECT a.id AS id_a, b.id AS id_b,
-        |    CAST(list_sum(list_transform(range(1, 65),
-        |      i -> CASE WHEN substr(a.fp, CAST(i AS INT), 1)
-        |                   = substr(b.fp, CAST(i AS INT), 1)
-        |           THEN 0 ELSE 1 END)) AS BIGINT) AS hd
-        |  FROM f a JOIN f b ON a.id < b.id)
-        |WHERE hd <= 2 ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 'zzzz' || substr(text, 5)
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |$duckPhashPairCtes
+         |SELECT id_a, id_b, hd FROM php ORDER BY id_a, id_b""".stripMargin,
     "multimodal_caption_join" ->
       // mirrors assetsFromText's meta formulas ((id % 640)+1 width,
       // (id % 480)+1 height, byte length) and the 10-word caption cut
