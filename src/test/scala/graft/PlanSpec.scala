@@ -366,6 +366,14 @@ class PlanSpec extends AnyFunSuite with Matchers {
     assetScans.foreach(_.schema.fieldNames should not contain "content")
   }
 
+  test("asset manifest: no cartesian products; keeper/caption joins all keyed") {
+    val df = PipelineQueries.pipelineAssetManifest(spark, dir)
+    val exec = { df.collect(); df.queryExecution.executedPlan }
+    val p = exec.toString
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("gate agreement fuses both gates into one scan, zero joins") {
     val df = PipelineQueries.evalGateAgreement(spark, dir)
     val exec = { df.collect(); df.queryExecution.executedPlan }
