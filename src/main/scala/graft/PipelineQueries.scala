@@ -1573,8 +1573,9 @@ object PipelineQueries {
 
   /** Composed multimodal curation — the asset-side flagship (the
     * [[pipelinePrepareTraining]] shape applied to binary payloads):
-    * re-ingested copies planted, perceptual near-dup pairs
-    * ([[graft.ops.Multimodal.phashPairs]]) closed into clusters
+    * re-ingested copies planted, perceptual near-dup pairs from BOTH
+    * fingerprint families ([[graft.ops.Multimodal.phashPairs]] aHash ∪
+    * [[graft.ops.Multimodal.dhashPairs]] gradient dHash) closed into clusters
     * ([[graft.ops.Cluster.dupClusters]], min-id keeper), non-keepers
     * dropped, typed-meta gate (width ≥ 100 — no payload touched), caption
     * join + token-count gate, emitting the training manifest. One corpus
@@ -1588,7 +1589,13 @@ object PipelineQueries {
     val corpus = graft.ops.Materialize.index(
       docs.select("doc_id", "text").unionByName(copies), "asset-corpus")
     val assets = graft.ops.Multimodal.assetsFromText(corpus, "doc_id", "text")
+    // BOTH perceptual families vote: aHash (brightness-mean) ∪ dHash
+    // (adjacent-block gradient) — each catches re-encodes the other
+    // misses; distinct'd because a 4-byte edit usually lands within both
+    // hamming balls and the closure must not count edges twice
     val pairs = graft.ops.Multimodal.phashPairs(assets).select("id_a", "id_b")
+      .unionByName(graft.ops.Multimodal.dhashPairs(assets).select("id_a", "id_b"))
+      .distinct()
     val drops = graft.ops.Cluster.dupClusters(pairs)
       .filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id").as("asset_id"))
@@ -1604,6 +1611,110 @@ object PipelineQueries {
       .filter(col("caption_tokens") >= 5)
       .select(col("asset_id"), col("width"), col("height"), col("n_bytes"),
         col("caption_tokens"), md5(col("caption")).as("caption_md5"))
+      .orderBy("asset_id")
+  }
+
+  /** Gradient perceptual near-dup ([[graft.ops.Multimodal.dhashPairs]]):
+    * the dHash adjacent-block-gradient fingerprint beside
+    * [[multimodalPhashDedup]]'s brightness-mean aHash, over the SAME
+    * planted re-ingested copies and the same Manku block-key machinery.
+    * The oracle is brute-force all-pairs over the identical gradient
+    * bit rule, so a candidate key that ever missed a true ≤2 pair
+    * hash-mismatches. */
+  def multimodalDhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = td(s, dir)
+    val copies = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("zzzz"), expr("substring(text, 5)")).as("text"))
+    // same tag/plan as the aHash query and the manifest flagship — one
+    // corpus materialization feeds all three in a battery
+    val corpus = graft.ops.Materialize.index(
+      docs.select("doc_id", "text").unionByName(copies), "asset-corpus")
+    val assets = graft.ops.Multimodal.assetsFromText(corpus, "doc_id", "text")
+    graft.ops.Multimodal.dhashPairs(assets)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** INCREMENTAL asset-manifest maintenance — the nightly-delta form of
+    * [[pipelineAssetManifest]]: the corpus splits into a standing BASE
+    * (its pair graph already closed into a materialized assignment) and
+    * a DELTA batch; only the delta's payloads are fingerprinted, delta
+    * edges come from the cross-set block probes
+    * ([[graft.ops.Multimodal.phashPairsDelta]] ∪ dhashPairsDelta), the
+    * assignment folds forward via [[graft.ops.Cluster.mergeClusters]]
+    * (closure sized by the DELTA, never the corpus), and the manifest
+    * re-emits. The oracle is the FULL recompute — identical SQL to
+    * `pipeline_asset_manifest` — so any divergence between incremental
+    * and from-scratch maintenance hash-mismatches (merge ≡ recompute is
+    * additionally property-pinned over random splits in RoundElevenProps). */
+  def pipelineAssetManifestIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = td(s, dir)
+    val copies = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("zzzz"), expr("substring(text, 5)")).as("text"))
+    val corpus = graft.ops.Materialize.index(
+      docs.select("doc_id", "text").unionByName(copies), "asset-corpus")
+    // deterministic ~1/7 delta batch; copies split by their own ids, so
+    // a copy can land in the delta while its original sits in the base —
+    // exactly the cross-set edge the block probe exists for
+    val base = corpus.filter(col("doc_id") % 7 =!= 3)
+    val delta = corpus.filter(col("doc_id") % 7 === 3)
+    val baseAssets = graft.ops.Multimodal.assetsFromText(base, "doc_id", "text")
+    val deltaAssets = graft.ops.Multimodal.assetsFromText(delta, "doc_id", "text")
+    // the standing state a production lake materializes nightly
+    val basePairs = graft.ops.Multimodal.phashPairs(baseAssets).select("id_a", "id_b")
+      .unionByName(graft.ops.Multimodal.dhashPairs(baseAssets).select("id_a", "id_b"))
+      .distinct()
+    val baseComp = graft.ops.Materialize.index(
+      graft.ops.Cluster.dupClusters(basePairs).select("doc_id", "cluster"),
+      "manifest-base-comp")
+    val deltaPairs = graft.ops.Multimodal
+      .phashPairsDelta(deltaAssets, baseAssets).select("id_a", "id_b")
+      .unionByName(graft.ops.Multimodal
+        .dhashPairsDelta(deltaAssets, baseAssets).select("id_a", "id_b"))
+      .distinct()
+    val merged = graft.ops.Cluster.mergeClusters(baseComp, deltaPairs)
+    val drops = merged.filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as("asset_id"))
+    val assets = graft.ops.Multimodal.assetsFromText(corpus, "doc_id", "text")
+    val captions = corpus.select(col("doc_id").as("asset_id"),
+      expr("array_join(slice(split(text, ' '), 1, 10), ' ')").as("caption"))
+    assets
+      .join(drops, Seq("asset_id"), "left_anti")
+      .filter(col("meta.width") >= 100)
+      .select(col("asset_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("meta.n_bytes").as("n_bytes"))
+      .join(captions, "asset_id")
+      .withColumn("caption_tokens", size(split(col("caption"), " ")).cast("long"))
+      .filter(col("caption_tokens") >= 5)
+      .select(col("asset_id"), col("width"), col("height"), col("n_bytes"),
+        col("caption_tokens"), md5(col("caption")).as("caption_md5"))
+      .orderBy("asset_id")
+  }
+
+  /** Cross-modal MISMATCH gate — the curation check the caption join
+    * enables: flag assets whose caption disagrees with their content.
+    * The content-side token profile is read from the DECODED binary
+    * payload (the stub decode seam; a real deployment substitutes
+    * caption-model/CLIP agreement here — the gate's plumbing and the
+    * fixed-point scoring stay identical), the caption-side profile from
+    * the caption string; agreement = caption-token containment in the
+    * content profile, computed in 4-dp fixed-point integers
+    * (`(2i·10⁴ + n) div (2n)`, positive regime) so the flag cannot fork
+    * on a rounding half. Planted mismatches: every 13th asset's caption
+    * is character-reversed (its tokens vanish from the content profile,
+    * containment ≈ 0 vs exactly 1.0 for honest captions). Scored like
+    * `lang_mismatch` grounds lang metadata — this grounds caption
+    * quality for the asset manifest. */
+  def multimodalMismatch(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val assets = graft.ops.Multimodal.assetsFromText(docs, "doc_id", "text")
+    val captions = docs.select(col("doc_id").as("asset_id"),
+      expr("""IF(doc_id % 13 = 0,
+             |   reverse(array_join(slice(split(text, ' '), 1, 10), ' ')),
+             |   array_join(slice(split(text, ' '), 1, 10), ' '))""".stripMargin)
+        .as("caption"))
+    graft.ops.Multimodal.captionAgreement(assets, captions)
       .orderBy("asset_id")
   }
 
@@ -2711,6 +2822,9 @@ object PipelineQueries {
     "lsh_band_sweep" -> (lshBandSweep _),
     "fm_drift_census" -> (fmDriftCensus _),
     "pipeline_asset_manifest" -> (pipelineAssetManifest _),
+    "multimodal_dhash_dedup" -> (multimodalDhashDedup _),
+    "pipeline_asset_manifest_incremental" -> (pipelineAssetManifestIncremental _),
+    "multimodal_mismatch" -> (multimodalMismatch _),
     "skew_salted_join" -> (skewSaltedJoin _),
     "skew_histogram" -> (skewHistogram _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
@@ -2746,14 +2860,14 @@ object PipelineQueries {
     * ngram-jaccard oracle and the dedup-recall oracle's approximate
     * side. Also defines `g` (doc_id, grams as md5-16 prefixes), the
     * similarity domain the recall oracle's brute-force truth reuses. */
-  private lazy val duckNgramPairCtes: String = duckNgramPairCtesFrom("documents")
-
-  /** [[duckNgramPairCtes]] over an arbitrary source relation — the
-    * banding-sweep oracle runs the same chain over a deterministic
-    * md5-keyed sample. */
-  private def duckNgramPairCtesFrom(src: String): String =
+  // Full corpus, matching lshBandSweep: the sweep runs the SAME chain as
+  // the dedup queries so its index-cache entries are plan-identical and
+  // shared (a sampled variant measured slower in-battery by forfeiting
+  // the share — the sampling happens at 100 TB by pointing the sweep at
+  // an already-sampled corpus, not here).
+  private lazy val duckNgramPairCtes: String =
     s"""graw AS (SELECT doc_id, list_distinct(${duckShingles(2)}) AS grams
-       |FROM $src),
+       |FROM documents),
        |g AS (SELECT doc_id,
        |  list_transform(grams, x -> substr(md5(x), 1, 16)) AS grams FROM graw),
        |sig AS (SELECT doc_id,
@@ -2808,6 +2922,77 @@ object PipelineQueries {
       |           THEN 0 ELSE 1 END)) AS BIGINT) AS hd
       |  FROM f a JOIN f b ON a.id < b.id)
       |WHERE hd <= 2)""".stripMargin
+
+  /** The dHash sibling of [[duckPhashPairCtes]], over the same
+    * `corpus(doc_id, text)` CTE: 65-block adjacent-gradient fingerprints
+    * (integer-only bit rule s_b·l_{b+1} > s_{b+1}·l_b, slice partition ≡
+    * [[graft.ops.Multimodal.dhash]]'s closed form) and brute-force
+    * all-pairs hamming, yielding `dhp(id_a, id_b, hd)` with hd <= 2.
+    * CTE names are disjoint from the aHash chain so both can ride one
+    * WITH clause for the union'd manifest closure. */
+  private lazy val duckDhashPairCtes: String =
+    """da AS (SELECT doc_id AS id, text AS s,
+      |    CAST(length(text) AS BIGINT) AS L FROM corpus),
+      |dc AS (SELECT id, L,
+      |    list_transform(range(1, CAST(L AS INT) + 1),
+      |      i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+      |  FROM da),
+      |df AS (SELECT id, array_to_string(list_transform(range(0, 64),
+      |    b -> CASE WHEN
+      |      CAST(coalesce(list_sum(list_slice(codes,
+      |        CAST(b * L // 65 AS INT) + 1,
+      |        CAST((b + 1) * L // 65 AS INT))), 0) AS BIGINT) *
+      |      CAST((b + 2) * L // 65 - (b + 1) * L // 65 AS BIGINT) >
+      |      CAST(coalesce(list_sum(list_slice(codes,
+      |        CAST((b + 1) * L // 65 AS INT) + 1,
+      |        CAST((b + 2) * L // 65 AS INT))), 0) AS BIGINT) *
+      |      CAST((b + 1) * L // 65 - b * L // 65 AS BIGINT)
+      |      THEN '1' ELSE '0' END), '') AS fp
+      |  FROM dc),
+      |dhp AS (SELECT id_a, id_b, hd FROM (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      i -> CASE WHEN substr(a.fp, CAST(i AS INT), 1)
+      |                   = substr(b.fp, CAST(i AS INT), 1)
+      |           THEN 0 ELSE 1 END)) AS BIGINT) AS hd
+      |  FROM df a JOIN df b ON a.id < b.id)
+      |WHERE hd <= 2)""".stripMargin
+
+  /** Full-recompute asset-manifest oracle (aHash ∪ dHash pair closure
+    * + meta/caption gates) — shared VERBATIM by `pipeline_asset_manifest`
+    * and `pipeline_asset_manifest_incremental`: incremental maintenance
+    * is correct exactly when it is indistinguishable from this. */
+  private lazy val duckAssetManifestSql: String =
+    s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 'zzzz' || substr(text, 5)
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |$duckPhashPairCtes,
+         |$duckDhashPairCtes,
+         |ppairs AS (SELECT DISTINCT id_a, id_b FROM (
+         |  SELECT id_a, id_b FROM php UNION ALL SELECT id_a, id_b FROM dhp)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM ppairs
+         |          UNION ALL SELECT id_b, id_a FROM ppairs),
+         |reach(node, r) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
+         |comp AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node),
+         |drops AS (SELECT node FROM comp WHERE node <> cluster),
+         |meta AS (SELECT doc_id AS asset_id,
+         |    CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+         |    CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+         |    CAST(length(text) AS BIGINT) AS n_bytes,
+         |    array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ') AS caption
+         |  FROM corpus)
+         |SELECT asset_id, width, height, n_bytes,
+         |  CAST(len(string_split(caption, ' ')) AS BIGINT) AS caption_tokens,
+         |  md5(caption) AS caption_md5
+         |FROM meta
+         |WHERE asset_id NOT IN (SELECT node FROM drops)
+         |  AND width >= 100 AND len(string_split(caption, ' ')) >= 5
+         |ORDER BY asset_id""".stripMargin
 
   private lazy val duckClusterCtes: String =
     s"""$duckMinhashPairCtes,
@@ -3928,34 +4113,10 @@ object PipelineQueries {
         |    = count(*) AS all_numeric,
         |  ((2 * CAST(count(*) AS BIGINT) * 10000 + t) // (2 * t)) / 10000.0 AS coverage
         |FROM fm, tot GROUP BY key, t ORDER BY key""".stripMargin,
-    "pipeline_asset_manifest" ->
-      s"""WITH RECURSIVE corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, 'zzzz' || substr(text, 5)
-         |  FROM documents WHERE doc_id % 10 = 0),
-         |$duckPhashPairCtes,
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM php
-         |          UNION ALL SELECT id_b, id_a FROM php),
-         |reach(node, r) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
-         |comp AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node),
-         |drops AS (SELECT node FROM comp WHERE node <> cluster),
-         |meta AS (SELECT doc_id AS asset_id,
-         |    CAST(doc_id % 640 + 1 AS INTEGER) AS width,
-         |    CAST(doc_id % 480 + 1 AS INTEGER) AS height,
-         |    CAST(length(text) AS BIGINT) AS n_bytes,
-         |    array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ') AS caption
-         |  FROM corpus)
-         |SELECT asset_id, width, height, n_bytes,
-         |  CAST(len(string_split(caption, ' ')) AS BIGINT) AS caption_tokens,
-         |  md5(caption) AS caption_md5
-         |FROM meta
-         |WHERE asset_id NOT IN (SELECT node FROM drops)
-         |  AND width >= 100 AND len(string_split(caption, ' ')) >= 5
-         |ORDER BY asset_id""".stripMargin,
+    "pipeline_asset_manifest" -> duckAssetManifestSql,
+    // incremental maintenance must be INDISTINGUISHABLE from a full
+    // recompute — same oracle, verbatim
+    "pipeline_asset_manifest_incremental" -> duckAssetManifestSql,
     "lsh_band_sweep" ->
       s"""WITH $duckNgramPairCtes,
          |tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -4467,6 +4628,35 @@ object PipelineQueries {
          |  FROM documents WHERE doc_id % 10 = 0),
          |$duckPhashPairCtes
          |SELECT id_a, id_b, hd FROM php ORDER BY id_a, id_b""".stripMargin,
+    // Brute-force all-pairs over the SAME integer-only dHash gradient
+    // rule (block sum · next block len > next block sum · block len) —
+    // the candidate-free truth for the gradient family
+    "multimodal_dhash_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 'zzzz' || substr(text, 5)
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |$duckDhashPairCtes
+         |SELECT id_a, id_b, hd FROM dhp ORDER BY id_a, id_b""".stripMargin,
+    // Caption-containment agreement in 4-dp fixed point; the planted
+    // every-13th reversed caption mirrors the Spark side verbatim
+    "multimodal_mismatch" ->
+      """WITH caps AS (SELECT doc_id AS asset_id,
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN reverse(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' '))
+        |      ELSE array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
+        |    END AS caption FROM documents),
+        |prof AS (SELECT doc_id AS asset_id,
+        |    list_distinct(string_split(text, ' ')) AS ctoks FROM documents),
+        |j AS (SELECT asset_id,
+        |    CAST(len(list_distinct(string_split(caption, ' '))) AS BIGINT) AS n,
+        |    CAST(len(list_intersect(list_distinct(string_split(caption, ' ')), ctoks)) AS BIGINT) AS i
+        |  FROM caps JOIN prof USING (asset_id))
+        |SELECT asset_id, n AS caption_tokens,
+        |  (2 * i * 10000 + n) // (2 * n) AS contain4,
+        |  ((2 * i * 10000 + n) // (2 * n)) < 9000 AS mismatch
+        |FROM j ORDER BY asset_id""".stripMargin,
     "multimodal_caption_join" ->
       // mirrors assetsFromText's meta formulas ((id % 640)+1 width,
       // (id % 480)+1 height, byte length) and the 10-word caption cut

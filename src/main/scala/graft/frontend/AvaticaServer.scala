@@ -70,6 +70,14 @@ class GraftAvaticaServer(
 
   private val mapper = new ObjectMapper()
 
+  // FAIR-scheduling precondition (ServingFairness: warn + metric once —
+  // the conf is static, so boot-time detection is all the product owns)
+  private val fairChecked = new java.util.concurrent.atomic.AtomicBoolean(false)
+  engine.foreach { s =>
+    fairChecked.set(true)
+    ServingFairness.ensureFair(s, "GraftAvaticaServer", metrics)
+  }
+
   private case class Conn(tenant: TenantSession)
 
   /** One statement's state: prepared SQL (for prepare/execute) and the
@@ -90,11 +98,24 @@ class GraftAvaticaServer(
     private var fetched = 0 // rows consumed off the iterator so far
     private var frame: Array[Row] = Array.empty // last served frame (replay)
     private var frameOffset = 0
+    // last OBSERVED hasNext=false — lets the replay path report `done`
+    // without touching the iterator (hasNext on a streaming cursor can
+    // submit a Spark partition pull, which must stay inside the gate)
+    private var exhausted = false
     var peakHeldRows = 0 // test observability: max rows buffered at once
 
     def reset(cols: Seq[StructField], src: () => Iterator[Row]): Unit = synchronized {
       columns = cols; source = src; iter = src()
-      fetched = 0; frame = Array.empty; frameOffset = 0
+      fetched = 0; frame = Array.empty; frameOffset = 0; exhausted = false
+    }
+
+    /** True when a fetch at `offset` will be served ENTIRELY from the
+      * kept frame — no iterator advance, no Spark work — so the wire
+      * layer can skip the tenant's statement permit for it. Racing a
+      * concurrent advance on the same statement is benign: frameAt is
+      * synchronized, and the worst case is one ungated buffer read. */
+    def servedFromBuffer(offset: Int): Boolean = synchronized {
+      offset >= frameOffset && offset < fetched
     }
 
     /** Serve the frame at `offset`. Offsets inside the kept frame replay
@@ -123,12 +144,18 @@ class GraftAvaticaServer(
         // serve an empty never-done frame (infinite client fetch loop)
         val end = math.min(frame.length.toLong, start.toLong + math.max(n, 0)).toInt
         val slice = frame.slice(start, end)
-        (slice, offset.toLong + slice.length >= fetched && !iter.hasNext)
+        // `exhausted` (last observed hasNext=false), NOT iter.hasNext: a
+        // replay must never pull on the streaming cursor. When the cursor
+        // sits at the end but exhaustion hasn't been observed yet, done
+        // stays false — legal (the client's next fetch lands at the
+        // cursor, runs gated, and returns the empty done=true frame).
+        (slice, offset.toLong + slice.length >= fetched && exhausted)
       } else {
         if (offset < frameOffset) {
           if (offset == 0) {
             // full reset: rerun the statement from the top
             iter = source(); fetched = 0; frame = Array.empty; frameOffset = 0
+            exhausted = false
           } else throw new IllegalStateException(
             s"cannot reposition to offset $offset: rows before $fetched were " +
               "served from a streaming cursor and re-execution does not " +
@@ -147,7 +174,8 @@ class GraftAvaticaServer(
         while (k < n && iter.hasNext) { buf += iter.next(); k += 1 }
         frame = buf.result(); frameOffset = at; fetched += frame.length
         peakHeldRows = math.max(peakHeldRows, frame.length)
-        (frame, !iter.hasNext)
+        exhausted = !iter.hasNext
+        (frame, exhausted)
       }
     }
 
@@ -155,8 +183,12 @@ class GraftAvaticaServer(
       // consistent with frameAt: an offset in (0, frameOffset) would be
       // REFUSED there (backward reposition past the kept frame), so
       // syncResults must not advertise it as resumable — the client's
-      // recovery is reset-to-0 or replay of the held frame
-      (offset == 0 || offset >= frameOffset) && (offset < fetched || iter.hasNext)
+      // recovery is reset-to-0 or replay of the held frame. Uses the
+      // observed-exhaustion flag, not iter.hasNext, so syncResults is a
+      // pure buffer read (no Spark pull) and legitimately runs ungated;
+      // an unobserved end answers true and the client's next fetch
+      // returns the empty done=true frame.
+      (offset == 0 || offset >= frameOffset) && (offset < fetched || !exhausted)
     }
   }
 
@@ -198,10 +230,19 @@ class GraftAvaticaServer(
       // semantics, two encodings.
       val proto = Option(ex.getRequestHeaders.getFirst("Content-Type"))
         .exists(_.toLowerCase.contains("protobuf"))
-      def errorJson(e: Exception): String =
+      def errorJson(e: Exception): String = {
+        // Clamp timeouts are admission-control rejections, not execution
+        // failures: SQLSTATE 53300 (insufficient resources / too many
+        // statements) tells the client "back off and retry", while
+        // everything else keeps the generic non-retryable shape.
+        val (code, state) = e match {
+          case _: StatementClampTimeout => (53300, "53300")
+          case _                        => (-1, "00000")
+        }
         s"""{"response":"error","errorMessage":${JsonCodec.jstr(
           Option(e.getMessage).getOrElse(e.getClass.getName))},""" +
-          """"errorCode":-1,"sqlState":"00000","severity":"ERROR"}"""
+          s""""errorCode":$code,"sqlState":"$state","severity":"ERROR"}"""
+      }
       val reqBytes = ex.getRequestBody.readAllBytes()
       val (status, bytes) =
         if (proto) {
@@ -264,8 +305,13 @@ class GraftAvaticaServer(
       if (v > 0) math.min(v, serverMaxRows.toLong).toInt else serverMaxRows
     }
     val rpcName = req.get("request").asText()
-    metrics.inc(s"avatica.requests.$rpcName")
-    metrics.time(s"avatica.rpc.$rpcName") { rpcName match {
+    // Metric names come from the KNOWN RPC set only — rpcName is a raw
+    // client-supplied string, and counting it verbatim would let an
+    // untrusted client grow the counter map without bound (one counter
+    // per invented name). Unknown names share one `unknown` bucket.
+    val metricRpc = if (GraftAvaticaServer.knownRpcs(rpcName)) rpcName else "unknown"
+    metrics.inc(s"avatica.requests.$metricRpc")
+    metrics.time(s"avatica.rpc.$metricRpc") { rpcName match {
       case "openConnection" =>
         val info = Option(req.get("info"))
         val key = info.flatMap(i =>
@@ -273,7 +319,10 @@ class GraftAvaticaServer(
           .map(_.asText()).filter(_.nonEmpty)
           .getOrElse(throw new SecurityException(
             "connection info must carry the tenant api key"))
-        conns.put(cid, Conn(sessionFor(key))) // SecurityException if unknown
+        val tenant = sessionFor(key) // SecurityException if unknown
+        if (fairChecked.compareAndSet(false, true))
+          ServingFairness.ensureFair(tenant.spark, "GraftAvaticaServer", metrics)
+        conns.put(cid, Conn(tenant))
         """{"response":"openConnection"}"""
       case "connectionSync" =>
         connOf(cid)
@@ -333,10 +382,15 @@ class GraftAvaticaServer(
         val offset = Option(req.get("offset")).map(_.asInt()).getOrElse(0)
         val n = Option(req.get("fetchMaxRowCount")).map(_.asInt())
           .filter(_ > 0).getOrElse(defaultFrameRows)
-        // the streaming cursor's partition pulls submit Spark jobs — run
-        // them under the tenant's pool too, so pagination of a big result
-        // can't jump the fair-share queue
-        val frame = conn.tenant.runGated(frameJson(st, offset, n))
+        // The streaming cursor's partition pulls submit Spark jobs — run
+        // them under the tenant's pool + permit, so pagination of a big
+        // result can't jump the fair-share queue. But a frame served
+        // ENTIRELY from the kept buffer does zero Spark work, so it skips
+        // the permit: paging already-delivered rows must not stall (or
+        // 500) behind the tenant's own long-running executes.
+        val frame =
+          if (st.servedFromBuffer(offset)) frameJson(st, offset, n)
+          else conn.tenant.runGated(frameJson(st, offset, n))
         s"""{"response":"fetch","connectionId":${JsonCodec.jstr(cid)},""" +
           s""""statementId":$sid,"frame":$frame}"""
       case "syncResults" =>
@@ -592,4 +646,16 @@ class GraftAvaticaServer(
     case DateType => (java.sql.Types.DATE, "DATE")
     case _ => (java.sql.Types.JAVA_OBJECT, dt.sql)
   }
+}
+
+object GraftAvaticaServer {
+  /** The complete RPC surface `handle` dispatches on — the allowlist for
+    * per-RPC metric names (anything else counts as `unknown`). */
+  private[frontend] val knownRpcs: Set[String] = Set(
+    "openConnection", "connectionSync", "closeConnection",
+    "createStatement", "closeStatement", "prepareAndExecute", "prepare",
+    "execute", "fetch", "syncResults", "commit", "rollback",
+    "schemas", "getSchemas", "tables", "getTables",
+    "columns", "getColumns", "tableTypes", "getTableTypes",
+    "typeInfo", "getTypeInfo", "catalogs", "getCatalogs")
 }

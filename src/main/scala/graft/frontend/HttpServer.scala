@@ -49,6 +49,22 @@ class GraftHttpServer(
   private val sessions =
     new java.util.concurrent.ConcurrentHashMap[String, TenantSession]()
 
+  // FAIR-scheduling precondition, checked ONCE per server: at boot when
+  // the engine session was passed, else at the first tenant session this
+  // server resolves (ServingFairness — warn + metric, the conf is static)
+  private val fairChecked = new java.util.concurrent.atomic.AtomicBoolean(false)
+  engine.foreach { s =>
+    fairChecked.set(true)
+    ServingFairness.ensureFair(s, "GraftHttpServer", metrics)
+  }
+
+  private def tenantSession(key: String): TenantSession = {
+    val t = sessions.computeIfAbsent(key, sessionFor(_))
+    if (fairChecked.compareAndSet(false, true))
+      ServingFairness.ensureFair(t.spark, "GraftHttpServer", metrics)
+    t
+  }
+
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
 
   metrics.gauge("http.open_sessions")(sessions.size().toLong)
@@ -74,7 +90,7 @@ class GraftHttpServer(
     // tenant layer: an unresolvable key is itself an UNHEALTHY tenant
     // check (named), not a request error — health endpoints always answer
     val tenantCheck = queryParams(ex).get("tenant").map { key =>
-      try HealthChecks.tenantAlive(sessions.computeIfAbsent(key, sessionFor(_)))
+      try HealthChecks.tenantAlive(tenantSession(key))
       catch {
         case e: Exception => HealthChecks.Check(s"tenant:$key", healthy = false,
           Option(e.getMessage).getOrElse(e.getClass.getName), 0L)
@@ -101,7 +117,7 @@ class GraftHttpServer(
       .map(_.trim).filter(_.nonEmpty)
       .getOrElse(throw Halt(401, "missing X-Api-Key"))
     // open validates the org exists (SecurityException → 403)
-    sessions.computeIfAbsent(key, sessionFor(_))
+    tenantSession(key)
   }
 
   private def sqlHandler(ex: HttpExchange): (Int, String) = {

@@ -66,6 +66,7 @@ object GraftJdbcServer {
       port: Int = 0,
       maxRows: Option[Int] = None,
       metrics: ServingMetrics = new ServingMetrics): GraftJdbcServer = {
+    ServingFairness.ensureFair(root, "GraftJdbcServer.start", metrics)
     registry.org(orgId).getOrElse(
       throw new SecurityException(s"unknown tenant: $orgId"))
     // All connections must share the serving session (views + read-only
@@ -175,6 +176,7 @@ object GraftJdbcServer {
       port: Int = 0,
       maxRows: Option[Int] = None,
       metrics: ServingMetrics = new ServingMetrics): GraftJdbcServer = {
+    ServingFairness.ensureFair(root, "GraftJdbcServer.startMultiTenant", metrics)
     GraftSessions.setStaticConf(root, "spark.sql.hive.thriftServer.singleSession", "false")
     val catalogTables = root.sessionState.catalog.externalCatalog
       .listDatabases().flatMap(db =>

@@ -39,6 +39,12 @@ import org.apache.spark.sql.types._
   * Filter/SubqueryAlias nodes alone — a filter above a Project/Aggregate
   * may reference a *rebound* `timestamp` and must widen, not narrow.
   */
+/** Admission-control rejection: the tenant's concurrent-statement clamp
+  * timed out BEFORE any execution started, so retrying (after backing
+  * off) is always safe. Wire layers map this to a retryable error code
+  * so clients can tell it apart from a statement that failed mid-run. */
+final class StatementClampTimeout(msg: String) extends IllegalStateException(msg)
+
 class TenantSession private (
     val spark: SparkSession,
     val orgId: String,
@@ -74,7 +80,10 @@ class TenantSession private (
     * and restored after. */
   def runGated[A](f: => A): A = {
     if (!stmtPermits.tryAcquire(60, java.util.concurrent.TimeUnit.SECONDS))
-      throw new IllegalStateException(
+      // dedicated type so wire layers can surface a RETRYABLE error
+      // (admission-control rejection), distinguishable from execution
+      // failure mid-statement
+      throw new StatementClampTimeout(
         s"tenant $orgId exceeded its concurrent-statement limit ($maxConcurrentStatements)")
     val sc = spark.sparkContext
     val prev = sc.getLocalProperty("spark.scheduler.pool")

@@ -86,6 +86,28 @@ object GraftExtensions {
         val cap =
           if (args.size > 2) intLit(args(2), "capacity") else math.max(64, 8 * k)
         TopKCountSketch(args.head, k, cap)
+      }),
+    // The pipeline HLL (graft.ops.Hll) on the tenant SQL surface:
+    // read-only, bounded (m-byte register buffer per group, merged by
+    // max), and BIT-REPRODUCIBLE with the oracle-checked DataFrame op —
+    // the one pipeline operator a tenant can reach over the wire.
+    fn("graft_approx_distinct",
+      "graft_approx_distinct(value[, bBits]) - engine-portable HyperLogLog " +
+        "distinct estimate (md5-derived registers, identical to the " +
+        "pipeline op graft.ops.Hll; default 256 registers)",
+      { args =>
+        if (args.isEmpty || args.size > 2)
+          throw new IllegalArgumentException(
+            s"graft_approx_distinct expects (value[, bBits]); got ${args.size} argument(s)")
+        val bBits =
+          if (args.size == 2) {
+            require(args(1).foldable, "graft_approx_distinct bBits must be a literal")
+            args(1).eval().asInstanceOf[Number].intValue()
+          } else 8
+        HllDistinctSketch(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.StringType),
+          bBits)
       }))
 
   val inject: SparkSessionExtensions => Unit = { ext =>

@@ -440,6 +440,49 @@ object Dedup {
     within.unionAll(cross)
   }
 
+  /** Every near-dup pair INVOLVING a new-batch fingerprint: new↔new via
+    * the standard self-join machinery plus new↔old via a CROSS-set
+    * block-key probe — the pair-producing sibling of [[simhashNovelty]]'s
+    * min-distance gate, and the edge feed for incremental component
+    * maintenance ([[Cluster.mergeClusters]]): together with a standing
+    * assignment over the old pairs, the union of these delta edges
+    * reproduces the full-graph closure exactly (pairwise predicates
+    * don't change when the corpus is split, so
+    * pairs(full) = pairs(old) ∪ pairsDelta(new, old) — property-pinned).
+    *
+    * Inputs are (id, 64-char `simhash`) frames with DISJOINT id sets.
+    * Scale shape: both probe sides are DISTINCT fingerprints, the cross
+    * join keys on the same ×3 block buckets (never new×old all-pairs),
+    * identical cross-set fingerprints pair at distance 0 through the
+    * shared keys, and re-expansion to id pairs is output-sized. The
+    * old side never re-derives from documents — production reads its
+    * standing fingerprint index. */
+  def hammingPairsDelta(
+      fpNew: DataFrame,
+      fpOld: DataFrame,
+      idCol: String,
+      maxDist: Int = 2): DataFrame = {
+    require(maxDist <= 2,
+      s"${HammingBlocks.size}-block keys certify distance <= 2, got $maxDist")
+    val shNew = Materialize.index(fpNew, "delta-fp-new")
+    val shOld = Materialize.index(fpOld, "delta-fp-old")
+    def probes(sh: DataFrame, as: String) = sh.select("simhash").distinct()
+      .select(col("simhash").as(as),
+        explode(expr(s"array(${hammingBlockKeySql.mkString(", ")})")).as("probe"))
+    // cross-set: sn == so is a REAL pair here (distance 0, different ids
+    // by the disjointness contract), unlike the self-join's sa < sb cut
+    val hits = probes(shNew, "sn").join(probes(shOld, "so"), "probe")
+      .select("sn", "so").distinct()
+      .withColumn("hd", expr(hammingDistSql("sn", "so")).cast("long"))
+      .filter(col("hd") <= maxDist)
+    val cross = hits
+      .join(shNew.select(col(idCol).as("ia"), col("simhash").as("sn")), "sn")
+      .join(shOld.select(col(idCol).as("ib"), col("simhash").as("so")), "so")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hd"))
+    hammingPairs64(shNew, idCol, maxDist).unionByName(cross)
+  }
+
   /** Ingest-time near-dup gate: each NEW document's minimum SimHash
     * hamming distance into the EXISTING corpus (within `maxDist` ≤ 2),
     * and a `novel` flag when nothing is that close — the hamming

@@ -91,15 +91,26 @@ object Materialize {
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, String](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, String]): Boolean =
-        size() > CacheMaxEntries // evicted dir stays in `live` → reaped by dropAll
+          e: java.util.Map.Entry[String, String]): Boolean = {
+        val evict = size() > CacheMaxEntries // evicted dir stays in `live` → reaped by dropAll
+        if (evict) evictCount.incrementAndGet()
+        evict
+      }
     })
 
   private val hitCount = new java.util.concurrent.atomic.AtomicLong(0)
   private val missCount = new java.util.concurrent.atomic.AtomicLong(0)
+  private val evictCount = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** (hits, misses) of the content-addressed cache since JVM start. */
   def cacheStats: (Long, Long) = (hitCount.get(), missCount.get())
+
+  /** (hits, misses, LRU evictions) since JVM start — the bench records
+    * per-query DELTAS of this so a silent cache-share loss (an eviction
+    * between two queries that build the same index) is visible in the
+    * committed diagnostics instead of re-diagnosed by archaeology. */
+  def cacheTelemetry: (Long, Long, Long) =
+    (hitCount.get(), missCount.get(), evictCount.get())
 
   private def cacheEnabled(spark: SparkSession): Boolean =
     spark.conf.getOption(IndexCacheConf).forall(_.equalsIgnoreCase("true"))

@@ -133,7 +133,10 @@ object Multimodal {
         posexplode(split(col("_s"), "")).as(Seq("_p", "_c")))
       .filter(col("_c") =!= "") // split(, '', -1) keeps a trailing empty
       .select(col(idCol), col("_L"),
-        expr("(64 * (_p + 1) + _L - 1) div _L - 1").cast("int").as("b"),
+        // _p is posexplode's 32-bit position: promote to BIGINT before
+        // the ×64 or the product wraps on payloads past ~2^25 chars and
+        // the batch form diverges from the row form's long arithmetic
+        expr("(64 * (CAST(_p AS BIGINT) + 1) + _L - 1) div _L - 1").cast("int").as("b"),
         ascii(col("_c")).cast("long").as("code"))
     val agg = chars
       .groupBy(col(idCol), col("_L"), col("b"))
@@ -194,6 +197,147 @@ object Multimodal {
       perceptualHash(assets, idCol, contentCol)
         .select(col(idCol), col("phash").as("simhash")),
       idCol, maxDist)
+
+  /** dHash — the GRADIENT fingerprint beside [[perceptualHash]]'s
+    * brightness-mean aHash: 65 equal-span blocks over the decoded
+    * stream, bit b (0..63) = (block b's mean) > (block b+1's mean).
+    * aHash thresholds every block against one global mean, so a uniform
+    * brightness/volume shift that preserves block ORDER can still move
+    * bits; dHash compares ADJACENT blocks only, so it keys on local
+    * structure and catches re-encodes aHash misses (and vice versa —
+    * production unions both pair sets, as the asset-manifest flagship
+    * does).
+    *
+    * Engine-exactness: the bit rule is INTEGER-only —
+    * `s_b · l_{b+1} > s_{b+1} · l_b` (block sums × opposite block
+    * lengths; exact up to payloads of ~2^27 bytes, far past any sample
+    * stream) — and empty blocks contribute (0, 0), so short and
+    * zero-length payloads produce all-zero fingerprints identically in
+    * both engines. Block partition uses the same closed form as aHash
+    * (b(i) = ceil(65·i/L) − 1 ≡ the oracle's slice partition — same
+    * proof as [[perceptualHash]], 65 for 64).
+    *
+    * Scale shape: identical to aHash — codegen'd split/posexplode/sum
+    * partial-agg per asset, no shuffle beyond the per-asset groupBy, and
+    * the output feeds the SAME Manku block-key machinery, so candidate
+    * volume stays linear in true dups. */
+  def dhash(
+      assets: DataFrame,
+      idCol: String = "asset_id",
+      contentCol: String = "content"): DataFrame = {
+    val decoded = assets
+      .select(col(idCol), expr(s"decode($contentCol, 'UTF-8')").as("_s"))
+    val chars = decoded
+      .select(col(idCol), length(col("_s")).cast("long").as("_L"),
+        posexplode(split(col("_s"), "")).as(Seq("_p", "_c")))
+      .filter(col("_c") =!= "") // split(, '', -1) keeps a trailing empty
+      .select(col(idCol), col("_L"),
+        // long arithmetic: _p is a 32-bit position (see perceptualHash)
+        expr("(65 * (CAST(_p AS BIGINT) + 1) + _L - 1) div _L - 1").cast("int").as("b"),
+        ascii(col("_c")).cast("long").as("code"))
+    val agg = chars
+      .groupBy(col(idCol), col("_L"), col("b"))
+      .agg(sum("code").as("sb"), count(lit(1)).as("lb"))
+      .groupBy(col(idCol))
+      .agg(expr("map_from_entries(collect_list(struct(b, struct(sb, lb))))").as("_m"))
+    // LEFT join: zero-length payloads explode to no rows but must emit
+    // the all-zero fingerprint (0·0 > 0·0 false for every adjacent pair)
+    decoded.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        expr(
+          """array_join(transform(sequence(0, 63), bb -> IF(
+            |  coalesce(try_element_at(_m, bb).sb, 0L) *
+            |    coalesce(try_element_at(_m, bb + 1).lb, 0L) >
+            |  coalesce(try_element_at(_m, bb + 1).sb, 0L) *
+            |    coalesce(try_element_at(_m, bb).lb, 0L),
+            |  '1', '0')), '')""".stripMargin).as("dhash"))
+  }
+
+  /** Gradient near-dup pairs at hamming ≤ `maxDist` (≤ 2) over [[dhash]]
+    * fingerprints — the same shared block-key candidate core as
+    * [[phashPairs]]. */
+  def dhashPairs(
+      assets: DataFrame,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      maxDist: Int = 2): DataFrame =
+    Dedup.hammingPairs64(
+      dhash(assets, idCol, contentCol)
+        .select(col(idCol), col("dhash").as("simhash")),
+      idCol, maxDist)
+
+  /** Every perceptual near-dup pair INVOLVING a new asset batch —
+    * new↔new plus new↔old via [[Dedup.hammingPairsDelta]]'s cross-set
+    * block probe — the edge feed for incremental manifest maintenance:
+    * only the DELTA's payloads are fingerprinted (the old side reads a
+    * standing fingerprint table, here re-derived for the fixture), and
+    * with [[graft.ops.Cluster.mergeClusters]] the result reproduces the
+    * full-recompute clustering exactly. */
+  def phashPairsDelta(
+      newAssets: DataFrame,
+      oldAssets: DataFrame,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      maxDist: Int = 2): DataFrame =
+    Dedup.hammingPairsDelta(
+      perceptualHash(newAssets, idCol, contentCol)
+        .select(col(idCol), col("phash").as("simhash")),
+      perceptualHash(oldAssets, idCol, contentCol)
+        .select(col(idCol), col("phash").as("simhash")),
+      idCol, maxDist)
+
+  /** [[phashPairsDelta]] for the [[dhash]] gradient family. */
+  def dhashPairsDelta(
+      newAssets: DataFrame,
+      oldAssets: DataFrame,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      maxDist: Int = 2): DataFrame =
+    Dedup.hammingPairsDelta(
+      dhash(newAssets, idCol, contentCol)
+        .select(col(idCol), col("dhash").as("simhash")),
+      dhash(oldAssets, idCol, contentCol)
+        .select(col(idCol), col("dhash").as("simhash")),
+      idCol, maxDist)
+
+  /** Cross-modal caption-agreement gate: per asset, how much of the
+    * caption's token profile the DECODED content profile contains —
+    * flagging captions that disagree with the asset they describe. The
+    * content side reads the binary payload through the stub decode
+    * (`decode(content, ...)`); a real deployment substitutes model-based
+    * agreement (caption-model or CLIP score) at that seam, and the
+    * fixed-point scoring + flag plumbing here stay identical.
+    *
+    * Engine-exactness: containment is 4-dp FIXED-POINT integer
+    * arithmetic — `(2i·10⁴ + n) div (2n)` on positive ints, the regime
+    * where Spark `div` ≡ DuckDB `//` — so the flag cannot fork on a
+    * rounding half. Honest captions (token subset of content) score
+    * exactly 10000.
+    *
+    * Scale shape: both profiles are scan-side projections, the
+    * intersection is the codegen'd two-pointer
+    * [[graft.ops.Dedup.sortedIntersectCount]] over per-row sorted
+    * arrays, and the only shuffle is the id-keyed caption join. */
+  def captionAgreement(
+      assets: DataFrame,
+      captions: DataFrame,
+      idCol: String = "asset_id",
+      captionCol: String = "caption",
+      contentCol: String = "content",
+      mismatchBelow: Long = 9000L): DataFrame = {
+    val profile = assets.select(col(idCol),
+      sort_array(array_distinct(split(expr(s"decode($contentCol, 'UTF-8')"), " ")))
+        .as("_ctoks"))
+    profile.join(captions, idCol)
+      .withColumn("_captoks", sort_array(array_distinct(split(col(captionCol), " "))))
+      .withColumn("_n", size(col("_captoks")).cast("long"))
+      .withColumn("_i",
+        Dedup.sortedIntersectCount(col("_captoks"), col("_ctoks")).cast("long"))
+      .withColumn("contain4", expr("(2 * _i * 10000 + _n) div (2 * _n)"))
+      .select(col(idCol), col("_n").as("caption_tokens"),
+        col("contain4"), (col("contain4") < mismatchBelow).as("mismatch"))
+  }
 
   /** The swappable DECODER SEAM: run a per-partition decoder over the
     * asset rows — the exact shape a real deployment plugs its codec

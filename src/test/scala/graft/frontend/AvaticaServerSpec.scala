@@ -399,4 +399,54 @@ class AvaticaServerSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     f5.at("/frame/rows/0/0").asLong() shouldBe 60L
     f5.at("/frame/done").asBoolean() shouldBe true
   }
+
+  test("buffered-frame replay skips the tenant's statement permit (no stall behind executes)") {
+    // ONE permit: while a long-running statement holds it, paging rows the
+    // server already delivered must NOT block or 500 — the replay is a
+    // pure buffer read, exempt from the clamp by design.
+    val tenant = TenantSession.open(spark, registry, "orga", sources,
+      maxConcurrentStatements = 1)
+    val srv = new GraftAvaticaServer(_ => tenant, defaultFrameRows = 3)
+    try {
+      def srpc(json: String): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.boundPort}/"))
+            .POST(BodyPublishers.ofString(json)).build(),
+          BodyHandlers.ofString())
+        (r.statusCode(), mapper.readTree(r.body()))
+      }
+      srpc("""{"request":"openConnection","connectionId":"cp","info":{"apikey":"orga"}}""")
+      val (_, cs) = srpc("""{"request":"createStatement","connectionId":"cp"}""")
+      val sid = cs.get("statementId").asInt()
+      val (est, _) = srpc(
+        s"""{"request":"prepareAndExecute","connectionId":"cp","statementId":$sid,""" +
+          """"sql":"SELECT `timestamp` FROM avmetric ORDER BY `timestamp`","maxRowCount":-1}""")
+      est shouldBe 200 // first frame (3 rows) now buffered
+      val started = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val holder = new Thread(() => tenant.runGated { started.countDown(); release.await() })
+      holder.start()
+      started.await()
+      try {
+        // the single permit is HELD — a replay of buffered rows must
+        // still answer, fast
+        val t0 = System.nanoTime()
+        val (fst, frame) = srpc(
+          s"""{"request":"fetch","connectionId":"cp","statementId":$sid,"offset":0,"fetchMaxRowCount":2}""")
+        val elapsedSec = (System.nanoTime() - t0) / 1e9
+        fst shouldBe 200
+        frame.at("/frame/rows").size() shouldBe 2
+        frame.at("/frame/rows/0/0").asLong() shouldBe 10L
+        elapsedSec should be < 10.0 // nowhere near the 60 s clamp timeout
+        // syncResults is buffer-only too — answers ungated
+        val (sst, sync) = srpc(
+          s"""{"request":"syncResults","connectionId":"cp","statementId":$sid,"offset":0}""")
+        sst shouldBe 200
+        sync.get("moreResults").asBoolean() shouldBe true
+      } finally {
+        release.countDown()
+        holder.join()
+      }
+    } finally srv.stop()
+  }
 }

@@ -224,6 +224,48 @@ class ServingOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     bElapsed should be < aDone.get()
   }
 
+  test("isolation ratio pinned: point latency under a saturating scan is task-granular, not drain-bound") {
+    // The quantified form of the FAIR race above (and the spec-side pin
+    // for SERVESOAK_r11's isolation_p95_ratio): while tenant A occupies
+    // EVERY task slot for many waves, tenant B's point-query p95 must be
+    // bounded by ~one task duration (FAIR grants B the next freed slot),
+    // never by A's remaining drain (what FIFO would charge).
+    spark.sparkContext.getConf.get("spark.scheduler.mode") shouldBe "FAIR"
+    val tA = TenantSession.open(spark, registry, "orgx", sources)
+    val tB = TenantSession.open(spark, registry, "orgy", sources)
+    tB.runGated(tB.sql("SELECT v FROM ymetric").collect()) // warm
+    def pointLat(): Double = {
+      val t0 = System.nanoTime()
+      tB.runGated(tB.sql("SELECT v FROM ymetric").collect())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val started = new CountDownLatch(1)
+    val aElapsed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val aThread = new Thread(() => {
+      val t0 = System.nanoTime()
+      tA.runGated {
+        started.countDown()
+        // 32 tasks × ~800 ms on 4 cores: 8 full waves (~6.4 s saturated)
+        tA.spark.range(32).repartition(32)
+          .selectExpr("java_method('java.lang.Thread', 'sleep', 800L)")
+          .collect()
+      }
+      aElapsed.set(System.nanoTime() - t0)
+    }, "tenant-a-saturator")
+    aThread.start()
+    started.await(10, TimeUnit.SECONDS) shouldBe true
+    Thread.sleep(400) // let the first wave occupy the cores
+    val loaded = (1 to 6).map(_ => pointLat()).sorted
+    aThread.join(60000)
+    val loadedP95 = loaded(loaded.length - 1)
+    val drain = aElapsed.get() / 1e9
+    drain should be > 5.0 // the scan really saturated for many waves
+    // task-granular bound: worst wait ≈ one 0.8 s task + overhead, with
+    // generous headroom for box contention — an order of magnitude under
+    // the FIFO drain-bound alternative
+    loadedP95 should be < math.max(3.0, drain / 2)
+  }
+
   test("per-tenant concurrent-statement clamp bounds executions in flight") {
     val t = TenantSession.open(spark, registry, "orgx", sources,
       maxConcurrentStatements = 1)

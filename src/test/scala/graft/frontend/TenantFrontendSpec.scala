@@ -441,4 +441,23 @@ class TenantFrontendSpec extends AnyFunSuite with Matchers {
     cols should contain allOf ("message", "event", "stage") // data + partition columns
     intercept[IllegalArgumentException] { t.sql("DESCRIBE nosuchtable") }
   }
+
+  test("pipeline op on the tenant SQL surface: graft_approx_distinct, read-only gated") {
+    // The op a tenant can reach over the wire IS the oracle-checked
+    // pipeline HLL: same registers, same estimator, bit-reproducible
+    // with graft.ops.Hll.estimate on the same rows.
+    val t = TenantSession.open(spark, registry, "org1", sources)
+    val est = t.sql(
+      "SELECT graft_approx_distinct(`timestamp`) AS n FROM metricid1")
+      .collect().head.getDouble(0)
+    val expected = graft.ops.Hll.estimate(
+      t.sql("SELECT `timestamp` FROM metricid1").withColumn("g", org.apache.spark.sql.functions.lit(1)),
+      "g", "timestamp").collect().head.getDouble(1)
+    est shouldBe expected
+    est should be > 0.0
+    // still behind the read-only gate: the function cannot smuggle DML
+    intercept[Exception] {
+      t.sql("INSERT INTO metricid1 SELECT graft_approx_distinct(1)").collect()
+    }
+  }
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property pin for incremental asset-manifest maintenance: over ANY
+  * payload corpus and ANY base/delta split, folding the delta's
+  * perceptual pair edges ([[Multimodal.phashPairsDelta]] ∪
+  * [[Multimodal.dhashPairsDelta]]) into the base assignment via
+  * [[Cluster.mergeClusters]] must reproduce the full-recompute
+  * clustering exactly — the guarantee `pipeline_asset_manifest_incremental`'s
+  * full-recompute oracle checks on the fixture, generalized to random
+  * inputs. Payload pools deliberately mix near-duplicates (shared bases
+  * with small salts) so real ≤2-hamming clusters form and MERGE across
+  * the split boundary. */
+object RoundElevenProps extends Properties("RoundEleven") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkFixture.spark
+
+  // a few base payloads; each doc is a base replica with a tiny
+  // same-length edit (preserving block structure → true near-dups)
+  private val genCorpus: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(4, 14)
+    docs <- Gen.sequence[List[(Long, String)], (Long, String)]((1 to n).toList.map { i =>
+      for {
+        base <- Gen.choose(0, 2)
+        edit <- Gen.choose(0, 3)
+      } yield {
+        val body = base match {
+          case 0 => "alpha payload body with repeated words " * 3
+          case 1 => "beta content stream of rather different material " * 3
+          case _ => "gamma third family of asset payload bytes here " * 3
+        }
+        (i.toLong, ("" + ('w' + edit).toChar) + body.drop(1))
+      }
+    })
+  } yield docs
+
+  private val genSplitMod: Gen[Int] = Gen.choose(2, 5)
+
+  property("mergeClusters over phash∪dhash delta edges ≡ full recompute, any split") =
+    forAll(genCorpus, genSplitMod) { (docs, mod) =>
+      import spark.implicits._
+      def mk(ds: List[(Long, String)]) =
+        Multimodal.assetsFromText(ds.toDF("id", "txt"), "id", "txt")
+      def pairs(a: org.apache.spark.sql.DataFrame) =
+        Multimodal.phashPairs(a).select("id_a", "id_b")
+          .unionByName(Multimodal.dhashPairs(a).select("id_a", "id_b"))
+          .distinct()
+      val all = mk(docs)
+      val fullComp = Cluster.dupClusters(pairs(all))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val baseDocs = docs.filter(_._1 % mod != 0)
+      val deltaDocs = docs.filter(_._1 % mod == 0)
+      val (base, delta) = (mk(baseDocs), mk(deltaDocs))
+      val baseComp = Cluster.dupClusters(pairs(base)).select("doc_id", "cluster")
+      val deltaPairs =
+        if (deltaDocs.isEmpty) spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")
+        else Multimodal.phashPairsDelta(delta, base).select("id_a", "id_b")
+          .unionByName(Multimodal.dhashPairsDelta(delta, base).select("id_a", "id_b"))
+          .distinct()
+      val merged = Cluster.mergeClusters(baseComp, deltaPairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Materialize.clearCache()
+      // merged may carry singleton delta nodes (their own cluster) that a
+      // full dupClusters never lists — drop self-labeled non-clustered
+      val mergedClustered = merged.filter { case (d, c) =>
+        d != c || merged.exists { case (d2, c2) => d2 != d && c2 == c }
+      }
+      mergedClustered == fullComp
+    }
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Round-11 operator pins: the dHash gradient bit rule on payloads we
+  * can reason about exactly, the cross-modal caption-agreement gate with
+  * planted mismatches, and the native HLL aggregate's bit-equality with
+  * the oracle-checked DataFrame op under any partitioning. */
+class RoundElevenSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def assets(texts: (Long, String)*) =
+    Multimodal.assetsFromText(
+      texts.toSeq.toDF("id", "txt"), "id", "txt")
+
+  test("dhash: uniform payload is all zeros (no adjacent block strictly greater)") {
+    val fp = Multimodal.dhash(assets(1L -> ("a" * 130))).collect().head.getString(1)
+    fp shouldBe "0" * 64
+  }
+
+  test("dhash: strictly descending 65-byte payload is all ones, ascending all zeros") {
+    // L = 65: each of the 65 blocks holds exactly one byte, so bit b is
+    // literally code(b) > code(b+1) — the gradient rule with no averaging
+    val desc = (0 until 65).map(i => (122 - i).toChar).mkString // 'z' down
+    val asc = desc.reverse
+    val fps = Multimodal.dhash(assets(1L -> desc, 2L -> asc)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    fps(1L) shouldBe "1" * 64
+    fps(2L) shouldBe "0" * 64
+  }
+
+  test("dhash: zero-length payload still emits the all-zero fingerprint") {
+    val fp = Multimodal.dhash(assets(1L -> "")).collect().head.getString(1)
+    fp shouldBe "0" * 64
+  }
+
+  test("dhash pairs: a same-length edit pairs with its original; unrelated payloads don't") {
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    val a = assets(
+      1L -> base,
+      2L -> ("zzz" + base.drop(3)),
+      3L -> ("completely different material about database engines and scans " * 3))
+    val pairs = Multimodal.dhashPairs(a).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs should contain((1L, 2L))
+    pairs should not contain ((1L, 3L))
+    pairs should not contain ((2L, 3L))
+  }
+
+  test("hammingPairsDelta: base∪delta edges reproduce the full self-join pair set") {
+    val texts = (1L to 20L).map(i =>
+      i -> (if (i % 5 == 0) "shared near duplicate payload body " * 3 + i.toString
+      else s"unique material number $i with its own words " * 2))
+    val all = assets(texts: _*)
+    val full = Multimodal.phashPairs(all).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = assets(texts.filter(_._1 % 3 != 0): _*)
+    val delta = assets(texts.filter(_._1 % 3 == 0): _*)
+    val basePairs = Multimodal.phashPairs(base).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deltaPairs = Multimodal.phashPairsDelta(delta, base).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (basePairs ++ deltaPairs) shouldBe full
+  }
+
+  test("caption agreement: honest captions score exactly 10000; planted mismatches flag") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta content words here"),
+      (2L, "epsilon zeta eta theta more body text"),
+      (3L, "iota kappa lambda mu further material")).toDF("id", "txt")
+    val a = Multimodal.assetsFromText(docs, "id", "txt")
+    val captions = Seq(
+      (1L, "alpha beta gamma"),             // honest: prefix of content
+      (2L, "epsilon zeta eta theta"),       // honest
+      (3L, "unrelated caption about boats") // planted mismatch
+    ).toDF("asset_id", "caption")
+    val out = Multimodal.captionAgreement(a, captions).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    out(1L) shouldBe ((10000L, false))
+    out(2L) shouldBe ((10000L, false))
+    out(3L)._2 shouldBe true
+    out(3L)._1 should be < 9000L
+  }
+
+  test("graft_approx_distinct ≡ ops.Hll estimate, under any partitioning") {
+    graft.functions.GraftExtensions.register(spark)
+    val df = (1 to 5000).map(i => ("g" + (i % 3), (i % 700).toString))
+      .toDF("g", "v")
+    val expected = Hll.estimate(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val got = df.repartition(parts).groupBy("g")
+        .agg(expr("graft_approx_distinct(v)").as("n_approx"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      got shouldBe expected
+    }
+  }
+
+  test("graft_approx_distinct: explicit bBits widens the register file; empty group is 0") {
+    graft.functions.GraftExtensions.register(spark)
+    val df = (1 to 2000).map(i => (i % 500).toString).toDF("v")
+    val est12 = df.agg(expr("graft_approx_distinct(v, 12)")).collect().head.getDouble(0)
+    val exact = 500.0
+    math.abs(est12 - exact) / exact should be < 0.1 // 4096 registers: tight
+    val empty = df.filter(lit(false))
+      .agg(expr("graft_approx_distinct(v)")).collect().head.getDouble(0)
+    empty shouldBe 0.0
+  }
+}
