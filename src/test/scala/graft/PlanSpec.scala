@@ -374,6 +374,25 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("incremental asset manifest: no cartesian products; delta probes stay keyed") {
+    // the nightly-delta path must keep the same join discipline as the
+    // full recompute: cross-set candidates key on the block-probe column,
+    // cluster merge and manifest joins key on ids — nothing all-pairs
+    val df = PipelineQueries.pipelineAssetManifestIncremental(spark, dir)
+    val exec = { df.collect(); df.queryExecution.executedPlan }
+    val p = exec.toString
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("mismatch gate: one shuffle-free scoring join, no cartesian") {
+    val df = PipelineQueries.multimodalMismatch(spark, dir)
+    val exec = { df.collect(); df.queryExecution.executedPlan }
+    val p = exec.toString
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("gate agreement fuses both gates into one scan, zero joins") {
     val df = PipelineQueries.evalGateAgreement(spark, dir)
     val exec = { df.collect(); df.queryExecution.executedPlan }
