@@ -464,8 +464,15 @@ object Dedup {
       maxDist: Int = 2): DataFrame = {
     require(maxDist <= 2,
       s"${HammingBlocks.size}-block keys certify distance <= 2, got $maxDist")
-    val shNew = Materialize.index(fpNew, "delta-fp-new")
-    val shOld = Materialize.index(fpOld, "delta-fp-old")
+    // SAME tag as hammingPairs64's index: the old side's fingerprint plan
+    // is typically identical to the standing self-join index the base
+    // pair set was built from (phashPairs(base) etc.), so tagging it
+    // identically makes the content-addressed cache SHARE it — the
+    // incremental query then fingerprints only the DELTA's payloads,
+    // which is the entire point of the incremental form (r11 telemetry:
+    // distinct delta-* tags recomputed the base fingerprints, 16.2 s)
+    val shNew = Materialize.index(fpNew, "simhash-idx")
+    val shOld = Materialize.index(fpOld, "simhash-idx")
     def probes(sh: DataFrame, as: String) = sh.select("simhash").distinct()
       .select(col("simhash").as(as),
         explode(expr(s"array(${hammingBlockKeySql.mkString(", ")})")).as("probe"))

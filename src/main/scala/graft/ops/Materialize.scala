@@ -53,8 +53,19 @@ object Materialize {
   /** Bounded retention for cached index tables: beyond this many
     * entries the least-recently-used index is released back to the
     * scratch pool and reaped by the next [[dropAll]]. Bounds lake/disk
-    * growth over an arbitrarily long query battery. */
-  val CacheMaxEntries = 48
+    * growth over an arbitrarily long query battery.
+    *
+    * Sized ABOVE the full battery's concurrent working set (~170 distinct
+    * index plans as of round 11): the r11 cache telemetry caught the
+    * 48-entry cap thrashing — every miss evicted a still-needed entry
+    * (122 misses = 122 evictions per battery), which is how
+    * `pair_graph_rank` silently lost its shared minhash-sig index in r10
+    * (1.98 → 3.63 s). Index tables are skinny (fingerprints, pairs,
+    * signatures — MBs each at sf0.1), so 256 entries is bounded disk,
+    * not unbounded growth; override with -Dgraft.indexCache.maxEntries
+    * for constrained deployments. */
+  val CacheMaxEntries: Int =
+    sys.props.getOrElse("graft.indexCache.maxEntries", "256").toInt
 
   private lazy val localRoot: String = {
     val p = java.nio.file.Files.createTempDirectory("graft-index")

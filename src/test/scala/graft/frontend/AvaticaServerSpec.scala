@@ -400,6 +400,17 @@ class AvaticaServerSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     f5.at("/frame/done").asBoolean() shouldBe true
   }
 
+  test("unknown RPC names count under one metric bucket, never verbatim") {
+    // rpcName is raw client input: counting it verbatim would let an
+    // untrusted client grow the counter map without bound
+    val before = server.metrics.counter("avatica.requests.unknown")
+    val (st, resp) = rpc("""{"request":"totallyMadeUpRpc_xyz","connectionId":"cm"}""")
+    st shouldBe 500
+    resp.get("response").asText() shouldBe "error"
+    server.metrics.counter("avatica.requests.unknown") shouldBe (before + 1)
+    server.metrics.counter("avatica.requests.totallyMadeUpRpc_xyz") shouldBe 0L
+  }
+
   test("buffered-frame replay skips the tenant's statement permit (no stall behind executes)") {
     // ONE permit: while a long-running statement holds it, paging rows the
     // server already delivered must NOT block or 500 — the replay is a
