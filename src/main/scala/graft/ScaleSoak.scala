@@ -334,6 +334,56 @@ object ScaleSoak {
         yCorpus = yScaled, idCol = "vec_id", vecCol = "embedding", k = 4).count()
     }
 
+    // 17. dHash gradient pairs over the same scaled corpus: identical
+    // scan-side/candidate shape as phash_pairs (stage 15) — the claim is
+    // that the second fingerprint family doubles scan-projection work,
+    // never candidate volume (both families ride the same block keys).
+    timed("dhash_pairs") {
+      counts("dhash_pairs") = graft.ops.Multimodal.dhashPairs(
+        graft.ops.Multimodal.assetsFromText(docs, "doc_id", "text")).count()
+    }
+
+    // 18a/18b. incremental manifest maintenance at scale, split the way
+    // production is split: the STANDING STATE (base fingerprints → pairs
+    // → component assignment) is built nightly once — its cost tracks
+    // the base corpus and is timed separately; the INCREMENTAL FOLD
+    // (delta fingerprints, cross-set block probes into the standing
+    // index, delta-sized merge closure, relabel join) is the recurring
+    // per-batch cost and must NOT scale with the base — that's the claim
+    // this stage times. The LAST replica is the delta batch (midway
+    // split at 1x, where there is no replica boundary).
+    val cut = if (replicas > 1) (replicas - 1).toLong * maxId else maxId / 2
+    val mkAssets = (d: org.apache.spark.sql.DataFrame) =>
+      graft.ops.Multimodal.assetsFromText(d, "doc_id", "text")
+    val standing = timed("standing_state") {
+      val baseDocs = docs.filter(col("doc_id") < cut)
+      val baseAssets = mkAssets(baseDocs)
+      val basePairs = graft.ops.Multimodal.phashPairs(baseAssets).select("id_a", "id_b")
+      val comp = graft.ops.Materialize.index(
+        graft.ops.Cluster.dupClusters(basePairs).select("doc_id", "cluster"),
+        "soak-standing-comp")
+      counts("standing_nodes") = comp.count()
+      (baseAssets, comp)
+    }
+    timed("incremental_merge") {
+      val deltaDocs = docs.filter(col("doc_id") >= cut)
+      val deltaPairs = graft.ops.Multimodal
+        .phashPairsDelta(mkAssets(deltaDocs), standing._1).select("id_a", "id_b")
+      counts("incremental_nodes") =
+        graft.ops.Cluster.mergeClusters(standing._2, deltaPairs).count()
+    }
+
+    // 19. cross-modal mismatch gate over the scaled corpus: two scan-side
+    // token profiles + one id-keyed join — cost linear in bytes, the
+    // fixed-point scoring rides whole-stage codegen.
+    timed("mismatch_gate") {
+      val caps = docs.select(col("doc_id").as("asset_id"),
+        expr("array_join(slice(split(text, ' '), 1, 10), ' ')").as("caption"))
+      counts("mismatch_flags") = graft.ops.Multimodal.captionAgreement(
+        graft.ops.Multimodal.assetsFromText(docs, "doc_id", "text"), caps)
+        .filter(col("mismatch")).count()
+    }
+
     graft.ops.Materialize.clearCache()
     val total = stages.values.sum
     val stagesJson = stages.map { case (k, v) => s""""$k":${f"$v%.2f"}""" }.mkString(",")
