@@ -1920,6 +1920,20 @@ object PipelineQueries {
     Hll.approxDistinct(t(s, dir, "events"), "event_type", "user_id")
       .orderBy("event_type")
 
+  /** The tenant-surface HLL aggregate
+    * ([[graft.functions.HllDistinctSketch]], SQL `graft_approx_distinct`)
+    * against the SAME DuckDB register-replay oracle as the DataFrame op —
+    * proving the native TypedImperativeAggregate (register buffer merged
+    * by max through partial aggregation) is bit-identical to the
+    * oracle-checked encoding end-to-end, not just spec-equal to
+    * [[graft.ops.Hll.estimate]]. */
+  def approxDistinctFn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    t(s, dir, "events").createOrReplaceTempView("ev_adfn")
+    s.sql("""SELECT event_type, graft_approx_distinct(user_id) AS n_approx
+            |FROM ev_adfn GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   /** Sketch-union maintenance proof ([[graft.ops.Hll.registersBy]]): the
     * per-day register tables an append-only lake would persist, merged
     * by the register monoid (groupBy-max over the key), must estimate
@@ -2724,6 +2738,7 @@ object PipelineQueries {
     "funnel_steps" -> (funnelStepsQ _),
     "lang_mismatch" -> (langMismatch _),
     "approx_distinct" -> (approxDistinctUsers _),
+    "approx_distinct_fn" -> (approxDistinctFn _),
     "sketch_union" -> (sketchUnion _),
     "eval_silhouette" -> (evalSilhouette _),
     "embed_pq_codes" -> (embedPqCodes _),
@@ -4372,6 +4387,32 @@ object PipelineQueries {
          |SELECT event_type, n_exact, n_approx,
          |  round(abs(n_approx - n_exact) / n_exact, 4) AS rel_err
          |FROM ex JOIN ap USING (event_type) ORDER BY event_type""".stripMargin
+    },
+    // The native SQL aggregate replays the IDENTICAL register chain —
+    // the bit-reproducibility claim checked by the driver's own gate
+    "approx_distinct_fn" -> {
+      val m = 256
+      val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+      s"""WITH hh AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+         |  FROM events),
+         |rr AS (SELECT event_type,
+         |    (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+         |      + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) AS bucket,
+         |    CAST(list_sum(list_transform(range(1, 13),
+         |      i -> (instr('0123456789abcdef', substring(h, CAST(i + 2 AS INT), 1)) - 1)
+         |        * 16 ** (12 - i))) AS BIGINT) AS rem
+         |  FROM hh),
+         |regs AS (SELECT event_type, bucket,
+         |    max(CASE WHEN rem = 0 THEN 49
+         |      ELSE 49 - len(ltrim(bin(rem), '0')) END) AS r
+         |  FROM rr GROUP BY 1, 2),
+         |est AS (SELECT event_type, count(*) AS cnt, sum(pow(2.0, -r)) AS sumpow
+         |  FROM regs GROUP BY 1)
+         |SELECT event_type,
+         |  round(CASE WHEN $alphaM2 / (sumpow + ($m - cnt)) <= ${2.5 * m} AND cnt < $m
+         |    THEN ${m.toDouble} * ln(${m.toDouble} / ($m - cnt))
+         |    ELSE $alphaM2 / (sumpow + ($m - cnt)) END, 4) AS n_approx
+         |FROM est ORDER BY event_type""".stripMargin
     },
     "sketch_union" -> {
       val m = 256
