@@ -1718,6 +1718,30 @@ object PipelineQueries {
       .orderBy("asset_id")
   }
 
+  /** Video-style near-dup over frame-fingerprint sets
+    * ([[graft.ops.Multimodal.videoPairs]]): per-frame aHash → inverted
+    * index on exact frame fingerprints (df-capped: a ubiquitous frame
+    * must not make an m² bucket) → set-Jaccard verify. Robust to the
+    * TEMPORAL edits (segment replacement, trims) that move every bit of
+    * a whole-asset fingerprint — the planted copies replace one full
+    * sampled frame window (chars 129–256) and still pair at high
+    * Jaccard, while aHash/dHash would need the whole payload to stay
+    * close. The planted 'yyyy…' window is itself the stop-frame demo:
+    * every copy shares its all-zero fingerprint, so the df-cap is what
+    * keeps the candidate bucket from going quadratic. */
+  def multimodalVideoDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = td(s, dir)
+    val copies = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(expr("substring(text, 1, 128)"), lit("y" * 128),
+          expr("substring(text, 257)")).as("text"))
+    val corpus = graft.ops.Materialize.index(
+      docs.select("doc_id", "text").unionByName(copies), "video-corpus")
+    graft.ops.Multimodal.videoPairs(
+      graft.ops.Multimodal.assetsFromText(corpus, "doc_id", "text"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Exact-substring novelty dedup ([[graft.ops.Dedup.substringNovelty]]):
     * per document, the fraction of its distinct word 8-grams it is the
     * FIRST (min-id) owner of — the linear suffix-array-dedup
@@ -2838,6 +2862,7 @@ object PipelineQueries {
     "fm_drift_census" -> (fmDriftCensus _),
     "pipeline_asset_manifest" -> (pipelineAssetManifest _),
     "multimodal_dhash_dedup" -> (multimodalDhashDedup _),
+    "multimodal_video_dedup" -> (multimodalVideoDedup _),
     "pipeline_asset_manifest_incremental" -> (pipelineAssetManifestIncremental _),
     "multimodal_mismatch" -> (multimodalMismatch _),
     "skew_salted_join" -> (skewSaltedJoin _),
@@ -4680,6 +4705,46 @@ object PipelineQueries {
          |  FROM documents WHERE doc_id % 10 = 0),
          |$duckDhashPairCtes
          |SELECT id_a, id_b, hd FROM dhp ORDER BY id_a, id_b""".stripMargin,
+    // Frame-set video dedup: sampled frame windows, per-frame aHash (the
+    // SAME integer bit rule), stop-frame df-cap, set-Jaccard verify —
+    // every stage replayed; the candidate inverted index is mirrored too
+    // so a df-cap divergence would change the pair set and hash-mismatch
+    "multimodal_video_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substr(text, 1, 128) || repeat('y', 128) || substr(text, 257)
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |vfr AS (SELECT doc_id, CAST(t.i AS INT) AS fno,
+        |    substr(text, CAST(t.i AS INT) * 128 + 1, 64) AS frame
+        |  FROM corpus, unnest(range(0, greatest(CAST(ceil(len(text) / 128.0) AS BIGINT), 1))) AS t(i)
+        |  WHERE CAST(t.i AS INT) * 128 < len(text)),
+        |vc AS (SELECT doc_id, fno, CAST(length(frame) AS BIGINT) AS L,
+        |    list_transform(range(1, CAST(length(frame) AS INT) + 1),
+        |      i -> CAST(ascii(substr(frame, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+        |  FROM vfr),
+        |vf AS (SELECT doc_id, fno, array_to_string(list_transform(range(0, 64),
+        |    b -> CASE WHEN
+        |      CAST(coalesce(list_sum(list_slice(codes,
+        |        CAST(b * L // 64 AS INT) + 1,
+        |        CAST((b + 1) * L // 64 AS INT))), 0) AS BIGINT) * L >
+        |      CAST(list_sum(codes) AS BIGINT) * ((b + 1) * L // 64 - b * L // 64)
+        |      THEN '1' ELSE '0' END), '') AS fh
+        |  FROM vc),
+        |vsets AS (SELECT doc_id, list_distinct(list(fh)) AS fs FROM vf GROUP BY doc_id),
+        |vkey AS (SELECT DISTINCT doc_id, fh FROM vf),
+        |vhot AS (SELECT fh FROM vkey GROUP BY fh HAVING count(*) > 50),
+        |vkf AS (SELECT doc_id, fh FROM vkey WHERE fh NOT IN (SELECT fh FROM vhot)),
+        |vcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM vkf a JOIN vkf b ON a.fh = b.fh AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  round(len(list_intersect(sa.fs, sb.fs)) /
+        |        len(list_distinct(list_concat(sa.fs, sb.fs))), 4) AS jac
+        |FROM vcand JOIN vsets sa ON sa.doc_id = id_a JOIN vsets sb ON sb.doc_id = id_b
+        |WHERE round(len(list_intersect(sa.fs, sb.fs)) /
+        |        len(list_distinct(list_concat(sa.fs, sb.fs))), 4) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     // Caption-containment agreement in 4-dp fixed point; the planted
     // every-13th reversed caption mirrors the Spark side verbatim
     "multimodal_mismatch" ->

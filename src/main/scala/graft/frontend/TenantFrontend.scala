@@ -79,7 +79,10 @@ class TenantSession private (
     * so it is set on the serving thread that actually submits the jobs
     * and restored after. */
   def runGated[A](f: => A): A = {
-    if (!stmtPermits.tryAcquire(60, java.util.concurrent.TimeUnit.SECONDS))
+    // conf-able admission wait (seconds; default 60): deployments tune it
+    // to their statement mix, and the clamp-timeout wire path is testable
+    val waitSec = spark.conf.get("spark.graft.statementClampTimeoutSec", "60").toLong
+    if (!stmtPermits.tryAcquire(waitSec, java.util.concurrent.TimeUnit.SECONDS))
       // dedicated type so wire layers can surface a RETRYABLE error
       // (admission-control rejection), distinguishable from execution
       // failure mid-statement

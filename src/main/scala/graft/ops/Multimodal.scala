@@ -301,6 +301,90 @@ object Multimodal {
         .select(col(idCol), col("dhash").as("simhash")),
       idCol, maxDist)
 
+  /** Per-frame perceptual fingerprints for a video-shaped asset: the
+    * payload's sampled frame windows (length `frameLen`, stride
+    * `stride` — the [[fakeFrames]] sampling shape) each get the SAME
+    * integer-exact aHash as [[perceptualHash]], keyed by
+    * (asset, frame_no). Frames ride a composite id through the shared
+    * hash machinery (`asset_id·10⁴ + frame_no` — frame counts are
+    * payload-bounded far below 10⁴). Returns (idCol, frame_no, fhash). */
+  def frameHashes(
+      assets: DataFrame,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      frameLen: Int = 64,
+      stride: Int = 128): DataFrame = {
+    val frames = assets
+      .select(col(idCol), expr(s"decode($contentCol, 'UTF-8')").as("_s"))
+      .withColumn("_L", length(col("_s")).cast("long"))
+      .withColumn("_cnt", ceil(col("_L") / lit(stride.toDouble)).cast("int"))
+      // greatest guard: sequence(0, -1) is DESCENDING in Spark, never
+      // empty (round-10 fact) — filter by start < L instead
+      .select(col(idCol), col("_s"),
+        explode(expr(
+          s"filter(sequence(0, greatest(_cnt, 1) - 1), i -> i * $stride < _L)"))
+          .as("_fno"))
+      .select(col(idCol), col("_fno"),
+        expr(s"substring(_s, _fno * $stride + 1, $frameLen)").as("_frame"))
+    val fidFrames = frames.select(
+      (col(idCol) * 10000L + col("_fno")).as("fid"),
+      expr("encode(_frame, 'UTF-8')").as("content"))
+    perceptualHash(fidFrames, "fid", "content")
+      .select(expr("fid div 10000").as(idCol),
+        pmod(col("fid"), lit(10000L)).cast("long").as("frame_no"),
+        col("phash").as("fhash"))
+  }
+
+  /** Video-style near-dup pairs: assets whose FRAME-FINGERPRINT SETS
+    * overlap at Jaccard ≥ `threshold` — robust to the temporal edits
+    * (trims, segment replacement, reorders) that move EVERY bit of a
+    * whole-asset fingerprint, which is why this family exists beside
+    * aHash/dHash.
+    *
+    * Scale shape — the standard video-dedup pipeline:
+    *   1. per-frame aHash (scan-side, cost linear in payload bytes);
+    *   2. candidates from an INVERTED INDEX on exact frame fingerprints
+    *      (assets sharing ≥ 1 frame hash), with a df-cap dropping
+    *      stop-frames seen in > `maxDf` assets — the winnowing df-cap
+    *      precedent: one ubiquitous intro frame must not produce an m²
+    *      candidate bucket;
+    *   3. verify by exact set Jaccard over the per-asset distinct
+    *      fingerprint profile (codegen'd
+    *      [[graft.ops.Dedup.sortedIntersectCount]]) — output-sized.
+    * Every join keys on a fingerprint or an id; nothing is all-pairs. */
+  def videoPairs(
+      assets: DataFrame,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      frameLen: Int = 64,
+      stride: Int = 128,
+      maxDf: Int = 50,
+      threshold: Double = 0.5): DataFrame = {
+    val fh = Materialize.index(
+      frameHashes(assets, idCol, contentCol, frameLen, stride)
+        .select(col(idCol), col("fhash")),
+      "video-fh")
+    val profiles = fh.groupBy(idCol)
+      .agg(sort_array(collect_set(col("fhash"))).as("fset"))
+    val keyed = fh.select(col(idCol), col("fhash")).distinct()
+    val hot = keyed.groupBy("fhash")
+      .agg(count(lit(1)).as("_df")).filter(col("_df") > maxDf)
+      .select("fhash")
+    val kf = keyed.join(hot, Seq("fhash"), "left_anti")
+    val cand = kf.select(col(idCol).as("id_a"), col("fhash"))
+      .join(kf.select(col(idCol).as("id_b"), col("fhash")), "fhash")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(profiles.select(col(idCol).as("id_a"), col("fset").as("fa")), "id_a")
+      .join(profiles.select(col(idCol).as("id_b"), col("fset").as("fb")), "id_b")
+      .withColumn("_i", Dedup.sortedIntersectCount(col("fa"), col("fb")).cast("double"))
+      .withColumn("jac",
+        round(col("_i") / (size(col("fa")) + size(col("fb")) - col("_i")), 4))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+  }
+
   /** Cross-modal caption-agreement gate: per asset, how much of the
     * caption's token profile the DECODED content profile contains —
     * flagging captions that disagree with the asset they describe. The

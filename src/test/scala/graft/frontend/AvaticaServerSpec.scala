@@ -411,6 +411,46 @@ class AvaticaServerSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     server.metrics.counter("avatica.requests.totallyMadeUpRpc_xyz") shouldBe 0L
   }
 
+  test("clamp timeout surfaces as retryable SQLSTATE 53300, distinct from execution failure") {
+    val tenant = TenantSession.open(spark, registry, "orga", sources,
+      maxConcurrentStatements = 1)
+    tenant.spark.conf.set("spark.graft.statementClampTimeoutSec", "1")
+    val srv = new GraftAvaticaServer(_ => tenant, defaultFrameRows = 3)
+    try {
+      def srpc(json: String): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.boundPort}/"))
+            .POST(BodyPublishers.ofString(json)).build(),
+          BodyHandlers.ofString())
+        (r.statusCode(), mapper.readTree(r.body()))
+      }
+      srpc("""{"request":"openConnection","connectionId":"ct","info":{"apikey":"orga"}}""")
+      val (_, cs) = srpc("""{"request":"createStatement","connectionId":"ct"}""")
+      val sid = cs.get("statementId").asInt()
+      val started = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val holder = new Thread(() => tenant.runGated { started.countDown(); release.await() })
+      holder.start()
+      started.await()
+      try {
+        // the single permit is held: a NEW execute must be rejected by
+        // admission control with the retryable shape, not a generic error
+        val (st, err) = srpc(
+          s"""{"request":"prepareAndExecute","connectionId":"ct","statementId":$sid,""" +
+            """"sql":"SELECT `timestamp` FROM avmetric","maxRowCount":-1}""")
+        st shouldBe 500
+        err.get("response").asText() shouldBe "error"
+        err.get("sqlState").asText() shouldBe "53300"
+        err.get("errorCode").asInt() shouldBe 53300
+        err.get("errorMessage").asText() should include("concurrent-statement limit")
+      } finally {
+        release.countDown()
+        holder.join()
+        tenant.spark.conf.unset("spark.graft.statementClampTimeoutSec")
+      }
+    } finally srv.stop()
+  }
+
   test("buffered-frame replay skips the tenant's statement permit (no stall behind executes)") {
     // ONE permit: while a long-running statement holds it, paging rows the
     // server already delivered must NOT block or 500 — the replay is a

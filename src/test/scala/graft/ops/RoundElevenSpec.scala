@@ -86,6 +86,46 @@ class RoundElevenSpec extends AnyFunSuite with Matchers {
     out(3L)._1 should be < 9000L
   }
 
+  test("video pairs: a replaced frame window still pairs; whole-asset hashes would not") {
+    val base = ("frame one content here padded out " * 8).take(256) +
+      ("frame two content quite different " * 8).take(256)
+    // replace the SECOND sampled window (chars 129-256) wholesale — a
+    // temporal edit: most frame fingerprints survive
+    val edited = base.substring(0, 128) + ("Z" * 128) + base.substring(256)
+    val other = ("totally unrelated material about engines " * 12).take(512)
+    val a = assets(1L -> base, 2L -> edited, 3L -> other)
+    val pairs = Multimodal.videoPairs(a).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs.keySet should contain((1L, 2L))
+    pairs((1L, 2L)) should be >= 0.5
+    pairs.keySet should not contain ((1L, 3L))
+    Materialize.clearCache()
+  }
+
+  test("video pairs: a ubiquitous stop-frame is df-capped out of candidate generation") {
+    // 60 assets share one identical frame window but are otherwise
+    // unique: with maxDf=50 the shared frame is a stop-frame, no shared
+    // NON-stop frame exists, and the candidate set must be EMPTY —
+    // without the cap this would be a 60² bucket
+    val shared = ("common intro frame content everywhere " * 4).take(128)
+    // per-asset tails must be PERCEPTUALLY distinct (aHash is coarse —
+    // prose with a different digit hashes identically): a step pattern
+    // '~'*i + '!'*(64-i) per 64-char window yields EXACTLY the
+    // fingerprint 1*i 0*(64-i) — provably unique per asset id ≤ 60
+    val docs = (1L to 60L).map { i =>
+      val win = "~" * i.toInt + "!" * (64 - i.toInt)
+      i -> (shared + win * 6)
+    }
+    val pairs = Multimodal.videoPairs(assets(docs: _*), maxDf = 50).collect()
+    pairs shouldBe empty
+    // with the cap lifted the same corpus pairs freely off the shared frame
+    Materialize.clearCache()
+    val uncapped = Multimodal.videoPairs(assets(docs: _*), maxDf = 1000, threshold = 0.1)
+      .collect()
+    uncapped.length should be > 0
+    Materialize.clearCache()
+  }
+
   test("graft_approx_distinct ≡ ops.Hll estimate, under any partitioning") {
     graft.functions.GraftExtensions.register(spark)
     val df = (1 to 5000).map(i => ("g" + (i % 3), (i % 700).toString))
