@@ -1742,6 +1742,45 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Multimodal eval-set DECONTAMINATION — the asset analog of
+    * `decontaminate_fuzzy`: flag training assets perceptually within
+    * hamming ≤ 2 of ANY held-out eval asset, so a re-encoded copy of an
+    * eval image smuggled into the training set is caught even though its
+    * bytes (and exact hash) differ. Planted leaks: re-ingested copies of
+    * eval assets under new ids with the standard 4-byte edit.
+    *
+    * Scale shape: this is [[graft.ops.Multimodal.phashPairsDelta]]'s
+    * cross-set block probe with train as the "delta" and the (much
+    * smaller) eval set as the standing side — train fingerprints once,
+    * probes key on block buckets, and the flag join is id-keyed. Only
+    * the CROSS pairs gate (train↔train near-dups are dedup's business,
+    * not contamination). */
+  def multimodalDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = td(s, dir)
+    val evalDocs = docs.filter(col("doc_id") % 17 === 0).select("doc_id", "text")
+    val leaks = evalDocs.filter(col("doc_id") % 34 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("zzzz"), expr("substring(text, 5)")).as("text"))
+    val train = docs.filter(col("doc_id") % 17 =!= 0).select("doc_id", "text")
+      .unionByName(leaks)
+    val pairs = graft.ops.Multimodal.phashPairsDelta(
+      graft.ops.Multimodal.assetsFromText(train, "doc_id", "text"),
+      graft.ops.Multimodal.assetsFromText(evalDocs, "doc_id", "text"))
+      .select("id_a", "id_b")
+    val evalIds = evalDocs.select(col("doc_id").as("eid"))
+    val contaminated = pairs.join(evalIds, pairs("id_a") === evalIds("eid"))
+      .select(col("id_b").as("doc_id"))
+      .unionByName(pairs.join(evalIds, pairs("id_b") === evalIds("eid"))
+        .select(col("id_a").as("doc_id")))
+      .distinct()
+      .withColumn("contaminated", lit(true))
+    train.select("doc_id")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Exact-substring novelty dedup ([[graft.ops.Dedup.substringNovelty]]):
     * per document, the fraction of its distinct word 8-grams it is the
     * FIRST (min-id) owner of — the linear suffix-array-dedup
@@ -2863,6 +2902,7 @@ object PipelineQueries {
     "pipeline_asset_manifest" -> (pipelineAssetManifest _),
     "multimodal_dhash_dedup" -> (multimodalDhashDedup _),
     "multimodal_video_dedup" -> (multimodalVideoDedup _),
+    "multimodal_decontaminate" -> (multimodalDecontaminate _),
     "pipeline_asset_manifest_incremental" -> (pipelineAssetManifestIncremental _),
     "multimodal_mismatch" -> (multimodalMismatch _),
     "skew_salted_join" -> (skewSaltedJoin _),
@@ -4745,6 +4785,26 @@ object PipelineQueries {
         |WHERE round(len(list_intersect(sa.fs, sb.fs)) /
         |        len(list_distinct(list_concat(sa.fs, sb.fs))), 4) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // Asset decontamination: brute all-pairs aHash over train ∪ eval,
+    // keep only CROSS pairs, flag the train side — the candidate-free
+    // truth for the cross-set block-probe path
+    "multimodal_decontaminate" ->
+      s"""WITH trainset AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, 'zzzz' || substr(text, 5)
+         |  FROM documents WHERE doc_id % 34 = 0),
+         |evalset AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+         |corpus AS (SELECT doc_id, text FROM trainset
+         |           UNION ALL SELECT doc_id, text FROM evalset),
+         |$duckPhashPairCtes,
+         |cont AS (
+         |  SELECT php.id_b AS doc_id FROM php JOIN evalset e ON php.id_a = e.doc_id
+         |  UNION
+         |  SELECT php.id_a FROM php JOIN evalset e ON php.id_b = e.doc_id)
+         |SELECT t.doc_id,
+         |  t.doc_id IN (SELECT doc_id FROM cont) AS contaminated
+         |FROM trainset t ORDER BY t.doc_id""".stripMargin,
     // Caption-containment agreement in 4-dp fixed point; the planted
     // every-13th reversed caption mirrors the Spark side verbatim
     "multimodal_mismatch" ->
