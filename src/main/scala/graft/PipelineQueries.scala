@@ -1781,6 +1781,44 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** SEMANTIC eval-set decontamination — the embedding-space member of
+    * the family (`decontaminate` catches verbatim 8-gram leaks,
+    * `decontaminate_fuzzy` near-verbatim edits, `multimodal_decontaminate`
+    * re-encoded assets): a PARAPHRASED eval item shares no n-grams and no
+    * perceptual bits with its source, but its embedding still sits at
+    * cosine ≈ 1. Flag every training vector whose max cosine to ANY
+    * held-out eval vector ≥ 0.9 (natural cross-set ceiling on this corpus
+    * is 0.43, so the gate discriminates). Planted leaks: eval vectors
+    * re-ingested under new ids SCALED ×2 — cosine is scale-invariant, so
+    * the "paraphrase" scores exactly 1.0 while byte/exact-hash equality
+    * (and every gram family) misses it.
+    *
+    * Scale shape: eval suites are tiny (thousands of rows) next to a
+    * 100 TB training corpus, so the eval side BROADCASTS and scoring is
+    * ONE pass over train — a broadcast nested-loop producing |train|×|eval|
+    * skinny (id, cos) rows that partial-aggregate to one max per train id
+    * map-side before the id-keyed shuffle. No train-side join, no
+    * candidate index needed: the broadcast IS the scale path when one
+    * side is eval-sized (the `decontaminate` broadcast-gram precedent). */
+  def embedDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val evalSet = e.filter(col("vec_id") % 19 === 0)
+    val leaks = e.filter(col("vec_id") % 38 === 0)
+      .select((col("vec_id") + 9000000L).as("vec_id"),
+        expr("transform(v, x -> x * 2.0D)").as("v"))
+    val train = e.filter(col("vec_id") % 19 =!= 0).unionByName(leaks)
+    val scored = train.select(col("vec_id").as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(evalSet.select(col("v").as("ev"))))
+      .groupBy("qid")
+      .agg(max(round(Similarity.cosine(col("qv"), col("ev")), 4)).as("max_eval_cos"))
+    train.select("vec_id")
+      .join(scored, col("vec_id") === col("qid"), "left")
+      .select(col("vec_id"), col("max_eval_cos"),
+        coalesce(col("max_eval_cos") >= 0.9, lit(false)).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** Exact-substring novelty dedup ([[graft.ops.Dedup.substringNovelty]]):
     * per document, the fraction of its distinct word 8-grams it is the
     * FIRST (min-id) owner of — the linear suffix-array-dedup
@@ -2903,6 +2941,7 @@ object PipelineQueries {
     "multimodal_dhash_dedup" -> (multimodalDhashDedup _),
     "multimodal_video_dedup" -> (multimodalVideoDedup _),
     "multimodal_decontaminate" -> (multimodalDecontaminate _),
+    "embed_decontaminate" -> (embedDecontaminate _),
     "pipeline_asset_manifest_incremental" -> (pipelineAssetManifestIncremental _),
     "multimodal_mismatch" -> (multimodalMismatch _),
     "skew_salted_join" -> (skewSaltedJoin _),
@@ -4805,6 +4844,24 @@ object PipelineQueries {
          |SELECT t.doc_id,
          |  t.doc_id IN (SELECT doc_id FROM cont) AS contaminated
          |FROM trainset t ORDER BY t.doc_id""".stripMargin,
+    // Semantic decontamination: brute max-cosine of every train vector
+    // against the eval set; planted leaks are eval vectors scaled x2
+    // (cosine is scale-invariant, so they score exactly 1.0)
+    "embed_decontaminate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ev AS (SELECT vec_id, v FROM e WHERE vec_id % 19 = 0),
+        |leaks AS (SELECT vec_id + 9000000 AS vec_id, list_transform(v, x -> x * 2.0) AS v
+        |          FROM e WHERE vec_id % 38 = 0),
+        |train AS (SELECT vec_id, v FROM e WHERE vec_id % 19 <> 0
+        |          UNION ALL SELECT vec_id, v FROM leaks),
+        |mc AS (SELECT t.vec_id,
+        |    max(round(list_dot_product(t.v, x.v) /
+        |        (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(x.v, x.v))), 4)) AS max_eval_cos
+        |  FROM train t CROSS JOIN ev x GROUP BY 1)
+        |SELECT t.vec_id, mc.max_eval_cos,
+        |  coalesce(mc.max_eval_cos >= 0.9, false) AS contaminated
+        |FROM train t LEFT JOIN mc USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
     // Caption-containment agreement in 4-dp fixed point; the planted
     // every-13th reversed caption mirrors the Spark side verbatim
     "multimodal_mismatch" ->

@@ -393,6 +393,17 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("semantic decontamination: eval side broadcasts; no unbroadcast cartesian") {
+    val df = PipelineQueries.embedDecontaminate(spark, dir)
+    val exec = { df.collect(); df.queryExecution.executedPlan }
+    val p = exec.toString
+    // the |train| x |eval| scoring pass is BY DESIGN a broadcast nested
+    // loop against the eval-sized side — the one join shape that reads
+    // the training corpus exactly once with nothing corpus-sized shuffled
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("gate agreement fuses both gates into one scan, zero joins") {
     val df = PipelineQueries.evalGateAgreement(spark, dir)
     val exec = { df.collect(); df.queryExecution.executedPlan }

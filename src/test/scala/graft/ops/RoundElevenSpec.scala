@@ -150,4 +150,21 @@ class RoundElevenSpec extends AnyFunSuite with Matchers {
       .agg(expr("graft_approx_distinct(v)")).collect().head.getDouble(0)
     empty shouldBe 0.0
   }
+
+  test("embed_decontaminate: exactly the planted scaled-copy leaks flag, at cosine 1.0") {
+    val rows = graft.PipelineQueries
+      .embedDecontaminate(spark, "/root/testdata/sf0.001")
+      .collect()
+    val flagged = rows.filter(_.getBoolean(2))
+    // every flag is a planted leak (re-ingested id range), every planted
+    // leak flags, and each scores EXACTLY 1.0 — the scale-invariance of
+    // cosine is what makes the x2 "paraphrase" a perfect semantic copy
+    flagged.map(_.getLong(0)).foreach(_ should be >= 9000000L)
+    flagged.length shouldBe rows.count(_.getLong(0) >= 9000000L)
+    flagged.length should be > 0
+    flagged.foreach(_.getDouble(1) shouldBe 1.0)
+    // clean training vectors sit far below the gate: natural cross-set
+    // ceiling on this corpus is ~0.43 vs the 0.9 threshold
+    rows.filterNot(_.getBoolean(2)).foreach(_.getDouble(1) should be < 0.9)
+  }
 }
