@@ -1819,6 +1819,80 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** Composed decontamination recall matrix — the sign-off table a
+    * training run reads before trusting its eval numbers: three leak
+    * classes are PLANTED from the held-out suite (verbatim copies,
+    * every-7th-word paraphrases, scaled-vector semantic copies with
+    * unrelated text) beside the natural corpus, then ALL THREE gate
+    * families run over the union — exact 8-gram overlap
+    * ([[graft.ops.TextAnalysis.contamination]]), fuzzy MinHash cross-set
+    * banding at the recall-heavy 8×1 config
+    * ([[graft.ops.Dedup.crossSetNearDups]]; decontamination wants recall
+    * over precision, the banding the `lsh_band_sweep` s-curve points at),
+    * and max-eval-cosine ≥ 0.9 (the [[embedDecontaminate]] rule) — and
+    * the census reports per-cohort catch counts. The point IS the
+    * complementarity: verbatim falls to exact+fuzzy, the paraphrase
+    * defeats every 8-gram (a swap every 7 words leaves no intact window)
+    * but not the gram-minhash, and the scaled vector is invisible to
+    * both text gates while cosine's scale-invariance scores it exactly
+    * 1.0.
+    *
+    * Scale shape: every eval-sided structure broadcasts (gram set,
+    * banded bench index, eval vectors — eval suites are tiny next to
+    * 100 TB of train); each channel is its own already-proven one-pass
+    * shape over the train scan, and the census joins only skinny
+    * (id, bool) channel outputs before a 4-group aggregate. Plant
+    * construction is eval-sized. Plant vectors for the text-channel
+    * cohorts are ROTATED (unrelated direction, natural-level cosine) so
+    * each cohort isolates its own family. */
+  def pipelineDecontamMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+    val emb = t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val withV = docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), lower(col("text")).as("text"), col("source"), col("v"))
+    val evalSet = withV.filter(col("source") === "src0")
+      .select("doc_id", "text", "v")
+    val natural = withV.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("text"), col("v"), lit("natural").as("cohort"))
+    val plantVerbatim = evalSet.select(
+      (col("doc_id") + 10000000L).as("doc_id"), col("text"),
+      expr("concat(slice(v, 17, 48), slice(v, 1, 16))").as("v"),
+      lit("plant_verbatim").as("cohort"))
+    val plantParaphrase = evalSet.select(
+      (col("doc_id") + 20000000L).as("doc_id"),
+      expr("concat_ws(' ', transform(split(text, ' '), (w, i) -> " +
+        "IF(i % 7 = 0, 'zzleak', w)))").as("text"),
+      expr("concat(slice(v, 33, 32), slice(v, 1, 32))").as("v"),
+      lit("plant_paraphrase").as("cohort"))
+    val plantSemantic = evalSet.select(
+      (col("doc_id") + 30000000L).as("doc_id"),
+      lit("zz zz zz zz zz zz zz zz").as("text"),
+      expr("transform(v, x -> x * 2.0D)").as("v"),
+      lit("plant_semantic").as("cohort"))
+    val train = natural.unionByName(plantVerbatim)
+      .unionByName(plantParaphrase).unionByName(plantSemantic)
+    val exact = TextAnalysis.contamination(train, evalSet, shingleWords = 8)
+      .select(col("doc_id"), col("contaminated").as("ex"))
+    val fuzzy = Dedup.crossSetNearDups(train, evalSet, "doc_id", "text",
+        numHashes = 8, rowsPerBand = 1)
+      .select(col("doc_id"), col("contaminated").as("fz"))
+    val sem = train.select(col("doc_id").as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(evalSet.select(col("v").as("ev"))))
+      .groupBy("qid")
+      .agg(max(round(Similarity.cosine(col("qv"), col("ev")), 4)).as("mx"))
+      .select(col("qid").as("doc_id"), (col("mx") >= 0.9).as("se"))
+    train.select("doc_id", "cohort")
+      .join(exact, "doc_id").join(fuzzy, "doc_id").join(sem, "doc_id")
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n"),
+        sum(col("ex").cast("long")).as("exact_n"),
+        sum(col("fz").cast("long")).as("fuzzy_n"),
+        sum(col("se").cast("long")).as("semantic_n"),
+        sum((col("ex") || col("fz") || col("se")).cast("long")).as("any_n"))
+      .orderBy("cohort")
+  }
+
   /** Exact-substring novelty dedup ([[graft.ops.Dedup.substringNovelty]]):
     * per document, the fraction of its distinct word 8-grams it is the
     * FIRST (min-id) owner of — the linear suffix-array-dedup
@@ -2033,6 +2107,26 @@ object PipelineQueries {
     t(s, dir, "events").createOrReplaceTempView("ev_adfn")
     s.sql("""SELECT event_type, graft_approx_distinct(user_id) AS n_approx
             |FROM ev_adfn GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** The tenant-surface log-quantile aggregate
+    * ([[graft.functions.LogQuantileSketch]], SQL `graft_quantile`)
+    * against a DuckDB bucket-replay oracle — the quantile sibling of
+    * [[approxDistinctFn]]: the fixed 126-bucket histogram buffer merges
+    * by cellwise sum through partial aggregation, and the
+    * first-bucket-reaching-⌈q·N⌉ midpoint estimate is pure integer
+    * bucket math, so the wire value is bit-identical to the
+    * oracle-checked `quantile_sketch` pipeline query under ANY
+    * partitioning. Per (group × q) the shuffle carries one ≤ 1 KB
+    * sketch whatever the row count — the 100 TB shape. */
+  def quantileFn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    t(s, dir, "events").createOrReplaceTempView("ev_qfn")
+    s.sql("""SELECT event_type,
+            |  graft_quantile(CAST(round(value * 100, 0) AS BIGINT), 0.5D) AS p50,
+            |  graft_quantile(CAST(round(value * 100, 0) AS BIGINT), 0.9D) AS p90,
+            |  graft_quantile(CAST(round(value * 100, 0) AS BIGINT), 0.99D) AS p99
+            |FROM ev_qfn GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
   /** Sketch-union maintenance proof ([[graft.ops.Hll.registersBy]]): the
@@ -2840,6 +2934,7 @@ object PipelineQueries {
     "lang_mismatch" -> (langMismatch _),
     "approx_distinct" -> (approxDistinctUsers _),
     "approx_distinct_fn" -> (approxDistinctFn _),
+    "quantile_fn" -> (quantileFn _),
     "sketch_union" -> (sketchUnion _),
     "eval_silhouette" -> (evalSilhouette _),
     "embed_pq_codes" -> (embedPqCodes _),
@@ -2942,6 +3037,7 @@ object PipelineQueries {
     "multimodal_video_dedup" -> (multimodalVideoDedup _),
     "multimodal_decontaminate" -> (multimodalDecontaminate _),
     "embed_decontaminate" -> (embedDecontaminate _),
+    "pipeline_decontam_matrix" -> (pipelineDecontamMatrix _),
     "pipeline_asset_manifest_incremental" -> (pipelineAssetManifestIncremental _),
     "multimodal_mismatch" -> (multimodalMismatch _),
     "skew_salted_join" -> (skewSaltedJoin _),
@@ -4518,6 +4614,38 @@ object PipelineQueries {
          |    ELSE $alphaM2 / (sumpow + ($m - cnt)) END, 4) AS n_approx
          |FROM est ORDER BY event_type""".stripMargin
     },
+    // The native SQL aggregate replays the IDENTICAL 126-bucket
+    // log-histogram chain as the quantile_sketch oracle, per group and
+    // pivoted to the three requested quantiles — midpoint estimates are
+    // sums of powers of two, so doubles are bit-identical cross-engine
+    "quantile_fn" ->
+      """WITH base AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
+        |  WHERE CAST(round(value * 100, 0) AS BIGINT) > 0),
+        |h AS (SELECT event_type, CAST(length(bin(c)) AS INT) AS oct,
+        |    CASE WHEN length(bin(c)) = 1 THEN 0
+        |         ELSE CAST(substring(bin(c), 2, 1) AS INT) END AS half,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM c GROUP BY 1, 2, 3),
+        |w AS (SELECT event_type, oct, half,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY oct, half
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM h),
+        |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |    CAST(0.99 AS DOUBLE)]) AS q),
+        |sel AS (SELECT event_type, q,
+        |    CASE WHEN oct = 1 THEN 1.0
+        |         ELSE pow(2.0, oct - 1) + half * pow(2.0, oct - 2)
+        |            + pow(2.0, oct - 2) / 2.0 END AS est,
+        |    row_number() OVER (PARTITION BY event_type, q ORDER BY oct, half) AS rn
+        |  FROM w CROSS JOIN qs WHERE cum >= ceil(n * q)),
+        |p AS (SELECT event_type,
+        |    max(CASE WHEN q = 0.5 THEN est END) AS p50,
+        |    max(CASE WHEN q = 0.9 THEN est END) AS p90,
+        |    max(CASE WHEN q = 0.99 THEN est END) AS p99
+        |  FROM sel WHERE rn = 1 GROUP BY event_type)
+        |SELECT b.event_type, p.p50, p.p90, p.p99
+        |FROM base b LEFT JOIN p USING (event_type) ORDER BY event_type""".stripMargin,
     "sketch_union" -> {
       val m = 256
       val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
@@ -4862,6 +4990,76 @@ object PipelineQueries {
         |  coalesce(mc.max_eval_cos >= 0.9, false) AS contaminated
         |FROM train t LEFT JOIN mc USING (vec_id)
         |ORDER BY vec_id""".stripMargin,
+    // Full replay of the composed matrix: plant construction (verbatim /
+    // every-7th-word swap / x2-scaled vector), then all three gate
+    // families, then the per-cohort census. Channel CTEs mirror the
+    // decontaminate / decontaminate_fuzzy / embed_decontaminate oracles.
+    "pipeline_decontam_matrix" -> {
+      val mh8 = (0 until 8).map(duckMinhash).mkString(",\n|    ")
+      s"""WITH ev0 AS (SELECT d.doc_id, lower(d.text) AS text,
+         |    CAST(e.embedding AS DOUBLE[]) AS v
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |  WHERE d.source = 'src0'),
+         |nat AS (SELECT d.doc_id, lower(d.text) AS text,
+         |    CAST(e.embedding AS DOUBLE[]) AS v, 'natural' AS cohort
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |  WHERE d.source <> 'src0'),
+         |pw AS (SELECT doc_id, i, ws[CAST(i + 1 AS INT)] AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM ev0),
+         |    unnest(range(0, len(ws))) AS tt(i)),
+         |sw AS (SELECT doc_id,
+         |    string_agg(CASE WHEN i % 7 = 0 THEN 'zzleak' ELSE w END, ' ' ORDER BY i) AS text
+         |  FROM pw GROUP BY doc_id),
+         |pv AS (SELECT doc_id + 10000000 AS doc_id, text,
+         |    list_concat(v[17:64], v[1:16]) AS v, 'plant_verbatim' AS cohort FROM ev0),
+         |pp AS (SELECT e.doc_id + 20000000 AS doc_id, sw.text,
+         |    list_concat(v[33:64], v[1:32]) AS v, 'plant_paraphrase' AS cohort
+         |  FROM ev0 e JOIN sw ON sw.doc_id = e.doc_id),
+         |psm AS (SELECT doc_id + 30000000 AS doc_id, 'zz zz zz zz zz zz zz zz' AS text,
+         |    list_transform(v, x -> x * 2.0) AS v, 'plant_semantic' AS cohort FROM ev0),
+         |tr AS (SELECT * FROM nat UNION ALL SELECT * FROM pv
+         |  UNION ALL SELECT * FROM pp UNION ALL SELECT * FROM psm),
+         |bg AS (SELECT DISTINCT substr(md5(g), 1, 16) AS gh
+         |  FROM (SELECT unnest(${duckShingles(8)}) AS g FROM ev0)),
+         |tg AS (SELECT doc_id,
+         |    list_distinct(list_transform(${duckShingles(8)}, g -> substr(md5(g), 1, 16))) AS ghs
+         |  FROM tr),
+         |hx AS (SELECT doc_id, count(*) AS hits
+         |  FROM (SELECT doc_id, unnest(ghs) AS gh FROM tg) JOIN bg USING (gh)
+         |  GROUP BY doc_id),
+         |exact AS (SELECT t.doc_id,
+         |    round(coalesce(h.hits, 0) / len(t.ghs), 4) >= 0.2 AS ex
+         |  FROM tg t LEFT JOIN hx h USING (doc_id)),
+         |sigt AS (SELECT doc_id, [$mh8] AS hs FROM tr),
+         |sigb AS (SELECT doc_id, [$mh8] AS hs FROM ev0),
+         |bt AS (SELECT doc_id, i, hs[CAST(i + 1 AS INT)] AS h
+         |  FROM sigt, unnest(range(0, 8)) AS tt(i)),
+         |bb AS (SELECT doc_id, i, hs[CAST(i + 1 AS INT)] AS h
+         |  FROM sigb, unnest(range(0, 8)) AS tt(i)),
+         |cand AS (SELECT DISTINCT t.doc_id AS tid, b.doc_id AS bid
+         |  FROM bt t JOIN bb b ON t.i = b.i AND t.h = b.h),
+         |tkt AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM tr),
+         |tkb AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM ev0),
+         |mj AS (SELECT tid,
+         |    max(round(len(list_intersect(a.ts, b.ts)) /
+         |      len(list_distinct(list_concat(a.ts, b.ts))), 4)) AS max_jac
+         |  FROM cand JOIN tkt a ON a.doc_id = tid JOIN tkb b ON b.doc_id = bid
+         |  GROUP BY tid),
+         |fuzzy AS (SELECT t.doc_id, coalesce(mj.max_jac, 0.0) >= 0.5 AS fz
+         |  FROM tr t LEFT JOIN mj ON mj.tid = t.doc_id),
+         |sem AS (SELECT t.doc_id,
+         |    max(round(list_dot_product(t.v, e.v) /
+         |      (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(e.v, e.v))), 4))
+         |      >= 0.9 AS se
+         |  FROM tr t CROSS JOIN ev0 e GROUP BY t.doc_id)
+         |SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS exact_n,
+         |  CAST(sum(CASE WHEN fz THEN 1 ELSE 0 END) AS BIGINT) AS fuzzy_n,
+         |  CAST(sum(CASE WHEN se THEN 1 ELSE 0 END) AS BIGINT) AS semantic_n,
+         |  CAST(sum(CASE WHEN ex OR fz OR se THEN 1 ELSE 0 END) AS BIGINT) AS any_n
+         |FROM tr JOIN exact USING (doc_id) JOIN fuzzy USING (doc_id) JOIN sem USING (doc_id)
+         |GROUP BY cohort ORDER BY cohort""".stripMargin
+    },
     // Caption-containment agreement in 4-dp fixed point; the planted
     // every-13th reversed caption mirrors the Spark side verbatim
     "multimodal_mismatch" ->

@@ -384,6 +384,37 @@ object ScaleSoak {
         .filter(col("mismatch")).count()
     }
 
+    // 20. semantic decontamination at scale: the eval suite is FIXED
+    // (eval sets don't grow with the training corpus) and BROADCASTS;
+    // the training side is scaled R× with per-replica vector rotation
+    // (distinct directions, so natural scores stay under the gate) plus
+    // one planted ×2-scaled eval copy batch PER replica (leak count
+    // grows linearly — output-sized by construction). The claim: wall
+    // clock is ONE train pass, linear in R, nothing corpus-sized
+    // shuffled — the broadcast nested loop partial-maxes map-side.
+    timed("semantic_decontam") {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val maxV = emb.agg(max("vec_id")).head().getLong(0) + 1
+      val evalSet = emb.filter(col("vec_id") % 19 === 0)
+        .select(expr("transform(embedding, x -> cast(x AS double))").as("ev"))
+      val trainScaled = (0 until replicas).map { i =>
+        val rot = i % 64
+        val nat = emb.filter(col("vec_id") % 19 =!= 0).select(
+          (col("vec_id") + lit(i * maxV)).as("vec_id"),
+          expr(s"transform(concat(slice(embedding, ${rot + 1}, ${64 - rot}), slice(embedding, 1, $rot)), x -> cast(x AS double))")
+            .as("v"))
+        val leaks = emb.filter(col("vec_id") % 38 === 0).select(
+          (col("vec_id") + lit(i * maxV) + lit(replicas * maxV)).as("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double) * 2.0D)").as("v"))
+        nat.unionAll(leaks)
+      }.reduce(_ unionAll _)
+      counts("semantic_flags") = trainScaled
+        .crossJoin(broadcast(evalSet))
+        .groupBy("vec_id")
+        .agg(max(graft.ops.Similarity.cosine(col("v"), col("ev"))).as("mx"))
+        .filter(col("mx") >= 0.9).count()
+    }
+
     graft.ops.Materialize.clearCache()
     val total = stages.values.sum
     val stagesJson = stages.map { case (k, v) => s""""$k":${f"$v%.2f"}""" }.mkString(",")

@@ -108,6 +108,26 @@ object GraftExtensions {
           org.apache.spark.sql.catalyst.expressions.Cast(
             args.head, org.apache.spark.sql.types.StringType),
           bBits)
+      }),
+    // The pipeline log-quantile sketch (graft.ops.Quantile) on the
+    // tenant SQL surface — same contract as graft_approx_distinct:
+    // read-only, bounded (126-long bucket array per group, merged by
+    // cellwise sum), bit-reproducible with the oracle-checked op.
+    fn("graft_quantile",
+      "graft_quantile(value, q) - engine-portable log-histogram quantile " +
+        "estimate over positive bigints (two buckets per power of two, " +
+        "<= 25% relative error; identical to the pipeline op " +
+        "graft.ops.Quantile)",
+      { args =>
+        if (args.size != 2)
+          throw new IllegalArgumentException(
+            s"graft_quantile expects (value, q); got ${args.size} argument(s)")
+        require(args(1).foldable, "graft_quantile q must be a literal")
+        val q = args(1).eval().asInstanceOf[Number].doubleValue()
+        LogQuantileSketch(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.LongType),
+          q)
       }))
 
   val inject: SparkSessionExtensions => Unit = { ext =>

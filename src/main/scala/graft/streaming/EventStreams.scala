@@ -282,6 +282,50 @@ object EventStreams {
         .withColumnRenamed("phash", "simhash"),
       corpusFps)
 
+  /** Streaming SEMANTIC decontamination gate — the embedding-space twin
+    * of [[phashGateStream]] and the ingest-time form of the batch
+    * `embed_decontaminate` query: an incoming vector stream is admitted
+    * only if its max cosine to the held-out EVAL suite is below
+    * `threshold`, so a paraphrased eval item (no shared n-grams, no
+    * shared perceptual bits, cosine ≈ 1) is dropped at ingest rather
+    * than discovered in a nightly sweep.
+    *
+    * Scale shape: eval suites are tiny and STATIC next to the ingest
+    * stream, so the whole eval side is frozen ONCE at stream build time
+    * into a single row of pre-normalized vectors (the
+    * [[hammingGateStream]] materialize-the-static-side rationale: a
+    * stream-static join re-executes an unmaterialized static sub-plan
+    * every micro-batch) and cross-joined in — per stream row the work is
+    * |eval| dot products, no stream-side aggregation, no shuffle.
+    * Within-stream exact re-delivery rides
+    * `dropDuplicatesWithinWatermark` on the vector digest (bounded
+    * state). Stream schema: (id, ts, v: array<double>). */
+  def semanticGateStream(
+      vecs: DataFrame,
+      evalVecs: DataFrame,
+      threshold: Double = 0.9,
+      watermark: String = "10 minutes"): DataFrame = {
+    // pre-normalize the eval side so the per-row score is a plain dot
+    // product; normalizing the stream row once makes the gate scale-
+    // invariant (a x2-scaled eval copy still lands at cosine exactly 1)
+    val norm = "sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"
+    val evs = graft.ops.Materialize.index(
+      evalVecs.select(col("v"))
+        .filter(expr(norm) > 0D)
+        .select(expr(s"transform(v, x -> x / $norm)").as("_ev"))
+        .agg(collect_list("_ev").as("_evs")),
+      "gate-eval-vecs")
+    vecs.withWatermark("ts", watermark)
+      .withColumn("_vn", expr(s"IF($norm > 0D, transform(v, x -> x / $norm), v)"))
+      .crossJoin(evs)
+      .filter(expr(
+        s"""NOT exists(_evs, e ->
+           |  aggregate(zip_with(_vn, e, (a, b) -> a * b), 0D, (a, x) -> a + x)
+           |    >= $threshold)""".stripMargin))
+      .dropDuplicatesWithinWatermark("_vn")
+      .drop("_vn", "_evs")
+  }
+
   /** Shared core of the hamming-≤2 novelty gates: the input stream
     * already carries a 64-bit `simhash` fingerprint column; the static
     * corpus index is pre-bucketed per Manku block key and LEFT-joined on

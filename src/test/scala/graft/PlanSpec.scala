@@ -404,6 +404,17 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("decontam matrix: eval-sided structures broadcast; no unbroadcast cartesian") {
+    val df = PipelineQueries.pipelineDecontamMatrix(spark, dir)
+    val exec = { df.collect(); df.queryExecution.executedPlan }
+    val p = exec.toString
+    // the cosine channel is the embed_decontaminate broadcast-NLJ shape;
+    // the gram/band channels join on keys with eval sides broadcast —
+    // nothing in the composition may degrade to an unbroadcast cartesian
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("gate agreement fuses both gates into one scan, zero joins") {
     val df = PipelineQueries.evalGateAgreement(spark, dir)
     val exec = { df.collect(); df.queryExecution.executedPlan }

@@ -460,4 +460,23 @@ class TenantFrontendSpec extends AnyFunSuite with Matchers {
       t.sql("INSERT INTO metricid1 SELECT graft_approx_distinct(1)").collect()
     }
   }
+
+  test("pipeline op on the tenant SQL surface: graft_quantile, bit-equal to the op") {
+    // Second op on the wire surface: the log-quantile sketch. metricid1's
+    // timestamps {10, 20} are both exact bucket midpoints (oct 4/5, half
+    // 0), so the tenant-visible values are exact, not just close.
+    val t = TenantSession.open(spark, registry, "org1", sources)
+    val row = t.sql(
+      """SELECT graft_quantile(`timestamp`, 0.5D) AS p50,
+        |       graft_quantile(`timestamp`, 1.0D) AS p100 FROM metricid1""".stripMargin)
+      .collect().head
+    row.getDouble(0) shouldBe 10.0
+    row.getDouble(1) shouldBe 20.0
+    val viaOp = graft.ops.Quantile.quantileEstimates(
+      graft.ops.Quantile.logHist(
+        t.sql("SELECT `timestamp` AS v FROM metricid1"),
+        org.apache.spark.sql.functions.col("v")),
+      Seq(0.5)).collect().head.getDouble(1)
+    row.getDouble(0) shouldBe viaOp
+  }
 }

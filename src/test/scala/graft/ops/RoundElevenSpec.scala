@@ -151,6 +151,46 @@ class RoundElevenSpec extends AnyFunSuite with Matchers {
     empty shouldBe 0.0
   }
 
+  test("graft_quantile ≡ ops.Quantile.quantileEstimates, under any partitioning") {
+    graft.functions.GraftExtensions.register(spark)
+    val df = (1 to 5000).map(i => ("g" + (i % 3), (i * 37 % 900 + 1).toLong))
+      .toDF("g", "v")
+    val expected = (0 to 2).map { g =>
+      val est = Quantile.quantileEstimates(
+        Quantile.logHist(df.filter(col("g") === s"g$g"), col("v")),
+        Seq(0.5, 0.99)).collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      s"g$g" -> est
+    }.toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val got = df.repartition(parts).groupBy("g")
+        .agg(expr("graft_quantile(v, 0.5D)").as("p50"),
+          expr("graft_quantile(v, 0.99D)").as("p99"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      got.keySet shouldBe expected.keySet
+      got.foreach { case (g, (p50, p99)) =>
+        p50 shouldBe expected(g)(0.5)
+        p99 shouldBe expected(g)(0.99)
+      }
+    }
+  }
+
+  test("graft_quantile: non-positive dropped, all-dropped group null, ≤25% rel err") {
+    graft.functions.GraftExtensions.register(spark)
+    val df = Seq(-5L, 0L, 3L, 100L).toDF("v")
+    // only {3, 100} count; q=1 walks to 100's bucket: bin(100) = 1100100,
+    // oct 7 half 1 → 64 + 32 + 16 = 112 exactly (the ≤25% midpoint rule)
+    df.agg(expr("graft_quantile(v, 1.0D)")).collect().head.getDouble(0) shouldBe 112.0
+    val allDropped = df.filter(col("v") < 0L)
+      .agg(expr("graft_quantile(v, 0.5D)")).collect().head
+    allDropped.isNullAt(0) shouldBe true
+    val dense = (1L to 10000L).toDF("v")
+    val p50 = dense.agg(expr("graft_quantile(v, 0.5D)")).collect().head.getDouble(0)
+    math.abs(p50 - 5000.0) / 5000.0 should be <= 0.25
+    // contract errors: arity and non-literal q fail analysis loudly
+    intercept[Exception] { df.agg(expr("graft_quantile(v)")).collect() }
+    intercept[Exception] { df.agg(expr("graft_quantile(v, v)")).collect() }
+  }
+
   test("embed_decontaminate: exactly the planted scaled-copy leaks flag, at cosine 1.0") {
     val rows = graft.PipelineQueries
       .embedDecontaminate(spark, "/root/testdata/sf0.001")

@@ -170,6 +170,36 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("semantic gate drops eval-cosine leaks at ingest, incl. scaled paraphrase copies") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // held-out eval suite: two orthogonal axes
+    val evalVecs = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+      .toDF("v")
+    val input = MemoryStream[(Long, java.sql.Timestamp, Seq[Double])]
+    val q = EventStreams.semanticGateStream(
+      input.toDF().toDF("id", "ts", "v"), evalVecs)
+      .writeStream.queryName("semantic_gate").outputMode(OutputMode.Append())
+      .format("memory").start()
+    try {
+      input.addData(
+        (1L, ts(1), Seq(1.0, 0.0, 0.0, 0.0)),  // exact eval copy — dropped
+        (2L, ts(2), Seq(0.0, 2.0, 0.0, 0.0)),  // x2-scaled eval copy: cosine
+                                               // exactly 1.0 — the semantic
+                                               // catch every gram/hash gate
+                                               // misses — dropped
+        (3L, ts(3), Seq(0.0, 0.0, 1.0, 0.0)),  // orthogonal fresh — admitted
+        (4L, ts(4), Seq(1.0, 1.0, 0.0, 0.0)))  // 45 deg off an eval axis:
+                                               // cosine .707 < .9 — admitted
+      q.processAllAvailable()
+      input.addData((5L, ts(5), Seq(0.0, 0.0, 1.0, 0.0))) // re-delivery — dropped
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id FROM semantic_gate")
+        .collect().map(_.getLong(0)).toSet
+      got shouldBe Set(3L, 4L)
+    } finally q.stop()
+  }
+
   test("sessionization accumulates per-user state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
