@@ -1893,6 +1893,84 @@ object PipelineQueries {
       .orderBy("cohort")
   }
 
+  /** Eval-suite DELTA decontamination sweep — the operational event the
+    * standing decontamination ledger exists for: a NEW benchmark lands
+    * (and, as happens in practice, accidentally contains text and
+    * near-copies of documents already in the training corpus), and the
+    * corpus must be re-swept WITHOUT a full re-scan against the whole
+    * grown suite. The sweep runs against the delta only and the merged
+    * verdict is the OR of the standing ledger and the delta flags.
+    *
+    * The load-bearing design fact: that merge is exact ONLY for
+    * union-decomposable gates — the verbatim PRESENCE gate (any shared
+    * 8-gram: shared-with-union ⟺ shared-with-either) and the semantic
+    * MAX gate (max cosine over a union = greatest of the per-set
+    * maxima) decompose; the [[decontaminate]] overlap-RATIO gate does
+    * NOT (0.15 of v1 grams + 0.10 of distinct delta grams crosses a 0.2
+    * threshold that neither sweep sees). The oracle PROVES the
+    * decomposition rather than replaying it: Spark emits the
+    * incremental OR-merge while the oracle recomputes `contaminated`
+    * from one full-union sweep — hash equality is merge ≡ recompute,
+    * the [[pipelineAssetManifestIncremental]] proof pattern.
+    *
+    * Planted delta leaks: the new benchmark includes verbatim copies of
+    * train docs (doc_id % 97) and ×2-scaled copies of train vectors
+    * (doc_id % 89) — cosine's scale-invariance scores the latter
+    * exactly 1.0.
+    *
+    * Scale shape: the delta side is benchmark-sized and BROADCASTS
+    * (gram set and vector list both); the sweep is one pass over the
+    * standing corpus with map-side partial aggregation, and the ledger
+    * merge is a per-doc OR on skinny (id, bool) columns. Nothing
+    * corpus-sized shuffles; docs without embeddings take the defined
+    * semantic-false path. */
+  def decontamEvalDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("text"), col("source"))
+    val emb = t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val evalV1 = docs.filter(col("source") === "src0")
+    // src assignment is doc_id % 20, so the natural-delta predicate must
+    // be coprime-compatible with it (% 5 of ids ≡ 1 mod 20 is never 0)
+    val isDeltaNat = col("source") === "src1" && col("doc_id") % 3 === 0
+    val deltaNat = docs.filter(isDeltaNat)
+    val train = docs.filter(col("source") =!= "src0" && !isDeltaNat)
+    val deltaTxt = deltaNat.select("doc_id", "text").unionByName(
+      train.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 40000000L).as("doc_id"), col("text")))
+    def gramFlag(bench: DataFrame, name: String) =
+      TextAnalysis.contamination(train, bench, shingleWords = 8)
+        .select(col("doc_id"), (col("n_hits") >= 1).as(name))
+    val trainVec = train.select("doc_id")
+      .join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("v"))
+    val v1Vecs = evalV1.select("doc_id")
+      .join(emb, col("doc_id") === col("vec_id")).select(col("v"))
+    val deltaVecs = deltaNat.select("doc_id")
+      .join(emb, col("doc_id") === col("vec_id")).select(col("v"))
+      .unionByName(trainVec.filter(col("doc_id") % 89 === 0)
+        .select(expr("transform(v, x -> x * 2.0D)").as("v")))
+    def cosFlag(vs: DataFrame, name: String) =
+      trainVec.select(col("doc_id").as("qid"), col("v").as("qv"))
+        .crossJoin(broadcast(vs.select(col("v").as("ev"))))
+        .groupBy("qid")
+        .agg(max(round(Similarity.cosine(col("qv"), col("ev")), 4)).as("mx"))
+        .select(col("qid").as("doc_id"), (col("mx") >= 0.9).as(name))
+    train.select("doc_id")
+      .join(gramFlag(evalV1, "verbatim_v1"), "doc_id")
+      .join(gramFlag(deltaTxt, "verbatim_new"), "doc_id")
+      .join(cosFlag(v1Vecs, "semantic_v1"), Seq("doc_id"), "left")
+      .join(cosFlag(deltaVecs, "semantic_new"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("verbatim_v1"),
+        coalesce(col("semantic_v1"), lit(false)).as("semantic_v1"),
+        col("verbatim_new"),
+        coalesce(col("semantic_new"), lit(false)).as("semantic_new"))
+      .withColumn("contaminated",
+        col("verbatim_v1") || col("semantic_v1")
+          || col("verbatim_new") || col("semantic_new"))
+      .orderBy("doc_id")
+  }
+
   /** Exact-substring novelty dedup ([[graft.ops.Dedup.substringNovelty]]):
     * per document, the fraction of its distinct word 8-grams it is the
     * FIRST (min-id) owner of — the linear suffix-array-dedup
@@ -3038,6 +3116,7 @@ object PipelineQueries {
     "multimodal_decontaminate" -> (multimodalDecontaminate _),
     "embed_decontaminate" -> (embedDecontaminate _),
     "pipeline_decontam_matrix" -> (pipelineDecontamMatrix _),
+    "decontam_eval_delta" -> (decontamEvalDelta _),
     "pipeline_asset_manifest_incremental" -> (pipelineAssetManifestIncremental _),
     "multimodal_mismatch" -> (multimodalMismatch _),
     "skew_salted_join" -> (skewSaltedJoin _),
@@ -5060,6 +5139,58 @@ object PipelineQueries {
          |FROM tr JOIN exact USING (doc_id) JOIN fuzzy USING (doc_id) JOIN sem USING (doc_id)
          |GROUP BY cohort ORDER BY cohort""".stripMargin
     },
+    // The per-suite columns replay the incremental sweeps, but
+    // `contaminated` is recomputed from ONE full-union sweep — hash
+    // equality with Spark's OR-merge IS the union-decomposition proof
+    // (presence + max gates decompose over eval-set union; ratio gates
+    // don't, which is why this ledger carries presence verdicts).
+    "decontam_eval_delta" ->
+      s"""WITH tk AS (SELECT doc_id, lower(text) AS text, source FROM documents),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ev1 AS (SELECT doc_id, text FROM tk WHERE source = 'src0'),
+         |dnat AS (SELECT doc_id, text FROM tk
+         |  WHERE source = 'src1' AND doc_id % 3 = 0),
+         |tr AS (SELECT doc_id, text FROM tk
+         |  WHERE source <> 'src0' AND NOT (source = 'src1' AND doc_id % 3 = 0)),
+         |dtxt AS (SELECT doc_id, text FROM dnat
+         |  UNION ALL SELECT doc_id + 40000000, text FROM tr WHERE doc_id % 97 = 0),
+         |gtr AS (SELECT doc_id,
+         |    list_distinct(list_transform(${duckShingles(8)}, g -> substr(md5(g), 1, 16))) AS ghs
+         |  FROM tr),
+         |gtru AS (SELECT doc_id, unnest(ghs) AS gh FROM gtr),
+         |gv1 AS (SELECT DISTINCT substr(md5(g), 1, 16) AS gh
+         |  FROM (SELECT unnest(${duckShingles(8)}) AS g FROM ev1)),
+         |gdn AS (SELECT DISTINCT substr(md5(g), 1, 16) AS gh
+         |  FROM (SELECT unnest(${duckShingles(8)}) AS g FROM dtxt)),
+         |vb1 AS (SELECT DISTINCT doc_id FROM gtru JOIN gv1 USING (gh)),
+         |vbn AS (SELECT DISTINCT doc_id FROM gtru JOIN gdn USING (gh)),
+         |vbf AS (SELECT DISTINCT doc_id FROM gtru
+         |  JOIN (SELECT gh FROM gv1 UNION SELECT gh FROM gdn) USING (gh)),
+         |vtr AS (SELECT t.doc_id, e.v FROM tr t JOIN e ON e.vec_id = t.doc_id),
+         |vv1 AS (SELECT e.v FROM ev1 x JOIN e ON e.vec_id = x.doc_id),
+         |vdn AS (SELECT e.v FROM dnat x JOIN e ON e.vec_id = x.doc_id
+         |  UNION ALL SELECT list_transform(t.v, x -> x * 2.0)
+         |    FROM vtr t WHERE t.doc_id % 89 = 0),
+         |sc1 AS (SELECT t.doc_id, max(round(list_dot_product(t.v, u.v) /
+         |    (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(u.v, u.v))), 4)) AS m
+         |  FROM vtr t CROSS JOIN vv1 u GROUP BY 1),
+         |scn AS (SELECT t.doc_id, max(round(list_dot_product(t.v, u.v) /
+         |    (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(u.v, u.v))), 4)) AS m
+         |  FROM vtr t CROSS JOIN vdn u GROUP BY 1),
+         |scf AS (SELECT t.doc_id, max(round(list_dot_product(t.v, u.v) /
+         |    (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(u.v, u.v))), 4)) AS m
+         |  FROM vtr t CROSS JOIN (SELECT v FROM vv1 UNION ALL SELECT v FROM vdn) u
+         |  GROUP BY 1)
+         |SELECT tr.doc_id,
+         |  (vb1.doc_id IS NOT NULL) AS verbatim_v1,
+         |  coalesce(sc1.m >= 0.9, false) AS semantic_v1,
+         |  (vbn.doc_id IS NOT NULL) AS verbatim_new,
+         |  coalesce(scn.m >= 0.9, false) AS semantic_new,
+         |  ((vbf.doc_id IS NOT NULL) OR coalesce(scf.m >= 0.9, false)) AS contaminated
+         |FROM tr LEFT JOIN vb1 USING (doc_id) LEFT JOIN vbn USING (doc_id)
+         |  LEFT JOIN vbf USING (doc_id) LEFT JOIN sc1 USING (doc_id)
+         |  LEFT JOIN scn USING (doc_id) LEFT JOIN scf USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // Caption-containment agreement in 4-dp fixed point; the planted
     // every-13th reversed caption mirrors the Spark side verbatim
     "multimodal_mismatch" ->
