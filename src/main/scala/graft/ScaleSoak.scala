@@ -415,6 +415,38 @@ object ScaleSoak {
         .filter(col("mx") >= 0.9).count()
     }
 
+    // 21. suite-growth decontamination: the standing eval SUITE is what
+    // grows in production (every published benchmark joins it) while
+    // each nightly delta stays benchmark-sized. Replica 0 is the
+    // original v1 benchmark; replicas 1..R-1 are word-salted (every
+    // gram distinct, a genuinely different past benchmark). The
+    // operational claim behind decontam_eval_delta, measured: the full
+    // re-sweep pays the grown union's gram set (wall grows with R), the
+    // incremental delta sweep is CONSTANT in R, and the flag counts
+    // agree at every R (salted benchmarks share no grams with train —
+    // the union-decomposed ledger OR loses nothing).
+    val trainDocs = base.filter(col("source") =!= "src0"
+      && !(col("source") === "src1" && col("doc_id") % 3 === 0))
+    val deltaBench = base.filter(col("source") === "src1" && col("doc_id") % 3 === 0)
+      .select(col("text"))
+    timed("decontam_full_resweep") {
+      val suite = (0 until replicas).map { i =>
+        val b = base.filter(col("source") === "src0")
+        if (i == 0) b.select(col("text"))
+        else b.select(expr(
+          s"concat_ws(' ', transform(split(lower(text), ' '), w -> concat('b${i}_', w)))")
+          .as("text"))
+      }.reduce(_ unionAll _)
+      counts("resweep_flags") = graft.ops.TextAnalysis.contamination(
+          trainDocs, suite.unionAll(deltaBench), shingleWords = 8)
+        .filter(col("n_hits") >= 1).count()
+    }
+    timed("decontam_delta_sweep") {
+      counts("delta_flags") = graft.ops.TextAnalysis.contamination(
+          trainDocs, deltaBench, shingleWords = 8)
+        .filter(col("n_hits") >= 1).count()
+    }
+
     graft.ops.Materialize.clearCache()
     val total = stages.values.sum
     val stagesJson = stages.map { case (k, v) => s""""$k":${f"$v%.2f"}""" }.mkString(",")
