@@ -404,6 +404,17 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("delta decontamination: benchmark-sized sides broadcast; no unbroadcast cartesian") {
+    val df = PipelineQueries.decontamEvalDelta(spark, dir)
+    val exec = { df.collect(); df.queryExecution.executedPlan }
+    val p = exec.toString
+    // both cosine channels are the broadcast-NLJ eval-scoring shape; the
+    // gram channels broadcast the benchmark gram sets — the standing
+    // corpus is never the build side and never cartesian-paired
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("decontam matrix: eval-sided structures broadcast; no unbroadcast cartesian") {
     val df = PipelineQueries.pipelineDecontamMatrix(spark, dir)
     val exec = { df.collect(); df.queryExecution.executedPlan }
