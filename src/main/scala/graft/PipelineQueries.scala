@@ -1435,6 +1435,26 @@ object PipelineQueries {
       .select(col("e.item").as("token"), col("e.cnt").as("cnt"), col("e.err").as("err"))
   }
 
+  /** Temporal alignment over video-shaped assets
+    * ([[graft.ops.Multimodal.frameAlignment]]): the corpus plus
+    * stride-aligned TRIMS of every 10th asset (first 256 payload chars
+    * dropped = exactly 2 frame strides), so each planted pair must
+    * report offset exactly 2 with the trimmed asset's full frame count
+    * behind it — where [[multimodalVideoDedup]] says "these share
+    * frames", this says WHERE they line up (clip-within-video
+    * detection). Natural coarse-hash pairs resolve to whatever the mode
+    * rule yields; the oracle replays the full chain. */
+  def multimodalFrameAlign(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substring(text, 257)").as("text")))
+    graft.ops.Multimodal.frameAlignment(
+      graft.ops.Multimodal.assetsFromText(corpus, "doc_id", "text"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Stubbed resize over text-as-payload assets: payload scaled by pixel
     * area ratio, meta rewritten to target dims (ops.Multimodal). */
   def multimodalResize(s: SparkSession, dir: String): DataFrame = {
@@ -3113,6 +3133,7 @@ object PipelineQueries {
     "pipeline_asset_manifest" -> (pipelineAssetManifest _),
     "multimodal_dhash_dedup" -> (multimodalDhashDedup _),
     "multimodal_video_dedup" -> (multimodalVideoDedup _),
+    "multimodal_frame_align" -> (multimodalFrameAlign _),
     "multimodal_decontaminate" -> (multimodalDecontaminate _),
     "embed_decontaminate" -> (embedDecontaminate _),
     "pipeline_decontam_matrix" -> (pipelineDecontamMatrix _),
@@ -3188,6 +3209,28 @@ object PipelineQueries {
     * assignment (recursive reachability closure + min per node), shared by
     * the cluster oracle and the composed-pipeline oracle. Callers must
     * open with WITH RECURSIVE. */
+
+  /** Shared per-frame aHash CTE chain over a `corpus(doc_id, text)` CTE,
+    * yielding `vf(doc_id, fno, fh)` — mirrors
+    * [[graft.ops.Multimodal.frameHashes]] (stride 128, frame 64) exactly;
+    * reused by the video-dedup and frame-alignment oracles. */
+  private lazy val duckFrameHashCtes: String =
+    """vfr AS (SELECT doc_id, CAST(t.i AS INT) AS fno,
+      |    substr(text, CAST(t.i AS INT) * 128 + 1, 64) AS frame
+      |  FROM corpus, unnest(range(0, greatest(CAST(ceil(len(text) / 128.0) AS BIGINT), 1))) AS t(i)
+      |  WHERE CAST(t.i AS INT) * 128 < len(text)),
+      |vc AS (SELECT doc_id, fno, CAST(length(frame) AS BIGINT) AS L,
+      |    list_transform(range(1, CAST(length(frame) AS INT) + 1),
+      |      i -> CAST(ascii(substr(frame, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+      |  FROM vfr),
+      |vf AS (SELECT doc_id, fno, array_to_string(list_transform(range(0, 64),
+      |    b -> CASE WHEN
+      |      CAST(coalesce(list_sum(list_slice(codes,
+      |        CAST(b * L // 64 AS INT) + 1,
+      |        CAST((b + 1) * L // 64 AS INT))), 0) AS BIGINT) * L >
+      |      CAST(list_sum(codes) AS BIGINT) * ((b + 1) * L // 64 - b * L // 64)
+      |      THEN '1' ELSE '0' END), '') AS fh
+      |  FROM vc)""".stripMargin
 
   /** Shared phash CTE chain over a `corpus(doc_id, text)` CTE: aHash
     * fingerprints (integer-only bit rule, construct-matching
@@ -4996,28 +5039,13 @@ object PipelineQueries {
     // every stage replayed; the candidate inverted index is mirrored too
     // so a df-cap divergence would change the pair set and hash-mismatch
     "multimodal_video_dedup" ->
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000,
         |    substr(text, 1, 128) || repeat('y', 128) || substr(text, 257)
         |  FROM documents WHERE doc_id % 10 = 0),
-        |vfr AS (SELECT doc_id, CAST(t.i AS INT) AS fno,
-        |    substr(text, CAST(t.i AS INT) * 128 + 1, 64) AS frame
-        |  FROM corpus, unnest(range(0, greatest(CAST(ceil(len(text) / 128.0) AS BIGINT), 1))) AS t(i)
-        |  WHERE CAST(t.i AS INT) * 128 < len(text)),
-        |vc AS (SELECT doc_id, fno, CAST(length(frame) AS BIGINT) AS L,
-        |    list_transform(range(1, CAST(length(frame) AS INT) + 1),
-        |      i -> CAST(ascii(substr(frame, CAST(i AS INT), 1)) AS BIGINT)) AS codes
-        |  FROM vfr),
-        |vf AS (SELECT doc_id, fno, array_to_string(list_transform(range(0, 64),
-        |    b -> CASE WHEN
-        |      CAST(coalesce(list_sum(list_slice(codes,
-        |        CAST(b * L // 64 AS INT) + 1,
-        |        CAST((b + 1) * L // 64 AS INT))), 0) AS BIGINT) * L >
-        |      CAST(list_sum(codes) AS BIGINT) * ((b + 1) * L // 64 - b * L // 64)
-        |      THEN '1' ELSE '0' END), '') AS fh
-        |  FROM vc),
+        |$duckFrameHashCtes,
         |vsets AS (SELECT doc_id, list_distinct(list(fh)) AS fs FROM vf GROUP BY doc_id),
         |vkey AS (SELECT DISTINCT doc_id, fh FROM vf),
         |vhot AS (SELECT fh FROM vkey GROUP BY fh HAVING count(*) > 50),
@@ -5031,6 +5059,31 @@ object PipelineQueries {
         |WHERE round(len(list_intersect(sa.fs, sb.fs)) /
         |        len(list_distinct(list_concat(sa.fs, sb.fs))), 4) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // Temporal alignment replay: same frame chain, df-cap, and
+    // mode-of-deltas with the identical (count DESC, |delta|, delta)
+    // tie-break; planted stride-aligned trims must land at offset 2
+    "multimodal_frame_align" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substr(text, 257)
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |$duckFrameHashCtes,
+         |hot AS (SELECT fh FROM (SELECT DISTINCT doc_id, fh FROM vf)
+         |  GROUP BY fh HAVING count(*) > 50),
+         |kept AS (SELECT doc_id, fno, fh FROM vf
+         |  WHERE fh NOT IN (SELECT fh FROM hot)),
+         |m AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(a.fno - b.fno AS BIGINT) AS delta, a.fno AS fa
+         |  FROM kept a JOIN kept b ON a.fh = b.fh AND a.doc_id < b.doc_id),
+         |sup AS (SELECT id_a, id_b, delta, CAST(count(*) AS BIGINT) AS aligned_n
+         |  FROM m GROUP BY 1, 2, 3),
+         |best AS (SELECT id_a, id_b, delta, aligned_n,
+         |    row_number() OVER (PARTITION BY id_a, id_b
+         |      ORDER BY aligned_n DESC, abs(delta), delta) AS rn
+         |  FROM sup)
+         |SELECT id_a, id_b, delta AS "offset", aligned_n FROM best
+         |WHERE rn = 1 AND aligned_n >= 3 ORDER BY id_a, id_b""".stripMargin,
     // Asset decontamination: brute all-pairs aHash over train ∪ eval,
     // keep only CROSS pairs, flag the train side — the candidate-free
     // truth for the cross-set block-probe path

@@ -385,6 +385,61 @@ object Multimodal {
       .select("id_a", "id_b", "jac")
   }
 
+  /** Temporal ALIGNMENT between frame-sharing assets — the step after
+    * [[videoPairs]] says "these two share frames": WHERE do they line
+    * up? For each candidate pair the offset is the mode of the
+    * frame-index deltas over exactly-matching frame fingerprints (the
+    * standard shot-alignment trick): a trim or clip-embed shifts every
+    * surviving frame by the SAME delta, so true temporal copies
+    * concentrate all their matches on one offset while sporadic
+    * fingerprint collisions scatter across deltas and die under
+    * `minAligned`. Reported per pair: the winning `offset`
+    * (id_a's frame_no − id_b's frame_no at the mode) and `aligned_n`,
+    * the number of DISTINCT id_a frame positions supporting it
+    * (a frame hash repeated within one asset must not multiply
+    * support).
+    *
+    * Scale shape: same inverted-index + stop-frame df-cap as
+    * [[videoPairs]] (one ubiquitous intro frame never builds an m²
+    * bucket), then the per-(pair, delta) histogram is a partial-agg
+    * groupBy over match rows (bounded by the df-cap) and the per-pair
+    * argmax is a max-of-struct aggregate — no windows over data-sized
+    * partitions, output-sized end to end. Ties break toward the
+    * smallest |offset|, then the smaller offset, deterministically. */
+  def frameAlignment(
+      assets: DataFrame,
+      idCol: String = "asset_id",
+      contentCol: String = "content",
+      frameLen: Int = 64,
+      stride: Int = 128,
+      maxDf: Int = 50,
+      minAligned: Int = 3): DataFrame = {
+    val fh = Materialize.index(
+      frameHashes(assets, idCol, contentCol, frameLen, stride),
+      "frame-align-fh")
+    val hot = fh.select(col(idCol), col("fhash")).distinct()
+      .groupBy("fhash").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDf).select("fhash")
+    val kept = fh.join(hot, Seq("fhash"), "left_anti")
+    val support = kept
+      .select(col("fhash"), col(idCol).as("id_a"), col("frame_no").as("fa"))
+      .join(kept.select(col("fhash"), col(idCol).as("id_b"),
+        col("frame_no").as("fb")), "fhash")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), (col("fa") - col("fb")).as("delta"),
+        col("fa"))
+      .distinct()
+      .groupBy("id_a", "id_b", "delta")
+      .agg(count(lit(1)).as("aligned_n"))
+    support
+      .groupBy("id_a", "id_b")
+      .agg(max(struct(col("aligned_n"), (-abs(col("delta"))).as("_nd"),
+        (-col("delta")).as("_ndd"), col("delta"))).as("_m"))
+      .select(col("id_a"), col("id_b"), col("_m.delta").as("offset"),
+        col("_m.aligned_n").as("aligned_n"))
+      .filter(col("aligned_n") >= minAligned)
+  }
+
   /** Cross-modal caption-agreement gate: per asset, how much of the
     * caption's token profile the DECODED content profile contains —
     * flagging captions that disagree with the asset they describe. The

@@ -151,6 +151,27 @@ class RoundElevenSpec extends AnyFunSuite with Matchers {
     empty shouldBe 0.0
   }
 
+  test("frameAlignment: stride-aligned trim detected at the exact offset") {
+    // step patterns give distinct per-frame fingerprints (aHash on prose
+    // is coarse); stride 128 / frame 64 means only each block's first 64
+    // chars are hashed — filler is never sampled
+    def pat(i: Int) = "~" * (i + 4) + "!" * (60 - i)
+    def block(i: Int) = pat(i) + "." * 64
+    val full = (0 until 10).map(block).mkString
+    val trimmed = full.substring(256) // exactly 2 strides dropped
+    // scattered: two shared frames at INCONSISTENT deltas — never a mode
+    // with support >= minAligned, so the pair must not be reported
+    val scattered = block(3) + block(7) + block(5)
+    val out = Multimodal.frameAlignment(
+      assets(1L -> full, 2L -> trimmed, 3L -> scattered))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    out((1L, 2L)) shouldBe ((2L, 8L)) // offset 2, all 8 trimmed frames aligned
+    out.keySet should not contain ((1L, 3L))
+    out.keySet should not contain ((2L, 3L))
+    Materialize.clearCache()
+  }
+
   test("graft_quantile ≡ ops.Quantile.quantileEstimates, under any partitioning") {
     graft.functions.GraftExtensions.register(spark)
     val df = (1 to 5000).map(i => ("g" + (i % 3), (i * 37 % 900 + 1).toLong))
