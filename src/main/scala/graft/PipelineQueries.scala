@@ -168,6 +168,60 @@ object PipelineQueries {
     graft.ops.Cluster.dupClustersStar(minhashVerifiedPairs(s, dir).select("id_a", "id_b"))
       .orderBy("doc_id")
 
+  /** Leak-free eval-holdout construction — the composed op that CONSUMES
+    * the dedup machinery for the most common curation ask: carve a
+    * held-out eval set out of the corpus that training can never leak
+    * into. The leak unit is the near-dup CLUSTER, not the document: a
+    * doc-level split puts a paraphrase of an eval doc in train, so whole
+    * verified-near-dup clusters (singletons = their own cluster) are
+    * hash-assigned to the eval side atomically (~1/4 by a cluster-rep
+    * md5 digit — deterministic, no RNG), quality-gated (Gopher passes:
+    * an eval set should be clean text), then cut to a per-source quota
+    * by content-hash bottom-k (balanced across sources, reproducible).
+    * Docs of an eval cluster NOT selected by the quota are QUARANTINED —
+    * they belong to neither side, the rule real pipelines get wrong.
+    *
+    * The emitted `cross_edges` column — verified near-dup edges from
+    * each holdout doc into the TRAIN side — is recomputed by the oracle
+    * directly from the pair table, so the driver's hash gate PROVES the
+    * zero-leak claim rather than trusting the construction (every edge
+    * lives inside one cluster, clusters move atomically, hence 0).
+    *
+    * Scale shape: the pair→cluster lineage is PLAN-IDENTICAL to
+    * `dedup_cluster`'s (content-addressed index cache shares the
+    * signature/band/verify work in-battery); assignment and the quality
+    * gate are scan-side on the eval subset; the quota is the two-phase
+    * per-key top-k; the audit joins skinny (id, id) edges against the
+    * holdout ids. */
+  def pipelineMakeEvalHoldout(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = minhashVerifiedPairs(s, dir).select("id_a", "id_b")
+    val comp = graft.ops.Cluster.dupClusters(pairs).select("doc_id", "cluster")
+    val withCluster = docs.select("doc_id", "text", "source")
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val isEval =
+      expr("conv(substring(md5(concat(CAST(cluster AS STRING), 'holdout')), 1, 1), 16, 10)")
+        .cast("int") < 4
+    val evalSide = withCluster.filter(isEval)
+    val passing = TextAnalysis.gopherSignals(evalSide).filter(col("passes"))
+      .select("doc_id", "source", "cluster")
+    val ranked = Retrieval.topKPerKey(
+      passing.withColumn("rk",
+        md5(concat(col("doc_id").cast("string"), lit("hrank")))),
+      Seq("source"), Seq(col("rk").asc, col("doc_id").asc), 5)
+      .select(col("doc_id"), col("source"), col("cluster"), col("rank").as("rn"))
+    val trainIds = withCluster.filter(!isEval).select(col("doc_id").as("other"))
+    val edges = pairs.select(col("id_a").as("doc_id"), col("id_b").as("other"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"), col("id_a").as("other")))
+    val cross = edges.join(trainIds, "other")
+      .groupBy("doc_id").agg(count(lit(1)).as("cross_edges"))
+    ranked.join(cross, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("cluster"), col("rn"),
+        coalesce(col("cross_edges"), lit(0L)).as("cross_edges"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified sampling: per-stratum rates from a
     * broadcast dimension, membership by a content-derived hash digit —
     * reproducible across runs/engines (no RNG), zero shuffles (the only
@@ -3138,6 +3192,7 @@ object PipelineQueries {
     "embed_decontaminate" -> (embedDecontaminate _),
     "pipeline_decontam_matrix" -> (pipelineDecontamMatrix _),
     "decontam_eval_delta" -> (decontamEvalDelta _),
+    "pipeline_make_eval_holdout" -> (pipelineMakeEvalHoldout _),
     "pipeline_asset_manifest_incremental" -> (pipelineAssetManifestIncremental _),
     "multimodal_mismatch" -> (multimodalMismatch _),
     "skew_salted_join" -> (skewSaltedJoin _),
@@ -5442,6 +5497,38 @@ object PipelineQueries {
          |SELECT node AS doc_id, cluster,
          |  count(*) OVER (PARTITION BY cluster) AS csize
          |FROM comp ORDER BY doc_id""".stripMargin,
+    // Holdout construction replay; cross_edges is recomputed from the
+    // verified pair table DIRECTLY (not assumed 0), so the hash gate
+    // proves cluster-atomic assignment leaks nothing into train
+    "pipeline_make_eval_holdout" ->
+      s"""WITH RECURSIVE $duckClusterCtes,
+         |allc AS (SELECT d.doc_id, d.source, d.text,
+         |    coalesce(c.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+         |ev AS (SELECT * FROM allc
+         |  WHERE (instr('0123456789abcdef',
+         |    substring(md5(CAST(cluster AS VARCHAR) || 'holdout'), 1, 1)) - 1) < 4),
+         |gq AS (SELECT doc_id, text, $toks AS tk, len($toks) AS n_words FROM ev),
+         |pass AS (SELECT doc_id FROM gq
+         |  WHERE n_words >= 40
+         |    AND round((length(text) - n_words + 1) / n_words, 4) BETWEEN 3.0 AND 8.0
+         |    AND round(len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is'], t))) / n_words, 4) >= 0.05
+         |    AND round(list_max(list_transform(list_distinct(tk), d -> len(list_filter(tk, x -> x = d)))) / n_words, 4) <= 0.15
+         |    AND round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / length(text), 4) <= 0.1),
+         |ranked AS (SELECT e.doc_id, e.source, e.cluster,
+         |    row_number() OVER (PARTITION BY e.source
+         |      ORDER BY md5(CAST(e.doc_id AS VARCHAR) || 'hrank'), e.doc_id) AS rn
+         |  FROM ev e JOIN pass USING (doc_id)),
+         |sel AS (SELECT * FROM ranked WHERE rn <= 5),
+         |tr AS (SELECT doc_id FROM allc
+         |  WHERE cluster NOT IN (SELECT DISTINCT cluster FROM ev)),
+         |ed AS (SELECT id_a AS doc_id, id_b AS other FROM vpairs
+         |  UNION ALL SELECT id_b, id_a FROM vpairs),
+         |cx AS (SELECT ed.doc_id, CAST(count(*) AS BIGINT) AS cross_edges
+         |  FROM ed JOIN tr ON tr.doc_id = ed.other GROUP BY 1)
+         |SELECT s.doc_id, s.source, s.cluster, CAST(s.rn AS BIGINT) AS rn,
+         |  coalesce(cx.cross_edges, 0) AS cross_edges
+         |FROM sel s LEFT JOIN cx USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_cluster_incremental" ->
       // merge ≡ recompute: the incremental path must land on the same
       // full closure whatever the base/delta split was
