@@ -1509,6 +1509,57 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Alignment-aware VIDEO KEEPER — the consumer of
+    * [[multimodalFrameAlign]]'s offsets (the r7 "rank computed but
+    * unconsumed" lesson applied to video): within each temporal-copy
+    * cluster (connected components over the alignment pairs), keep the
+    * asset with the MAXIMAL frame span — the superset/longest cut — and
+    * report each member's offset INSIDE its keeper as the containment
+    * proof (a trim that starts 2 strides in carries keeper_offset 2;
+    * the keeper itself carries 0). The planted stride-aligned trims
+    * (same fixture as the alignment query, so the battery shares the
+    * frame-hash index plan-identically) must each lose to their source.
+    *
+    * Scale shape: alignment edges come from the df-capped inverted
+    * index (never all-pairs), the closure runs on the pair graph (sized
+    * by true temporal copies), frame spans are a scan-side length
+    * projection with NO fingerprint math, and keeper election is one
+    * min-of-struct partial aggregate per cluster — the
+    * [[graft.ops.Cluster.priorityKeepers]] shape with frame span as the
+    * quality signal. */
+  def multimodalVideoKeeper(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substring(text, 257)").as("text")))
+    val align = graft.ops.Multimodal.frameAlignment(
+      graft.ops.Multimodal.assetsFromText(corpus, "doc_id", "text"))
+    val comp = graft.ops.Cluster.dupClusters(align.select("id_a", "id_b"))
+      .select("doc_id", "cluster")
+    // frame span = the sampling grid's frame count: pure length math,
+    // identical to frameHashes' window enumeration (ceil(L / stride))
+    val spans = corpus.select(col("doc_id"),
+      ceil(length(col("text")) / lit(128.0)).cast("long").as("n_frames"))
+    val members = spans.join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id").as("asset_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"), col("n_frames"))
+    val keepers = members.groupBy("cluster")
+      .agg(min(struct((-col("n_frames")).as("_n"), col("asset_id"))).as("_b"))
+      .select(col("cluster"), col("_b.asset_id").as("keeper"))
+    val offs = align.select("id_a", "id_b", "offset")
+    members.join(keepers, "cluster")
+      .join(offs.select(col("id_a").as("keeper"), col("id_b").as("asset_id"),
+        col("offset").as("_o1")), Seq("keeper", "asset_id"), "left")
+      .join(offs.select(col("id_b").as("keeper"), col("id_a").as("asset_id"),
+        (-col("offset")).as("_o2")), Seq("keeper", "asset_id"), "left")
+      .select(col("asset_id"), col("cluster"), col("n_frames"), col("keeper"),
+        (col("asset_id") === col("keeper")).as("is_keeper"),
+        when(col("asset_id") === col("keeper"), lit(0L))
+          .otherwise(coalesce(col("_o1"), col("_o2"))).as("keeper_offset"))
+      .orderBy("asset_id")
+  }
+
   /** Stubbed resize over text-as-payload assets: payload scaled by pixel
     * area ratio, meta rewritten to target dims (ops.Multimodal). */
   def multimodalResize(s: SparkSession, dir: String): DataFrame = {
@@ -1766,6 +1817,87 @@ object PipelineQueries {
       .orderBy("asset_id")
   }
 
+  /** Night-0 standing-state roots, bootstrapped once per corpus per JVM
+    * — the standing lake a production nightly job reads. NOT a
+    * [[graft.ops.Materialize.scratchDir]]: scratch dirs are reaped by
+    * `dropAll` between battery queries, while standing state must
+    * survive from one "night" (query run) to the next — that
+    * persistence is the entire seam under test. */
+  private val nightlyNight0 =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** NIGHTLY asset-manifest maintenance — the PERSISTED form of
+    * [[pipelineAssetManifestIncremental]], with the standing state
+    * crossing a real write/read boundary instead of being re-derived
+    * in-query: night 0 bootstraps the base corpus's fingerprint +
+    * cluster tables onto disk ([[graft.ops.StandingState.bootstrap]] —
+    * the only corpus-sized fingerprint pass, paid once per JVM); each
+    * subsequent night READS the standing tables (witness-verified: a
+    * tampered file refuses the fold loudly), fingerprints ONLY its
+    * delta, probes delta↔standing via the cross-set block probes, folds
+    * the assignment forward, and WRITES the updated tables for the next
+    * night. TWO nights chain here (delta₁ = ids ≡ 3 mod 7, delta₂ =
+    * ids ≡ 2 mod 7), and the manifest emits from the night-2 cluster
+    * table as read back from disk — so the oracle (the verbatim
+    * full-recompute manifest SQL shared with the flagship and the
+    * in-query incremental form) proves merge ≡ recompute ACROSS the
+    * persistence boundary, not just within one plan.
+    *
+    * Scale shape: steady-state nightly cost is sized by the delta —
+    * fingerprint math touches only delta payloads, the block probes key
+    * on buckets, the cluster fold contracts to delta-cluster edges, and
+    * the standing tables are range-clustered on id so the fold's
+    * id-keyed joins prune files by footer min/max. The corpus-sized
+    * work left per night is the manifest's scan-side metadata
+    * projection, which carries no fingerprint math. */
+  def pipelineAssetManifestNightly(s: SparkSession, dir: String): DataFrame = {
+    val docs = td(s, dir)
+    val copies = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("zzzz"), expr("substring(text, 5)")).as("text"))
+    val corpus = graft.ops.Materialize.index(
+      docs.select("doc_id", "text").unionByName(copies), "asset-corpus")
+    def assetsOf(d: DataFrame) =
+      graft.ops.Multimodal.assetsFromText(d, "doc_id", "text")
+    // copies carry doc_id + 10^6 ≡ doc_id + 1 (mod 7), so a copy and its
+    // original land in DIFFERENT nights for most residues — exactly the
+    // cross-night edges the standing-state probe exists for
+    val night0 = nightlyNight0.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-standing")
+        .toFile
+      root.deleteOnExit()
+      graft.ops.StandingState.bootstrap(
+        assetsOf(corpus.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 7 =!= 2)),
+        root.toString)
+      root.toString
+    })
+    val night1 = graft.ops.Materialize.scratchDir("nightly-n1")
+    graft.ops.StandingState.ingest(
+      assetsOf(corpus.filter(col("doc_id") % 7 === 3)), night0, night1)
+    val night2 = graft.ops.Materialize.scratchDir("nightly-n2")
+    graft.ops.StandingState.ingest(
+      assetsOf(corpus.filter(col("doc_id") % 7 === 2)), night1, night2)
+    // manifest from the PERSISTED night-2 assignment — read back through
+    // the witness gate like any consumer of the standing lake would
+    val clusters = graft.ops.StandingState.readClusters(s, night2)
+    val drops = clusters.filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as("asset_id"))
+    val assets = assetsOf(corpus)
+    val captions = corpus.select(col("doc_id").as("asset_id"),
+      expr("array_join(slice(split(text, ' '), 1, 10), ' ')").as("caption"))
+    assets
+      .join(drops, Seq("asset_id"), "left_anti")
+      .filter(col("meta.width") >= 100)
+      .select(col("asset_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("meta.n_bytes").as("n_bytes"))
+      .join(captions, "asset_id")
+      .withColumn("caption_tokens", size(split(col("caption"), " ")).cast("long"))
+      .filter(col("caption_tokens") >= 5)
+      .select(col("asset_id"), col("width"), col("height"), col("n_bytes"),
+        col("caption_tokens"), md5(col("caption")).as("caption_md5"))
+      .orderBy("asset_id")
+  }
+
   /** Cross-modal MISMATCH gate — the curation check the caption join
     * enables: flag assets whose caption disagrees with their content.
     * The content-side token profile is read from the DECODED binary
@@ -2004,8 +2136,9 @@ object PipelineQueries {
     val emb = t(s, dir, "embeddings").select(col("vec_id"),
       expr("transform(embedding, x -> cast(x AS double))").as("v"))
     val evalV1 = docs.filter(col("source") === "src0")
-    // src assignment is doc_id % 20, so the natural-delta predicate must
-    // be coprime-compatible with it (% 5 of ids ≡ 1 mod 20 is never 0)
+    // natural delta: a deterministic third of src1 (src assignment is
+    // doc_id % 20, so ids ≡ 1 mod 20 hit doc_id % 3 == 0 for a third of
+    // them — a % 5 predicate would select NOTHING from src1)
     val isDeltaNat = col("source") === "src1" && col("doc_id") % 3 === 0
     val deltaNat = docs.filter(isDeltaNat)
     val train = docs.filter(col("source") =!= "src0" && !isDeltaNat)
@@ -2042,6 +2175,78 @@ object PipelineQueries {
       .withColumn("contaminated",
         col("verbatim_v1") || col("semantic_v1")
           || col("verbatim_new") || col("semantic_new"))
+      .orderBy("doc_id")
+  }
+
+  /** THREE-suite decontamination ledger chain — the associativity pin a
+    * quarterly benchmark cadence actually exercises, extending
+    * [[decontamEvalDelta]]'s one-delta proof: eval suite v1 plus TWO
+    * later benchmark deltas are folded SERIALLY into the ledger
+    * (ledger₂ = (ledger₀ ∨ sweep(d₁)) ∨ sweep(d₂)) while the oracle
+    * recomputes every prefix from a FULL-UNION sweep — hash equality
+    * pins that the per-suite OR-fold is associative and order-stable
+    * for the union-decomposable gates (8-gram presence, max cosine) at
+    * N = 3, not just N = 2. Planted leaks land one per delta: verbatim
+    * copies of train docs ride d₁ (ids % 101), ×2-scaled train vectors
+    * ride d₂ (ids % 103, caught ONLY by the semantic gate).
+    *
+    * Scale shape: identical to [[decontamEvalDelta]] — each suite is
+    * benchmark-sized and BROADCASTS (gram set + vector list), each
+    * sweep is one pass over the standing corpus with map-side partial
+    * aggregation, and the ledger fold is a per-doc OR on skinny
+    * (id, bool) columns; the corpus never re-shuffles, and suite count
+    * grows the broadcast list, not the scan count per suite (one scan
+    * per new benchmark, the nightly cadence). */
+  def decontamLedgerChain(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("text"), col("source"))
+    val emb = t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val evalV1 = docs.filter(col("source") === "src0")
+    // deterministic thirds of src2/src3 (src assignment is doc_id % 20;
+    // % 3 splits each source ~evenly — the coprime-compatible predicate)
+    val isD1 = col("source") === "src2" && col("doc_id") % 3 === 2
+    val isD2 = col("source") === "src3" && col("doc_id") % 3 === 0
+    val d1nat = docs.filter(isD1)
+    val d2nat = docs.filter(isD2)
+    val train = docs.filter(col("source") =!= "src0" && !isD1 && !isD2)
+    val d1txt = d1nat.select("doc_id", "text").unionByName(
+      train.filter(col("doc_id") % 101 === 0)
+        .select((col("doc_id") + 50000000L).as("doc_id"), col("text")))
+    val d2txt = d2nat.select("doc_id", "text")
+    def gramFlag(bench: DataFrame, name: String) =
+      TextAnalysis.contamination(train, bench, shingleWords = 8)
+        .select(col("doc_id"), (col("n_hits") >= 1).as(name))
+    val trainVec = train.select("doc_id")
+      .join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("v"))
+    def vecsOf(suite: DataFrame) = suite.select("doc_id")
+      .join(emb, col("doc_id") === col("vec_id")).select(col("v"))
+    val d2Vecs = vecsOf(d2nat).unionByName(
+      trainVec.filter(col("doc_id") % 103 === 0)
+        .select(expr("transform(v, x -> x * 2.0D)").as("v")))
+    def cosFlag(vs: DataFrame, name: String) =
+      trainVec.select(col("doc_id").as("qid"), col("v").as("qv"))
+        .crossJoin(broadcast(vs.select(col("v").as("ev"))))
+        .groupBy("qid")
+        .agg(max(round(Similarity.cosine(col("qv"), col("ev")), 4)).as("mx"))
+        .select(col("qid").as("doc_id"), (col("mx") >= 0.9).as(name))
+    train.select("doc_id")
+      .join(gramFlag(evalV1, "g0"), "doc_id")
+      .join(gramFlag(d1txt, "g1"), "doc_id")
+      .join(gramFlag(d2txt, "g2"), "doc_id")
+      .join(cosFlag(vecsOf(evalV1), "s0"), Seq("doc_id"), "left")
+      .join(cosFlag(vecsOf(d1nat), "s1"), Seq("doc_id"), "left")
+      .join(cosFlag(d2Vecs, "s2"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("g0"), col("g1"), col("g2"),
+        coalesce(col("s0"), lit(false)).as("s0"),
+        coalesce(col("s1"), lit(false)).as("s1"),
+        coalesce(col("s2"), lit(false)).as("s2"))
+      // the serial ledger fold, one column per "quarter"
+      .withColumn("after_v1", col("g0") || col("s0"))
+      .withColumn("after_d1", col("after_v1") || col("g1") || col("s1"))
+      .withColumn("after_d2", col("after_d1") || col("g2") || col("s2"))
+      .select("doc_id", "after_v1", "after_d1", "after_d2")
       .orderBy("doc_id")
   }
 
@@ -2279,6 +2484,29 @@ object PipelineQueries {
             |  graft_quantile(CAST(round(value * 100, 0) AS BIGINT), 0.9D) AS p90,
             |  graft_quantile(CAST(round(value * 100, 0) AS BIGINT), 0.99D) AS p99
             |FROM ev_qfn GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** The tenant-surface SpaceSaving aggregate
+    * ([[graft.functions.TopKCountSketch]], SQL `graft_topk`) per GROUP,
+    * against an exact-replay oracle — the third mergeable sketch on the
+    * wire beside [[approxDistinctFn]] and [[quantileFn]]: per event
+    * type, the top-5 users by event count. Capacity 4096 far exceeds
+    * the per-type user vocabulary, so every partial buffer stays in the
+    * EXACT regime (no eviction, err = 0) and the sketch's
+    * (cnt desc, item asc) ranking is deterministic under any
+    * partitioning — which is what lets a plain GROUP BY count + window
+    * rank replay it row-for-row. Per (group × partition) the shuffle
+    * carries one bounded counter table, not every distinct user. */
+  def topkFn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    t(s, dir, "events").createOrReplaceTempView("ev_tkfn")
+    s.sql("""SELECT event_type, e.item AS user_key, e.cnt AS cnt, e.err AS err,
+            |  CAST(pos + 1 AS BIGINT) AS rk
+            |FROM (SELECT event_type,
+            |        graft_topk(CAST(user_id AS STRING), 5, 4096) AS top
+            |      FROM ev_tkfn GROUP BY event_type)
+            |LATERAL VIEW posexplode(top) AS pos, e
+            |ORDER BY event_type, rk""".stripMargin)
   }
 
   /** Sketch-union maintenance proof ([[graft.ops.Hll.registersBy]]): the
@@ -3087,6 +3315,7 @@ object PipelineQueries {
     "approx_distinct" -> (approxDistinctUsers _),
     "approx_distinct_fn" -> (approxDistinctFn _),
     "quantile_fn" -> (quantileFn _),
+    "topk_fn" -> (topkFn _),
     "sketch_union" -> (sketchUnion _),
     "eval_silhouette" -> (evalSilhouette _),
     "embed_pq_codes" -> (embedPqCodes _),
@@ -3188,12 +3417,15 @@ object PipelineQueries {
     "multimodal_dhash_dedup" -> (multimodalDhashDedup _),
     "multimodal_video_dedup" -> (multimodalVideoDedup _),
     "multimodal_frame_align" -> (multimodalFrameAlign _),
+    "video_keeper" -> (multimodalVideoKeeper _),
     "multimodal_decontaminate" -> (multimodalDecontaminate _),
     "embed_decontaminate" -> (embedDecontaminate _),
     "pipeline_decontam_matrix" -> (pipelineDecontamMatrix _),
     "decontam_eval_delta" -> (decontamEvalDelta _),
+    "decontam_ledger_chain" -> (decontamLedgerChain _),
     "pipeline_make_eval_holdout" -> (pipelineMakeEvalHoldout _),
     "pipeline_asset_manifest_incremental" -> (pipelineAssetManifestIncremental _),
+    "pipeline_asset_manifest_nightly" -> (pipelineAssetManifestNightly _),
     "multimodal_mismatch" -> (multimodalMismatch _),
     "skew_salted_join" -> (skewSaltedJoin _),
     "skew_histogram" -> (skewHistogram _),
@@ -4509,6 +4741,9 @@ object PipelineQueries {
     // incremental maintenance must be INDISTINGUISHABLE from a full
     // recompute — same oracle, verbatim
     "pipeline_asset_manifest_incremental" -> duckAssetManifestSql,
+    // ... and so must the PERSISTED two-night chain: same oracle again,
+    // now proving merge ≡ recompute across the write/read boundary
+    "pipeline_asset_manifest_nightly" -> duckAssetManifestSql,
     "lsh_band_sweep" ->
       s"""WITH $duckNgramPairCtes,
          |tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -4823,6 +5058,20 @@ object PipelineQueries {
         |  FROM sel WHERE rn = 1 GROUP BY event_type)
         |SELECT b.event_type, p.p50, p.p90, p.p99
         |FROM base b LEFT JOIN p USING (event_type) ORDER BY event_type""".stripMargin,
+    // capacity >> per-type vocabulary ⇒ the SpaceSaving sketch is exact
+    // (no eviction, err = 0) and its (cnt desc, item asc) rank is the
+    // plain GROUP BY count + window rank — item is the STRINGIFIED user
+    // id, so ties break on VARCHAR order in both engines
+    "topk_fn" ->
+      """WITH cnts AS (SELECT event_type, CAST(user_id AS VARCHAR) AS user_key,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY cnt DESC, user_key) AS rk
+        |  FROM cnts)
+        |SELECT event_type, user_key, cnt, CAST(0 AS BIGINT) AS err,
+        |  CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin,
     "sketch_union" -> {
       val m = 256
       val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
@@ -5139,6 +5388,57 @@ object PipelineQueries {
          |  FROM sup)
          |SELECT id_a, id_b, delta AS "offset", aligned_n FROM best
          |WHERE rn = 1 AND aligned_n >= 3 ORDER BY id_a, id_b""".stripMargin,
+    // Keeper election replay: same alignment chain, then components over
+    // the alignment pairs, max-frame-span keeper (ties: smaller id), and
+    // each member's offset inside its keeper; `ap`/`members` are
+    // MATERIALIZED — DuckDB inlines CTEs per reference, and both are
+    // referenced 3-4 times (round-8 Too-many-open-files precedent)
+    "video_keeper" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substr(text, 257)
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |$duckFrameHashCtes,
+         |hot AS (SELECT fh FROM (SELECT DISTINCT doc_id, fh FROM vf)
+         |  GROUP BY fh HAVING count(*) > 50),
+         |kept AS (SELECT doc_id, fno, fh FROM vf
+         |  WHERE fh NOT IN (SELECT fh FROM hot)),
+         |m AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(a.fno - b.fno AS BIGINT) AS delta, a.fno AS fa
+         |  FROM kept a JOIN kept b ON a.fh = b.fh AND a.doc_id < b.doc_id),
+         |sup AS (SELECT id_a, id_b, delta, CAST(count(*) AS BIGINT) AS aligned_n
+         |  FROM m GROUP BY 1, 2, 3),
+         |best AS (SELECT id_a, id_b, delta, aligned_n,
+         |    row_number() OVER (PARTITION BY id_a, id_b
+         |      ORDER BY aligned_n DESC, abs(delta), delta) AS rn
+         |  FROM sup),
+         |ap AS MATERIALIZED (SELECT id_a, id_b, delta AS off FROM best
+         |  WHERE rn = 1 AND aligned_n >= 3),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM ap
+         |          UNION ALL SELECT id_b, id_a FROM ap),
+         |reach(node, r) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
+         |comp AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node),
+         |spans AS (SELECT doc_id, CAST(ceil(len(text) / 128.0) AS BIGINT) AS n_frames
+         |  FROM corpus),
+         |members AS MATERIALIZED (SELECT s.doc_id AS asset_id,
+         |    coalesce(c.cluster, s.doc_id) AS cluster, s.n_frames
+         |  FROM spans s LEFT JOIN comp c ON c.node = s.doc_id),
+         |k AS (SELECT cluster, asset_id AS keeper, row_number() OVER (
+         |    PARTITION BY cluster ORDER BY n_frames DESC, asset_id) AS rn
+         |  FROM members),
+         |kk AS (SELECT cluster, keeper FROM k WHERE rn = 1)
+         |SELECT mm.asset_id, mm.cluster, mm.n_frames, kk.keeper,
+         |  mm.asset_id = kk.keeper AS is_keeper,
+         |  CASE WHEN mm.asset_id = kk.keeper THEN CAST(0 AS BIGINT)
+         |       ELSE coalesce(o1.off, -o2.off) END AS keeper_offset
+         |FROM members mm JOIN kk USING (cluster)
+         |LEFT JOIN ap o1 ON o1.id_a = kk.keeper AND o1.id_b = mm.asset_id
+         |LEFT JOIN ap o2 ON o2.id_b = kk.keeper AND o2.id_a = mm.asset_id
+         |ORDER BY mm.asset_id""".stripMargin,
     // Asset decontamination: brute all-pairs aHash over train ∪ eval,
     // keep only CROSS pairs, flag the train side — the candidate-free
     // truth for the cross-set block-probe path
@@ -5298,6 +5598,64 @@ object PipelineQueries {
          |FROM tr LEFT JOIN vb1 USING (doc_id) LEFT JOIN vbn USING (doc_id)
          |  LEFT JOIN vbf USING (doc_id) LEFT JOIN sc1 USING (doc_id)
          |  LEFT JOIN scn USING (doc_id) LEFT JOIN scf USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // Every ledger prefix recomputed from a FULL-UNION sweep: equality
+    // with Spark's serial OR-fold pins N=3 associativity of the
+    // presence/max gates. gtru/vtr MATERIALIZED (3 references each)
+    "decontam_ledger_chain" ->
+      s"""WITH tk AS (SELECT doc_id, lower(text) AS text, source FROM documents),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ev1 AS (SELECT doc_id, text FROM tk WHERE source = 'src0'),
+         |d1n AS (SELECT doc_id, text FROM tk
+         |  WHERE source = 'src2' AND doc_id % 3 = 2),
+         |d2n AS (SELECT doc_id, text FROM tk
+         |  WHERE source = 'src3' AND doc_id % 3 = 0),
+         |tr AS (SELECT doc_id, text FROM tk WHERE source <> 'src0'
+         |  AND NOT (source = 'src2' AND doc_id % 3 = 2)
+         |  AND NOT (source = 'src3' AND doc_id % 3 = 0)),
+         |d1t AS (SELECT doc_id, text FROM d1n
+         |  UNION ALL SELECT doc_id + 50000000, text FROM tr WHERE doc_id % 101 = 0),
+         |gtr AS (SELECT doc_id,
+         |    list_distinct(list_transform(${duckShingles(8)}, g -> substr(md5(g), 1, 16))) AS ghs
+         |  FROM tr),
+         |gtru AS MATERIALIZED (SELECT doc_id, unnest(ghs) AS gh FROM gtr),
+         |g0 AS (SELECT DISTINCT substr(md5(g), 1, 16) AS gh
+         |  FROM (SELECT unnest(${duckShingles(8)}) AS g FROM ev1)),
+         |g1 AS (SELECT DISTINCT substr(md5(g), 1, 16) AS gh
+         |  FROM (SELECT unnest(${duckShingles(8)}) AS g FROM d1t)),
+         |g2 AS (SELECT DISTINCT substr(md5(g), 1, 16) AS gh
+         |  FROM (SELECT unnest(${duckShingles(8)}) AS g FROM d2n)),
+         |p0 AS (SELECT DISTINCT doc_id FROM gtru JOIN g0 USING (gh)),
+         |p01 AS (SELECT DISTINCT doc_id FROM gtru
+         |  JOIN (SELECT gh FROM g0 UNION SELECT gh FROM g1) USING (gh)),
+         |p012 AS (SELECT DISTINCT doc_id FROM gtru
+         |  JOIN (SELECT gh FROM g0 UNION SELECT gh FROM g1
+         |        UNION SELECT gh FROM g2) USING (gh)),
+         |vtr AS MATERIALIZED (SELECT t.doc_id, e.v FROM tr t JOIN e ON e.vec_id = t.doc_id),
+         |v0 AS (SELECT e.v FROM ev1 x JOIN e ON e.vec_id = x.doc_id),
+         |v1 AS (SELECT e.v FROM d1n x JOIN e ON e.vec_id = x.doc_id),
+         |v2 AS (SELECT e.v FROM d2n x JOIN e ON e.vec_id = x.doc_id
+         |  UNION ALL SELECT list_transform(t.v, x -> x * 2.0)
+         |    FROM vtr t WHERE t.doc_id % 103 = 0),
+         |c0 AS (SELECT t.doc_id, max(round(list_dot_product(t.v, u.v) /
+         |    (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(u.v, u.v))), 4)) AS m
+         |  FROM vtr t CROSS JOIN v0 u GROUP BY 1),
+         |c01 AS (SELECT t.doc_id, max(round(list_dot_product(t.v, u.v) /
+         |    (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(u.v, u.v))), 4)) AS m
+         |  FROM vtr t CROSS JOIN (SELECT v FROM v0 UNION ALL SELECT v FROM v1) u
+         |  GROUP BY 1),
+         |c012 AS (SELECT t.doc_id, max(round(list_dot_product(t.v, u.v) /
+         |    (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(u.v, u.v))), 4)) AS m
+         |  FROM vtr t CROSS JOIN (SELECT v FROM v0 UNION ALL SELECT v FROM v1
+         |                         UNION ALL SELECT v FROM v2) u
+         |  GROUP BY 1)
+         |SELECT tr.doc_id,
+         |  ((p0.doc_id IS NOT NULL) OR coalesce(c0.m >= 0.9, false)) AS after_v1,
+         |  ((p01.doc_id IS NOT NULL) OR coalesce(c01.m >= 0.9, false)) AS after_d1,
+         |  ((p012.doc_id IS NOT NULL) OR coalesce(c012.m >= 0.9, false)) AS after_d2
+         |FROM tr LEFT JOIN p0 USING (doc_id) LEFT JOIN p01 USING (doc_id)
+         |  LEFT JOIN p012 USING (doc_id) LEFT JOIN c0 USING (doc_id)
+         |  LEFT JOIN c01 USING (doc_id) LEFT JOIN c012 USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     // Caption-containment agreement in 4-dp fixed point; the planted
     // every-13th reversed caption mirrors the Spark side verbatim

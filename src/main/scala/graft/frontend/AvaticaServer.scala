@@ -109,14 +109,20 @@ class GraftAvaticaServer(
       fetched = 0; frame = Array.empty; frameOffset = 0; exhausted = false
     }
 
-    /** True when a fetch at `offset` will be served ENTIRELY from the
-      * kept frame — no iterator advance, no Spark work — so the wire
-      * layer can skip the tenant's statement permit for it. Racing a
-      * concurrent advance on the same statement is benign: frameAt is
-      * synchronized, and the worst case is one ungated buffer read. */
-    def servedFromBuffer(offset: Int): Boolean = synchronized {
-      offset >= frameOffset && offset < fetched
-    }
+    /** Buffer-only serve: when `offset` lands ENTIRELY inside the kept
+      * frame — no iterator advance, no Spark work — serve the replay
+      * slice and return Some; otherwise return None so the wire layer
+      * retries through the gated path. The check and the serve happen
+      * under ONE acquisition of the statement lock, so a concurrent
+      * fetch advancing the cursor between "is it buffered?" and the
+      * serve can never route a reset/advance (Spark partition pulls)
+      * around the tenant's permit and pool, nor turn an advertised
+      * replay into the backward-reposition IllegalStateException. */
+    def frameAtBuffered(offset: Int, n: Int): Option[(Array[Row], Boolean)] =
+      synchronized {
+        if (offset >= frameOffset && offset < fetched) Some(frameAt(offset, n))
+        else None
+      }
 
     /** Serve the frame at `offset`. Offsets inside the kept frame replay
       * EXACTLY the rows already delivered (long arithmetic — clients
@@ -387,10 +393,14 @@ class GraftAvaticaServer(
         // result can't jump the fair-share queue. But a frame served
         // ENTIRELY from the kept buffer does zero Spark work, so it skips
         // the permit: paging already-delivered rows must not stall (or
-        // 500) behind the tenant's own long-running executes.
-        val frame =
-          if (st.servedFromBuffer(offset)) frameJson(st, offset, n)
-          else conn.tenant.runGated(frameJson(st, offset, n))
+        // 500) behind the tenant's own long-running executes. The
+        // buffered check and serve are ONE atomic call — when a
+        // concurrent fetch advanced the cursor in between, it returns
+        // None and this fetch takes the gated path like any other.
+        val frame = st.frameAtBuffered(offset, n) match {
+          case Some((slice, done)) => renderFrame(offset, slice, done)
+          case None => conn.tenant.runGated(frameJson(st, offset, n))
+        }
         s"""{"response":"fetch","connectionId":${JsonCodec.jstr(cid)},""" +
           s""""statementId":$sid,"frame":$frame}"""
       case "syncResults" =>
@@ -602,6 +612,10 @@ class GraftAvaticaServer(
 
   private def frameJson(st: Stmt, offset: Int, n: Int): String = {
     val (slice, done) = st.frameAt(offset, n)
+    renderFrame(offset, slice, done)
+  }
+
+  private def renderFrame(offset: Int, slice: Array[Row], done: Boolean): String = {
     metrics.inc("avatica.frames_served")
     metrics.inc("avatica.rows_served", slice.length.toLong)
     val rows = slice.map(r =>

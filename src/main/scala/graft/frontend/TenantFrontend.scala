@@ -80,8 +80,12 @@ class TenantSession private (
     * and restored after. */
   def runGated[A](f: => A): A = {
     // conf-able admission wait (seconds; default 60): deployments tune it
-    // to their statement mix, and the clamp-timeout wire path is testable
-    val waitSec = spark.conf.get("spark.graft.statementClampTimeoutSec", "60").toLong
+    // to their statement mix, and the clamp-timeout wire path is testable.
+    // Tolerant parse: a malformed or negative conf value must not turn
+    // every statement into a NumberFormatException / instant rejection —
+    // fall back to the default instead of changing the error shape.
+    val waitSec = spark.conf.get("spark.graft.statementClampTimeoutSec", "60")
+      .toLongOption.filter(_ >= 0L).getOrElse(60L)
     if (!stmtPermits.tryAcquire(waitSec, java.util.concurrent.TimeUnit.SECONDS))
       // dedicated type so wire layers can surface a RETRYABLE error
       // (admission-control rejection), distinguishable from execution

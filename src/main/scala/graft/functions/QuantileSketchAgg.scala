@@ -79,7 +79,7 @@ case class LogQuantileSketch(
       TypeCheckResult.TypeCheckFailure(
         s"graft_quantile expects a bigint value (cast it); got " +
           child.dataType.simpleString)
-    else if (q < 0.0 || q > 1.0)
+    else if (!(q >= 0.0 && q <= 1.0)) // negated-conjunction form so NaN fails too
       TypeCheckResult.TypeCheckFailure(s"graft_quantile q must be in [0, 1]; got $q")
     else TypeCheckResult.TypeCheckSuccess
 

@@ -306,8 +306,12 @@ object Multimodal {
     * `stride` — the [[fakeFrames]] sampling shape) each get the SAME
     * integer-exact aHash as [[perceptualHash]], keyed by
     * (asset, frame_no). Frames ride a composite id through the shared
-    * hash machinery (`asset_id·10⁴ + frame_no` — frame counts are
-    * payload-bounded far below 10⁴). Returns (idCol, frame_no, fhash). */
+    * hash machinery (`asset_id·10⁴ + frame_no`), and the 10⁴-frames-per-
+    * asset envelope that keying requires is ENFORCED in-plan: an asset
+    * longer than `stride·10⁴` bytes fails loudly at execution (the KMV
+    * k-contract precedent) instead of silently bleeding frame ids into
+    * the next asset's id space and corrupting both fingerprint profiles.
+    * Returns (idCol, frame_no, fhash). */
   def frameHashes(
       assets: DataFrame,
       idCol: String = "asset_id",
@@ -318,6 +322,15 @@ object Multimodal {
       .select(col(idCol), expr(s"decode($contentCol, 'UTF-8')").as("_s"))
       .withColumn("_L", length(col("_s")).cast("long"))
       .withColumn("_cnt", ceil(col("_L") / lit(stride.toDouble)).cast("int"))
+      // composite-id envelope: assert_true is non-foldable, so Catalyst
+      // keeps the guard in the plan and an over-envelope asset throws at
+      // its row rather than aliasing into a neighbor's id space
+      .where(assert_true(col("_cnt") < lit(10000),
+        concat(lit("frameHashes: asset "), col(idCol),
+          lit(s" has "), col("_cnt"),
+          lit(s" frames; the asset_id*10^4+frame_no composite id holds" +
+            s" at most 10^4 (payload must stay under stride*10^4 =" +
+            s" ${stride * 10000L} bytes)"))).isNull)
       // greatest guard: sequence(0, -1) is DESCENDING in Spark, never
       // empty (round-10 fact) — filter by start < L instead
       .select(col(idCol), col("_s"),

@@ -229,11 +229,17 @@ private[dsv2] class ParquetPagedSession(
     var matched = 0
     var g = if (fileIdx < files.length) nextGroup() else null
     while (g != null && matched < pageSize) {
-      val rec = ParquetSegmentService.groupToMap(g)
-      if (ParquetSegmentService.inSegment(rec, segKey, segment, numSegments) &&
-          ParquetSegmentService.evalRead(read, rec, hashKey, sortKey)) {
-        buf += rec
-        matched += 1
+      // segment check on the raw key FIRST: (S−1)/S of the stream fails
+      // it, and materializing a full record map for those rows made the
+      // stub server's aggregate cost S × N record conversions — the term
+      // that amplified 39× under machine contention (r11 adjudication)
+      if (ParquetSegmentService.inSegmentValue(
+          ParquetSegmentService.segKeyString(g, segKey), segment, numSegments)) {
+        val rec = ParquetSegmentService.groupToMap(g)
+        if (ParquetSegmentService.evalRead(read, rec, hashKey, sortKey)) {
+          buf += rec
+          matched += 1
+        }
       }
       g = if (matched == pageSize) null else nextGroup()
     }

@@ -163,10 +163,36 @@ object ParquetSegmentService {
     * one segment, segments jointly cover the key space. */
   def inSegment(rec: Map[String, Any], hashKey: String,
       segment: Int, numSegments: Int): Boolean =
-    numSegments <= 1 || {
-      val h = str(rec, hashKey)
+    numSegments <= 1 ||
+      inSegmentValue(str(rec, hashKey), segment, numSegments)
+
+  /** [[inSegment]] on an already-extracted key string. */
+  def inSegmentValue(h: String, segment: Int, numSegments: Int): Boolean =
+    numSegments <= 1 ||
       java.lang.Math.floorMod(if (h == null) 0 else h.hashCode, numSegments) == segment
+
+  /** Segment-key value straight off the raw Group, WITHOUT materializing
+    * the full record map — the per-row fast path of a segmented stub
+    * read. Every segment's session decodes the whole raw stream and
+    * keeps only its 1/S slice (the stub "server" has no physical
+    * partitioning, unlike the real service), so at S segments the table
+    * pays S × N full-record conversions unless the (S−1)/S non-matching
+    * rows are rejected on the key alone. Produces EXACTLY what
+    * `str(groupToMap(g), key)` would (String.valueOf of the same
+    * primitive conversion), so segment assignment cannot fork between
+    * the fast and slow paths; nested or absent keys fall back to the
+    * full-map route. */
+  def segKeyString(g: Group, key: String): String = {
+    val gt = g.getType
+    if (!gt.containsField(key)) return null
+    val i = gt.getFieldIndex(key)
+    gt.getType(i) match {
+      case p: PrimitiveType =>
+        if (g.getFieldRepetitionCount(i) == 0) null
+        else String.valueOf(primitive(g, i, 0, p))
+      case _ => str(groupToMap(g), key)
     }
+  }
 
   /** Which key splits a read across segments: Scan segments split on the
     * hash key (Dynamo's own segmentation); Query reads key every matching

@@ -298,8 +298,10 @@ object EventStreams {
     * every micro-batch) and cross-joined in — per stream row the work is
     * |eval| dot products, no stream-side aggregation, no shuffle.
     * Within-stream exact re-delivery rides
-    * `dropDuplicatesWithinWatermark` on the vector digest (bounded
-    * state). Stream schema: (id, ts, v: array<double>). */
+    * `dropDuplicatesWithinWatermark` keyed on (event id, md5 digest of
+    * the normalized vector) — state is one small string per key, and two
+    * DISTINCT events sharing an embedding are both admitted. Stream
+    * schema: (id, ts, v: array<double>). */
   def semanticGateStream(
       vecs: DataFrame,
       evalVecs: DataFrame,
@@ -322,8 +324,12 @@ object EventStreams {
         s"""NOT exists(_evs, e ->
            |  aggregate(zip_with(_vn, e, (a, b) -> a * b), 0D, (a, x) -> a + x)
            |    >= $threshold)""".stripMargin))
-      .dropDuplicatesWithinWatermark("_vn")
-      .drop("_vn", "_evs")
+      // re-delivery key = (event id, vector digest): two DISTINCT events
+      // that happen to share an embedding must both pass, and the state
+      // store holds a 32-char digest per key, not the full array<double>
+      .withColumn("_vd", md5(to_json(struct(col("_vn")))))
+      .dropDuplicatesWithinWatermark("id", "_vd")
+      .drop("_vn", "_vd", "_evs")
   }
 
   /** Shared core of the hamming-≤2 novelty gates: the input stream
@@ -408,4 +414,43 @@ object EventStreams {
       .format("memory")
       .start()
   }
+
+  /** Streaming incremental MANIFEST maintenance — the online form of the
+    * nightly [[graft.ops.StandingState.ingest]]: each micro-batch of
+    * newly-landed assets is fingerprinted (batch-local payload work
+    * only), probed against the PERSISTED standing fingerprint table via
+    * the cross-set block probes, folded into the standing assignment
+    * ([[graft.ops.Cluster.mergeClusters]], delta-sized), and the updated
+    * state written for the next batch to read. `foreachBatch` is the
+    * composition point (the [[windowTopKStream]] precedent): the fold is
+    * a batch operation over persisted lake tables, which streaming
+    * aggregation modes cannot express.
+    *
+    * State roots ROTATE per batch (`newRoot(batchId)` names the output,
+    * `state` swings to it only after the write completes): a mid-batch
+    * failure never half-overwrites the standing tables — the restarted
+    * batch re-reads the unrotated root and rewrites its own output.
+    * Combined with the witness gate this makes the stream's state
+    * maintenance idempotent per batch id, which is exactly the
+    * exactly-once story `foreachBatch` needs.
+    *
+    * The stream DataFrame carries (asset_id, content) rows
+    * ([[graft.ops.Multimodal.assetsFromText]] shape). By the
+    * merge ≡ recompute contract the folded state after ANY number of
+    * micro-batches is row-identical to a one-shot batch bootstrap over
+    * everything ingested (spec-pinned). */
+  def manifestIngestStream(
+      assets: DataFrame,
+      state: java.util.concurrent.atomic.AtomicReference[String],
+      newRoot: Long => String): org.apache.spark.sql.streaming.StreamingQuery =
+    assets.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val out = newRoot(batchId)
+          graft.ops.StandingState.ingest(batch, state.get(), out)
+          state.set(out)
+        }
+      }
+      .start()
 }

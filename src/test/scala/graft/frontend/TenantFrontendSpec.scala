@@ -479,4 +479,22 @@ class TenantFrontendSpec extends AnyFunSuite with Matchers {
       Seq(0.5)).collect().head.getDouble(1)
     row.getDouble(0) shouldBe viaOp
   }
+
+  test("pipeline op on the tenant SQL surface: graft_topk, exact regime over the wire") {
+    // Third mergeable sketch on the wire: SpaceSaving heavy hitters.
+    // Capacity 16 >> 2 distinct items ⇒ exact counts, err 0, and the
+    // (cnt desc, item asc) order is deterministic — '10' < '20' as strings.
+    val t = TenantSession.open(spark, registry, "org1", sources)
+    val rows = t.sql(
+      """SELECT e.item AS item, e.cnt AS cnt, e.err AS err
+        |FROM (SELECT graft_topk(CAST(`timestamp` AS STRING), 2, 16) AS top
+        |      FROM metricid1)
+        |LATERAL VIEW explode(top) AS e""".stripMargin).collect()
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq(("10", 1L, 0L), ("20", 1L, 0L))
+    // still behind the read-only gate
+    intercept[Exception] {
+      t.sql("INSERT INTO metricid1 SELECT graft_topk('a', 1, 4)").collect()
+    }
+  }
 }

@@ -192,11 +192,18 @@ class StreamingSpec extends AnyFunSuite with Matchers {
         (4L, ts(4), Seq(1.0, 1.0, 0.0, 0.0)))  // 45 deg off an eval axis:
                                                // cosine .707 < .9 — admitted
       q.processAllAvailable()
-      input.addData((5L, ts(5), Seq(0.0, 0.0, 1.0, 0.0))) // re-delivery — dropped
+      input.addData(
+        (3L, ts(3), Seq(0.0, 0.0, 1.0, 0.0)), // true re-delivery (same id,
+                                              // same vector) — dropped
+        (5L, ts(5), Seq(0.0, 0.0, 1.0, 0.0))) // DISTINCT event that happens
+                                              // to share an embedding —
+                                              // admitted (dedup keys on
+                                              // id + vector digest, not
+                                              // the vector alone)
       q.processAllAvailable()
       val got = spark.sql("SELECT id FROM semantic_gate")
-        .collect().map(_.getLong(0)).toSet
-      got shouldBe Set(3L, 4L)
+        .collect().map(_.getLong(0)).toSeq.sorted
+      got shouldBe Seq(3L, 4L, 5L) // 3 exactly once: the replay was deduped
     } finally q.stop()
   }
 
@@ -500,5 +507,52 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       last("A") shouldBe ((3L, 3.0)) // x1, x2, x3 — exact below k
       last("B") shouldBe ((1L, 1.0))
     } finally q.stop()
+  }
+
+  test("streaming manifest ingest: micro-batches fold to the bit-identical batch state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.{Multimodal, StandingState}
+    // near-dup families spanning batches: ids ≡ 0 mod 3 share a payload
+    val texts = (1L to 15L).map(i =>
+      i -> (if (i % 3 == 0)
+        s"x$i" + ("shared streaming payload body with stable words " * 3).drop(3)
+      else s"unique streamed material number $i with its own words " * 2))
+    def assetsOf(ts: Seq[(Long, String)]) =
+      Multimodal.assetsFromText(ts.toDF("id", "txt"), "id", "txt")
+    val base = texts.filter(_._1 <= 5)
+    val b1 = texts.filter(t => t._1 > 5 && t._1 <= 10)
+    val b2 = texts.filter(_._1 > 10)
+    val root0 = graft.SparkFixture.tempDir("stream-n0")
+    StandingState.bootstrap(assetsOf(base), root0)
+    val state = new java.util.concurrent.atomic.AtomicReference[String](root0)
+    val roots = scala.collection.mutable.Map[Long, String]()
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.manifestIngestStream(
+      Multimodal.assetsFromText(input.toDF().toDF("id", "txt"), "id", "txt"),
+      state,
+      batchId => roots.getOrElseUpdate(batchId,
+        graft.SparkFixture.tempDir(s"stream-b$batchId")))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    roots.size shouldBe 2 // two micro-batches, two state rotations
+    def cl(root: String) = StandingState.readClusters(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = cl(state.get())
+    val full = graft.SparkFixture.tempDir("stream-full")
+    StandingState.bootstrap(assetsOf(texts), full)
+    val oneShot = cl(full)
+    // streamed state may carry singleton batch nodes; cluster-bearing
+    // rows must be BIT-identical to the one-shot batch bootstrap
+    streamed.filter { case (d, c) =>
+      d != c || streamed.exists { case (d2, c2) => d2 != d && c2 == c }
+    } shouldBe oneShot
+    StandingState.readFingerprints(spark, state.get())
+      .count() shouldBe texts.size
+    graft.ops.Materialize.dropAll()
   }
 }
