@@ -373,6 +373,25 @@ object ScaleSoak {
         graft.ops.Cluster.mergeClusters(standing._2, deltaPairs).count()
     }
 
+    // 18b. PERSISTED nightly ingest (StandingState): the same base/delta
+    // split, but the standing state crosses a real write/read boundary —
+    // the production seam the in-memory stage above only models. The
+    // bootstrap (base-sized, paid once per corpus) is timed separately
+    // from the RECURRING nightly ingest, whose wall must stay ~flat as
+    // the base grows R× while the delta stays one-replica-sized:
+    // fingerprint math touches only delta payloads, the block probe keys
+    // on buckets, and the fold contracts to delta-cluster edges.
+    val nightlyRoot = graft.ops.Materialize.scratchDir("soak-night0")
+    timed("nightly_bootstrap") {
+      graft.ops.StandingState.bootstrap(
+        mkAssets(docs.filter(col("doc_id") < cut)), nightlyRoot)
+    }
+    timed("nightly_ingest") {
+      val out = graft.ops.Materialize.scratchDir("soak-night1")
+      counts("nightly_nodes") = graft.ops.StandingState.ingest(
+        mkAssets(docs.filter(col("doc_id") >= cut)), nightlyRoot, out).count()
+    }
+
     // 19. cross-modal mismatch gate over the scaled corpus: two scan-side
     // token profiles + one id-keyed join — cost linear in bytes, the
     // fixed-point scoring rides whole-stage codegen.

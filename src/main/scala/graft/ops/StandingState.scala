@@ -73,8 +73,9 @@ object StandingState {
     out.result().sortBy(_._1)
   }
 
-  private def writeWitness(spark: SparkSession, root: String): Unit = {
-    val body = Seq(FpTable, ClTable).flatMap { t =>
+  private def writeWitness(
+      spark: SparkSession, root: String, tables: Seq[String]): Unit = {
+    val body = tables.flatMap { t =>
       listing(spark, root, t).map { case (p, len, mt) => s"$t\t$p\t$len\t$mt" }
     }.mkString("\n")
     val p = new org.apache.hadoop.fs.Path(s"$root/$WitnessFile")
@@ -128,30 +129,53 @@ object StandingState {
 
   // ------------------------------------------------------------ tables
 
-  /** Write a standing state (both tables range-clustered on their id
-    * through [[Layout.compact]]) and stamp the witness. */
+  /** One standing table to persist: a name under the state root, the
+    * rows, and the column [[Layout.compact]] range-clusters the files
+    * on (the column downstream reads key or filter by, so per-file
+    * footer min/max prune). */
+  case class TableSpec(name: String, df: DataFrame, clusterCol: String)
+
+  /** Write a standing state — EVERY table of a state root in one call
+    * (each range-clustered through [[Layout.compact]]) — and stamp the
+    * witness over exactly those tables. The generic seam: the manifest
+    * state persists (fingerprints, clusters); the retrieval index
+    * persists (postings, doclens); any future incremental family brings
+    * its own table set. */
+  def writeTables(
+      root: String,
+      tables: Seq[TableSpec],
+      targetRowsPerFile: Long = 4000000L): Unit = {
+    require(tables.nonEmpty, "a standing state needs at least one table")
+    val spark = tables.head.df.sparkSession
+    tables.foreach { t =>
+      Layout.compact(t.df, s"$root/${t.name}", targetRowsPerFile, Seq(t.clusterCol))
+    }
+    writeWitness(spark, root, tables.map(_.name))
+  }
+
+  /** Witness-verified scan of one standing table. */
+  def readTable(spark: SparkSession, root: String, name: String): DataFrame = {
+    verify(spark, root, name)
+    spark.read.parquet(s"$root/$name")
+  }
+
+  /** Write the asset-manifest standing state (fingerprints + clusters). */
   def write(
       root: String,
       fingerprints: DataFrame,
       clusters: DataFrame,
-      targetRowsPerFile: Long = 4000000L): Unit = {
-    val spark = fingerprints.sparkSession
-    Layout.compact(fingerprints, s"$root/$FpTable", targetRowsPerFile, Seq("asset_id"))
-    Layout.compact(clusters, s"$root/$ClTable", targetRowsPerFile, Seq("doc_id"))
-    writeWitness(spark, root)
-  }
+      targetRowsPerFile: Long = 4000000L): Unit =
+    writeTables(root, Seq(
+      TableSpec(FpTable, fingerprints, "asset_id"),
+      TableSpec(ClTable, clusters, "doc_id")), targetRowsPerFile)
 
   /** Witness-verified scan of the standing fingerprint table. */
-  def readFingerprints(spark: SparkSession, root: String): DataFrame = {
-    verify(spark, root, FpTable)
-    spark.read.parquet(s"$root/$FpTable")
-  }
+  def readFingerprints(spark: SparkSession, root: String): DataFrame =
+    readTable(spark, root, FpTable)
 
   /** Witness-verified scan of the standing cluster assignment. */
-  def readClusters(spark: SparkSession, root: String): DataFrame = {
-    verify(spark, root, ClTable)
-    spark.read.parquet(s"$root/$ClTable")
-  }
+  def readClusters(spark: SparkSession, root: String): DataFrame =
+    readTable(spark, root, ClTable)
 
   // ------------------------------------------------------------- nights
 

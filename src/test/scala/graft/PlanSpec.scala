@@ -433,6 +433,50 @@ class PlanSpec extends AnyFunSuite with Matchers {
     exec.toString should not include "Join"
   }
 
+  test("ledger chain: all three suite sweeps broadcast; no unbroadcast cartesian") {
+    val df = PipelineQueries.decontamLedgerChain(spark, dir)
+    val exec = { df.collect(); df.queryExecution.executedPlan }
+    val p = exec.toString
+    // every cosine channel (v1, d1, d2) is the broadcast-NLJ eval-scoring
+    // shape and every gram channel broadcasts its benchmark-sized set —
+    // adding suites must never turn the standing corpus into a build side
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+  }
+
+  test("video keeper: keyed joins only — no cartesian, no data-sized windows") {
+    val df = PipelineQueries.multimodalVideoKeeper(spark, dir)
+    val exec = { df.collect(); df.queryExecution.executedPlan }
+    val p = exec.toString
+    // candidates come from the fingerprint inverted index, the keeper is
+    // a min-of-struct aggregate, and member offsets join on
+    // (keeper, asset_id) — nothing all-pairs anywhere in the composition
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    graft.ops.Materialize.dropAll()
+  }
+
+  test("nightly manifest: the persisted standing state keeps delta work delta-sized") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // night-2 ingest reads (standing fp, standing clusters, delta assets);
+    // pin the seam by shape: the ingest's pair probe must scan the
+    // PERSISTED fingerprint table, not re-derive it from payloads
+    val root = SparkFixture.tempDir("planspec-standing")
+    import spark.implicits._
+    val texts = (1L to 12L).map(i => i -> s"planspec payload number $i with words " * 2)
+    def assetsOf(ts: Seq[(Long, String)]) =
+      graft.ops.Multimodal.assetsFromText(ts.toDF("id", "txt"), "id", "txt")
+    graft.ops.StandingState.bootstrap(assetsOf(texts.filter(_._1 % 3 != 0)), root)
+    val standingFp = graft.ops.StandingState.readFingerprints(spark, root)
+    val scans = allScans {
+      standingFp.collect(); standingFp.queryExecution.executedPlan
+    }
+    scans should have size 1
+    // witness-verified scan reads the compacted standing table itself
+    scans.head.metadata("Location") should include(root)
+    graft.ops.Materialize.dropAll()
+  }
+
   test("length-matched sampling: ranked cut windows carry the bucket partition") {
     val out = PipelineQueries.sampleLengthMatched(spark, dir)
     val exec = { out.collect(); out.queryExecution.executedPlan }

@@ -82,6 +82,31 @@ class RoundTwelveSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("generic standing tables: any table set round-trips behind the witness") {
+    import org.apache.spark.sql.functions._
+    val root = SparkFixture.tempDir("standing-generic")
+    val (p, l) = Retrieval.postingsIndex(
+      corpusTexts.take(6).toDF("doc_id", "text"), "doc_id", "text")
+    StandingState.writeTables(root, Seq(
+      StandingState.TableSpec("postings", p, "tok"),
+      StandingState.TableSpec("doclens", l, "doc_id")))
+    StandingState.readTable(spark, root, "doclens").count() shouldBe 6
+    val total = StandingState.readTable(spark, root, "postings")
+      .agg(sum("tf")).collect().head.getLong(0)
+    total should be > 0L
+    // the witness covers EVERY table of the set: tampering one refuses
+    // that table, the sibling still reads
+    val part = new java.io.File(s"$root/postings").listFiles()
+      .find(_.getName.startsWith("part-")).get
+    val os = new java.io.FileOutputStream(part, true)
+    try os.write(Array[Byte](0x7)) finally os.close()
+    intercept[StandingState.StaleStateException] {
+      StandingState.readTable(spark, root, "postings").collect()
+    }
+    noException should be thrownBy
+      StandingState.readTable(spark, root, "doclens").collect()
+  }
+
   test("frameHashes: an over-envelope asset fails loudly, in-envelope hashes fine") {
     // stride 1 ⇒ one frame per char: 10^4 chars hits the composite-id
     // envelope exactly (frame ids would bleed into the next asset)
