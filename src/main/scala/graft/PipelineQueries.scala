@@ -440,6 +440,7 @@ object PipelineQueries {
     ingest(night0, n1, docs.filter(col("doc_id") % 3 === 1))
     val n2 = graft.ops.Materialize.scratchDir("idx-n2")
     ingest(n1, n2, docs.filter(col("doc_id") % 3 === 2))
+    StandingState.retire(s, n1) // superseded night, witness-gated delete
     Retrieval.bm25FromIndex(
       StandingState.readTable(s, n2, "postings"),
       StandingState.readTable(s, n2, "doclens"),
@@ -1932,6 +1933,10 @@ object PipelineQueries {
     val night2 = graft.ops.Materialize.scratchDir("nightly-n2")
     graft.ops.StandingState.ingest(
       assetsOf(corpus.filter(col("doc_id") % 7 === 2)), night1, night2)
+    // retention: night 1 was read and superseded by night 2's committed
+    // output — retire it (witness-gated delete; the standing night-0
+    // root survives as the chain's fixture base)
+    graft.ops.StandingState.retire(s, night1)
     // manifest from the PERSISTED night-2 assignment — read back through
     // the witness gate like any consumer of the standing lake would
     val clusters = graft.ops.StandingState.readClusters(s, night2)
@@ -2253,13 +2258,77 @@ object PipelineQueries {
     * grows the broadcast list, not the scan count per suite (one scan
     * per new benchmark, the nightly cadence). */
   def decontamLedgerChain(s: SparkSession, dir: String): DataFrame = {
+    val (ids, flags) = ledgerSuiteFlags(s, dir)
+    ids
+      .join(flags(0).withColumnRenamed("flag", "a0"), "doc_id")
+      .join(flags(1).withColumnRenamed("flag", "a1"), "doc_id")
+      .join(flags(2).withColumnRenamed("flag", "a2"), "doc_id")
+      // the serial ledger fold, one column per "quarter"
+      .select(col("doc_id"), col("a0").as("after_v1"),
+        (col("a0") || col("a1")).as("after_d1"),
+        (col("a0") || col("a1") || col("a2")).as("after_d2"))
+      .orderBy("doc_id")
+  }
+
+  /** Night-0 roots for the persisted decontamination ledger (same
+    * lifecycle rationale as [[nightlyNight0]]). */
+  private val ledgerNight0 =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** PERSISTED decontamination-ledger maintenance — the THIRD standing
+    * table through [[graft.ops.StandingState]] (manifest state, the
+    * retrieval index, now the ledger — closing the standing
+    * "fingerprint/cluster/ledger" set): the per-doc verdict table lives
+    * on disk behind the tamper witness with ONE FLAG COLUMN PER
+    * BENCHMARK SUITE, night 0 sweeps the corpus against v1 and writes
+    * (doc_id, f_v1), each later benchmark's nightly run READS the
+    * standing ledger, sweeps ONLY the new suite (benchmark-sized
+    * broadcast, one corpus pass), appends its column, and writes the
+    * next night's ledger. Serving the prefix verdicts is a pure
+    * column-OR over the persisted flags — rebuilding any historical
+    * "as-of benchmark k" verdict without re-sweeping anything. Output
+    * (and oracle — per-prefix full-union recompute, shared VERBATIM
+    * with [[decontamLedgerChain]]) proves the persisted fold ≡ the
+    * in-query fold ≡ from-scratch sweeps at every prefix. */
+  def decontamLedgerNightly(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StandingState
+    import graft.ops.StandingState.TableSpec
+    val (ids, flags) = ledgerSuiteFlags(s, dir)
+    val night0 = ledgerNight0.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-standing-ledger").toFile
+      root.deleteOnExit()
+      StandingState.writeTables(root.toString, Seq(TableSpec("ledger",
+        ids.join(flags(0).withColumnRenamed("flag", "f_v1"), "doc_id"), "doc_id")))
+      root.toString
+    })
+    def night(inRoot: String, tag: String, f: DataFrame, name: String): String = {
+      val out = graft.ops.Materialize.scratchDir(tag)
+      StandingState.writeTables(out, Seq(TableSpec("ledger",
+        StandingState.readTable(s, inRoot, "ledger")
+          .join(f.withColumnRenamed("flag", name), "doc_id"), "doc_id")))
+      out
+    }
+    val n1 = night(night0, "ledger-n1", flags(1), "f_d1")
+    val n2 = night(n1, "ledger-n2", flags(2), "f_d2")
+    StandingState.retire(s, n1) // superseded night, witness-gated delete
+    StandingState.readTable(s, n2, "ledger")
+      .select(col("doc_id"), col("f_v1").as("after_v1"),
+        (col("f_v1") || col("f_d1")).as("after_d1"),
+        (col("f_v1") || col("f_d1") || col("f_d2")).as("after_d2"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-suite merged flags (gram presence ∨ max cosine, one boolean per
+    * train doc per suite) over the 3-suite fixture — the sweep core
+    * [[decontamLedgerNightly]] persists one column per night of.
+    * Returns (train ids, per-suite (doc_id, flag) frames for v1/d1/d2). */
+  private def ledgerSuiteFlags(
+      s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), lower(col("text")).as("text"), col("source"))
     val emb = t(s, dir, "embeddings").select(col("vec_id"),
       expr("transform(embedding, x -> cast(x AS double))").as("v"))
     val evalV1 = docs.filter(col("source") === "src0")
-    // deterministic thirds of src2/src3 (src assignment is doc_id % 20;
-    // % 3 splits each source ~evenly — the coprime-compatible predicate)
     val isD1 = col("source") === "src2" && col("doc_id") % 3 === 2
     val isD2 = col("source") === "src3" && col("doc_id") % 3 === 0
     val d1nat = docs.filter(isD1)
@@ -2268,10 +2337,6 @@ object PipelineQueries {
     val d1txt = d1nat.select("doc_id", "text").unionByName(
       train.filter(col("doc_id") % 101 === 0)
         .select((col("doc_id") + 50000000L).as("doc_id"), col("text")))
-    val d2txt = d2nat.select("doc_id", "text")
-    def gramFlag(bench: DataFrame, name: String) =
-      TextAnalysis.contamination(train, bench, shingleWords = 8)
-        .select(col("doc_id"), (col("n_hits") >= 1).as(name))
     val trainVec = train.select("doc_id")
       .join(emb, col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("v"))
@@ -2280,29 +2345,26 @@ object PipelineQueries {
     val d2Vecs = vecsOf(d2nat).unionByName(
       trainVec.filter(col("doc_id") % 103 === 0)
         .select(expr("transform(v, x -> x * 2.0D)").as("v")))
-    def cosFlag(vs: DataFrame, name: String) =
-      trainVec.select(col("doc_id").as("qid"), col("v").as("qv"))
+    def suiteFlag(bench: DataFrame, vs: DataFrame): DataFrame = {
+      val g = TextAnalysis.contamination(train, bench, shingleWords = 8)
+        .select(col("doc_id"), (col("n_hits") >= 1).as("g"))
+      val c = trainVec.select(col("doc_id").as("qid"), col("v").as("qv"))
         .crossJoin(broadcast(vs.select(col("v").as("ev"))))
         .groupBy("qid")
         .agg(max(round(Similarity.cosine(col("qv"), col("ev")), 4)).as("mx"))
-        .select(col("qid").as("doc_id"), (col("mx") >= 0.9).as(name))
-    train.select("doc_id")
-      .join(gramFlag(evalV1, "g0"), "doc_id")
-      .join(gramFlag(d1txt, "g1"), "doc_id")
-      .join(gramFlag(d2txt, "g2"), "doc_id")
-      .join(cosFlag(vecsOf(evalV1), "s0"), Seq("doc_id"), "left")
-      .join(cosFlag(vecsOf(d1nat), "s1"), Seq("doc_id"), "left")
-      .join(cosFlag(d2Vecs, "s2"), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("g0"), col("g1"), col("g2"),
-        coalesce(col("s0"), lit(false)).as("s0"),
-        coalesce(col("s1"), lit(false)).as("s1"),
-        coalesce(col("s2"), lit(false)).as("s2"))
-      // the serial ledger fold, one column per "quarter"
-      .withColumn("after_v1", col("g0") || col("s0"))
-      .withColumn("after_d1", col("after_v1") || col("g1") || col("s1"))
-      .withColumn("after_d2", col("after_d1") || col("g2") || col("s2"))
-      .select("doc_id", "after_v1", "after_d1", "after_d2")
-      .orderBy("doc_id")
+        .select(col("qid").as("doc_id"), (col("mx") >= 0.9).as("c"))
+      // materialized: the chain and nightly forms build PLAN-IDENTICAL
+      // flag frames through this one helper, so the battery computes
+      // each suite's sweep once and both queries read the shared index
+      graft.ops.Materialize.index(
+        g.join(c, Seq("doc_id"), "left")
+          .select(col("doc_id"), (col("g") || coalesce(col("c"), lit(false))).as("flag")),
+        "ledger-flag")
+    }
+    (train.select("doc_id"), Seq(
+      suiteFlag(evalV1.select("doc_id", "text"), vecsOf(evalV1)),
+      suiteFlag(d1txt, vecsOf(d1nat)),
+      suiteFlag(d2nat.select("doc_id", "text"), d2Vecs)))
   }
 
   /** Exact-substring novelty dedup ([[graft.ops.Dedup.substringNovelty]]):
@@ -3479,6 +3541,7 @@ object PipelineQueries {
     "pipeline_decontam_matrix" -> (pipelineDecontamMatrix _),
     "decontam_eval_delta" -> (decontamEvalDelta _),
     "decontam_ledger_chain" -> (decontamLedgerChain _),
+    "decontam_ledger_nightly" -> (decontamLedgerNightly _),
     "pipeline_make_eval_holdout" -> (pipelineMakeEvalHoldout _),
     "pipeline_asset_manifest_incremental" -> (pipelineAssetManifestIncremental _),
     "pipeline_asset_manifest_nightly" -> (pipelineAssetManifestNightly _),
@@ -5657,62 +5720,11 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin,
     // Every ledger prefix recomputed from a FULL-UNION sweep: equality
     // with Spark's serial OR-fold pins N=3 associativity of the
-    // presence/max gates. gtru/vtr MATERIALIZED (3 references each)
-    "decontam_ledger_chain" ->
-      s"""WITH tk AS (SELECT doc_id, lower(text) AS text, source FROM documents),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |ev1 AS (SELECT doc_id, text FROM tk WHERE source = 'src0'),
-         |d1n AS (SELECT doc_id, text FROM tk
-         |  WHERE source = 'src2' AND doc_id % 3 = 2),
-         |d2n AS (SELECT doc_id, text FROM tk
-         |  WHERE source = 'src3' AND doc_id % 3 = 0),
-         |tr AS (SELECT doc_id, text FROM tk WHERE source <> 'src0'
-         |  AND NOT (source = 'src2' AND doc_id % 3 = 2)
-         |  AND NOT (source = 'src3' AND doc_id % 3 = 0)),
-         |d1t AS (SELECT doc_id, text FROM d1n
-         |  UNION ALL SELECT doc_id + 50000000, text FROM tr WHERE doc_id % 101 = 0),
-         |gtr AS (SELECT doc_id,
-         |    list_distinct(list_transform(${duckShingles(8)}, g -> substr(md5(g), 1, 16))) AS ghs
-         |  FROM tr),
-         |gtru AS MATERIALIZED (SELECT doc_id, unnest(ghs) AS gh FROM gtr),
-         |g0 AS (SELECT DISTINCT substr(md5(g), 1, 16) AS gh
-         |  FROM (SELECT unnest(${duckShingles(8)}) AS g FROM ev1)),
-         |g1 AS (SELECT DISTINCT substr(md5(g), 1, 16) AS gh
-         |  FROM (SELECT unnest(${duckShingles(8)}) AS g FROM d1t)),
-         |g2 AS (SELECT DISTINCT substr(md5(g), 1, 16) AS gh
-         |  FROM (SELECT unnest(${duckShingles(8)}) AS g FROM d2n)),
-         |p0 AS (SELECT DISTINCT doc_id FROM gtru JOIN g0 USING (gh)),
-         |p01 AS (SELECT DISTINCT doc_id FROM gtru
-         |  JOIN (SELECT gh FROM g0 UNION SELECT gh FROM g1) USING (gh)),
-         |p012 AS (SELECT DISTINCT doc_id FROM gtru
-         |  JOIN (SELECT gh FROM g0 UNION SELECT gh FROM g1
-         |        UNION SELECT gh FROM g2) USING (gh)),
-         |vtr AS MATERIALIZED (SELECT t.doc_id, e.v FROM tr t JOIN e ON e.vec_id = t.doc_id),
-         |v0 AS (SELECT e.v FROM ev1 x JOIN e ON e.vec_id = x.doc_id),
-         |v1 AS (SELECT e.v FROM d1n x JOIN e ON e.vec_id = x.doc_id),
-         |v2 AS (SELECT e.v FROM d2n x JOIN e ON e.vec_id = x.doc_id
-         |  UNION ALL SELECT list_transform(t.v, x -> x * 2.0)
-         |    FROM vtr t WHERE t.doc_id % 103 = 0),
-         |c0 AS (SELECT t.doc_id, max(round(list_dot_product(t.v, u.v) /
-         |    (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(u.v, u.v))), 4)) AS m
-         |  FROM vtr t CROSS JOIN v0 u GROUP BY 1),
-         |c01 AS (SELECT t.doc_id, max(round(list_dot_product(t.v, u.v) /
-         |    (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(u.v, u.v))), 4)) AS m
-         |  FROM vtr t CROSS JOIN (SELECT v FROM v0 UNION ALL SELECT v FROM v1) u
-         |  GROUP BY 1),
-         |c012 AS (SELECT t.doc_id, max(round(list_dot_product(t.v, u.v) /
-         |    (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(u.v, u.v))), 4)) AS m
-         |  FROM vtr t CROSS JOIN (SELECT v FROM v0 UNION ALL SELECT v FROM v1
-         |                         UNION ALL SELECT v FROM v2) u
-         |  GROUP BY 1)
-         |SELECT tr.doc_id,
-         |  ((p0.doc_id IS NOT NULL) OR coalesce(c0.m >= 0.9, false)) AS after_v1,
-         |  ((p01.doc_id IS NOT NULL) OR coalesce(c01.m >= 0.9, false)) AS after_d1,
-         |  ((p012.doc_id IS NOT NULL) OR coalesce(c012.m >= 0.9, false)) AS after_d2
-         |FROM tr LEFT JOIN p0 USING (doc_id) LEFT JOIN p01 USING (doc_id)
-         |  LEFT JOIN p012 USING (doc_id) LEFT JOIN c0 USING (doc_id)
-         |  LEFT JOIN c01 USING (doc_id) LEFT JOIN c012 USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    // presence/max gates. gtru/vtr MATERIALIZED (3 references each).
+    // The PERSISTED ledger must be indistinguishable from the in-query
+    // fold — both keys share this SQL verbatim.
+    "decontam_ledger_chain" -> duckLedgerChainSql,
+    "decontam_ledger_nightly" -> duckLedgerChainSql,
     // Caption-containment agreement in 4-dp fixed point; the planted
     // every-13th reversed caption mirrors the Spark side verbatim
     "multimodal_mismatch" ->
@@ -6711,6 +6723,64 @@ object PipelineQueries {
          |WHERE len(tk) >= 20 AND round(len(list_distinct(tk)) / len(tk), 4) >= 0.3
          |ORDER BY doc_id""".stripMargin,
   )
+
+  /** Per-prefix full-union ledger oracle, shared verbatim by the
+    * in-query chain and the persisted nightly form. */
+  private lazy val duckLedgerChainSql: String =
+    s"""WITH tk AS (SELECT doc_id, lower(text) AS text, source FROM documents),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ev1 AS (SELECT doc_id, text FROM tk WHERE source = 'src0'),
+         |d1n AS (SELECT doc_id, text FROM tk
+         |  WHERE source = 'src2' AND doc_id % 3 = 2),
+         |d2n AS (SELECT doc_id, text FROM tk
+         |  WHERE source = 'src3' AND doc_id % 3 = 0),
+         |tr AS (SELECT doc_id, text FROM tk WHERE source <> 'src0'
+         |  AND NOT (source = 'src2' AND doc_id % 3 = 2)
+         |  AND NOT (source = 'src3' AND doc_id % 3 = 0)),
+         |d1t AS (SELECT doc_id, text FROM d1n
+         |  UNION ALL SELECT doc_id + 50000000, text FROM tr WHERE doc_id % 101 = 0),
+         |gtr AS (SELECT doc_id,
+         |    list_distinct(list_transform(${duckShingles(8)}, g -> substr(md5(g), 1, 16))) AS ghs
+         |  FROM tr),
+         |gtru AS MATERIALIZED (SELECT doc_id, unnest(ghs) AS gh FROM gtr),
+         |g0 AS (SELECT DISTINCT substr(md5(g), 1, 16) AS gh
+         |  FROM (SELECT unnest(${duckShingles(8)}) AS g FROM ev1)),
+         |g1 AS (SELECT DISTINCT substr(md5(g), 1, 16) AS gh
+         |  FROM (SELECT unnest(${duckShingles(8)}) AS g FROM d1t)),
+         |g2 AS (SELECT DISTINCT substr(md5(g), 1, 16) AS gh
+         |  FROM (SELECT unnest(${duckShingles(8)}) AS g FROM d2n)),
+         |p0 AS (SELECT DISTINCT doc_id FROM gtru JOIN g0 USING (gh)),
+         |p01 AS (SELECT DISTINCT doc_id FROM gtru
+         |  JOIN (SELECT gh FROM g0 UNION SELECT gh FROM g1) USING (gh)),
+         |p012 AS (SELECT DISTINCT doc_id FROM gtru
+         |  JOIN (SELECT gh FROM g0 UNION SELECT gh FROM g1
+         |        UNION SELECT gh FROM g2) USING (gh)),
+         |vtr AS MATERIALIZED (SELECT t.doc_id, e.v FROM tr t JOIN e ON e.vec_id = t.doc_id),
+         |v0 AS (SELECT e.v FROM ev1 x JOIN e ON e.vec_id = x.doc_id),
+         |v1 AS (SELECT e.v FROM d1n x JOIN e ON e.vec_id = x.doc_id),
+         |v2 AS (SELECT e.v FROM d2n x JOIN e ON e.vec_id = x.doc_id
+         |  UNION ALL SELECT list_transform(t.v, x -> x * 2.0)
+         |    FROM vtr t WHERE t.doc_id % 103 = 0),
+         |c0 AS (SELECT t.doc_id, max(round(list_dot_product(t.v, u.v) /
+         |    (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(u.v, u.v))), 4)) AS m
+         |  FROM vtr t CROSS JOIN v0 u GROUP BY 1),
+         |c01 AS (SELECT t.doc_id, max(round(list_dot_product(t.v, u.v) /
+         |    (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(u.v, u.v))), 4)) AS m
+         |  FROM vtr t CROSS JOIN (SELECT v FROM v0 UNION ALL SELECT v FROM v1) u
+         |  GROUP BY 1),
+         |c012 AS (SELECT t.doc_id, max(round(list_dot_product(t.v, u.v) /
+         |    (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(u.v, u.v))), 4)) AS m
+         |  FROM vtr t CROSS JOIN (SELECT v FROM v0 UNION ALL SELECT v FROM v1
+         |                         UNION ALL SELECT v FROM v2) u
+         |  GROUP BY 1)
+         |SELECT tr.doc_id,
+         |  ((p0.doc_id IS NOT NULL) OR coalesce(c0.m >= 0.9, false)) AS after_v1,
+         |  ((p01.doc_id IS NOT NULL) OR coalesce(c01.m >= 0.9, false)) AS after_d1,
+         |  ((p012.doc_id IS NOT NULL) OR coalesce(c012.m >= 0.9, false)) AS after_d2
+         |FROM tr LEFT JOIN p0 USING (doc_id) LEFT JOIN p01 USING (doc_id)
+         |  LEFT JOIN p012 USING (doc_id) LEFT JOIN c0 USING (doc_id)
+         |  LEFT JOIN c01 USING (doc_id) LEFT JOIN c012 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
 
   private def duckNearDupLshSql: String = {
     val bandSelects = (0 until LshBands).map(b =>

@@ -220,6 +220,24 @@ object StandingState {
     write(root, fp, clusters)
   }
 
+  /** Retire an OLD night's state root — the retention step a nightly
+    * chain needs (each ingest writes a fresh root; without retirement
+    * the lake keeps one full state copy per night forever). Deliberately
+    * witness-GATED: the root must still be a coherent standing state
+    * (witness present and matching), so a typo'd path, a half-written
+    * root, or a directory some other process has scribbled into is
+    * REFUSED rather than recursively deleted — deletion is the one
+    * operation where "loud refusal on anything unexpected" matters
+    * most. Callers retire a root only after the night that READ it has
+    * committed its output. */
+  def retire(spark: SparkSession, root: String): Unit = {
+    val recorded = recordedWitness(spark, root)
+    recorded.keys.foreach(verify(spark, root, _))
+    val filesystem = fs(spark, root)
+    filesystem.delete(new org.apache.hadoop.fs.Path(root), true)
+    ()
+  }
+
   /** One nightly ingest: read the standing state at `inRoot`
     * (witness-verified), fingerprint ONLY `deltaAssets`, probe delta
     * fingerprints against the standing fingerprint table (new↔new ∪

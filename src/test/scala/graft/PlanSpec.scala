@@ -433,15 +433,19 @@ class PlanSpec extends AnyFunSuite with Matchers {
     exec.toString should not include "Join"
   }
 
-  test("ledger chain: all three suite sweeps broadcast; no unbroadcast cartesian") {
+  test("ledger chain: serves from materialized suite-flag indexes; no cartesian") {
     val df = PipelineQueries.decontamLedgerChain(spark, dir)
     val exec = { df.collect(); df.queryExecution.executedPlan }
     val p = exec.toString
-    // every cosine channel (v1, d1, d2) is the broadcast-NLJ eval-scoring
-    // shape and every gram channel broadcasts its benchmark-sized set —
-    // adding suites must never turn the standing corpus into a build side
-    p should include("BroadcastNestedLoopJoin")
+    // the three suite sweeps land in SHARED materialized flag indexes
+    // (their broadcast-NLJ build shape is pinned on decontam_eval_delta's
+    // identical sweep); the chain's serving plan is pure id-keyed joins
+    // over those skinny tables — one scan for the train ids plus one per
+    // suite index, nothing cartesian
     p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    allScans(exec).length shouldBe 4
+    graft.ops.Materialize.dropAll()
   }
 
   test("video keeper: keyed joins only — no cartesian, no data-sized windows") {

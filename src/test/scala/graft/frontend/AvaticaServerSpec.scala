@@ -451,6 +451,50 @@ class AvaticaServerSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
     } finally srv.stop()
   }
 
+  test("concurrent fetches on one statement: buffer replays race advances without errors") {
+    // The TOCTOU pin: deciding "this fetch is a pure buffer read" and
+    // serving it are ONE atomic statement-lock section, so a concurrent
+    // fetch advancing the cursor between the two can neither route a
+    // re-execution around the tenant gate nor turn an advertised replay
+    // into a 500. Offsets are chosen so every interleaving is LEGAL
+    // (walker {0,3,6} strictly forward then reset; hammers replay 0),
+    // and each offset's first row is deterministic under ANY
+    // interleaving — so content, not just status, is asserted.
+    open("c17", "orga")
+    val sid = createStatement("c17")
+    rpc(s"""{"request":"prepareAndExecute","connectionId":"c17","statementId":$sid,""" +
+      """"sql":"SELECT `timestamp`, v FROM avmetric ORDER BY `timestamp`","maxRowCount":-1}""")
+    val firstRowAt = Map(0 -> 10L, 3 -> 40L, 6 -> 70L)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def fetchOnce(c: HttpClient, offset: Int): Unit = {
+      val r = c.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.boundPort}/"))
+          .POST(BodyPublishers.ofString(
+            s"""{"request":"fetch","connectionId":"c17","statementId":$sid,""" +
+              s""""offset":$offset,"fetchMaxRowCount":3}"""))
+          .build(), BodyHandlers.ofString())
+      if (r.statusCode() != 200) bad.add(s"HTTP ${r.statusCode()} @$offset: ${r.body().take(160)}")
+      else {
+        val f = mapper.readTree(r.body()).get("frame")
+        if (f == null) bad.add(s"no frame @$offset: ${r.body().take(160)}")
+        else if (f.get("rows").size() == 0 || f.at("/rows/0/0").asLong() != firstRowAt(offset))
+          bad.add(s"wrong rows @$offset: ${f.toString.take(160)}")
+      }
+    }
+    val hammers = (1 to 2).map(_ => new Thread(() => {
+      val c = HttpClient.newHttpClient()
+      (1 to 60).foreach(_ => fetchOnce(c, 0))
+    }))
+    val walker = new Thread(() => {
+      val c = HttpClient.newHttpClient()
+      (1 to 20).foreach(_ => Seq(0, 3, 6).foreach(fetchOnce(c, _)))
+    })
+    val ts = hammers :+ walker
+    ts.foreach(_.start()); ts.foreach(_.join())
+    withClue(bad.asScala.take(3).mkString(" | ")) { bad.size() shouldBe 0 }
+    rpc(s"""{"request":"closeStatement","connectionId":"c17","statementId":$sid}""")
+  }
+
   test("buffered-frame replay skips the tenant's statement permit (no stall behind executes)") {
     // ONE permit: while a long-running statement holds it, paging rows the
     // server already delivered must NOT block or 500 — the replay is a

@@ -107,6 +107,28 @@ class RoundTwelveSpec extends AnyFunSuite with Matchers {
       StandingState.readTable(spark, root, "doclens").collect()
   }
 
+  test("retire: deletes a coherent old night; refuses tampered or foreign dirs") {
+    val root = SparkFixture.tempDir("standing-retire")
+    StandingState.bootstrap(assets(corpusTexts.take(6)), root)
+    StandingState.retire(spark, root)
+    new java.io.File(root).exists() shouldBe false
+    // tampered state: refuse to delete (something else wrote here)
+    val root2 = SparkFixture.tempDir("standing-retire2")
+    StandingState.bootstrap(assets(corpusTexts.take(6)), root2)
+    val stray = new java.io.File(s"$root2/clusters/stray.tmp")
+    val os = new java.io.FileOutputStream(stray)
+    try os.write(1) finally os.close()
+    intercept[StandingState.StaleStateException] {
+      StandingState.retire(spark, root2)
+    }
+    new java.io.File(root2).exists() shouldBe true
+    // a directory that is not a standing state at all: refused
+    val foreign = SparkFixture.tempDir("not-a-state")
+    intercept[StandingState.StaleStateException] {
+      StandingState.retire(spark, foreign)
+    }
+  }
+
   test("frameHashes: an over-envelope asset fails loudly, in-envelope hashes fine") {
     // stride 1 ⇒ one frame per char: 10^4 chars hits the composite-id
     // envelope exactly (frame ids would bleed into the next asset)
