@@ -391,59 +391,61 @@ object PipelineQueries {
       "doc_id", terms = Seq("table", "query", "spark"))
   }
 
-  /** Night-0 roots for the persisted retrieval index (same lifecycle
-    * rationale as [[nightlyNight0]]). */
-  private val retrievalNight0 =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Night-0 retrieval-index store (same lifecycle rationale as
+    * [[manifestStandingStore]]): index the base corpus — the only
+    * corpus-sized tokenize AND the only corpus-sized write. */
+  private def retrievalStandingStore(s: SparkSession, dir: String): String =
+    standingStore("retridx", dir) { root =>
+      val (p, l) = Retrieval.postingsIndex(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      graft.ops.StandingState.writeTables(root, Seq(
+        graft.ops.StandingState.TableSpec("postings", p, "tok"),
+        graft.ops.StandingState.TableSpec("doclens", l, "doc_id")))
+    }
 
   /** PERSISTED nightly retrieval-index maintenance — the
     * [[pipelineAssetManifestNightly]] seam applied to the SECOND
     * incremental family, proving [[graft.ops.StandingState]] generalizes:
-    * the standing (postings, doclens) tables live on disk behind the
-    * same tamper witness, night 0 indexes the base corpus (the only
-    * corpus-sized tokenize), and each nightly ingest reads the standing
-    * tables, tokenizes ONLY its delta, folds via the
-    * [[graft.ops.Retrieval.mergeIndex]] monoid (tf/dl sum — batch
-    * granularity provably irrelevant), and writes the next night's
-    * tables. TWO nights chain; BM25 then serves FROM the persisted
-    * night-2 index, and the oracle is the same full-corpus BM25 replay
-    * as `bm25_indexed`/`index_incremental` — bit-equality proves the
+    * the standing (postings, doclens) tables live in a snapshot store
+    * behind the same tamper witness, night 0 indexes the base corpus,
+    * and each nightly ingest tokenizes ONLY its delta and APPENDS its
+    * (tok, doc, tf) partition — nightly arrivals are NEW docs, so the
+    * per-(tok, doc) tf rows are disjoint across nights and the union of
+    * partitions IS the [[graft.ops.Retrieval.mergeIndex]] monoid fold
+    * (tf/dl sum over disjoint keys — batch granularity provably
+    * irrelevant), with zero standing rows rewritten. TWO nights chain;
+    * BM25 then serves FROM the persisted night-2 snapshot, and the
+    * oracle is the same full-corpus BM25 replay as
+    * `bm25_indexed`/`index_incremental` — bit-equality proves the
     * chained on-disk index ≡ a from-scratch build.
     *
-    * Scale shape: postings compact range-clustered on `tok`, so the
-    * serving-side `isin` term filter prunes files by footer min/max;
-    * nightly cost is delta-sized (tokenize delta, one monoid
-    * re-aggregate keyed on (tok, doc)); nothing re-reads yesterday's
-    * raw text. */
+    * Scale shape: every postings partition is range-clustered on `tok`,
+    * so the serving-side `isin` term filter prunes files by footer
+    * min/max in each night's partition independently; nightly write
+    * volume is the delta index only; nothing re-reads (or rewrites)
+    * yesterday's data. */
   def retrievalIndexNightly(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.StandingState
     import graft.ops.StandingState.TableSpec
     val docs = t(s, dir, "documents")
-    def idx(d: DataFrame) = Retrieval.postingsIndex(d, "doc_id", "text")
-    def writeIdx(root: String, p: DataFrame, l: DataFrame): Unit =
-      StandingState.writeTables(root, Seq(
+    val store = retrievalStandingStore(s, dir)
+    // recurring-run retention: refold from the standing night-0 snapshot
+    StandingState.rollbackTo(s, store, 0L)
+    def ingest(delta: DataFrame): Unit = {
+      val (p, l) = Retrieval.postingsIndex(delta, "doc_id", "text")
+      StandingState.appendTables(store, Seq(
         TableSpec("postings", p, "tok"), TableSpec("doclens", l, "doc_id")))
-    val night0 = retrievalNight0.computeIfAbsent(dir, _ => {
-      val root = java.nio.file.Files.createTempDirectory("graft-standing-idx").toFile
-      root.deleteOnExit()
-      val (p, l) = idx(docs.filter(col("doc_id") % 3 === 0))
-      writeIdx(root.toString, p, l)
-      root.toString
-    })
-    def ingest(inRoot: String, outRoot: String, delta: DataFrame): Unit = {
-      val standing = (StandingState.readTable(s, inRoot, "postings"),
-        StandingState.readTable(s, inRoot, "doclens"))
-      val (mp, ml) = Retrieval.mergeIndex(standing, idx(delta))
-      writeIdx(outRoot, mp, ml)
+      ()
     }
-    val n1 = graft.ops.Materialize.scratchDir("idx-n1")
-    ingest(night0, n1, docs.filter(col("doc_id") % 3 === 1))
-    val n2 = graft.ops.Materialize.scratchDir("idx-n2")
-    ingest(n1, n2, docs.filter(col("doc_id") % 3 === 2))
-    StandingState.retire(s, n1) // superseded night, witness-gated delete
+    ingest(docs.filter(col("doc_id") % 3 === 1))
+    val night1 = StandingState.latestSnapshot(s, store)
+    ingest(docs.filter(col("doc_id") % 3 === 2))
+    // superseded night: one witness file retires; its partitions survive
+    // by reference from night 2
+    StandingState.retireSnapshot(s, store, night1)
     Retrieval.bm25FromIndex(
-      StandingState.readTable(s, n2, "postings"),
-      StandingState.readTable(s, n2, "doclens"),
+      StandingState.readTable(s, store, "postings"),
+      StandingState.readTable(s, store, "doclens"),
       "doc_id", terms = Seq("table", "query", "spark"))
   }
 
@@ -908,6 +910,49 @@ object PipelineQueries {
       corpus = emb, queries = emb.filter(col("vec_id") < 10),
       idCol = "vec_id", vecCol = "embedding", k = 5,
       numCentroids = IvfCentroids, nprobe = IvfProbes)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Night-0 ANN store (same lifecycle rationale as
+    * [[manifestStandingStore]]): seed IVF centroids from the base
+    * embedding corpus (deterministic stride sampling) and assign every
+    * base vector — the only corpus-sized assignment pass. */
+  private def annStandingStore(s: SparkSession, dir: String): String =
+    standingStore("annivf", dir) { root =>
+      graft.ops.AnnIndex.bootstrap(
+        t(s, dir, "embeddings").filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", IvfCentroids, root)
+    }
+
+  /** PERSISTED nightly ANN-index maintenance — the FOURTH family through
+    * the [[graft.ops.StandingState]] seam (manifest state, retrieval
+    * index, decontamination ledger, now the IVF index): standing
+    * centroids + cells live in a snapshot store behind the tamper
+    * witness; each nightly ingest assigns ONLY its delta vectors against
+    * the standing centroids (broadcast join — exact by construction,
+    * since a vector's nearest centroid is independent of every other
+    * vector) and APPENDS the delta cells partition. TWO nights chain
+    * (delta₁ = ids ≡ 0 mod 10, delta₂ = ids ≡ 5 mod 10 — each ~10% of
+    * the index, under the [[graft.ops.AnnIndex.ingest]] drift gate by
+    * construction, so the deterministic base seeding persists); ANN
+    * top-k then serves FROM the persisted night-2 snapshot, and the
+    * oracle replays centroid seeding over the base predicate + full
+    * cell assignment + probes from scratch — equality proves the
+    * chained on-disk index ≡ a from-scratch build. */
+  def embedKnnIvfNightly(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val store = annStandingStore(s, dir)
+    // recurring-run retention: refold from the standing night-0 snapshot
+    graft.ops.StandingState.rollbackTo(s, store, 0L)
+    graft.ops.AnnIndex.ingest(
+      emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", store)
+    val night1 = graft.ops.StandingState.latestSnapshot(s, store)
+    graft.ops.AnnIndex.ingest(
+      emb.filter(col("vec_id") % 10 === 5), "vec_id", "embedding", store)
+    graft.ops.StandingState.retireSnapshot(s, store, night1) // superseded night
+    graft.ops.AnnIndex.topK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, store, nprobe = IvfProbes)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
   }
@@ -1873,73 +1918,149 @@ object PipelineQueries {
       .orderBy("asset_id")
   }
 
-  /** Night-0 standing-state roots, bootstrapped once per corpus per JVM
-    * — the standing lake a production nightly job reads. NOT a
+  /** Night-0 standing stores, bootstrapped once per corpus per JVM — the
+    * standing lake a production nightly job reads. NOT a
     * [[graft.ops.Materialize.scratchDir]]: scratch dirs are reaped by
     * `dropAll` between battery queries, while standing state must
     * survive from one "night" (query run) to the next — that
     * persistence is the entire seam under test. */
-  private val nightlyNight0 =
+  private val standingStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
+  /** Shutdown reaper for the standing fixture stores: `File.deleteOnExit`
+    * is a no-op on non-empty directories, so without this every JVM run
+    * would leak one full standing-state copy per family per corpus under
+    * the temp dir. */
+  private lazy val standingReaper: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      standingStores.values.forEach(r => deleteRecursively(new java.io.File(r)))))
+    ()
+  }
+
+  /** Build-once accessor for a family's night-0 standing store. The
+    * bootstrap runs OUTSIDE any map lock (a full Spark job inside
+    * `computeIfAbsent` would hold the CHM bin lock and block unrelated
+    * keys hashing to the same bin); a lost publication race discards the
+    * duplicate and adopts the winner. */
+  private def standingStore(family: String, dir: String)(build: String => Unit): String = {
+    val key = s"$family:$dir"
+    val existing = standingStores.get(key)
+    if (existing != null) return existing
+    standingReaper
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft-standing-$family").toString
+    build(root)
+    val winner = standingStores.putIfAbsent(key, root)
+    if (winner == null) root
+    else { deleteRecursively(new java.io.File(root)); winner }
+  }
+
+  /** Untimed bench/battery fixture prep: build every night-0 standing
+    * store the nightly queries fold from. Night-0 bootstrap is a
+    * once-EVER corpus cost (like generating the test data), not part of
+    * the recurring nightly job the per-query records are meant to
+    * measure — benches call this during warmup so the committed nightly
+    * timings measure only the recurring ingest (the bootstrap seconds
+    * are reported separately in the bench diagnostics). */
+  def prewarmStandingFixtures(s: SparkSession, dir: String): Unit = {
+    manifestStandingStore(s, dir)
+    retrievalStandingStore(s, dir)
+    ledgerStandingStore(s, dir)
+    annStandingStore(s, dir)
+    graft.ops.Materialize.dropAll() // fixture prep must not leak scratch
+  }
+
+  /** The asset corpus every manifest-family query folds over — built with
+    * the EXACT plan (and Materialize tag) the other asset queries use, so
+    * the content-addressed index is shared across the battery. */
+  private def manifestCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = td(s, dir)
+    val copies = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("zzzz"), expr("substring(text, 5)")).as("text"))
+    graft.ops.Materialize.index(
+      docs.select("doc_id", "text").unionByName(copies), "asset-corpus")
+  }
+
+  /** Night-0 manifest store: bootstrap the standing fingerprint + cluster
+    * snapshot over the non-delta corpus, once per corpus per JVM. Exposed
+    * through [[prewarmStandingFixtures]] so benches pay this once-ever
+    * cost in untimed fixture prep. */
+  private def manifestStandingStore(s: SparkSession, dir: String): String =
+    standingStore("manifest", dir) { root =>
+      val corpus = manifestCorpus(s, dir)
+      graft.ops.StandingState.bootstrap(
+        graft.ops.Multimodal.assetsFromText(
+          corpus.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 7 =!= 2),
+          "doc_id", "text"),
+        root)
+    }
 
   /** NIGHTLY asset-manifest maintenance — the PERSISTED form of
     * [[pipelineAssetManifestIncremental]], with the standing state
     * crossing a real write/read boundary instead of being re-derived
     * in-query: night 0 bootstraps the base corpus's fingerprint +
-    * cluster tables onto disk ([[graft.ops.StandingState.bootstrap]] —
-    * the only corpus-sized fingerprint pass, paid once per JVM); each
-    * subsequent night READS the standing tables (witness-verified: a
-    * tampered file refuses the fold loudly), fingerprints ONLY its
-    * delta, probes delta↔standing via the cross-set block probes, folds
-    * the assignment forward, and WRITES the updated tables for the next
-    * night. TWO nights chain here (delta₁ = ids ≡ 3 mod 7, delta₂ =
-    * ids ≡ 2 mod 7), and the manifest emits from the night-2 cluster
-    * table as read back from disk — so the oracle (the verbatim
-    * full-recompute manifest SQL shared with the flagship and the
-    * in-query incremental form) proves merge ≡ recompute ACROSS the
-    * persistence boundary, not just within one plan.
+    * cluster tables into a snapshot store
+    * ([[graft.ops.StandingState.bootstrap]] — the only corpus-sized
+    * fingerprint pass AND the only corpus-sized write, paid once per
+    * JVM); each subsequent night READS the latest snapshot
+    * (witness-verified: a tampered file refuses the fold loudly),
+    * fingerprints ONLY its delta, probes delta↔standing via the
+    * cross-set block probes, folds the assignment forward, and APPENDS
+    * the delta — the new fingerprints plus only the cluster rows whose
+    * assignment changed, committed as a new snapshot that inherits the
+    * base partitions by reference (per-night write volume is
+    * delta-sized, never standing-sized). TWO nights chain here (delta₁
+    * = ids ≡ 3 mod 7, delta₂ = ids ≡ 2 mod 7), and the manifest emits
+    * from the night-2 cluster assignment as read back from disk — so
+    * the oracle (the verbatim full-recompute manifest SQL shared with
+    * the flagship and the in-query incremental form) proves
+    * merge ≡ recompute ACROSS the persistence boundary, not just
+    * within one plan.
+    *
+    * Retention runs in-flow both ways: the store first rolls back to
+    * the standing bootstrap (reclaiming the PRIOR run's delta
+    * snapshots, so recurring runs never accumulate state), and after
+    * night 2 commits, night 1's superseded snapshot is retired — one
+    * witness file; its delta partitions survive because night 2
+    * references them.
     *
     * Scale shape: steady-state nightly cost is sized by the delta —
     * fingerprint math touches only delta payloads, the block probes key
     * on buckets, the cluster fold contracts to delta-cluster edges, and
-    * the standing tables are range-clustered on id so the fold's
+    * every standing partition is range-clustered on id so the fold's
     * id-keyed joins prune files by footer min/max. The corpus-sized
     * work left per night is the manifest's scan-side metadata
     * projection, which carries no fingerprint math. */
   def pipelineAssetManifestNightly(s: SparkSession, dir: String): DataFrame = {
-    val docs = td(s, dir)
-    val copies = docs.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(lit("zzzz"), expr("substring(text, 5)")).as("text"))
-    val corpus = graft.ops.Materialize.index(
-      docs.select("doc_id", "text").unionByName(copies), "asset-corpus")
+    val corpus = manifestCorpus(s, dir)
     def assetsOf(d: DataFrame) =
       graft.ops.Multimodal.assetsFromText(d, "doc_id", "text")
     // copies carry doc_id + 10^6 ≡ doc_id + 1 (mod 7), so a copy and its
     // original land in DIFFERENT nights for most residues — exactly the
     // cross-night edges the standing-state probe exists for
-    val night0 = nightlyNight0.computeIfAbsent(dir, _ => {
-      val root = java.nio.file.Files.createTempDirectory("graft-standing")
-        .toFile
-      root.deleteOnExit()
-      graft.ops.StandingState.bootstrap(
-        assetsOf(corpus.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 7 =!= 2)),
-        root.toString)
-      root.toString
-    })
-    val night1 = graft.ops.Materialize.scratchDir("nightly-n1")
+    val store = manifestStandingStore(s, dir)
+    // recurring-run retention: refold tonight's chain from the standing
+    // bootstrap; the prior run's delta snapshots retire here
+    graft.ops.StandingState.rollbackTo(s, store, 0L)
     graft.ops.StandingState.ingest(
-      assetsOf(corpus.filter(col("doc_id") % 7 === 3)), night0, night1)
-    val night2 = graft.ops.Materialize.scratchDir("nightly-n2")
+      assetsOf(corpus.filter(col("doc_id") % 7 === 3)), store)
+    val night1 = graft.ops.StandingState.latestSnapshot(s, store)
     graft.ops.StandingState.ingest(
-      assetsOf(corpus.filter(col("doc_id") % 7 === 2)), night1, night2)
+      assetsOf(corpus.filter(col("doc_id") % 7 === 2)), store)
     // retention: night 1 was read and superseded by night 2's committed
-    // output — retire it (witness-gated delete; the standing night-0
-    // root survives as the chain's fixture base)
-    graft.ops.StandingState.retire(s, night1)
+    // snapshot — retire it (witness-gated; the bootstrap snapshot
+    // survives as the chain's fixture base, night-1 partitions survive
+    // by reference from night 2)
+    graft.ops.StandingState.retireSnapshot(s, store, night1)
     // manifest from the PERSISTED night-2 assignment — read back through
     // the witness gate like any consumer of the standing lake would
-    val clusters = graft.ops.StandingState.readClusters(s, night2)
+    val clusters = graft.ops.StandingState.readClusters(s, store)
     val drops = clusters.filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id").as("asset_id"))
     val assets = assetsOf(corpus)
@@ -2270,53 +2391,105 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  /** Night-0 roots for the persisted decontamination ledger (same
-    * lifecycle rationale as [[nightlyNight0]]). */
-  private val ledgerNight0 =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Night-0 decontamination-ledger store (same lifecycle rationale as
+    * [[manifestStandingStore]]): the v1 sweep, persisted LONG-format —
+    * one (doc_id, suite, flag) row per doc per benchmark suite, so each
+    * later benchmark APPENDS its own partition instead of rewriting the
+    * widening table. */
+  private def ledgerStandingStore(s: SparkSession, dir: String): String =
+    standingStore("ledger", dir) { root =>
+      val (ids, flags) = ledgerSuiteFlags(s, dir)
+      graft.ops.StandingState.writeTables(root, Seq(
+        graft.ops.StandingState.TableSpec("ledger",
+          ids.join(flags(0), "doc_id")
+            .select(col("doc_id"), lit("v1").as("suite"), col("flag")),
+          "doc_id")))
+    }
 
   /** PERSISTED decontamination-ledger maintenance — the THIRD standing
     * table through [[graft.ops.StandingState]] (manifest state, the
     * retrieval index, now the ledger — closing the standing
     * "fingerprint/cluster/ledger" set): the per-doc verdict table lives
-    * on disk behind the tamper witness with ONE FLAG COLUMN PER
-    * BENCHMARK SUITE, night 0 sweeps the corpus against v1 and writes
-    * (doc_id, f_v1), each later benchmark's nightly run READS the
-    * standing ledger, sweeps ONLY the new suite (benchmark-sized
-    * broadcast, one corpus pass), appends its column, and writes the
-    * next night's ledger. Serving the prefix verdicts is a pure
-    * column-OR over the persisted flags — rebuilding any historical
-    * "as-of benchmark k" verdict without re-sweeping anything. Output
-    * (and oracle — per-prefix full-union recompute, shared VERBATIM
-    * with [[decontamLedgerChain]]) proves the persisted fold ≡ the
-    * in-query fold ≡ from-scratch sweeps at every prefix. */
-  def decontamLedgerNightly(s: SparkSession, dir: String): DataFrame = {
+    * in a snapshot store behind the tamper witness with ONE PARTITION
+    * PER BENCHMARK SUITE ((doc_id, suite, flag) long format), night 0
+    * sweeps the corpus against v1, each later benchmark's nightly run
+    * sweeps ONLY the new suite (benchmark-sized broadcast, one corpus
+    * pass) and APPENDS its verdict partition — per-night write volume
+    * is one boolean column's worth of rows, never the widening ledger.
+    * Serving the prefix verdicts is a pure suite-OR over the persisted
+    * flags (one max-of-struct-free partial aggregate) — rebuilding any
+    * historical "as-of benchmark k" verdict without re-sweeping
+    * anything. Output (and oracle — per-prefix full-union recompute,
+    * shared VERBATIM with [[decontamLedgerChain]]) proves the persisted
+    * fold ≡ the in-query fold ≡ from-scratch sweeps at every prefix. */
+  def decontamLedgerNightly(s: SparkSession, dir: String): DataFrame =
+    ledgerAsOfColumns(
+      graft.ops.StandingState.readTable(s, ledgerNightlyChain(s, dir), "ledger"))
+      .orderBy("doc_id")
+
+  /** Run the two benchmark-delta ledger nights against the standing v1
+    * store and return the store with night 2 as its latest snapshot —
+    * shared by the nightly key and the tenant as-of key. */
+  private def ledgerNightlyChain(s: SparkSession, dir: String): String = {
     import graft.ops.StandingState
     import graft.ops.StandingState.TableSpec
     val (ids, flags) = ledgerSuiteFlags(s, dir)
-    val night0 = ledgerNight0.computeIfAbsent(dir, _ => {
-      val root = java.nio.file.Files.createTempDirectory("graft-standing-ledger").toFile
-      root.deleteOnExit()
-      StandingState.writeTables(root.toString, Seq(TableSpec("ledger",
-        ids.join(flags(0).withColumnRenamed("flag", "f_v1"), "doc_id"), "doc_id")))
-      root.toString
-    })
-    def night(inRoot: String, tag: String, f: DataFrame, name: String): String = {
-      val out = graft.ops.Materialize.scratchDir(tag)
-      StandingState.writeTables(out, Seq(TableSpec("ledger",
-        StandingState.readTable(s, inRoot, "ledger")
-          .join(f.withColumnRenamed("flag", name), "doc_id"), "doc_id")))
-      out
+    val store = ledgerStandingStore(s, dir)
+    // recurring-run retention: refold from the standing v1 snapshot
+    StandingState.rollbackTo(s, store, 0L)
+    def night(f: DataFrame, name: String): Unit = {
+      StandingState.appendTables(store, Seq(TableSpec("ledger",
+        ids.join(f, "doc_id")
+          .select(col("doc_id"), lit(name).as("suite"), col("flag")),
+        "doc_id")))
+      ()
     }
-    val n1 = night(night0, "ledger-n1", flags(1), "f_d1")
-    val n2 = night(n1, "ledger-n2", flags(2), "f_d2")
-    StandingState.retire(s, n1) // superseded night, witness-gated delete
-    StandingState.readTable(s, n2, "ledger")
+    night(flags(1), "d1")
+    val night1 = StandingState.latestSnapshot(s, store)
+    night(flags(2), "d2")
+    StandingState.retireSnapshot(s, store, night1) // superseded night
+    store
+  }
+
+  /** The persisted decontamination ledger ON THE TENANT SURFACE: the
+    * standing long-format ledger is registered as a read-only tenant
+    * view and the "as of benchmark k" verdicts are served as ONE gated
+    * tenant SQL statement (a pure suite-OR pivot over the persisted
+    * flags — no re-sweep), through the same plan-level read-only gate
+    * and relation substitution as every tenant statement. The oracle is
+    * [[decontamLedgerChain]]'s per-prefix full-union recompute, shared
+    * verbatim — proving the wire-served as-of ≡ from-scratch sweeps. */
+  def decontamLedgerAsof(s: SparkSession, dir: String): DataFrame = {
+    val store = ledgerNightlyChain(s, dir)
+    val registry = graft.schema.SchemaRegistry(
+      graft.schema.Org("pipeline", Seq.empty))
+    val tenant = graft.frontend.TenantSession.open(
+      s, registry, "pipeline", graft.sources.SourceSet())
+    tenant.registerView("decontam_ledger",
+      graft.ops.StandingState.readTable(tenant.spark, store, "ledger"))
+    tenant.sql(
+      """SELECT doc_id, f_v1 AS after_v1, f_v1 OR f_d1 AS after_d1,
+        |  f_v1 OR f_d1 OR f_d2 AS after_d2
+        |FROM (SELECT doc_id,
+        |        max(CASE WHEN suite = 'v1' THEN flag END) AS f_v1,
+        |        max(CASE WHEN suite = 'd1' THEN flag END) AS f_d1,
+        |        max(CASE WHEN suite = 'd2' THEN flag END) AS f_d2
+        |      FROM decontam_ledger GROUP BY doc_id)
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The as-of pivot every ledger consumer (this query and the tenant
+    * SQL view) shares: per doc, the serial prefix verdicts — any "as of
+    * benchmark k" answer is a pure OR over the persisted suite flags. */
+  private[graft] def ledgerAsOfColumns(ledgerLong: DataFrame): DataFrame =
+    ledgerLong.groupBy("doc_id")
+      .agg(
+        max(when(col("suite") === "v1", col("flag"))).as("f_v1"),
+        max(when(col("suite") === "d1", col("flag"))).as("f_d1"),
+        max(when(col("suite") === "d2", col("flag"))).as("f_d2"))
       .select(col("doc_id"), col("f_v1").as("after_v1"),
         (col("f_v1") || col("f_d1")).as("after_d1"),
         (col("f_v1") || col("f_d1") || col("f_d2")).as("after_d2"))
-      .orderBy("doc_id")
-  }
 
   /** Per-suite merged flags (gram presence ∨ max cosine, one boolean per
     * train doc per suite) over the 3-suite fixture — the sweep core
@@ -3521,6 +3694,7 @@ object PipelineQueries {
     "ann_recall" -> (annRecall _),
     "pii_scrub" -> (piiScrub _),
     "embed_knn_ivf" -> (embedKnnIvf _),
+    "embed_knn_ivf_nightly" -> (embedKnnIvfNightly _),
     "embed_near_dup" -> (embedNearDup _),
     "embed_near_dup_lsh" -> (embedNearDupLsh _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -3542,6 +3716,7 @@ object PipelineQueries {
     "decontam_eval_delta" -> (decontamEvalDelta _),
     "decontam_ledger_chain" -> (decontamLedgerChain _),
     "decontam_ledger_nightly" -> (decontamLedgerNightly _),
+    "decontam_ledger_asof" -> (decontamLedgerAsof _),
     "pipeline_make_eval_holdout" -> (pipelineMakeEvalHoldout _),
     "pipeline_asset_manifest_incremental" -> (pipelineAssetManifestIncremental _),
     "pipeline_asset_manifest_nightly" -> (pipelineAssetManifestNightly _),
@@ -4035,14 +4210,18 @@ object PipelineQueries {
     * centroids, mirrors [[graft.ops.Similarity.seedCentroids]]) → sims →
     * cells (nearest-centroid assignment, ties to lowest cid) — the prefix
     * of both the IVF-ANN and the semantic-dedup oracles. */
-  private def duckIvfCellsCte: String = {
+  /** IVF cells CTE, centroid seeding restricted to `centPred` — "TRUE"
+    * replays the in-query op; a base predicate replays the PERSISTED
+    * index's night-0 seeding (cells still assign the whole corpus:
+    * nearest-centroid is per-vector, so nightly assignment ≡ one-shot). */
+  private def duckIvfCellsCteFrom(centPred: String): String = {
     val rawCos =
       """list_dot_product(e.v, cents.cvec) /
         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.cvec, cents.cvec)))""".stripMargin
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cents AS (SELECT CAST((rn - 1) // 7 AS INT) AS cid, v AS cvec FROM (
        |    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
-       |    FROM e ORDER BY vec_id LIMIT ${IvfCentroids * 7})
+       |    FROM e WHERE $centPred ORDER BY vec_id LIMIT ${IvfCentroids * 7})
        |  WHERE (rn - 1) % 7 = 0),
        |sims AS (SELECT e.vec_id, cents.cid, $rawCos AS s FROM e CROSS JOIN cents),
        |cells AS (SELECT vec_id AS corpus_id, cid AS cell FROM (
@@ -4050,9 +4229,10 @@ object PipelineQueries {
        |    FROM sims) WHERE rn = 1)""".stripMargin
   }
 
-  private def duckKnnIvfSql: String = {
-    s"""$duckIvfCellsCte,
-       |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+  private def duckIvfCellsCte: String = duckIvfCellsCteFrom("TRUE")
+
+  private def duckKnnIvfBody: String =
+    s"""probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
        |    FROM sims WHERE vec_id < 10) WHERE rn <= $IvfProbes),
        |cand AS (SELECT DISTINCT query_id, corpus_id
@@ -4066,7 +4246,17 @@ object PipelineQueries {
        |                               ORDER BY cos DESC, corpus_id) AS rank
        |  FROM scored) WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
-  }
+
+  private def duckKnnIvfSql: String =
+    s"""$duckIvfCellsCte,
+       |$duckKnnIvfBody""".stripMargin
+
+  /** Oracle for the PERSISTED nightly IVF index: centroids seeded from
+    * the base corpus (ids ∉ 0 mod 5 — the night-0 predicate), cells over
+    * the full corpus, probes and ranking verbatim. */
+  private def duckKnnIvfNightlySql: String =
+    s"""${duckIvfCellsCteFrom("vec_id % 5 <> 0")},
+       |$duckKnnIvfBody""".stripMargin
 
   /** The per-subspace slice expression shared by every PQ CTE. */
   private def duckPqSlice(v: String): String =
@@ -5725,6 +5915,7 @@ object PipelineQueries {
     // fold — both keys share this SQL verbatim.
     "decontam_ledger_chain" -> duckLedgerChainSql,
     "decontam_ledger_nightly" -> duckLedgerChainSql,
+    "decontam_ledger_asof" -> duckLedgerChainSql,
     // Caption-containment agreement in 4-dp fixed point; the planted
     // every-13th reversed caption mirrors the Spark side verbatim
     "multimodal_mismatch" ->
@@ -6659,6 +6850,7 @@ object PipelineQueries {
         |    '[0-9]{4,}', '<NUM>', 'g') AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "embed_knn_ivf" -> duckKnnIvfSql,
+    "embed_knn_ivf_nightly" -> duckKnnIvfNightlySql,
     "knn_classify" ->
       s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
          |           FROM embeddings WHERE vec_id < 10),

@@ -377,20 +377,28 @@ object ScaleSoak {
     // split, but the standing state crosses a real write/read boundary —
     // the production seam the in-memory stage above only models. The
     // bootstrap (base-sized, paid once per corpus) is timed separately
-    // from the RECURRING nightly ingest, whose wall must stay ~flat as
-    // the base grows R× while the delta stays one-replica-sized:
-    // fingerprint math touches only delta payloads, the block probe keys
-    // on buckets, and the fold contracts to delta-cluster edges.
+    // from the RECURRING nightly ingest, whose wall AND write volume
+    // must stay ~flat as the base grows R× while the delta stays
+    // one-replica-sized: fingerprint math touches only delta payloads,
+    // the block probe keys on buckets, the fold contracts to
+    // delta-cluster edges, and the snapshot commit APPENDS only the
+    // delta partitions (nightly_write_bytes is the committed snapshot's
+    // own data — at R× base it must track the delta, not the base;
+    // nightly_base_bytes records the bootstrap write for the ratio).
     val nightlyRoot = graft.ops.Materialize.scratchDir("soak-night0")
     timed("nightly_bootstrap") {
       graft.ops.StandingState.bootstrap(
         mkAssets(docs.filter(col("doc_id") < cut)), nightlyRoot)
     }
+    counts("nightly_base_bytes") =
+      graft.ops.StandingState.snapshotDataBytes(spark, nightlyRoot, 0L)
     timed("nightly_ingest") {
-      val out = graft.ops.Materialize.scratchDir("soak-night1")
       counts("nightly_nodes") = graft.ops.StandingState.ingest(
-        mkAssets(docs.filter(col("doc_id") >= cut)), nightlyRoot, out).count()
+        mkAssets(docs.filter(col("doc_id") >= cut)), nightlyRoot).count()
     }
+    counts("nightly_write_bytes") = graft.ops.StandingState.snapshotDataBytes(
+      spark, nightlyRoot,
+      graft.ops.StandingState.latestSnapshot(spark, nightlyRoot))
 
     // 19. cross-modal mismatch gate over the scaled corpus: two scan-side
     // token profiles + one id-keyed join — cost linear in bytes, the

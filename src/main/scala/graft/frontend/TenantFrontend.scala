@@ -53,8 +53,26 @@ class TenantSession private (
     serverMaxRows: Option[Int],
     maxConcurrentStatements: Int) {
 
-  /** Views registered on this tenant session (errors table). */
+  /** Views registered on this tenant session (errors table, curated
+    * pipeline tables). */
   private[frontend] var registeredViews: Set[String] = Set.empty
+
+  /** Register a read-only curated view on this tenant session — the
+    * errors_stream mechanism opened to pipeline lake tables (e.g. the
+    * persisted decontamination ledger, so "contaminated as of benchmark
+    * k" is one tenant SQL statement over the standing flags instead of a
+    * re-sweep). The view participates in relation substitution like any
+    * registered view and rides the same read-only plan gate; the
+    * DataFrame must be bound to THIS tenant's session (temp views are
+    * session-scoped — a foreign session's view would be invisible to the
+    * tenant's statements). */
+  def registerView(name: String, df: DataFrame): Unit = {
+    require(df.sparkSession eq spark,
+      s"view '$name' must be built on this tenant's session " +
+        "(pass tenant.spark to the reader)")
+    df.createOrReplaceTempView(name)
+    registeredViews += name
+  }
 
   /** This tenant's FAIR scheduler pool. All wire endpoints execute the
     * tenant's statements under it (via [[runGated]]), so on a shared

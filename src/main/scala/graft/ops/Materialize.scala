@@ -146,24 +146,47 @@ object Materialize {
     * catch most mutation (parquet writers emit fresh part-file names per
     * commit); the size+mtime stat pass is capped so a million-file lake
     * table doesn't pay a million namenode RPCs per index call — beyond
-    * the cap the sorted path list (with its count) is the witness. */
+    * the cap the sorted path list (with its count) is the witness.
+    *
+    * Standing-state bridge: files living under a committed
+    * [[StandingState]] store are versioned by the store's WITNESS DIGEST
+    * instead of per-file stats — one registry lookup per file, zero
+    * FileSystem RPCs, and still a complete witness (any commit or
+    * retention on the store changes its digest, so a nightly-fed index
+    * never goes stale). Under the append layout a standing table's
+    * partition count grows per night; without the bridge every cache
+    * probe would pay a growing stat sweep. */
   private def inputDataVersion(df: DataFrame): String = {
     val files =
       try df.inputFiles.sorted
       catch { case scala.util.control.NonFatal(_) => Array.empty[String] }
+    val (witnessed, rest) = files.partition(f => StandingState.witnessedVersion(f).isDefined)
+    if (witnessed.nonEmpty) witnessTrustCount.addAndGet(witnessed.length.toLong)
+    val wtags = witnessed.flatMap(StandingState.witnessedVersion)
+      .distinct.sorted.mkString(",")
     val StatCap = 256
     val stats =
-      if (files.isEmpty || files.length > StatCap) ""
+      if (rest.isEmpty || rest.length > StatCap) ""
       else try {
         val hconf = df.sparkSession.sessionState.newHadoopConf()
-        files.map { f =>
+        rest.map { f =>
           val p = new org.apache.hadoop.fs.Path(f)
+          statCount.incrementAndGet()
           val st = p.getFileSystem(hconf).getFileStatus(p)
           s"${st.getLen}:${st.getModificationTime}"
         }.mkString(",")
       } catch { case _: java.io.IOException => "" }
-    s"n=${files.length};${files.mkString(",")};$stats"
+    s"n=${files.length};${files.mkString(",")};$stats;w=$wtags"
   }
+
+  private val statCount = new java.util.concurrent.atomic.AtomicLong(0)
+  private val witnessTrustCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** (per-file getFileStatus calls paid, files versioned via a standing
+    * witness digest instead) since JVM start — the witness-bridge
+    * telemetry (cache hit/miss behavior must be unchanged; only the
+    * listing/stat cost moves). */
+  def bridgeTelemetry: (Long, Long) = (statCount.get(), witnessTrustCount.get())
 
   /** Materialize `df` as a parquet index table and return a fresh scan of
     * it. `tag` names the index for debuggability; the directory is unique

@@ -329,6 +329,69 @@ object Similarity {
     assignCells(Materialize.spread(df), centDf, idCol, idCol, vecCol)
   }
 
+  /** The two tables a PERSISTED IVF index is made of — the ingest-time
+    * artifact [[ivfTopK]]'s doc deliberately defers: the broadcastable
+    * centroid table (cid, cvec) and the corpus-sized inverted file
+    * (corpus_id, cell). Built once over the base corpus (the only
+    * corpus-sized assignment pass); later arrivals extend the cells via
+    * [[ivfAssign]] — exact by construction, since a vector's nearest
+    * centroid is independent of every other vector. */
+  def ivfIndexTables(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int): (DataFrame, DataFrame) = {
+    val centDf = seedCentroids(corpus, idCol, vecCol, numCentroids)
+    val cells =
+      assignCells(Materialize.spread(corpus), broadcast(centDf), idCol, "corpus_id", vecCol)
+    (centDf, cells)
+  }
+
+  /** Nearest-cell assignment of a DELTA batch against an existing
+    * centroid table — the nightly IVF maintenance fold: broadcast
+    * centroids, one (id, cell) row per delta vector out, nothing of the
+    * standing corpus touched. */
+  def ivfAssign(
+      delta: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame =
+    assignCells(delta, broadcast(centroids.select(col("cid"), col("cvec"))),
+      idCol, "corpus_id", vecCol)
+
+  /** [[ivfTopK]] served FROM a prebuilt (centroids, cells) index instead
+    * of assigning cells in-query — the serving half of the persisted IVF
+    * seam: probe lists come from the broadcast centroid table, candidates
+    * from the cells inverted file (ids only — vectors re-enter only for
+    * the final candidate ranking, keyed by id, so the index read is
+    * payload-free). Identical output to [[ivfTopK]] over the same
+    * centroids by construction. */
+  def ivfTopKFromIndex(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: DataFrame,
+      cells: DataFrame,
+      nprobe: Int = 4): DataFrame = {
+    val centDf = broadcast(centroids.select(col("cid"), col("cvec")))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("s").desc, col("cid").desc)
+    val qProbe = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("v"))
+      .join(centDf)
+      .select(col("query_id"), col("cid"), cosine(col("v"), col("cvec")).as("s"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cid").as("cell"))
+    val cand = qProbe.join(cells.select(col("corpus_id"), col("cell")), "cell")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "corpus_id")
+      .distinct()
+    rankCandidates(cand, corpus, queries, idCol, vecCol, k)
+  }
+
   /** One k-means Lloyd iteration over the stride-seeded centroids — the
     * refinement step that turns the deterministic IVF seeding into real
     * k-means (and, iterated at ingest time, builds the production IVF
@@ -355,14 +418,7 @@ object Similarity {
       col(idCol), expr(s"transform($vecCol, x -> cast(x AS double))").as("v"))
     val cents0 = broadcast(seedCentroids(corpusD, idCol, "v", numCentroids))
     val before = assignCells(Materialize.spread(corpusD), cents0, idCol, "corpus_id", "v")
-    val skinny = before
-      .join(corpusD.select(col(idCol).as("corpus_id"), col("v")), "corpus_id")
-      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-    val newCents = skinny
-      .groupBy("cell", "dim").agg(round(avg("x"), 6).as("m"))
-      .groupBy("cell")
-      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("cvec"))
-      .select(col("cell").as("cid"), col("cvec"))
+    val newCents = lloydCentroids(corpusD, idCol, "v", before)
     val after = assignCells(corpusD, broadcast(newCents), idCol, "corpus_id", "v")
     val shift = cents0.select(col("cid").as("cell"), col("cvec").as("c0"))
       .join(newCents.select(col("cid").as("cell"), col("cvec").as("c1")), "cell")
@@ -377,6 +433,25 @@ object Similarity {
       .select(col("cell"), col("n_before"),
         coalesce(col("n_after"), lit(0L)).as("n_after"), col("shift"))
   }
+
+  /** The Lloyd centroid UPDATE shared by [[kmeansRefine]] and the
+    * persisted-index refine path: per-cell per-dim means of the given
+    * nearest-centroid assignment, on posexploded (cell, dim, x) skinny
+    * rows (fixed-width shuffle keys, full map-side combine), rounded to
+    * 6 decimals so the reassignment input is engine-exact rather than
+    * at the mercy of double summation order. Returns (cid, cvec). */
+  private[ops] def lloydCentroids(
+      corpusD: DataFrame,
+      idCol: String,
+      vecCol: String,
+      assignment: DataFrame): DataFrame =
+    assignment
+      .join(corpusD.select(col(idCol).as("corpus_id"), col(vecCol).as("_lv")), "corpus_id")
+      .select(col("cell"), posexplode(col("_lv")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim").agg(round(avg("x"), 6).as("m"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("cvec"))
+      .select(col("cell").as("cid"), col("cvec"))
 
   /** Product-quantization codes (Jégou et al. 2011): split each vector
     * into `m` subvectors of `subDim` dims; per subspace, assign the

@@ -122,15 +122,20 @@ class NearlineScanBuilder(
   }
 
   private def toPred(fs: Array[sources.Filter]): Option[ReadPlanner.Pred] = {
+    // Literal rendering shared with the record side (ParquetSegmentService
+    // .render): a pushed BINARY literal must stringify content-based (hex)
+    // exactly like the stored bytes it is compared against, or binary
+    // equality predicates can never match.
+    def sv(v: Any): String = ParquetSegmentService.render(v)
     def conv(f: sources.Filter): ReadPlanner.Pred = f match {
-      case sources.EqualTo(a, v)            => ReadPlanner.Eq(a, String.valueOf(v))
-      case sources.Not(sources.EqualTo(a, v)) => ReadPlanner.Ne(a, String.valueOf(v))
+      case sources.EqualTo(a, v)            => ReadPlanner.Eq(a, sv(v))
+      case sources.Not(sources.EqualTo(a, v)) => ReadPlanner.Ne(a, sv(v))
       case sources.In(a, vs) =>
-        ReadPlanner.Or(vs.toSeq.map(v => ReadPlanner.Eq(a, String.valueOf(v))))
-      case sources.GreaterThan(a, v)        => ReadPlanner.Cmp(a, ">", String.valueOf(v))
-      case sources.GreaterThanOrEqual(a, v) => ReadPlanner.Cmp(a, ">=", String.valueOf(v))
-      case sources.LessThan(a, v)           => ReadPlanner.Cmp(a, "<", String.valueOf(v))
-      case sources.LessThanOrEqual(a, v)    => ReadPlanner.Cmp(a, "<=", String.valueOf(v))
+        ReadPlanner.Or(vs.toSeq.map(v => ReadPlanner.Eq(a, sv(v))))
+      case sources.GreaterThan(a, v)        => ReadPlanner.Cmp(a, ">", sv(v))
+      case sources.GreaterThanOrEqual(a, v) => ReadPlanner.Cmp(a, ">=", sv(v))
+      case sources.LessThan(a, v)           => ReadPlanner.Cmp(a, "<", sv(v))
+      case sources.LessThanOrEqual(a, v)    => ReadPlanner.Cmp(a, "<=", sv(v))
       case sources.And(l, r) => ReadPlanner.And(Seq(conv(l), conv(r)))
       case sources.Or(l, r)  => ReadPlanner.Or(Seq(conv(l), conv(r)))
       case other => ReadPlanner.Opaque(other.toString)

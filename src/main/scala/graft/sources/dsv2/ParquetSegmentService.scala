@@ -146,8 +146,19 @@ object ParquetSegmentService {
   private def str(rec: Map[String, Any], f: String): String =
     rec.getOrElse(f, null) match {
       case null => null
-      case v    => String.valueOf(v)
+      case v    => render(v)
     }
+
+  /** Canonical string rendering of a record value. Byte arrays (BINARY
+    * columns without a STRING annotation) are hex-encoded: `String
+    * .valueOf` on an array is identity-based (`[B@...`), so two
+    * evaluations of the SAME stored bytes would render (and therefore
+    * hash-segment) differently — content-based encoding is the only
+    * rendering under which segment membership is a function of the data. */
+  def render(v: Any): String = v match {
+    case b: Array[Byte] => b.map("%02x".format(_)).mkString
+    case other          => String.valueOf(other)
+  }
 
   /** Numeric-aware compare, mirroring Dynamo's typed N comparison —
     * EXACT, like Dynamo's 38-digit N arithmetic: BigDecimal, not double,
@@ -178,10 +189,12 @@ object ParquetSegmentService {
     * partitioning, unlike the real service), so at S segments the table
     * pays S × N full-record conversions unless the (S−1)/S non-matching
     * rows are rejected on the key alone. Produces EXACTLY what
-    * `str(groupToMap(g), key)` would (String.valueOf of the same
-    * primitive conversion), so segment assignment cannot fork between
-    * the fast and slow paths; nested or absent keys fall back to the
-    * full-map route. */
+    * `str(groupToMap(g), key)` would ([[render]] of the same primitive
+    * conversion — including the hex encoding of non-STRING BINARY keys,
+    * whose Java array rendering is identity-based and would otherwise
+    * make segment membership arbitrary per evaluation), so segment
+    * assignment cannot fork between the fast and slow paths; nested or
+    * absent keys fall back to the full-map route. */
   def segKeyString(g: Group, key: String): String = {
     val gt = g.getType
     if (!gt.containsField(key)) return null
@@ -189,7 +202,7 @@ object ParquetSegmentService {
     gt.getType(i) match {
       case p: PrimitiveType =>
         if (g.getFieldRepetitionCount(i) == 0) null
-        else String.valueOf(primitive(g, i, 0, p))
+        else render(primitive(g, i, 0, p))
       case _ => str(groupToMap(g), key)
     }
   }

@@ -420,19 +420,26 @@ object EventStreams {
     * newly-landed assets is fingerprinted (batch-local payload work
     * only), probed against the PERSISTED standing fingerprint table via
     * the cross-set block probes, folded into the standing assignment
-    * ([[graft.ops.Cluster.mergeClusters]], delta-sized), and the updated
-    * state written for the next batch to read. `foreachBatch` is the
-    * composition point (the [[windowTopKStream]] precedent): the fold is
-    * a batch operation over persisted lake tables, which streaming
-    * aggregation modes cannot express.
+    * ([[graft.ops.Cluster.mergeClusters]], delta-sized), and the delta
+    * APPENDED as a new snapshot for the next batch to read.
+    * `foreachBatch` is the composition point (the [[windowTopKStream]]
+    * precedent): the fold is a batch operation over persisted lake
+    * tables, which streaming aggregation modes cannot express.
     *
-    * State roots ROTATE per batch (`newRoot(batchId)` names the output,
-    * `state` swings to it only after the write completes): a mid-batch
-    * failure never half-overwrites the standing tables — the restarted
-    * batch re-reads the unrotated root and rewrites its own output.
-    * Combined with the witness gate this makes the stream's state
-    * maintenance idempotent per batch id, which is exactly the
-    * exactly-once story `foreachBatch` needs.
+    * Exactly-once: each batch commits under `owner = "batch-<id>"` — a
+    * replayed batch (restart after a post-commit crash) finds its own
+    * owner token on the latest snapshot and is SKIPPED, and a mid-batch
+    * failure leaves only unreferenced orphan partitions (the witness
+    * rename is the commit point), so the retried batch folds from the
+    * last committed snapshot. A concurrent foreign writer on the same
+    * store fails the lease loudly instead of interleaving.
+    *
+    * Disk footprint is BOUNDED: after each commit the stream retires all
+    * but the two newest snapshots — a snapshot is one witness file, and
+    * data partitions are shared by reference, so the store holds the
+    * base partitions plus one delta partition per batch, never
+    * batches × base copies; superseded-and-unreferenced partitions are
+    * swept by the same retention call.
     *
     * The stream DataFrame carries (asset_id, content) rows
     * ([[graft.ops.Multimodal.assetsFromText]] shape). By the
@@ -441,15 +448,13 @@ object EventStreams {
     * everything ingested (spec-pinned). */
   def manifestIngestStream(
       assets: DataFrame,
-      state: java.util.concurrent.atomic.AtomicReference[String],
-      newRoot: Long => String): org.apache.spark.sql.streaming.StreamingQuery =
+      store: String): org.apache.spark.sql.streaming.StreamingQuery =
     assets.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val out = newRoot(batchId)
-          graft.ops.StandingState.ingest(batch, state.get(), out)
-          state.set(out)
+          graft.ops.StandingState.ingest(batch, store, owner = s"batch-$batchId")
+          graft.ops.StandingState.keepSnapshots(batch.sparkSession, store, keep = 2)
         }
       }
       .start()

@@ -497,4 +497,37 @@ class TenantFrontendSpec extends AnyFunSuite with Matchers {
       t.sql("INSERT INTO metricid1 SELECT graft_topk('a', 1, 4)").collect()
     }
   }
+
+  test("curated view on the tenant surface: persisted decontamination ledger as-of") {
+    val t = TenantSession.open(spark, registry, "org1", sources)
+    val ledgerSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("suite", StringType),
+      StructField("flag", BooleanType)))
+    val rows = Seq(
+      Row(1L, "v1", true), Row(1L, "d1", false), Row(1L, "d2", false),
+      Row(2L, "v1", false), Row(2L, "d1", true), Row(2L, "d2", false),
+      Row(3L, "v1", false), Row(3L, "d1", false), Row(3L, "d2", false))
+    // the view MUST be bound to the tenant's own session (temp views are
+    // session-scoped); a foreign-session frame is refused
+    intercept[IllegalArgumentException] {
+      t.registerView("decontam_ledger",
+        spark.createDataFrame(rows.asJava, ledgerSchema))
+    }
+    t.registerView("decontam_ledger",
+      t.spark.createDataFrame(rows.asJava, ledgerSchema))
+    // "contaminated as of benchmark d1" is ONE gated statement — a pure
+    // suite-OR pivot over the persisted flags, no re-sweep
+    val out = t.sql(
+      """SELECT doc_id,
+        |  max(CASE WHEN suite = 'v1' THEN flag END) OR
+        |  max(CASE WHEN suite = 'd1' THEN flag END) AS asof_d1
+        |FROM decontam_ledger GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+      .collect()
+    out.map(r => (r.getLong(0), r.getBoolean(1))).toSeq shouldBe
+      Seq((1L, true), (2L, true), (3L, false))
+    // registered views ride the same read-only plan gate
+    intercept[Exception] {
+      t.sql("INSERT INTO decontam_ledger VALUES (9, 'v1', true)").collect()
+    }
+  }
 }

@@ -115,15 +115,14 @@ object RoundTwelveProps extends Properties("RoundTwelve") {
       val base = docs.filter(_._1 % mod == 1)
       val d1 = docs.filter(_._1 % mod == 0)
       val d2 = docs.filter(t => t._1 % mod != 0 && t._1 % mod != 1)
-      val Seq(n0, n1, n2, full) =
-        Seq("p-n0", "p-n1", "p-n2", "p-full").map(SparkFixture.tempDir)
-      StandingState.bootstrap(mk(base), n0)
-      StandingState.ingest(mk(d1), n0, n1)
-      StandingState.ingest(mk(d2), n1, n2)
+      val Seq(store, full) = Seq("p-chain", "p-full").map(SparkFixture.tempDir)
+      StandingState.bootstrap(mk(base), store)
+      StandingState.ingest(mk(d1), store)
+      StandingState.ingest(mk(d2), store)
       StandingState.bootstrap(mk(docs), full)
       def cl(root: String) = StandingState.readClusters(spark, root)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val (chained, oneShot) = (cl(n2), cl(full))
+      val (chained, oneShot) = (cl(store), cl(full))
       Materialize.clearCache()
       // chained state may carry singleton delta nodes the one-shot
       // closure never lists (same envelope as mergeClusters)

@@ -29,6 +29,21 @@ class RoundTwelveSpec extends AnyFunSuite with Matchers {
     df.select("doc_id", "cluster").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  /** First file under `dir` (recursive) whose name satisfies `pred`. */
+  private def findFile(dir: java.io.File, pred: String => Boolean): java.io.File = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else if (pred(f.getName)) Seq(f) else Seq.empty
+    walk(dir).head
+  }
+
+  private def tamperPartFile(root: String, table: String): Unit = {
+    val part = findFile(
+      new java.io.File(s"$root/data/$table"), _.startsWith("part-"))
+    val os = new java.io.FileOutputStream(part, true)
+    try os.write(Array[Byte](0x42)) finally os.close()
+  }
+
   test("standing state: bootstrap round-trips through the witness gate") {
     val root = SparkFixture.tempDir("standing-boot")
     StandingState.bootstrap(assets(corpusTexts), root)
@@ -43,31 +58,26 @@ class RoundTwelveSpec extends AnyFunSuite with Matchers {
     val base = corpusTexts.filter(_._1 % 3 == 0)
     val d1 = corpusTexts.filter(_._1 % 3 == 1)
     val d2 = corpusTexts.filter(_._1 % 3 == 2)
-    val n0 = SparkFixture.tempDir("standing-n0")
-    val n1 = SparkFixture.tempDir("standing-n1")
-    val n2 = SparkFixture.tempDir("standing-n2")
-    StandingState.bootstrap(assets(base), n0)
-    StandingState.ingest(assets(d1), n0, n1)
-    StandingState.ingest(assets(d2), n1, n2)
+    val store = SparkFixture.tempDir("standing-chain")
+    StandingState.bootstrap(assets(base), store)
+    StandingState.ingest(assets(d1), store)
+    StandingState.ingest(assets(d2), store)
     val full = SparkFixture.tempDir("standing-full")
     StandingState.bootstrap(assets(corpusTexts), full)
-    clustersOf(StandingState.readClusters(spark, n2)) shouldBe
+    clustersOf(StandingState.readClusters(spark, store)) shouldBe
       clustersOf(StandingState.readClusters(spark, full))
     // the chained fingerprint table covers every asset exactly once
-    StandingState.readFingerprints(spark, n2).count() shouldBe corpusTexts.size
+    StandingState.readFingerprints(spark, store).count() shouldBe corpusTexts.size
   }
 
   test("witness: a tampered standing file refuses the fold loudly") {
     val root = SparkFixture.tempDir("standing-tamper")
     StandingState.bootstrap(assets(corpusTexts.take(8)), root)
-    val part = new java.io.File(s"$root/clusters").listFiles()
-      .find(f => f.getName.startsWith("part-")).get
-    val os = new java.io.FileOutputStream(part, true)
-    try os.write(Array[Byte](0x42)) finally os.close()
+    tamperPartFile(root, "clusters")
     val ex = intercept[StandingState.StaleStateException] {
       StandingState.readClusters(spark, root).collect()
     }
-    ex.getMessage should include("does not match its witness")
+    ex.getMessage should include("does not match")
     // the untampered sibling table still reads
     noException should be thrownBy
       StandingState.readFingerprints(spark, root).collect()
@@ -76,7 +86,7 @@ class RoundTwelveSpec extends AnyFunSuite with Matchers {
   test("witness: a missing witness file refuses the read") {
     val root = SparkFixture.tempDir("standing-nowit")
     StandingState.bootstrap(assets(corpusTexts.take(6)), root)
-    new java.io.File(s"$root/_WITNESS").delete() shouldBe true
+    findFile(new java.io.File(root), _ == "_WITNESS").delete() shouldBe true
     intercept[StandingState.StaleStateException] {
       StandingState.readFingerprints(spark, root).collect()
     }
@@ -96,10 +106,7 @@ class RoundTwelveSpec extends AnyFunSuite with Matchers {
     total should be > 0L
     // the witness covers EVERY table of the set: tampering one refuses
     // that table, the sibling still reads
-    val part = new java.io.File(s"$root/postings").listFiles()
-      .find(_.getName.startsWith("part-")).get
-    val os = new java.io.FileOutputStream(part, true)
-    try os.write(Array[Byte](0x7)) finally os.close()
+    tamperPartFile(root, "postings")
     intercept[StandingState.StaleStateException] {
       StandingState.readTable(spark, root, "postings").collect()
     }
@@ -115,7 +122,9 @@ class RoundTwelveSpec extends AnyFunSuite with Matchers {
     // tampered state: refuse to delete (something else wrote here)
     val root2 = SparkFixture.tempDir("standing-retire2")
     StandingState.bootstrap(assets(corpusTexts.take(6)), root2)
-    val stray = new java.io.File(s"$root2/clusters/stray.tmp")
+    val pdir = findFile(
+      new java.io.File(s"$root2/data/clusters"), _.startsWith("part-")).getParentFile
+    val stray = new java.io.File(pdir, "stray.tmp")
     val os = new java.io.FileOutputStream(stray)
     try os.write(1) finally os.close()
     intercept[StandingState.StaleStateException] {

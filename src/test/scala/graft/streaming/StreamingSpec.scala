@@ -523,26 +523,33 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     val base = texts.filter(_._1 <= 5)
     val b1 = texts.filter(t => t._1 > 5 && t._1 <= 10)
     val b2 = texts.filter(_._1 > 10)
-    val root0 = graft.SparkFixture.tempDir("stream-n0")
-    StandingState.bootstrap(assetsOf(base), root0)
-    val state = new java.util.concurrent.atomic.AtomicReference[String](root0)
-    val roots = scala.collection.mutable.Map[Long, String]()
+    val store = graft.SparkFixture.tempDir("stream-store")
+    StandingState.bootstrap(assetsOf(base), store)
     val input = MemoryStream[(Long, String)]
     val q = EventStreams.manifestIngestStream(
       Multimodal.assetsFromText(input.toDF().toDF("id", "txt"), "id", "txt"),
-      state,
-      batchId => roots.getOrElseUpdate(batchId,
-        graft.SparkFixture.tempDir(s"stream-b$batchId")))
+      store)
     try {
       input.addData(b1: _*)
       q.processAllAvailable()
       input.addData(b2: _*)
       q.processAllAvailable()
     } finally q.stop()
-    roots.size shouldBe 2 // two micro-batches, two state rotations
+    // two micro-batches committed two delta snapshots on the store —
+    // and the stream's in-flow retention keeps the footprint BOUNDED:
+    // at most 2 live snapshot witnesses, base data shared by reference
+    // (never batches × base copies), no orphan partitions left behind
+    StandingState.snapshots(spark, store).size should be <= 2
+    val dataDir = new java.io.File(s"$store/data")
+    def partDirs(t: String) =
+      Option(new java.io.File(dataDir, t).listFiles()).toSeq.flatten
+        .filter(_.isDirectory)
+    // fingerprints: one base partition + one per batch, nothing swept
+    // that is still referenced
+    partDirs("fingerprints").size shouldBe 3
     def cl(root: String) = StandingState.readClusters(spark, root)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val streamed = cl(state.get())
+    val streamed = cl(store)
     val full = graft.SparkFixture.tempDir("stream-full")
     StandingState.bootstrap(assetsOf(texts), full)
     val oneShot = cl(full)
@@ -551,8 +558,14 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     streamed.filter { case (d, c) =>
       d != c || streamed.exists { case (d2, c2) => d2 != d && c2 == c }
     } shouldBe oneShot
-    StandingState.readFingerprints(spark, state.get())
+    StandingState.readFingerprints(spark, store)
       .count() shouldBe texts.size
+    // a REPLAYED batch (same owner token) is skipped idempotently — the
+    // foreachBatch exactly-once story, recorded in the state itself
+    val snapsBefore = StandingState.snapshots(spark, store)
+    StandingState.ingest(assetsOf(b2), store,
+      owner = StandingState.ownerOf(spark, store, snapsBefore.last))
+    StandingState.snapshots(spark, store) shouldBe snapsBefore
     graft.ops.Materialize.dropAll()
   }
 }
