@@ -539,12 +539,21 @@ object StandingState {
     * maintained as revisions ((doc_id, cluster, _seq) — only changed
     * assignments are appended per night), resolved latest-wins with one
     * max-of-struct partial aggregate (map-side combine; one skinny row
-    * per doc shuffles). */
+    * per doc shuffles). The RESOLVED assignment is materialized through
+    * the content-addressed index (keyed by the partition paths + the
+    * store's witness digest, so any commit refreshes it): a nightly fold
+    * consumes the assignment three-plus times (merge lift, new-node
+    * anti-join, changed-row anti-join, the manifest read), and without
+    * the materialization each consumer would re-run the revision
+    * aggregate through its own lineage — the resolve-once-serve-many
+    * shape a snapshot store's read path wants at any scale. */
   def readClusters(spark: SparkSession, store: String): DataFrame =
-    readTable(spark, store, ClTable)
-      .groupBy("doc_id")
-      .agg(max(struct(col("_seq"), col("cluster"))).as("_b"))
-      .select(col("doc_id"), col("_b.cluster").as("cluster"))
+    Materialize.index(
+      readTable(spark, store, ClTable)
+        .groupBy("doc_id")
+        .agg(max(struct(col("_seq"), col("cluster"))).as("_b"))
+        .select(col("doc_id"), col("_b.cluster").as("cluster")),
+      "standing-cl-latest")
 
   /** Both perceptual fingerprint families for an asset batch, one row
     * per asset: (asset_id, phash, dhash) — MATERIALIZED once
@@ -605,7 +614,12 @@ object StandingState {
     * merge ≡ recompute contract, proven ACROSS the write/read boundary
     * by the nightly oracle). Delta ids must be NEW assets; a replay
     * under the same `owner` token is skipped idempotently.
-    * Returns the updated (doc_id, cluster) assignment. */
+    * Returns the updated (doc_id, cluster) assignment — the fold's own
+    * merged frame, row-identical BY CONSTRUCTION to a post-commit
+    * [[readClusters]] (latest-wins over base revisions ∪ changed ≡
+    * merged); the next night's read exercises the witness-gated
+    * round-trip, so returning the in-memory form saves one resolve
+    * without weakening the proof. */
   def ingest(deltaAssets: DataFrame, store: String, owner: String = ""): DataFrame = {
     val spark = deltaAssets.sparkSession
     val snap = latestSnapshot(spark, store)
@@ -621,6 +635,6 @@ object StandingState {
     appendTables(store, Seq(
       TableSpec(FpTable, deltaFp, "asset_id"),
       TableSpec(ClTable, changed, "doc_id")), owner)
-    readClusters(spark, store)
+    merged
   }
 }
