@@ -2424,13 +2424,16 @@ object PipelineQueries {
     * fold ≡ the in-query fold ≡ from-scratch sweeps at every prefix. */
   def decontamLedgerNightly(s: SparkSession, dir: String): DataFrame =
     ledgerAsOfColumns(
-      graft.ops.StandingState.readTable(s, ledgerNightlyChain(s, dir), "ledger"))
+      graft.ops.StandingState.readTable(s, ledgerNightlyChain(s, dir)._1, "ledger"))
       .orderBy("doc_id")
 
   /** Run the two benchmark-delta ledger nights against the standing v1
-    * store and return the store with night 2 as its latest snapshot —
-    * shared by the nightly key and the tenant as-of key. */
-  private def ledgerNightlyChain(s: SparkSession, dir: String): String = {
+    * store — shared by the nightly, tenant as-of, and time-travel keys.
+    * Returns (store, night-1 snapshot id); `retireIntermediate` retires
+    * night 1 after night 2 commits (the retention demonstration) —
+    * time travel keeps it, because history IS the point there. */
+  private def ledgerNightlyChain(
+      s: SparkSession, dir: String, retireIntermediate: Boolean = true): (String, Long) = {
     import graft.ops.StandingState
     import graft.ops.StandingState.TableSpec
     val (ids, flags) = ledgerSuiteFlags(s, dir)
@@ -2447,8 +2450,31 @@ object PipelineQueries {
     night(flags(1), "d1")
     val night1 = StandingState.latestSnapshot(s, store)
     night(flags(2), "d2")
-    StandingState.retireSnapshot(s, store, night1) // superseded night
-    store
+    if (retireIntermediate)
+      StandingState.retireSnapshot(s, store, night1) // superseded night
+    (store, night1)
+  }
+
+  /** SNAPSHOT TIME TRAVEL on the persisted ledger — the lake-table
+    * feature the snapshot store gives for free, here PROVEN rather than
+    * assumed: any committed snapshot stays exactly readable after later
+    * commits (data partitions are immutable, witnesses are
+    * per-snapshot), so the "as of benchmark d1" ledger is served by
+    * reading the night-1 SNAPSHOT after night 2 has committed on the
+    * same store — no rewind job, no re-sweep, no copy made in advance.
+    * The oracle recomputes the v1/d1 prefix verdicts from full-union
+    * sweeps (the chain oracle, projected): equality proves the
+    * historical read is bit-exact, not merely plausible. */
+  def decontamLedgerTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val (store, night1) = ledgerNightlyChain(s, dir, retireIntermediate = false)
+    graft.ops.StandingState.readTable(s, store, "ledger", night1)
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("suite") === "v1", col("flag"))).as("f_v1"),
+        max(when(col("suite") === "d1", col("flag"))).as("f_d1"))
+      .select(col("doc_id"), col("f_v1").as("after_v1"),
+        (col("f_v1") || col("f_d1")).as("after_d1"))
+      .orderBy("doc_id")
   }
 
   /** The persisted decontamination ledger ON THE TENANT SURFACE: the
@@ -2460,7 +2486,7 @@ object PipelineQueries {
     * [[decontamLedgerChain]]'s per-prefix full-union recompute, shared
     * verbatim — proving the wire-served as-of ≡ from-scratch sweeps. */
   def decontamLedgerAsof(s: SparkSession, dir: String): DataFrame = {
-    val store = ledgerNightlyChain(s, dir)
+    val store = ledgerNightlyChain(s, dir)._1
     val registry = graft.schema.SchemaRegistry(
       graft.schema.Org("pipeline", Seq.empty))
     val tenant = graft.frontend.TenantSession.open(
@@ -3717,6 +3743,7 @@ object PipelineQueries {
     "decontam_ledger_chain" -> (decontamLedgerChain _),
     "decontam_ledger_nightly" -> (decontamLedgerNightly _),
     "decontam_ledger_asof" -> (decontamLedgerAsof _),
+    "decontam_ledger_time_travel" -> (decontamLedgerTimeTravel _),
     "pipeline_make_eval_holdout" -> (pipelineMakeEvalHoldout _),
     "pipeline_asset_manifest_incremental" -> (pipelineAssetManifestIncremental _),
     "pipeline_asset_manifest_nightly" -> (pipelineAssetManifestNightly _),
@@ -5916,6 +5943,8 @@ object PipelineQueries {
     "decontam_ledger_chain" -> duckLedgerChainSql,
     "decontam_ledger_nightly" -> duckLedgerChainSql,
     "decontam_ledger_asof" -> duckLedgerChainSql,
+    "decontam_ledger_time_travel" ->
+      s"SELECT doc_id, after_v1, after_d1 FROM ($duckLedgerChainSql) t ORDER BY doc_id",
     // Caption-containment agreement in 4-dp fixed point; the planted
     // every-13th reversed caption mirrors the Spark side verbatim
     "multimodal_mismatch" ->

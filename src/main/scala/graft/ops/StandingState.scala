@@ -601,6 +601,31 @@ object StandingState {
     ()
   }
 
+  /** Bounded-cadence compaction for the manifest family: when either
+    * standing table has accumulated more than `maxPartitions` nightly
+    * partitions, fold them — fingerprints to one union partition,
+    * clusters to the resolved latest assignment — as a replace-snapshot
+    * (the honest full rewrite, paid once per cadence instead of per
+    * night) and reclaim the superseded partitions via [[keepSnapshots]].
+    * Returns true when a compaction ran. A year of nightly appends is
+    * ~365 partition dirs per table: reads stay CORRECT at any count
+    * (the witness lists them all), but listing and per-file open
+    * overhead creep — this is the knob that bounds them. */
+  def compactManifest(
+      spark: SparkSession, store: String, maxPartitions: Int = 64): Boolean = {
+    val snap = latestSnapshot(spark, store)
+    val parts = recordedWitness(spark, store, snap)._2.map {
+      case (t, files) => t -> partitionDirsOf(files).size
+    }
+    if (parts.values.forall(_ <= maxPartitions)) return false
+    writeTables(store, Seq(
+      TableSpec(FpTable, readFingerprints(spark, store), "asset_id"),
+      TableSpec(ClTable,
+        readClusters(spark, store).withColumn("_seq", lit(0L)), "doc_id")))
+    keepSnapshots(spark, store, 1)
+    true
+  }
+
   /** One nightly ingest: read the standing state's latest snapshot
     * (witness-verified), fingerprint ONLY `deltaAssets`, probe delta
     * fingerprints against the standing fingerprint table (new↔new ∪

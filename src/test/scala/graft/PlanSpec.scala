@@ -131,6 +131,29 @@ class PlanSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("persisted IVF serving: the inverted-file scan is ids-only, centroids broadcast") {
+    import graft.ops.{AnnIndex, StandingState}
+    val emb = Tables.load(spark, dir, "embeddings")
+    val store = SparkFixture.tempDir("plan-ann")
+    AnnIndex.bootstrap(emb, "vec_id", "embedding", numCentroids = 4, store)
+    val out = AnnIndex.topK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 3, store, nprobe = 2)
+    out.collect()
+    val scans = allScans(out.queryExecution.executedPlan)
+    // the standing cells file joins by cell id with NO vector column —
+    // vectors re-enter only for final candidate ranking, keyed by id
+    val cellScans = scans.filter(_.schema.fieldNames.contains("cell"))
+    cellScans should not be empty
+    cellScans.foreach { s =>
+      s.schema.fieldNames should not contain "embedding"
+      s.schema.fieldNames should not contain "cvec"
+    }
+    // the centroid table rides a broadcast, never a shuffle
+    val p = out.queryExecution.executedPlan.toString
+    p should include("Broadcast")
+    StandingState.retire(spark, store)
+  }
+
   test("minhash signature index is computed once and re-read as parquet") {
     val out = PipelineQueries.dedupMinhashLsh(spark, dir)
     out.collect()

@@ -118,6 +118,39 @@ class RoundThirteenSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("time travel: an old snapshot reads bit-exactly after later commits") {
+    val store = SparkFixture.tempDir("r13-travel")
+    StandingState.bootstrap(assets(corpusTexts.take(12)), store)
+    StandingState.ingest(assets(corpusTexts.slice(12, 16)), store)
+    val night1 = StandingState.latestSnapshot(spark, store)
+    val asOfNight1 = StandingState.readTable(spark, store, "fingerprints", night1)
+      .collect().map(_.toString).toSet
+    StandingState.ingest(assets(corpusTexts.slice(16, 20)), store)
+    // the night-1 snapshot still reads EXACTLY, though night 2 committed
+    StandingState.readTable(spark, store, "fingerprints", night1)
+      .collect().map(_.toString).toSet shouldBe asOfNight1
+    asOfNight1.size shouldBe 16
+    StandingState.readTable(spark, store, "fingerprints").count() shouldBe 20
+  }
+
+  test("compactManifest: bounded-cadence fold past the partition cap, no-op under it") {
+    val store = SparkFixture.tempDir("r13-compactgate")
+    StandingState.bootstrap(assets(corpusTexts.take(12)), store)
+    StandingState.ingest(assets(corpusTexts.slice(12, 16)), store)
+    StandingState.ingest(assets(corpusTexts.slice(16, 20)), store)
+    val before = StandingState.readClusters(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 3 partitions per table > cap 2 → the honest full rewrite runs
+    StandingState.compactManifest(spark, store, maxPartitions = 2) shouldBe true
+    StandingState.snapshots(spark, store).size shouldBe 1
+    Option(new java.io.File(s"$store/data/fingerprints").listFiles())
+      .toSeq.flatten.count(_.isDirectory) shouldBe 1
+    StandingState.readClusters(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe before
+    // under the cap: a no-op — compaction is bounded-cadence by design
+    StandingState.compactManifest(spark, store, maxPartitions = 2) shouldBe false
+  }
+
   test("a corrupted witness refuses the read as StaleStateException, never a parse error") {
     val store = SparkFixture.tempDir("r13-badwitness")
     StandingState.bootstrap(assets(corpusTexts.take(8)), store)
