@@ -578,6 +578,94 @@ object Multimodal {
       }
     }
 
+  /** Output schema of [[wavDecoder]]: native audio parameters plus a
+    * fixed 32-bin RMS energy contour over the real PCM samples — the
+    * compact per-asset profile the fingerprint and quality gates key on
+    * (a bounded row per asset regardless of duration, so the decode
+    * stage's output never scales with sample count). */
+  val audioDecodedSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("energy32", ArrayType(IntegerType))))
+
+  /** REAL audio decoder for [[decodeWith]] — pure-JVM
+    * `javax.sound.sampled` (the WAV/PCM reader ships in the JDK, no
+    * native codec needed): parse the RIFF/WAVE container, fold channels
+    * to mono, and compute the 32-bin integer RMS energy contour.
+    * Supports the WAV default (PCM signed 16-bit); anything else — or
+    * undecodable bytes — yields a null-dimension row instead of failing
+    * the partition (the same poison-pill contract as
+    * [[imageIoDecoder]]). Together they convert BOTH media families of
+    * the decoder-seam caveat into measured claims. */
+  def wavDecoder(rows: Iterator[org.apache.spark.sql.Row]): Iterator[org.apache.spark.sql.Row] =
+    rows.map { r =>
+      val id = r.getLong(r.fieldIndex("asset_id"))
+      val content = r.getAs[Array[Byte]]("content")
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        val fmt = ais.getFormat
+        val pcm16 =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16
+        if (!pcm16) org.apache.spark.sql.Row(id, null, null, null, null)
+        else {
+          val bytes = ais.readAllBytes()
+          val ch = fmt.getChannels
+          val n = bytes.length / (2 * ch)
+          if (n == 0) org.apache.spark.sql.Row(id, null, null, null, null)
+          else {
+            val sumSq = new Array[Long](32)
+            val cnt = new Array[Long](32)
+            val big = fmt.isBigEndian
+            var i = 0
+            while (i < n) {
+              var acc = 0L
+              var c = 0
+              while (c < ch) {
+                val off = (i * ch + c) * 2
+                val s =
+                  if (big) (bytes(off) << 8) | (bytes(off + 1) & 0xff)
+                  else (bytes(off + 1) << 8) | (bytes(off) & 0xff)
+                acc += s
+                c += 1
+              }
+              val mono = acc / ch
+              val b = (i * 32L / n).toInt
+              sumSq(b) += mono * mono
+              cnt(b) += 1
+              i += 1
+            }
+            val energy = (0 until 32).map(b =>
+              if (cnt(b) == 0) 0
+              else math.sqrt(sumSq(b).toDouble / cnt(b)).toInt)
+            org.apache.spark.sql.Row(
+              id, fmt.getSampleRate.toInt, ch, n.toLong, energy)
+          }
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          org.apache.spark.sql.Row(id, null, null, null, null)
+      }
+    }
+
+  /** 31-bit audio fingerprint over REAL samples: the dHash idea on the
+    * time axis — bit b set ⇔ energy rises from contour bin b to b+1.
+    * Gain-invariant by construction (uniform volume scaling preserves
+    * the rising/falling shape), integer-exact, and Hamming-comparable,
+    * so the standard block-dedup machinery applies to real audio
+    * unchanged. Undecoded rows are dropped. */
+  def audioFingerprint(decoded: DataFrame, idCol: String = "asset_id"): DataFrame =
+    decoded.filter(col("energy32").isNotNull)
+      .withColumn("afp", expr(
+        "aggregate(transform(sequence(0, 30), i -> " +
+          "IF(element_at(energy32, i + 2) > element_at(energy32, i + 1), " +
+          "shiftleft(1L, CAST(i AS INT)), 0L)), 0L, (a, x) -> a | x)"))
+      .select(col(idCol), col("sample_rate"), col("channels"),
+        col("n_samples"), col("afp"))
+
   /** 64-bit average hash over REAL pixels: mean-threshold the 8×8 luma
     * grid from [[imageIoDecoder]] (bit i set ⇔ luma_i > grid mean) —
     * integer arithmetic end-to-end, so the hash is engine- and

@@ -243,6 +243,61 @@ class RoundThirteenSpec extends AnyFunSuite with Matchers {
     hashes(1L) should not be hashes(3L) // different pixels, different hash
   }
 
+  test("wavDecoder: real WAV bytes through the codec seam, gain-invariant audio fingerprint") {
+    def wav(samples: Array[Short], channels: Int = 1, rate: Float = 8000f): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val raw = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // rising-then-falling energy ramp: 32 bins x 100 samples, alternating
+    // +/- amplitude per sample so each bin's RMS IS its amplitude
+    def ramp(gain: Double): Array[Short] = (0 until 3200).map { i =>
+      val bin = i / 100
+      val amp = (200.0 * (if (bin < 20) bin + 1 else 40 - bin) * gain).toInt
+      (if (i % 2 == 0) amp else -amp).toShort
+    }.map(_.toShort).toArray
+    val mono = ramp(1.0)
+    val stereo = mono.flatMap(s => Array(s, s)) // both channels identical
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("asset_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, wav(mono)),
+      org.apache.spark.sql.Row(2L, wav(mono)),              // byte-identical
+      org.apache.spark.sql.Row(3L, wav(ramp(0.5))),         // half gain, same shape
+      org.apache.spark.sql.Row(4L, wav(mono.reverse)),      // reversed contour
+      org.apache.spark.sql.Row(5L, wav(stereo, channels = 2)), // stereo fold
+      org.apache.spark.sql.Row(6L, Array[Byte](9, 9, 9)))   // not audio
+    val df = spark.createDataFrame(rows.asJava, schema).repartition(2)
+    val decoded = Multimodal.decodeWith(df, Multimodal.audioDecodedSchema)(
+      Multimodal.wavDecoder)
+    val byId = decoded.collect().map(r => r.getLong(0) -> r).toMap
+    byId(1L).getInt(1) shouldBe 8000 // native params survive decode
+    byId(1L).getInt(2) shouldBe 1
+    byId(1L).getLong(3) shouldBe 3200L
+    byId(5L).getInt(2) shouldBe 2
+    byId(6L).isNullAt(1) shouldBe true // poison pill → null row, no task failure
+    val fp = Multimodal.audioFingerprint(decoded).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    fp.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L) // undecodable row dropped
+    fp(1L) shouldBe fp(2L) // identical audio, identical fingerprint
+    fp(1L) shouldBe fp(3L) // uniform gain preserves the contour shape
+    fp(1L) shouldBe fp(5L) // identical-channel stereo folds to the mono print
+    fp(1L) should not be fp(4L) // reversed energy contour differs
+  }
+
   test("persisted ANN index: chained nightly assignment ≡ from-scratch; drift gate + refine") {
     val vecs = (0L until 60L).map(i => (i, Seq(
       (i % 7).toDouble, (i * 3 % 5).toDouble, (i * 5 % 11).toDouble, 1.0)))
