@@ -612,16 +612,25 @@ object StandingState {
     * (the witness lists them all), but listing and per-file open
     * overhead creep — this is the knob that bounds them. */
   def compactManifest(
-      spark: SparkSession, store: String, maxPartitions: Int = 64): Boolean = {
+      spark: SparkSession,
+      store: String,
+      maxPartitions: Int = 64,
+      owner: String = ""): Boolean = {
     val snap = latestSnapshot(spark, store)
     val parts = recordedWitness(spark, store, snap)._2.map {
       case (t, files) => t -> partitionDirsOf(files).size
     }
     if (parts.values.forall(_ <= maxPartitions)) return false
+    // `owner` defaults to the compacted snapshot's own token so the
+    // replay-skip contract survives compaction: a restarted stream batch
+    // must still find its owner on the latest snapshot, or it would fold
+    // its delta a second time
+    val keepOwner = if (owner.nonEmpty) owner else ownerOf(spark, store, snap)
     writeTables(store, Seq(
       TableSpec(FpTable, readFingerprints(spark, store), "asset_id"),
       TableSpec(ClTable,
-        readClusters(spark, store).withColumn("_seq", lit(0L)), "doc_id")))
+        readClusters(spark, store).withColumn("_seq", lit(0L)), "doc_id")),
+      owner = keepOwner)
     keepSnapshots(spark, store, 1)
     true
   }

@@ -446,15 +446,23 @@ object EventStreams {
     * merge ≡ recompute contract the folded state after ANY number of
     * micro-batches is row-identical to a one-shot batch bootstrap over
     * everything ingested (spec-pinned). */
+  /** `compactAtPartitions` bounds the long-stream tail: one delta
+    * partition lands per micro-batch, so past the cap the batch runs the
+    * bounded-cadence [[graft.ops.StandingState.compactManifest]] fold
+    * (carrying the batch's owner token, so a post-compaction replay is
+    * still skipped) instead of the plain 2-snapshot retention. */
   def manifestIngestStream(
       assets: DataFrame,
-      store: String): org.apache.spark.sql.streaming.StreamingQuery =
+      store: String,
+      compactAtPartitions: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
     assets.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           graft.ops.StandingState.ingest(batch, store, owner = s"batch-$batchId")
-          graft.ops.StandingState.keepSnapshots(batch.sparkSession, store, keep = 2)
+          if (!graft.ops.StandingState.compactManifest(
+              batch.sparkSession, store, compactAtPartitions, owner = s"batch-$batchId"))
+            graft.ops.StandingState.keepSnapshots(batch.sparkSession, store, keep = 2)
         }
       }
       .start()

@@ -568,4 +568,54 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     StandingState.snapshots(spark, store) shouldBe snapsBefore
     graft.ops.Materialize.dropAll()
   }
+
+  test("streaming manifest ingest: in-flow compaction bounds partition growth, replay stays idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.{Multimodal, StandingState}
+    // ids ≡ 0 mod 3 share a payload family so cross-batch edges exist and
+    // the post-compaction ≡ bootstrap check is non-vacuous
+    val texts = (1L to 12L).map(i =>
+      i -> (if (i % 3 == 0)
+        s"x$i" + ("shared compaction payload body with stable words " * 3).drop(3)
+      else s"streamed compaction material number $i with its own words " * 2))
+    def assetsOf(ts: Seq[(Long, String)]) =
+      Multimodal.assetsFromText(ts.toDF("id", "txt"), "id", "txt")
+    val store = graft.SparkFixture.tempDir("stream-compact")
+    StandingState.bootstrap(assetsOf(texts.filter(_._1 <= 4)), store)
+    val input = MemoryStream[(Long, String)]
+    // cap 2: the second batch's third partition trips the in-flow fold
+    val q = EventStreams.manifestIngestStream(
+      Multimodal.assetsFromText(input.toDF().toDF("id", "txt"), "id", "txt"),
+      store, compactAtPartitions = 2)
+    try {
+      input.addData(texts.filter(t => t._1 > 4 && t._1 <= 8): _*)
+      q.processAllAvailable()
+      input.addData(texts.filter(_._1 > 8): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // compaction folded the store back to one snapshot / one partition
+    // per table — the long-stream tail is bounded, not accreting
+    StandingState.snapshots(spark, store).size shouldBe 1
+    Option(new java.io.File(s"$store/data/fingerprints").listFiles())
+      .toSeq.flatten.count(_.isDirectory) shouldBe 1
+    StandingState.readFingerprints(spark, store).count() shouldBe texts.size
+    // the compacted snapshot carries the last batch's owner token, so a
+    // post-compaction replay of that batch is STILL skipped
+    val snaps = StandingState.snapshots(spark, store)
+    StandingState.ownerOf(spark, store, snaps.last) should startWith("batch-")
+    StandingState.ingest(assetsOf(texts.filter(_._1 > 8)), store,
+      owner = StandingState.ownerOf(spark, store, snaps.last))
+    StandingState.snapshots(spark, store) shouldBe snaps
+    // and the folded state ≡ a one-shot bootstrap over everything
+    val full = graft.SparkFixture.tempDir("stream-compact-full")
+    StandingState.bootstrap(assetsOf(texts), full)
+    def cl(root: String) = StandingState.readClusters(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = cl(store)
+    streamed.filter { case (d, c) =>
+      d != c || streamed.exists { case (d2, c2) => d2 != d && c2 == c }
+    } shouldBe cl(full)
+    graft.ops.Materialize.dropAll()
+  }
 }
