@@ -957,6 +957,51 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Night-0 PQ store: learn codebooks from the base embedding corpus
+    * and code every base vector — the once-ever corpus-sized pass
+    * (same lifecycle rationale as [[annStandingStore]]). */
+  private def annPqStandingStore(s: SparkSession, dir: String): String =
+    standingStore("annpq", dir) { root =>
+      graft.ops.AnnIndex.bootstrapPq(
+        t(s, dir, "embeddings").filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", root, m = PqM, subDim = PqSubDim, k = PqK)
+    }
+
+  /** PERSISTED nightly PQ-index maintenance — the compressed half of
+    * IVFADC through the [[graft.ops.StandingState]] seam: standing
+    * per-subspace codebooks (broadcastable) + per-vector codes (id and
+    * m small ints — the ~4-byte/vector layout that makes an exhaustive
+    * ADC scan feasible where the raw corpus is hundreds of TB) live in
+    * a snapshot store behind the tamper witness. Each nightly ingest
+    * codes ONLY its delta against the standing codebooks (broadcast
+    * join — exact per vector by construction) and APPENDS the code
+    * partition; the same two-night chain as [[embedKnnIvfNightly]]
+    * (deltas ≡ 0 and ≡ 5 mod 10, sub-gate by construction so the
+    * base-seeded codebooks persist). Serving is ADC shortlist + exact
+    * rerank FROM the persisted night-2 snapshot — the code scan carries
+    * no raw vectors (plan-pinned) — and the oracle replays codebook
+    * seeding over the base predicate + full coding + ADC + rerank from
+    * scratch: equality proves the chained on-disk PQ index ≡ a
+    * from-scratch build. */
+  def embedKnnPqNightly(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val store = annPqStandingStore(s, dir)
+    // recurring-run retention: refold from the standing night-0 snapshot
+    graft.ops.StandingState.rollbackTo(s, store, 0L)
+    graft.ops.AnnIndex.ingestPq(
+      emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", store,
+      m = PqM, subDim = PqSubDim)
+    val night1 = graft.ops.StandingState.latestSnapshot(s, store)
+    graft.ops.AnnIndex.ingestPq(
+      emb.filter(col("vec_id") % 10 === 5), "vec_id", "embedding", store,
+      m = PqM, subDim = PqSubDim)
+    graft.ops.StandingState.retireSnapshot(s, store, night1) // superseded night
+    graft.ops.AnnIndex.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, store, shortlist = 50,
+        m = PqM, subDim = PqSubDim)
+      .orderBy("query_id", "rank")
+  }
+
   // ANN constants shared by the Spark queries and their DuckDB oracles.
   // The library auto-sizes (Similarity.autoPlanes/autoCentroids) when not
   // given explicit values; the checked queries pin constants so the
@@ -1972,6 +2017,7 @@ object PipelineQueries {
     retrievalStandingStore(s, dir)
     ledgerStandingStore(s, dir)
     annStandingStore(s, dir)
+    annPqStandingStore(s, dir)
     graft.ops.Materialize.dropAll() // fixture prep must not leak scratch
   }
 
@@ -3721,6 +3767,7 @@ object PipelineQueries {
     "pii_scrub" -> (piiScrub _),
     "embed_knn_ivf" -> (embedKnnIvf _),
     "embed_knn_ivf_nightly" -> (embedKnnIvfNightly _),
+    "embed_knn_pq_nightly" -> (embedKnnPqNightly _),
     "embed_near_dup" -> (embedNearDup _),
     "embed_near_dup_lsh" -> (embedNearDupLsh _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -4294,10 +4341,17 @@ object PipelineQueries {
     * per (vector, subspace) against the stride-seeded codebooks;
     * mirrors [[graft.ops.Similarity.pqCodesLong]]
     * construct-for-construct. Defines pc/scents/sub/dd/codes. */
-  private def duckPqChain: String =
+  private def duckPqChain: String = duckPqChainFrom("TRUE")
+
+  /** [[duckPqChain]] with codebook seeding restricted to `centPred` —
+    * the persisted-PQ oracle seeds from the night-0 base corpus while
+    * codes still cover the full table (mirrors
+    * [[graft.ops.AnnIndex.bootstrapPq]] + nightly [[graft.ops.AnnIndex
+    * .ingestPq]] chains exactly). */
+  private def duckPqChainFrom(centPred: String): String =
     s"""pc AS (SELECT CAST((rn - 1) // 7 AS INT) AS cid, v AS cvec FROM (
        |    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
-       |    FROM e ORDER BY vec_id LIMIT ${PqK * 7})
+       |    FROM e WHERE $centPred ORDER BY vec_id LIMIT ${PqK * 7})
        |  WHERE (rn - 1) % 7 = 0),
        |scents AS (SELECT cid, j, ${duckPqSlice("cvec")} AS scv
        |  FROM pc, unnest(range(0, $PqM)) AS t(j)),
@@ -4325,6 +4379,10 @@ object PipelineQueries {
   private def duckPqCodesCte: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |$duckPqChain""".stripMargin
+
+  private def duckPqCodesCteFrom(centPred: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${duckPqChainFrom(centPred)}""".stripMargin
 
   /** Unrolled BPE oracle: each round = pair-count + argmax + triple
     * literal replace, mirroring [[graft.ops.Bpe]] construct-for-
@@ -5479,6 +5537,27 @@ object PipelineQueries {
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "embed_knn_pq_rerank" ->
       s"""$duckPqCodesCte,
+         |$duckPqLutChain,
+         |a AS (SELECT query_id, vec_id AS corpus_id, round(sum(contrib), 4) AS adist
+         |  FROM codes JOIN lut ON codes.j = lut.j AND codes.code = lut.cid
+         |  WHERE query_id <> vec_id GROUP BY 1, 2),
+         |short AS (SELECT query_id, corpus_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adist, corpus_id) AS srn FROM a) WHERE srn <= 50),
+         |ex AS (SELECT s.query_id, s.corpus_id,
+         |    round(list_dot_product(qe.v, qe.v) - 2 * list_dot_product(qe.v, ce.v)
+         |      + list_dot_product(ce.v, ce.v), 4) AS d2
+         |  FROM short s JOIN e qe ON qe.vec_id = s.query_id
+         |  JOIN e ce ON ce.vec_id = s.corpus_id)
+         |SELECT query_id, corpus_id, d2, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY d2, corpus_id) AS rank FROM ex)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // persisted nightly PQ index: codebooks seeded from the night-0 base
+    // predicate, codes + ADC + rerank replayed from scratch over the full
+    // corpus — equality proves the chained on-disk index ≡ a fresh build
+    "embed_knn_pq_nightly" ->
+      s"""${duckPqCodesCteFrom("vec_id % 5 <> 0")},
          |$duckPqLutChain,
          |a AS (SELECT query_id, vec_id AS corpus_id, round(sum(contrib), 4) AS adist
          |  FROM codes JOIN lut ON codes.j = lut.j AND codes.code = lut.cid

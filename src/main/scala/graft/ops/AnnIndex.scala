@@ -15,11 +15,24 @@ import org.apache.spark.sql.functions._
   * one row per delta vector) and APPENDS the delta cells partition —
   * the standing corpus is never re-read and nothing is rewritten. What
   * drifts under arrivals is centroid QUALITY (recall), not correctness;
-  * [[ingest]] therefore measures drift (the fraction of the index
-  * assigned under arrivals since the last seed/refine) and reports when
-  * it crosses the gate, and [[refine]] is the honest full rewrite: one
-  * Lloyd update over the full corpus seeded from the standing
-  * centroids, committed as a replace-snapshot compaction.
+  * [[ingest]] therefore measures CUMULATIVE drift — the fraction of the
+  * index assigned under arrivals since the last seed/[[refine]]
+  * (a replace-snapshot is the reset point) — and reports when it
+  * crosses the gate; [[refine]] is the honest full rewrite: one Lloyd
+  * update over the full corpus seeded from the standing centroids,
+  * committed as a replace-snapshot compaction.
+  *
+  * The drift fraction is derived ENTIRELY from snapshot metadata: the
+  * witness records each partition's row count from the write's own
+  * file-sizing pass, and a partition dir's name carries the snapshot
+  * that wrote it — rows in partitions newer than the seed/refine
+  * partition are exactly the rows assigned under stale centroids. So
+  * the gate costs zero Spark jobs (no `readCells().count()`), it is
+  * cumulative by construction (ten 5% nights correctly cross a 0.25
+  * gate around night six, where a per-delta fraction would never
+  * fire and recall would erode unobserved), and a same-`owner` replay
+  * returns the SAME verdict as the original call — the skipped append
+  * leaves the committed metadata, the only input, unchanged.
   *
   * Scale shape: centroids broadcast; the cells file is ids-only (the
   * serving path [[Similarity.ivfTopKFromIndex]] re-enters vectors only
@@ -58,10 +71,11 @@ object AnnIndex {
     StandingState.readTable(spark, store, CellTable)
 
   /** One nightly fold: assign the delta against the standing centroids
-    * and append its cells partition. Returns true when the measured
-    * drift — delta rows over the resulting index size — crosses
-    * `refineAt`, i.e. when the caller should schedule a [[refine]];
-    * the fold itself is always exact regardless. */
+    * and append its cells partition. Returns true when the CUMULATIVE
+    * drift — rows appended since the last seed/[[refine]] over the
+    * resulting index size, read from snapshot metadata (see object doc)
+    * — crosses `refineAt`, i.e. when the caller should schedule a
+    * [[refine]]; the fold itself is always exact regardless. */
   def ingest(
       delta: DataFrame,
       idCol: String,
@@ -71,12 +85,32 @@ object AnnIndex {
       owner: String = ""): Boolean = {
     val spark = delta.sparkSession
     val cents = readCentroids(spark, store)
-    val standingN = readCells(spark, store).count()
     val newCells = Similarity.ivfAssign(delta, cents, idCol, vecCol)
-    StandingState.appendTables(store,
+    val snap = StandingState.appendTables(store,
       Seq(StandingState.TableSpec(CellTable, newCells, "cell")), owner)
-    val deltaN = delta.count()
-    deltaN.toDouble / math.max(1L, standingN + deltaN) > refineAt
+    driftSinceRefine(spark, store, CellTable, snap) > refineAt
+  }
+
+  /** Fraction of `table`'s rows (at snapshot `snap`) living in
+    * partitions APPENDED after the last replace-commit — the cumulative
+    * assigned-under-stale-centroids share, from witness metadata alone.
+    * The seed/refine partition is the one carrying the OLDEST snapshot
+    * id in the partition-dir name (a replace drops everything older). */
+  private[ops] def driftSinceRefine(
+      spark: SparkSession, store: String, table: String, snap: Long): Double = {
+    val rows = StandingState.partitionRows(spark, store, snap, table)
+    require(rows.nonEmpty,
+      s"store $store snapshot $snap records no row counts for $table — " +
+        "committed by a pre-rowcount writer; refine to rewrite the witness")
+    val bySnap = rows.map { case (dir, n) =>
+      val m = "/p(\\d+)-".r.findFirstMatchIn(dir).getOrElse(
+        throw new IllegalStateException(s"unparseable partition dir $dir"))
+      (m.group(1).toLong, n)
+    }
+    val seedSnap = bySnap.map(_._1).min
+    val total = bySnap.map(_._2).sum
+    val appended = bySnap.filter(_._1 > seedSnap).map(_._2).sum
+    appended.toDouble / math.max(1L, total)
   }
 
   /** The drift response: one Lloyd centroid update over the FULL corpus
@@ -102,6 +136,119 @@ object AnnIndex {
       StandingState.TableSpec(CentTable, newCents, "cid"),
       StandingState.TableSpec(CellTable, newCells, "cell")))
     ()
+  }
+
+  // ------------------------------------------------------------- PQ seam
+  // The OTHER compressed-ANN half persisted through the same snapshot
+  // store: per-subspace codebooks (m·k rows — tiny, broadcastable) and
+  // per-vector codes ((id, j, code) — ~4 bytes of payload per vector
+  // instead of 4·dim, the layout that makes an exhaustive ADC scan
+  // feasible where the raw corpus is hundreds of TB). Nightly
+  // maintenance is EXACT by construction, like the IVF half: a vector's
+  // code in each subspace depends only on the standing codebooks, so
+  // the delta is coded against them (broadcast join) and APPENDED; what
+  // drifts is codebook quality (quantization distortion), measured by
+  // the same cumulative metadata gate and reset by [[refinePq]].
+
+  private val CbTable = "pq_codebooks"
+  private val CodeTable = "pq_codes"
+
+  /** Night 0 of the PQ index: learn codebooks from the base corpus
+    * (deterministic stride seeding, sliced per subspace — no RNG) and
+    * code every base vector — the only corpus-sized coding pass. Codes
+    * are range-clustered on `corpus_id`, so candidate joins keyed by id
+    * (the IVFADC composition) prune code files by footer min/max. */
+  def bootstrapPq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      store: String,
+      m: Int = 4,
+      subDim: Int = 16,
+      k: Int = 8): Unit = {
+    val cb = Similarity.pqCodebooks(corpus, idCol, vecCol, m, subDim, k)
+    val codes = Similarity.pqCodesLong(
+      corpus, idCol, "corpus_id", vecCol, m, subDim, k, Some(cb))
+    StandingState.writeTables(store, Seq(
+      StandingState.TableSpec(CbTable, cb, "cid"),
+      StandingState.TableSpec(CodeTable, codes, "corpus_id")))
+    ()
+  }
+
+  /** Witness-verified standing PQ codebooks (j, cid, scv). */
+  def readCodebooks(spark: SparkSession, store: String): DataFrame =
+    StandingState.readTable(spark, store, CbTable)
+
+  /** Witness-verified standing PQ code table — the union of every
+    * night's partition: (corpus_id, j, code). */
+  def readCodes(spark: SparkSession, store: String): DataFrame =
+    StandingState.readTable(spark, store, CodeTable)
+
+  /** One nightly PQ fold: code the delta against the STANDING codebooks
+    * (broadcast — exact per vector by construction) and append its code
+    * partition. Returns true when the cumulative drift since the last
+    * seed/[[refinePq]] crosses `refineAt`, from the same witness
+    * metadata as the IVF gate (code rows are m× vector rows uniformly,
+    * so the row fraction equals the vector fraction). */
+  def ingestPq(
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      store: String,
+      refineAt: Double = 0.25,
+      owner: String = "",
+      m: Int = 4,
+      subDim: Int = 16): Boolean = {
+    val spark = delta.sparkSession
+    val cb = readCodebooks(spark, store)
+    val codes = Similarity.pqCodesLong(
+      delta, idCol, "corpus_id", vecCol, m, subDim, k = 0, Some(cb))
+    val snap = StandingState.appendTables(store,
+      Seq(StandingState.TableSpec(CodeTable, codes, "corpus_id")), owner)
+    driftSinceRefine(spark, store, CodeTable, snap) > refineAt
+  }
+
+  /** The PQ drift response: relearn codebooks over the FULL corpus and
+    * recode every vector — committed as a replace-snapshot (the
+    * bounded-cadence honest rewrite and the drift gate's reset point;
+    * [[StandingState.keepSnapshots]] reclaims the superseded
+    * partitions). */
+  def refinePq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      store: String,
+      m: Int = 4,
+      subDim: Int = 16,
+      k: Int = 8): Unit = {
+    val cb = Similarity.pqCodebooks(corpus, idCol, vecCol, m, subDim, k)
+    val codes = Similarity.pqCodesLong(
+      corpus, idCol, "corpus_id", vecCol, m, subDim, k, Some(cb))
+    StandingState.writeTables(store, Seq(
+      StandingState.TableSpec(CbTable, cb, "cid"),
+      StandingState.TableSpec(CodeTable, codes, "corpus_id")))
+    ()
+  }
+
+  /** PQ ANN (ADC shortlist + exact rerank) served FROM the persisted
+    * index (latest snapshot): the ADC scan reads the standing code
+    * table only — no raw vectors — and the rerank re-enters vectors
+    * for just the shortlist. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      store: String,
+      shortlist: Int = 50,
+      m: Int = 4,
+      subDim: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    Similarity.pqTopKRerankFromIndex(
+      corpus, queries, idCol, vecCol, k,
+      readCodebooks(spark, store), readCodes(spark, store),
+      shortlist, m, subDim)
   }
 
   /** ANN top-k served FROM the persisted index (latest snapshot). */

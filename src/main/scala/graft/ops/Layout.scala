@@ -30,7 +30,18 @@ object Layout {
       df: DataFrame,
       outDir: String,
       targetRowsPerFile: Long,
-      clusterCols: Seq[String]): DataFrame = {
+      clusterCols: Seq[String]): DataFrame =
+    compactCounted(df, outDir, targetRowsPerFile, clusterCols)._1
+
+  /** [[compact]] plus the row count it already computes to size the
+    * output files — for callers (the snapshot-store commit) that record
+    * per-partition row counts as metadata: the count rides the write's
+    * own sizing pass, never a second job. */
+  def compactCounted(
+      df: DataFrame,
+      outDir: String,
+      targetRowsPerFile: Long,
+      clusterCols: Seq[String]): (DataFrame, Long) = {
     require(clusterCols.nonEmpty, "compact needs at least one cluster column")
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
     val spark = df.sparkSession
@@ -44,17 +55,19 @@ object Layout {
     // input — where counting is metadata-cheap and a checkpoint would
     // copy the whole table into executor storage for nothing.
     val mat = if (isBareScan(df)) df else df.localCheckpoint(eager = true)
-    try {
-      val rows = mat.count()
-      val files = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-      val keyCols = clusterCols.map(col)
-      mat.repartitionByRange(files, keyCols: _*)
-        .sortWithinPartitions(keyCols: _*)
-        .write.mode(SaveMode.Overwrite).parquet(outDir)
-    } finally
-      if (!(mat eq df))
-        org.apache.spark.sql.graftshim.GraftSessions.unpersistLocalCheckpoint(mat)
-    spark.read.parquet(outDir)
+    val rows =
+      try {
+        val n = mat.count()
+        val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+        val keyCols = clusterCols.map(col)
+        mat.repartitionByRange(files, keyCols: _*)
+          .sortWithinPartitions(keyCols: _*)
+          .write.mode(SaveMode.Overwrite).parquet(outDir)
+        n
+      } finally
+        if (!(mat eq df))
+          org.apache.spark.sql.graftshim.GraftSessions.unpersistLocalCheckpoint(mat)
+    (spark.read.parquet(outDir), rows)
   }
 
   /** A plan that is just a relation read (possibly aliased) — executing it

@@ -586,7 +586,17 @@ object Similarity {
     val subCents = pqCodebooks(corpus, idCol, vecCol, m, subDim, k)
     val codes = pqCodesLong(corpus, idCol, "corpus_id", vecCol, m, subDim, k,
       codebooks = Some(subCents))
-    val luts = pqLuts(queries, idCol, vecCol, subCents, m, subDim)
+    adcTopK(codes, pqLuts(queries, idCol, vecCol, subCents, m, subDim), kNeighbors)
+  }
+
+  /** The ADC scan + per-query top-k over a prebuilt (codes, luts) pair —
+    * the shared tail of [[pqTopK]] and the persisted-index serving path
+    * ([[pqTopKRerankFromIndex]]): approximate distance is the sum of m
+    * lookup-table contributions over each corpus vector's CODES; the
+    * raw vectors never participate. One (query, corpus)-keyed
+    * partial-agg shuffle + a per-query top-k window. */
+  private[ops] def adcTopK(
+      codes: DataFrame, luts: DataFrame, kNeighbors: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adist").asc, col("corpus_id").asc)
     codes.join(broadcast(luts),
@@ -620,6 +630,21 @@ object Similarity {
       k: Int = 8): DataFrame = {
     val pairs = pqTopK(corpus, queries, idCol, vecCol, shortlist, m, subDim, k)
       .select("query_id", "corpus_id")
+    exactRerank(pairs, corpus, queries, idCol, vecCol, kNeighbors)
+  }
+
+  /** The exact-rerank tail shared by [[pqTopKRerank]] and the
+    * persisted-index serving path: ONLY the shortlist pairs pull their
+    * true vectors for exact squared-L2 — the shortlist broadcasts
+    * against the corpus scan, so the expensive exact math touches
+    * |queries|·shortlist rows, never the corpus. */
+  private[ops] def exactRerank(
+      pairs: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kNeighbors: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val w = org.apache.spark.sql.expressions.Window
@@ -631,6 +656,32 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kNeighbors)
       .select("query_id", "corpus_id", "d2", "rank")
+  }
+
+  /** [[pqTopKRerank]] served FROM prebuilt (codebooks, codes) tables
+    * instead of quantizing in-query — the serving half of the persisted
+    * PQ seam ([[graft.ops.AnnIndex]]): per-query lookup tables come from
+    * the broadcast standing codebooks, the ADC scan reads the standing
+    * CODE table only (id + m small ints — no raw vectors anywhere near
+    * the scan, which is the whole point of PQ at 100 TB), and the exact
+    * rerank re-enters vectors for just the shortlist pairs, keyed by
+    * id. Identical output to [[pqTopKRerank]] over the same codebooks
+    * by construction. */
+  def pqTopKRerankFromIndex(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kNeighbors: Int,
+      codebooks: DataFrame,
+      codes: DataFrame,
+      shortlist: Int = 50,
+      m: Int = 4,
+      subDim: Int = 16): DataFrame = {
+    val luts = pqLuts(queries, idCol, vecCol, broadcast(codebooks), m, subDim)
+    val pairs = adcTopK(codes.select(col("corpus_id"), col("j"), col("code")),
+      luts, shortlist).select("query_id", "corpus_id")
+    exactRerank(pairs, corpus, queries, idCol, vecCol, kNeighbors)
   }
 
   /** IVFADC (Jégou et al. 2011 §IV): the two compressed-ANN halves

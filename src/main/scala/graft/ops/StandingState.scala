@@ -145,12 +145,21 @@ object StandingState {
         s"$store holds no committed snapshot — not a standing-state " +
           "store, or every snapshot was retired"))
 
-  /** One snapshot's parsed witness: (owner, table -> file listing).
-    * Corruption of the witness itself — truncation, a foreign edit —
+  /** One snapshot's parsed witness: the committer's owner token, each
+    * table's file listing, and each written partition's ROW COUNT
+    * (`#rows=` metadata lines — the count the commit's own file-sizing
+    * pass already computed, recorded so maintenance policies like the
+    * ANN drift gate read index sizes from ONE witness instead of
+    * running Spark count jobs). */
+  private case class Witness(
+      owner: String,
+      files: Map[String, Seq[(String, Long, Long)]],
+      rows: Map[String, Map[String, Long]])
+
+  /** Corruption of the witness itself — truncation, a foreign edit —
     * is the same loud refusal as a tampered table file (never a bare
     * MatchError / NumberFormatException). */
-  private def recordedWitness(spark: SparkSession, store: String, snap: Long)
-      : (String, Map[String, Seq[(String, Long, Long)]]) = {
+  private def recordedWitness(spark: SparkSession, store: String, snap: Long): Witness = {
     val p = new org.apache.hadoop.fs.Path(s"$store/${snapName(snap)}/$WitnessFile")
     val filesystem = fs(spark, store)
     if (!filesystem.exists(p))
@@ -168,11 +177,16 @@ object StandingState {
       val lines = body.split("\n").filter(_.nonEmpty).toSeq
       val owner = lines.collectFirst { case l if l.startsWith("#owner=") =>
         l.stripPrefix("#owner=") }.getOrElse("")
+      val rows = lines.filter(_.startsWith("#rows=")).map { l =>
+        val Array(t, rel, n) = l.stripPrefix("#rows=").split("\t", 3)
+        (t, rel, n.toLong)
+      }.groupBy(_._1).view
+        .mapValues(_.map { case (_, rel, n) => rel -> n }.toMap).toMap
       val files = lines.filterNot(_.startsWith("#")).map { line =>
         val Array(t, rel, len, mt) = line.split("\t", 4)
         (t, (rel, len.toLong, mt.toLong))
       }
-      (owner, files.groupBy(_._1).view.mapValues(_.map(_._2)).toMap)
+      Witness(owner, files.groupBy(_._1).view.mapValues(_.map(_._2)).toMap, rows)
     } catch {
       case e: StaleStateException => throw e
       case scala.util.control.NonFatal(e) =>
@@ -185,7 +199,18 @@ object StandingState {
 
   /** Owner token recorded by the snapshot's committer ("" if none). */
   def ownerOf(spark: SparkSession, store: String, snap: Long): String =
-    recordedWitness(spark, store, snap)._1
+    recordedWitness(spark, store, snap).owner
+
+  /** Per-partition row counts a snapshot's witness records for `table`:
+    * (partition dir relpath, rows), in partition order. The metadata
+    * that lets maintenance policies (the cumulative ANN drift gate)
+    * size the standing index and every appended delta WITHOUT a Spark
+    * count job — the commit recorded each partition's count from the
+    * file-sizing pass its write already paid for. */
+  def partitionRows(
+      spark: SparkSession, store: String, snap: Long, table: String): Seq[(String, Long)] =
+    recordedWitness(spark, store, snap).rows
+      .getOrElse(table, Map.empty).toSeq.sortBy(_._1)
 
   /** Partition dirs (store-relative) a witness references for a table. */
   private def partitionDirsOf(files: Seq[(String, Long, Long)]): Seq[String] =
@@ -197,7 +222,7 @@ object StandingState {
     * a missing part file, or an appended byte all refuse the read. */
   private def verify(
       spark: SparkSession, store: String, snap: Long, table: String): Unit = {
-    val recorded = recordedWitness(spark, store, snap)._2.getOrElse(table, Seq.empty)
+    val recorded = recordedWitness(spark, store, snap).files.getOrElse(table, Seq.empty)
     val actual = partitionDirsOf(recorded).flatMap(listing(spark, store, _))
     if (recorded.sortBy(_._1) != actual.sortBy(_._1)) {
       val rec = recorded.map(_._1).toSet
@@ -223,7 +248,18 @@ object StandingState {
 
   /** Create-exclusive writer lease. A held lease from a DIFFERENT owner
     * refuses the commit loudly at start; the same owner (a retrying
-    * batch) re-takes its own lease. */
+    * batch) re-takes its own lease.
+    *
+    * Only "the lease file already exists" means HELD — any other I/O
+    * failure (permissions, disk full, the store path is a file) is a
+    * real error and rethrown as itself, never disguised as a
+    * "write-leased by '<unreadable>'" refusal. Exclusivity is as atomic
+    * as the filesystem's create-no-overwrite: object stores and HDFS
+    * give a true atomic create; Hadoop's LocalFileSystem is
+    * check-then-create, so on local disk the lease narrows the
+    * interleaving window rather than closing it — the witness-rename
+    * commit point (one atomic rename) is what ultimately refuses a
+    * racing commit even there. */
   private def acquireLease(spark: SparkSession, store: String, owner: String): Unit = {
     val filesystem = fs(spark, store)
     filesystem.mkdirs(new org.apache.hadoop.fs.Path(store))
@@ -233,7 +269,15 @@ object StandingState {
         val os = filesystem.create(p, false)
         try os.write(owner.getBytes("UTF-8")) finally os.close()
         true
-      } catch { case _: java.io.IOException => false }
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        // raw create-exclusive refusals surface as bare IOException on
+        // some Hadoop filesystems — match the documented message shape,
+        // rethrow everything else (a permissions error is not a lease)
+        case e: java.io.IOException
+            if Option(e.getMessage).exists(_.toLowerCase.contains("already exists")) => false
+      }
     if (!created) {
       val held =
         try {
@@ -252,6 +296,36 @@ object StandingState {
 
   private def releaseLease(spark: SparkSession, store: String): Unit = {
     fs(spark, store).delete(leasePath(store), false); ()
+  }
+
+  /** Stores whose lease THIS thread already holds — [[withLease]] is
+    * reentrant so retention running inside a leased compaction (or a
+    * commit inside leased retention) reuses the outer lease instead of
+    * deadlocking on itself or releasing the outer scope's lease early. */
+  private val heldLeases = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  /** Run `f` under the store's writer lease (acquired with `owner`,
+    * released after — unless an enclosing [[withLease]] on this thread
+    * already holds it, in which case `f` runs under THAT lease). Every
+    * mutating path — commits, retention, compaction — funnels through
+    * this, so a retention sweep can never race a concurrent commit's
+    * not-yet-referenced partition writes: one of the two fails loudly
+    * at lease acquisition instead. */
+  private def withLease[T](
+      spark: SparkSession, store: String, owner: String)(f: => T): T = {
+    val key = norm(store)
+    if (heldLeases.get.contains(key)) f
+    else {
+      acquireLease(spark, store, owner)
+      heldLeases.set(heldLeases.get + key)
+      try f
+      finally {
+        heldLeases.set(heldLeases.get - key)
+        releaseLease(spark, store)
+      }
+    }
   }
 
   /** Explicitly break a crashed writer's lease — loud and manual by
@@ -282,28 +356,43 @@ object StandingState {
       appends: Seq[TableSpec],
       replaces: Seq[TableSpec],
       owner: String,
-      targetRowsPerFile: Long): Long = {
+      targetRowsPerFile: Long,
+      expectedBase: Option[Long] = None): Long = {
     require(appends.nonEmpty || replaces.nonEmpty, "empty commit")
-    acquireLease(spark, store, owner)
-    try {
-      val baseFiles: Map[String, Seq[(String, Long, Long)]] = base match {
+    withLease(spark, store, owner) {
+      val baseWitness: Option[Witness] = base match {
         case Some(b) =>
           val latest = latestSnapshot(spark, store)
           if (b != latest) throw new StaleStateException(
             s"commit base ${snapName(b)} at $store is not the latest " +
               s"snapshot (${snapName(latest)}) — another writer committed " +
               "since this fold read its base; refusing to drop their work")
-          val w = recordedWitness(spark, store, b)._2
-          w.keys.foreach(verify(spark, store, b, _))
-          w
-        case None => Map.empty
+          val w = recordedWitness(spark, store, b)
+          w.files.keys.foreach(verify(spark, store, b, _))
+          Some(w)
+        case None =>
+          // replace commits carry no inherited listing, but a caller that
+          // READ the store to build its replacement (compaction) must
+          // still refuse a base that moved under it — a replace over a
+          // newer snapshot would silently drop that writer's delta
+          expectedBase.foreach { eb =>
+            val latest = latestSnapshot(spark, store)
+            if (eb != latest) throw new StaleStateException(
+              s"replace-commit base ${snapName(eb)} at $store is not the " +
+                s"latest snapshot (${snapName(latest)}) — another writer " +
+                "committed since this rewrite read the store; refusing to " +
+                "drop their work")
+          }
+          None
       }
+      val baseFiles = baseWitness.map(_.files).getOrElse(Map.empty)
       val newSnap = snapshots(spark, store).lastOption.map(_ + 1).getOrElse(0L)
       val replaced = replaces.map(_.name).toSet
       val written = (appends ++ replaces).map { t =>
         val relDir = f"data/${t.name}/p$newSnap%05d-${nextHex.incrementAndGet().toHexString}"
-        Layout.compact(t.df, s"$store/$relDir", targetRowsPerFile, Seq(t.clusterCol))
-        t.name -> listing(spark, store, relDir)
+        val (_, rows) =
+          Layout.compactCounted(t.df, s"$store/$relDir", targetRowsPerFile, Seq(t.clusterCol))
+        (t.name, listing(spark, store, relDir), relDir, rows)
       }
       val inherited = baseFiles.view.filterKeys(!replaced.contains(_)).toMap
       val merged: Map[String, Seq[(String, Long, Long)]] =
@@ -311,9 +400,20 @@ object StandingState {
           t -> (inherited.getOrElse(t, Seq.empty) ++
             written.filter(_._1 == t).flatMap(_._2)).sortBy(_._1)
         }.toMap
-      val body = (s"#owner=$owner" +: merged.toSeq.sortBy(_._1).flatMap {
-        case (t, files) => files.map { case (p, len, mt) => s"$t\t$p\t$len\t$mt" }
-      }).mkString("\n")
+      // per-partition row counts: inherited partitions keep the base's
+      // recorded counts, written partitions record the count the
+      // file-sizing pass just computed — so any snapshot's witness sizes
+      // the whole table (the cumulative-drift metadata) for free
+      val inheritedRows = baseWitness.map(_.rows).getOrElse(Map.empty)
+        .view.filterKeys(!replaced.contains(_)).toSeq
+        .flatMap { case (t, m) => m.map { case (rel, n) => (t, rel, n) } }
+      val writtenRows = written.map { case (t, _, relDir, n) => (t, relDir, n) }
+      val rowLines = (inheritedRows ++ writtenRows).sortBy(r => (r._1, r._2))
+        .map { case (t, rel, n) => s"#rows=$t\t$rel\t$n" }
+      val body = (s"#owner=$owner" +: (rowLines ++
+        merged.toSeq.sortBy(_._1).flatMap {
+          case (t, files) => files.map { case (p, len, mt) => s"$t\t$p\t$len\t$mt" }
+        })).mkString("\n")
       // commit point: witness into a temp dir, then ONE rename
       val filesystem = fs(spark, store)
       val tmp = new org.apache.hadoop.fs.Path(
@@ -328,7 +428,7 @@ object StandingState {
             "the new base")
       refreshDigest(spark, store)
       newSnap
-    } finally releaseLease(spark, store)
+    }
   }
 
   /** Bootstrap/compaction write — EVERY table of the new snapshot in one
@@ -338,15 +438,22 @@ object StandingState {
     * decontamination ledger, the ANN index each bring their own table
     * set); on an existing store it IS the bounded-cadence compaction —
     * an honest full rewrite that folds accumulated delta partitions
-    * back to one, after which [[keepSnapshots]] reclaims them. */
+    * back to one, after which [[keepSnapshots]] reclaims them.
+    *
+    * A compaction-style caller that built `tables` by READING the store
+    * passes the snapshot it read as `expectedBase`: the commit then
+    * refuses (StaleStateException) if another writer committed in
+    * between — a replace over a moved base would silently drop that
+    * writer's delta. Bootstrap callers on a fresh dir leave it None. */
   def writeTables(
       root: String,
       tables: Seq[TableSpec],
       targetRowsPerFile: Long = 4000000L,
-      owner: String = ""): Long = {
+      owner: String = "",
+      expectedBase: Option[Long] = None): Long = {
     require(tables.nonEmpty, "a standing state needs at least one table")
     val spark = tables.head.df.sparkSession
-    commit(spark, root, None, Seq.empty, tables, owner, targetRowsPerFile)
+    commit(spark, root, None, Seq.empty, tables, owner, targetRowsPerFile, expectedBase)
   }
 
   /** Delta commit: append one partition per table, inheriting the rest
@@ -374,7 +481,7 @@ object StandingState {
     verify(spark, root, s, name)
     refreshDigest(spark, root)
     val dirs = partitionDirsOf(
-      recordedWitness(spark, root, s)._2.getOrElse(name, Seq.empty))
+      recordedWitness(spark, root, s).files.getOrElse(name, Seq.empty))
     if (dirs.isEmpty)
       throw new StaleStateException(s"snapshot ${snapName(s)} at $root has no table $name")
     spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
@@ -389,20 +496,35 @@ object StandingState {
     * scribbled into is REFUSED rather than recursively deleted —
     * deletion is the one operation where "loud refusal on anything
     * unexpected" matters most. Callers retire a root only after the
-    * night that READ it has committed its output elsewhere. */
-  def retire(spark: SparkSession, root: String): Unit = {
-    val snaps = snapshots(spark, root)
-    if (snaps.isEmpty)
-      throw new StaleStateException(
-        s"$root holds no committed snapshot — not a standing-state store; " +
-          "refusing to recursively delete it")
-    snaps.foreach { s =>
-      recordedWitness(spark, root, s)._2.keys.foreach(verify(spark, root, s, _))
+    * night that READ it has committed its output elsewhere.
+    *
+    * Every retention path runs under the writer LEASE (same gate as
+    * commits): a sweep racing a concurrent commit could otherwise delete
+    * the commit's freshly written, not-yet-referenced partitions — the
+    * commit would then record a partial listing in its witness, which is
+    * silent data loss. With the lease, one of the two fails loudly at
+    * start instead. A crashed retention leaves a lease held by
+    * `retention-sweep`; breakLease() clears it, exactly as for a
+    * crashed commit. */
+  def retire(spark: SparkSession, root: String): Unit =
+    withLease(spark, root, RetentionOwner) {
+      val snaps = snapshots(spark, root)
+      if (snaps.isEmpty)
+        throw new StaleStateException(
+          s"$root holds no committed snapshot — not a standing-state store; " +
+            "refusing to recursively delete it")
+      snaps.foreach { s =>
+        recordedWitness(spark, root, s).files.keys.foreach(verify(spark, root, s, _))
+      }
+      fs(spark, root).delete(new org.apache.hadoop.fs.Path(root), true)
+      storeDigests.remove(qualifiedKey(spark, root))
+      ()
     }
-    fs(spark, root).delete(new org.apache.hadoop.fs.Path(root), true)
-    storeDigests.remove(norm(root))
-    ()
-  }
+
+  /** Lease token retention paths hold — distinct from any commit owner,
+    * so a crashed sweep is identifiable (and re-runnable: a later sweep
+    * re-takes its own token). */
+  private val RetentionOwner = "retention-sweep"
 
   /** Bounded retention WITHIN a store: keep the newest `keep` snapshots,
     * delete retired snapshot witnesses, and sweep every data partition
@@ -410,21 +532,26 @@ object StandingState {
     * commit attempts). Shared base partitions survive as long as any
     * live snapshot references them — retiring an old snapshot costs one
     * witness file, not a state copy. Witness-gated like [[retire]]:
-    * survivors must verify before anything is deleted. */
+    * survivors must verify before anything is deleted. Lease-gated like
+    * every retention path (see [[retire]]). */
   def keepSnapshots(spark: SparkSession, store: String, keep: Int): Unit = {
     require(keep >= 1, "must keep at least one snapshot")
-    val snaps = snapshots(spark, store)
-    if (snaps.size <= keep) { sweepOrphans(spark, store); return }
-    val (drop, survive) = snaps.splitAt(snaps.size - keep)
-    survive.foreach { s =>
-      recordedWitness(spark, store, s)._2.keys.foreach(verify(spark, store, s, _))
+    withLease(spark, store, RetentionOwner) {
+      val snaps = snapshots(spark, store)
+      if (snaps.size <= keep) { sweepOrphans(spark, store) }
+      else {
+        val (drop, survive) = snaps.splitAt(snaps.size - keep)
+        survive.foreach { s =>
+          recordedWitness(spark, store, s).files.keys.foreach(verify(spark, store, s, _))
+        }
+        val filesystem = fs(spark, store)
+        drop.foreach { s =>
+          filesystem.delete(new org.apache.hadoop.fs.Path(s"$store/${snapName(s)}"), true)
+        }
+        sweepOrphans(spark, store)
+        refreshDigest(spark, store)
+      }
     }
-    val filesystem = fs(spark, store)
-    drop.foreach { s =>
-      filesystem.delete(new org.apache.hadoop.fs.Path(s"$store/${snapName(s)}"), true)
-    }
-    sweepOrphans(spark, store)
-    refreshDigest(spark, store)
   }
 
   /** Retire every snapshot NEWER than `snap`, rolling the store back to a
@@ -432,37 +559,41 @@ object StandingState {
     * run re-folds its nights from the standing bootstrap, so the prior
     * run's delta snapshots (and their now-unreferenced partitions) are
     * reclaimed first and per-run disk stays bounded. Witness-gated: the
-    * rollback target must verify before anything is deleted. */
-  def rollbackTo(spark: SparkSession, store: String, snap: Long): Unit = {
-    val snaps = snapshots(spark, store)
-    if (!snaps.contains(snap))
-      throw new StaleStateException(
-        s"$store has no snapshot ${snapName(snap)} to roll back to " +
-          s"(live: ${snaps.mkString(",")})")
-    recordedWitness(spark, store, snap)._2.keys.foreach(verify(spark, store, snap, _))
-    val filesystem = fs(spark, store)
-    snaps.filter(_ > snap).foreach { s =>
-      filesystem.delete(new org.apache.hadoop.fs.Path(s"$store/${snapName(s)}"), true)
+    * rollback target must verify before anything is deleted. Lease-gated
+    * like every retention path (see [[retire]]). */
+  def rollbackTo(spark: SparkSession, store: String, snap: Long): Unit =
+    withLease(spark, store, RetentionOwner) {
+      val snaps = snapshots(spark, store)
+      if (!snaps.contains(snap))
+        throw new StaleStateException(
+          s"$store has no snapshot ${snapName(snap)} to roll back to " +
+            s"(live: ${snaps.mkString(",")})")
+      recordedWitness(spark, store, snap).files.keys.foreach(verify(spark, store, snap, _))
+      val filesystem = fs(spark, store)
+      snaps.filter(_ > snap).foreach { s =>
+        filesystem.delete(new org.apache.hadoop.fs.Path(s"$store/${snapName(s)}"), true)
+      }
+      sweepOrphans(spark, store)
+      refreshDigest(spark, store)
     }
-    sweepOrphans(spark, store)
-    refreshDigest(spark, store)
-  }
 
   /** Retire ONE superseded snapshot (never the latest — consumers read
     * it). Cheap by construction: a snapshot is one witness file, and its
-    * delta partitions survive while any newer snapshot references them. */
-  def retireSnapshot(spark: SparkSession, store: String, snap: Long): Unit = {
-    val snaps = snapshots(spark, store)
-    if (snap == snaps.last)
-      throw new StaleStateException(
-        s"refusing to retire the LATEST snapshot ${snapName(snap)} at $store")
-    recordedWitness(spark, store, snaps.last)._2.keys
-      .foreach(verify(spark, store, snaps.last, _))
-    fs(spark, store).delete(
-      new org.apache.hadoop.fs.Path(s"$store/${snapName(snap)}"), true)
-    sweepOrphans(spark, store)
-    refreshDigest(spark, store)
-  }
+    * delta partitions survive while any newer snapshot references them.
+    * Lease-gated like every retention path (see [[retire]]). */
+  def retireSnapshot(spark: SparkSession, store: String, snap: Long): Unit =
+    withLease(spark, store, RetentionOwner) {
+      val snaps = snapshots(spark, store)
+      if (snap == snaps.last)
+        throw new StaleStateException(
+          s"refusing to retire the LATEST snapshot ${snapName(snap)} at $store")
+      recordedWitness(spark, store, snaps.last).files.keys
+        .foreach(verify(spark, store, snaps.last, _))
+      fs(spark, store).delete(
+        new org.apache.hadoop.fs.Path(s"$store/${snapName(snap)}"), true)
+      sweepOrphans(spark, store)
+      refreshDigest(spark, store)
+    }
 
   /** Delete data partitions referenced by NO live snapshot. Only called
     * from retention (never concurrently with a commit's partition writes
@@ -472,7 +603,7 @@ object StandingState {
     val dataDir = new org.apache.hadoop.fs.Path(s"$store/data")
     if (!filesystem.exists(dataDir)) return
     val referenced = snapshots(spark, store).flatMap { s =>
-      recordedWitness(spark, store, s)._2.values.flatMap(partitionDirsOf)
+      recordedWitness(spark, store, s).files.values.flatMap(partitionDirsOf)
     }.toSet
     filesystem.listStatus(dataDir).foreach { tdir =>
       filesystem.listStatus(tdir.getPath).foreach { pdir =>
@@ -486,7 +617,7 @@ object StandingState {
     * write volume that snapshot's fold actually paid (the soak's
     * flat-per-night evidence). */
   def snapshotDataBytes(spark: SparkSession, store: String, snap: Long): Long =
-    recordedWitness(spark, store, snap)._2.values.flatten
+    recordedWitness(spark, store, snap).files.values.flatten
       .filter { case (p, _, _) => p.contains(f"/p$snap%05d-") }
       .map(_._2).sum
 
@@ -496,8 +627,24 @@ object StandingState {
   // table (the partitions accumulate nightly under the append layout —
   // per-file stats would grow per night; the digest is O(1) reads).
 
+  /** Registry key: the store's FULLY QUALIFIED location (scheme +
+    * authority + path). Keying on the path alone would alias two stores
+    * with the same path on different filesystems (file:/data/x and
+    * hdfs://nn/data/x) to one entry — a cache key could then be
+    * versioned by the WRONG store's digest, a stale-hit risk. */
+  private case class StoreKey(scheme: String, authority: String, path: String)
+
+  private def qualifiedKey(spark: SparkSession, store: String): StoreKey = {
+    val q = fs(spark, store)
+      .makeQualified(new org.apache.hadoop.fs.Path(store)).toUri
+    StoreKey(
+      Option(q.getScheme).getOrElse(""),
+      Option(q.getAuthority).getOrElse(""),
+      Option(q.getPath).getOrElse(norm(store)))
+  }
+
   private val storeDigests =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[StoreKey, String]()
 
   private def refreshDigest(spark: SparkSession, store: String): Unit =
     try {
@@ -508,24 +655,39 @@ object StandingState {
         try scala.io.Source.fromInputStream(is, "UTF-8").mkString finally is.close()
       }
       val md = java.security.MessageDigest.getInstance("MD5")
-      val digest = md.digest(bodies.mkString(" ").getBytes("UTF-8"))
+      val digest = md.digest(bodies.mkString("\u0000").getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      storeDigests.put(norm(store), digest)
+      storeDigests.put(qualifiedKey(spark, store), digest)
       ()
     } catch { case scala.util.control.NonFatal(_) => () } // registry is an optimization, never a failure
 
   /** If `file` lives under a registered standing store's data dir, the
     * store's current witness digest — a complete data-version witness
     * for cache keys (any commit/retention changes it) obtained without
-    * statting the file. */
+    * statting the file. Matching is scheme/authority-aware: a file URI
+    * carrying an explicit scheme matches only a store registered on
+    * that filesystem; a bare path matches only when it resolves to
+    * exactly ONE registered store (ambiguity returns None — a per-file
+    * stat sweep beats trusting the wrong store's digest). */
   def witnessedVersion(file: String): Option[String] = {
-    val f = norm(file)
+    val u = new org.apache.hadoop.fs.Path(file).toUri
+    val fScheme = Option(u.getScheme).getOrElse("")
+    val fAuth = Option(u.getAuthority).getOrElse("")
+    val fPath = Option(u.getPath).getOrElse(file)
+    def compat(a: String, b: String) = a.isEmpty || b.isEmpty || a == b
     val it = storeDigests.entrySet().iterator()
+    var hit: Option[String] = None
     while (it.hasNext) {
       val e = it.next()
-      if (f.startsWith(e.getKey + "/")) return Some(s"${e.getKey}@${e.getValue}")
+      val k = e.getKey
+      if (fPath.startsWith(k.path + "/") &&
+          compat(fScheme, k.scheme) && compat(fAuth, k.authority)) {
+        val tag = s"${k.scheme}://${k.authority}${k.path}@${e.getValue}"
+        if (hit.exists(_ != tag)) return None // ambiguous path: refuse
+        hit = Some(tag)
+      }
     }
-    None
+    hit
   }
 
   // ------------------------------------------------------ manifest family
@@ -617,7 +779,7 @@ object StandingState {
       maxPartitions: Int = 64,
       owner: String = ""): Boolean = {
     val snap = latestSnapshot(spark, store)
-    val parts = recordedWitness(spark, store, snap)._2.map {
+    val parts = recordedWitness(spark, store, snap).files.map {
       case (t, files) => t -> partitionDirsOf(files).size
     }
     if (parts.values.forall(_ <= maxPartitions)) return false
@@ -626,12 +788,18 @@ object StandingState {
     // must still find its owner on the latest snapshot, or it would fold
     // its delta a second time
     val keepOwner = if (owner.nonEmpty) owner else ownerOf(spark, store, snap)
-    writeTables(store, Seq(
-      TableSpec(FpTable, readFingerprints(spark, store), "asset_id"),
-      TableSpec(ClTable,
-        readClusters(spark, store).withColumn("_seq", lit(0L)), "doc_id")),
-      owner = keepOwner)
-    keepSnapshots(spark, store, 1)
+    // read + replace under ONE lease (withLease is reentrant, so the
+    // inner commit and retention reuse it), and pin the snapshot the
+    // rewrite read as expectedBase — a writer that slips between the
+    // read and the replace is refused instead of silently dropped
+    withLease(spark, store, keepOwner) {
+      writeTables(store, Seq(
+        TableSpec(FpTable, readFingerprints(spark, store), "asset_id"),
+        TableSpec(ClTable,
+          readClusters(spark, store).withColumn("_seq", lit(0L)), "doc_id")),
+        owner = keepOwner, expectedBase = Some(snap))
+      keepSnapshots(spark, store, 1)
+    }
     true
   }
 

@@ -154,6 +154,31 @@ class PlanSpec extends AnyFunSuite with Matchers {
     StandingState.retire(spark, store)
   }
 
+  test("persisted PQ serving: the code scan carries no raw vectors, codebooks broadcast") {
+    import graft.ops.{AnnIndex, StandingState}
+    val emb = Tables.load(spark, dir, "embeddings")
+    val store = SparkFixture.tempDir("plan-pq")
+    AnnIndex.bootstrapPq(emb, "vec_id", "embedding", store)
+    val out = AnnIndex.pqTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 3, store, shortlist = 10)
+    out.collect()
+    val scans = allScans(out.queryExecution.executedPlan)
+    // the ADC scan reads the standing code table only — id + m small
+    // ints, no embedding anywhere near it (the whole point of PQ at
+    // 100 TB: the corpus-sized scan is over compressed codes); vectors
+    // re-enter only for the shortlist rerank, keyed by id
+    val codeScans = scans.filter(_.schema.fieldNames.contains("code"))
+    codeScans should not be empty
+    codeScans.foreach { s =>
+      s.schema.fieldNames should not contain "embedding"
+      s.schema.fieldNames should not contain "scv"
+      s.schema.fieldNames should not contain "cvec"
+    }
+    // the codebook table rides a broadcast, never a shuffle
+    out.queryExecution.executedPlan.toString should include("Broadcast")
+    StandingState.retire(spark, store)
+  }
+
   test("minhash signature index is computed once and re-read as parquet") {
     val out = PipelineQueries.dedupMinhashLsh(spark, dir)
     out.collect()
