@@ -2550,6 +2550,35 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin)
   }
 
+  /** SNAPSHOT TIME TRAVEL on the TENANT SURFACE — the serving form of
+    * [[decontamLedgerTimeTravel]]: after benchmark d2 has committed, a
+    * tenant queries "the ledger exactly as benchmark d1 saw it" over
+    * the wire, via a read-only view pinned to the night-1 SNAPSHOT
+    * (`readTable(snap)` — immutable data partitions + per-snapshot
+    * witness, so the historical read costs nothing to serve and cannot
+    * drift). The view rides the same relation substitution and
+    * read-only plan gate as every tenant statement; a second,
+    * UNPINNED view on the same store would see d2 — the spec pins that
+    * divergence over the wire. Oracle: the chain oracle's v1/d1 prefix
+    * projection, shared verbatim with the time-travel key — proving
+    * the wire-served historical verdicts ≡ from-scratch sweeps. */
+  def decontamLedgerSnapshotServed(s: SparkSession, dir: String): DataFrame = {
+    val (store, night1) = ledgerNightlyChain(s, dir, retireIntermediate = false)
+    val registry = graft.schema.SchemaRegistry(
+      graft.schema.Org("pipeline", Seq.empty))
+    val tenant = graft.frontend.TenantSession.open(
+      s, registry, "pipeline", graft.sources.SourceSet())
+    tenant.registerView("decontam_ledger_d1",
+      graft.ops.StandingState.readTable(tenant.spark, store, "ledger", night1))
+    tenant.sql(
+      """SELECT doc_id, f_v1 AS after_v1, f_v1 OR f_d1 AS after_d1
+        |FROM (SELECT doc_id,
+        |        max(CASE WHEN suite = 'v1' THEN flag END) AS f_v1,
+        |        max(CASE WHEN suite = 'd1' THEN flag END) AS f_d1
+        |      FROM decontam_ledger_d1 GROUP BY doc_id)
+        |ORDER BY doc_id""".stripMargin)
+  }
+
   /** The as-of pivot every ledger consumer (this query and the tenant
     * SQL view) shares: per doc, the serial prefix verdicts — any "as of
     * benchmark k" answer is a pure OR over the persisted suite flags. */
@@ -3791,6 +3820,7 @@ object PipelineQueries {
     "decontam_ledger_nightly" -> (decontamLedgerNightly _),
     "decontam_ledger_asof" -> (decontamLedgerAsof _),
     "decontam_ledger_time_travel" -> (decontamLedgerTimeTravel _),
+    "decontam_ledger_snapshot_served" -> (decontamLedgerSnapshotServed _),
     "pipeline_make_eval_holdout" -> (pipelineMakeEvalHoldout _),
     "pipeline_asset_manifest_incremental" -> (pipelineAssetManifestIncremental _),
     "pipeline_asset_manifest_nightly" -> (pipelineAssetManifestNightly _),
@@ -6023,6 +6053,8 @@ object PipelineQueries {
     "decontam_ledger_nightly" -> duckLedgerChainSql,
     "decontam_ledger_asof" -> duckLedgerChainSql,
     "decontam_ledger_time_travel" ->
+      s"SELECT doc_id, after_v1, after_d1 FROM ($duckLedgerChainSql) t ORDER BY doc_id",
+    "decontam_ledger_snapshot_served" ->
       s"SELECT doc_id, after_v1, after_d1 FROM ($duckLedgerChainSql) t ORDER BY doc_id",
     // Caption-containment agreement in 4-dp fixed point; the planted
     // every-13th reversed caption mirrors the Spark side verbatim

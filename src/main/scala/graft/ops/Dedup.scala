@@ -490,6 +490,76 @@ object Dedup {
     hammingPairs64(shNew, idCol, maxDist).unionByName(cross)
   }
 
+  /** One row per (block key, fingerprint, id) for an (id, 64-char
+    * `simhash`) frame — the MATERIALIZED form of the block-probe keys
+    * [[hammingPairsDelta]] derives on the fly. Written once into a
+    * standing table range-clustered on `bk`, it turns every later
+    * cross-set probe into a key-filtered scan instead of a full-table
+    * block re-derivation: per-file footer min/max on the sorted `bk`
+    * column skip the files a probe's keys can't touch (the same layout
+    * [[graft.ops.Retrieval.postingsIndex]] uses for `tok`). `prefix`
+    * namespaces key families sharing one table (e.g. phash vs dhash
+    * perceptual fingerprints): it is embedded IN the key, so a
+    * bk-equijoin can never pair fingerprints across families. */
+  private[graft] def blockRows(
+      fp: DataFrame, idCol: String, prefix: String = ""): DataFrame =
+    fp.select(col(idCol), col("simhash"))
+      .withColumn("bk", explode(expr(s"array(${hammingBlockKeySql.mkString(", ")})")))
+      .select(concat(lit(prefix), col("bk")).as("bk"), col("simhash"), col(idCol))
+
+  /** [[hammingPairsDelta]] served FROM a standing block-key table
+    * instead of re-deriving the old side's probe keys from its
+    * fingerprints: `oldBlocks` is a [[blockRows]] frame (typically a
+    * bk-range-clustered lake table holding several `prefix` families),
+    * and the only old-side work is a scan of it. When `probeKeys`
+    * carries the delta's own (small) literal key set the scan arrives
+    * with a pushed `bk IN (...)` filter, so the sorted layout's footer
+    * stats skip every file holding no probed key — the probe cost
+    * tracks the DELTA, not the standing corpus. Without literals
+    * (a large delta, where most files hold some key anyway) the same
+    * join runs against the full scan — identical output either way.
+    *
+    * Output ≡ [[hammingPairsDelta]] (new↔new ∪ new↔old pairs within
+    * `maxDist`), property-pinned. The literal filter is lossless: if
+    * fingerprints sn (new) and so (old) share block b, then so's
+    * block-b key IS one of the delta's keys, so every `oldBlocks` row
+    * of so under key b — and with it every old id carrying so —
+    * survives the filter. */
+  def hammingPairsDeltaIndexed(
+      fpNew: DataFrame,
+      oldBlocks: DataFrame,
+      idCol: String,
+      maxDist: Int = 2,
+      prefix: String = "",
+      probeKeys: Option[Seq[String]] = None): DataFrame = {
+    require(maxDist <= 2,
+      s"${HammingBlocks.size}-block keys certify distance <= 2, got $maxDist")
+    val shNew = Materialize.index(fpNew, "simhash-idx")
+    val probesNew = shNew.select("simhash").distinct()
+      .select(col("simhash").as("sn"),
+        explode(expr(s"array(${hammingBlockKeySql.mkString(", ")})")).as("bk"))
+      .withColumn("bk", concat(lit(prefix), col("bk")))
+    // this family's slice of the standing table: the prefix is a
+    // leading substring of the sorted cluster key, so StartsWith prunes
+    // by the same footer stats the IN filter does
+    val oldFam = oldBlocks.filter(col("bk").startsWith(prefix))
+    val oldScan = probeKeys match {
+      case Some(keys) => oldFam.filter(col("bk").isin(keys: _*))
+      case None => oldFam
+    }
+    val hits = probesNew
+      .join(oldScan.select(col("bk"), col("simhash").as("so")).distinct(), "bk")
+      .select("sn", "so").distinct()
+      .withColumn("hd", expr(hammingDistSql("sn", "so")).cast("long"))
+      .filter(col("hd") <= maxDist)
+    val cross = hits
+      .join(shNew.select(col(idCol).as("ia"), col("simhash").as("sn")), "sn")
+      .join(oldScan.select(col(idCol).as("ib"), col("simhash").as("so")).distinct(), "so")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hd"))
+    hammingPairs64(shNew, idCol, maxDist).unionByName(cross)
+  }
+
   /** Ingest-time near-dup gate: each NEW document's minimum SimHash
     * hamming distance into the EXISTING corpus (within `maxDist` ≤ 2),
     * and a `novel` flag when nothing is that close — the hamming

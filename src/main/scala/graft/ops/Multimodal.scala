@@ -375,11 +375,23 @@ object Multimodal {
       frameLen: Int = 64,
       stride: Int = 128,
       maxDf: Int = 50,
+      threshold: Double = 0.5): DataFrame =
+    videoPairsFrom(
+      frameHashes(assets, idCol, contentCol, frameLen, stride),
+      idCol, maxDf, threshold)
+
+  /** [[videoPairs]] served FROM a prepared (id, frame_no, fhash) frame
+    * — the entry point for fingerprints that don't come from the
+    * byte-window sampler, e.g. [[videoFrameHashes]] over REAL decoded
+    * GIF frames. Same candidate index, df-cap, and exact-Jaccard
+    * verify. */
+  def videoPairsFrom(
+      frames: DataFrame,
+      idCol: String = "asset_id",
+      maxDf: Int = 50,
       threshold: Double = 0.5): DataFrame = {
     val fh = Materialize.index(
-      frameHashes(assets, idCol, contentCol, frameLen, stride)
-        .select(col(idCol), col("fhash")),
-      "video-fh")
+      frames.select(col(idCol), col("fhash")), "video-fh")
     val profiles = fh.groupBy(idCol)
       .agg(sort_array(collect_set(col("fhash"))).as("fset"))
     val keyed = fh.select(col(idCol), col("fhash")).distinct()
@@ -429,10 +441,21 @@ object Multimodal {
       frameLen: Int = 64,
       stride: Int = 128,
       maxDf: Int = 50,
-      minAligned: Int = 3): DataFrame = {
-    val fh = Materialize.index(
+      minAligned: Int = 3): DataFrame =
+    frameAlignmentFrom(
       frameHashes(assets, idCol, contentCol, frameLen, stride),
-      "frame-align-fh")
+      idCol, maxDf, minAligned)
+
+  /** [[frameAlignment]] served FROM a prepared (id, frame_no, fhash)
+    * frame — the real-decode entry point ([[videoFrameHashes]]), so the
+    * temporal-copy/trim-offset claims are measured over real pixels.
+    * Same df-cap, mode-of-deltas, and tie-break discipline. */
+  def frameAlignmentFrom(
+      frames: DataFrame,
+      idCol: String = "asset_id",
+      maxDf: Int = 50,
+      minAligned: Int = 3): DataFrame = {
+    val fh = Materialize.index(frames, "frame-align-fh")
     val hot = fh.select(col(idCol), col("fhash")).distinct()
       .groupBy("fhash").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDf).select("fhash")
@@ -560,23 +583,125 @@ object Multimodal {
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
         if (img == null) org.apache.spark.sql.Row(id, null, null, null)
-        else {
-          val small = new java.awt.image.BufferedImage(
-            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g = small.createGraphics()
-          try g.drawImage(img, 0, 0, 8, 8, null) finally g.dispose()
-          val luma = (0 until 64).map { i =>
-            val rgb = small.getRGB(i % 8, i / 8)
-            (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
-              114 * (rgb & 0xff)) / 1000
-          }
-          org.apache.spark.sql.Row(id, img.getWidth, img.getHeight, luma)
-        }
+        else org.apache.spark.sql.Row(id, img.getWidth, img.getHeight, luma64Of(img))
       } catch {
         case scala.util.control.NonFatal(_) =>
           org.apache.spark.sql.Row(id, null, null, null)
       }
     }
+
+  /** The aHash preprocessing every image-shaped decode shares: box-resize
+    * to an 8×8 grid and emit the BT.601 integer luma per cell,
+    * row-major. */
+  private def luma64Of(img: java.awt.image.BufferedImage): Seq[Int] = {
+    val small = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    try g.drawImage(img, 0, 0, 8, 8, null) finally g.dispose()
+    (0 until 64).map { i =>
+      val rgb = small.getRGB(i % 8, i / 8)
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000
+    }
+  }
+
+  /** Output schema of [[gifFrameDecoder]]: one row PER COMPOSITED FRAME
+    * — (asset, frame_no, logical-screen dims, 8×8 luma grid), the
+    * per-frame form [[videoFrameHashes]] fingerprints. */
+  val videoDecodedSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("luma64", ArrayType(IntegerType))))
+
+  /** REAL multi-frame decoder for [[decodeWith]] — pure-JVM animated-GIF
+    * via `javax.imageio` (the JDK GIF reader exposes every image in the
+    * container through `getNumImages`/`read(i)`): each frame is
+    * composited draw-over onto the logical-screen canvas at its declared
+    * (left, top) offset — the delta-frame layout GIF encoders emit —
+    * and the canvas snapshot after each frame yields that frame's 8×8
+    * luma grid. Restore-to-background/previous disposal is approximated
+    * by draw-over (documented subset: fingerprint inputs, not playback).
+    * Undecodable bytes yield one null-dimension row (the same
+    * poison-pill contract as [[imageIoDecoder]]) — with this, all THREE
+    * media families (image r13, audio r13, video r14) measure their
+    * features over real decoded samples. */
+  def gifFrameDecoder(rows: Iterator[org.apache.spark.sql.Row]): Iterator[org.apache.spark.sql.Row] =
+    rows.flatMap { r =>
+      val id = r.getLong(r.fieldIndex("asset_id"))
+      val content = r.getAs[Array[Byte]]("content")
+      val poison = Seq(org.apache.spark.sql.Row(id, null, null, null, null))
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(content))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); poison }
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            if (n <= 0) poison
+            else {
+              val first = reader.read(0)
+              var w = first.getWidth
+              var h = first.getHeight
+              try {
+                val tree = reader.getStreamMetadata
+                  .getAsTree("javax_imageio_gif_stream")
+                  .asInstanceOf[org.w3c.dom.Element]
+                val lsd = tree.getElementsByTagName("LogicalScreenDescriptor")
+                if (lsd.getLength > 0) {
+                  val e = lsd.item(0).asInstanceOf[org.w3c.dom.Element]
+                  w = e.getAttribute("logicalScreenWidth").toInt
+                  h = e.getAttribute("logicalScreenHeight").toInt
+                }
+              } catch { case scala.util.control.NonFatal(_) => () }
+              val canvas = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = canvas.createGraphics()
+              try {
+                (0 until n).map { i =>
+                  val frame = if (i == 0) first else reader.read(i)
+                  var x = 0
+                  var y = 0
+                  try {
+                    val m = reader.getImageMetadata(i)
+                      .getAsTree("javax_imageio_gif_image")
+                      .asInstanceOf[org.w3c.dom.Element]
+                    val d = m.getElementsByTagName("ImageDescriptor")
+                    if (d.getLength > 0) {
+                      val e = d.item(0).asInstanceOf[org.w3c.dom.Element]
+                      x = e.getAttribute("imageLeftPosition").toInt
+                      y = e.getAttribute("imageTopPosition").toInt
+                    }
+                  } catch { case scala.util.control.NonFatal(_) => () }
+                  g.drawImage(frame, x, y, null)
+                  org.apache.spark.sql.Row(id, i, w, h, luma64Of(canvas))
+                }
+              } finally g.dispose()
+            }
+          } finally { reader.dispose(); iis.close() }
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => poison
+      }
+    }
+
+  /** Per-frame 64-bit average hash over REAL pixels, as the 64-char
+    * bit string the hamming/frame-set machinery keys on: bit i set ⇔
+    * luma_i > grid mean ([[imageAHash]]'s rule, string-rendered to
+    * match [[frameHashes]]'s fingerprint convention). Feeds
+    * [[videoPairsFrom]] / [[frameAlignmentFrom]], so the whole video
+    * family — frame-set Jaccard dedup and temporal alignment — runs
+    * over real decoded frames. Undecoded rows are dropped. */
+  def videoFrameHashes(decoded: DataFrame, idCol: String = "asset_id"): DataFrame =
+    decoded.filter(col("luma64").isNotNull)
+      .withColumn("_mean", expr("aggregate(luma64, 0, (a, x) -> a + x) div 64"))
+      .select(col(idCol), col("frame_no").cast("long").as("frame_no"),
+        expr("array_join(transform(luma64, l -> IF(l > _mean, '1', '0')), '')")
+          .as("fhash"))
 
   /** Output schema of [[wavDecoder]]: native audio parameters plus a
     * fixed 32-bin RMS energy contour over the real PCM samples — the

@@ -80,7 +80,21 @@ object StandingState {
   final class StaleStateException(msg: String) extends IllegalStateException(msg)
 
   private val FpTable = "fingerprints"
+  private val FpBlocksTable = "fpblocks"
   private val ClTable = "clusters"
+
+  /** Literal-probe cap: a nightly delta whose distinct block keys fit
+    * under this bound probes the standing [[FpBlocksTable]] with a
+    * pushed `bk IN (...)` filter (footer min/max skip non-matching
+    * files); a larger delta's key set would both bloat the filter
+    * expression and saturate every file's key range anyway, so it
+    * falls back to the plain bk-equijoin over the full scan — one
+    * standing-table pass, amortized over a delta that big. Kept under
+    * the parquet IN-pushdown threshold the sessions raise
+    * (`spark.sql.parquet.pushdown.inFilterThreshold`), above which
+    * Spark degrades the pushed IN to a min/max range that random hash
+    * keys render useless. */
+  private[graft] val ProbeLiteralCap = 768
   private val WitnessFile = "_WITNESS"
   private val LeaseFile = "_LEASE"
   private val SnapPrefix = "snap"
@@ -731,22 +745,58 @@ object StandingState {
         .join(Multimodal.dhash(assets), "asset_id"),
       "standing-fp")
 
-  private def pairsOf(fpNew: DataFrame, fpOld: DataFrame): DataFrame =
-    Dedup.hammingPairsDelta(
-        fpNew.select(col("asset_id"), col("phash").as("simhash")),
-        fpOld.select(col("asset_id"), col("phash").as("simhash")), "asset_id")
-      .select("id_a", "id_b")
-      .unionByName(Dedup.hammingPairsDelta(
-          fpNew.select(col("asset_id"), col("dhash").as("simhash")),
-          fpOld.select(col("asset_id"), col("dhash").as("simhash")), "asset_id")
-        .select("id_a", "id_b"))
-      .distinct()
+  /** Block-key rows for BOTH perceptual fingerprint families of an
+    * asset batch — the rows [[FpBlocksTable]] holds, one per (family,
+    * block, asset): (bk, simhash, asset_id), 6 skinny rows per asset.
+    * The family tag ('p|' / 'd|') is embedded IN the key, so one
+    * bk-range-clustered table serves both probes and an equijoin can
+    * never pair fingerprints across families. */
+  private def blockRowsOf(fp: DataFrame): DataFrame =
+    Dedup.blockRows(
+        fp.select(col("asset_id"), col("phash").as("simhash")), "asset_id", "p|")
+      .unionByName(Dedup.blockRows(
+        fp.select(col("asset_id"), col("dhash").as("simhash")), "asset_id", "d|"))
+
+  /** The nightly delta's distinct block keys as driver literals when
+    * they fit under [[ProbeLiteralCap]] — the pushed `bk IN (...)`
+    * filter that lets the standing block table's footer stats skip
+    * files. One bounded job over the already-materialized delta
+    * fingerprints (≤ cap+1 short strings ever reach the driver); a
+    * bigger delta returns None and the probe joins against the full
+    * scan, whose one standing-table pass that delta size amortizes. */
+  private def literalProbeKeys(deltaBlocks: DataFrame): Option[Seq[String]] = {
+    val keys = deltaBlocks.select("bk").distinct().limit(ProbeLiteralCap + 1)
+      .collect().map(_.getString(0)).toIndexedSeq
+    if (keys.size > ProbeLiteralCap) None else Some(keys)
+  }
+
+  /** new↔new ∪ new↔old near-dup pairs for both fingerprint families,
+    * with the old side served entirely from the standing block-key
+    * table ([[Dedup.hammingPairsDeltaIndexed]]) — the standing
+    * FINGERPRINT table is never scanned at probe time, and with
+    * literal keys the block scan itself is file-pruned to the delta's
+    * buckets. */
+  private def pairsOfIndexed(
+      fpNew: DataFrame,
+      standingBlocks: DataFrame,
+      probeKeys: Option[Seq[String]]): DataFrame = {
+    def fam(hashCol: String, prefix: String) =
+      Dedup.hammingPairsDeltaIndexed(
+          fpNew.select(col("asset_id"), col(hashCol).as("simhash")),
+          standingBlocks, "asset_id", prefix = prefix,
+          probeKeys = probeKeys.map(_.filter(_.startsWith(prefix))))
+        .select("id_a", "id_b")
+    fam("phash", "p|").unionByName(fam("dhash", "d|")).distinct()
+  }
 
   /** Night 0: fingerprint the FULL initial corpus, close its pair graph,
     * commit snapshot 0 of the store. The only night that pays a
     * corpus-sized fingerprint pass — and the only corpus-sized WRITE;
     * every later night appends deltas. */
-  def bootstrap(assets: DataFrame, store: String): Unit = {
+  def bootstrap(
+      assets: DataFrame,
+      store: String,
+      targetRowsPerFile: Long = 4000000L): Unit = {
     val fp = fingerprint(assets)
     val pairs = Dedup.hammingPairs64(
         fp.select(col("asset_id"), col("phash").as("simhash")), "asset_id")
@@ -759,7 +809,8 @@ object StandingState {
       .select(col("doc_id"), col("cluster"), lit(0L).as("_seq"))
     writeTables(store, Seq(
       TableSpec(FpTable, fp, "asset_id"),
-      TableSpec(ClTable, clusters, "doc_id")))
+      TableSpec(FpBlocksTable, blockRowsOf(fp), "bk"),
+      TableSpec(ClTable, clusters, "doc_id")), targetRowsPerFile)
     ()
   }
 
@@ -795,6 +846,8 @@ object StandingState {
     withLease(spark, store, keepOwner) {
       writeTables(store, Seq(
         TableSpec(FpTable, readFingerprints(spark, store), "asset_id"),
+        TableSpec(FpBlocksTable,
+          readTable(spark, store, FpBlocksTable), "bk"),
         TableSpec(ClTable,
           readClusters(spark, store).withColumn("_seq", lit(0L)), "doc_id")),
         owner = keepOwner, expectedBase = Some(snap))
@@ -827,15 +880,22 @@ object StandingState {
     val snap = latestSnapshot(spark, store)
     if (owner.nonEmpty && ownerOf(spark, store, snap) == owner)
       return readClusters(spark, store) // same-owner replay: already folded
-    val standingFp = readFingerprints(spark, store)
     val standingCl = readClusters(spark, store)
     val deltaFp = fingerprint(deltaAssets)
-    val merged = Cluster.mergeClusters(standingCl, pairsOf(deltaFp, standingFp))
+    val deltaBlocks = blockRowsOf(deltaFp)
+    // probe the bk-clustered standing block table, never the standing
+    // fingerprint table: with a small delta the scan arrives with the
+    // delta's literal keys pushed, so footer min/max skip the files
+    // holding none of its buckets — the probe's I/O tracks the delta
+    val pairs = pairsOfIndexed(deltaFp,
+      readTable(spark, store, FpBlocksTable), literalProbeKeys(deltaBlocks))
+    val merged = Cluster.mergeClusters(standingCl, pairs)
       .select("doc_id", "cluster")
     val changed = merged.join(standingCl, Seq("doc_id", "cluster"), "left_anti")
       .withColumn("_seq", lit(snap + 1))
     appendTables(store, Seq(
       TableSpec(FpTable, deltaFp, "asset_id"),
+      TableSpec(FpBlocksTable, deltaBlocks, "bk"),
       TableSpec(ClTable, changed, "doc_id")), owner)
     merged
   }

@@ -16,6 +16,10 @@ object SparkFixture {
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // literal block-key probes (StandingState.ProbeLiteralCap keys)
+      // must reach the parquet reader as an IN filter, not a min/max
+      // range that random hash keys render useless
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.sql.debug.maxToStringFields", "1000")
       .config("spark.sql.maxMetadataStringLength", "2000")
       .config("spark.ui.enabled", "false")

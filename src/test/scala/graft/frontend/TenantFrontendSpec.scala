@@ -530,4 +530,45 @@ class TenantFrontendSpec extends AnyFunSuite with Matchers {
       t.sql("INSERT INTO decontam_ledger VALUES (9, 'v1', true)").collect()
     }
   }
+
+  test("snapshot time travel on the tenant surface: a view pinned to the d1 snapshot") {
+    import graft.ops.StandingState
+    import graft.ops.StandingState.TableSpec
+    val t = TenantSession.open(spark, registry, "org1", sources)
+    val store = SparkFixture.tempDir("front-ttravel")
+    val ledgerSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("suite", StringType),
+      StructField("flag", BooleanType)))
+    def part(rows: Seq[Row]) = t.spark.createDataFrame(rows.asJava, ledgerSchema)
+    StandingState.writeTables(store, Seq(TableSpec("ledger",
+      part(Seq(Row(1L, "v1", true), Row(2L, "v1", false))), "doc_id")))
+    StandingState.appendTables(store, Seq(TableSpec("ledger",
+      part(Seq(Row(1L, "d1", false), Row(2L, "d1", true))), "doc_id")))
+    val night1 = StandingState.latestSnapshot(spark, store)
+    StandingState.appendTables(store, Seq(TableSpec("ledger",
+      part(Seq(Row(1L, "d2", true), Row(2L, "d2", false), Row(3L, "d2", true))),
+      "doc_id")))
+    // two curated views on ONE store: pinned at the night-1 snapshot and
+    // unpinned (latest) — the serving form of snapshot time travel
+    t.registerView("ledger_asof_d1",
+      StandingState.readTable(t.spark, store, "ledger", night1))
+    t.registerView("ledger_latest",
+      StandingState.readTable(t.spark, store, "ledger"))
+    // the pinned view serves the ledger exactly as benchmark d1 saw it:
+    // no d2 rows exist there, and doc 3 (a d2 arrival) is absent
+    val pinned = t.sql(
+      """SELECT doc_id, count(*) AS n FROM ledger_asof_d1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin).collect()
+    pinned.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Seq((1L, 2L), (2L, 2L))
+    t.sql("SELECT count(*) AS n FROM ledger_asof_d1 WHERE suite = 'd2'")
+      .collect().head.getLong(0) shouldBe 0L
+    // the unpinned view sees the d2 commit — same store, later snapshot
+    t.sql("SELECT count(*) AS n FROM ledger_latest WHERE suite = 'd2'")
+      .collect().head.getLong(0) shouldBe 3L
+    // the historical view rides the same read-only plan gate
+    intercept[Exception] {
+      t.sql("INSERT INTO ledger_asof_d1 VALUES (9, 'v1', true)").collect()
+    }
+  }
 }

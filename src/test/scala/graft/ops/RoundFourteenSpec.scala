@@ -198,4 +198,172 @@ class RoundFourteenSpec extends AnyFunSuite with Matchers {
     StandingState.witnessedVersion(s"file:$dataFile") shouldBe
       StandingState.witnessedVersion(dataFile)
   }
+
+  // ------------------------------------------------- block-key probes
+
+  /** (id, 64-char simhash) frames with a planted near-dup structure:
+    * old ids 1..n, new ids offset by 1000, a few new fingerprints copy
+    * or 1-bit-flip old ones. */
+  private def fpFrame(rows: Seq[(Long, String)]) = rows.toDF("asset_id", "simhash")
+
+  private def bits(seed: Int): String = {
+    val r = new scala.util.Random(seed)
+    (1 to 64).map(_ => if (r.nextBoolean()) '1' else '0').mkString
+  }
+
+  private def flip(s: String, i: Int): String =
+    s.updated(i, if (s(i) == '1') '0' else '1')
+
+  test("indexed cross-set probe ≡ the unindexed probe, with and without literal keys") {
+    val old = (1 to 30).map(i => (i.toLong, bits(i)))
+    // new side: two exact copies, two 1-bit flips, six unrelated
+    val fresh = Seq(
+      (1001L, bits(3)), (1002L, bits(7)),
+      (1003L, flip(bits(11), 5)), (1004L, flip(bits(20), 60))) ++
+      (1005 to 1010).map(i => (i.toLong, bits(i)))
+    val fpNew = fpFrame(fresh)
+    val fpOld = fpFrame(old)
+    val expected = Dedup.hammingPairsDelta(fpNew, fpOld, "asset_id")
+      .select("id_a", "id_b", "hd").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    expected.size should be >= 4 // the plants actually pair
+    val oldBlocks = Dedup.blockRows(fpOld, "asset_id", "p|")
+    val keys = Dedup.blockRows(fpNew, "asset_id", "p|")
+      .select("bk").distinct().collect().map(_.getString(0)).toSeq
+    Seq(None, Some(keys)).foreach { pk =>
+      val got = Dedup.hammingPairsDeltaIndexed(
+        fpNew, oldBlocks, "asset_id", prefix = "p|", probeKeys = pk)
+        .select("id_a", "id_b", "hd").collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      got shouldBe expected
+    }
+  }
+
+  test("fpblocks probe: pushed IN(bk) filter; sorted layout's footers skip files") {
+    val store = SparkFixture.tempDir("r14-fpblocks")
+    // 120 assets at 40 rows/file: fingerprints 3 files, fpblocks
+    // (6 rows/asset = 720 rows) 18 files, each a narrow sorted bk range
+    val base = assets((1L to 120L).map(i =>
+      i -> s"standing corpus member $i with its own words " * 3))
+    StandingState.bootstrap(base, store, targetRowsPerFile = 40)
+    val standingBlocks = StandingState.readTable(spark, store, "fpblocks")
+    val total = standingBlocks.count()
+    total shouldBe 720L
+    // a 2-asset delta probes with its literal keys pushed to the scan
+    val delta = assets(Seq(
+      201L -> ("standing corpus member 7 with its own words " * 3),
+      202L -> "wholly novel content nothing like the base "))
+    val deltaFam = Multimodal.perceptualHash(delta)
+      .select(col("asset_id"), col("phash").as("simhash"))
+    val keys = Dedup.blockRows(deltaFam, "asset_id", "p|")
+      .select("bk").distinct().collect().map(_.getString(0)).toSeq
+    keys.size shouldBe 6 // 2 distinct fingerprints x 3 blocks
+    val probe = Dedup.hammingPairsDeltaIndexed(
+      deltaFam, standingBlocks, "asset_id", prefix = "p|",
+      probeKeys = Some(keys))
+    // the copy of asset 7 pairs at distance 0 through the pruned scan
+    probe.select("id_a", "id_b").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet should contain ((7L, 201L))
+    // plan pin: the standing-block scan carries the pushed IN filter
+    val planText = probe.queryExecution.executedPlan.toString
+    planText should include regex "PushedFilters: \\[.*In\\(bk"
+    // footer pin: per-file bk min/max (the sorted layout's zone maps)
+    // admit the probe's keys into only a few of the files — the rest
+    // are skippable without opening their data pages
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val fsys = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(conf)
+    val partDir = fsys.listStatus(
+      new org.apache.hadoop.fs.Path(s"$store/data/fpblocks")).head.getPath
+    val files = fsys.listStatus(partDir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    files.length should be >= 10
+    val touched = files.count { f =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try {
+        rdr.getFooter.getBlocks.asScala.exists { b =>
+          val st = b.getColumns.asScala
+            .find(_.getPath.toDotString == "bk").get.getStatistics
+          val mn = st.genericGetMin
+            .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+          val mx = st.genericGetMax
+            .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+          keys.exists(k => mn <= k && k <= mx)
+        }
+      } finally rdr.close()
+    }
+    withClue(s"touched $touched of ${files.length} files: ") {
+      touched should be <= (files.length / 2)
+    }
+    // and the nightly fold over the same store stays exact: ingest the
+    // delta, the copy joins asset 7's cluster
+    val merged = StandingState.ingest(delta, store)
+    val clusterOf = merged.collect().map(r =>
+      r.getLong(0) -> r.getLong(1)).toMap
+    clusterOf(201L) shouldBe clusterOf(7L)
+    // the appended fpblocks partition keeps the table consistent: a
+    // full re-read pairs the delta rows through the standing path
+    StandingState.readTable(spark, store, "fpblocks").count() shouldBe
+      total + 6 * 2
+  }
+
+  // ---------------------------------------------- real video frames
+
+  private def gifFrame(i: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(java.awt.Color.BLACK)
+      g.fillRect(0, 0, 32, 32)
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect((i % 4) * 8, (i / 4 % 4) * 8, 8, 8)
+    } finally g.dispose()
+    img
+  }
+
+  private def gifBytes(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      frames.foreach(f =>
+        w.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  test("real animated GIF: trimmed copy detected at the planted offset over real pixels") {
+    val full = gifBytes((0 until 10).map(gifFrame))
+    val trimmed = gifBytes((3 until 10).map(gifFrame)) // drops the first 3 frames
+    val media = Seq((1L, full), (2L, trimmed), (3L, "not a gif".getBytes("UTF-8")))
+      .toDF("asset_id", "content")
+    val decoded = Multimodal.decodeWith(
+      media, Multimodal.videoDecodedSchema)(Multimodal.gifFrameDecoder)
+    val byAsset = decoded.groupBy("asset_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byAsset(1L) shouldBe 10L // every container frame decoded
+    byAsset(2L) shouldBe 7L
+    byAsset(3L) shouldBe 1L  // poison pill: one null row, partition alive
+    decoded.filter(col("asset_id") === 3L && col("luma64").isNotNull)
+      .count() shouldBe 0L
+    val fh = Multimodal.videoFrameHashes(decoded)
+    // real pixels, distinct per frame pattern: 10 distinct fingerprints
+    fh.filter(col("asset_id") === 1L).select("fhash").distinct()
+      .count() shouldBe 10L
+    // frame-set Jaccard finds the pair (7 shared of 10 distinct = 0.7)
+    val pairs = Multimodal.videoPairsFrom(fh, threshold = 0.5).collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq shouldBe
+      Seq((1L, 2L, 0.7))
+    // temporal alignment recovers the planted trim offset: asset 1's
+    // frame 3 is asset 2's frame 0, on 7 aligned positions
+    val align = Multimodal.frameAlignmentFrom(fh, minAligned = 3).collect()
+    align.map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).toSeq shouldBe Seq((1L, 2L, 3L, 7L))
+  }
 }
