@@ -443,10 +443,14 @@ object PipelineQueries {
     // superseded night: one witness file retires; its partitions survive
     // by reference from night 2
     StandingState.retireSnapshot(s, store, night1)
+    // serving: the witness's per-file `tok` zone maps select only the
+    // postings files holding a query term (metadata-only file pruning);
+    // bm25FromIndex's isin predicate then prunes row groups within them
+    val terms = Seq("table", "query", "spark")
     Retrieval.bm25FromIndex(
-      StandingState.readTable(s, store, "postings"),
+      StandingState.readTablePruned(s, store, "postings", terms),
       StandingState.readTable(s, store, "doclens"),
-      "doc_id", terms = Seq("table", "query", "spark"))
+      "doc_id", terms)
   }
 
   /** Snapshot diff between two corpus versions — the CDC-style audit a

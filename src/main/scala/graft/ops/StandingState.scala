@@ -168,7 +168,78 @@ object StandingState {
   private case class Witness(
       owner: String,
       files: Map[String, Seq[(String, Long, Long)]],
-      rows: Map[String, Map[String, Long]])
+      rows: Map[String, Map[String, Long]],
+      stats: Map[String, Map[String, (String, String, String)]])
+
+  /** Per-FILE zone map of one data file's cluster column, recorded in
+    * the witness at commit time: (kind, min, max) with kind ∈ s|l|d
+    * (string / integral / floating) and values URL-encoded. The
+    * commit reads each written file's parquet footer ONCE (driver-side,
+    * bounded by the commit's own file count — delta-sized appends,
+    * cadence-bounded compactions), so every later probe can select
+    * matching files from snapshot metadata alone: no footer opens at
+    * probe time, no reliance on the engine's IN-pushdown limits — the
+    * manifest-level file statistics a lake table format (Iceberg/Delta)
+    * keeps, here riding the tamper witness. */
+  private def fileStats(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: org.apache.hadoop.fs.Path,
+      column: String): Option[(String, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+    try {
+      val sts = rdr.getFooter.getBlocks.asScala.toSeq
+        .flatMap(_.getColumns.asScala.find(_.getPath.toDotString == column))
+        .map(_.getStatistics)
+        .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+      if (sts.isEmpty) None
+      else sts.head.genericGetMin match {
+        case _: org.apache.parquet.io.api.Binary =>
+          def str(v: Any) =
+            v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+          Some(("s",
+            enc(sts.map(s => str(s.genericGetMin)).min),
+            enc(sts.map(s => str(s.genericGetMax)).max)))
+        case _: java.lang.Long | _: java.lang.Integer =>
+          Some(("l",
+            sts.map(_.genericGetMin.toString.toLong).min.toString,
+            sts.map(_.genericGetMax.toString.toLong).max.toString))
+        case _: java.lang.Double | _: java.lang.Float =>
+          Some(("d",
+            sts.map(_.genericGetMin.toString.toDouble).min.toString,
+            sts.map(_.genericGetMax.toString.toDouble).max.toString))
+        case _ => None
+      }
+    } finally rdr.close()
+  }
+
+  /** Does a recorded (kind, min, max) zone admit at least one key?
+    * Unknown kinds and unparseable keys admit everything (sound:
+    * pruning may only SKIP what provably cannot match). */
+  private def zoneAdmits(
+      kind: String, mn: String, mx: String, keys: Seq[Any]): Boolean = kind match {
+    case "s" =>
+      val lo = java.net.URLDecoder.decode(mn, "UTF-8")
+      val hi = java.net.URLDecoder.decode(mx, "UTF-8")
+      keys.exists { k => val s = String.valueOf(k); lo <= s && s <= hi }
+    case "l" =>
+      val lo = mn.toLong
+      val hi = mx.toLong
+      keys.exists { k =>
+        scala.util.Try(String.valueOf(k).toLong)
+          .map(v => lo <= v && v <= hi).getOrElse(true)
+      }
+    case "d" =>
+      val lo = mn.toDouble
+      val hi = mx.toDouble
+      keys.exists { k =>
+        scala.util.Try(String.valueOf(k).toDouble)
+          .map(v => lo <= v && v <= hi).getOrElse(true)
+      }
+    case _ => true
+  }
 
   /** Corruption of the witness itself — truncation, a foreign edit —
     * is the same loud refusal as a tampered table file (never a bare
@@ -196,11 +267,17 @@ object StandingState {
         (t, rel, n.toLong)
       }.groupBy(_._1).view
         .mapValues(_.map { case (_, rel, n) => rel -> n }.toMap).toMap
+      val stats = lines.filter(_.startsWith("#stats=")).map { l =>
+        val Array(t, rel, kind, mn, mx) = l.stripPrefix("#stats=").split("\t", 5)
+        (t, rel, (kind, mn, mx))
+      }.groupBy(_._1).view
+        .mapValues(_.map { case (_, rel, s) => rel -> s }.toMap).toMap
       val files = lines.filterNot(_.startsWith("#")).map { line =>
         val Array(t, rel, len, mt) = line.split("\t", 4)
         (t, (rel, len.toLong, mt.toLong))
       }
-      Witness(owner, files.groupBy(_._1).view.mapValues(_.map(_._2)).toMap, rows)
+      Witness(owner, files.groupBy(_._1).view.mapValues(_.map(_._2)).toMap,
+        rows, stats)
     } catch {
       case e: StaleStateException => throw e
       case scala.util.control.NonFatal(e) =>
@@ -402,11 +479,22 @@ object StandingState {
       val baseFiles = baseWitness.map(_.files).getOrElse(Map.empty)
       val newSnap = snapshots(spark, store).lastOption.map(_ + 1).getOrElse(0L)
       val replaced = replaces.map(_.name).toSet
+      val hconf = spark.sessionState.newHadoopConf()
       val written = (appends ++ replaces).map { t =>
         val relDir = f"data/${t.name}/p$newSnap%05d-${nextHex.incrementAndGet().toHexString}"
         val (_, rows) =
           Layout.compactCounted(t.df, s"$store/$relDir", targetRowsPerFile, Seq(t.clusterCol))
         (t.name, listing(spark, store, relDir), relDir, rows)
+      }
+      // file-level zone maps: each written data file's cluster-column
+      // min/max from its own footer, read ONCE here (bounded by the
+      // commit's file count) so probes can file-prune from the witness
+      val clusterColOf = (appends ++ replaces).map(t => t.name -> t.clusterCol).toMap
+      val writtenStats = written.flatMap { case (t, files, _, _) =>
+        files.collect { case (rel, _, _) if rel.endsWith(".parquet") =>
+          fileStats(hconf, new org.apache.hadoop.fs.Path(s"$store/$rel"),
+            clusterColOf(t)).map(s => (t, rel, s))
+        }.flatten
       }
       val inherited = baseFiles.view.filterKeys(!replaced.contains(_)).toMap
       val merged: Map[String, Seq[(String, Long, Long)]] =
@@ -424,7 +512,13 @@ object StandingState {
       val writtenRows = written.map { case (t, _, relDir, n) => (t, relDir, n) }
       val rowLines = (inheritedRows ++ writtenRows).sortBy(r => (r._1, r._2))
         .map { case (t, rel, n) => s"#rows=$t\t$rel\t$n" }
-      val body = (s"#owner=$owner" +: (rowLines ++
+      val inheritedStats = baseWitness.map(_.stats).getOrElse(Map.empty)
+        .view.filterKeys(!replaced.contains(_)).toSeq
+        .flatMap { case (t, m) => m.map { case (rel, s) => (t, rel, s) } }
+      val statLines = (inheritedStats ++ writtenStats)
+        .sortBy(r => (r._1, r._2))
+        .map { case (t, rel, (k, mn, mx)) => s"#stats=$t\t$rel\t$k\t$mn\t$mx" }
+      val body = (s"#owner=$owner" +: (rowLines ++ statLines ++
         merged.toSeq.sortBy(_._1).flatMap {
           case (t, files) => files.map { case (p, len, mt) => s"$t\t$p\t$len\t$mt" }
         })).mkString("\n")
@@ -499,6 +593,43 @@ object StandingState {
     if (dirs.isEmpty)
       throw new StaleStateException(s"snapshot ${snapName(s)} at $root has no table $name")
     spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+  }
+
+  /** Witness-verified scan of `table` reading ONLY the data files whose
+    * recorded cluster-column zone map ([[fileStats]], written into the
+    * witness at commit time) admits at least one of `keys` — FILE-level
+    * pruning decided from snapshot metadata alone, before the engine
+    * ever lists or opens anything: no footer reads at probe time and no
+    * dependence on IN-pushdown value limits. Lossless by construction
+    * (a file is skipped only when every key falls outside its recorded
+    * [min, max]); files without a recorded zone (pre-stats commits,
+    * all-null columns) are always read. Verification is UNCHANGED — the
+    * whole snapshot listing is checked before any file is selected, so
+    * pruned reads refuse tampered stores exactly like [[readTable]].
+    * Callers keep their key predicate on the result (the zone map
+    * prunes files; the predicate prunes row groups and rows). */
+  def readTablePruned(
+      spark: SparkSession,
+      root: String,
+      name: String,
+      keys: Seq[Any],
+      snap: Long = -1L): DataFrame = {
+    val s = if (snap >= 0) snap else latestSnapshot(spark, root)
+    verify(spark, root, s, name)
+    refreshDigest(spark, root)
+    val w = recordedWitness(spark, root, s)
+    val files = w.files.getOrElse(name, Seq.empty)
+    if (files.isEmpty)
+      throw new StaleStateException(s"snapshot ${snapName(s)} at $root has no table $name")
+    val zones = w.stats.getOrElse(name, Map.empty)
+    val keep = files.map(_._1).filter(_.endsWith(".parquet")).filter { rel =>
+      zones.get(rel).forall { case (k, mn, mx) => zoneAdmits(k, mn, mx, keys) }
+    }
+    if (keep.isEmpty)
+      // every zone excluded every key: an empty frame with the table's
+      // schema (derived from the full listing, rows never read)
+      readTable(spark, root, name, s).filter(lit(false))
+    else spark.read.parquet(keep.map(f => s"$root/$f"): _*)
   }
 
   // ------------------------------------------------------------ retention
@@ -884,11 +1015,19 @@ object StandingState {
     val deltaFp = fingerprint(deltaAssets)
     val deltaBlocks = blockRowsOf(deltaFp)
     // probe the bk-clustered standing block table, never the standing
-    // fingerprint table: with a small delta the scan arrives with the
-    // delta's literal keys pushed, so footer min/max skip the files
-    // holding none of its buckets — the probe's I/O tracks the delta
-    val pairs = pairsOfIndexed(deltaFp,
-      readTable(spark, store, FpBlocksTable), literalProbeKeys(deltaBlocks))
+    // fingerprint table. With a small delta the probe goes two-tier:
+    // the witness's per-file zone maps select ONLY the files whose bk
+    // range admits a delta key (readTablePruned — metadata-only, no
+    // footer opens), and the same keys ride the scan as a pushed IN
+    // filter pruning row groups within the survivors. A big delta
+    // (keys over the literal cap) falls back to the full scan, whose
+    // one standing-table pass that delta size amortizes.
+    val probeKeys = literalProbeKeys(deltaBlocks)
+    val standingBlocks = probeKeys match {
+      case Some(keys) => readTablePruned(spark, store, FpBlocksTable, keys)
+      case None => readTable(spark, store, FpBlocksTable)
+    }
+    val pairs = pairsOfIndexed(deltaFp, standingBlocks, probeKeys)
     val merged = Cluster.mergeClusters(standingCl, pairs)
       .select("doc_id", "cluster")
     val changed = merged.join(standingCl, Seq("doc_id", "cluster"), "left_anti")

@@ -309,6 +309,64 @@ class RoundFourteenSpec extends AnyFunSuite with Matchers {
       total + 6 * 2
   }
 
+  test("witness zone maps: pruned reads touch only admitting files, verify everything") {
+    val store = SparkFixture.tempDir("r14-zonemap")
+    val base = assets((1L to 120L).map(i =>
+      i -> s"zone mapped corpus member $i with its own words " * 3))
+    StandingState.bootstrap(base, store, targetRowsPerFile = 40)
+    val allBlocks = StandingState.readTable(spark, store, "fpblocks")
+    val totalFiles = allBlocks.inputFiles.length
+    totalFiles should be >= 10
+    // a 2-asset delta's literal keys: the zone-mapped read must select
+    // only the files whose recorded bk range admits one
+    val delta = assets(Seq(
+      301L -> ("zone mapped corpus member 9 with its own words " * 3),
+      302L -> "entirely different payload for the zone test "))
+    val deltaFam = Multimodal.perceptualHash(delta)
+      .select(col("asset_id"), col("phash").as("simhash"))
+    val keys = Dedup.blockRows(deltaFam, "asset_id", "p|")
+      .select("bk").distinct().collect().map(_.getString(0)).toSeq
+    val pruned = StandingState.readTablePruned(spark, store, "fpblocks", keys)
+    withClue(s"${pruned.inputFiles.length} of $totalFiles files: ") {
+      pruned.inputFiles.length should be < totalFiles / 2
+      pruned.inputFiles.length should be >= 1
+    }
+    // lossless: the pruned scan holds every key match the full scan holds
+    pruned.filter(col("bk").isin(keys: _*)).count() shouldBe
+      allBlocks.filter(col("bk").isin(keys: _*)).count()
+    // a key outside every zone yields an empty, schema-correct frame
+    val none = StandingState.readTablePruned(
+      spark, store, "fpblocks", Seq("zz|unmatched"))
+    none.count() shouldBe 0L
+    none.columns.toSeq shouldBe Seq("bk", "simhash", "asset_id")
+    // integral-kind zones: the fingerprint table clusters on asset_id
+    val fpAll = StandingState.readTable(spark, store, "fingerprints")
+    val fpPruned = StandingState.readTablePruned(
+      spark, store, "fingerprints", Seq(7L))
+    fpPruned.inputFiles.length should be < fpAll.inputFiles.length
+    fpPruned.filter(col("asset_id") === 7L).count() shouldBe 1L
+    // appended partitions inherit the base's zones: after a nightly
+    // ingest the pruned read still skips non-admitting base files
+    StandingState.ingest(delta, store)
+    val afterTotal = StandingState.readTable(spark, store, "fpblocks")
+      .inputFiles.length
+    val afterPruned = StandingState.readTablePruned(
+      spark, store, "fpblocks", keys)
+    afterPruned.inputFiles.length should be < afterTotal / 2
+    // pruning never weakens the tamper gate: corrupting a file the
+    // probe would SKIP still refuses the pruned read (verification
+    // covers the whole snapshot listing before selection)
+    val victim = StandingState.readTable(spark, store, "fpblocks")
+      .inputFiles.map(f => f.stripPrefix("file:"))
+      .filterNot(f => afterPruned.inputFiles.map(_.stripPrefix("file:")).contains(f))
+      .head
+    val os = new java.io.FileOutputStream(victim, true)
+    try os.write('x') finally os.close()
+    intercept[StandingState.StaleStateException] {
+      StandingState.readTablePruned(spark, store, "fpblocks", keys).count()
+    }
+  }
+
   // ---------------------------------------------- real video frames
 
   private def gifFrame(i: Int): java.awt.image.BufferedImage = {
