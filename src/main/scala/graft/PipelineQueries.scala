@@ -1006,6 +1006,41 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The COMPOSED persisted ANN serving — IVFADC end to end from the
+    * two standing stores maintained by [[embedKnnIvfNightly]] and
+    * [[embedKnnPqNightly]]: the same two nightly deltas fold into BOTH
+    * stores (cell assignment into the IVF half, coding into the PQ
+    * half — each a delta-only broadcast pass under its own cumulative
+    * drift gate), then ONE query serves cell routing from the standing
+    * centroids, candidates from the standing ids-only inverted file,
+    * ADC ranking from the standing code table, and an exact rerank of
+    * the shortlist. The oracle replays BOTH halves from scratch with
+    * base-predicate seeding (centroids AND codebooks from
+    * `vec_id % 5 <> 0`, assignment/coding over the full corpus) —
+    * equality proves the chained on-disk composition ≡ a fresh IVFADC
+    * build, the full billion-vector deployment shape. */
+  def embedKnnIvfadcNightly(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{AnnIndex, StandingState}
+    val emb = t(s, dir, "embeddings")
+    val ivfStore = annStandingStore(s, dir)
+    val pqStore = annPqStandingStore(s, dir)
+    // recurring-run retention: refold both stores from night 0
+    StandingState.rollbackTo(s, ivfStore, 0L)
+    StandingState.rollbackTo(s, pqStore, 0L)
+    def night(pred: org.apache.spark.sql.Column): Unit = {
+      AnnIndex.ingest(emb.filter(pred), "vec_id", "embedding", ivfStore)
+      AnnIndex.ingestPq(emb.filter(pred), "vec_id", "embedding", pqStore,
+        m = PqM, subDim = PqSubDim)
+      ()
+    }
+    night(col("vec_id") % 10 === 0)
+    night(col("vec_id") % 10 === 5)
+    AnnIndex.ivfadcTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, ivfStore, pqStore,
+        nprobe = IvfProbes, shortlist = 50, m = PqM, subDim = PqSubDim)
+      .orderBy("query_id", "rank")
+  }
+
   // ANN constants shared by the Spark queries and their DuckDB oracles.
   // The library auto-sizes (Similarity.autoPlanes/autoCentroids) when not
   // given explicit values; the checked queries pin constants so the
@@ -3801,6 +3836,7 @@ object PipelineQueries {
     "embed_knn_ivf" -> (embedKnnIvf _),
     "embed_knn_ivf_nightly" -> (embedKnnIvfNightly _),
     "embed_knn_pq_nightly" -> (embedKnnPqNightly _),
+    "embed_knn_ivfadc_nightly" -> (embedKnnIvfadcNightly _),
     "embed_near_dup" -> (embedNearDup _),
     "embed_near_dup_lsh" -> (embedNearDupLsh _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -5382,6 +5418,34 @@ object PipelineQueries {
          |cand AS (SELECT p.query_id, c.corpus_id FROM probes p
          |  JOIN cells c ON c.cell = p.cell WHERE p.query_id <> c.corpus_id),
          |$duckPqChain,
+         |$duckPqLutChain,
+         |a AS (SELECT cand.query_id, cand.corpus_id, round(sum(contrib), 4) AS adist
+         |  FROM cand JOIN codes ON codes.vec_id = cand.corpus_id
+         |  JOIN lut ON lut.query_id = cand.query_id
+         |    AND lut.j = codes.j AND lut.cid = codes.code
+         |  GROUP BY 1, 2),
+         |short AS (SELECT query_id, corpus_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adist, corpus_id) AS srn FROM a) WHERE srn <= 50),
+         |ex AS (SELECT s.query_id, s.corpus_id,
+         |    round(list_dot_product(qe.v, qe.v) - 2 * list_dot_product(qe.v, ce.v)
+         |      + list_dot_product(ce.v, ce.v), 4) AS d2
+         |  FROM short s JOIN e qe ON qe.vec_id = s.query_id
+         |  JOIN e ce ON ce.vec_id = s.corpus_id)
+         |SELECT query_id, corpus_id, d2, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY d2, corpus_id) AS rank FROM ex)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // composed persisted IVFADC: both halves seeded from the night-0
+    // base predicate, assignment/coding/ADC/rerank replayed from scratch
+    "embed_knn_ivfadc_nightly" ->
+      s"""${duckIvfCellsCteFrom("vec_id % 5 <> 0")},
+         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+         |    FROM sims WHERE vec_id < 10) WHERE rn <= $IvfProbes),
+         |cand AS (SELECT p.query_id, c.corpus_id FROM probes p
+         |  JOIN cells c ON c.cell = p.cell WHERE p.query_id <> c.corpus_id),
+         |${duckPqChainFrom("vec_id % 5 <> 0")},
          |$duckPqLutChain,
          |a AS (SELECT cand.query_id, cand.corpus_id, round(sum(contrib), 4) AS adist
          |  FROM cand JOIN codes ON codes.vec_id = cand.corpus_id

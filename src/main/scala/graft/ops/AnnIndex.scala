@@ -251,6 +251,33 @@ object AnnIndex {
       shortlist, m, subDim)
   }
 
+  /** IVFADC served FROM BOTH persisted halves (latest snapshots) — the
+    * composed serving shape a billion-vector deployment runs: cell
+    * routing from the standing IVF store (`ivfStore`), ADC candidate
+    * ranking from the standing PQ store (`pqStore`), exact rerank of
+    * the shortlist only. Nothing is rebuilt in-query; the two stores
+    * maintain independently ([[ingest]] / [[ingestPq]], each under its
+    * own cumulative drift gate) and compose at read time. */
+  def ivfadcTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      ivfStore: String,
+      pqStore: String,
+      nprobe: Int = 4,
+      shortlist: Int = 50,
+      m: Int = 4,
+      subDim: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    Similarity.ivfadcTopKFromIndex(
+      corpus, queries, idCol, vecCol, k,
+      readCentroids(spark, ivfStore), readCells(spark, ivfStore),
+      readCodebooks(spark, pqStore), readCodes(spark, pqStore),
+      nprobe, shortlist, m, subDim)
+  }
+
   /** ANN top-k served FROM the persisted index (latest snapshot). */
   def topK(
       corpus: DataFrame,

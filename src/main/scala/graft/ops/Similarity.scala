@@ -757,6 +757,59 @@ object Similarity {
       .select("query_id", "corpus_id", "d2", "rank")
   }
 
+  /** [[ivfadcTopK]] served FROM the two PERSISTED index halves — the
+    * full billion-vector serving shape with nothing rebuilt in-query:
+    * cell routing against the standing broadcast centroid table,
+    * candidates from the standing ids-only inverted file, ADC ranking
+    * from the standing code table (id + m small ints — no raw vectors
+    * anywhere near the compressed scan), and the exact rerank touching
+    * only the shortlist pairs, keyed by id. Identical output to
+    * [[ivfadcTopK]] over the same centroids/codebooks by construction
+    * (oracle-proven against the from-scratch replay). */
+  def ivfadcTopKFromIndex(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kNeighbors: Int,
+      centroids: DataFrame,
+      cells: DataFrame,
+      codebooks: DataFrame,
+      codes: DataFrame,
+      nprobe: Int = 4,
+      shortlist: Int = 50,
+      m: Int = 4,
+      subDim: Int = 16): DataFrame = {
+    val centDf = broadcast(centroids.select(col("cid"), col("cvec")))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("s").desc, col("cid").desc)
+    val qProbe = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("v"))
+      .join(centDf)
+      .select(col("query_id"), col("cid"), cosine(col("v"), col("cvec")).as("s"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cid").as("cell"))
+    val cand = broadcast(qProbe)
+      .join(cells.select(col("corpus_id"), col("cell")), "cell")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "corpus_id")
+    val luts = pqLuts(queries, idCol, vecCol, broadcast(codebooks), m, subDim)
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist").asc, col("corpus_id").asc)
+    val candCodes = broadcast(cand)
+      .join(codes.select(col("corpus_id"), col("j"), col("code")), "corpus_id")
+    val short = candCodes.join(broadcast(luts),
+        candCodes("query_id") === luts("query_id") &&
+          candCodes("j") === luts("j") && candCodes("code") === luts("cid"))
+      .groupBy(candCodes("query_id"), col("corpus_id"))
+      .agg(round(sum(col("contrib")), 4).as("adist"))
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= shortlist)
+      .select("query_id", "corpus_id")
+    exactRerank(short, corpus, queries, idCol, vecCol, kNeighbors)
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
     * space around deterministic centroids, then prune near-identical
     * vectors WITHIN each cell — a vector is dropped when a lower-id

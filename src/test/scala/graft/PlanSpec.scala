@@ -179,6 +179,34 @@ class PlanSpec extends AnyFunSuite with Matchers {
     StandingState.retire(spark, store)
   }
 
+  test("composed persisted IVFADC: cells AND codes scans both vector-free") {
+    import graft.ops.{AnnIndex, StandingState}
+    val emb = Tables.load(spark, dir, "embeddings")
+    val ivfStore = SparkFixture.tempDir("plan-ivfadc-ivf")
+    val pqStore = SparkFixture.tempDir("plan-ivfadc-pq")
+    AnnIndex.bootstrap(emb, "vec_id", "embedding", numCentroids = 4, ivfStore)
+    AnnIndex.bootstrapPq(emb, "vec_id", "embedding", pqStore)
+    val out = AnnIndex.ivfadcTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 3, ivfStore, pqStore, nprobe = 2, shortlist = 10)
+    out.collect()
+    val scans = allScans(out.queryExecution.executedPlan)
+    // the billion-vector serving contract end to end: the inverted file
+    // moves ids only, the ADC scan moves codes only — raw vectors enter
+    // exactly twice, as the broadcast query side and the id-keyed
+    // shortlist rerank
+    val indexScans = scans.filter(s =>
+      s.schema.fieldNames.contains("cell") || s.schema.fieldNames.contains("code"))
+    indexScans should not be empty
+    indexScans.foreach { s =>
+      s.schema.fieldNames should not contain "embedding"
+      s.schema.fieldNames should not contain "cvec"
+      s.schema.fieldNames should not contain "scv"
+    }
+    out.queryExecution.executedPlan.toString should include("Broadcast")
+    StandingState.retire(spark, ivfStore)
+    StandingState.retire(spark, pqStore)
+  }
+
   test("minhash signature index is computed once and re-read as parquet") {
     val out = PipelineQueries.dedupMinhashLsh(spark, dir)
     out.collect()
