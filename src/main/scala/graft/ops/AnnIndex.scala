@@ -53,11 +53,12 @@ object AnnIndex {
       idCol: String,
       vecCol: String,
       numCentroids: Int,
-      store: String): Unit = {
+      store: String,
+      targetRowsPerFile: Long = 4000000L): Unit = {
     val (cents, cells) = Similarity.ivfIndexTables(corpus, idCol, vecCol, numCentroids)
     StandingState.writeTables(store, Seq(
       StandingState.TableSpec(CentTable, cents, "cid"),
-      StandingState.TableSpec(CellTable, cells, "cell")))
+      StandingState.TableSpec(CellTable, cells, "cell")), targetRowsPerFile)
     ()
   }
 
@@ -69,6 +70,56 @@ object AnnIndex {
     * partition). */
   def readCells(spark: SparkSession, store: String): DataFrame =
     StandingState.readTable(spark, store, CellTable)
+
+  /** The serving batch's probed cell ids as driver literals — the
+    * nprobe-nearest standing centroids per query, exactly the ranking
+    * the serving plan re-derives in-flight (both deterministic, so they
+    * agree). One tiny job: the centroid table broadcasts against the
+    * query batch and |queries|·nprobe skinny rows reduce to ≤
+    * |queries|·nprobe distinct ints on the driver — bounded by the
+    * SERVING REQUEST, never the corpus. With these, the standing cells
+    * read prunes to only the files whose witness zone covers a probed
+    * cell ([[StandingState.readTablePruned]]) — at 100 TB the inverted
+    * file is corpus-sized and a probe touches nprobe/ncells of it, so
+    * metadata file-pruning is the difference between reading the probed
+    * cells and scanning the whole index. None past the literal cap
+    * (a huge query batch amortizes the full scan it falls back to). */
+  private def probedCells(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: DataFrame,
+      nprobe: Int): Option[Seq[Int]] = {
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("s").desc, col("cid").desc)
+    val ids = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("v"))
+      .join(broadcast(cents.select(col("cid"), col("cvec"))))
+      .select(col("query_id"), col("cid"),
+        Similarity.cosine(col("v"), col("cvec")).as("s"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select("cid").distinct()
+      .limit(StandingState.ProbeLiteralCap + 1)
+      .collect().map(_.getInt(0)).toIndexedSeq
+    if (ids.size > StandingState.ProbeLiteralCap) None else Some(ids)
+  }
+
+  /** The standing cells table pruned to the batch's probed cells when
+    * the literal path applies, the full witness-verified read
+    * otherwise. */
+  private def cellsFor(
+      spark: SparkSession,
+      store: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: DataFrame,
+      nprobe: Int): DataFrame =
+    probedCells(queries, idCol, vecCol, cents, nprobe) match {
+      case Some(ids) => StandingState.readTablePruned(spark, store, CellTable, ids)
+      case None => readCells(spark, store)
+    }
 
   /** One nightly fold: assign the delta against the standing centroids
     * and append its cells partition. Returns true when the CUMULATIVE
@@ -271,14 +322,18 @@ object AnnIndex {
       m: Int = 4,
       subDim: Int = 16): DataFrame = {
     val spark = corpus.sparkSession
+    val cents = readCentroids(spark, ivfStore)
     Similarity.ivfadcTopKFromIndex(
       corpus, queries, idCol, vecCol, k,
-      readCentroids(spark, ivfStore), readCells(spark, ivfStore),
+      cents, cellsFor(spark, ivfStore, queries, idCol, vecCol, cents, nprobe),
       readCodebooks(spark, pqStore), readCodes(spark, pqStore),
       nprobe, shortlist, m, subDim)
   }
 
-  /** ANN top-k served FROM the persisted index (latest snapshot). */
+  /** ANN top-k served FROM the persisted index (latest snapshot). The
+    * inverted-file read is zone-map-pruned to the batch's probed cells
+    * ([[cellsFor]]) — at scale a probe reads nprobe cells' files, never
+    * the whole index. */
   def topK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -288,8 +343,9 @@ object AnnIndex {
       store: String,
       nprobe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
+    val cents = readCentroids(spark, store)
     Similarity.ivfTopKFromIndex(
       corpus, queries, idCol, vecCol, k,
-      readCentroids(spark, store), readCells(spark, store), nprobe)
+      cents, cellsFor(spark, store, queries, idCol, vecCol, cents, nprobe), nprobe)
   }
 }

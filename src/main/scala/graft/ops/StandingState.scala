@@ -190,18 +190,26 @@ object StandingState {
     val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
     try {
-      val sts = rdr.getFooter.getBlocks.asScala.toSeq
+      val chunks = rdr.getFooter.getBlocks.asScala.toSeq
         .flatMap(_.getColumns.asScala.find(_.getPath.toDotString == column))
-        .map(_.getStatistics)
+      val sts = chunks.map(_.getStatistics)
         .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+      // BINARY zones are recorded only for logically-UTF8 columns: a
+      // decimal or raw-bytes cluster column rendered as text would
+      // compare in the wrong order and wrongly EXCLUDE files — no
+      // zone (full read) is the sound default for such columns
+      val isUtf8 = chunks.headOption.exists(
+        _.getPrimitiveType.getLogicalTypeAnnotation
+          .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation])
       if (sts.isEmpty) None
       else sts.head.genericGetMin match {
-        case _: org.apache.parquet.io.api.Binary =>
+        case _: org.apache.parquet.io.api.Binary if isUtf8 =>
           def str(v: Any) =
             v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
           Some(("s",
             enc(sts.map(s => str(s.genericGetMin)).min),
             enc(sts.map(s => str(s.genericGetMax)).max)))
+        case _: org.apache.parquet.io.api.Binary => None
         case _: java.lang.Long | _: java.lang.Integer =>
           Some(("l",
             sts.map(_.genericGetMin.toString.toLong).min.toString,

@@ -367,6 +367,54 @@ class RoundFourteenSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("persisted ANN serving: the cells read zone-prunes to the batch's probed cells") {
+    val store = SparkFixture.tempDir("r14-cellzone")
+    // 8 well-separated uniform clusters (±one-hot over 4 dims), 32
+    // vectors each, at 16 rows/file: the inverted file is 16 sorted
+    // files, 2 per cell
+    def cvecs(ids: Range) = ids.map { i =>
+      val c = i % 8
+      val v = Array.fill(4)(0.1)
+      v(c % 4) = if (c < 4) 10.0 else -10.0
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    AnnIndex.bootstrap(cvecs(0 until 256), "vec_id", "embedding",
+      numCentroids = 8, store, targetRowsPerFile = 16)
+    val allCells = AnnIndex.readCells(spark, store)
+    // range partitioning on the 8 distinct cell values: one file per cell
+    val totalFiles = allCells.inputFiles.length
+    totalFiles should be >= 8
+    val queries = cvecs(0 until 2)
+    val out = AnnIndex.topK(cvecs(0 until 256), queries,
+      "vec_id", "embedding", k = 3, store, nprobe = 1)
+    out.collect()
+    // the executed plan's cells scan lists only the files whose witness
+    // zone covers one of the (at most 2) probed cells (descend through
+    // AQE stages — the final plan hides scans behind QueryStageExec)
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collectWithSubqueries {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+      }.flatten
+    val cellScans = scansOf(out.queryExecution.executedPlan)
+      .filter(_.schema.fieldNames.contains("cell"))
+    cellScans should not be empty
+    val listed = cellScans.flatMap(_.relation.location.inputFiles).distinct
+    withClue(s"${listed.length} of $totalFiles files: ") {
+      listed.length should be < totalFiles / 2
+    }
+    // pruning is invisible to results: identical to the full-read serve
+    val full = Similarity.ivfTopKFromIndex(cvecs(0 until 256), queries,
+      "vec_id", "embedding", 3,
+      AnnIndex.readCentroids(spark, store), allCells, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe full
+  }
+
   // ---------------------------------------------- real video frames
 
   private def gifFrame(i: Int): java.awt.image.BufferedImage = {
