@@ -953,6 +953,49 @@ object StandingState {
     ()
   }
 
+  /** GENERIC bounded-cadence compaction — the layout knob for every
+    * standing family whose tables fold by plain union (the retrieval
+    * postings' disjoint (tok, doc) keys, the ANN cells/codes where each
+    * id appears once, the long-format ledger): when any listed table
+    * has accumulated more than `maxPartitions` nightly partition dirs,
+    * rewrite EVERY listed table as one partition, re-range-clustered on
+    * its cluster column (fresh witness zone maps come for free from the
+    * commit's stats pass), as a replace-snapshot under ONE lease with
+    * the read snapshot pinned as expectedBase, then reclaim superseded
+    * snapshots. Row-preserving BY CONSTRUCTION — each table is
+    * rewritten as its own verified union; a family whose fold is a
+    * RESOLUTION (the manifest's latest-wins cluster revisions) uses its
+    * family-specific compactor ([[compactManifest]]), and a family
+    * whose MAINTENANCE POLICY reads partition history (the ANN stores:
+    * [[AnnIndex]]'s cumulative drift gates treat the oldest partition
+    * as the seed) must use its policy rewrite ([[AnnIndex.refine]] /
+    * `refinePq`) — a layout-only fold there would silently reset the
+    * drift debt without refreshing the structures it measures. Returns
+    * true when a compaction ran. */
+  def compactTables(
+      spark: SparkSession,
+      store: String,
+      tables: Seq[(String, String)],
+      maxPartitions: Int = 64,
+      owner: String = "",
+      targetRowsPerFile: Long = 4000000L): Boolean = {
+    require(tables.nonEmpty, "compactTables needs at least one (table, clusterCol)")
+    val snap = latestSnapshot(spark, store)
+    val w = recordedWitness(spark, store, snap)
+    val over = tables.exists { case (t, _) =>
+      partitionDirsOf(w.files.getOrElse(t, Seq.empty)).size > maxPartitions
+    }
+    if (!over) return false
+    val keepOwner = if (owner.nonEmpty) owner else w.owner
+    withLease(spark, store, keepOwner) {
+      writeTables(store,
+        tables.map { case (t, c) => TableSpec(t, readTable(spark, store, t), c) },
+        targetRowsPerFile, owner = keepOwner, expectedBase = Some(snap))
+      keepSnapshots(spark, store, 1)
+    }
+    true
+  }
+
   /** Bounded-cadence compaction for the manifest family: when either
     * standing table has accumulated more than `maxPartitions` nightly
     * partitions, fold them — fingerprints to one union partition,

@@ -415,6 +415,38 @@ class RoundFourteenSpec extends AnyFunSuite with Matchers {
     out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe full
   }
 
+  test("generic bounded-cadence compaction: union-fold tables to one partition, zones refreshed") {
+    import StandingState.TableSpec
+    val store = SparkFixture.tempDir("r14-compact")
+    def part(ids: Range) = ids.map(i => (s"tok$i", i.toLong, i.toLong * 2))
+      .toDF("tok", "doc_id", "tf")
+    StandingState.writeTables(store, Seq(
+      TableSpec("postings", part(0 until 40), "tok")), targetRowsPerFile = 10)
+    (1 to 4).foreach { n =>
+      StandingState.appendTables(store, Seq(
+        TableSpec("postings", part(40 * n until 40 * (n + 1)), "tok")))
+    }
+    val before = StandingState.readTable(spark, store, "postings")
+      .collect().map(_.toSeq).toSet
+    before.size shouldBe 200
+    // under the cap: no-op
+    StandingState.compactTables(spark, store,
+      Seq("postings" -> "tok"), maxPartitions = 8) shouldBe false
+    // over the cap: one replace-snapshot, rows identical, ONE partition
+    StandingState.compactTables(spark, store,
+      Seq("postings" -> "tok"), maxPartitions = 2,
+      targetRowsPerFile = 10) shouldBe true
+    val after = StandingState.readTable(spark, store, "postings")
+    after.collect().map(_.toSeq).toSet shouldBe before
+    after.inputFiles.map(_.split("/data/postings/")(1).split("/")(0))
+      .distinct.length shouldBe 1
+    StandingState.snapshots(spark, store).size shouldBe 1 // superseded reclaimed
+    // the rewrite re-recorded zone maps: a key probe still file-prunes
+    val pruned = StandingState.readTablePruned(spark, store, "postings", Seq("tok7"))
+    pruned.inputFiles.length should be < after.inputFiles.length
+    pruned.filter(col("tok") === "tok7").count() shouldBe 1L
+  }
+
   // ---------------------------------------------- real video frames
 
   private def gifFrame(i: Int): java.awt.image.BufferedImage = {
