@@ -466,4 +466,47 @@ object EventStreams {
         }
       }
       .start()
+
+  /** Streaming incremental ANN-INDEX maintenance — the online form of
+    * the nightly [[graft.ops.AnnIndex.ingest]], completing the
+    * persisted-family set on the streaming side (manifest r13, ANN
+    * r14): each micro-batch of newly arrived vectors is assigned
+    * against the STANDING centroids (broadcast — exact per vector by
+    * construction, a vector's nearest centroid is independent of every
+    * other vector) and APPENDED as a cells partition for the next batch
+    * — and any concurrent server — to read.
+    *
+    * The CUMULATIVE drift verdict (rows appended since the last
+    * seed/refine over index size, derived from witness metadata alone —
+    * zero extra jobs) is surfaced per batch through `onDrift`. The
+    * stream NEVER refines on its own: a refine is a full-corpus rewrite
+    * the operator schedules out-of-band; the stream's job is to fold
+    * exactly and report the debt. (For the same reason there is no
+    * in-flow layout compaction here — a layout-only fold would reset
+    * the gate's seed partition; the refine IS the bounded-cadence
+    * rewrite for this family.)
+    *
+    * Exactly-once and bounded disk mirror [[manifestIngestStream]]:
+    * each batch commits under `owner = "batch-<id>"` (a replayed batch
+    * is skipped and reports the ORIGINAL verdict — the gate reads
+    * committed metadata), and retention keeps at most the two newest
+    * snapshot witnesses, with cells partitions shared by reference. */
+  def annIngestStream(
+      vectors: DataFrame,
+      store: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      refineAt: Double = 0.25,
+      onDrift: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val fire = graft.ops.AnnIndex.ingest(
+            batch, idCol, vecCol, store, refineAt, owner = s"batch-$batchId")
+          graft.ops.StandingState.keepSnapshots(batch.sparkSession, store, keep = 2)
+          onDrift(batchId, fire)
+        }
+      }
+      .start()
 }

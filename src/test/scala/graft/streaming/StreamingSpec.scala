@@ -618,4 +618,46 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } shouldBe cl(full)
     graft.ops.Materialize.dropAll()
   }
+
+  test("streaming ANN ingest: batches fold to the one-shot index, drift surfaced, replay stable") {
+    import graft.ops.{AnnIndex, StandingState}
+    import spark.implicits._
+    def vecs(ids: Range) = ids.map(i => (i.toLong, Seq(
+      (i % 7).toDouble, (i * 3 % 5).toDouble, (i * 5 % 11).toDouble, 1.0)))
+    val store = graft.SparkFixture.tempDir("stream-ann")
+    AnnIndex.bootstrap(vecs(0 until 60).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", numCentroids = 4, store)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val drift = scala.collection.concurrent.TrieMap[Long, Boolean]()
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.annIngestStream(
+      input.toDF().toDF("vec_id", "embedding"), store, refineAt = 0.30,
+      onDrift = (b, f) => { drift(b) = f; () })
+    try {
+      input.addData(vecs(60 until 72): _*) // cumulative 12/72 = 0.167
+      q.processAllAvailable()
+      input.addData(vecs(72 until 90): _*) // cumulative 30/90 = 0.333 — fires
+      q.processAllAvailable()
+    } finally q.stop()
+    // the gate is CUMULATIVE across micro-batches and surfaced per batch
+    drift.toMap shouldBe Map(0L -> false, 1L -> true)
+    // exactness: streamed folds ≡ bootstrap(base) + ONE ingest of the union
+    val full = graft.SparkFixture.tempDir("stream-ann-full")
+    AnnIndex.bootstrap(vecs(0 until 60).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", numCentroids = 4, full)
+    AnnIndex.ingest(vecs(60 until 90).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", full)
+    def cells(root: String) = AnnIndex.readCells(spark, root)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    cells(store) shouldBe cells(full)
+    // bounded disk: at most two live snapshot witnesses, partitions shared
+    StandingState.snapshots(spark, store).size should be <= 2
+    // a replayed batch (same owner) is skipped AND reports the original
+    // verdict — the gate reads committed metadata the skip left unchanged
+    val snapsBefore = StandingState.snapshots(spark, store)
+    AnnIndex.ingest(vecs(72 until 90).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", store, refineAt = 0.30,
+      owner = "batch-1") shouldBe true
+    StandingState.snapshots(spark, store) shouldBe snapsBefore
+  }
 }
