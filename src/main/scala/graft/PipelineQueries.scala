@@ -1020,6 +1020,19 @@ object PipelineQueries {
     * equality proves the chained on-disk composition ≡ a fresh IVFADC
     * build, the full billion-vector deployment shape. */
   def embedKnnIvfadcNightly(s: SparkSession, dir: String): DataFrame = {
+    val (ivfStore, pqStore) = ivfadcNightlyStores(s, dir)
+    val emb = t(s, dir, "embeddings")
+    graft.ops.AnnIndex.ivfadcTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, ivfStore, pqStore,
+        nprobe = IvfProbes, shortlist = 50, m = PqM, subDim = PqSubDim)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Roll both standing ANN stores back to night 0 and fold the two
+    * nightly deltas into EACH (cells into the IVF half, codes into the
+    * PQ half) — the chain [[embedKnnIvfadcNightly]] and the tenant-
+    * served form share. */
+  private def ivfadcNightlyStores(s: SparkSession, dir: String): (String, String) = {
     import graft.ops.{AnnIndex, StandingState}
     val emb = t(s, dir, "embeddings")
     val ivfStore = annStandingStore(s, dir)
@@ -1035,10 +1048,35 @@ object PipelineQueries {
     }
     night(col("vec_id") % 10 === 0)
     night(col("vec_id") % 10 === 5)
-    AnnIndex.ivfadcTopK(emb, emb.filter(col("vec_id") < 10),
+    (ivfStore, pqStore)
+  }
+
+  /** VECTOR SEARCH ON THE TENANT SURFACE — the persisted IVFADC
+    * composition served as one gated read-only tenant SQL statement:
+    * the standing stores chain exactly as [[embedKnnIvfadcNightly]],
+    * the composed top-k (built on the TENANT's session — standing
+    * centroids/cells/codebooks/codes all witness-verified reads) is
+    * registered as a curated view, and the tenant's statement rides the
+    * same relation substitution and plan-level read-only gate as every
+    * statement. The oracle is the from-scratch IVFADC replay shared
+    * with the nightly key — proving the wire-served neighbors ≡ a fresh
+    * build. A real deployment parameterizes the query side per request;
+    * the serving shape (stores composed at read time inside a tenant
+    * session) is what this key pins. */
+  def embedKnnIvfadcServed(s: SparkSession, dir: String): DataFrame = {
+    val (ivfStore, pqStore) = ivfadcNightlyStores(s, dir)
+    val registry = graft.schema.SchemaRegistry(
+      graft.schema.Org("pipeline", Seq.empty))
+    val tenant = graft.frontend.TenantSession.open(
+      s, registry, "pipeline", graft.sources.SourceSet())
+    val emb = t(tenant.spark, dir, "embeddings")
+    tenant.registerView("knn_neighbors",
+      graft.ops.AnnIndex.ivfadcTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, ivfStore, pqStore,
-        nprobe = IvfProbes, shortlist = 50, m = PqM, subDim = PqSubDim)
-      .orderBy("query_id", "rank")
+        nprobe = IvfProbes, shortlist = 50, m = PqM, subDim = PqSubDim))
+    tenant.sql(
+      """SELECT query_id, corpus_id, d2, rank FROM knn_neighbors
+        |ORDER BY query_id, rank""".stripMargin)
   }
 
   // ANN constants shared by the Spark queries and their DuckDB oracles.
@@ -3837,6 +3875,7 @@ object PipelineQueries {
     "embed_knn_ivf_nightly" -> (embedKnnIvfNightly _),
     "embed_knn_pq_nightly" -> (embedKnnPqNightly _),
     "embed_knn_ivfadc_nightly" -> (embedKnnIvfadcNightly _),
+    "embed_knn_ivfadc_served" -> (embedKnnIvfadcServed _),
     "embed_near_dup" -> (embedNearDup _),
     "embed_near_dup_lsh" -> (embedNearDupLsh _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -5439,6 +5478,33 @@ object PipelineQueries {
     // composed persisted IVFADC: both halves seeded from the night-0
     // base predicate, assignment/coding/ADC/rerank replayed from scratch
     "embed_knn_ivfadc_nightly" ->
+      s"""${duckIvfCellsCteFrom("vec_id % 5 <> 0")},
+         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+         |    FROM sims WHERE vec_id < 10) WHERE rn <= $IvfProbes),
+         |cand AS (SELECT p.query_id, c.corpus_id FROM probes p
+         |  JOIN cells c ON c.cell = p.cell WHERE p.query_id <> c.corpus_id),
+         |${duckPqChainFrom("vec_id % 5 <> 0")},
+         |$duckPqLutChain,
+         |a AS (SELECT cand.query_id, cand.corpus_id, round(sum(contrib), 4) AS adist
+         |  FROM cand JOIN codes ON codes.vec_id = cand.corpus_id
+         |  JOIN lut ON lut.query_id = cand.query_id
+         |    AND lut.j = codes.j AND lut.cid = codes.code
+         |  GROUP BY 1, 2),
+         |short AS (SELECT query_id, corpus_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adist, corpus_id) AS srn FROM a) WHERE srn <= 50),
+         |ex AS (SELECT s.query_id, s.corpus_id,
+         |    round(list_dot_product(qe.v, qe.v) - 2 * list_dot_product(qe.v, ce.v)
+         |      + list_dot_product(ce.v, ce.v), 4) AS d2
+         |  FROM short s JOIN e qe ON qe.vec_id = s.query_id
+         |  JOIN e ce ON ce.vec_id = s.corpus_id)
+         |SELECT query_id, corpus_id, d2, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY d2, corpus_id) AS rank FROM ex)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the tenant-served composition shares the nightly replay oracle
+    "embed_knn_ivfadc_served" ->
       s"""${duckIvfCellsCteFrom("vec_id % 5 <> 0")},
          |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
