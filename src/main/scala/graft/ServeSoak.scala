@@ -60,7 +60,7 @@ object ServeSoak {
 
   def main(args: Array[String]): Unit = {
     val durationSec = args.headOption.map(_.toInt).getOrElse(150)
-    val outFile = args.drop(1).headOption.getOrElse("SERVESOAK_r11.json")
+    val outFile = args.drop(1).headOption.getOrElse("SERVESOAK_r14.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -100,16 +100,50 @@ object ServeSoak {
     val fields = Seq(Field("v", FieldType.LONG), Field("txt", FieldType.STRING))
     val registry = SchemaRegistry(
       (Org("orgheavy", Seq(Metric("mh", "heavymetric", fields))) +:
+        Org("orgledger", Seq.empty) +:
         pointTenants.map(org => Org(org, Seq(Metric("mp", "pointmetric", fields))))): _*)
     val sources = SourceSet(fs = Seq(FsSource("parquet", dir)))
+
+    // snapshot-view tenant fixture: a persisted long-format ledger store
+    // with three committed snapshots; the tenant serves a view PINNED to
+    // the night-1 snapshot beside the unpinned latest — round 14's
+    // time-travel-on-the-tenant-surface shape, here under load
+    val ledgerRows = 500
+    val ledgerStore = java.nio.file.Files
+      .createTempDirectory("servesoak-ledger").toString
+    import graft.ops.StandingState
+    import graft.ops.StandingState.TableSpec
+    val ledgerSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("suite", StringType),
+      StructField("flag", BooleanType)))
+    def suitePart(suite: String): org.apache.spark.sql.DataFrame =
+      spark.createDataFrame(
+        (1 to ledgerRows).map(i =>
+          Row(i.toLong, suite, (i * 31 + suite.length) % 7 == 0)).asJava,
+        ledgerSchema)
+    StandingState.writeTables(ledgerStore, Seq(TableSpec("ledger", suitePart("v1"), "doc_id")))
+    StandingState.appendTables(ledgerStore, Seq(TableSpec("ledger", suitePart("d1"), "doc_id")))
+    val ledgerNight1 = StandingState.latestSnapshot(spark, ledgerStore)
+    StandingState.appendTables(ledgerStore, Seq(TableSpec("ledger", suitePart("d2"), "doc_id")))
 
     val metrics = new ServingMetrics
     Class.forName("org.apache.hive.jdbc.HiveDriver")
     val thrift = GraftJdbcServer.startMultiTenant(
       spark, registry, sources, maxRows = Some(1000), metrics = metrics)
     val avatica = new GraftAvaticaServer(
-      key => TenantSession.open(spark, registry, key, sources,
-        maxRows = Some(1000), maxConcurrentStatements = 16),
+      key => {
+        val t = TenantSession.open(spark, registry, key, sources,
+          maxRows = Some(1000), maxConcurrentStatements = 16)
+        // curated snapshot views materialize on the tenant's OWN session
+        // at open time — the registerView deployment seam under load
+        if (key == "orgledger") {
+          t.registerView("ledger_asof_d1",
+            StandingState.readTable(t.spark, ledgerStore, "ledger", ledgerNight1))
+          t.registerView("ledger_latest",
+            StandingState.readTable(t.spark, ledgerStore, "ledger"))
+        }
+        t
+      },
       engine = Some(spark), metrics = metrics)
     val http = HttpClient.newHttpClient()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -156,6 +190,25 @@ object ServeSoak {
       s"SELECT count(*) AS n, sum(v) AS s FROM heavymetric WHERE txt LIKE '%${seed % 10}a%'"
     def pointSql(seed: Long): String =
       s"SELECT v, txt FROM pointmetric WHERE `timestamp` = ${1 + (seed % 2000)}"
+    // self-checking snapshot-view statements: HAVING pins the expected
+    // value, so a WRONG historical read returns zero rows and the driver
+    // records an error — `errors: 0` on this workload IS the correctness
+    // claim that the pinned view never sees d2 (and latest always does)
+    // while heavy scans saturate the context
+    def ledgerSql(seed: Long): String = seed % 3 match {
+      case 0 =>
+        """SELECT count(*) AS n FROM ledger_asof_d1 WHERE suite = 'd2'
+          |HAVING count(*) = 0""".stripMargin
+      case 1 =>
+        s"""SELECT count(*) AS n FROM ledger_latest WHERE suite = 'd2'
+           |HAVING count(*) = $ledgerRows""".stripMargin
+      case _ =>
+        """SELECT doc_id,
+          |  max(CASE WHEN suite = 'v1' THEN flag END) OR
+          |  max(CASE WHEN suite = 'd1' THEN flag END) AS asof_d1
+          |FROM ledger_asof_d1 GROUP BY doc_id ORDER BY doc_id LIMIT 5""".stripMargin
+    }
+    def ledgerExpectedRows(seed: Long): Int = if (seed % 3 == 2) 5 else 1
 
     // ------------------------------------------------------ measurement
     def timed(rec: LatRec)(f: => Unit): Unit = {
@@ -199,6 +252,12 @@ object ServeSoak {
         Seq(
           loop(s"$org.thrift")(s => thriftQuery(org, pointSql(s))),
           loop(s"$org.avatica")(s => avaticaQuery(org, pointSql(s))))
+      } :+
+      loop("orgledger.avatica") { s =>
+        val n = avaticaQuery("orgledger", ledgerSql(s))
+        if (n != ledgerExpectedRows(s))
+          throw new RuntimeException(s"snapshot view served $n rows, " +
+            s"expected ${ledgerExpectedRows(s)} — historical read drifted")
       }
     // health latency measured separately without the sleep skew
     val healthProbe = new Thread(() => {
@@ -238,7 +297,8 @@ object ServeSoak {
       .map(k => s""""$k":${metrics.counter(k)}""").mkString(",")
     val hs = healthRec.snapshot
     val json =
-      s"""{"duration_sec":$durationSec,"heavy_rows":$heavyRows,"tenants":${1 + pointTenants.size},""" +
+      s"""{"duration_sec":$durationSec,"heavy_rows":$heavyRows,"ledger_rows":$ledgerRows,""" +
+        s""""tenants":${2 + pointTenants.size},""" +
         s""""client_threads":${threads.size},""" +
         s""""baseline":{"point_thrift":{${fmt(baseThrift.snapshot)}},""" +
         s""""point_avatica":{${fmt(baseAvatica.snapshot)}},""" +
