@@ -26,7 +26,23 @@ class AvaticaServerSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
 
   private val registry = SchemaRegistry(
     Org("orga", Seq(Metric("ma", "avmetric", Seq(Field("v", FieldType.LONG))))),
-    Org("orgb", Seq(Metric("mb", "bmetric", Seq(Field("v", FieldType.LONG))))))
+    Org("orgb", Seq(Metric("mb", "bmetric", Seq(Field("v", FieldType.LONG))))),
+    Org("organn", Seq.empty))
+
+  // persisted ANN stores for the vector-search-over-the-wire case: both
+  // IVFADC halves bootstrapped once, served through a curated tenant view
+  private lazy val annStores: (String, String) = {
+    import spark.implicits._
+    val emb = (0 until 40).map(i => (i.toLong, Seq(
+      (i % 5).toDouble, (i * 3 % 7).toDouble, (i * 2 % 3).toDouble, 1.0)))
+      .toDF("vec_id", "embedding")
+    val ivf = SparkFixture.tempDir("av-ann-ivf")
+    val pq = SparkFixture.tempDir("av-ann-pq")
+    graft.ops.AnnIndex.bootstrap(emb, "vec_id", "embedding", 4, ivf)
+    graft.ops.AnnIndex.bootstrapPq(emb, "vec_id", "embedding", pq,
+      m = 2, subDim = 2, k = 3)
+    (ivf, pq)
+  }
 
   private lazy val sources: SourceSet = {
     val dir = SparkFixture.tempDir("avsrv")
@@ -43,7 +59,23 @@ class AvaticaServerSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
   }
 
   private lazy val server = new GraftAvaticaServer(
-    key => TenantSession.open(spark, registry, key, sources),
+    key => {
+      val t = TenantSession.open(spark, registry, key, sources)
+      if (key == "organn") {
+        // the registerView deployment seam: the composed persisted
+        // IVFADC top-k (every query id in the corpus) materializes on
+        // the tenant's OWN session at connection open
+        import t.spark.implicits._
+        val emb = (0 until 40).map(i => (i.toLong, Seq(
+          (i % 5).toDouble, (i * 3 % 7).toDouble, (i * 2 % 3).toDouble, 1.0)))
+          .toDF("vec_id", "embedding")
+        val (ivf, pq) = annStores
+        t.registerView("knn_neighbors",
+          graft.ops.AnnIndex.ivfadcTopK(emb, emb, "vec_id", "embedding",
+            k = 5, ivf, pq, nprobe = 2, shortlist = 10, m = 2, subDim = 2))
+      }
+      t
+    },
     defaultFrameRows = 3)
   private val client = HttpClient.newHttpClient()
   private val mapper = new ObjectMapper()
@@ -200,6 +232,39 @@ class AvaticaServerSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll
       """{"request":"openConnection","connectionId":"c5","info":{"apikey":"nosuch"}}""")
     st shouldBe 500
     resp.get("response").asText() shouldBe "error"
+  }
+
+  test("parameterized vector search over the wire: prepare/execute on the curated KNN view") {
+    open("cknn", "organn")
+    val (st, prep) = rpc(
+      """{"request":"prepare","connectionId":"cknn","sql":"SELECT corpus_id, rank FROM knn_neighbors WHERE query_id = ? ORDER BY rank","maxRowCount":-1}""")
+    st shouldBe 200
+    val sid = prep.at("/statement/id").asInt()
+    // one prepared statement, re-executed per request with a bound query
+    // id — the production shape of parameterized vector serving
+    val (st2, r1) = rpc(
+      s"""{"request":"execute","statementHandle":{"connectionId":"cknn","id":$sid},""" +
+        """"parameterValues":[{"type":"LONG","value":2}]}""")
+    st2 shouldBe 200
+    val f1 = r1.at("/results/0/firstFrame")
+    // k = 5 neighbors, ranks 1..5, never the query itself
+    val ranks1 = (0 until f1.get("rows").size()).map(i => f1.at(s"/rows/$i/1").asInt())
+    ranks1.take(3) shouldBe Seq(1, 2, 3) // defaultFrameRows = 3 pages the rest
+    (0 until f1.get("rows").size()).foreach { i =>
+      f1.at(s"/rows/$i/0").asLong() should not be 2L
+    }
+    val (_, r2) = rpc(
+      s"""{"request":"execute","statementHandle":{"connectionId":"cknn","id":$sid},""" +
+        """"parameterValues":[{"type":"LONG","value":17}]}""")
+    val f2 = r2.at("/results/0/firstFrame")
+    f2.at("/rows/0/1").asInt() shouldBe 1
+    f2.at("/rows/0/0").asLong() should not be 17L
+    // the curated view rides the same read-only gate on this wire
+    val sid3 = createStatement("cknn")
+    val (_, bad) = rpc(
+      s"""{"request":"prepareAndExecute","connectionId":"cknn","statementId":$sid3,""" +
+        """"sql":"INSERT INTO knn_neighbors VALUES (1, 2, 0.0, 1)","maxRowCount":-1}""")
+    bad.has("errorMessage") shouldBe true
   }
 
   test("prepare + execute bind TypedValue parameters, including a typed null") {
