@@ -635,8 +635,14 @@ object Multimodal {
       try {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(content))
+        // everything after stream creation runs under ONE finally that
+        // closes it: a throw from getImageReaders/next() must not leak
+        // the stream (ImageIO's default cache is file-backed — a leaked
+        // stream is a temp file per undecodable asset on a long-lived
+        // executor)
+        try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) { iis.close(); poison }
+        if (!readers.hasNext) poison
         else {
           val reader = readers.next()
           try {
@@ -682,8 +688,9 @@ object Multimodal {
                 }
               } finally g.dispose()
             }
-          } finally { reader.dispose(); iis.close() }
+          } finally reader.dispose()
         }
+        } finally iis.close()
       } catch {
         case scala.util.control.NonFatal(_) => poison
       }

@@ -190,10 +190,19 @@ object StandingState {
     val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
     try {
-      val chunks = rdr.getFooter.getBlocks.asScala.toSeq
+      val blocks = rdr.getFooter.getBlocks.asScala.toSeq
+      val chunks = blocks
         .flatMap(_.getColumns.asScala.find(_.getPath.toDotString == column))
       val sts = chunks.map(_.getStatistics)
         .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+      // A zone is recorded only when EVERY row group carries usable
+      // stats for the cluster column: parquet-mr drops binary stats
+      // over its size cap, a foreign writer may omit them, and an
+      // all-null chunk records no min/max — a zone aggregated from a
+      // SUBSET of row groups would not cover the unstated rows and the
+      // probe would silently skip them. No zone (full read) is the
+      // sound default whenever any group's coverage is in doubt.
+      val complete = chunks.size == blocks.size && sts.size == chunks.size
       // BINARY zones are recorded only for logically-UTF8 columns: a
       // decimal or raw-bytes cluster column rendered as text would
       // compare in the wrong order and wrongly EXCLUDE files — no
@@ -201,14 +210,22 @@ object StandingState {
       val isUtf8 = chunks.headOption.exists(
         _.getPrimitiveType.getLogicalTypeAnnotation
           .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation])
-      if (sts.isEmpty) None
+      if (!complete || sts.isEmpty) None
       else sts.head.genericGetMin match {
         case _: org.apache.parquet.io.api.Binary if isUtf8 =>
+          // cross-row-group aggregation under the SAME ordering parquet
+          // used to compute each group's min/max — unsigned UTF-8 byte
+          // order, NOT Java's UTF-16 code-unit order (the two diverge
+          // for supplementary-plane vs [U+E000,U+FFFF] code points, and
+          // a min/max taken in the wrong order records a zone that
+          // doesn't cover the file)
           def str(v: Any) =
             v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
           Some(("s",
-            enc(sts.map(s => str(s.genericGetMin)).min),
-            enc(sts.map(s => str(s.genericGetMax)).max)))
+            enc(sts.map(s => str(s.genericGetMin))
+              .reduce((a, b) => if (utf8Compare(a, b) <= 0) a else b)),
+            enc(sts.map(s => str(s.genericGetMax))
+              .reduce((a, b) => if (utf8Compare(a, b) >= 0) a else b))))
         case _: org.apache.parquet.io.api.Binary => None
         case _: java.lang.Long | _: java.lang.Integer =>
           Some(("l",
@@ -223,15 +240,42 @@ object StandingState {
     } finally rdr.close()
   }
 
+  /** Unsigned byte-wise comparison of two strings' UTF-8 encodings —
+    * the ordering parquet's `Binary` comparator defines for UTF8
+    * min/max statistics. String zone maps MUST compare in this order:
+    * Java String `<` compares UTF-16 code units, which sorts
+    * supplementary-plane characters BEFORE [U+E000, U+FFFF] while
+    * UTF-8 bytes sort them after — comparing a byte-order zone with a
+    * code-unit comparator can wrongly exclude a file (silent row
+    * loss). ASCII is unaffected (the two orders agree below U+0080). */
+  private[ops] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Does a recorded (kind, min, max) zone admit at least one key?
     * Unknown kinds and unparseable keys admit everything (sound:
     * pruning may only SKIP what provably cannot match). */
   private def zoneAdmits(
       kind: String, mn: String, mx: String, keys: Seq[Any]): Boolean = kind match {
     case "s" =>
+      // byte-order comparison, matching how the zone was computed — see
+      // [[utf8Compare]]; a UTF-16 `<=` here could wrongly EXCLUDE a
+      // file for non-ASCII keys
       val lo = java.net.URLDecoder.decode(mn, "UTF-8")
       val hi = java.net.URLDecoder.decode(mx, "UTF-8")
-      keys.exists { k => val s = String.valueOf(k); lo <= s && s <= hi }
+      keys.exists { k =>
+        val s = String.valueOf(k)
+        utf8Compare(lo, s) <= 0 && utf8Compare(s, hi) <= 0
+      }
     case "l" =>
       val lo = mn.toLong
       val hi = mx.toLong
@@ -884,6 +928,26 @@ object StandingState {
         .join(Multimodal.dhash(assets), "asset_id"),
       "standing-fp")
 
+  /** One-time migration for manifest stores bootstrapped before the
+    * block-key index existed: when the latest witness holds no
+    * [[FpBlocksTable]], backfill it from the STANDING fingerprints
+    * (one pass over the fingerprint table — the cost night 0 would
+    * have paid) as an ordinary append commit. Idempotent: once the
+    * table exists this is a witness read and nothing else; without it
+    * a pre-index store's next nightly would refuse loudly
+    * ("no table fpblocks") with no migration path. The backfill
+    * carries NO owner token — it must not consume the nightly's
+    * replay-skip slot (a crashed-and-restarted night still finds its
+    * own owner check intact). */
+  private def ensureBlockTable(spark: SparkSession, store: String): Unit = {
+    val snap = latestSnapshot(spark, store)
+    if (!recordedWitness(spark, store, snap).files.contains(FpBlocksTable)) {
+      appendTables(store, Seq(
+        TableSpec(FpBlocksTable, blockRowsOf(readFingerprints(spark, store)), "bk")))
+      ()
+    }
+  }
+
   /** Block-key rows for BOTH perceptual fingerprint families of an
     * asset batch — the rows [[FpBlocksTable]] holds, one per (family,
     * block, asset): (bk, simhash, asset_id), 6 skinny rows per asset.
@@ -982,6 +1046,18 @@ object StandingState {
     require(tables.nonEmpty, "compactTables needs at least one (table, clusterCol)")
     val snap = latestSnapshot(spark, store)
     val w = recordedWitness(spark, store, snap)
+    // the rewrite is a replace-snapshot: any standing table NOT listed
+    // would vanish from the new witness and the retention that follows
+    // would reclaim its data files — refuse loudly instead of letting a
+    // subset compaction silently destroy the unlisted tables
+    val unlisted = w.files.keySet -- tables.map(_._1).toSet
+    if (unlisted.nonEmpty)
+      throw new StaleStateException(
+        s"compactTables at $store lists ${tables.map(_._1).sorted.mkString(", ")} " +
+          s"but the store also holds ${unlisted.toSeq.sorted.mkString(", ")} — a " +
+          "replace-snapshot would drop the unlisted tables and retention would " +
+          "reclaim their files; list EVERY table (with its cluster column) or " +
+          "use the family-specific compactor")
     val over = tables.exists { case (t, _) =>
       partitionDirsOf(w.files.getOrElse(t, Seq.empty)).size > maxPartitions
     }
@@ -1011,6 +1087,7 @@ object StandingState {
       store: String,
       maxPartitions: Int = 64,
       owner: String = ""): Boolean = {
+    ensureBlockTable(spark, store) // pre-index store: one-time backfill
     val snap = latestSnapshot(spark, store)
     val parts = recordedWitness(spark, store, snap).files.map {
       case (t, files) => t -> partitionDirsOf(files).size
@@ -1059,9 +1136,14 @@ object StandingState {
     * without weakening the proof. */
   def ingest(deltaAssets: DataFrame, store: String, owner: String = ""): DataFrame = {
     val spark = deltaAssets.sparkSession
-    val snap = latestSnapshot(spark, store)
-    if (owner.nonEmpty && ownerOf(spark, store, snap) == owner)
+    val snap0 = latestSnapshot(spark, store)
+    if (owner.nonEmpty && ownerOf(spark, store, snap0) == owner)
       return readClusters(spark, store) // same-owner replay: already folded
+    // pre-index store: backfill the block-key table BEFORE the fold —
+    // and only after the replay check above, so the backfill's own
+    // append (no owner) can never mask a restarted night's owner token
+    ensureBlockTable(spark, store)
+    val snap = latestSnapshot(spark, store)
     val standingCl = readClusters(spark, store)
     val deltaFp = fingerprint(deltaAssets)
     val deltaBlocks = blockRowsOf(deltaFp)

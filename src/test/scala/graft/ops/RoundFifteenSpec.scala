@@ -1,0 +1,176 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Round-15 pins: byte-order string zone maps (supplementary-plane keys
+  * prune losslessly), the no-zone fallback for files whose row groups
+  * lack complete statistics, the compactTables table-coverage refusal,
+  * and the one-time fpblocks backfill for pre-index manifest stores. */
+class RoundFifteenSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def assets(texts: Seq[(Long, String)]) =
+    Multimodal.assetsFromText(texts.toDF("id", "txt"), "id", "txt")
+      .withColumnRenamed("id", "asset_id")
+
+  test("string zone maps compare in UTF-8 byte order: supplementary-plane keys prune losslessly") {
+    // The divergence: U+1F600 (GRINNING FACE, UTF-8 F0 9F 98 80) sorts AFTER
+    // U+FFFD (EF BF BD) in byte order but BEFORE it in Java's UTF-16
+    // code-unit order (surrogate 0xD83D < 0xFFFD). A file whose
+    // byte-order zone is [U+FFFD..., U+1F600...] therefore looks EMPTY for the
+    // U+1F600 key under a UTF-16 comparator -- the silent-skip this pins.
+    val store = SparkFixture.tempDir("r15-utf8zone")
+    val rows = Seq(
+      "alpha", "beta", "gamma", "delta",                    // ASCII file(s)
+      "\uFFFD replacement", "\uFFFD tail",                  // high-BMP
+      "\uD83D\uDE00 grin", "\uD83D\uDE01 beam",             // supplementary
+      "\uE000 private use", "zeta")
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }
+    // 3 rows/file puts {U+FFFD..., U+FFFD..., U+1F600...} in ONE file:
+    // its byte-order zone is [U+FFFD replacement, U+1F600 grin], the
+    // exact shape a UTF-16 comparator mis-rejects for the U+1F600 key
+    StandingState.writeTables(store, Seq(
+      StandingState.TableSpec(
+        "t", rows.toDF("k", "v"), "k")), targetRowsPerFile = 3)
+    // every key must round-trip through the pruned read — including the
+    // supplementary-plane ones whose file zone starts at a BMP key
+    rows.foreach { case (k, v) =>
+      val got = StandingState.readTablePruned(spark, store, "t", Seq(k))
+        .filter(col("k") === lit(k)).collect()
+      withClue(s"key ${k.codePoints().toArray.mkString("+")}: ") {
+        got.map(_.getLong(1)).toSeq shouldBe Seq(v)
+      }
+    }
+    // and the pruning is real: an ASCII probe far below the non-ASCII
+    // files' zones reads fewer files than the full table
+    val full = StandingState.readTable(spark, store, "t").inputFiles.length
+    val pruned = StandingState.readTablePruned(spark, store, "t", Seq("alpha"))
+      .inputFiles.length
+    full should be >= 4
+    pruned should be < full
+  }
+
+  test("a row group without statistics forfeits the file's zone: probe still reads it") {
+    // parquet-mr omits binary min/max over its 4 KB stats cap. Force a
+    // MULTI-row-group file where only the first group carries stats
+    // (tiny block size => ~100-row groups; the second group's keys are
+    // >4 KB): a zone aggregated from the stated group alone would not
+    // cover the unstated rows — the sound record is NO zone, and the
+    // pruned read must still return the oversized key's row.
+    val store = SparkFixture.tempDir("r15-nostats")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prevBlock = Option(hconf.get("parquet.block.size"))
+    hconf.set("parquet.block.size", "1024")
+    try {
+      val big = "zz" + ("x" * 5000) // > 4 KB: stats dropped for its group
+      val rows = (1 to 100).map(i => (f"a$i%03d", i.toLong)) :+ (big, 999L)
+      StandingState.writeTables(store, Seq(
+        StandingState.TableSpec(
+          "t", rows.toDF("k", "v").orderBy("k"), "k")),
+        targetRowsPerFile = 1000000L)
+      // the scenario is real: the written file has >= 2 row groups and
+      // at least one of them carries NO usable stats for the cluster
+      // column (otherwise this test would pass vacuously)
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sessionState.newHadoopConf()
+      val fsys = new org.apache.hadoop.fs.Path(store).getFileSystem(conf)
+      val pfile = fsys.listStatus(fsys.listStatus(
+          new org.apache.hadoop.fs.Path(s"$store/data/t")).head.getPath)
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(pfile, conf))
+      val (nBlocks, nWithStats) = try {
+        val blocks = rdr.getFooter.getBlocks.asScala.toSeq
+        (blocks.size, blocks.count { b =>
+          val st = b.getColumns.asScala
+            .find(_.getPath.toDotString == "k").get.getStatistics
+          st != null && !st.isEmpty && st.hasNonNullValue
+        })
+      } finally rdr.close()
+      withClue(s"row groups $nBlocks, with stats $nWithStats: ") {
+        nBlocks should be >= 2
+        nWithStats should be < nBlocks
+      }
+      val got = StandingState.readTablePruned(spark, store, "t", Seq(big))
+        .filter(col("k") === lit(big)).collect()
+      got.map(_.getLong(1)).toSeq shouldBe Seq(999L)
+      // an in-range small key still reads too (the file has no zone at
+      // all — full read is the contract when coverage is in doubt)
+      StandingState.readTablePruned(spark, store, "t", Seq("a050"))
+        .filter(col("k") === "a050").count() shouldBe 1L
+    } finally prevBlock match {
+      case Some(v) => hconf.set("parquet.block.size", v)
+      case None => hconf.unset("parquet.block.size")
+    }
+  }
+
+  test("compactTables refuses a table list that does not cover the store") {
+    val store = SparkFixture.tempDir("r15-cover")
+    StandingState.writeTables(store, Seq(
+      StandingState.TableSpec("a", Seq((1L, "x")).toDF("id", "s"), "id"),
+      StandingState.TableSpec("b", Seq((2L, "y")).toDF("id", "s"), "id")),
+      targetRowsPerFile = 10)
+    val e = intercept[StandingState.StaleStateException] {
+      StandingState.compactTables(spark, store, Seq(("a", "id")),
+        maxPartitions = 0)
+    }
+    e.getMessage should include ("b")
+    // the refusal left the store intact: both tables still read
+    StandingState.readTable(spark, store, "a").count() shouldBe 1L
+    StandingState.readTable(spark, store, "b").count() shouldBe 1L
+    // the covering list compacts (maxPartitions=0 forces it) and keeps
+    // every row of every table
+    StandingState.compactTables(spark, store,
+      Seq(("a", "id"), ("b", "id")), maxPartitions = 0) shouldBe true
+    StandingState.readTable(spark, store, "a").count() shouldBe 1L
+    StandingState.readTable(spark, store, "b").count() shouldBe 1L
+  }
+
+  test("pre-index manifest store: first nightly backfills fpblocks once, then folds exactly") {
+    // simulate a store bootstrapped before the block-key index existed:
+    // fingerprints + clusters only, committed through the public seam
+    val texts = (1L to 20L).map(i =>
+      i -> s"legacy corpus member $i with its own distinct words " * 2)
+    val base = assets(texts)
+    val store = SparkFixture.tempDir("r15-backfill")
+    val fp = StandingState.fingerprint(base)
+    val pairs = Dedup.hammingPairs64(
+        fp.select(col("asset_id"), col("phash").as("simhash")), "asset_id")
+      .select("id_a", "id_b")
+      .unionByName(Dedup.hammingPairs64(
+          fp.select(col("asset_id"), col("dhash").as("simhash")), "asset_id")
+        .select("id_a", "id_b"))
+      .distinct()
+    val clusters = Cluster.dupClusters(pairs)
+      .select(col("doc_id"), col("cluster"), lit(0L).as("_seq"))
+    StandingState.writeTables(store, Seq(
+      StandingState.TableSpec("fingerprints", fp, "asset_id"),
+      StandingState.TableSpec("clusters", clusters, "doc_id")))
+    // the nightly against the legacy store: backfills the block table
+    // from standing fingerprints, then folds the delta
+    val delta = assets(Seq(
+      101L -> (s"legacy corpus member 7 with its own distinct words " * 2),
+      102L -> "wholly novel content nothing like the base "))
+    val merged = StandingState.ingest(delta, store, owner = "night-1")
+    val clusterOf = merged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clusterOf(101L) shouldBe clusterOf(7L) // exact-copy pairs through the backfilled index
+    // the backfilled table covers base + delta (6 block rows per asset)
+    StandingState.readTable(spark, store, "fpblocks").count() shouldBe
+      6L * (20 + 2)
+    // replay of the same night is still skipped (the backfill's
+    // owner-less append did not consume the night's replay token)
+    val snaps = StandingState.snapshots(spark, store)
+    StandingState.ingest(delta, store, owner = "night-1")
+    StandingState.snapshots(spark, store) shouldBe snaps
+    // a second delta takes the normal (already-indexed) path
+    val merged2 = StandingState.ingest(
+      assets(Seq(103L -> ("legacy corpus member 12 with its own distinct words " * 2))),
+      store, owner = "night-2")
+    val c2 = merged2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    c2(103L) shouldBe c2(12L)
+  }
+}
