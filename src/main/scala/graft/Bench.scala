@@ -27,6 +27,52 @@ private class QueryMetricsListener extends org.apache.spark.scheduler.SparkListe
     (shuffleRead.sum, shuffleWrite.sum, spill.sum, tasks.sum, outBytes.sum)
 }
 
+/** Per-query contention adjudication — the decision logic behind the
+  * bench's flag-and-retime gate, pure so the synthetic-contention spec
+  * can drive it without a battery. The battery-level verdict (initial
+  * loadavg + foreign JVM count) catches a box that was busy BEFORE our
+  * work started; this gate catches the round-14 failure mode it
+  * missed: a mid-battery contention spike that inflates a few queries
+  * 10× while the battery still self-labels "clean". A flagged query is
+  * re-timed exactly like a regression suspect — a genuine cost
+  * reproduces, a load spike doesn't — and the committed record keeps
+  * the minimum with the flag trail in the diagnostics. */
+private[graft] object BenchGate {
+  /** Threshold above which a query's loadavg window counts as foreign
+    * load. The bench's own 32-thread work legitimately drives loadavg
+    * (clean batteries on this box run per-query marks ~2.7-7.1 around
+    * a ~4 median), so the bar is RELATIVE to the battery's own median
+    * with an absolute floor: max(8, 1.9 × median of per-query max
+    * loadavg). A uniformly-contended battery raises its own median —
+    * that case is the battery-level verdict's job, not per-query
+    * retimes. */
+  def loadThreshold(perQueryMaxLoad: Seq[Double]): Double = {
+    val sorted = perQueryMaxLoad.sorted
+    val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
+    math.max(8.0, 1.9 * median)
+  }
+
+  /** Was this query's timing window contended? Foreign JVMs live at
+    * either marker, or loadavg (either marker) over the threshold. */
+  def contendedWindow(
+      loadBefore: Double, loadAfter: Double,
+      jvmsBefore: Int, jvmsAfter: Int, threshold: Double): Boolean =
+    jvmsBefore > 2 || jvmsAfter > 2 ||
+      math.max(loadBefore, loadAfter) > threshold
+
+  /** Queries worth a retime: contended window AND a timing big enough
+    * for inflation to matter (sub-0.5 s rows are scheduling noise the
+    * regression gate's >1 s delta bar already ignores). */
+  def suspects(
+      rows: Seq[(String, Double, Double, Double, Int, Int)]): Seq[String] = {
+    val thr = loadThreshold(rows.map(r => math.max(r._3, r._4)))
+    rows.collect {
+      case (name, sec, l0, l1, j0, j1)
+          if sec > 0.5 && contendedWindow(l0, l1, j0, j1, thr) => name
+    }
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,11 +102,19 @@ object Bench {
     // makes every nightly-key timing measure only the RECURRING ingest,
     // on run 1 as well as under min-of-N. The prep seconds are reported
     // separately in the diagnostics, never inside a query row.
+    // A failed prep must SELF-LABEL: the five nightly keys would then
+    // pay their bootstraps in-query and the record would inflate with
+    // no machine-readable trace — the headline carries the flag so a
+    // bad record can never masquerade as a regression.
+    var fixturePrepFailed = false
+    var fixturePrepError = ""
     val fixturePrepSec: Double = {
       val t0 = System.nanoTime()
       try PipelineQueries.prewarmStandingFixtures(spark, sfDir)
       catch { case e: Throwable =>
-        System.err.println(s"[bench] fixture prep failed: ${e.getMessage}") }
+        fixturePrepFailed = true
+        fixturePrepError = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        System.err.println(s"[bench] fixture prep FAILED: $fixturePrepError") }
       (System.nanoTime() - t0) / 1e9
     }
     System.err.println(f"[bench] standing fixture prep: $fixturePrepSec%.1f s (untimed)")
@@ -84,12 +138,16 @@ object Bench {
             java.nio.file.Paths.get(s"/proc/${f.getName}/comm"))).trim == "java"
           catch { case _: Throwable => false }) }
       catch { case _: Throwable => -1 }
-    val loads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Int)]
+    val loads = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Int, Int)]
     // Per-query index-cache deltas (hits/misses/evictions) — the witness
     // for silent cache-share loss between queries that build the same
     // index (the pair_graph_rank r10 drift class). Last run's capture.
     val cacheT = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
-    def runBattery(): Seq[(String, Double, Boolean)] =
+    // Each run row carries its own contention markers (loadavg + java
+    // process count at both ends of the timing window): with min-of-N
+    // the flag must be judged on the RUN THAT PRODUCED the recorded
+    // minimum, not whichever run happened to execute last.
+    def runBattery(): Seq[(String, Double, Boolean, Double, Double, Int, Int)] =
       // stable name order: per-query timings comparable across rounds
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         qmetrics.reset()
@@ -105,14 +163,15 @@ object Bench {
         // index cleanup is part of the query's real cost — keep it timed
         finally graft.ops.Materialize.dropAll()
         val sec = (System.nanoTime() - t0) / 1e9
-        loads(name) = (l0, loadAvg, j0)
+        val (l1, j1) = (loadAvg, jvmCount)
+        loads(name) = (l0, l1, j0, j1)
         val (h1, m1, e1) = graft.ops.Materialize.cacheTelemetry
         cacheT(name) = (h1 - h0, m1 - m0, e1 - e0)
         try {
           org.apache.spark.sql.graftshim.GraftSessions.drainListenerBus(spark)
           physical(name) = qmetrics.snapshot
         } catch { case _: Throwable => () } // metrics are diagnosis, never a bench failure
-        (name, sec, ok)
+        (name, sec, ok, l0, l1, j0, j1)
       }
     // Min-of-N batteries (SPARK_GRAFT_RUNS, default 1): the committed
     // record's per-query time is the MINIMUM across SUCCESSFUL runs — a
@@ -131,10 +190,43 @@ object Bench {
     // (this bench is 1 JVM + the sbt runner = 2; a 3rd is a foreign run).
     val initialLoad = loadAvg
     val allRuns = (1 to math.max(1, batteryRuns)).map(_ => runBattery())
-    val results: Seq[(String, Double)] = allRuns.head.map(_._1).map { name =>
-      val runs = allRuns.map(_.find(_._1 == name).get)
-      val good = runs.collect { case (_, sec, true) => sec }
-      name -> (if (good.nonEmpty) good.min else runs.map(_._2).max)
+    // Recorded time per query plus the markers of the run that PRODUCED
+    // it (min of successful runs; max failing time if every run threw).
+    val recorded: Seq[(String, Double, Double, Double, Int, Int)] =
+      allRuns.head.map(_._1).map { name =>
+        val runs = allRuns.map(_.find(_._1 == name).get)
+        val good = runs.filter(_._3)
+        val pick =
+          if (good.nonEmpty) good.minBy(_._2) else runs.maxBy(_._2)
+        (name, pick._2, pick._4, pick._5, pick._6, pick._7)
+      }
+    // Per-query contention gate (BenchGate): a flagged row is retimed
+    // once, exactly like a regression suspect — the committed time is
+    // the min of first and retime, and the flag trail rides the
+    // diagnostics so an adjudicated record shows WHY. An errored retime
+    // conservatively keeps the first timing (a fast failure must not
+    // masquerade as "load noise cleared").
+    val contThreshold = BenchGate.loadThreshold(
+      recorded.map(r => math.max(r._3, r._4)))
+    val contSuspects = BenchGate.suspects(recorded).toSet
+    val contRetimes = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
+    val results: Seq[(String, Double)] = recorded.map {
+      case (name, sec, _, _, _, _) if !contSuspects.contains(name) ||
+          errors.contains(name) =>
+        name -> sec
+      case (name, sec, l0, l1, j0, j1) =>
+        val t0 = System.nanoTime()
+        val retimeOk =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case scala.util.control.NonFatal(_) => false }
+          finally graft.ops.Materialize.dropAll()
+        val again =
+          if (retimeOk) (System.nanoTime() - t0) / 1e9 else sec
+        contRetimes(name) = (sec, if (retimeOk) again else -1.0, loadAvg)
+        System.err.println(
+          f"[benchgate] contended window on $name (load $l0%.1f/$l1%.1f jvms $j0/$j1 " +
+            f"thr $contThreshold%.1f): $sec%.2f s retimed to $again%.2f s")
+        name -> math.min(sec, again)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap { c => if (c == '"' || c == '\\') s"\\$c" else if (c < ' ') " " else c.toString } + "\""
@@ -214,8 +306,13 @@ object Bench {
       s"${jstr(n)}:{" +
         f""""prev":$p%.3f,"first":$first%.3f,"retime":$again%.3f,"loadavg":$ld%.2f}""" }
       .mkString("{", ",", "}")
-    val loadJson = loads.map { case (n, (l0, l1, j0)) =>
-      s"${jstr(n)}:{" + f""""before":$l0%.2f,"after":$l1%.2f,"jvms":$j0}""" }
+    val loadJson = loads.map { case (n, (l0, l1, j0, j1)) =>
+      s"${jstr(n)}:{" +
+        f""""before":$l0%.2f,"after":$l1%.2f,"jvms":$j0,"jvmsAfter":$j1}""" }
+      .mkString("{", ",", "}")
+    val contRetimeJson = contRetimes.map { case (n, (first, again, ld)) =>
+      s"${jstr(n)}:{" +
+        f""""first":$first%.3f,"retime":$again%.3f,"loadavg":$ld%.2f}""" }
       .mkString("{", ",", "}")
     // Battery-level contention verdict — a contended capture self-labels
     // instead of being re-adjudicated from per-query markers each round
@@ -223,18 +320,25 @@ object Bench {
     // committed clean battery showed the same queries at/below prior
     // rounds). Contended ⇔ a foreign JVM was live during any query, or
     // the box already carried significant load before OUR work started.
-    val foreignJvmQueries = loads.valuesIterator.count(_._3 > 2)
-    val maxJvms = if (loads.isEmpty) 0 else loads.valuesIterator.map(_._3).max
+    val foreignJvmQueries =
+      loads.valuesIterator.count(l => l._3 > 2 || l._4 > 2)
+    val maxJvms = if (loads.isEmpty) 0
+      else loads.valuesIterator.map(l => math.max(l._3, l._4)).max
     val contended = foreignJvmQueries > 0 || initialLoad > 4.0
     val contentionJson =
       s"""{"verdict":${jstr(if (contended) "contended" else "clean")},""" +
         f""""initialLoadavg":$initialLoad%.2f,"maxJvms":$maxJvms,""" +
-        s""""queriesWithForeignJvms":$foreignJvmQueries}"""
+        s""""queriesWithForeignJvms":$foreignJvmQueries,""" +
+        f""""loadThreshold":$contThreshold%.2f,""" +
+        s""""flaggedQueries":${contRetimes.size}}"""
     val diagnostics =
       s"""{"queries":$qsFull,"regressions":$regJson,"retimes":$retimeJson,""" +
+        s""""contentionRetimes":$contRetimeJson,""" +
         s""""queryMetrics":$pm,"load":$loadJson,"runs":$batteryRuns,""" +
         s""""contention":$contentionJson,""" +
         f""""fixturePrepSec":$fixturePrepSec%.2f,""" +
+        s""""fixturePrepFailed":$fixturePrepFailed,""" +
+        s""""fixturePrepError":${jstr(fixturePrepError)},""" +
         s""""errors":$errs,"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("target/bench_diagnostics.json")
@@ -242,7 +346,7 @@ object Bench {
       java.nio.file.Files.write(out, diagnostics.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     System.err.println(s"[benchdiag] $diagnostics")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":${errors.size},"contended":$contended,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":${errors.size},"contended":$contended,"fixturePrepFailed":$fixturePrepFailed,"sf":"$sfDir"}""")
     graft.ops.Materialize.clearCache()
     spark.stop()
   }

@@ -127,6 +127,23 @@ object ServeSoak {
     StandingState.appendTables(ledgerStore, Seq(TableSpec("ledger", suitePart("d2"), "doc_id")))
 
     val metrics = new ServingMetrics
+    // standing-ANN fixture for the round-15 drift gauge: a small
+    // persisted IVF store whose cumulative staleness the shared
+    // registry exposes on /metrics (ann.soakvec.drift_bp) — exercised
+    // after the load phase: seed → sub-gate ingest moves the gauge →
+    // refine resets it, all scraped off the live wire
+    val annStore = java.nio.file.Files
+      .createTempDirectory("servesoak-ann").toString
+    def annVecs(ids: Range): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      ids.map(i => (i.toLong, Seq(
+        (i % 7).toDouble, (i * 3 % 5).toDouble, (i * 5 % 11).toDouble, 1.0)))
+        .toDF("vec_id", "embedding")
+    }
+    graft.ops.AnnIndex.bootstrap(
+      annVecs(0 until 400), "vec_id", "embedding", numCentroids = 8, annStore)
+    ServingMetrics.registerAnnDrift(metrics, spark, "soakvec",
+      ivfStore = Some(annStore))
     Class.forName("org.apache.hive.jdbc.HiveDriver")
     val thrift = GraftJdbcServer.startMultiTenant(
       spark, registry, sources, maxRows = Some(1000), metrics = metrics)
@@ -281,6 +298,25 @@ object ServeSoak {
     threads.foreach(_.join(30000))
     healthProbe.join(5000)
 
+    // drift-gauge exercise on the live wire: scrape /metrics around a
+    // nightly ingest and a refine — the gauge must move and reset
+    // THROUGH the serving endpoint, not just in-process
+    def scrapeDriftBp(): Long = {
+      val r = http.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${avatica.boundPort}/metrics")).GET().build(),
+        BodyHandlers.ofString())
+      mapper.readTree(r.body()).path("gauges").path("ann.soakvec.drift_bp").asLong(-2L)
+    }
+    val driftSeedBp = scrapeDriftBp()
+    graft.ops.AnnIndex.ingest(
+      annVecs(400 until 460), "vec_id", "embedding", annStore)
+    val driftIngestBp = scrapeDriftBp()
+    graft.ops.AnnIndex.refine(
+      annVecs(0 until 460), "vec_id", "embedding", annStore)
+    graft.ops.StandingState.keepSnapshots(spark, annStore, keep = 1)
+    val driftRefineBp = scrapeDriftBp()
+
     // --------------------------------------------------------- reporting
     val pointLoadedThrift = pointTenants.flatMap(o => recs(s"$o.thrift").snapshot).sorted.toArray
     val pointLoadedAvatica = pointTenants.flatMap(o => recs(s"$o.avatica").snapshot).sorted.toArray
@@ -307,6 +343,8 @@ object ServeSoak {
         f""""isolation_p95_ratio":{"thrift":${ratio(pointLoadedThrift, baseThrift.snapshot)}%.2f,""" +
         f""""avatica":${ratio(pointLoadedAvatica, baseAvatica.snapshot)}%.2f},""" +
         s""""health":{${fmt(hs)},"errors":${healthRec.errors.get()}},""" +
+        s""""annDriftBp":{"seed":$driftSeedBp,"afterIngest":$driftIngestBp,""" +
+        s""""afterRefine":$driftRefineBp},""" +
         s""""metrics":{$counters}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile), json.getBytes("UTF-8"))
     println(json)

@@ -52,6 +52,13 @@ final class ServingMetrics {
   /** Register (or replace) a live gauge. */
   def gauge(name: String)(f: => Long): Unit = gauges.put(name, () => f)
 
+  /** Current value of a registered gauge (-1 when missing or failing —
+    * the same failure rendering `snapshotJson` uses). */
+  def gaugeValue(name: String): Long =
+    Option(gauges.get(name))
+      .map(f => try f() catch { case _: Exception => -1L })
+      .getOrElse(-1L)
+
   /** Snapshot as one JSON object:
     * `{"counters":{...},"timers":{name:{count,totalMillis,maxMillis}},"gauges":{...}}`. */
   def snapshotJson: String = {
@@ -71,5 +78,38 @@ final class ServingMetrics {
       s"${jname(k)}:$v"
     }.mkString("{", ",", "}")
     s"""{"counters":$cs,"timers":$ts,"gauges":$gs}"""
+  }
+}
+
+object ServingMetrics {
+
+  /** Wire a standing ANN store's CUMULATIVE drift into the serving
+    * registry as live gauges (basis points: drift × 10⁴, rounded), so
+    * index staleness shows on every `/metrics` endpoint beside the
+    * request counters — the operational half of the nightly drift gate
+    * ([[graft.ops.AnnIndex.ingest]]/`ingestPq` return the same verdict
+    * to their caller, but the serving deployment is what suffers the
+    * recall erosion and is where the number must be visible). Each
+    * scrape reads ONE witness file (metadata only, zero Spark jobs);
+    * a scrape that fails (store mid-rotation, root retired) renders as
+    * the registry's standard -1 failure value rather than unhealthy.
+    * Gauge names: `ann.<name>.drift_bp` (IVF cells) and
+    * `ann.<name>.pq_drift_bp` (PQ codes); a refine/refinePq replace
+    * commit resets the underlying metadata, so the gauges fall back to
+    * 0 without re-registration. */
+  def registerAnnDrift(
+      metrics: ServingMetrics,
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      ivfStore: Option[String] = None,
+      pqStore: Option[String] = None): Unit = {
+    ivfStore.foreach { s =>
+      metrics.gauge(s"ann.$name.drift_bp")(
+        math.round(graft.ops.AnnIndex.drift(spark, s) * 10000))
+    }
+    pqStore.foreach { s =>
+      metrics.gauge(s"ann.$name.pq_drift_bp")(
+        math.round(graft.ops.AnnIndex.driftPq(spark, s) * 10000))
+    }
   }
 }

@@ -121,6 +121,22 @@ object AnnIndex {
       case None => readCells(spark, store)
     }
 
+  /** Pruning census for a serving batch: (admitting files, total files)
+    * of the standing cells table under the batch's probed cell ids —
+    * the soak's measured evidence that a probe reads nprobe cells'
+    * files, not the index ([[StandingState.prunedFileCounts]]; None
+    * when the batch's keys overflow the literal cap and the read falls
+    * back to the full scan). */
+  private[graft] def probeFileCounts(
+      spark: SparkSession,
+      store: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int): Option[(Int, Int)] =
+    probedCells(queries, idCol, vecCol, readCentroids(spark, store), nprobe)
+      .map(ids => StandingState.prunedFileCounts(spark, store, CellTable, ids))
+
   /** One nightly fold: assign the delta against the standing centroids
     * and append its cells partition. Returns true when the CUMULATIVE
     * drift — rows appended since the last seed/[[refine]] over the
@@ -141,6 +157,24 @@ object AnnIndex {
       Seq(StandingState.TableSpec(CellTable, newCells, "cell")), owner)
     driftSinceRefine(spark, store, CellTable, snap) > refineAt
   }
+
+  /** Cumulative IVF drift at the latest snapshot — the fraction of the
+    * standing index assigned under arrivals since the last
+    * seed/[[refine]], from witness metadata alone (one witness file
+    * read, zero Spark jobs — cheap enough for a serving-layer gauge).
+    * This is the OPERATIONAL surface of the gate [[ingest]] returns to
+    * its caller: a deployment wires it into its metrics registry
+    * (`ServingMetrics.registerAnnDrift`) so index staleness is visible
+    * on the wire, not just to whichever job ran last night's fold. */
+  def drift(spark: SparkSession, store: String): Double =
+    driftSinceRefine(spark, store, CellTable,
+      StandingState.latestSnapshot(spark, store))
+
+  /** Cumulative PQ drift at the latest snapshot (codes coded under
+    * codebooks older than the last seed/[[refinePq]]) — see [[drift]]. */
+  def driftPq(spark: SparkSession, store: String): Double =
+    driftSinceRefine(spark, store, CodeTable,
+      StandingState.latestSnapshot(spark, store))
 
   /** Fraction of `table`'s rows (at snapshot `snap`) living in
     * partitions APPENDED after the last replace-commit — the cumulative

@@ -536,6 +536,27 @@ object Multimodal {
       decoder: Iterator[org.apache.spark.sql.Row] => Iterator[org.apache.spark.sql.Row]): DataFrame =
     assets.sparkSession.createDataFrame(assets.rdd.mapPartitions(decoder), outSchema)
 
+  /** The ARROW-BATCHED decoder seam — [[decodeWith]]'s columnar
+    * variant and the shape a real 100×-scale deployment runs: each
+    * partition crosses the decode boundary as serialized Arrow record
+    * batches (≤ `batchRows` rows each, the same interchange Spark uses
+    * for Pandas UDFs), so a native codec worker (ffmpeg/JNI, a sidecar
+    * process, a GPU batch decoder) consumes a handful of contiguous
+    * buffers instead of row-at-a-time object traffic. The in-repo
+    * worker adapts the same row-level codecs ([[gifFrameDecoder]],
+    * [[imageIoDecoder]], [[wavDecoder]]) onto the batch transport —
+    * spec-pinned value-equal to [[decodeWith]] — so swapping in a
+    * native batch decoder changes ONLY the worker body, never the
+    * plumbing. Plan shape is identical to the row seam: no shuffle,
+    * parallelism = input partitions. */
+  def decodeWithArrow(
+      assets: DataFrame,
+      outSchema: StructType,
+      batchRows: Int = 512)(
+      decoder: Iterator[org.apache.spark.sql.Row] => Iterator[org.apache.spark.sql.Row]): DataFrame =
+    org.apache.spark.sql.graftshim.ArrowSeam.mapArrowRows(
+      assets, outSchema, batchRows.toLong)(decoder)
+
   /** Output schema of [[stubDecoder]]. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),

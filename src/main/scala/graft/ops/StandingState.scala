@@ -684,6 +684,28 @@ object StandingState {
     else spark.read.parquet(keep.map(f => s"$root/$f"): _*)
   }
 
+  /** Metadata-only pruning census for `table` under `keys`: (admitting
+    * files, total data files) at the latest snapshot — exactly the
+    * selection [[readTablePruned]] would read, WITHOUT reading (or even
+    * verifying) anything: one witness parse, zero file opens. The soak
+    * harness records this per scale step as the measured evidence that
+    * probe reads stay probe-sized while the standing corpus grows. */
+  def prunedFileCounts(
+      spark: SparkSession,
+      root: String,
+      name: String,
+      keys: Seq[Any]): (Int, Int) = {
+    val s = latestSnapshot(spark, root)
+    val w = recordedWitness(spark, root, s)
+    val files = w.files.getOrElse(name, Seq.empty)
+      .map(_._1).filter(_.endsWith(".parquet"))
+    val zones = w.stats.getOrElse(name, Map.empty)
+    val keep = files.count { rel =>
+      zones.get(rel).forall { case (k, mn, mx) => zoneAdmits(k, mn, mx, keys) }
+    }
+    (keep, files.size)
+  }
+
   // ------------------------------------------------------------ retention
 
   /** Retire a whole standing-state store — the retention step for a

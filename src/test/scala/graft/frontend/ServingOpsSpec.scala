@@ -288,4 +288,41 @@ class ServingOpsSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
     second.get() shouldBe true // admitted once the permit freed
     holder.join(5000)
   }
+
+  // ------------------------------------------------- ANN drift gauge
+
+  test("ANN drift gauge on /metrics: moves under sub-gate ingests, resets after refine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def vecs(ids: Range) = ids.map(i => (i.toLong, Seq(
+      (i % 7).toDouble, (i * 3 % 5).toDouble, (i * 5 % 11).toDouble, 1.0)))
+      .toDF("vec_id", "embedding")
+    val store = SparkFixture.tempDir("servops-ann")
+    graft.ops.AnnIndex.bootstrap(vecs(0 until 100), "vec_id", "embedding",
+      numCentroids = 4, store)
+    ServingMetrics.registerAnnDrift(httpServer.metrics, spark, "vecidx",
+      ivfStore = Some(store))
+    def gaugeBp(): Long = {
+      val snap = get(httpServer.boundPort, "/metrics")
+      snap.statusCode() shouldBe 200
+      val node = mapper.readTree(snap.body()).path("gauges")
+        .path("ann.vecidx.drift_bp")
+      node.isMissingNode shouldBe false
+      node.asLong()
+    }
+    gaugeBp() shouldBe 0L // fresh seed: no drift debt
+    // two sub-gate nights: the gauge accumulates without either night
+    // crossing the 0.30 gate
+    graft.ops.AnnIndex.ingest(vecs(100 until 112), "vec_id", "embedding",
+      store, refineAt = 0.30) shouldBe false
+    gaugeBp() shouldBe math.round(12.0 / 112.0 * 10000) // 1071
+    graft.ops.AnnIndex.ingest(vecs(112 until 124), "vec_id", "embedding",
+      store, refineAt = 0.30) shouldBe false
+    gaugeBp() shouldBe math.round(24.0 / 124.0 * 10000) // 1935
+    // refine is the reset point: replace-snapshot becomes the new seed
+    // and the SAME registered gauge falls back to zero
+    graft.ops.AnnIndex.refine(vecs(0 until 124), "vec_id", "embedding", store)
+    graft.ops.StandingState.keepSnapshots(spark, store, keep = 1)
+    gaugeBp() shouldBe 0L
+  }
 }

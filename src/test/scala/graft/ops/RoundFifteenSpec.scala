@@ -173,4 +173,66 @@ class RoundFifteenSpec extends AnyFunSuite with Matchers {
     val c2 = merged2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     c2(103L) shouldBe c2(12L)
   }
+
+  // --------------------------------------------- arrow-batched decode seam
+
+  private def gifFrame(i: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(java.awt.Color.BLACK)
+      g.fillRect(0, 0, 32, 32)
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect((i % 4) * 8, (i / 4 % 4) * 8, 8, 8)
+    } finally g.dispose()
+    img
+  }
+
+  private def gifBytes(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      frames.foreach(f =>
+        w.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  test("arrow-batched decode seam ≡ row seam over real GIF pixels (incl. poison pills)") {
+    val media = Seq(
+      (1L, gifBytes((0 until 6).map(gifFrame))),
+      (2L, gifBytes((2 until 6).map(gifFrame))),
+      (3L, "not a gif".getBytes("UTF-8")))
+      .toDF("asset_id", "content")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          Option(r.getAs[scala.collection.Seq[Int]]("luma64")).map(_.toList))
+      }.toSet
+    val viaRows = rows(Multimodal.decodeWith(
+      media, Multimodal.videoDecodedSchema)(Multimodal.gifFrameDecoder))
+    // batchRows = 2 forces multiple Arrow batches through the seam
+    val viaArrow = rows(Multimodal.decodeWithArrow(
+      media, Multimodal.videoDecodedSchema, batchRows = 2)(Multimodal.gifFrameDecoder))
+    viaArrow shouldBe viaRows
+    viaRows.size shouldBe 11 // 6 + 4 frames + 1 poison row
+  }
+
+  test("the byte-level arrow seam really batches: capped record batches, value-exact round trip") {
+    val df = spark.range(100).selectExpr(
+      "id", "concat('payload ', id) AS s").repartition(1)
+    val batches = spark.sparkContext.longAccumulator("arrow-batches")
+    val out = org.apache.spark.sql.graftshim.ArrowSeam.mapArrowBatches(
+      df, df.schema, batchRows = 8) { it =>
+      it.map { b => batches.add(1); b } // a native worker would decode here
+    }
+    out.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq shouldBe
+      (0L until 100L).map(i => (i, s"payload $i"))
+    batches.value.toLong should be >= 13L // 100 rows / 8-row batches
+  }
 }
