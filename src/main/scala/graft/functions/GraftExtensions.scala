@@ -148,5 +148,19 @@ object GraftExtensions {
     if (!extra.contains(graft.plans.RangeJoinRewrite))
       spark.experimental.extraOptimizations =
         extra :+ graft.plans.RangeJoinRewrite
+    // Engine tuning: Spark's ObjectHashAggregate falls back to
+    // SORT-BASED aggregation after only 128 distinct keys per task —
+    // a guard for UNBOUNDED buffers (collect_list-style), but every
+    // TypedImperativeAggregate this engine ships is small and bounded
+    // (13-byte argmax, capacity-capped SpaceSaving, fixed HLL
+    // registers, fixed quantile histogram), so the sort guard only
+    // re-introduces the N·C-stream sort the hash argmax exists to
+    // avoid (5.6 GB of spill at the 10× vector soak). 4M keys bounds
+    // the per-task hash map at a few hundred MB worst case while
+    // letting realistic partials (groups/task ≈ rows/task) stay
+    // hash-based. Respect an explicit user setting.
+    val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    if (spark.conf.getOption(fallbackKey).forall(_ == "128"))
+      spark.conf.set(fallbackKey, "4194304")
   }
 }

@@ -306,13 +306,23 @@ object Similarity {
       centDf: DataFrame,
       idCol: String,
       idAs: String,
-      vecCol: String): DataFrame =
+      vecCol: String): DataFrame = {
+    // the argmax is the hash-combinable [[graft.functions.ArgMaxCell]]
+    // (ObjectHashAggregate, 13-byte buffer), NOT max(struct(s, -cid)):
+    // a struct max falls back to SortAggregate, which SORTS the N·C
+    // pre-aggregation stream — 3.7 GB of spill at the 10× vector soak
+    // and unboundedly worse at real scale. Same result bit-for-bit
+    // (ties to the LOWEST cid; the oracle's ORDER BY s DESC, cid ASC).
+    import org.apache.spark.sql.graftshim.ColumnExpr
+    val argmax = ColumnExpr.column(graft.functions.ArgMaxCell(
+      ColumnExpr.expr(col("cid").cast("int")),
+      ColumnExpr.expr(col("s").cast("double"))).toAggregateExpression())
     df.select(col(idCol).as(idAs), col(vecCol).as("v"))
       .join(centDf)
       .select(col(idAs), col("cid"), cosine(col("v"), col("cvec")).as("s"))
       .groupBy(idAs)
-      .agg(max(struct(col("s"), (-col("cid")).as("negcid"))).as("best"))
-      .select(col(idAs), (-col("best.negcid")).cast("int").as("cell"))
+      .agg(argmax.as("cell"))
+  }
 
   /** Deterministic semantic clustering of a corpus: nearest-centroid cell
     * per vector over the stride-seeded centroids — the shared front half
@@ -476,10 +486,17 @@ object Similarity {
       k: Int,
       codebooks: Option[DataFrame] = None): DataFrame = {
     val subCents = codebooks.getOrElse(pqCodebooks(corpus, idCol, vecCol, m, subDim, k))
+    // hash-combinable argmin (argmax of -d2, ties to the LOWEST cid —
+    // exactly min(struct(d2, cid))): a struct min would SortAggregate
+    // the N·m·k code-assignment stream; see [[assignCells]]
+    import org.apache.spark.sql.graftshim.ColumnExpr
+    val argmin = ColumnExpr.column(graft.functions.ArgMaxCell(
+      ColumnExpr.expr(col("cid").cast("int")),
+      ColumnExpr.expr((-col("d2")).cast("double"))).toAggregateExpression())
     pqSubDistances(corpus, idCol, idAs, vecCol, subCents, m, subDim)
       .groupBy(idAs, "j")
-      .agg(min(struct(col("d2"), col("cid"))).as("best"))
-      .select(col(idAs), col("j"), col("best.cid").cast("int").as("code"))
+      .agg(argmin.as("code"))
+      .select(col(idAs), col("j"), col("code").cast("int").as("code"))
   }
 
   /** Per-(vector, subspace, centroid) squared-L2 distances against a

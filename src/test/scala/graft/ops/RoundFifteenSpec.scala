@@ -174,6 +174,25 @@ class RoundFifteenSpec extends AnyFunSuite with Matchers {
     c2(103L) shouldBe c2(12L)
   }
 
+  test("centroid/code assignment is hash-aggregated (no sort of the N·C stream), ties to lowest cid") {
+    // two identical centroids (cid 0, 1) force the tie; the argmax must
+    // take the LOWEST cid — the oracle's ORDER BY s DESC, cid ASC
+    val cents = Seq(
+      (0, Seq(1.0, 0.0)), (1, Seq(1.0, 0.0)), (2, Seq(0.0, 1.0)))
+      .toDF("cid", "cvec")
+    val vecs = Seq((10L, Seq(0.9, 0.1)), (11L, Seq(0.1, 0.9)))
+      .toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(vecs, cents, "vec_id", "embedding")
+    assigned.collect().map(r => (r.getLong(0), r.getInt(1))).toSet shouldBe
+      Set((10L, 0), (11L, 2))
+    // plan pin: the argmax is ObjectHashAggregate (map-side combinable
+    // 13-byte buffer) — a max(struct) here would SortAggregate the
+    // vectors × centroids stream (3.7 GB of spill at the 10× soak)
+    val plan = assigned.queryExecution.executedPlan.toString
+    plan should include ("ObjectHashAggregate")
+    (plan should not).include("SortAggregate")
+  }
+
   // --------------------------------------------- arrow-batched decode seam
 
   private def gifFrame(i: Int): java.awt.image.BufferedImage = {
