@@ -47,6 +47,105 @@ final class ArgMaxBuffer extends Serializable {
   def merge(o: ArgMaxBuffer): Unit = if (o.has) add(o.bestCid, o.bestS)
 }
 
+/** Buffer for [[ArgMaxLong]]: the LONG payload of the row with the
+  * largest double key, ties to the lowest (or highest) payload. */
+final class ArgMaxLongBuffer extends Serializable {
+  var has: Boolean = false
+  var bestKey: Double = Double.NegativeInfinity
+  var bestVal: Long = 0L
+
+  @inline private def cmp(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b) // ±0.0 equal, NaN largest
+
+  def add(v: Long, key: Double, preferLowValue: Boolean): Unit = {
+    if (!has) { has = true; bestKey = key; bestVal = v }
+    else {
+      val c = cmp(key, bestKey)
+      if (c > 0 || (c == 0 &&
+          (if (preferLowValue) v < bestVal else v > bestVal))) {
+        bestKey = key; bestVal = v
+      }
+    }
+  }
+
+  def merge(o: ArgMaxLongBuffer, preferLowValue: Boolean): Unit =
+    if (o.has) add(o.bestVal, o.bestKey, preferLowValue)
+}
+
+/** Hash-combinable long-payload argmax — `max/min(struct(key, value))`
+  * re-expressed with a 17-byte mutable buffer (ObjectHashAggregate,
+  * map-side partial combine) for the corpus-scale argmax reductions
+  * a struct extremum would SortAggregate: the standing-cluster
+  * latest-revision resolve ([[graft.ops.StandingState]] readClusters —
+  * max `_seq`, ties to the HIGHEST cluster) and the per-cluster keeper
+  * selections ([[graft.ops.Cluster]] priority/rank keepers — max key,
+  * ties to the LOWEST doc id). `preferLowValue` picks the tie side;
+  * key ordering mirrors Spark's SQL double comparator (±0.0 equal,
+  * NaN greatest), so results are bit-identical to the struct forms. */
+case class ArgMaxLong(
+    valExpr: Expression,
+    keyExpr: Expression,
+    preferLowValue: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArgMaxLongBuffer] with BinaryLike[Expression] {
+
+  override def left: Expression = valExpr
+  override def right: Expression = keyExpr
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (valExpr.dataType == LongType && keyExpr.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_argmax_long expects (long, double); got " +
+        s"${valExpr.dataType.simpleString}, ${keyExpr.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): ArgMaxLongBuffer = new ArgMaxLongBuffer
+
+  override def update(b: ArgMaxLongBuffer, input: InternalRow): ArgMaxLongBuffer = {
+    val v = valExpr.eval(input)
+    val k = keyExpr.eval(input)
+    if (v != null && k != null)
+      b.add(v.asInstanceOf[Long], k.asInstanceOf[Double], preferLowValue)
+    b
+  }
+
+  override def merge(b: ArgMaxLongBuffer, o: ArgMaxLongBuffer): ArgMaxLongBuffer = {
+    b.merge(o, preferLowValue); b
+  }
+
+  override def eval(b: ArgMaxLongBuffer): Any = if (b.has) b.bestVal else null
+
+  override def serialize(b: ArgMaxLongBuffer): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(17)
+    out.put(if (b.has) 1.toByte else 0.toByte)
+    out.putDouble(b.bestKey)
+    out.putLong(b.bestVal)
+    out.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArgMaxLongBuffer = {
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    val b = new ArgMaxLongBuffer
+    b.has = in.get() == 1
+    b.bestKey = in.getDouble()
+    b.bestVal = in.getLong()
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ArgMaxLong =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ArgMaxLong =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ArgMaxLong =
+    copy(valExpr = l, keyExpr = r)
+  override def prettyName: String = "graft_argmax_long"
+}
+
 case class ArgMaxCell(
     cidExpr: Expression,
     scoreExpr: Expression,

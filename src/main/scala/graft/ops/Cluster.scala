@@ -442,6 +442,19 @@ object Cluster {
     * on the cluster key joined back to the members — two bounded
     * shuffles on cluster, no windows over data-sized partitions.
     * Returns every member row + (keeper, is_keeper). */
+  /** Keeper argmin as a hash-combinable aggregate: the doc id with the
+    * LARGEST `key` (callers negate for min-rank semantics), ties to
+    * the LOWEST doc id — [[graft.functions.ArgMaxLong]] with
+    * preferLowValue, bit-identical to the min-of-struct forms. */
+  private def argminDoc(docCol: String, key: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.ColumnExpr
+    ColumnExpr.column(graft.functions.ArgMaxLong(
+      ColumnExpr.expr(col(docCol).cast("long")),
+      ColumnExpr.expr(key),
+      preferLowValue = true).toAggregateExpression())
+  }
+
   def priorityKeepers(
       members: DataFrame,
       priorities: DataFrame,
@@ -450,9 +463,13 @@ object Cluster {
       sourceCol: String = "source",
       rankCol: String = "rank"): DataFrame = {
     val ranked = members.join(broadcast(priorities), Seq(sourceCol))
+    // hash-combinable argmin (max of -rank, ties to the LOWEST doc id
+    // — exactly min(struct(rank, doc))): a struct extremum plans as
+    // SortAggregate and sorts the corpus-sized member stream; the
+    // 17-byte [[graft.functions.ArgMaxLong]] buffer keeps the partial
+    // aggregate map-side (rank is a small integer — exact as double)
     val keepers = ranked.groupBy(clusterCol)
-      .agg(min(struct(col(rankCol), col(docCol))).as("_best"))
-      .select(col(clusterCol), col(s"_best.$docCol").as("keeper"))
+      .agg(argminDoc(docCol, (-col(rankCol)).cast("double")).as("keeper"))
     ranked.join(keepers, clusterCol)
       .withColumn("is_keeper", col(docCol) === col("keeper"))
   }
@@ -475,9 +492,10 @@ object Cluster {
       clusterCol: String = "cluster",
       rankCol: String = "rank"): DataFrame = {
     val ranked = members.join(ranks, Seq(docCol))
+    // max rank, ties to the LOWEST doc id — exactly
+    // min(struct(-rank, doc)), hash-combinable (see priorityKeepers)
     val keepers = ranked.groupBy(clusterCol)
-      .agg(min(struct(negate(col(rankCol)).as("nr"), col(docCol).as("d"))).as("_best"))
-      .select(col(clusterCol), col("_best.d").as("keeper"))
+      .agg(argminDoc(docCol, col(rankCol).cast("double")).as("keeper"))
     ranked.join(keepers, clusterCol)
       .withColumn("is_keeper", col(docCol) === col("keeper"))
       .select(col(docCol), col(clusterCol), col(rankCol), col("keeper"), col("is_keeper"))

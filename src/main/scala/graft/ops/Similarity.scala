@@ -307,21 +307,27 @@ object Similarity {
       idCol: String,
       idAs: String,
       vecCol: String): DataFrame = {
-    // the argmax is the hash-combinable [[graft.functions.ArgMaxCell]]
-    // (ObjectHashAggregate, 13-byte buffer), NOT max(struct(s, -cid)):
-    // a struct max falls back to SortAggregate, which SORTS the N·C
-    // pre-aggregation stream — 3.7 GB of spill at the 10× vector soak
-    // and unboundedly worse at real scale. Same result bit-for-bit
-    // (ties to the LOWEST cid; the oracle's ORDER BY s DESC, cid ASC).
-    import org.apache.spark.sql.graftshim.ColumnExpr
-    val argmax = ColumnExpr.column(graft.functions.ArgMaxCell(
-      ColumnExpr.expr(col("cid").cast("int")),
-      ColumnExpr.expr(col("s").cast("double"))).toAggregateExpression())
     df.select(col(idCol).as(idAs), col(vecCol).as("v"))
       .join(centDf)
       .select(col(idAs), col("cid"), cosine(col("v"), col("cvec")).as("s"))
       .groupBy(idAs)
-      .agg(argmax.as("cell"))
+      .agg(argmaxCell.as("cell"))
+  }
+
+  /** Hash-combinable argmax over (cid, s) rows — the
+    * [[graft.functions.ArgMaxCell]] aggregate (ObjectHashAggregate,
+    * 13-byte buffer), NOT `max(struct(s, -cid))`: a struct max falls
+    * back to SortAggregate, which SORTS the whole pre-aggregation
+    * stream — 3.7 GB of spill on the N·C assignment stream at the 10×
+    * vector soak and unboundedly worse at real scale. Same result
+    * bit-for-bit (ties to the LOWEST cid; the oracle's ORDER BY s
+    * DESC, cid ASC). Shared by [[assignCells]], the label-noise cell
+    * audit and [[silhouette]]. */
+  private def argmaxCell: Column = {
+    import org.apache.spark.sql.graftshim.ColumnExpr
+    ColumnExpr.column(graft.functions.ArgMaxCell(
+      ColumnExpr.expr(col("cid").cast("int")),
+      ColumnExpr.expr(col("s").cast("double"))).toAggregateExpression())
   }
 
   /** Deterministic semantic clustering of a corpus: nearest-centroid cell
@@ -1003,8 +1009,8 @@ object Similarity {
         .select(col("pid"), col("cid"), cosine(col("v"), col("cvec")).as("s")),
       "noise-sims")
     val cells = sims.groupBy("pid")
-      .agg(max(struct(col("s"), (-col("cid")).as("negcid"))).as("best"))
-      .select(col("pid").as("corpus_id"), (-col("best.negcid")).cast("int").as("cell"))
+      .agg(argmaxCell.as("cell")) // hash-combinable; see [[argmaxCell]]
+      .select(col("pid").as("corpus_id"), col("cell"))
     val wProbe = Window.partitionBy("pid").orderBy(col("s").desc, col("cid").desc)
     val probes = sims.withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
@@ -1112,10 +1118,11 @@ object Similarity {
       corpusD.join(cents)
         .select(col("pid"), col("cid"), cosine(col("v"), col("cvec")).as("s")),
       "sil-sims")
+    // argmax cell + max(s) in ONE hash aggregate: s_own IS the winning
+    // row's s by definition (see [[argmaxCell]] for why not max(struct))
     val best = sims.groupBy("pid")
-      .agg(max(struct(col("s"), (-col("cid")).as("negcid"))).as("best"))
-      .select(col("pid"), (-col("best.negcid")).cast("int").as("cell"),
-        col("best.s").as("s_own"))
+      .agg(argmaxCell.as("cell"), max(col("s")).as("s_own"))
+      .select(col("pid"), col("cell"), col("s_own"))
     val other = sims.join(best.select("pid", "cell"), "pid")
       .filter(col("cid") =!= col("cell"))
       .groupBy("pid").agg(max("s").as("s_other"))

@@ -928,13 +928,24 @@ object StandingState {
     * the materialization each consumer would re-run the revision
     * aggregate through its own lineage — the resolve-once-serve-many
     * shape a snapshot store's read path wants at any scale. */
-  def readClusters(spark: SparkSession, store: String): DataFrame =
+  def readClusters(spark: SparkSession, store: String): DataFrame = {
+    // latest-wins revision resolve as the hash-combinable
+    // [[graft.functions.ArgMaxLong]] (max `_seq`, ties to the highest
+    // cluster — exactly max(struct(_seq, cluster))): a struct max
+    // plans as SortAggregate, which sorts the corpus-sized revision
+    // stream partial-side. `_seq` is a snapshot ordinal (tiny), so the
+    // double key is exact.
+    import org.apache.spark.sql.graftshim.ColumnExpr
+    val latest = ColumnExpr.column(graft.functions.ArgMaxLong(
+      ColumnExpr.expr(col("cluster").cast("long")),
+      ColumnExpr.expr(col("_seq").cast("double")),
+      preferLowValue = false).toAggregateExpression())
     Materialize.index(
       readTable(spark, store, ClTable)
         .groupBy("doc_id")
-        .agg(max(struct(col("_seq"), col("cluster"))).as("_b"))
-        .select(col("doc_id"), col("_b.cluster").as("cluster")),
+        .agg(latest.as("cluster")),
       "standing-cl-latest")
+  }
 
   /** Both perceptual fingerprint families for an asset batch, one row
     * per asset: (asset_id, phash, dhash) — MATERIALIZED once

@@ -193,6 +193,29 @@ class RoundFifteenSpec extends AnyFunSuite with Matchers {
     (plan should not).include("SortAggregate")
   }
 
+  test("keeper selection and revision resolve are hash-aggregated too, ties pinned") {
+    // priorityKeepers: min rank wins, ties to the LOWEST doc id
+    val members = Seq((1L, 100L, "a"), (2L, 100L, "b"), (3L, 100L, "b"))
+      .toDF("doc_id", "cluster", "source")
+    val prios = Seq(("a", 2), ("b", 1)).toDF("source", "rank")
+    val kept = Cluster.priorityKeepers(members, prios)
+    kept.filter(col("is_keeper")).select("doc_id").collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(2L) // rank 1 tie → lowest doc id
+    val plan = kept.queryExecution.executedPlan.toString
+    plan should include ("ObjectHashAggregate")
+    (plan should not).include("SortAggregate")
+    // readClusters: highest _seq wins across revisions
+    val store = SparkFixture.tempDir("r15-rc")
+    StandingState.writeTables(store, Seq(StandingState.TableSpec(
+      "clusters", Seq((7L, 1L, 0L), (8L, 8L, 0L)).toDF("doc_id", "cluster", "_seq"),
+      "doc_id")))
+    StandingState.appendTables(store, Seq(StandingState.TableSpec(
+      "clusters", Seq((7L, 2L, 1L)).toDF("doc_id", "cluster", "_seq"), "doc_id")))
+    StandingState.readClusters(spark, store).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(7L -> 2L, 8L -> 8L) // doc 7 resolved to its _seq-1 revision
+  }
+
   // --------------------------------------------- arrow-batched decode seam
 
   private def gifFrame(i: Int): java.awt.image.BufferedImage = {
