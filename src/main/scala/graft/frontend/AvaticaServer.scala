@@ -310,7 +310,16 @@ class GraftAvaticaServer(
       val v = Option(req.get(field)).map(_.asLong()).getOrElse(-1L)
       if (v > 0) math.min(v, serverMaxRows.toLong).toInt else serverMaxRows
     }
-    val rpcName = req.get("request").asText()
+    // A body that parsed as JSON but isn't a request object (an array,
+    // a bare scalar, or an object with no "request" field) is the
+    // client's mistake: name it in the error instead of NPE-ing — the
+    // wire's catch would still answer 500 either way, but "malformed
+    // avatica request" is actionable and a stacktrace-shaped message
+    // is not.
+    val rpcName = Option(req.get("request")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException(
+        "malformed avatica request: no 'request' field in " +
+          req.toString.take(120)))
     // Metric names come from the KNOWN RPC set only — rpcName is a raw
     // client-supplied string, and counting it verbatim would let an
     // untrusted client grow the counter map without bound (one counter

@@ -403,14 +403,24 @@ object StandingState {
     * interleaving window rather than closing it — the witness-rename
     * commit point (one atomic rename) is what ultimately refuses a
     * racing commit even there. */
-  private def acquireLease(spark: SparkSession, store: String, owner: String): Unit = {
+  private[ops] def acquireLease(spark: SparkSession, store: String, owner: String): Unit = {
     val filesystem = fs(spark, store)
     filesystem.mkdirs(new org.apache.hadoop.fs.Path(store))
     val p = leasePath(store)
+    // owner on line 1 (what refusals report and same-owner retakes match
+    // on), a per-acquisition nonce on line 2 so releaseOwnLease can tell
+    // THIS acquisition's lease from any other writer's — including a
+    // same-owner retake from another thread
+    val body = owner + "\n" +
+      java.lang.Long.toHexString(nextHex.incrementAndGet()) + "-" +
+      java.lang.Long.toHexString(Thread.currentThread().getId)
+    def recordBody(): Unit =
+      leaseBodies.set(leaseBodies.get + (norm(store) -> body))
     val created =
       try {
         val os = filesystem.create(p, false)
-        try os.write(owner.getBytes("UTF-8")) finally os.close()
+        try os.write(body.getBytes("UTF-8")) finally os.close()
+        recordBody()
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
@@ -425,11 +435,14 @@ object StandingState {
       val held =
         try {
           val is = filesystem.open(p)
-          try scala.io.Source.fromInputStream(is, "UTF-8").mkString finally is.close()
+          try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+            .takeWhile(_ != '\n') // owner line; nonce is ours to ignore
+          finally is.close()
         } catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
       if (owner.nonEmpty && held == owner) {
         val os = filesystem.create(p, true)
-        try os.write(owner.getBytes("UTF-8")) finally os.close()
+        try os.write(body.getBytes("UTF-8")) finally os.close()
+        recordBody()
       } else throw new StaleStateException(
         s"state store $store is write-leased by '$held' — a concurrent " +
           "(or crashed) writer; refusing to interleave commits. If the " +
@@ -437,8 +450,47 @@ object StandingState {
     }
   }
 
+  /** Unconditional lease removal — the [[breakLease]] path only. Scoped
+    * releases go through [[releaseOwnLease]], which refuses to delete a
+    * lease this acquisition no longer owns. */
   private def releaseLease(spark: SparkSession, store: String): Unit = {
     fs(spark, store).delete(leasePath(store), false); ()
+  }
+
+  /** Compare-and-delete release: remove the lease file only while it
+    * still carries THIS acquisition's body (owner line + nonce line,
+    * recorded by [[acquireLease]]). On filesystems whose create-exclusive
+    * is check-then-create (Hadoop LocalFileSystem), a racing writer can
+    * slip past the lease and lose at the witness-rename arbiter — an
+    * unconditional delete in its exit path would then remove the
+    * WINNER's live lease and reopen the store to a third writer while
+    * the winner is still mid-commit. The nonce makes each acquisition's
+    * body unique (two same-owner acquisitions differ too), so the loser
+    * reads a body that isn't its own and leaves the file alone. The
+    * read-then-delete is itself a narrow window, not an atomic CAS —
+    * strictly tighter than delete-always, with the rename still the
+    * arbiter of record. */
+  private[ops] def releaseOwnLease(spark: SparkSession, store: String): Unit = {
+    val key = norm(store)
+    val mine = leaseBodies.get.get(key)
+    leaseBodies.set(leaseBodies.get - key)
+    val filesystem = fs(spark, store)
+    val p = leasePath(store)
+    val current =
+      try {
+        val is = filesystem.open(p)
+        try scala.io.Source.fromInputStream(is, "UTF-8").mkString finally is.close()
+      } catch { case scala.util.control.NonFatal(_) => null }
+    if (current != null && (mine.isEmpty || mine.contains(current)))
+      filesystem.delete(p, false)
+    ()
+  }
+
+  /** The exact lease body each of THIS thread's live acquisitions wrote,
+    * keyed by normalized store — what [[releaseOwnLease]] compares
+    * against before deleting. */
+  private val leaseBodies = new ThreadLocal[Map[String, String]] {
+    override def initialValue(): Map[String, String] = Map.empty
   }
 
   /** Stores whose lease THIS thread already holds — [[withLease]] is
@@ -466,7 +518,7 @@ object StandingState {
       try f
       finally {
         heldLeases.set(heldLeases.get - key)
-        releaseLease(spark, store)
+        releaseOwnLease(spark, store)
       }
     }
   }

@@ -277,4 +277,133 @@ class RoundFifteenSpec extends AnyFunSuite with Matchers {
       (0L until 100L).map(i => (i, s"payload $i"))
     batches.value.toLong should be >= 13L // 100 rows / 8-row batches
   }
+
+  test("commit protocol under real thread concurrency: racing appenders land exactly once") {
+    // Every prior lease/staleness pin drives the protocol SEQUENTIALLY
+    // (plant a lease file, commit under a moved base). This is the
+    // actual race: N writers on N threads, barrier-released together,
+    // each retrying its one delta until the store accepts it. On local
+    // disk the lease is check-then-create (narrowed, not closed — see
+    // acquireLease's doc), so threads DO interleave past it here and the
+    // witness rename is the arbiter the property really exercises:
+    // however the refusals land (lease-held or stale-base), every delta
+    // must commit EXACTLY once and no winner's work may be dropped.
+    val store = SparkFixture.tempDir("r15-race")
+    StandingState.writeTables(store, Seq(StandingState.TableSpec(
+      "t", Seq(("base", -1L)).toDF("k", "v"), "k")))
+    val writers = 6
+    val barrier = new java.util.concurrent.CyclicBarrier(writers)
+    val refusals = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val threads = (0 until writers).map { i =>
+      new Thread(() => {
+        try {
+          val delta = Seq((f"k$i%02d", i.toLong)).toDF("k", "v")
+          barrier.await()
+          var done = false
+          var attempts = 0
+          while (!done && attempts < 300) {
+            attempts += 1
+            try {
+              // distinct owners: the owner-dedup replay skip makes the
+              // retry idempotent even if a win surfaces as a failure
+              StandingState.appendTables(store, Seq(
+                StandingState.TableSpec("t", delta, "k")), owner = s"racer-$i")
+              done = true
+            } catch {
+              case _: StandingState.StaleStateException =>
+                refusals.incrementAndGet(); Thread.sleep(15)
+            }
+          }
+          if (!done) failures.add(s"racer-$i: retries exhausted")
+        } catch { case e: Throwable => failures.add(s"racer-$i: $e") }
+      }, s"r15-racer-$i")
+    }
+    // concurrent readers: every read taken WHILE commits land must
+    // observe some committed snapshot's exact row set — never a torn
+    // half-commit (the atomic witness rename is what makes this hold)
+    val observed = java.util.concurrent.ConcurrentHashMap.newKeySet[Set[(String, Long)]]()
+    val writersDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readers = (0 until 2).map { r =>
+      new Thread(() => {
+        try {
+          while (!writersDone.get()) {
+            observed.add(StandingState.readTable(spark, store, "t")
+              .collect().map(x => (x.getString(0), x.getLong(1))).toSet)
+            Thread.sleep(25) // bound scheduler churn, keep the race long
+          }
+        } catch { case e: Throwable => failures.add(s"reader-$r: $e") }
+      }, s"r15-reader-$r")
+    }
+    readers.foreach(_.start())
+    threads.foreach(_.start())
+    threads.foreach(_.join(180000))
+    writersDone.set(true)
+    readers.foreach(_.join(60000))
+    withClue(s"racer failures: $failures: ") { failures.isEmpty shouldBe true }
+    info(s"refusals retried: ${refusals.get()}; distinct read states: ${observed.size}")
+    // snapshot isolation, post-hoc: enumerate every committed snapshot's
+    // row set; each concurrent observation must be exactly one of them
+    val snapSets = StandingState.snapshots(spark, store).map { s =>
+      StandingState.readTable(spark, store, "t", s)
+        .collect().map(x => (x.getString(0), x.getLong(1))).toSet
+    }.toSet
+    observed.forEach { o =>
+      withClue(s"torn read $o: ") { snapSets should contain(o) }
+    }
+    // exactly-once: base + one row per winner, no duplicates, no loss
+    val got = StandingState.readTable(spark, store, "t")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    got shouldBe (("base", -1L) +: (0 until writers).map(i => (f"k$i%02d", i.toLong)))
+    // one snapshot per commit: bootstrap + exactly `writers` appends
+    StandingState.snapshots(spark, store).size shouldBe (writers + 1)
+    // and the store is still healthy for a new writer afterwards
+    StandingState.appendTables(store, Seq(StandingState.TableSpec(
+      "t", Seq(("after", 99L)).toDF("k", "v"), "k")), owner = "post-race")
+    StandingState.readTable(spark, store, "t").count() shouldBe (writers + 2L)
+  }
+
+  test("lease release is compare-and-delete: a slipped writer's exit leaves the live lease") {
+    // LocalFileSystem's create-exclusive is check-then-create, so a
+    // racing writer CAN slip past the lease and later lose at the
+    // witness rename — its exit path must not delete the lease the
+    // current holder is still committing under. Deterministic replay of
+    // that interleaving via the private[ops] seams: acquire, have the
+    // slipped writer overwrite the lease body (what its create does in
+    // the window), then release — the file must survive, still naming
+    // the slipped writer, and still refusing a third writer.
+    val store = SparkFixture.tempDir("r15-leasecad")
+    StandingState.writeTables(store, Seq(StandingState.TableSpec(
+      "t", Seq(("a", 1L)).toDF("k", "v"), "k")))
+    val lease = new java.io.File(s"$store/_LEASE")
+
+    // the untouched path first: acquire + release removes the lease
+    StandingState.acquireLease(spark, store, "w1")
+    lease.exists() shouldBe true
+    StandingState.releaseOwnLease(spark, store)
+    lease.exists() shouldBe false
+
+    // the interleaved path: another writer's create lands between this
+    // acquisition and its release
+    StandingState.acquireLease(spark, store, "w1")
+    val os = new java.io.FileOutputStream(lease)
+    try os.write("w2\nslipped-nonce".getBytes("UTF-8")) finally os.close()
+    // the slipped writer's create goes through the Hadoop filesystem and
+    // carries its own checksum; this raw overwrite must drop the stale
+    // CRC sidecar or every subsequent read sees ChecksumException
+    new java.io.File(s"$store/._LEASE.crc").delete()
+    StandingState.releaseOwnLease(spark, store)
+    lease.exists() shouldBe true // NOT ours to delete anymore
+    // the surviving lease still guards the store, naming its holder
+    val ex = intercept[StandingState.StaleStateException] {
+      StandingState.appendTables(store, Seq(StandingState.TableSpec(
+        "t", Seq(("b", 2L)).toDF("k", "v"), "k")), owner = "w3")
+    }
+    ex.getMessage should include("write-leased by 'w2'")
+    // explicit break stays unconditional — the recovery path
+    StandingState.breakLease(spark, store)
+    StandingState.appendTables(store, Seq(StandingState.TableSpec(
+      "t", Seq(("b", 2L)).toDF("k", "v"), "k")), owner = "w3")
+    StandingState.readTable(spark, store, "t").count() shouldBe 2L
+  }
 }
