@@ -169,7 +169,20 @@ object StandingState {
       owner: String,
       files: Map[String, Seq[(String, Long, Long)]],
       rows: Map[String, Map[String, Long]],
-      stats: Map[String, Map[String, (String, String, String)]])
+      stats: Map[String, Map[String, (String, String, String)]],
+      schemas: Map[String, String])
+
+  /** Canonical rendering of a table schema for witness `#schema=` lines
+    * and drift comparison: fields as `name TYPE`, SORTED BY NAME (a
+    * reordered append reads identically under parquet's by-name column
+    * resolution, so order must not refuse), nullability ignored (a
+    * nullable/required flip is a parquet-writer detail, not a shape
+    * change). Types render via Catalyst's `DataType.sql`, which is
+    * structural for nested types too. */
+  private[ops] def canonicalSchema(
+      schema: org.apache.spark.sql.types.StructType): String =
+    schema.fields.map(f => s"${f.name} ${f.dataType.sql}")
+      .sorted.mkString(", ")
 
   /** Per-FILE zone map of one data file's cluster column, recorded in
     * the witness at commit time: (kind, min, max) with kind ∈ s|l|d
@@ -324,12 +337,16 @@ object StandingState {
         (t, rel, (kind, mn, mx))
       }.groupBy(_._1).view
         .mapValues(_.map { case (_, rel, s) => rel -> s }.toMap).toMap
+      val schemas = lines.filter(_.startsWith("#schema=")).map { l =>
+        val Array(t, s) = l.stripPrefix("#schema=").split("\t", 2)
+        t -> java.net.URLDecoder.decode(s, "UTF-8")
+      }.toMap
       val files = lines.filterNot(_.startsWith("#")).map { line =>
         val Array(t, rel, len, mt) = line.split("\t", 4)
         (t, (rel, len.toLong, mt.toLong))
       }
       Witness(owner, files.groupBy(_._1).view.mapValues(_.map(_._2)).toMap,
-        rows, stats)
+        rows, stats, schemas)
     } catch {
       case e: StaleStateException => throw e
       case scala.util.control.NonFatal(e) =>
@@ -581,6 +598,35 @@ object StandingState {
           None
       }
       val baseFiles = baseWitness.map(_.files).getOrElse(Map.empty)
+      // Schema-drift refusal, BEFORE any data is written: an append whose
+      // shape differs from the table's standing shape would commit fine
+      // and then read NONDETERMINISTICALLY — spark.read.parquet over
+      // mixed-schema partitions projects whichever file's footer it
+      // sampled, so a column added by a delta is silently invisible (or
+      // a retyped column corrupts the scan) depending on file order.
+      // The expected shape comes from the base witness's `#schema=` line
+      // (recorded at every commit since this check existed); a legacy
+      // base without one derives it from one standing data file's footer
+      // (driver-side, one open). A table with no base partitions is a
+      // table birth — it defines its own shape. Replaces are free by
+      // design: bootstrap/compaction/refine DEFINE the standing shape.
+      baseWitness.foreach { bw =>
+        appends.foreach { t =>
+          val expected: Option[String] = bw.schemas.get(t.name).orElse {
+            partitionDirsOf(bw.files.getOrElse(t.name, Seq.empty)).headOption
+              .map(d => canonicalSchema(spark.read.parquet(s"$store/$d").schema))
+          }
+          val got = canonicalSchema(t.df.schema)
+          expected.filter(_ != got).foreach { exp =>
+            throw new StaleStateException(
+              s"schema drift refused for table ${t.name} at $store: the " +
+                s"standing shape is [$exp] but this append carries [$got] — " +
+                "mixed-schema partitions read nondeterministically; migrate " +
+                "via a replace commit (writeTables/compaction) that rewrites " +
+                "every partition under the new shape")
+          }
+        }
+      }
       val newSnap = snapshots(spark, store).lastOption.map(_ + 1).getOrElse(0L)
       val replaced = replaces.map(_.name).toSet
       val hconf = spark.sessionState.newHadoopConf()
@@ -622,7 +668,17 @@ object StandingState {
       val statLines = (inheritedStats ++ writtenStats)
         .sortBy(r => (r._1, r._2))
         .map { case (t, rel, (k, mn, mx)) => s"#stats=$t\t$rel\t$k\t$mn\t$mx" }
-      val body = (s"#owner=$owner" +: (rowLines ++ statLines ++
+      // per-table standing shape: written tables record their own
+      // DataFrame's shape (the drift check above already proved appends
+      // match), inherited-only tables carry the base's recorded line
+      // forward — so one commit on a legacy store upgrades its witness
+      val schemaOf: Map[String, String] =
+        baseWitness.map(_.schemas).getOrElse(Map.empty) ++
+          (appends ++ replaces).map(t => t.name -> canonicalSchema(t.df.schema))
+      val schemaLines = merged.keySet.toSeq.sorted
+        .flatMap(t => schemaOf.get(t).map(s =>
+          s"#schema=$t\t${java.net.URLEncoder.encode(s, "UTF-8")}"))
+      val body = (s"#owner=$owner" +: (schemaLines ++ rowLines ++ statLines ++
         merged.toSeq.sortBy(_._1).flatMap {
           case (t, files) => files.map { case (p, len, mt) => s"$t\t$p\t$len\t$mt" }
         })).mkString("\n")

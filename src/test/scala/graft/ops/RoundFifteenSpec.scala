@@ -406,4 +406,68 @@ class RoundFifteenSpec extends AnyFunSuite with Matchers {
       "t", Seq(("b", 2L)).toDF("k", "v"), "k")), owner = "w3")
     StandingState.readTable(spark, store, "t").count() shouldBe 2L
   }
+
+  test("schema drift is refused at commit time, before any data lands") {
+    // mixed-schema partitions read NONDETERMINISTICALLY (spark.read
+    // projects whichever footer it sampled), so the commit must refuse —
+    // the standing shape rides the witness as a #schema line
+    val store = SparkFixture.tempDir("r15-schemadrift")
+    StandingState.writeTables(store, Seq(StandingState.TableSpec(
+      "t", Seq(("a", 1L)).toDF("k", "v"), "k")))
+    // an added column is drift
+    intercept[StandingState.StaleStateException] {
+      StandingState.appendTables(store, Seq(StandingState.TableSpec(
+        "t", Seq(("b", 2L, 0.5)).toDF("k", "v", "extra"), "k")))
+    }.getMessage should include("schema drift refused")
+    // a retyped column is drift
+    intercept[StandingState.StaleStateException] {
+      StandingState.appendTables(store, Seq(StandingState.TableSpec(
+        "t", Seq(("b", "2")).toDF("k", "v"), "k")))
+    }.getMessage should include("schema drift refused")
+    // both refusals happened BEFORE any data landed: still one snapshot,
+    // one row, the original shape
+    StandingState.snapshots(spark, store).size shouldBe 1
+    StandingState.readTable(spark, store, "t").count() shouldBe 1L
+    // a REORDERED append is not drift — parquet resolves columns by name
+    StandingState.appendTables(store, Seq(StandingState.TableSpec(
+      "t", Seq((2L, "b")).toDF("v", "k"), "k")))
+    StandingState.readTable(spark, store, "t")
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("v")))
+      .sorted.toSeq shouldBe Seq(("a", 1L), ("b", 2L))
+    // the migration path: a replace commit redefines the shape, after
+    // which appends under the NEW shape land
+    StandingState.writeTables(store, Seq(StandingState.TableSpec(
+      "t", Seq(("a", 1L, 0.1), ("b", 2L, 0.2)).toDF("k", "v", "extra"), "k")))
+    StandingState.appendTables(store, Seq(StandingState.TableSpec(
+      "t", Seq(("c", 3L, 0.3)).toDF("k", "v", "extra"), "k")))
+    StandingState.readTable(spark, store, "t").count() shouldBe 3L
+  }
+
+  test("legacy witness without #schema lines: drift still refused from a data-file footer") {
+    val store = SparkFixture.tempDir("r15-schemalegacy")
+    StandingState.writeTables(store, Seq(StandingState.TableSpec(
+      "t", Seq(("a", 1L)).toDF("k", "v"), "k")))
+    // simulate a pre-schema-line store: strip the #schema lines from the
+    // witness (and drop the CRC sidecar the raw rewrite invalidates)
+    val witness = new java.io.File(s"$store/snap00000/_WITNESS")
+    val stripped = scala.io.Source.fromFile(witness, "UTF-8").getLines()
+      .filterNot(_.startsWith("#schema=")).mkString("\n")
+    val os = new java.io.FileOutputStream(witness)
+    try os.write(stripped.getBytes("UTF-8")) finally os.close()
+    new java.io.File(s"$store/snap00000/._WITNESS.crc").delete()
+    // drift is still refused — the expected shape derives from one
+    // standing data file's footer
+    intercept[StandingState.StaleStateException] {
+      StandingState.appendTables(store, Seq(StandingState.TableSpec(
+        "t", Seq(("b", 2L, 0.5)).toDF("k", "v", "extra"), "k")))
+    }.getMessage should include("schema drift refused")
+    // a matching append lands, and its commit UPGRADES the witness:
+    // the new snapshot records the #schema line
+    StandingState.appendTables(store, Seq(StandingState.TableSpec(
+      "t", Seq(("b", 2L)).toDF("k", "v"), "k")))
+    StandingState.readTable(spark, store, "t").count() shouldBe 2L
+    val upgraded = scala.io.Source.fromFile(
+      new java.io.File(s"$store/snap00001/_WITNESS"), "UTF-8").mkString
+    upgraded should include("#schema=t\t")
+  }
 }
