@@ -125,6 +125,16 @@ object ServeSoak {
     StandingState.appendTables(ledgerStore, Seq(TableSpec("ledger", suitePart("d1"), "doc_id")))
     val ledgerNight1 = StandingState.latestSnapshot(spark, ledgerStore)
     StandingState.appendTables(ledgerStore, Seq(TableSpec("ledger", suitePart("d2"), "doc_id")))
+    // the deployment PINS the snapshot its curated view reads (snapshot
+    // tag = retention-proof ref), then retention runs with keep=1: the
+    // pinned night-1 survives ONLY via its tag, so the entire soak's
+    // snapshot-view load serves from a post-retention store — the
+    // integration evidence for tagSnapshot beyond the unit pins
+    StandingState.tagSnapshot(spark, ledgerStore, ledgerNight1, "served-view")
+    StandingState.keepSnapshots(spark, ledgerStore, keep = 1)
+    val ledgerSnapsLive = StandingState.snapshots(spark, ledgerStore).size
+    System.err.println(s"[servesoak] ledger store after keep=1 with pinned " +
+      s"night-1: $ledgerSnapsLive snapshots live (tag held the pin)")
 
     val metrics = new ServingMetrics
     // standing-ANN fixture for the round-15 drift gauge: a small
@@ -345,6 +355,7 @@ object ServeSoak {
         s""""health":{${fmt(hs)},"errors":${healthRec.errors.get()}},""" +
         s""""annDriftBp":{"seed":$driftSeedBp,"afterIngest":$driftIngestBp,""" +
         s""""afterRefine":$driftRefineBp},""" +
+        s""""ledgerSnapshotsAfterKeep1":$ledgerSnapsLive,""" +
         s""""metrics":{$counters}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile), json.getBytes("UTF-8"))
     println(json)

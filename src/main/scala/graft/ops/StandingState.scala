@@ -840,6 +840,7 @@ object StandingState {
         throw new StaleStateException(
           s"$root holds no committed snapshot — not a standing-state store; " +
             "refusing to recursively delete it")
+      refuseTagged(spark, root, snaps, "retire")
       snaps.foreach { s =>
         recordedWitness(spark, root, s).files.keys.foreach(verify(spark, root, s, _))
       }
@@ -853,6 +854,73 @@ object StandingState {
     * re-takes its own token). */
   private val RetentionOwner = "retention-sweep"
 
+  // ------------------------------------------------------ snapshot tags
+
+  /** Snapshot TAGS — retention-proof pins (the Iceberg tag/ref analog).
+    * A serving deployment that registers a tenant view over an OLD
+    * snapshot (`readTable(snap)` behind `TenantFrontend.registerView`)
+    * otherwise races the store's retention: `keepSnapshots` counts from
+    * the newest and would reclaim the pinned snapshot's witness and,
+    * with it, any partitions only it references — the live view then
+    * dies mid-serve with FileNotFound. A tag is one marker file inside
+    * the snapshot dir (`_TAG-<name>`, created under the writer lease);
+    * bounded retention keeps every tagged snapshot REGARDLESS of the
+    * keep count (its partitions stay referenced, so the orphan sweep
+    * keeps them too), while the EXPLICIT deletion paths — rollbackTo,
+    * retireSnapshot, retire — refuse a tagged snapshot loudly: pins are
+    * released by `untagSnapshot`, never as a side effect. Tags are
+    * deployment metadata, not witness content — the witness (and its
+    * digest) is unchanged, so tagging never invalidates caches. */
+  def tagSnapshot(
+      spark: SparkSession, store: String, snap: Long, tag: String): Unit = {
+    require(tag.nonEmpty && tag.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"tag '$tag' must be [A-Za-z0-9._-]+ (it names a marker file)")
+    withLease(spark, store, RetentionOwner) {
+      if (!snapshots(spark, store).contains(snap))
+        throw new StaleStateException(
+          s"$store has no snapshot ${snapName(snap)} to tag")
+      val filesystem = fs(spark, store)
+      val os = filesystem.create(tagPath(store, snap, tag), true)
+      try os.write(tag.getBytes("UTF-8")) finally os.close()
+      ()
+    }
+  }
+
+  /** Release one tag; idempotent (a missing marker is already released).
+    * The next bounded retention may then reclaim the snapshot. */
+  def untagSnapshot(
+      spark: SparkSession, store: String, snap: Long, tag: String): Unit =
+    withLease(spark, store, RetentionOwner) {
+      fs(spark, store).delete(tagPath(store, snap, tag), false)
+      ()
+    }
+
+  /** Tags currently pinning `snap` (empty when unpinned or retired). */
+  def tagsOf(spark: SparkSession, store: String, snap: Long): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$store/${snapName(snap)}")
+    val filesystem = fs(spark, store)
+    if (!filesystem.exists(dir)) Seq.empty
+    else filesystem.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(TagPrefix)).map(_.stripPrefix(TagPrefix)).sorted
+  }
+
+  private val TagPrefix = "_TAG-"
+  private def tagPath(store: String, snap: Long, tag: String) =
+    new org.apache.hadoop.fs.Path(s"$store/${snapName(snap)}/$TagPrefix$tag")
+
+  /** Refusal helper for the explicit deletion paths. */
+  private def refuseTagged(
+      spark: SparkSession, store: String, snaps: Seq[Long], op: String): Unit = {
+    val pinned = snaps.flatMap(s =>
+      tagsOf(spark, store, s).map(t => s"${snapName(s)}[$t]"))
+    if (pinned.nonEmpty)
+      throw new StaleStateException(
+        s"$op at $store would delete tagged snapshot(s) " +
+          s"${pinned.mkString(", ")} — a live deployment pinned them; " +
+          "untagSnapshot first if the pin is truly dead")
+  }
+
   /** Bounded retention WITHIN a store: keep the newest `keep` snapshots,
     * delete retired snapshot witnesses, and sweep every data partition
     * no surviving snapshot references (including orphans from crashed
@@ -865,9 +933,13 @@ object StandingState {
     require(keep >= 1, "must keep at least one snapshot")
     withLease(spark, store, RetentionOwner) {
       val snaps = snapshots(spark, store)
-      if (snaps.size <= keep) { sweepOrphans(spark, store) }
+      // tagged snapshots survive bounded retention regardless of the
+      // keep count — they are live deployments' pins ([[tagSnapshot]])
+      val drop = snaps.dropRight(keep)
+        .filter(s => tagsOf(spark, store, s).isEmpty)
+      if (drop.isEmpty) { sweepOrphans(spark, store) }
       else {
-        val (drop, survive) = snaps.splitAt(snaps.size - keep)
+        val survive = snaps.filterNot(drop.toSet)
         survive.foreach { s =>
           recordedWitness(spark, store, s).files.keys.foreach(verify(spark, store, s, _))
         }
@@ -895,6 +967,7 @@ object StandingState {
         throw new StaleStateException(
           s"$store has no snapshot ${snapName(snap)} to roll back to " +
             s"(live: ${snaps.mkString(",")})")
+      refuseTagged(spark, store, snaps.filter(_ > snap), "rollbackTo")
       recordedWitness(spark, store, snap).files.keys.foreach(verify(spark, store, snap, _))
       val filesystem = fs(spark, store)
       snaps.filter(_ > snap).foreach { s =>
@@ -914,6 +987,7 @@ object StandingState {
       if (snap == snaps.last)
         throw new StaleStateException(
           s"refusing to retire the LATEST snapshot ${snapName(snap)} at $store")
+      refuseTagged(spark, store, Seq(snap), "retireSnapshot")
       recordedWitness(spark, store, snaps.last).files.keys
         .foreach(verify(spark, store, snaps.last, _))
       fs(spark, store).delete(

@@ -43,6 +43,52 @@ object RoundFifteenProps extends Properties("RoundFifteen") {
     rowsPerFile <- Gen.choose(2, 9)
   } yield (distinct, probes.distinct, rowsPerFile)
 
+  // --- canonicalSchema: the schema-drift comparator itself (pure) ----
+  private val genField: Gen[org.apache.spark.sql.types.StructField] = for {
+    name <- Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    dt <- Gen.oneOf[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.DoubleType,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.BooleanType)
+    nullable <- Gen.oneOf(true, false)
+  } yield org.apache.spark.sql.types.StructField(name, dt, nullable)
+
+  private val genSchema: Gen[org.apache.spark.sql.types.StructType] =
+    Gen.choose(1, 7).flatMap(n => Gen.listOfN(n, genField))
+      .map(fs => org.apache.spark.sql.types.StructType(
+        fs.groupBy(_.name).map(_._2.head).toSeq)) // distinct names
+
+  property("canonicalSchema: reorder + nullability invariant; name/type changes detected") =
+    forAll(genSchema, Gen.long) { (schema, seed) =>
+      import org.apache.spark.sql.types._
+      val rnd = new scala.util.Random(seed)
+      val shuffled = StructType(rnd.shuffle(schema.fields.toSeq))
+      val flipped = StructType(shuffled.fields.map(f =>
+        f.copy(nullable = !f.nullable)))
+      val same =
+        StandingState.canonicalSchema(schema) ==
+          StandingState.canonicalSchema(flipped)
+      // any single retype (to a type not already the field's) must differ
+      val len = schema.fields.length
+      val f0 = schema.fields((((seed % len) + len) % len).toInt)
+      val newType = if (f0.dataType == LongType) StringType else LongType
+      val retyped = StructType(schema.fields.map(f =>
+        if (f.name == f0.name) f.copy(dataType = newType) else f))
+      val typeDiffers =
+        StandingState.canonicalSchema(schema) !=
+          StandingState.canonicalSchema(retyped)
+      // and a dropped field must differ
+      val dropped = StructType(schema.fields.filterNot(_.name == f0.name))
+      val dropDiffers =
+        StandingState.canonicalSchema(schema) !=
+          StandingState.canonicalSchema(dropped)
+      same && typeDiffers && dropDiffers
+    }
+
   property("zone-pruned read lossless over mixed-plane string keys, any probes") =
     forAll(genCase) { case (keys, probes, rowsPerFile) =>
       import spark.implicits._

@@ -470,4 +470,50 @@ class RoundFifteenSpec extends AnyFunSuite with Matchers {
       new java.io.File(s"$store/snap00001/_WITNESS"), "UTF-8").mkString
     upgraded should include("#schema=t\t")
   }
+
+  test("snapshot tags survive bounded retention; explicit deletion refuses a pin") {
+    // a serving deployment pins the snapshot its registered view reads
+    // (the decontam_ledger_snapshot_served pattern); retention must not
+    // reclaim it from under the live view
+    val store = SparkFixture.tempDir("r15-tags")
+    def night(k: String, v: Long) = StandingState.appendTables(store, Seq(
+      StandingState.TableSpec("t", Seq((k, v)).toDF("k", "v"), "k")))
+    StandingState.writeTables(store, Seq(StandingState.TableSpec(
+      "t", Seq(("n0", 0L)).toDF("k", "v"), "k")))
+    val night1 = night("n1", 1L)
+    night("n2", 2L); night("n3", 3L)
+    StandingState.tagSnapshot(spark, store, night1, "served-view")
+    StandingState.tagsOf(spark, store, night1) shouldBe Seq("served-view")
+    // bounded retention keeps the newest 1 AND the pinned snapshot
+    StandingState.keepSnapshots(spark, store, keep = 1)
+    val live = StandingState.snapshots(spark, store)
+    live should contain(night1)
+    live.size shouldBe 2
+    // the pinned read is still bit-exact (its partitions survived the
+    // orphan sweep because the pinned snapshot still references them)
+    StandingState.readTable(spark, store, "t", night1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq shouldBe
+      Seq(("n0", 0L), ("n1", 1L))
+    // explicit deletions refuse the pin by name
+    StandingState.tagSnapshot(spark, store, live.last, "also-pinned")
+    intercept[StandingState.StaleStateException] {
+      StandingState.rollbackTo(spark, store, night1)
+    }.getMessage should include("also-pinned")
+    StandingState.untagSnapshot(spark, store, live.last, "also-pinned")
+    intercept[StandingState.StaleStateException] {
+      StandingState.retireSnapshot(spark, store, night1)
+    }.getMessage should include("served-view")
+    intercept[StandingState.StaleStateException] {
+      StandingState.retire(spark, store)
+    }.getMessage should include("served-view")
+    // released pin → the next bounded retention reclaims it
+    StandingState.untagSnapshot(spark, store, night1, "served-view")
+    StandingState.keepSnapshots(spark, store, keep = 1)
+    StandingState.snapshots(spark, store).size shouldBe 1
+    intercept[StandingState.StaleStateException] {
+      StandingState.readTable(spark, store, "t", night1).count()
+    }
+    // the surviving latest still reads whole
+    StandingState.readTable(spark, store, "t").count() shouldBe 4L
+  }
 }
