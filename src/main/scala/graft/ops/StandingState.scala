@@ -909,6 +909,28 @@ object StandingState {
   private def tagPath(store: String, snap: Long, tag: String) =
     new org.apache.hadoop.fs.Path(s"$store/${snapName(snap)}/$TagPrefix$tag")
 
+  /** Resolve a tag to its snapshot — time travel BY NAME:
+    * `readTable(spark, store, table, snapshotForTag(spark, store, tag))`
+    * serves "the ledger as benchmark d1 saw it" without the caller
+    * bookkeeping snapshot ids. A tag names at most one snapshot by
+    * construction IN ONE tagging discipline, but nothing stops two
+    * writers tagging two snapshots with the same name — that ambiguity
+    * is refused loudly (serving from whichever-listed-first would be a
+    * silent wrong-history read). Missing tag → StaleStateException. */
+  def snapshotForTag(spark: SparkSession, store: String, tag: String): Long = {
+    val hits = snapshots(spark, store)
+      .filter(s => tagsOf(spark, store, s).contains(tag))
+    hits match {
+      case Seq(one) => one
+      case Seq() => throw new StaleStateException(
+        s"$store has no snapshot tagged '$tag'")
+      case many => throw new StaleStateException(
+        s"tag '$tag' at $store names ${many.size} snapshots " +
+          s"(${many.map(snapName).mkString(", ")}) — ambiguous; untag the " +
+          "stale ones")
+    }
+  }
+
   /** Refusal helper for the explicit deletion paths. */
   private def refuseTagged(
       spark: SparkSession, store: String, snaps: Seq[Long], op: String): Unit = {

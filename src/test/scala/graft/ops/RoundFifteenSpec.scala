@@ -484,6 +484,17 @@ class RoundFifteenSpec extends AnyFunSuite with Matchers {
     night("n2", 2L); night("n3", 3L)
     StandingState.tagSnapshot(spark, store, night1, "served-view")
     StandingState.tagsOf(spark, store, night1) shouldBe Seq("served-view")
+    // time travel BY NAME: the tag resolves to its snapshot; a missing
+    // tag refuses, a duplicated tag refuses as ambiguous
+    StandingState.snapshotForTag(spark, store, "served-view") shouldBe night1
+    intercept[StandingState.StaleStateException] {
+      StandingState.snapshotForTag(spark, store, "no-such-tag")
+    }.getMessage should include("no snapshot tagged")
+    StandingState.tagSnapshot(spark, store, night1 + 1, "served-view")
+    intercept[StandingState.StaleStateException] {
+      StandingState.snapshotForTag(spark, store, "served-view")
+    }.getMessage should include("ambiguous")
+    StandingState.untagSnapshot(spark, store, night1 + 1, "served-view")
     // bounded retention keeps the newest 1 AND the pinned snapshot
     StandingState.keepSnapshots(spark, store, keep = 1)
     val live = StandingState.snapshots(spark, store)
