@@ -249,26 +249,39 @@ class GraftAvaticaServer(
           Option(e.getMessage).getOrElse(e.getClass.getName))},""" +
           s""""errorCode":$code,"sqlState":"$state","severity":"ERROR"}"""
       }
-      val reqBytes = ex.getRequestBody.readAllBytes()
+      // bounded body read: an over-cap body refuses through the SAME
+      // error paths as a malformed one (structured JSON/proto error,
+      // server lives), with the HTTP 413 status instead of 500 — the
+      // read happens inside the transport's try so the refusal cannot
+      // allocate what it refuses
       val (status, bytes) =
         if (proto) {
           try {
+            val reqBytes = WireIo.boundedBody(ex.getRequestBody)
             val json = AvaticaProtobuf.requestToJson(reqBytes)
             (200, AvaticaProtobuf.responseToProto(mapper.readTree(handle(mapper.readTree(json)))))
           } catch {
             case e: Exception =>
               metrics.inc("avatica.errors")
-              (500, AvaticaProtobuf.errorToProto(mapper.readTree(errorJson(e))))
+              (if (e.isInstanceOf[IllegalArgumentException] &&
+                   Option(e.getMessage).exists(_.startsWith("request body exceeds")))
+                 413 else 500,
+                AvaticaProtobuf.errorToProto(mapper.readTree(errorJson(e))))
           }
         } else {
           val (st, body) =
-            try (200, handle(mapper.readTree(new String(reqBytes, UTF_8))))
-            catch {
+            try {
+              val reqBytes = WireIo.boundedBody(ex.getRequestBody)
+              (200, handle(mapper.readTree(new String(reqBytes, UTF_8))))
+            } catch {
               // Avatica error response shape: the client rethrows message +
               // SQLSTATE; severity/code are advisory
               case e: Exception =>
                 metrics.inc("avatica.errors")
-                (500, errorJson(e))
+                (if (e.isInstanceOf[IllegalArgumentException] &&
+                     Option(e.getMessage).exists(_.startsWith("request body exceeds")))
+                   413 else 500,
+                  errorJson(e))
             }
           (st, body.getBytes(UTF_8))
         }

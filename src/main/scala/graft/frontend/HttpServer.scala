@@ -124,7 +124,12 @@ class GraftHttpServer(
     if (ex.getRequestMethod != "POST") throw Halt(405, "POST required")
     metrics.inc("http.requests.sql")
     val t = tenant(ex)
-    val sql = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    // bounded: a statement is kilobytes; an over-cap body is the
+    // client's mistake (413), never a serving-heap allocation
+    val sql = new String(
+      try WireIo.boundedBody(ex.getRequestBody)
+      catch { case e: IllegalArgumentException => throw Halt(413, e.getMessage) },
+      UTF_8)
     if (sql.trim.isEmpty) throw Halt(400, "empty statement")
     // The server-level cap ALWAYS applies; a request may only lower it
     // (reference `FineoJdbcMeta.setMaxRows:143-159`). Without this, any

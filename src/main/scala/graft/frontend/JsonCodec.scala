@@ -47,3 +47,24 @@ private[frontend] object JsonCodec {
   private def jnum(d: Double): String =
     if (d.isNaN || d.isInfinite) jstr(d.toString) else d.toString
 }
+
+/** Bounded request-body read for the hand-rolled HTTP endpoints. A
+  * public wire that `readAllBytes()`s untrusted input lets any scanner
+  * allocate the whole POST on the serving heap; real Avatica requests
+  * (SQL text + bound parameters) and proxy statements are kilobytes,
+  * so the cap is generous headroom, not a tuning knob. Over-cap bodies
+  * refuse with the byte count — the caller's error path renders it as
+  * a structured wire error, never an OOM. */
+private[frontend] object WireIo {
+  /** 8 MiB: orders of magnitude above any legitimate statement, orders
+    * of magnitude below heap. */
+  final val MaxRequestBytes: Int = 8 * 1024 * 1024
+
+  def boundedBody(in: java.io.InputStream, cap: Int = MaxRequestBytes): Array[Byte] = {
+    val bytes = in.readNBytes(cap + 1)
+    if (bytes.length > cap)
+      throw new IllegalArgumentException(
+        s"request body exceeds $cap bytes; refusing to buffer it")
+    bytes
+  }
+}

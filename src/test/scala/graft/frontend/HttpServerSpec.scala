@@ -82,6 +82,17 @@ class HttpServerSpec extends AnyFunSuite with Matchers {
     post("/v1/sql?maxRows=abc", "SELECT 1").statusCode() shouldBe 400
   }
 
+  test("an over-cap request body is a 413, not a serving-heap allocation") {
+    // a statement is kilobytes; a scanner's giant POST must refuse with
+    // the byte count and the server must keep serving
+    val giant = "-- " + ("x" * (WireIo.MaxRequestBytes + 1))
+    val r = post("/v1/sql", giant)
+    r.statusCode() shouldBe 413
+    r.body() should include("request body exceeds")
+    post("/v1/sql", "SELECT count(*) AS n FROM httpmetric")
+      .statusCode() shouldBe 200
+  }
+
   test("missing api key is 401; unknown tenant is 403") {
     post("/v1/sql", "SELECT 1", key = None).statusCode() shouldBe 401
     post("/v1/sql", "SELECT 1", key = Some("nosuch")).statusCode() shouldBe 403
