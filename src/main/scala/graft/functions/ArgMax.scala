@@ -1,17 +1,19 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.types._
 
-/** Fixed-buffer argmax for the nearest-centroid reduction: of a group's
+/** Fixed-width argmax for the nearest-centroid reduction: of a group's
   * (cid INT, s DOUBLE) rows, the cid with the LARGEST s, smallest cid
-  * on ties — exactly `max(struct(s, -cid))` re-expressed with a
-  * 13-byte mutable buffer so Spark plans it as **ObjectHashAggregate**
-  * with map-side partial combine.
+  * on ties — exactly `max(struct(s, -cid))` re-expressed as a
+  * DECLARATIVE aggregate over two primitive buffer slots so Spark
+  * plans it as **HashAggregateExec**: whole-stage-codegen'd update,
+  * Tungsten UnsafeRow hash map with map-side partial combine and
+  * graceful sort-spill — no ObjectHashAggregate, no
+  * sortBased.fallbackThreshold dependence at any group cardinality.
   *
   * Why this exists: `max` over a STRUCT type cannot use a hash
   * aggregate (struct agg buffers aren't mutable fixed-width), so Spark
@@ -23,135 +25,31 @@ import org.apache.spark.sql.types._
   * broadcast-join → project → partial-agg pipeline collapses the C
   * rows per vector map-side and only one (id, cell) row per vector
   * ever shuffles — the shape [[graft.ops.Similarity.assignCells]]'s
-  * doc always promised.
+  * doc always promised. (Round 15 shipped this as a
+  * TypedImperativeAggregate / ObjectHashAggregate; that required a
+  * session-global raise of the 128-key sort-based fallback threshold,
+  * which also governs every UNBOUNDED-buffer aggregate in the session
+  * — the declarative form needs no such knob and codegens besides.)
   *
-  * Double ordering mirrors Spark's SQL comparator: `±0.0` equal, NaN
-  * greatest — so the result is bit-identical to the `max(struct)`
-  * form on every input, ties included (the DuckDB oracles pin this). */
-final class ArgMaxBuffer extends Serializable {
-  var has: Boolean = false
-  var bestS: Double = Double.NegativeInfinity
-  var bestCid: Int = 0
-
-  @inline private def cmp(a: Double, b: Double): Int =
-    if (a == b) 0 else java.lang.Double.compare(a, b) // ±0.0 equal, NaN largest
-
-  def add(cid: Int, s: Double): Unit = {
-    if (!has) { has = true; bestS = s; bestCid = cid }
-    else {
-      val c = cmp(s, bestS)
-      if (c > 0 || (c == 0 && cid < bestCid)) { bestS = s; bestCid = cid }
-    }
-  }
-
-  def merge(o: ArgMaxBuffer): Unit = if (o.has) add(o.bestCid, o.bestS)
-}
-
-/** Buffer for [[ArgMaxLong]]: the LONG payload of the row with the
-  * largest double key, ties to the lowest (or highest) payload. */
-final class ArgMaxLongBuffer extends Serializable {
-  var has: Boolean = false
-  var bestKey: Double = Double.NegativeInfinity
-  var bestVal: Long = 0L
-
-  @inline private def cmp(a: Double, b: Double): Int =
-    if (a == b) 0 else java.lang.Double.compare(a, b) // ±0.0 equal, NaN largest
-
-  def add(v: Long, key: Double, preferLowValue: Boolean): Unit = {
-    if (!has) { has = true; bestKey = key; bestVal = v }
-    else {
-      val c = cmp(key, bestKey)
-      if (c > 0 || (c == 0 &&
-          (if (preferLowValue) v < bestVal else v > bestVal))) {
-        bestKey = key; bestVal = v
-      }
-    }
-  }
-
-  def merge(o: ArgMaxLongBuffer, preferLowValue: Boolean): Unit =
-    if (o.has) add(o.bestVal, o.bestKey, preferLowValue)
-}
-
-/** Hash-combinable long-payload argmax — `max/min(struct(key, value))`
-  * re-expressed with a 17-byte mutable buffer (ObjectHashAggregate,
-  * map-side partial combine) for the corpus-scale argmax reductions
-  * a struct extremum would SortAggregate: the standing-cluster
-  * latest-revision resolve ([[graft.ops.StandingState]] readClusters —
-  * max `_seq`, ties to the HIGHEST cluster) and the per-cluster keeper
-  * selections ([[graft.ops.Cluster]] priority/rank keepers — max key,
-  * ties to the LOWEST doc id). `preferLowValue` picks the tie side;
-  * key ordering mirrors Spark's SQL double comparator (±0.0 equal,
-  * NaN greatest), so results are bit-identical to the struct forms. */
-case class ArgMaxLong(
-    valExpr: Expression,
-    keyExpr: Expression,
-    preferLowValue: Boolean,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[ArgMaxLongBuffer] with BinaryLike[Expression] {
-
-  override def left: Expression = valExpr
-  override def right: Expression = keyExpr
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (valExpr.dataType == LongType && keyExpr.dataType == DoubleType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_argmax_long expects (long, double); got " +
-        s"${valExpr.dataType.simpleString}, ${keyExpr.dataType.simpleString}")
-
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = true
-
-  override def createAggregationBuffer(): ArgMaxLongBuffer = new ArgMaxLongBuffer
-
-  override def update(b: ArgMaxLongBuffer, input: InternalRow): ArgMaxLongBuffer = {
-    val v = valExpr.eval(input)
-    val k = keyExpr.eval(input)
-    if (v != null && k != null)
-      b.add(v.asInstanceOf[Long], k.asInstanceOf[Double], preferLowValue)
-    b
-  }
-
-  override def merge(b: ArgMaxLongBuffer, o: ArgMaxLongBuffer): ArgMaxLongBuffer = {
-    b.merge(o, preferLowValue); b
-  }
-
-  override def eval(b: ArgMaxLongBuffer): Any = if (b.has) b.bestVal else null
-
-  override def serialize(b: ArgMaxLongBuffer): Array[Byte] = {
-    val out = java.nio.ByteBuffer.allocate(17)
-    out.put(if (b.has) 1.toByte else 0.toByte)
-    out.putDouble(b.bestKey)
-    out.putLong(b.bestVal)
-    out.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): ArgMaxLongBuffer = {
-    val in = java.nio.ByteBuffer.wrap(bytes)
-    val b = new ArgMaxLongBuffer
-    b.has = in.get() == 1
-    b.bestKey = in.getDouble()
-    b.bestVal = in.getLong()
-    b
-  }
-
-  override def withNewMutableAggBufferOffset(o: Int): ArgMaxLong =
-    copy(mutableAggBufferOffset = o)
-  override def withNewInputAggBufferOffset(o: Int): ArgMaxLong =
-    copy(inputAggBufferOffset = o)
-  override protected def withNewChildrenInternal(
-      l: Expression, r: Expression): ArgMaxLong =
-    copy(valExpr = l, keyExpr = r)
-  override def prettyName: String = "graft_argmax_long"
-}
-
+  * Double ordering mirrors Spark's SQL comparator (the codegen'd
+  * `nanSafeCompareDoubles` / `genEqual` semantics): `±0.0` equal, NaN
+  * greatest, NaN = NaN — so the result is bit-identical to the
+  * `max(struct)` form on every input, ties included (the DuckDB
+  * oracles pin this).
+  *
+  * `nanSmallest` is for the NEGATED-key call sites (argmin expressed
+  * as argmax of -key, e.g. nearest-PQ-centroid and lowest-rank
+  * keeper): under `min(struct(key, v))` a NaN key sorts GREATEST and
+  * so never wins, but negation maps NaN to NaN, which under plain
+  * max-semantics would suddenly WIN. With `nanSmallest = true` a NaN
+  * key loses to every real key (and ties against another NaN fall to
+  * the payload tie-break), restoring exact min-of-struct semantics on
+  * NaN inputs. Positive-key sites keep the default. */
 case class ArgMaxCell(
     cidExpr: Expression,
     scoreExpr: Expression,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[ArgMaxBuffer] with BinaryLike[Expression] {
+    nanSmallest: Boolean = false)
+    extends DeclarativeAggregate with BinaryLike[Expression] {
 
   override def left: Expression = cidExpr
   override def right: Expression = scoreExpr
@@ -166,45 +64,139 @@ case class ArgMaxCell(
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
 
-  override def createAggregationBuffer(): ArgMaxBuffer = new ArgMaxBuffer
+  // null bestKey = empty group (the Max/Min buffer idiom): both slots
+  // are fixed-width primitives + null bits, so HashAggregateExec's
+  // UnsafeRow map holds them directly
+  private lazy val bestKey =
+    AttributeReference("bestKey", DoubleType)()
+  private lazy val bestCid =
+    AttributeReference("bestCid", IntegerType)()
 
-  override def update(b: ArgMaxBuffer, input: InternalRow): ArgMaxBuffer = {
-    val cid = cidExpr.eval(input)
-    val s = scoreExpr.eval(input)
-    if (cid != null && s != null)
-      b.add(cid.asInstanceOf[Int], s.asInstanceOf[Double])
-    b
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(bestKey, bestCid)
+
+  override lazy val initialValues: Seq[Expression] = Seq(
+    Literal.create(null, DoubleType), Literal.create(null, IntegerType))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val take = ArgMaxOrdering.takes(
+      scoreExpr, cidExpr, bestKey, bestCid, nanSmallest,
+      preferLowPayload = true)
+    Seq(If(take, scoreExpr, bestKey), If(take, cidExpr, bestCid))
   }
 
-  override def merge(b: ArgMaxBuffer, o: ArgMaxBuffer): ArgMaxBuffer = {
-    b.merge(o); b
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val take = ArgMaxOrdering.takes(
+      bestKey.right, bestCid.right, bestKey.left, bestCid.left, nanSmallest,
+      preferLowPayload = true)
+    Seq(If(take, bestKey.right, bestKey.left),
+      If(take, bestCid.right, bestCid.left))
   }
 
-  override def eval(b: ArgMaxBuffer): Any = if (b.has) b.bestCid else null
+  override lazy val evaluateExpression: Expression = bestCid
 
-  override def serialize(b: ArgMaxBuffer): Array[Byte] = {
-    val out = java.nio.ByteBuffer.allocate(13)
-    out.put(if (b.has) 1.toByte else 0.toByte)
-    out.putDouble(b.bestS)
-    out.putInt(b.bestCid)
-    out.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): ArgMaxBuffer = {
-    val in = java.nio.ByteBuffer.wrap(bytes)
-    val b = new ArgMaxBuffer
-    b.has = in.get() == 1
-    b.bestS = in.getDouble()
-    b.bestCid = in.getInt()
-    b
-  }
-
-  override def withNewMutableAggBufferOffset(o: Int): ArgMaxCell =
-    copy(mutableAggBufferOffset = o)
-  override def withNewInputAggBufferOffset(o: Int): ArgMaxCell =
-    copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): ArgMaxCell =
     copy(cidExpr = l, scoreExpr = r)
   override def prettyName: String = "graft_argmax"
+}
+
+/** Fixed-width long-payload argmax — `max/min(struct(key, value))`
+  * re-expressed declaratively over two primitive buffer slots
+  * (HashAggregateExec: codegen'd update, Tungsten map, map-side
+  * partial combine) for the corpus-scale argmax reductions a struct
+  * extremum would SortAggregate: the standing-cluster latest-revision
+  * resolve ([[graft.ops.StandingState]] readClusters — max `_seq`,
+  * ties to the HIGHEST cluster) and the per-cluster keeper selections
+  * ([[graft.ops.Cluster]] priority/rank keepers — max key, ties to the
+  * LOWEST doc id). `preferLowValue` picks the tie side; key ordering
+  * mirrors Spark's SQL double comparator (±0.0 equal, NaN greatest),
+  * so results are bit-identical to the struct forms; `nanSmallest`
+  * restores min-of-struct NaN semantics at negated-key call sites
+  * (see [[ArgMaxCell]]). */
+case class ArgMaxLong(
+    valExpr: Expression,
+    keyExpr: Expression,
+    preferLowValue: Boolean,
+    nanSmallest: Boolean = false)
+    extends DeclarativeAggregate with BinaryLike[Expression] {
+
+  override def left: Expression = valExpr
+  override def right: Expression = keyExpr
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (valExpr.dataType == LongType && keyExpr.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_argmax_long expects (long, double); got " +
+        s"${valExpr.dataType.simpleString}, ${keyExpr.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private lazy val bestKey =
+    AttributeReference("bestKey", DoubleType)()
+  private lazy val bestVal =
+    AttributeReference("bestVal", LongType)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(bestKey, bestVal)
+
+  override lazy val initialValues: Seq[Expression] = Seq(
+    Literal.create(null, DoubleType), Literal.create(null, LongType))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val take = ArgMaxOrdering.takes(
+      keyExpr, valExpr, bestKey, bestVal, nanSmallest, preferLowValue)
+    Seq(If(take, keyExpr, bestKey), If(take, valExpr, bestVal))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val take = ArgMaxOrdering.takes(
+      bestKey.right, bestVal.right, bestKey.left, bestVal.left, nanSmallest,
+      preferLowValue)
+    Seq(If(take, bestKey.right, bestKey.left),
+      If(take, bestVal.right, bestVal.left))
+  }
+
+  override lazy val evaluateExpression: Expression = bestVal
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ArgMaxLong =
+    copy(valExpr = l, keyExpr = r)
+  override def prettyName: String = "graft_argmax_long"
+}
+
+/** The shared argmax comparison, as a Catalyst predicate: does the
+  * incoming (key, payload) pair REPLACE the current buffer state?
+  *
+  * Spark's own binary comparisons on DOUBLE already implement exactly
+  * the ordering the argmax promises — `GreaterThan` codegens
+  * `nanSafeCompareDoubles` (NaN greatest), `EqualTo` codegens the
+  * NaN-aware equality (NaN = NaN true, -0.0 = 0.0 true) — so the
+  * predicate is plain `>` / `=` composition, and null handling is the
+  * Max/Min idiom: a null incoming key (or payload) never takes; a null
+  * buffer key (empty so far) always yields to a real pair. */
+private[functions] object ArgMaxOrdering {
+  def takes(
+      key: Expression,
+      payload: Expression,
+      curKey: Expression,
+      curPayload: Expression,
+      nanSmallest: Boolean,
+      preferLowPayload: Boolean): Expression = {
+    val greater =
+      if (nanSmallest)
+        // negated-key argmin: a NaN key only beats a NaN-free... no —
+        // it beats NOTHING real; it only ties another NaN (EqualTo
+        // below) and always loses to a real key
+        And(Not(IsNaN(key)), Or(IsNaN(curKey), GreaterThan(key, curKey)))
+      else GreaterThan(key, curKey) // NaN greatest (nanSafeCompare)
+    val tieBreak =
+      if (preferLowPayload) LessThan(payload, curPayload)
+      else GreaterThan(payload, curPayload)
+    val wins = Or(greater, And(EqualTo(key, curKey), tieBreak))
+    val valid = And(IsNotNull(key), IsNotNull(payload))
+    And(valid, Or(IsNull(curKey), wins))
+  }
 }

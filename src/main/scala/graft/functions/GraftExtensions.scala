@@ -149,18 +149,38 @@ object GraftExtensions {
       spark.experimental.extraOptimizations =
         extra :+ graft.plans.RangeJoinRewrite
     // Engine tuning: Spark's ObjectHashAggregate falls back to
-    // SORT-BASED aggregation after only 128 distinct keys per task —
-    // a guard for UNBOUNDED buffers (collect_list-style), but every
-    // TypedImperativeAggregate this engine ships is small and bounded
-    // (13-byte argmax, capacity-capped SpaceSaving, fixed HLL
-    // registers, fixed quantile histogram), so the sort guard only
-    // re-introduces the N·C-stream sort the hash argmax exists to
-    // avoid (5.6 GB of spill at the 10× vector soak). 4M keys bounds
-    // the per-task hash map at a few hundred MB worst case while
-    // letting realistic partials (groups/task ≈ rows/task) stay
-    // hash-based. Respect an explicit user setting.
+    // SORT-BASED aggregation after only 128 distinct keys per task — a
+    // guard for UNBOUNDED buffers (collect_list-style). The argmax
+    // aggregates no longer need this knob at all (they are declarative
+    // fixed-width HashAggregates now), so the raise only serves the
+    // BOUNDED sketch TIAs (graft_quantile ~1 KiB LogHist,
+    // graft_approx_distinct 256 B default / 64 KiB max registers,
+    // graft_topk capacity-capped) on mid-cardinality GROUP BYs. The
+    // bound is BUDGET-DERIVED, not a flat constant: per-task hash-map
+    // budget / worst-expected per-buffer bytes — 64 MiB / 4 KiB =
+    // 16,384 keys by default, so even a high-cardinality tenant GROUP
+    // BY holds at most the budget in buffers per task before the
+    // sort-based guard engages (a data-sized collect_list grouping
+    // caps at 16k lists per task map-side — bounded, then sorts).
+    // An EXPLICITLY-set threshold (SQLConf.contains sees only set
+    // entries, not defaults — so an explicit "128" is distinguishable
+    // from the default 128) is the user's and stays authoritative.
     val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    if (spark.conf.getOption(fallbackKey).forall(_ == "128"))
-      spark.conf.set(fallbackKey, "4194304")
+    if (!spark.sessionState.conf.contains(fallbackKey))
+      spark.conf.set(fallbackKey, objectAggThreshold(spark).toString)
+  }
+
+  /** The budget math behind the ObjectHashAggregate sort-fallback
+    * raise: `max(128, budgetBytes / bufferBytes)`. Both inputs are
+    * graft confs so a deployment with bigger sketches (e.g.
+    * `graft_approx_distinct(x, 16)` = 64 KiB registers) can shrink the
+    * key bound to match its real per-buffer footprint. */
+  private[graft] def objectAggThreshold(
+      spark: org.apache.spark.sql.SparkSession): Long = {
+    val budget = spark.conf.getOption("spark.graft.objectAgg.budgetBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    val perBuffer = spark.conf.getOption("spark.graft.objectAgg.bufferBytes")
+      .map(_.toLong).getOrElse(4096L)
+    math.max(128L, budget / math.max(1L, perBuffer))
   }
 }

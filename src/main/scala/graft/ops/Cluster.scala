@@ -446,13 +446,14 @@ object Cluster {
     * LARGEST `key` (callers negate for min-rank semantics), ties to
     * the LOWEST doc id — [[graft.functions.ArgMaxLong]] with
     * preferLowValue, bit-identical to the min-of-struct forms. */
-  private def argminDoc(docCol: String, key: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column = {
+  private def argminDoc(docCol: String, key: org.apache.spark.sql.Column,
+      nanSmallest: Boolean = false): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftshim.ColumnExpr
     ColumnExpr.column(graft.functions.ArgMaxLong(
       ColumnExpr.expr(col(docCol).cast("long")),
       ColumnExpr.expr(key),
-      preferLowValue = true).toAggregateExpression())
+      preferLowValue = true,
+      nanSmallest = nanSmallest).toAggregateExpression())
   }
 
   def priorityKeepers(
@@ -469,7 +470,9 @@ object Cluster {
     // 17-byte [[graft.functions.ArgMaxLong]] buffer keeps the partial
     // aggregate map-side (rank is a small integer — exact as double)
     val keepers = ranked.groupBy(clusterCol)
-      .agg(argminDoc(docCol, (-col(rankCol)).cast("double")).as("keeper"))
+      .agg(argminDoc(docCol, (-col(rankCol)).cast("double"),
+        // negated key: a NaN rank must LOSE, as under min(struct(rank, doc))
+        nanSmallest = true).as("keeper"))
     ranked.join(keepers, clusterCol)
       .withColumn("is_keeper", col(docCol) === col("keeper"))
   }

@@ -496,9 +496,13 @@ object Similarity {
     // exactly min(struct(d2, cid))): a struct min would SortAggregate
     // the N·m·k code-assignment stream; see [[assignCells]]
     import org.apache.spark.sql.graftshim.ColumnExpr
+    // nanSmallest: negation maps a NaN distance to NaN, which plain
+    // max-semantics would pick as the WINNER — min(struct(d2, cid))
+    // never selects a NaN row (NaN sorts greatest under min)
     val argmin = ColumnExpr.column(graft.functions.ArgMaxCell(
       ColumnExpr.expr(col("cid").cast("int")),
-      ColumnExpr.expr((-col("d2")).cast("double"))).toAggregateExpression())
+      ColumnExpr.expr((-col("d2")).cast("double")),
+      nanSmallest = true).toAggregateExpression())
     pqSubDistances(corpus, idCol, idAs, vecCol, subCents, m, subDim)
       .groupBy(idAs, "j")
       .agg(argmin.as("code"))

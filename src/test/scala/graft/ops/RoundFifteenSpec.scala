@@ -185,11 +185,13 @@ class RoundFifteenSpec extends AnyFunSuite with Matchers {
     val assigned = Similarity.ivfAssign(vecs, cents, "vec_id", "embedding")
     assigned.collect().map(r => (r.getLong(0), r.getInt(1))).toSet shouldBe
       Set((10L, 0), (11L, 2))
-    // plan pin: the argmax is ObjectHashAggregate (map-side combinable
-    // 13-byte buffer) — a max(struct) here would SortAggregate the
-    // vectors × centroids stream (3.7 GB of spill at the 10× soak)
+    // plan pin: the argmax is a Tungsten HashAggregate (declarative
+    // fixed-width buffer, whole-stage codegen, no fallback-threshold
+    // knob) — a max(struct) here would SortAggregate the vectors ×
+    // centroids stream (3.7 GB of spill at the 10× soak)
     val plan = assigned.queryExecution.executedPlan.toString
-    plan should include ("ObjectHashAggregate")
+    plan should include ("HashAggregate")
+    (plan should not).include("ObjectHashAggregate")
     (plan should not).include("SortAggregate")
   }
 
@@ -202,7 +204,8 @@ class RoundFifteenSpec extends AnyFunSuite with Matchers {
     kept.filter(col("is_keeper")).select("doc_id").collect()
       .map(_.getLong(0)).toSeq shouldBe Seq(2L) // rank 1 tie → lowest doc id
     val plan = kept.queryExecution.executedPlan.toString
-    plan should include ("ObjectHashAggregate")
+    plan should include ("HashAggregate")
+    (plan should not).include("ObjectHashAggregate")
     (plan should not).include("SortAggregate")
     // readClusters: highest _seq wins across revisions
     val store = SparkFixture.tempDir("r15-rc")
