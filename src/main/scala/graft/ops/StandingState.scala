@@ -165,7 +165,7 @@ object StandingState {
     * pass already computed, recorded so maintenance policies like the
     * ANN drift gate read index sizes from ONE witness instead of
     * running Spark count jobs). */
-  private case class Witness(
+  private[ops] case class Witness(
       owner: String,
       files: Map[String, Seq[(String, Long, Long)]],
       rows: Map[String, Map[String, Long]],
@@ -309,13 +309,57 @@ object StandingState {
   /** Corruption of the witness itself — truncation, a foreign edit —
     * is the same loud refusal as a tampered table file (never a bare
     * MatchError / NumberFormatException). */
-  private def recordedWitness(spark: SparkSession, store: String, snap: Long): Witness = {
+  /** Parsed-witness cache: a committed witness is IMMUTABLE (snapshots
+    * never rewrite in place — replaces and retention create/delete
+    * whole snapshot dirs), so the parse can be reused across the many
+    * reads one serving batch issues (an IVFADC serve alone does four
+    * verified reads over two stores). Each hit still pays ONE
+    * getFileStatus to prove the bytes on disk are the bytes that were
+    * parsed (length+mtime — the same freshness evidence the witness
+    * itself records for data files); any mismatch re-parses. Bounded:
+    * cleared wholesale past 256 entries (a serving JVM touches a
+    * handful of stores; the bound is a leak guard, not a tuning knob). */
+  private val witnessCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Witness)]()
+
+  /** Drop cached parses for one store — called by every path that can
+    * DELETE a snapshot dir (retention/rollback), because a later commit
+    * may reuse the freed snapshot id and local-FS mtime granularity
+    * (1 ms) makes the length+mtime revalidation theoretically spoofable
+    * within one tick. Immutable snapshots (the normal case) never need
+    * this. */
+  private def invalidateWitnessCache(store: String): Unit = {
+    val prefix = norm(store) + "#"
+    witnessCache.keySet.removeIf(_.startsWith(prefix))
+  }
+
+  private[ops] def recordedWitness(spark: SparkSession, store: String, snap: Long): Witness = {
     val p = new org.apache.hadoop.fs.Path(s"$store/${snapName(snap)}/$WitnessFile")
     val filesystem = fs(spark, store)
-    if (!filesystem.exists(p))
-      throw new StaleStateException(
-        s"snapshot ${snapName(snap)} at $store has no $WitnessFile — not " +
-          "committed by StandingState, or the witness was removed")
+    val status =
+      try filesystem.getFileStatus(p)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new StaleStateException(
+            s"snapshot ${snapName(snap)} at $store has no $WitnessFile — not " +
+              "committed by StandingState, or the witness was removed")
+      }
+    val cacheKey = s"${norm(store)}#${snapName(snap)}"
+    val cached = witnessCache.get(cacheKey)
+    if (cached != null && cached._1 == status.getLen &&
+        cached._2 == status.getModificationTime)
+      return cached._3
+    val parsed = parseWitness(spark, store, snap, p)
+    if (witnessCache.size() > 256) witnessCache.clear()
+    witnessCache.put(cacheKey,
+      (status.getLen, status.getModificationTime, parsed))
+    parsed
+  }
+
+  private def parseWitness(
+      spark: SparkSession, store: String, snap: Long,
+      p: org.apache.hadoop.fs.Path): Witness = {
+    val filesystem = fs(spark, store)
     // any failure from here on — unreadable bytes (a checksum mismatch on
     // an edited witness), truncation, a malformed line — is the same loud
     // refusal: the witness itself cannot be trusted
@@ -401,10 +445,73 @@ object StandingState {
     }
   }
 
+  // ------------------------------------------------ commit capability
+
+  /** Filesystems whose create-no-overwrite and rename are atomic — the
+    * two primitives the commit protocol's exactly-once pins rest on.
+    * POSIX rename and HDFS rename are atomic; LocalFileSystem's
+    * create-exclusive is check-then-create but its RENAME is the
+    * arbiter of record (documented at [[acquireLease]]), so `file` is
+    * safe. */
+  private val AtomicRenameSchemes =
+    Set("file", "local", "hdfs", "viewfs", "webhdfs", "ofs", "o3fs")
+
+  /** Object stores: "rename" is copy-then-delete and create-exclusive
+    * is check-then-create — NEITHER commit primitive holds, so two
+    * racing writers can both believe they published the same snapshot.
+    * Named explicitly so the refusal can say why. */
+  private val ObjectStoreSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
+    "oss", "cos", "swift", "obs")
+
+  /** Can this store's filesystem carry the commit protocol unaided?
+    * Allowlist-based: an UNKNOWN scheme is treated as unsafe (the
+    * conservative default — a misclassified-safe store corrupts
+    * silently; a misclassified-unsafe one refuses loudly and the
+    * operator overrides with `spark.graft.state.assumeAtomicRename`
+    * after checking their filesystem's semantics). */
+  private[ops] def fsCommitSafe(spark: SparkSession, store: String): Boolean = {
+    val scheme = Option(fs(spark, store).getScheme).getOrElse("")
+    AtomicRenameSchemes.contains(scheme) ||
+      spark.conf.getOption("spark.graft.state.assumeAtomicRename").contains("true")
+  }
+
+  /** The write-path gate, checked before any lease is taken: a store on
+    * a non-atomic filesystem is REFUSED at open unless an external
+    * [[CommitArbiter]] supplies the atomic primitives (the
+    * Iceberg-catalog analog — see [[CommitArbiter]]'s doc). Reads stay
+    * free everywhere: immutable files + witness verification don't
+    * need rename atomicity. */
+  private def ensureCommitCapable(
+      spark: SparkSession, store: String): Option[CommitArbiter] = {
+    val arb = CommitArbiter.forStore(spark, store)
+    if (arb.isEmpty && !fsCommitSafe(spark, store)) {
+      val scheme = Option(fs(spark, store).getScheme).getOrElse("?")
+      val kind =
+        if (ObjectStoreSchemes.contains(scheme)) "an object store"
+        else "a filesystem of unverified rename semantics"
+      throw new StaleStateException(
+        s"state store $store lives on '$scheme', $kind: rename is " +
+          "copy-then-delete and create-exclusive is check-then-create " +
+          "there, so the exactly-once commit protocol cannot hold. " +
+          "Configure an external commit arbiter (the Iceberg-catalog " +
+          "analog): StandingState/CommitArbiter.register(store, …) or " +
+          "spark.graft.state.arbiter = memory:<name> | " +
+          "dynamo[s]://host[:port]/Table (DynamoDB conditional-put). " +
+          "If this filesystem's rename really is atomic, set " +
+          "spark.graft.state.assumeAtomicRename=true instead.")
+    }
+    arb
+  }
+
   // ------------------------------------------------------------- lease
 
   private def leasePath(store: String) =
     new org.apache.hadoop.fs.Path(s"$store/$LeaseFile")
+
+  private def leaseKey(store: String): String = s"lease:${norm(store)}"
+  private def snapClaimKey(store: String, snap: Long): String =
+    s"snap:${norm(store)}:${snapName(snap)}"
 
   /** Create-exclusive writer lease. A held lease from a DIFFERENT owner
     * refuses the commit loudly at start; the same owner (a retrying
@@ -421,6 +528,10 @@ object StandingState {
     * commit point (one atomic rename) is what ultimately refuses a
     * racing commit even there. */
   private[ops] def acquireLease(spark: SparkSession, store: String, owner: String): Unit = {
+    CommitArbiter.forStore(spark, store) match {
+      case Some(arb) => return acquireLeaseArbiter(arb, store, owner)
+      case None => ()
+    }
     val filesystem = fs(spark, store)
     filesystem.mkdirs(new org.apache.hadoop.fs.Path(store))
     val p = leasePath(store)
@@ -467,6 +578,35 @@ object StandingState {
     }
   }
 
+  /** Arbiter-backed lease: one conditional put claims it, and UNLIKE
+    * the filesystem lease this one is truly atomic — no writer can
+    * slip past it, so the lease alone serializes commits end-to-end
+    * (the witness rename stays as a second, now-unraced, publish
+    * step). Same-owner retake (a retrying committer) replaces the
+    * record with a fresh nonce via compare-and-delete + re-claim;
+    * losing EITHER half of that pair means another acquisition raced
+    * in — refuse, don't interleave. */
+  private def acquireLeaseArbiter(
+      arb: CommitArbiter, store: String, owner: String): Unit = {
+    val body = owner + "\n" +
+      java.lang.Long.toHexString(nextHex.incrementAndGet()) + "-" +
+      java.lang.Long.toHexString(Thread.currentThread().getId)
+    def recordBody(): Unit =
+      leaseBodies.set(leaseBodies.get + (norm(store) -> body))
+    if (arb.putIfAbsent(leaseKey(store), body)) { recordBody(); return }
+    val current = arb.get(leaseKey(store))
+    val held = current.map(_.takeWhile(_ != '\n')).getOrElse("<unreadable>")
+    val retaken = owner.nonEmpty && held == owner &&
+      current.exists(c => arb.deleteIf(leaseKey(store), c)) &&
+      arb.putIfAbsent(leaseKey(store), body)
+    if (retaken) recordBody()
+    else throw new StaleStateException(
+      s"state store $store is write-leased by '$held' at the commit " +
+        "arbiter — a concurrent (or crashed) writer; refusing to " +
+        "interleave commits. If the holder is dead, breakLease() " +
+        "explicitly.")
+  }
+
   /** Unconditional lease removal — the [[breakLease]] path only. Scoped
     * releases go through [[releaseOwnLease]], which refuses to delete a
     * lease this acquisition no longer owns. */
@@ -491,6 +631,18 @@ object StandingState {
     val key = norm(store)
     val mine = leaseBodies.get.get(key)
     leaseBodies.set(leaseBodies.get - key)
+    CommitArbiter.forStore(spark, store) match {
+      case Some(arb) =>
+        // a TRUE compare-and-delete at the arbiter — no read/delete gap
+        mine match {
+          case Some(body) => arb.deleteIf(leaseKey(store), body)
+          case None => System.err.println(
+            s"[graft] releaseOwnLease($store): no recorded lease body " +
+              "for this thread; leaving the arbiter lease for breakLease")
+        }
+        return
+      case None => ()
+    }
     val filesystem = fs(spark, store)
     val p = leasePath(store)
     val current =
@@ -498,8 +650,16 @@ object StandingState {
         val is = filesystem.open(p)
         try scala.io.Source.fromInputStream(is, "UTF-8").mkString finally is.close()
       } catch { case scala.util.control.NonFatal(_) => null }
-    if (current != null && (mine.isEmpty || mine.contains(current)))
+    // No recorded body for this acquisition (release on a different
+    // thread than acquire, or a call path outside withLease): skip the
+    // delete rather than guess — deleting here could remove a LIVE
+    // holder's lease, the exact hazard the nonce closes. Unconditional
+    // removal stays breakLease-only.
+    if (current != null && mine.contains(current))
       filesystem.delete(p, false)
+    else if (mine.isEmpty)
+      System.err.println(s"[graft] releaseOwnLease($store): no recorded " +
+        "lease body for this thread; leaving the lease file for breakLease")
     ()
   }
 
@@ -530,6 +690,7 @@ object StandingState {
     val key = norm(store)
     if (heldLeases.get.contains(key)) f
     else {
+      ensureCommitCapable(spark, store) // refuse unsafe stores at open
       acquireLease(spark, store, owner)
       heldLeases.set(heldLeases.get + key)
       try f
@@ -542,9 +703,18 @@ object StandingState {
 
   /** Explicitly break a crashed writer's lease — loud and manual by
     * design (the lease exists to make concurrent writers fail at start;
-    * silently expiring it would reopen the interleaving window). */
+    * silently expiring it would reopen the interleaving window). With
+    * an arbiter, also clears the one snapshot claim a crashed
+    * mid-commit writer can leave behind (claims are only ever taken
+    * for latest+1, under the lease, so at most that key is stale). */
   def breakLease(spark: SparkSession, store: String): Unit =
-    releaseLease(spark, store)
+    CommitArbiter.forStore(spark, store) match {
+      case Some(arb) =>
+        arb.delete(leaseKey(store))
+        val next = snapshots(spark, store).lastOption.map(_ + 1).getOrElse(0L)
+        arb.delete(snapClaimKey(store, next))
+      case None => releaseLease(spark, store)
+    }
 
   // ------------------------------------------------------------ tables
 
@@ -682,18 +852,41 @@ object StandingState {
         merged.toSeq.sortBy(_._1).flatMap {
           case (t, files) => files.map { case (p, len, mt) => s"$t\t$p\t$len\t$mt" }
         })).mkString("\n")
-      // commit point: witness into a temp dir, then ONE rename
-      val filesystem = fs(spark, store)
-      val tmp = new org.apache.hadoop.fs.Path(
-        s"$store/.${snapName(newSnap)}-tmp${nextHex.incrementAndGet().toHexString}")
-      val os = filesystem.create(new org.apache.hadoop.fs.Path(tmp, WitnessFile), true)
-      try os.write(body.getBytes("UTF-8")) finally os.close()
-      val dst = new org.apache.hadoop.fs.Path(s"$store/${snapName(newSnap)}")
-      if (filesystem.exists(dst) || !filesystem.rename(tmp, dst))
-        throw new StaleStateException(
-          s"snapshot ${snapName(newSnap)} at $store already exists — a " +
-            "concurrent commit won the rename; this fold must re-read " +
-            "the new base")
+      // commit point: witness into a temp dir, then ONE rename. With an
+      // external arbiter (object stores), the snapshot number is first
+      // CLAIMED by conditional put — the rename there is copy+delete
+      // and cannot arbitrate, so the claim is the real commit decision
+      // (a second belt even on atomic filesystems: it refuses the
+      // overlap left by an operator breaking a LIVE writer's lease)
+      val arbiter = CommitArbiter.forStore(spark, store)
+      arbiter.foreach { arb =>
+        if (!arb.putIfAbsent(snapClaimKey(store, newSnap), s"$owner\n" +
+            java.lang.Long.toHexString(nextHex.incrementAndGet())))
+          throw new StaleStateException(
+            s"snapshot ${snapName(newSnap)} at $store is already claimed " +
+              "at the commit arbiter — a concurrent (or crashed) commit " +
+              "holds it; this fold must re-read the new base (if the " +
+              "holder is dead, breakLease() clears the stale claim)")
+      }
+      try {
+        val filesystem = fs(spark, store)
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$store/.${snapName(newSnap)}-tmp${nextHex.incrementAndGet().toHexString}")
+        val os = filesystem.create(new org.apache.hadoop.fs.Path(tmp, WitnessFile), true)
+        try os.write(body.getBytes("UTF-8")) finally os.close()
+        val dst = new org.apache.hadoop.fs.Path(s"$store/${snapName(newSnap)}")
+        if (filesystem.exists(dst) || !filesystem.rename(tmp, dst))
+          throw new StaleStateException(
+            s"snapshot ${snapName(newSnap)} at $store already exists — a " +
+              "concurrent commit won the rename; this fold must re-read " +
+              "the new base")
+      } finally {
+        // the claim is an IN-FLIGHT marker, not a permanent record:
+        // released once the publish attempt resolves either way, so
+        // snapshot numbers reused after rollbackTo re-claim cleanly
+        // (only a crash strands one — breakLease clears it)
+        arbiter.foreach(_.delete(snapClaimKey(store, newSnap)))
+      }
       refreshDigest(spark, store)
       newSnap
     }
@@ -845,6 +1038,7 @@ object StandingState {
         recordedWitness(spark, root, s).files.keys.foreach(verify(spark, root, s, _))
       }
       fs(spark, root).delete(new org.apache.hadoop.fs.Path(root), true)
+      invalidateWitnessCache(root)
       storeDigests.remove(qualifiedKey(spark, root))
       ()
     }
@@ -969,6 +1163,7 @@ object StandingState {
         drop.foreach { s =>
           filesystem.delete(new org.apache.hadoop.fs.Path(s"$store/${snapName(s)}"), true)
         }
+        invalidateWitnessCache(store)
         sweepOrphans(spark, store)
         refreshDigest(spark, store)
       }
@@ -995,6 +1190,7 @@ object StandingState {
       snaps.filter(_ > snap).foreach { s =>
         filesystem.delete(new org.apache.hadoop.fs.Path(s"$store/${snapName(s)}"), true)
       }
+      invalidateWitnessCache(store)
       sweepOrphans(spark, store)
       refreshDigest(spark, store)
     }
@@ -1014,6 +1210,7 @@ object StandingState {
         .foreach(verify(spark, store, snaps.last, _))
       fs(spark, store).delete(
         new org.apache.hadoop.fs.Path(s"$store/${snapName(snap)}"), true)
+      invalidateWitnessCache(store)
       sweepOrphans(spark, store)
       refreshDigest(spark, store)
     }
