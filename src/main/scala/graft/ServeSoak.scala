@@ -287,6 +287,30 @@ object ServeSoak {
             s"expected ${ledgerExpectedRows(s)} — historical read drifted")
       }
     // health latency measured separately without the sleep skew
+    // pool-depth sampler: scrape the per-tenant pool gauges off the
+    // live /metrics wire every second and keep each gauge's MAX — the
+    // attribution record for isolation-ratio creep (a p95 regression
+    // then reads as "waiting_statements peaked at N on orgheavy", not
+    // a guess). Gauges register at each tenant's first openConnection.
+    val poolDepthMax = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val poolProbe = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val r = http.send(
+            HttpRequest.newBuilder(
+              URI.create(s"http://127.0.0.1:${avatica.boundPort}/metrics")).GET().build(),
+            BodyHandlers.ofString())
+          val gauges = mapper.readTree(r.body()).path("gauges")
+          gauges.properties().forEach { e =>
+            if (e.getKey.startsWith("pool."))
+              poolDepthMax.merge(e.getKey, e.getValue.asLong(0L), math.max(_, _))
+          }
+        } catch { case _: Throwable => () }
+        Thread.sleep(1000)
+      }
+    })
+    poolProbe.setDaemon(true); poolProbe.start()
+
     val healthProbe = new Thread(() => {
       while (!stop.get()) {
         val t0 = System.nanoTime()
@@ -307,6 +331,7 @@ object ServeSoak {
     stop.set(true)
     threads.foreach(_.join(30000))
     healthProbe.join(5000)
+    poolProbe.join(5000)
 
     // drift-gauge exercise on the live wire: scrape /metrics around a
     // nightly ingest and a refine — the gauge must move and reset
@@ -356,6 +381,10 @@ object ServeSoak {
         s""""annDriftBp":{"seed":$driftSeedBp,"afterIngest":$driftIngestBp,""" +
         s""""afterRefine":$driftRefineBp},""" +
         s""""ledgerSnapshotsAfterKeep1":$ledgerSnapsLive,""" +
+        s""""poolDepthMax":{${
+          scala.jdk.CollectionConverters.MapHasAsScala(poolDepthMax).asScala
+            .toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+        }},""" +
         s""""metrics":{$counters}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile), json.getBytes("UTF-8"))
     println(json)

@@ -263,9 +263,7 @@ class GraftAvaticaServer(
           } catch {
             case e: Exception =>
               metrics.inc("avatica.errors")
-              (if (e.isInstanceOf[IllegalArgumentException] &&
-                   Option(e.getMessage).exists(_.startsWith("request body exceeds")))
-                 413 else 500,
+              (if (e.isInstanceOf[WireIo.BodyTooLarge]) 413 else 500,
                 AvaticaProtobuf.errorToProto(mapper.readTree(errorJson(e))))
           }
         } else {
@@ -278,9 +276,7 @@ class GraftAvaticaServer(
               // SQLSTATE; severity/code are advisory
               case e: Exception =>
                 metrics.inc("avatica.errors")
-                (if (e.isInstanceOf[IllegalArgumentException] &&
-                     Option(e.getMessage).exists(_.startsWith("request body exceeds")))
-                   413 else 500,
+                (if (e.isInstanceOf[WireIo.BodyTooLarge]) 413 else 500,
                   errorJson(e))
             }
           (st, body.getBytes(UTF_8))
@@ -348,6 +344,7 @@ class GraftAvaticaServer(
           .getOrElse(throw new SecurityException(
             "connection info must carry the tenant api key"))
         val tenant = sessionFor(key) // SecurityException if unknown
+        tenant.registerPoolGauges(metrics)
         if (fairChecked.compareAndSet(false, true))
           ServingFairness.ensureFair(tenant.spark, "GraftAvaticaServer", metrics)
         conns.put(cid, Conn(tenant))

@@ -59,7 +59,11 @@ class GraftHttpServer(
   }
 
   private def tenantSession(key: String): TenantSession = {
-    val t = sessions.computeIfAbsent(key, sessionFor(_))
+    val t = sessions.computeIfAbsent(key, k => {
+      val s = sessionFor(k)
+      s.registerPoolGauges(metrics)
+      s
+    })
     if (fairChecked.compareAndSet(false, true))
       ServingFairness.ensureFair(t.spark, "GraftHttpServer", metrics)
     t
@@ -128,7 +132,7 @@ class GraftHttpServer(
     // client's mistake (413), never a serving-heap allocation
     val sql = new String(
       try WireIo.boundedBody(ex.getRequestBody)
-      catch { case e: IllegalArgumentException => throw Halt(413, e.getMessage) },
+      catch { case e: WireIo.BodyTooLarge => throw Halt(413, e.getMessage) },
       UTF_8)
     if (sql.trim.isEmpty) throw Halt(400, "empty statement")
     // The server-level cap ALWAYS applies; a request may only lower it

@@ -60,11 +60,18 @@ private[frontend] object WireIo {
     * of magnitude below heap. */
   final val MaxRequestBytes: Int = 8 * 1024 * 1024
 
+  /** Dedicated over-cap type so transports map refuse-to-413 by TYPE,
+    * not by message-prefix matching (a reworded message must not
+    * silently demote over-cap refusals to 500, and an unrelated IAE
+    * must not masquerade as one). Extends IllegalArgumentException so
+    * existing catch sites still treat it as a client mistake. */
+  final class BodyTooLarge(cap: Int)
+      extends IllegalArgumentException(
+        s"request body exceeds $cap bytes; refusing to buffer it")
+
   def boundedBody(in: java.io.InputStream, cap: Int = MaxRequestBytes): Array[Byte] = {
     val bytes = in.readNBytes(cap + 1)
-    if (bytes.length > cap)
-      throw new IllegalArgumentException(
-        s"request body exceeds $cap bytes; refusing to buffer it")
+    if (bytes.length > cap) throw new BodyTooLarge(cap)
     bytes
   }
 }

@@ -120,6 +120,22 @@ class TenantSession private (
     }
   }
 
+  /** Register this tenant's pool-depth gauges on a server's metrics:
+    * live task count in its FAIR pool, statements WAITING at its
+    * admission clamp, and statements admitted and in flight — the
+    * attribution metrics for serving-isolation regressions (a p95
+    * isolation creep is then readable as queue depth, not guessed).
+    * Idempotent: gauges re-register by name. */
+  def registerPoolGauges(metrics: ServingMetrics): Unit = {
+    metrics.gauge(s"pool.$orgId.running_tasks")(
+      spark.sparkContext.getPoolForName(schedulerPool)
+        .map(_.runningTasks.toLong).getOrElse(0L))
+    metrics.gauge(s"pool.$orgId.waiting_statements")(
+      stmtPermits.getQueueLength.toLong)
+    metrics.gauge(s"pool.$orgId.inflight_statements")(
+      math.max(1, maxConcurrentStatements).toLong - stmtPermits.availablePermits())
+  }
+
   /** Run tenant SQL. SELECT/WITH/VALUES + SHOW/DESCRIBE/USE only. */
   def sql(statement: String): DataFrame = sql(statement, None)
 
