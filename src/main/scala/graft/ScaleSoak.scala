@@ -71,6 +71,12 @@ object ScaleSoak {
       r
     }
 
+    // SPARK_GRAFT_SOAK_ONLY=ann skips the text stages (1–21) and runs
+    // only the vector-scale ANN stage (22) — the knob that makes the
+    // 100×-replica decade (1.6M vectors) runnable without paying the
+    // text battery at a scale it was never meant for
+    val annOnly = sys.env.get("SPARK_GRAFT_SOAK_ONLY").contains("ann")
+    if (!annOnly) {
     // the corpus is consumed by several stages — materialize the scaled
     // union once, exactly as a lake pipeline would land its input
     val docs = timed("materialize_input") {
@@ -480,6 +486,7 @@ object ScaleSoak {
           trainDocs, deltaBench, shingleWords = 8)
         .filter(col("n_hits") >= 1).count()
     }
+    } // end !annOnly (text stages 1–21)
 
     // 22. PERSISTED-ANN serving at vector scale: the IVFADC 100 TB
     // claims rested on plan pins + the text-corpus soak; this stage

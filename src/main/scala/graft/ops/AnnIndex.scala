@@ -47,7 +47,12 @@ object AnnIndex {
 
   /** Night 0: seed centroids from the base corpus (deterministic stride
     * sampling, no RNG to ship) and assign every base vector — the only
-    * corpus-sized assignment pass and the only corpus-sized write. */
+    * corpus-sized assignment pass and the only corpus-sized write. The
+    * cells table carries the VECTOR PAYLOAD alongside (cell, id) — the
+    * classic IVF layout (Jégou et al. 2011: inverted lists store the
+    * vectors) — so serving's exact rerank reads only probed cells'
+    * files and never re-scans the raw corpus (which at 100 TB would
+    * make every query batch a full-corpus pass). */
   def bootstrap(
       corpus: DataFrame,
       idCol: String,
@@ -58,9 +63,22 @@ object AnnIndex {
     val (cents, cells) = Similarity.ivfIndexTables(corpus, idCol, vecCol, numCentroids)
     StandingState.writeTables(store, Seq(
       StandingState.TableSpec(CentTable, cents, "cid"),
-      StandingState.TableSpec(CellTable, cells, "cell")), targetRowsPerFile)
+      StandingState.TableSpec(CellTable,
+        withPayload(cells, corpus, idCol, vecCol), "cell")), targetRowsPerFile)
     ()
   }
+
+  /** (cell, corpus_id) assignment + the vector payload, joined back by
+    * id — one write-time id-keyed join, so read-time probes never pay
+    * it. */
+  private def withPayload(
+      assigned: DataFrame,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame =
+    assigned.join(
+        vectors.select(col(idCol).as("corpus_id"), col(vecCol)), "corpus_id")
+      .select(col("cell"), col("corpus_id"), col(vecCol))
 
   /** Witness-verified standing centroid table. */
   def readCentroids(spark: SparkSession, store: String): DataFrame =
@@ -152,7 +170,15 @@ object AnnIndex {
       owner: String = ""): Boolean = {
     val spark = delta.sparkSession
     val cents = readCentroids(spark, store)
-    val newCells = Similarity.ivfAssign(delta, cents, idCol, vecCol)
+    val assigned = Similarity.ivfAssign(delta, cents, idCol, vecCol)
+    // match the standing cells shape: payload-carrying stores append
+    // payload cells; a legacy ids-only store keeps its shape (the
+    // schema-drift gate would refuse a mixed append) until a refine
+    // rewrites it into the payload layout
+    val newCells =
+      if (readCells(spark, store).columns.contains(vecCol))
+        withPayload(assigned, delta, idCol, vecCol)
+      else assigned
     val snap = StandingState.appendTables(store,
       Seq(StandingState.TableSpec(CellTable, newCells, "cell")), owner)
     driftSinceRefine(spark, store, CellTable, snap) > refineAt
@@ -217,9 +243,15 @@ object AnnIndex {
     val assigned = Similarity.ivfAssign(corpusD, standing, idCol, "v")
     val newCents = Similarity.lloydCentroids(corpusD, idCol, "v", assigned)
     val newCells = Similarity.ivfAssign(corpusD, newCents, idCol, "v")
+    // replace commits are the schema migration path: a refine upgrades
+    // an ids-only legacy store to the payload-carrying layout
+    // payload keeps the CALLER's native vector type (no double-cast):
+    // a later delta ingest appends the same shape, so the drift gate
+    // stays quiet across refine → ingest cycles
     StandingState.writeTables(store, Seq(
       StandingState.TableSpec(CentTable, newCents, "cid"),
-      StandingState.TableSpec(CellTable, newCells, "cell")))
+      StandingState.TableSpec(CellTable,
+        withPayload(newCells, corpus, idCol, vecCol), "cell")))
     ()
   }
 

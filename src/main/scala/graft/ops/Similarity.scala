@@ -378,10 +378,17 @@ object Similarity {
   /** [[ivfTopK]] served FROM a prebuilt (centroids, cells) index instead
     * of assigning cells in-query — the serving half of the persisted IVF
     * seam: probe lists come from the broadcast centroid table, candidates
-    * from the cells inverted file (ids only — vectors re-enter only for
-    * the final candidate ranking, keyed by id, so the index read is
-    * payload-free). Identical output to [[ivfTopK]] over the same
-    * centroids by construction. */
+    * from the cells inverted file. When the cells table CARRIES the
+    * vector payload (every store [[graft.ops.AnnIndex.bootstrap]] writes
+    * — the classic IVF layout, vectors in the inverted lists), the final
+    * exact ranking reads vectors from the SAME probed-cell-pruned frame
+    * and the whole serve never touches the raw corpus: per batch the
+    * cost is nprobe cells' files, flat in corpus size. An ids-only cells
+    * table (a store written before the payload layout) falls back to
+    * re-entering vectors from `corpus` keyed by id — correct, but a
+    * corpus-sized scan per batch; [[graft.ops.AnnIndex.refine]] is the
+    * migration. Identical output to [[ivfTopK]] over the same centroids
+    * by construction. */
   def ivfTopKFromIndex(
       corpus: DataFrame,
       queries: DataFrame,
@@ -405,8 +412,22 @@ object Similarity {
       .filter(col("query_id") =!= col("corpus_id"))
       .select("query_id", "corpus_id")
       .distinct()
-    rankCandidates(cand, corpus, queries, idCol, vecCol, k)
+    rankCandidates(cand, rerankSource(cells, corpus, idCol, vecCol),
+      queries, idCol, vecCol, k)
   }
+
+  /** Vector source for the exact candidate ranking of an index-served
+    * probe: the cells frame itself when it carries the payload (then a
+    * probed-cell-pruned read serves the whole query, corpus untouched),
+    * else the raw corpus (legacy ids-only stores). */
+  private def rerankSource(
+      cells: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame =
+    if (cells.columns.contains(vecCol))
+      cells.select(col("corpus_id").as(idCol), col(vecCol))
+    else corpus
 
   /** One k-means Lloyd iteration over the stride-seeded centroids — the
     * refinement step that turns the deterministic IVF seeding into real
@@ -834,7 +855,12 @@ object Similarity {
       .withColumn("srn", row_number().over(wShort))
       .filter(col("srn") <= shortlist)
       .select("query_id", "corpus_id")
-    exactRerank(short, corpus, queries, idCol, vecCol, kNeighbors)
+    // rerank from the probed-cell-pruned cells payload when the store
+    // carries it (see [[rerankSource]]) — the shortlist is a subset of
+    // the probed cells' members by construction, so the serve never
+    // reads a raw corpus vector outside those cells
+    exactRerank(short, rerankSource(cells, corpus, idCol, vecCol),
+      queries, idCol, vecCol, kNeighbors)
   }
 
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding

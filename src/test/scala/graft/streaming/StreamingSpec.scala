@@ -648,6 +648,7 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     AnnIndex.ingest(vecs(60 until 90).toDF("vec_id", "embedding"),
       "vec_id", "embedding", full)
     def cells(root: String) = AnnIndex.readCells(spark, root)
+      .select("corpus_id", "cell") // cells carry the payload column too now
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     cells(store) shouldBe cells(full)
     // bounded disk: at most two live snapshot witnesses, partitions shared
