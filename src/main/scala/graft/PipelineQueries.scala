@@ -1079,6 +1079,42 @@ object PipelineQueries {
         |ORDER BY query_id, rank""".stripMargin)
   }
 
+  /** Night-0 COMPOSED IVFADC store: all four tables (centroids,
+    * payload cells, codebooks, cell-clustered codes) in one snapshot
+    * store — the serving-optimal layout where the ADC code scan
+    * file-prunes to the probed cells exactly like the cells read. */
+  private def annComposedStandingStore(s: SparkSession, dir: String): String =
+    standingStore("annivfadcc", dir) { root =>
+      graft.ops.AnnIndex.bootstrapComposed(
+        t(s, dir, "embeddings").filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", IvfCentroids, root,
+        m = PqM, subDim = PqSubDim, k = PqK)
+    }
+
+  /** The COMPOSED-STORE IVFADC serve: the same two-night chain as
+    * [[embedKnnIvfadcNightly]] folded into ONE store whose codes table
+    * is range-clustered on the vector's cell, served with NO corpus
+    * argument at all ([[graft.ops.AnnIndex.ivfadcTopKComposed]]) —
+    * every byte of the query batch comes from probed-cell-pruned
+    * standing files. The oracle is the same from-scratch IVFADC replay
+    * the two-store nightly checks against, proving layout and
+    * composition changes nothing about the results. */
+  def embedKnnIvfadcComposed(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{AnnIndex, StandingState}
+    val emb = t(s, dir, "embeddings")
+    val store = annComposedStandingStore(s, dir)
+    // recurring-run retention: refold from the standing night-0 snapshot
+    StandingState.rollbackTo(s, store, 0L)
+    AnnIndex.ingestComposed(emb.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", store, m = PqM, subDim = PqSubDim)
+    AnnIndex.ingestComposed(emb.filter(col("vec_id") % 10 === 5),
+      "vec_id", "embedding", store, m = PqM, subDim = PqSubDim)
+    AnnIndex.ivfadcTopKComposed(emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", kNeighbors = 5, store,
+        nprobe = IvfProbes, shortlist = 50, m = PqM, subDim = PqSubDim)
+      .orderBy("query_id", "rank")
+  }
+
   // ANN constants shared by the Spark queries and their DuckDB oracles.
   // The library auto-sizes (Similarity.autoPlanes/autoCentroids) when not
   // given explicit values; the checked queries pin constants so the
@@ -2095,6 +2131,7 @@ object PipelineQueries {
     ledgerStandingStore(s, dir)
     annStandingStore(s, dir)
     annPqStandingStore(s, dir)
+    annComposedStandingStore(s, dir)
     graft.ops.Materialize.dropAll() // fixture prep must not leak scratch
   }
 
@@ -3876,6 +3913,7 @@ object PipelineQueries {
     "embed_knn_pq_nightly" -> (embedKnnPqNightly _),
     "embed_knn_ivfadc_nightly" -> (embedKnnIvfadcNightly _),
     "embed_knn_ivfadc_served" -> (embedKnnIvfadcServed _),
+    "embed_knn_ivfadc_composed" -> (embedKnnIvfadcComposed _),
     "embed_near_dup" -> (embedNearDup _),
     "embed_near_dup_lsh" -> (embedNearDupLsh _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -5505,6 +5543,33 @@ object PipelineQueries {
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // the tenant-served composition shares the nightly replay oracle
     "embed_knn_ivfadc_served" ->
+      s"""${duckIvfCellsCteFrom("vec_id % 5 <> 0")},
+         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+         |    FROM sims WHERE vec_id < 10) WHERE rn <= $IvfProbes),
+         |cand AS (SELECT p.query_id, c.corpus_id FROM probes p
+         |  JOIN cells c ON c.cell = p.cell WHERE p.query_id <> c.corpus_id),
+         |${duckPqChainFrom("vec_id % 5 <> 0")},
+         |$duckPqLutChain,
+         |a AS (SELECT cand.query_id, cand.corpus_id, round(sum(contrib), 4) AS adist
+         |  FROM cand JOIN codes ON codes.vec_id = cand.corpus_id
+         |  JOIN lut ON lut.query_id = cand.query_id
+         |    AND lut.j = codes.j AND lut.cid = codes.code
+         |  GROUP BY 1, 2),
+         |short AS (SELECT query_id, corpus_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adist, corpus_id) AS srn FROM a) WHERE srn <= 50),
+         |ex AS (SELECT s.query_id, s.corpus_id,
+         |    round(list_dot_product(qe.v, qe.v) - 2 * list_dot_product(qe.v, ce.v)
+         |      + list_dot_product(ce.v, ce.v), 4) AS d2
+         |  FROM short s JOIN e qe ON qe.vec_id = s.query_id
+         |  JOIN e ce ON ce.vec_id = s.corpus_id)
+         |SELECT query_id, corpus_id, d2, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY d2, corpus_id) AS rank FROM ex)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the composed single-store form shares the same replay oracle
+    "embed_knn_ivfadc_composed" ->
       s"""${duckIvfCellsCteFrom("vec_id % 5 <> 0")},
          |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn

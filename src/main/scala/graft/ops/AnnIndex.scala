@@ -414,4 +414,107 @@ object AnnIndex {
       corpus, queries, idCol, vecCol, k,
       cents, cellsFor(spark, store, queries, idCol, vecCol, cents, nprobe), nprobe)
   }
+
+  // -------------------------------------------- composed IVFADC store
+
+  /** ONE standing store carrying all four IVFADC tables — centroids,
+    * payload cells, codebooks, and codes CLUSTERED BY CELL — the
+    * serving-optimal layout a dedicated vector-serving deployment
+    * runs. With codes range-clustered on the vector's cell, the ADC
+    * scan file-prunes to the probed cells exactly like the cells read
+    * does, so NO stage of a query batch reads bytes outside the probed
+    * cells (the two-store composition [[ivfadcTopK]] keeps independent
+    * maintenance but its ADC pass scans the whole compressed code
+    * table — ~1% of corpus bytes, linear all the same). One commit
+    * writes all four tables; one commit appends each night's cells +
+    * codes, so the index is never half-visible. */
+  def bootstrapComposed(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int,
+      store: String,
+      m: Int = 4,
+      subDim: Int = 16,
+      k: Int = 8,
+      targetRowsPerFile: Long = 4000000L): Unit = {
+    val (cents, assigned) = Similarity.ivfIndexTables(corpus, idCol, vecCol, numCentroids)
+    val cb = Similarity.pqCodebooks(corpus, idCol, vecCol, m, subDim, k)
+    val codes = Similarity.pqCodesLong(
+      corpus, idCol, "corpus_id", vecCol, m, subDim, k, Some(cb))
+    StandingState.writeTables(store, Seq(
+      StandingState.TableSpec(CentTable, cents, "cid"),
+      StandingState.TableSpec(CellTable,
+        withPayload(assigned, corpus, idCol, vecCol), "cell"),
+      StandingState.TableSpec(CbTable, cb, "cid"),
+      StandingState.TableSpec(CodeTable,
+        codesByCell(codes, assigned), "cell")), targetRowsPerFile)
+    ()
+  }
+
+  /** (corpus_id, j, code) + the vector's cell, range-clustered on it —
+    * the write-time join that buys the read-time ADC file pruning. */
+  private def codesByCell(codes: DataFrame, assigned: DataFrame): DataFrame =
+    codes.join(assigned.select(col("corpus_id"), col("cell")), "corpus_id")
+      .select(col("cell"), col("corpus_id"), col("j"), col("code"))
+
+  /** One nightly fold into the composed store: assign + code the delta
+    * against the standing centroids/codebooks (both broadcast-exact)
+    * and append cells + codes in ONE commit. Returns the same
+    * cumulative-drift verdict as [[ingest]]. */
+  def ingestComposed(
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      store: String,
+      refineAt: Double = 0.25,
+      owner: String = "",
+      m: Int = 4,
+      subDim: Int = 16): Boolean = {
+    val spark = delta.sparkSession
+    val assigned = Similarity.ivfAssign(delta, readCentroids(spark, store), idCol, vecCol)
+    val codes = Similarity.pqCodesLong(
+      delta, idCol, "corpus_id", vecCol, m, subDim, k = 0,
+      Some(readCodebooks(spark, store)))
+    val snap = StandingState.appendTables(store, Seq(
+      StandingState.TableSpec(CellTable,
+        withPayload(assigned, delta, idCol, vecCol), "cell"),
+      StandingState.TableSpec(CodeTable,
+        codesByCell(codes, assigned), "cell")), owner)
+    driftSinceRefine(spark, store, CellTable, snap) > refineAt
+  }
+
+  /** IVFADC served ENTIRELY from the composed store — no corpus
+    * argument at all: cell routing from the broadcast centroids, the
+    * candidate list AND the rerank vectors from the probed-cell-pruned
+    * cells read, the ADC codes from the probed-cell-pruned codes read.
+    * Identical results to [[ivfadcTopK]] over the same tables by
+    * construction (the pruned code read is a superset restriction:
+    * every candidate's codes live in a probed cell). */
+  def ivfadcTopKComposed(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kNeighbors: Int,
+      store: String,
+      nprobe: Int = 4,
+      shortlist: Int = 50,
+      m: Int = 4,
+      subDim: Int = 16): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = readCentroids(spark, store)
+    val cells = cellsFor(spark, store, queries, idCol, vecCol, cents, nprobe)
+    val codes = probedCells(queries, idCol, vecCol, cents, nprobe) match {
+      case Some(ids) => StandingState.readTablePruned(spark, store, CodeTable, ids)
+      case None => StandingState.readTable(spark, store, CodeTable)
+    }
+    // `queries` stands in for the (unused) corpus parameter: the cells
+    // frame carries the payload, so the legacy corpus-rerank branch is
+    // never taken
+    Similarity.ivfadcTopKFromIndex(
+      queries, queries, idCol, vecCol, kNeighbors,
+      cents, cells, readCodebooks(spark, store),
+      codes.select(col("corpus_id"), col("j"), col("code")),
+      nprobe, shortlist, m, subDim)
+  }
 }

@@ -140,6 +140,40 @@ class RoundSixteenSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("payload-carrying IVF store: serving never touches the raw corpus (poisoned-corpus pin)") {
+    val vecs = (0L until 60L).map(i => (i, Seq.tabulate(8)(d =>
+      math.sin(i * 1.7 + d).abs + 0.1)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val store = SparkFixture.tempDir("r16-annpay")
+    AnnIndex.bootstrap(corpus, "vec_id", "embedding", numCentroids = 4, store)
+    AnnIndex.readCells(spark, store).columns should contain ("embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+    // a corpus whose evaluation THROWS: if any serving stage scanned the
+    // raw corpus, the query would fail — the payload layout must serve
+    // entirely from the standing store
+    // non-foldable (column-referencing) so it throws at RUNTIME on any
+    // scanned row, never at plan time (r10 assert_true precedent)
+    val poisoned = corpus.withColumn("embedding",
+      when(expr("assert_true(vec_id IS NULL, 'serving scanned the raw corpus')").isNull,
+        col("embedding")))
+    val served = AnnIndex.topK(
+      poisoned, queries, "vec_id", "embedding", k = 3, store, nprobe = 2)
+      .collect()
+    served.length shouldBe 9 // 3 queries × k
+    val servedAdc = {
+      val pq = SparkFixture.tempDir("r16-annpq")
+      AnnIndex.bootstrapPq(corpus, "vec_id", "embedding", pq)
+      AnnIndex.ivfadcTopK(poisoned, queries, "vec_id", "embedding", k = 3,
+        store, pq, nprobe = 2, shortlist = 20).collect()
+    }
+    servedAdc.length shouldBe 9
+    // and the results match serving with the real corpus (same store)
+    val real = AnnIndex.topK(
+      corpus, queries, "vec_id", "embedding", k = 3, store, nprobe = 2)
+      .collect().map(_.toString).sorted
+    served.map(_.toString).sorted shouldBe real
+  }
+
   test("releaseOwnLease without a recorded body leaves the lease for breakLease") {
     val store = SparkFixture.tempDir("r16-lease")
     // acquire on a DIFFERENT thread: the body record is thread-local,
