@@ -547,6 +547,23 @@ object ScaleSoak {
       counts("ann_drift_bp") =
         math.round(graft.ops.AnnIndex.drift(spark, ivfRoot) * 10000)
     }
+    // the COMPOSED single-store layout beside the two-store pair: codes
+    // range-clustered by cell, so the ADC scan file-prunes to the
+    // probed cells too — serving reads nothing outside them
+    val compRoot = graft.ops.Materialize.scratchDir("soak-ann-comp")
+    timed("ann_bootstrap_composed") {
+      // 40k rows/file: the 4k the CELLS census uses would fragment the
+      // codes table (4 skinny code rows per vector) into pure footer
+      // overhead — at this file size a probed cell still spans its own
+      // file set, which is the property the layout sells
+      graft.ops.AnnIndex.bootstrapComposed(
+        annBase, "vec_id", "embedding", nCells, compRoot,
+        targetRowsPerFile = 40000)
+    }
+    timed("ann_ingest_composed") {
+      graft.ops.AnnIndex.ingestComposed(annDelta, "vec_id", "embedding", compRoot)
+      ()
+    }
     val annQueries = graft.ops.Materialize.index(
       embScaled.filter(col("vec_id") < 16), "soak-ann-queries")
     val servedAdc = timed("ann_serving") {
@@ -563,6 +580,13 @@ object ScaleSoak {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       counts("ann_served_rows") = s.size.toLong
       s
+    }
+    val servedComposed = timed("ann_serving_composed") {
+      graft.ops.AnnIndex.ivfadcTopKComposed(
+        annQueries, "vec_id", "embedding", kNeighbors = 5, compRoot,
+        nprobe = 4, shortlist = 200)
+        .select("query_id", "corpus_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }
     val servedIvf = timed("ann_serving_ivf") {
       graft.ops.AnnIndex.topK(
@@ -591,6 +615,8 @@ object ScaleSoak {
         math.round(1000.0 * (servedAdc & brute).size / math.max(1, brute.size))
       counts("ann_ivf_recall_pm") =
         math.round(1000.0 * (servedIvf & brute).size / math.max(1, brute.size))
+      counts("ann_composed_recall_pm") =
+        math.round(1000.0 * (servedComposed & brute).size / math.max(1, brute.size))
     }
 
     graft.ops.Materialize.clearCache()

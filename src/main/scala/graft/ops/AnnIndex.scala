@@ -503,8 +503,13 @@ object AnnIndex {
       subDim: Int = 16): DataFrame = {
     val spark = queries.sparkSession
     val cents = readCentroids(spark, store)
-    val cells = cellsFor(spark, store, queries, idCol, vecCol, cents, nprobe)
-    val codes = probedCells(queries, idCol, vecCol, cents, nprobe) match {
+    // ONE probe collect shared by both pruned reads
+    val probed = probedCells(queries, idCol, vecCol, cents, nprobe)
+    val cells = probed match {
+      case Some(ids) => StandingState.readTablePruned(spark, store, CellTable, ids)
+      case None => readCells(spark, store)
+    }
+    val codes = probed match {
       case Some(ids) => StandingState.readTablePruned(spark, store, CodeTable, ids)
       case None => StandingState.readTable(spark, store, CodeTable)
     }

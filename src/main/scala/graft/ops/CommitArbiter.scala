@@ -63,13 +63,19 @@ object CommitArbiter {
     Option(registry.get(normalize(store))).orElse(
       spark.conf.getOption("spark.graft.state.arbiter").map(resolve))
 
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitArbiter]()
+
+  /** Memoized per spec: forStore resolves on every lease/claim call, so
+    * a wire-backed arbiter must not rebuild its HTTP client each time. */
   def resolve(spec: String): CommitArbiter =
-    if (spec.startsWith("memory:")) InMemoryArbiter.named(spec.stripPrefix("memory:"))
-    else if (spec.startsWith("dynamo://") || spec.startsWith("dynamos://"))
-      new graft.sources.dsv2.DynamoArbiter(spec)
-    else throw new IllegalArgumentException(
-      s"unknown commit-arbiter spec '$spec' — expected memory:<name> or " +
-        "dynamo[s]://host[:port]/Table")
+    resolved.computeIfAbsent(spec, s =>
+      if (s.startsWith("memory:")) InMemoryArbiter.named(s.stripPrefix("memory:"))
+      else if (s.startsWith("dynamo://") || s.startsWith("dynamos://"))
+        new graft.sources.dsv2.DynamoArbiter(s)
+      else throw new IllegalArgumentException(
+        s"unknown commit-arbiter spec '$s' — expected memory:<name> or " +
+          "dynamo[s]://host[:port]/Table"))
 
   private def normalize(store: String): String =
     new org.apache.hadoop.fs.Path(store).toUri.getPath match {

@@ -76,6 +76,14 @@ object ArrowWorkerBridge {
       batches: Iterator[Array[Byte]]): Iterator[Array[Byte]] = {
     val proc = new ProcessBuilder(command.asJava).start()
     val taskCtx = TaskContext.get()
+    // reap the worker even when the consumer abandons the iterator
+    // mid-partition (a LIMIT, a failed task): the task's end is the
+    // worker's end
+    if (taskCtx != null)
+      taskCtx.addTaskCompletionListener[Unit] { _ =>
+        if (proc.isAlive) proc.destroyForcibly()
+        ()
+      }
 
     // stderr drainer: keep the tail for diagnostics, never block the worker
     val stderrTail = new java.util.concurrent.ConcurrentLinkedDeque[String]()
