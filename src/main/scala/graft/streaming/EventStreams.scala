@@ -509,4 +509,34 @@ object EventStreams {
         }
       }
       .start()
+
+  /** [[annIngestStream]] for the COMPOSED single-store IVFADC layout
+    * ([[graft.ops.AnnIndex.ingestComposed]]): each micro-batch is
+    * assigned AND coded against the standing centroids/codebooks and
+    * lands cells + cell-clustered codes in ONE commit — the serving
+    * side ([[graft.ops.AnnIndex.ivfadcTopKComposed]]) always observes
+    * a snapshot where the two tables agree. Same exactly-once,
+    * drift-surfacing, and keep-2 retention contract as the IVF
+    * stream. */
+  def annIngestStreamComposed(
+      vectors: DataFrame,
+      store: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      refineAt: Double = 0.25,
+      m: Int = 4,
+      subDim: Int = 16,
+      onDrift: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val fire = graft.ops.AnnIndex.ingestComposed(
+            batch, idCol, vecCol, store, refineAt,
+            owner = s"batch-$batchId", m = m, subDim = subDim)
+          graft.ops.StandingState.keepSnapshots(batch.sparkSession, store, keep = 2)
+          onDrift(batchId, fire)
+        }
+      }
+      .start()
 }

@@ -619,6 +619,48 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     graft.ops.Materialize.dropAll()
   }
 
+  test("streaming COMPOSED ANN ingest: each batch lands cells+codes in one commit, serve ≡ one-shot fold") {
+    import graft.ops.{AnnIndex, StandingState}
+    import spark.implicits._
+    def vecs(ids: Range) = ids.map(i => (i.toLong, Seq(
+      (i % 7).toDouble, (i * 3 % 5).toDouble, (i * 5 % 11).toDouble, 1.0)))
+    // 4-dim vectors → m=2 subspaces of subDim=2
+    val store = graft.SparkFixture.tempDir("stream-annc")
+    AnnIndex.bootstrapComposed(vecs(0 until 60).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", numCentroids = 4, store, m = 2, subDim = 2, k = 4)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.annIngestStreamComposed(
+      input.toDF().toDF("vec_id", "embedding"), store, m = 2, subDim = 2)
+    try {
+      input.addData(vecs(60 until 75): _*)
+      q.processAllAvailable()
+      input.addData(vecs(75 until 90): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // cells and codes agree at every snapshot: m code rows per vector
+    AnnIndex.readCells(spark, store).count() shouldBe 90L
+    StandingState.readTable(spark, store, "pq_codes").count() shouldBe 180L
+    // bounded disk, like the IVF stream
+    StandingState.snapshots(spark, store).size should be <= 2
+    // streamed folds ≡ bootstrap(base) + ONE composed ingest of the union
+    val full = graft.SparkFixture.tempDir("stream-annc-full")
+    AnnIndex.bootstrapComposed(vecs(0 until 60).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", numCentroids = 4, full, m = 2, subDim = 2, k = 4)
+    AnnIndex.ingestComposed(vecs(60 until 90).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", full, m = 2, subDim = 2)
+    def serve(root: String) = AnnIndex.ivfadcTopKComposed(
+      vecs(0 until 5).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      kNeighbors = 3, root, nprobe = 2, shortlist = 20, m = 2, subDim = 2)
+      .collect().map(_.toString).toSet
+    serve(store) shouldBe serve(full)
+    // a replayed batch (same owner) is skipped idempotently
+    val snaps = StandingState.snapshots(spark, store)
+    AnnIndex.ingestComposed(vecs(75 until 90).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", store, owner = "batch-1", m = 2, subDim = 2)
+    StandingState.snapshots(spark, store) shouldBe snaps
+  }
+
   test("streaming ANN ingest: batches fold to the one-shot index, drift surfaced, replay stable") {
     import graft.ops.{AnnIndex, StandingState}
     import spark.implicits._
