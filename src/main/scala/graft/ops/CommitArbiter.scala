@@ -43,14 +43,33 @@ object CommitArbiter {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, CommitArbiter]()
 
-  /** Register an arbiter for one store root (scheme-normalized like the
-    * witness keying, so `/tmp/x` and `s3a://bucket/x`-style respellings
-    * of the same path agree). Programmatic twin of the
+  /** AUTHORITY-QUALIFIED store identity — the key every arbiter-facing
+    * structure (this registry, [[graft.ops.StandingState]]'s lease and
+    * snapshot-claim keys, the witness-parse cache) uses. Rendered
+    * `scheme://authority/path` so `s3a://bucket-a/state` and
+    * `s3a://bucket-b/state` NEVER alias at a shared arbiter table
+    * (path-only keys would let a same-owner retake compare-and-delete
+    * the OTHER store's live lease). A schemeless spelling defaults to
+    * `file` with empty authority, so `/tmp/x` and `file:/tmp/x` — the
+    * local respellings of one store — still agree; any store that
+    * actually NEEDS an arbiter carries an explicit object-store scheme
+    * and is keyed exactly. */
+  def storeKey(store: String): String = {
+    val u = new org.apache.hadoop.fs.Path(store).toUri
+    val scheme = Option(u.getScheme).getOrElse("file")
+    val auth = Option(u.getAuthority).getOrElse("")
+    val path = Option(u.getPath).filter(_.nonEmpty).getOrElse(store)
+    s"$scheme://$auth$path"
+  }
+
+  /** Register an arbiter for one store root (keyed by [[storeKey]] —
+    * scheme+authority+path, so same-path stores in different buckets
+    * resolve to their OWN arbiters). Programmatic twin of the
     * `spark.graft.state.arbiter` conf. */
   def register(store: String, arbiter: CommitArbiter): Unit =
-    registry.put(normalize(store), arbiter)
+    registry.put(storeKey(store), arbiter)
 
-  def unregister(store: String): Unit = registry.remove(normalize(store))
+  def unregister(store: String): Unit = registry.remove(storeKey(store))
 
   /** The arbiter governing `store`: an explicit registration wins, else
     * the session-wide `spark.graft.state.arbiter` spec
@@ -60,7 +79,7 @@ object CommitArbiter {
   def forStore(
       spark: org.apache.spark.sql.SparkSession,
       store: String): Option[CommitArbiter] =
-    Option(registry.get(normalize(store))).orElse(
+    Option(registry.get(storeKey(store))).orElse(
       spark.conf.getOption("spark.graft.state.arbiter").map(resolve))
 
   private val resolved =
@@ -76,12 +95,6 @@ object CommitArbiter {
       else throw new IllegalArgumentException(
         s"unknown commit-arbiter spec '$s' — expected memory:<name> or " +
           "dynamo[s]://host[:port]/Table"))
-
-  private def normalize(store: String): String =
-    new org.apache.hadoop.fs.Path(store).toUri.getPath match {
-      case null | "" => store
-      case p => p
-    }
 }
 
 /** Process-local conditional-put map — the spec/demo arbiter. Named so

@@ -316,11 +316,29 @@ object StandingState {
     * verified reads over two stores). Each hit still pays ONE
     * getFileStatus to prove the bytes on disk are the bytes that were
     * parsed (length+mtime — the same freshness evidence the witness
-    * itself records for data files); any mismatch re-parses. Bounded:
-    * cleared wholesale past 256 entries (a serving JVM touches a
-    * handful of stores; the bound is a leak guard, not a tuning knob). */
+    * itself records for data files); any mismatch re-parses. Keys are
+    * AUTHORITY-QUALIFIED ([[CommitArbiter.storeKey]]) — a path-only key
+    * would let same-path stores on different filesystems alias, and a
+    * len+mtime coincidence could then serve the WRONG store's parse.
+    * Bounded by access-order LRU at 256 entries: the 257th store evicts
+    * the least-recently-read parse, not the whole map (a serving JVM
+    * touches a handful of stores; the bound is a leak guard — wholesale
+    * clears would cold-start every OTHER store's serve path too). All
+    * access is synchronized on the map (entries are few and each hit
+    * already pays a getFileStatus, so the lock is never the bottleneck). */
+  private val WitnessCacheCap = 256
   private val witnessCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Witness)]()
+    new java.util.LinkedHashMap[String, (Long, Long, Witness)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, Witness)]): Boolean =
+        size() > WitnessCacheCap
+    }
+
+  /** Test hook: the cache's current keys, eldest-first. */
+  private[ops] def witnessCacheKeys: Seq[String] =
+    witnessCache.synchronized {
+      scala.jdk.CollectionConverters.SetHasAsScala(witnessCache.keySet()).asScala.toSeq
+    }
 
   /** Drop cached parses for one store — called by every path that can
     * DELETE a snapshot dir (retention/rollback), because a later commit
@@ -329,8 +347,11 @@ object StandingState {
     * within one tick. Immutable snapshots (the normal case) never need
     * this. */
   private def invalidateWitnessCache(store: String): Unit = {
-    val prefix = norm(store) + "#"
-    witnessCache.keySet.removeIf(_.startsWith(prefix))
+    val prefix = CommitArbiter.storeKey(store) + "#"
+    witnessCache.synchronized {
+      witnessCache.keySet.removeIf(_.startsWith(prefix))
+    }
+    ()
   }
 
   private[ops] def recordedWitness(spark: SparkSession, store: String, snap: Long): Witness = {
@@ -344,15 +365,16 @@ object StandingState {
             s"snapshot ${snapName(snap)} at $store has no $WitnessFile — not " +
               "committed by StandingState, or the witness was removed")
       }
-    val cacheKey = s"${norm(store)}#${snapName(snap)}"
-    val cached = witnessCache.get(cacheKey)
+    val cacheKey = s"${CommitArbiter.storeKey(store)}#${snapName(snap)}"
+    val cached = witnessCache.synchronized { witnessCache.get(cacheKey) }
     if (cached != null && cached._1 == status.getLen &&
         cached._2 == status.getModificationTime)
       return cached._3
     val parsed = parseWitness(spark, store, snap, p)
-    if (witnessCache.size() > 256) witnessCache.clear()
-    witnessCache.put(cacheKey,
-      (status.getLen, status.getModificationTime, parsed))
+    witnessCache.synchronized {
+      witnessCache.put(cacheKey,
+        (status.getLen, status.getModificationTime, parsed))
+    }
     parsed
   }
 
@@ -509,9 +531,16 @@ object StandingState {
   private def leasePath(store: String) =
     new org.apache.hadoop.fs.Path(s"$store/$LeaseFile")
 
-  private def leaseKey(store: String): String = s"lease:${norm(store)}"
+  // Arbiter keys are AUTHORITY-QUALIFIED ([[CommitArbiter.storeKey]]:
+  // scheme://authority/path) so same-path stores in different buckets
+  // can share one arbiter table without colliding — a path-only key
+  // would let s3a://bucket-a/x's retake compare-and-delete
+  // s3a://bucket-b/x's LIVE lease. Same hazard class the storeDigests
+  // registry's [[StoreKey]] documents.
+  private def leaseKey(store: String): String =
+    s"lease:${CommitArbiter.storeKey(store)}"
   private def snapClaimKey(store: String, snap: Long): String =
-    s"snap:${norm(store)}:${snapName(snap)}"
+    s"snap:${CommitArbiter.storeKey(store)}:${snapName(snap)}"
 
   /** Create-exclusive writer lease. A held lease from a DIFFERENT owner
     * refuses the commit loudly at start; the same owner (a retrying
@@ -529,21 +558,15 @@ object StandingState {
     * racing commit even there. */
   private[ops] def acquireLease(spark: SparkSession, store: String, owner: String): Unit = {
     CommitArbiter.forStore(spark, store) match {
-      case Some(arb) => return acquireLeaseArbiter(arb, store, owner)
+      case Some(arb) => return acquireLeaseArbiter(spark, arb, store, owner)
       case None => ()
     }
     val filesystem = fs(spark, store)
     filesystem.mkdirs(new org.apache.hadoop.fs.Path(store))
     val p = leasePath(store)
-    // owner on line 1 (what refusals report and same-owner retakes match
-    // on), a per-acquisition nonce on line 2 so releaseOwnLease can tell
-    // THIS acquisition's lease from any other writer's — including a
-    // same-owner retake from another thread
-    val body = owner + "\n" +
-      java.lang.Long.toHexString(nextHex.incrementAndGet()) + "-" +
-      java.lang.Long.toHexString(Thread.currentThread().getId)
+    val body = newLeaseBody(owner)
     def recordBody(): Unit =
-      leaseBodies.set(leaseBodies.get + (norm(store) -> body))
+      leaseBodies.set(leaseBodies.get + (CommitArbiter.storeKey(store) -> body))
     val created =
       try {
         val os = filesystem.create(p, false)
@@ -560,23 +583,48 @@ object StandingState {
             if Option(e.getMessage).exists(_.toLowerCase.contains("already exists")) => false
       }
     if (!created) {
-      val held =
+      val heldBody =
         try {
           val is = filesystem.open(p)
           try scala.io.Source.fromInputStream(is, "UTF-8").mkString
-            .takeWhile(_ != '\n') // owner line; nonce is ours to ignore
           finally is.close()
-        } catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
+        } catch { case scala.util.control.NonFatal(_) => null }
+      val held = Option(heldBody).map(_.takeWhile(_ != '\n'))
+        .getOrElse("<unreadable>")
       if (owner.nonEmpty && held == owner) {
         val os = filesystem.create(p, true)
         try os.write(body.getBytes("UTF-8")) finally os.close()
         recordBody()
       } else throw new StaleStateException(
-        s"state store $store is write-leased by '$held' — a concurrent " +
-          "(or crashed) writer; refusing to interleave commits. If the " +
-          "holder is dead, breakLease() explicitly.")
+        s"state store $store is write-leased by '$held'" +
+          ageClause(Option(heldBody).flatMap(leaseAgeMs)) +
+          " — a concurrent (or crashed) writer; refusing to interleave " +
+          "commits. If the holder is dead, breakLease() explicitly.")
     }
   }
+
+  /** Lease record body: owner on line 1 (what refusals report and
+    * same-owner retakes match on), a per-acquisition nonce on line 2 so
+    * [[releaseOwnLease]] can tell THIS acquisition's lease from any
+    * other writer's — including a same-owner retake from another thread
+    * — and the acquisition's epoch millis on line 3, so refusals can
+    * report how STALE the blocking lease is and the arbiter path's TTL
+    * fence ([[acquireLeaseArbiter]]) can decide a holder is dead. */
+  private def newLeaseBody(owner: String): String =
+    owner + "\n" +
+      java.lang.Long.toHexString(nextHex.incrementAndGet()) + "-" +
+      java.lang.Long.toHexString(Thread.currentThread().getId) + "\n" +
+      System.currentTimeMillis()
+
+  /** Age of a lease record from its line-3 acquisition timestamp; None
+    * for pre-timestamp records (they refuse exactly as before). */
+  private def leaseAgeMs(body: String): Option[Long] =
+    body.split("\n", 3).lift(2)
+      .flatMap(l => scala.util.Try(l.trim.toLong).toOption)
+      .map(t => math.max(0L, System.currentTimeMillis() - t))
+
+  private def ageClause(age: Option[Long]): String =
+    age.map(a => s" (held for ${a} ms)").getOrElse("")
 
   /** Arbiter-backed lease: one conditional put claims it, and UNLIKE
     * the filesystem lease this one is truly atomic — no writer can
@@ -587,24 +635,79 @@ object StandingState {
     * losing EITHER half of that pair means another acquisition raced
     * in — refuse, don't interleave. */
   private def acquireLeaseArbiter(
-      arb: CommitArbiter, store: String, owner: String): Unit = {
-    val body = owner + "\n" +
-      java.lang.Long.toHexString(nextHex.incrementAndGet()) + "-" +
-      java.lang.Long.toHexString(Thread.currentThread().getId)
+      spark: SparkSession, arb: CommitArbiter, store: String, owner: String): Unit = {
+    val body = newLeaseBody(owner)
     def recordBody(): Unit =
-      leaseBodies.set(leaseBodies.get + (norm(store) -> body))
+      leaseBodies.set(leaseBodies.get + (CommitArbiter.storeKey(store) -> body))
     if (arb.putIfAbsent(leaseKey(store), body)) { recordBody(); return }
     val current = arb.get(leaseKey(store))
+    // LOST-ACK resolution: the arbiter holds EXACTLY the record this
+    // call tried to write — the conditional put landed server-side but
+    // its ack was lost, and the transport-level retry saw the condition
+    // fail against its own first attempt (DynamoDB's documented retried-
+    // conditional shape). The nonce makes the body unique to this
+    // acquisition, so holding it IS holding the lease — for anonymous
+    // owners ("") too, where the owner-retake below never applies.
+    if (current.contains(body)) { recordBody(); return }
     val held = current.map(_.takeWhile(_ != '\n')).getOrElse("<unreadable>")
-    val retaken = owner.nonEmpty && held == owner &&
-      current.exists(c => arb.deleteIf(leaseKey(store), c)) &&
-      arb.putIfAbsent(leaseKey(store), body)
-    if (retaken) recordBody()
-    else throw new StaleStateException(
-      s"state store $store is write-leased by '$held' at the commit " +
-        "arbiter — a concurrent (or crashed) writer; refusing to " +
-        "interleave commits. If the holder is dead, breakLease() " +
-        "explicitly.")
+    val age = current.flatMap(leaseAgeMs)
+    val ttl = spark.conf.getOption("spark.graft.state.leaseTtlMs").map(_.toLong)
+    val sameOwner = owner.nonEmpty && held == owner
+    val expired = ttl.exists(t => age.exists(_ > t))
+    if (sameOwner || expired) {
+      // Same-owner retake (a retrying committer replacing its old record
+      // with a fresh nonce) or FENCED TTL SEIZE (the crashed-writer
+      // recovery path — `spark.graft.state.leaseTtlMs` is the operator's
+      // standing assertion that a lease older than the TTL belongs to a
+      // dead process). Both go compare-and-delete + re-claim: losing
+      // either half to a LIVE competitor refuses below. deleteIf can
+      // itself lose an ack — a false return with the key now absent (or
+      // already re-claimed as ours) still means cleared.
+      val cleared = current.exists { c =>
+        arb.deleteIf(leaseKey(store), c) ||
+          arb.get(leaseKey(store)).forall(_ == body)
+      }
+      if (cleared && (arb.putIfAbsent(leaseKey(store), body) ||
+          arb.get(leaseKey(store)).contains(body))) {
+        recordBody()
+        if (!sameOwner) {
+          // the seize is breakLease-with-fencing, applied automatically:
+          // clear the stale snapshot claim(s) the dead writer can have
+          // stranded mid-publish, so this writer recovers without a
+          // human calling breakLease. The zombie — if it was merely slow,
+          // not dead — is refused at ITS commit point by the post-claim
+          // lease recheck (see [[commit]]): its lease record is gone.
+          System.err.println(
+            s"[graft] lease for $store held by '$held' exceeded " +
+              s"leaseTtlMs=${ttl.get} (age ${age.getOrElse(-1L)} ms); " +
+              s"'$owner' seized it with fencing and cleared stale claims")
+          clearStaleClaims(spark, arb, store)
+        }
+        return
+      }
+    }
+    throw new StaleStateException(
+      s"state store $store is write-leased by '$held'${ageClause(age)} at " +
+        "the commit arbiter — a concurrent (or crashed) writer; refusing " +
+        "to interleave commits. If the holder is dead, breakLease() " +
+        "explicitly" +
+        (if (ttl.isEmpty)
+          ", or set spark.graft.state.leaseTtlMs for automatic fenced recovery."
+        else "."))
+  }
+
+  /** Delete the snapshot claim(s) a crashed writer can strand: claims
+    * are only ever taken for latest+1 AT CLAIM TIME, so after any crash
+    * the stale key sits at the CURRENT latest (the writer crashed after
+    * its rename published the snapshot but before the finally-delete
+    * released the claim) or at latest+1 (crashed before the rename).
+    * Both are safe to clear here — a claim is only ever LIVE mid-publish
+    * under the store's lease, which this caller just took or broke. */
+  private def clearStaleClaims(
+      spark: SparkSession, arb: CommitArbiter, store: String): Unit = {
+    val latest = snapshots(spark, store).lastOption
+    latest.foreach(l => arb.delete(snapClaimKey(store, l)))
+    arb.delete(snapClaimKey(store, latest.map(_ + 1).getOrElse(0L)))
   }
 
   /** Unconditional lease removal — the [[breakLease]] path only. Scoped
@@ -628,7 +731,7 @@ object StandingState {
     * strictly tighter than delete-always, with the rename still the
     * arbiter of record. */
   private[ops] def releaseOwnLease(spark: SparkSession, store: String): Unit = {
-    val key = norm(store)
+    val key = CommitArbiter.storeKey(store)
     val mine = leaseBodies.get.get(key)
     leaseBodies.set(leaseBodies.get - key)
     CommitArbiter.forStore(spark, store) match {
@@ -687,7 +790,7 @@ object StandingState {
     * at lease acquisition instead. */
   private def withLease[T](
       spark: SparkSession, store: String, owner: String)(f: => T): T = {
-    val key = norm(store)
+    val key = CommitArbiter.storeKey(store)
     if (heldLeases.get.contains(key)) f
     else {
       ensureCommitCapable(spark, store) // refuse unsafe stores at open
@@ -703,16 +806,18 @@ object StandingState {
 
   /** Explicitly break a crashed writer's lease — loud and manual by
     * design (the lease exists to make concurrent writers fail at start;
-    * silently expiring it would reopen the interleaving window). With
-    * an arbiter, also clears the one snapshot claim a crashed
-    * mid-commit writer can leave behind (claims are only ever taken
-    * for latest+1, under the lease, so at most that key is stale). */
+    * silently expiring it would reopen the interleaving window; the
+    * AUTOMATIC variant is the opt-in `spark.graft.state.leaseTtlMs`
+    * fenced seize in [[acquireLeaseArbiter]]). With an arbiter, also
+    * clears the stale snapshot claim(s) a crashed mid-commit writer can
+    * leave behind — at latest+1 (crashed before its rename) AND at the
+    * current latest (crashed after the rename published but before the
+    * finally-delete released the claim); see [[clearStaleClaims]]. */
   def breakLease(spark: SparkSession, store: String): Unit =
     CommitArbiter.forStore(spark, store) match {
       case Some(arb) =>
         arb.delete(leaseKey(store))
-        val next = snapshots(spark, store).lastOption.map(_ + 1).getOrElse(0L)
-        arb.delete(snapClaimKey(store, next))
+        clearStaleClaims(spark, arb, store)
       case None => releaseLease(spark, store)
     }
 
@@ -860,13 +965,39 @@ object StandingState {
       // overlap left by an operator breaking a LIVE writer's lease)
       val arbiter = CommitArbiter.forStore(spark, store)
       arbiter.foreach { arb =>
-        if (!arb.putIfAbsent(snapClaimKey(store, newSnap), s"$owner\n" +
-            java.lang.Long.toHexString(nextHex.incrementAndGet())))
+        val claimBody = s"$owner\n" +
+          java.lang.Long.toHexString(nextHex.incrementAndGet())
+        // lost-ack resolution, same shape as the lease: a record holding
+        // EXACTLY this body means OUR conditional put landed and only
+        // its ack was lost to a transport retry — the claim is held
+        val claimed =
+          arb.putIfAbsent(snapClaimKey(store, newSnap), claimBody) ||
+            arb.get(snapClaimKey(store, newSnap)).contains(claimBody)
+        if (!claimed)
           throw new StaleStateException(
             s"snapshot ${snapName(newSnap)} at $store is already claimed " +
               "at the commit arbiter — a concurrent (or crashed) commit " +
               "holds it; this fold must re-read the new base (if the " +
               "holder is dead, breakLease() clears the stale claim)")
+        // FENCE: the lease must still be THIS acquisition's record. A
+        // TTL seize (a new owner recovering past a crashed-looking
+        // writer, acquireLeaseArbiter) lands between our lease
+        // acquisition and this claim — publishing anyway would
+        // interleave with the seizer's commits, the exact overlap the
+        // lease exists to refuse. Release the claim and refuse; the
+        // seizer's own claim/publish proceeds unraced. (The residual
+        // window — seized between this recheck and the rename below —
+        // is bounded by one driver-side witness write; the TTL is the
+        // operator's assertion that no holder is still alive there.)
+        val mine = leaseBodies.get.get(CommitArbiter.storeKey(store))
+        if (!mine.exists(b => arb.get(leaseKey(store)).contains(b))) {
+          arb.delete(snapClaimKey(store, newSnap))
+          throw new StaleStateException(
+            s"writer lease for $store was lost before publishing " +
+              s"${snapName(newSnap)} — seized by a new owner past " +
+              "leaseTtlMs (or broken explicitly); refusing to publish " +
+              "over the new owner's commits")
+        }
       }
       try {
         val filesystem = fs(spark, store)

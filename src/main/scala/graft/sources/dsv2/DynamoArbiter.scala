@@ -96,7 +96,48 @@ final class DynamoArbiter(path: String) extends graft.ops.CommitArbiter {
     mapper.readTree(resp.body())
   }
 
+  /** Send with the same bounded-retry discipline as the nearline
+    * transport: 5xx responses, DynamoDB throttles
+    * (`ProvisionedThroughputExceededException` / `ThrottlingException` —
+    * HTTP 400 but retryable by the service's own contract), and
+    * connection-level IOExceptions all back off and retry up to
+    * [[DynamoArbiter.MaxAttempts]]. NOTE the semantics this creates for
+    * conditional writes: a put whose FIRST attempt landed but whose ack
+    * was lost comes back from the retry as ConditionalCheckFailed —
+    * `false`, not success. The protocol layer resolves that by reading
+    * the key back and recognizing its own record
+    * ([[graft.ops.StandingState]]'s lost-ack resolution); this layer
+    * deliberately does NOT guess. */
   private def send(
+      action: String,
+      body: com.fasterxml.jackson.databind.node.ObjectNode)
+      : HttpResponse[String] = {
+    var attempt = 0
+    var last: Either[Throwable, HttpResponse[String]] = null
+    while (attempt < DynamoArbiter.MaxAttempts) {
+      attempt += 1
+      last =
+        try {
+          val resp = sendOnce(action, body)
+          if (resp.statusCode() >= 500 ||
+              (resp.statusCode() == 400 &&
+                (resp.body().contains("ProvisionedThroughputExceeded") ||
+                  resp.body().contains("ThrottlingException"))))
+            Right(resp) // retryable; fall through to backoff
+          else return resp
+        } catch { case e: java.io.IOException => Left(e) }
+      if (attempt < DynamoArbiter.MaxAttempts)
+        Thread.sleep(25L * attempt) // linear backoff, bounded total
+    }
+    last match {
+      case Right(r) => r
+      case Left(e) => throw new java.io.IOException(
+        s"$action on ${ep.table} failed after " +
+          s"${DynamoArbiter.MaxAttempts} attempts", e)
+    }
+  }
+
+  private def sendOnce(
       action: String,
       body: com.fasterxml.jackson.databind.node.ObjectNode)
       : HttpResponse[String] = {
@@ -122,4 +163,10 @@ final class DynamoArbiter(path: String) extends graft.ops.CommitArbiter {
 
   private def prop(sys: String, env: String, dflt: String): String =
     Option(System.getProperty(sys)).orElse(Option(System.getenv(env))).getOrElse(dflt)
+}
+
+object DynamoArbiter {
+  /** Bounded attempts per conditional write — same discipline as the
+    * nearline read transport. */
+  val MaxAttempts = 5
 }

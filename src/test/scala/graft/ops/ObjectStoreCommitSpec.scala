@@ -103,11 +103,13 @@ class ObjectStoreCommitSpec extends AnyFunSuite with Matchers with BeforeAndAfte
       // the publishes really went through copy+delete renames
       NonAtomicRenameFs.renames.get() should be >= 2
       // claims are in-flight markers: released after each publish;
-      // the lease is released too — a new writer proceeds freely
-      val normStore = new HPath(store).toUri.getPath
-      arb.get(s"lease:$normStore") shouldBe None
-      arb.get(s"snap:$normStore:snap00000") shouldBe None
-      arb.get(s"snap:$normStore:snap00001") shouldBe None
+      // the lease is released too — a new writer proceeds freely. Keys
+      // carry the AUTHORITY-QUALIFIED store identity (scheme included).
+      val qualStore = CommitArbiter.storeKey(store)
+      qualStore should startWith ("naf://")
+      arb.get(s"lease:$qualStore") shouldBe None
+      arb.get(s"snap:$qualStore:snap00000") shouldBe None
+      arb.get(s"snap:$qualStore:snap00001") shouldBe None
     } finally CommitArbiter.unregister(store)
   }
 
@@ -117,9 +119,9 @@ class ObjectStoreCommitSpec extends AnyFunSuite with Matchers with BeforeAndAfte
     CommitArbiter.register(store, arb)
     try {
       StandingState.writeTables(store, Seq(spec("t", Seq(("a", 1L)))))
-      val normStore = new HPath(store).toUri.getPath
+      val qualStore = CommitArbiter.storeKey(store)
       // simulate a writer that claimed snapshot 1 and died mid-publish
-      arb.putIfAbsent(s"snap:$normStore:snap00001", "dead-writer\nff") shouldBe true
+      arb.putIfAbsent(s"snap:$qualStore:snap00001", "dead-writer\nff") shouldBe true
       val e = intercept[StandingState.StaleStateException] {
         StandingState.appendTables(store, Seq(spec("t", Seq(("b", 2L)))))
       }
@@ -236,6 +238,26 @@ class ArbiterWireStub(table: String) {
   private val kv = new java.util.HashMap[String, String]()
   val writes = new java.util.concurrent.atomic.AtomicInteger(0)
   val sawAuth = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** Fault injection: the next N write calls are REFUSED WITHOUT
+    * APPLYING with the service's throttle error (the retryable-400
+    * shape). */
+  val throttleWrites = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Fault injection: the next N write calls APPLY but answer 500 — the
+    * lost-ack shape whose transport retry then observes its own landed
+    * conditional as a failure. */
+  val loseAckWrites = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def takeBudget(c: java.util.concurrent.atomic.AtomicInteger): Boolean = {
+    var n = c.get()
+    while (n > 0) {
+      if (c.compareAndSet(n, n - 1)) return true
+      n = c.get()
+    }
+    false
+  }
+
+  private val throttled =
+    """{"__type":"com.amazonaws.dynamodb.v20120810#ProvisionedThroughputExceededException","message":"throttled"}"""
 
   private val server = {
     val s = com.sun.net.httpserver.HttpServer.create(
@@ -277,10 +299,16 @@ class ArbiterWireStub(table: String) {
         val v = body.at("/Item/body/S").asText()
         val conditional =
           Option(body.get("ConditionExpression")).map(_.asText())
-        kv.synchronized {
+        if (takeBudget(throttleWrites)) (400, throttled)
+        else kv.synchronized {
           if (conditional.contains("attribute_not_exists(pk)") &&
               kv.containsKey(pk)) (400, conditionFailed)
-          else { kv.put(pk, v); (200, "{}") }
+          else {
+            kv.put(pk, v)
+            if (takeBudget(loseAckWrites))
+              (500, """{"__type":"InternalServerError","message":"ack lost"}""")
+            else (200, "{}")
+          }
         }
       case "GetItem" =>
         val pk = body.at("/Key/pk/S").asText()
@@ -302,11 +330,16 @@ class ArbiterWireStub(table: String) {
         val pk = body.at("/Key/pk/S").asText()
         val conditional =
           Option(body.get("ConditionExpression")).map(_.asText())
-        kv.synchronized {
+        if (takeBudget(throttleWrites)) (400, throttled)
+        else kv.synchronized {
           if (conditional.contains("body = :b")) {
             val want = body.at("/ExpressionAttributeValues/:b/S").asText()
-            if (Option(kv.get(pk)).contains(want)) { kv.remove(pk); (200, "{}") }
-            else (400, conditionFailed)
+            if (Option(kv.get(pk)).contains(want)) {
+              kv.remove(pk)
+              if (takeBudget(loseAckWrites))
+                (500, """{"__type":"InternalServerError","message":"ack lost"}""")
+              else (200, "{}")
+            } else (400, conditionFailed)
           } else { kv.remove(pk); (200, "{}") }
         }
       case other => (400, s"""{"__type":"UnknownOperationException","op":"$other"}""")
