@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNPREFIXED: sbt's default
+// LoggedOutput strategy prepends "[info] " to every stdout line, which
+// breaks any consumer that matches a bare JSON line (the bench's
+// {"metric":...} headline was never machine-parseable through sbt —
+// every recorded BENCH_r*.json shows "parsed": null for exactly this
+// reason, r01 included, where the line was fully visible in the tail).
+Compile / run / outputStrategy := Some(sbt.OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

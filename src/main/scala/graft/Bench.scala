@@ -345,10 +345,19 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, diagnostics.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    System.err.println(s"[benchdiag] $diagnostics")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":${errors.size},"contended":$contended,"fixturePrepFailed":$fixturePrepFailed,"sf":"$sfDir"}""")
+    // The full diagnostics line is ~60 KB — dumping it to stderr buried the
+    // stdout metric line outside the driver's ~2000-char tail window in
+    // rounds 16 and 17 (BENCH_r16/r17 "parsed": null): sbt's log interleaving
+    // flushed the giant stderr line AFTER the metric println. The diagnostics
+    // live in target/bench_diagnostics.json (committed per round as
+    // BENCHDIAG_r<k>.json); stderr gets only a short pointer, and the metric
+    // line is the LAST thing written so the tail window always contains it.
+    System.err.println(
+      s"[benchdiag] ${diagnostics.length} bytes -> target/bench_diagnostics.json")
     graft.ops.Materialize.clearCache()
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":${errors.size},"contended":$contended,"fixturePrepFailed":$fixturePrepFailed,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 
   /** Newest committed bench record in the working dir, parsed to per-query

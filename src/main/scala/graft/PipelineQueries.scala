@@ -569,8 +569,12 @@ object PipelineQueries {
       md5(concat_ws("|", col("g2"), col("g3"))).as("band1"))
     val pairs = Dedup.lshCandidatePairs(bands, "doc_id", numBands = 2)
     // per-pair verify = codegen'd sorted-merge intersection count (sort
-    // once at the doc-sized gram table, |A∪B| = |A|+|B|−i)
-    val sortedG = indexed.select(col("doc_id"), sort_array(col("grams")).as("grams"))
+    // once at the doc-sized gram table, |A∪B| = |A|+|B|−i), over the
+    // bijective hex→long re-encode ([[graft.ops.Dedup.hex16ToLongs]]):
+    // counts and sizes — and therefore every verified jaccard — are
+    // exactly the string domain's, at one long compare per merge step
+    val sortedG = indexed.select(col("doc_id"),
+      sort_array(Dedup.hex16ToLongs(col("grams"))).as("grams"))
     pairs
       .join(sortedG.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
       .join(sortedG.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
@@ -1401,7 +1405,7 @@ object PipelineQueries {
   def dedupAllpairs(s: SparkSession, dir: String): DataFrame =
     Dedup.allPairsJaccardTok(
       bigramTok(graft.ops.Materialize.spread(t(s, dir, "documents"))),
-      "doc_id", threshold = 0.5)
+      "doc_id", threshold = 0.5, hexTokens = true)
       .orderBy("id_a", "id_b")
 
   /** Cross-source near-dup contamination matrix: for each ordered source
@@ -1524,7 +1528,7 @@ object PipelineQueries {
   def dedupRecall(s: SparkSession, dir: String): DataFrame = {
     val truth = Dedup.allPairsJaccardTok(
       bigramTok(graft.ops.Materialize.spread(t(s, dir, "documents"))),
-      "doc_id", threshold = 0.5).select("id_a", "id_b")
+      "doc_id", threshold = 0.5, hexTokens = true).select("id_a", "id_b")
     val lsh = ngramVerifiedPairs(s, dir).select("id_a", "id_b")
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
@@ -1572,7 +1576,8 @@ object PipelineQueries {
     }.withColumn("grams", expr("transform(grams, g -> substring(md5(g), 1, 16))"))
     val indexed = graft.ops.Materialize.index(sigs, "ngram-sig")
     val truth = graft.ops.Materialize.index(
-      Dedup.allPairsJaccardTok(bigramTok(docs), "doc_id", threshold = 0.5)
+      Dedup.allPairsJaccardTok(bigramTok(docs), "doc_id", threshold = 0.5,
+          hexTokens = true)
         .select("id_a", "id_b"),
       "sweep-truth")
     def bandsFor(cfg: String): (DataFrame, Int) = cfg match {
@@ -1585,7 +1590,10 @@ object PipelineQueries {
         col("g0").as("band0"), col("g1").as("band1"),
         col("g2").as("band2"), col("g3").as("band3")), 4)
     }
-    val sortedG = indexed.select(col("doc_id"), sort_array(col("grams")).as("grams"))
+    // verify over the bijective hex→long re-encode — same jaccards,
+    // 8-byte compares (see ngramVerifiedPairs)
+    val sortedG = indexed.select(col("doc_id"),
+      sort_array(Dedup.hex16ToLongs(col("grams"))).as("grams"))
     Seq("b1r4", "b2r2", "b4r1").map { cfg =>
       val (bands, nb) = bandsFor(cfg)
       val cand = Dedup.lshCandidatePairs(bands, "doc_id", numBands = nb)
@@ -2761,7 +2769,11 @@ object PipelineQueries {
     * approximation that catches mosaic re-emissions pairwise dedup
     * can't. */
   def dedupSubstring(s: SparkSession, dir: String): DataFrame =
-    Dedup.substringNovelty(t(s, dir, "documents"), "doc_id", "text")
+    // spread: the ~93-md5s-per-doc shingle explode otherwise runs at the
+    // single-row-group fixture's parallelism — ONE task on 32 cores
+    // (profiled 1.95 s in one 4-task execution; the exact serial-map
+    // hazard Materialize.spread documents). No-op on a real lake layout.
+    Dedup.substringNovelty(td(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
   /** Corpus-trained bigram LM scoring ([[graft.ops.TextAnalysis.lmScore]]):

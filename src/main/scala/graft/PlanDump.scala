@@ -41,7 +41,9 @@ object PlanDump {
           txt.getBytes("UTF-8"))
         println(s"[plandump] wrote $outDir/${name}_$suffix.txt")
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an OOM/linkage error must abort the dump rather
+        // than produce misleading partial plans from an unhealthy JVM
+        case scala.util.control.NonFatal(e) =>
           println(s"[plandump] FAILED $name: ${e.getMessage}")
       } finally graft.ops.Materialize.dropAll()
     }

@@ -15,7 +15,10 @@ object ProfileJobs {
   private class JobTimeline extends SparkListener {
     import org.apache.spark.sql.execution.ui.{
       SparkListenerSQLExecutionStart, SparkListenerSQLExecutionEnd}
-    case class Exec(id: Long, desc: String, t0: Long, var t1: Long = 0L)
+    // t1 is written by the listener-bus thread and read by the main
+    // thread after drainListenerBus; @volatile so the report does not
+    // depend on the drain's memory semantics if it times out.
+    case class Exec(id: Long, desc: String, t0: Long, @volatile var t1: Long = 0L)
     val execs = new java.util.concurrent.ConcurrentHashMap[Long, Exec]
     val order = new java.util.concurrent.ConcurrentLinkedQueue[Long]
     val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -75,15 +78,23 @@ object ProfileJobs {
     val tl = new JobTimeline
     spark.sparkContext.addSparkListener(tl)
     for (name <- names) {
-      tl.reset()
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      graft.ops.Materialize.dropAll()
-      val wall = (System.nanoTime() - t0) / 1e9
-      org.apache.spark.sql.graftshim.GraftSessions.drainListenerBus(spark)
-      println(f"[profilejobs] $name: $wall%.2f s ($n rows)")
-      println(tl.report())
+      SparkEntry.queries.get(name) match {
+        case None =>
+          println(s"[profilejobs] unknown query: $name (skipped)")
+        case Some(fn) =>
+          tl.reset()
+          val t0 = System.nanoTime()
+          try {
+            val n = fn(spark, sfDir).count()
+            val wall = (System.nanoTime() - t0) / 1e9
+            org.apache.spark.sql.graftshim.GraftSessions.drainListenerBus(spark)
+            println(f"[profilejobs] $name: $wall%.2f s ($n rows)")
+            println(tl.report())
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              println(s"[profilejobs] FAILED $name: ${e.getMessage}")
+          } finally graft.ops.Materialize.dropAll()
+      }
     }
     graft.ops.Materialize.clearCache()
     spark.stop()

@@ -30,7 +30,8 @@ object ProfileSweep {
     val indexed = graft.ops.Materialize.index(sigs, "ngram-sig")
     timed("sig_index")(indexed.count())
     timed("truth")(graft.ops.Dedup.allPairsJaccardTok(
-      graft.ops.Dedup.bigramMd5Tok(docs, "doc_id", "text"), "doc_id", threshold = 0.5).count())
+      graft.ops.Dedup.bigramMd5Tok(docs, "doc_id", "text"), "doc_id",
+      threshold = 0.5, hexTokens = true).count())
     for ((cfg, bands, nb) <- Seq(
       ("b1r4", indexed.select(col("doc_id"),
         md5(concat_ws("|", col("g0"), col("g1"), col("g2"), col("g3"))).as("band0")), 1),

@@ -121,7 +121,7 @@ object ScaleSoak {
     if (replicas <= 3) timed("allpairs_exact") {
       counts("allpairs_pairs") = graft.ops.Dedup.allPairsJaccardTok(
         graft.ops.Dedup.bigramMd5Tok(docs, "doc_id", "text"),
-        "doc_id", threshold = 0.5).count()
+        "doc_id", threshold = 0.5, hexTokens = true).count()
     }
 
     // 2. transitive closure → cluster keepers

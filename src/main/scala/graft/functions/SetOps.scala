@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct-intersection COUNT of two ASCENDING-sorted string arrays via
-  * a two-pointer merge — the exact-similarity verify's hot loop.
+/** Distinct-intersection COUNT of two ASCENDING-sorted arrays via a
+  * two-pointer merge — the exact-similarity verify's hot loop.
   *
   * Why this exists: every near-dup verify (`Dedup.verifyPairsTok`, the
   * all-pairs truth builder, LSH band verifies, fuzzy decontamination)
@@ -20,6 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage codegen; with set algebra (|A∪B| = |A|+|B|−|A∩B|) the
   * union is never materialized at all.
   *
+  * Element types: array<string> (the md5-hex token tables) and
+  * array<bigint> (the bijective 16-hex → 64-bit re-encode the exact
+  * all-pairs join runs on — one long compare per step instead of a
+  * 16-byte UTF8 compare; both sides must be sorted in the SAME domain).
+  *
   * Semantics match `size(array_intersect(a, b))` on ANY inputs (duplicate
   * elements are skipped — the count is of DISTINCT common values), but
   * both inputs MUST be sorted ascending (callers `sort_array` once at the
@@ -29,36 +34,55 @@ import org.apache.spark.unsafe.types.UTF8String
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private def okType(dt: DataType): Boolean = dt match {
-    case ArrayType(StringType, _) => true
-    case _ => false
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(StringType, _) => Some(StringType)
+    case ArrayType(LongType, _) => Some(LongType)
+    case _ => None
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (okType(left.dataType) && okType(right.dataType))
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      "sorted_intersect_count expects (array<string>, array<string>)")
+    (elemType(left.dataType), elemType(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "sorted_intersect_count expects (array<string>, array<string>) " +
+          "or (array<bigint>, array<bigint>)")
+    }
 
   override def dataType: DataType = IntegerType
+
+  private lazy val longElems =
+    elemType(left.dataType).contains(LongType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var c = 0
     val nx = x.numElements(); val ny = y.numElements()
-    while (i < nx && j < ny) {
-      val xv = x.getUTF8String(i)
-      val yv = y.getUTF8String(j)
-      val cmp = xv.compareTo(yv)
-      if (cmp == 0) {
-        c += 1
-        // skip duplicates of the matched value on BOTH sides: the count
-        // is of distinct common values (array_intersect semantics)
-        while (i < nx && x.getUTF8String(i).compareTo(xv) == 0) i += 1
-        while (j < ny && y.getUTF8String(j).compareTo(yv) == 0) j += 1
-      } else if (cmp < 0) i += 1
-      else j += 1
+    if (longElems) {
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i)
+        val yv = y.getLong(j)
+        if (xv == yv) {
+          c += 1
+          while (i < nx && x.getLong(i) == xv) i += 1
+          while (j < ny && y.getLong(j) == yv) j += 1
+        } else if (xv < yv) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < nx && j < ny) {
+        val xv = x.getUTF8String(i)
+        val yv = y.getUTF8String(j)
+        val cmp = xv.compareTo(yv)
+        if (cmp == 0) {
+          c += 1
+          // skip duplicates of the matched value on BOTH sides: the count
+          // is of distinct common values (array_intersect semantics)
+          while (i < nx && x.getUTF8String(i).compareTo(xv) == 0) i += 1
+          while (j < ny && y.getUTF8String(j).compareTo(yv) == 0) j += 1
+        } else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -73,22 +97,39 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       val cmp = ctx.freshName("cmp")
-      s"""
-         |int $i = 0; int $j = 0; int $c = 0;
-         |int $nx = $x.numElements(); int $ny = $y.numElements();
-         |while ($i < $nx && $j < $ny) {
-         |  org.apache.spark.unsafe.types.UTF8String $xv = $x.getUTF8String($i);
-         |  org.apache.spark.unsafe.types.UTF8String $yv = $y.getUTF8String($j);
-         |  int $cmp = $xv.compareTo($yv);
-         |  if ($cmp == 0) {
-         |    $c++;
-         |    while ($i < $nx && $x.getUTF8String($i).compareTo($xv) == 0) $i++;
-         |    while ($j < $ny && $y.getUTF8String($j).compareTo($yv) == 0) $j++;
-         |  } else if ($cmp < 0) $i++;
-         |  else $j++;
-         |}
-         |${ev.value} = $c;
-       """.stripMargin
+      if (longElems)
+        s"""
+           |int $i = 0; int $j = 0; int $c = 0;
+           |int $nx = $x.numElements(); int $ny = $y.numElements();
+           |while ($i < $nx && $j < $ny) {
+           |  long $xv = $x.getLong($i);
+           |  long $yv = $y.getLong($j);
+           |  if ($xv == $yv) {
+           |    $c++;
+           |    while ($i < $nx && $x.getLong($i) == $xv) $i++;
+           |    while ($j < $ny && $y.getLong($j) == $yv) $j++;
+           |  } else if ($xv < $yv) $i++;
+           |  else $j++;
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      else
+        s"""
+           |int $i = 0; int $j = 0; int $c = 0;
+           |int $nx = $x.numElements(); int $ny = $y.numElements();
+           |while ($i < $nx && $j < $ny) {
+           |  org.apache.spark.unsafe.types.UTF8String $xv = $x.getUTF8String($i);
+           |  org.apache.spark.unsafe.types.UTF8String $yv = $y.getUTF8String($j);
+           |  int $cmp = $xv.compareTo($yv);
+           |  if ($cmp == 0) {
+           |    $c++;
+           |    while ($i < $nx && $x.getUTF8String($i).compareTo($xv) == 0) $i++;
+           |    while ($j < $ny && $y.getUTF8String($j).compareTo($yv) == 0) $j++;
+           |  } else if ($cmp < 0) $i++;
+           |  else $j++;
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
     })
 
   override protected def withNewChildrenInternal(

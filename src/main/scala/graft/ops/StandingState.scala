@@ -1400,13 +1400,23 @@ object StandingState {
   private def refreshDigest(spark: SparkSession, store: String): Unit =
     try {
       val filesystem = fs(spark, store)
-      val bodies = snapshots(spark, store).map { s =>
+      // Digest over each live witness's (snapshot, length, mtime) — NOT
+      // its body. refreshDigest runs on EVERY verified read; re-reading
+      // every snapshot's full witness body made each read pay the whole
+      // store's metadata volume again (140 MiB per read at the measured
+      // 1M-file scale point — guide §5, the driver should do almost no
+      // data work). Length+mtime is the same freshness evidence the
+      // witness PARSE cache already trusts (a commit adds an entry, a
+      // retention removes one, any rewrite moves len/mtime), so the
+      // digest changes exactly when the body digest would — at the cost
+      // of one getFileStatus per snapshot instead of one full read.
+      val marks = snapshots(spark, store).map { s =>
         val p = new org.apache.hadoop.fs.Path(s"$store/${snapName(s)}/$WitnessFile")
-        val is = filesystem.open(p)
-        try scala.io.Source.fromInputStream(is, "UTF-8").mkString finally is.close()
+        val st = filesystem.getFileStatus(p)
+        s"${snapName(s)}:${st.getLen}:${st.getModificationTime}"
       }
       val md = java.security.MessageDigest.getInstance("MD5")
-      val digest = md.digest(bodies.mkString("\u0000").getBytes("UTF-8"))
+      val digest = md.digest(marks.mkString("\u0000").getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       storeDigests.put(qualifiedKey(spark, store), digest)
       ()
